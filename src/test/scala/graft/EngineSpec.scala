@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{EventsAggregator, Sources}
+
+/** End-to-end engine spec over synthetic MIMIC-shaped fixtures (FIXTURES.md).
+  * Edge cases encoded: exact-multiple stay duration (floor/ceil W2 tension),
+  * pre-intime clamp, post-outtime drop, boundary event at exactly
+  * `total_windows`, null valuenum, zero-length interval, non-grid-aligned
+  * interval, multi-event window (mean vs sum), stay with no events for a
+  * source (dummy file), ffill leading gap.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+
+  private def writeFixtures(root: Path): Unit = {
+    val icu = root.resolve("icu")
+    Files.createDirectories(icu)
+    def put(name: String, header: String, rows: Seq[String]): Unit =
+      Files.write(icu.resolve(name), (header +: rows).asJava)
+
+    // stay 1: 2020-01-01 00:00 → 05:30 (19800 s) → total_windows=5 (6 cols)
+    // stay 2: exact multiple 00:00 → 04:00 (14400 s) → floor+1 = 5 cols
+    //         (the reference's test asserts ceil = 4 — we encode the impl)
+    // stay 3: no events anywhere → dummy files
+    put("icustays.csv",
+      "subject_id,hadm_id,stay_id,first_careunit,last_careunit,intime,outtime,los",
+      Seq(
+        "1,10,1,MICU,MICU,2020-01-01 00:00:00,2020-01-01 05:30:00,0.23",
+        "2,20,2,SICU,SICU,2020-01-01 00:00:00,2020-01-01 04:00:00,0.17",
+        "3,30,3,MICU,MICU,2020-01-01 00:00:00,2020-01-01 02:00:00,0.08"))
+
+    put("d_items.csv",
+      "itemid,label,abbreviation,linksto,category,unitname,param_type,lownormalvalue,highnormalvalue",
+      Seq("100,HR,HR,chartevents,vitals,bpm,Numeric,60,100",
+        "200,RR,RR,chartevents,vitals,insp/min,Numeric,12,20",
+        "300,NaCl,NaCl,inputevents,fluids,mL,Numeric,,",
+        "400,Urine,UO,outputevents,output,mL,Numeric,,",
+        "500,Vent,Vent,procedureevents,procedures,min,Numeric,,"))
+
+    // chartevents (MEAN): stay 1 itemid 100:
+    //  w0: 1.0 @00:30, 3.0 @00:45, pre-intime 7.0 @23:50 prev day (clamped) → mean 11/3
+    //  w1: null valuenum @01:30 → mean null → filled 0.0
+    //  w2: 5.0 @02:10
+    //  dropped: 9.9 @06:30 (tidx 6 > 5)
+    // stay 1 itemid 200: single event w3 = 4.0 (ffill case: w4,w5 stay 0.0 / 4.0)
+    put("chartevents.csv",
+      "subject_id,hadm_id,stay_id,charttime,storetime,itemid,value,valuenum,valueuom,warning",
+      Seq(
+        "1,10,1,2020-01-01 00:30:00,2020-01-01 00:31:00,100,1,1.0,bpm,0",
+        "1,10,1,2020-01-01 00:45:00,2020-01-01 00:46:00,100,3,3.0,bpm,0",
+        "1,10,1,2019-12-31 23:50:00,2019-12-31 23:51:00,100,7,7.0,bpm,0",
+        "1,10,1,2020-01-01 01:30:00,2020-01-01 01:31:00,100,bad,,bpm,0",
+        "1,10,1,2020-01-01 02:10:00,2020-01-01 02:11:00,100,5,5.0,bpm,0",
+        "1,10,1,2020-01-01 06:30:00,2020-01-01 06:31:00,100,9.9,9.9,bpm,0",
+        "1,10,1,2020-01-01 03:10:00,2020-01-01 03:11:00,200,4,4.0,insp/min,0"))
+
+    // inputevents (SUM, amount/patientweight, interval):
+    //  stay 1 itemid 300: 00:30→02:30 amount 6 weight 2 → marks 1800,5400,9000
+    //    → w0,w1,w2 each 1.0
+    //  zero-length interval 03:10→03:10 amount 4 weight 2 → w3 = 2.0
+    val ieCols = "subject_id,hadm_id,stay_id,starttime,endtime,storetime,itemid," +
+      "amount,amountuom,rate,rateuom,orderid,linkorderid,ordercategoryname," +
+      "secondaryordercategoryname,ordercomponenttypedescription," +
+      "ordercategorydescription,patientweight,totalamount,totalamountuom," +
+      "isopenbag,continueinnextdept,cancelreason,statusdescription," +
+      "originalamount,originalrate"
+    put("inputevents.csv", ieCols, Seq(
+      "1,10,1,2020-01-01 00:30:00,2020-01-01 02:30:00,2020-01-01 00:31:00,300," +
+        "6.0,mL,3.0,mL/hour,1,1,Fluids,,Main,Continuous,2.0,100,mL,0,0,0,FinishedRunning,6.0,3.0",
+      "1,10,1,2020-01-01 03:10:00,2020-01-01 03:10:00,2020-01-01 03:11:00,300," +
+        "4.0,mL,,mL/hour,2,2,Fluids,,Main,Bolus,2.0,100,mL,0,0,0,FinishedRunning,4.0,"))
+
+    // outputevents (SUM, point, string value):
+    //  stay 2 itemid 400: w0 5.5+4.5=10.0; boundary @04:00 → tidx 4 == tw → kept 2.0
+    put("outputevents.csv",
+      "subject_id,hadm_id,stay_id,charttime,storetime,itemid,value,valueuom",
+      Seq(
+        "2,20,2,2020-01-01 00:10:00,2020-01-01 00:11:00,400,5.5,mL",
+        "2,20,2,2020-01-01 00:20:00,2020-01-01 00:21:00,400,4.5,mL",
+        "2,20,2,2020-01-01 04:00:00,2020-01-01 04:01:00,400,2.0,mL"))
+
+    // procedureevents (SUM, interval): stay 1 itemid 500:
+    //  00:50→03:20 (3000→12000) → marks 3000,6600,10200 → w0,w1,w2 each 3.0
+    val peCols = "subject_id,hadm_id,stay_id,starttime,endtime,storetime,itemid," +
+      "value,valueuom,location,locationcategory,orderid,linkorderid," +
+      "ordercategoryname,ordercategorydescription,patientweight,isopenbag," +
+      "continueinnextdept,statusdescription,originalamount,originalrate"
+    put("procedureevents.csv", peCols, Seq(
+      "1,10,1,2020-01-01 00:50:00,2020-01-01 03:20:00,2020-01-01 00:51:00,500," +
+        "9.0,min,,,1,1,Ventilation,Continuous,2.0,0,0,FinishedRunning,9.0,"))
+  }
+
+  private def readCsvLines(p: Path): Seq[String] =
+    Files.readAllLines(p).asScala.toSeq
+
+  lazy val outDir: Path = {
+    val root = Files.createTempDirectory("graft-mimic")
+    val dst = Files.createTempDirectory("graft-out")
+    writeFixtures(root)
+    new EventsAggregator(spark, root.toString, dst.toString).run()
+    dst
+  }
+
+  test("dst dir structure: every stay dir has all four matrices") {
+    for (stay <- Seq(1, 2, 3); src <- Sources.all.map(_.name))
+      assert(Files.exists(outDir.resolve(s"$stay/${src}_features.csv")),
+        s"missing $stay/${src}_features.csv")
+    assert(Files.exists(outDir.resolve("readme.txt")))
+  }
+
+  test("header width = floor(dur/step)+1 columns (W2 impl semantics)") {
+    val h1 = readCsvLines(outDir.resolve("1/chartevents_features.csv")).head
+    assert(h1 == "feature_id,0,1,2,3,4,5")
+    val h2 = readCsvLines(outDir.resolve("2/outputevents_features.csv")).head
+    assert(h2 == "feature_id,0,1,2,3,4") // exact multiple: floor+1 = 5 cols
+    val h3 = readCsvLines(outDir.resolve("3/chartevents_features.csv")).head
+    assert(h3 == "feature_id,0,1,2") // dummy file still has correct width
+  }
+
+  test("chartevents mean combine + clamp + drop + null skip") {
+    val lines = readCsvLines(outDir.resolve("1/chartevents_features.csv"))
+    assert(lines.length == 3) // header + itemid 100 + itemid 200 (sorted)
+    val r100 = lines(1).split(",")
+    assert(r100(0) == "100")
+    assert(math.abs(r100(1).toDouble - 11.0 / 3) < 1e-12) // clamped pre-intime joins w0
+    assert(r100(2).toDouble == 0.0) // null-only window → 0.0 fill
+    assert(r100(3).toDouble == 5.0)
+    assert(r100.drop(4).forall(_.toDouble == 0.0)) // post-outtime event dropped
+    val r200 = lines(2).split(",")
+    assert(r200(0) == "200" && r200(4).toDouble == 4.0)
+  }
+
+  test("inputevents interval expand conserves dose and splits evenly") {
+    val lines = readCsvLines(outDir.resolve("1/inputevents_features.csv"))
+    val r300 = lines(1).split(",").drop(1).map(_.toDouble)
+    assert(r300.toSeq == Seq(1.0, 1.0, 1.0, 2.0, 0.0, 0.0))
+    assert(math.abs(r300.sum - (6.0 / 2.0 + 4.0 / 2.0)) < 1e-9) // conservation
+  }
+
+  test("outputevents sum combine + boundary window kept") {
+    val lines = readCsvLines(outDir.resolve("2/outputevents_features.csv"))
+    val r400 = lines(1).split(",").drop(1).map(_.toDouble)
+    assert(r400.toSeq == Seq(10.0, 0.0, 0.0, 0.0, 2.0))
+  }
+
+  test("procedureevents non-grid-aligned interval") {
+    val lines = readCsvLines(outDir.resolve("1/procedureevents_features.csv"))
+    val r500 = lines(1).split(",").drop(1).map(_.toDouble)
+    assert(r500.toSeq == Seq(3.0, 3.0, 3.0, 0.0, 0.0, 0.0))
+  }
+
+  test("stay with no events gets header-only dummies for every source") {
+    for (src <- Sources.all.map(_.name)) {
+      val lines = readCsvLines(outDir.resolve(s"3/${src}_features.csv"))
+      assert(lines.length == 1, s"$src dummy should be header-only")
+    }
+  }
+
+  test("ffill carries last value forward, leading gaps stay 0.0") {
+    val root = Files.createTempDirectory("graft-mimic-ff")
+    val dst = Files.createTempDirectory("graft-out-ff")
+    writeFixtures(root)
+    new EventsAggregator(spark, root.toString, dst.toString, ffill = true,
+      sources = Seq(Sources.chartevents)).run()
+    val lines = readCsvLines(dst.resolve("1/chartevents_features.csv"))
+    val r200 = lines(2).split(",").drop(1).map(_.toDouble)
+    // single event at w3=4.0: leading gap 0.0, then carried to w4, w5
+    assert(r200.toSeq == Seq(0.0, 0.0, 0.0, 4.0, 4.0, 4.0))
+    val r100 = lines(1).split(",").drop(1).map(_.toDouble)
+    // w1 had a null-only window: ffill carries w0's mean forward over it
+    assert(math.abs(r100(1) - 11.0 / 3) < 1e-12)
+  }
+
+  test("stay filter prunes and still emits dummies for requested empty stays") {
+    val root = Files.createTempDirectory("graft-mimic-f")
+    val dst = Files.createTempDirectory("graft-out-f")
+    writeFixtures(root)
+    new EventsAggregator(spark, root.toString, dst.toString,
+      stayIds = Some(Seq(2L, 3L)), sources = Seq(Sources.outputevents)).run()
+    assert(!Files.exists(dst.resolve("1")))
+    assert(readCsvLines(dst.resolve("2/outputevents_features.csv")).length == 2)
+    assert(readCsvLines(dst.resolve("3/outputevents_features.csv")).length == 1)
+  }
+}
