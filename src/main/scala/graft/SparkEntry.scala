@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Relational, TimeSeries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each `queries` entry is one operator from the SURVEY §2 inventory (or a
+  * beyond-reference extension), paired with an equivalent DuckDB oracle in
+  * `oracleSql` where ANSI-SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full time-series pipeline (stay-index join → bucketize →
+    * mean combine → densify) over the events table at sf=0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TimeSeries.defs("q_ts_densify")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.defs ++ TimeSeries.defs
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ TimeSeries.oracles
 }

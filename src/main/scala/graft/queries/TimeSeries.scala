@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Stages
+import graft.model.{MeanCombine, SumCombine}
+
+/** The engine's time-series operators (SURVEY.md §2.3 J4/J5, §2.4, §2.5,
+  * §2.7) exercised over the driver's `events` table: `user_id` plays
+  * `stay_id`, `event_type` plays `feature_id`, and each user's stay spans
+  * `[min(ts), max(ts)]`. Every query routes through the same
+  * [[graft.etl.Stages]] code the MIMIC facade uses — the DuckDB oracles
+  * check the engine itself, not a SQL re-implementation.
+  *
+  * All aggregates here are small-group (events per (user, type, window) are
+  * few), so `round(x, 6)` makes double reduction order irrelevant.
+  */
+object TimeSeries {
+
+  private val Step = 3600L
+
+  /** events with epoch seconds. `ts` arrives as epoch-nanos LongType (see
+    * [[graft.queries.t]]); integer `DIV` floors toward -inf for positive
+    * epochs, same as the oracle's `floor(epoch(ts))`.
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("event_epoch_time", expr("ts DIV 1000000000"))
+
+  /** Per-user stay analog: intime = min epoch, outtime = max epoch,
+    * `total_windows = floor((outtime-intime)/step)` (W2 semantics).
+    */
+  private def userIndex(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id").as("stay_id"))
+      .agg(min(col("event_epoch_time")).as("intime"),
+        max(col("event_epoch_time")).as("outtime"))
+      .withColumn("total_windows",
+        floor((col("outtime") - col("intime")) / lit(Step)).cast("long"))
+
+  private def bucketized(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    Stages.bucketize(
+      e.select(col("user_id").as("stay_id"), col("event_epoch_time"),
+        col("event_type").as("feature_id"), col("value")),
+      userIndex(e), Step)
+  }
+
+  /** Shared oracle CTE prelude: per-user index + bucketized events. */
+  private val idxSql =
+    """WITH idx AS (
+      |  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS intime,
+      |         CAST(floor(epoch(max(ts))) AS BIGINT) AS outtime,
+      |         CAST(floor((CAST(floor(epoch(max(ts))) AS BIGINT)
+      |           - CAST(floor(epoch(min(ts))) AS BIGINT)) / 3600) AS BIGINT) AS tw
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT e.user_id, e.event_type,
+      |    greatest(CAST(floor((CAST(floor(epoch(e.ts)) AS BIGINT) - i.intime) / 3600)
+      |      AS BIGINT), 0) AS tidx,
+      |    e.value, i.tw
+      |  FROM events e JOIN idx i USING (user_id))
+      |""".stripMargin
+
+  val defs: Map[String, QueryFn] = Map(
+    // J1+J4+P8+P10: stay join, window assignment, clamp, bound filter
+    "q_ts_bucketize" -> ((s, dir) =>
+      bucketized(s, dir)
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), col("value"))
+        .orderBy("user_id", "event_type", "tidx", "value")),
+
+    // A3: mean combine via Stages.combine
+    "q_ts_combine_mean" -> ((s, dir) =>
+      Stages.combine(bucketized(s, dir), MeanCombine)
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), round(col("value"), 6).as("avg_value"))
+        .orderBy("user_id", "event_type", "tidx")),
+
+    // A4: sum combine + per-window count
+    "q_ts_combine_sum" -> ((s, dir) =>
+      bucketized(s, dir)
+        .groupBy("stay_id", "feature_id", "tidx")
+        .agg(round(sum(col("value")), 6).as("sum_value"), count(lit(1)).as("n"))
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), col("sum_value"), col("n"))
+        .orderBy("user_id", "event_type", "tidx")),
+
+    // A5/J5: dense grid + zero fill via Stages.densify
+    "q_ts_densify" -> ((s, dir) => {
+      val combined = Stages.combine(bucketized(s, dir), MeanCombine)
+        .withColumn("value", round(col("value"), 6))
+      Stages.densify(combined, ffill = false)
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), col("value"))
+        .orderBy("user_id", "event_type", "tidx")
+    }),
+
+    // A6/W3: forward fill (leading gaps stay 0.0)
+    "q_ts_ffill" -> ((s, dir) => {
+      val combined = Stages.combine(bucketized(s, dir), MeanCombine)
+        .withColumn("value", round(col("value"), 6))
+      Stages.densify(combined, ffill = true)
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), col("value"))
+        .orderBy("user_id", "event_type", "tidx")
+    }),
+
+    // G1-G3: interval explode + even split + sum, via Stages.intervalExpand.
+    // Synthetic intervals: [ts, ts + floor(value*60) s] — value minutes.
+    "q_ts_interval_expand" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val iv = e.select(col("user_id").as("stay_id"),
+        col("event_type").as("feature_id"),
+        col("event_epoch_time").as("start_epoch_time"),
+        (col("event_epoch_time") + floor(col("value") * 60)).as("end_epoch_time"),
+        col("value"))
+      val expanded = Stages.intervalExpand(iv, Step)
+      val b = Stages.bucketize(expanded, userIndex(e), Step)
+      Stages.combine(b, SumCombine)
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), round(col("value"), 6).as("sum_value"))
+        .orderBy("user_id", "event_type", "tidx")
+    }),
+
+    // W1 batch analog: epoch-aligned tumbling window via window()
+    "q_ts_window_tumbling" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("ts_sec", timestamp_seconds(col("event_epoch_time")))
+        .groupBy(window(col("ts_sec"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("wstart", "event_type")),
+
+    // session windows: 30-min inactivity gap (beyond-reference analytic)
+    "q_ts_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_epoch_time", "event_id")
+      ev(s, dir)
+        .withColumn("prev", lag(col("event_epoch_time"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("event_epoch_time") - col("prev") > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // semi-structured: JSON field extraction from the props column
+    "q_ts_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_k"))
+        .orderBy("event_type")))
+
+  val oracles: Map[String, String] = Map(
+    "q_ts_bucketize" -> (idxSql +
+      """SELECT user_id, event_type, tidx, value FROM b
+        |WHERE tidx <= tw
+        |ORDER BY user_id, event_type, tidx, value""".stripMargin),
+
+    "q_ts_combine_mean" -> (idxSql +
+      """SELECT user_id, event_type, tidx, round(avg(value), 6) AS avg_value
+        |FROM b WHERE tidx <= tw
+        |GROUP BY user_id, event_type, tidx
+        |ORDER BY user_id, event_type, tidx""".stripMargin),
+
+    "q_ts_combine_sum" -> (idxSql +
+      """SELECT user_id, event_type, tidx, round(sum(value), 6) AS sum_value,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b WHERE tidx <= tw
+        |GROUP BY user_id, event_type, tidx
+        |ORDER BY user_id, event_type, tidx""".stripMargin),
+
+    "q_ts_densify" -> (idxSql +
+      """, agg AS (
+        |  SELECT user_id, event_type, tidx, round(avg(value), 6) AS v
+        |  FROM b WHERE tidx <= tw GROUP BY user_id, event_type, tidx),
+        |spine AS (
+        |  SELECT p.user_id, p.event_type,
+        |    unnest(generate_series(0, i.tw)) AS tidx
+        |  FROM (SELECT DISTINCT user_id, event_type FROM agg) p
+        |  JOIN idx i USING (user_id))
+        |SELECT s.user_id, s.event_type, s.tidx,
+        |  coalesce(a.v, 0.0) AS value
+        |FROM spine s LEFT JOIN agg a
+        |  ON s.user_id = a.user_id AND s.event_type = a.event_type
+        |  AND s.tidx = a.tidx
+        |ORDER BY s.user_id, s.event_type, s.tidx""".stripMargin),
+
+    "q_ts_ffill" -> (idxSql +
+      """, agg AS (
+        |  SELECT user_id, event_type, tidx, round(avg(value), 6) AS v
+        |  FROM b WHERE tidx <= tw GROUP BY user_id, event_type, tidx),
+        |spine AS (
+        |  SELECT p.user_id, p.event_type,
+        |    unnest(generate_series(0, i.tw)) AS tidx
+        |  FROM (SELECT DISTINCT user_id, event_type FROM agg) p
+        |  JOIN idx i USING (user_id))
+        |SELECT s.user_id, s.event_type, s.tidx,
+        |  coalesce(last_value(a.v IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id, s.event_type ORDER BY s.tidx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value
+        |FROM spine s LEFT JOIN agg a
+        |  ON s.user_id = a.user_id AND s.event_type = a.event_type
+        |  AND s.tidx = a.tidx
+        |ORDER BY s.user_id, s.event_type, s.tidx""".stripMargin),
+
+    "q_ts_interval_expand" ->
+      """WITH idx AS (
+        |  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS intime,
+        |         CAST(floor((CAST(floor(epoch(max(ts))) AS BIGINT)
+        |           - CAST(floor(epoch(min(ts))) AS BIGINT)) / 3600) AS BIGINT) AS tw
+        |  FROM events GROUP BY user_id),
+        |iv AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value*60) AS BIGINT) AS en,
+        |    value
+        |  FROM events),
+        |marks AS (
+        |  SELECT user_id, event_type,
+        |    value / (CAST(floor((en - st) / 3600) AS BIGINT) + 1) AS v,
+        |    unnest(generate_series(st, en, 3600)) AS m
+        |  FROM iv),
+        |bk AS (
+        |  SELECT mk.user_id, mk.event_type,
+        |    greatest(CAST(floor((mk.m - i.intime) / 3600) AS BIGINT), 0) AS tidx,
+        |    mk.v, i.tw
+        |  FROM marks mk JOIN idx i USING (user_id))
+        |SELECT user_id, event_type, tidx, round(sum(v), 6) AS sum_value
+        |FROM bk WHERE tidx <= tw
+        |GROUP BY user_id, event_type, tidx
+        |ORDER BY user_id, event_type, tidx""".stripMargin,
+
+    "q_ts_window_tumbling" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    "q_ts_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS et
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) AS prev, et
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR et - prev > 1800 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
