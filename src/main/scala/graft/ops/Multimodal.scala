@@ -1,0 +1,91 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted in partition-sized batches.
+  *
+  * The Spark-side shape is real and tested — schema, partition batching,
+  * typed Dataset signatures — while the codec itself is a STUB (this
+  * container has no image/audio libraries): `decodeStub` derives
+  * deterministic pseudo-features from the bytes. Swapping in a real decoder
+  * means replacing only the body of [[decodeStub]]; every seam it plugs into
+  * (mapPartitions batching, feature schema, downstream aggregation) stays.
+  */
+object Multimodal {
+
+  /** One media record: opaque payload + source metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      modality: String,
+      payload: Array[Byte],
+      source: String)
+
+  /** Decoded features (what a real image/audio decoder would emit). */
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      byte_len: Long,
+      sha_prefix: String,
+      width: Int,
+      height: Int,
+      mean_channel: Double)
+
+  /** Wrap a text table as pretend media: payload = utf-8 bytes. */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    docs.select(col(idCol).as("media_id"), lit("image").as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"), col(sourceCol).as("source"))
+
+  /** STUB DECODER — deterministic fake. A real deployment decodes
+    * image/audio bytes here (one codec instance per partition, amortized
+    * over the iterator — the mapPartitions shape is the point). The fake
+    * derives every "feature" from the payload bytes so tests and oracles
+    * are exact:
+    *   width  = byte_len mod 640, height = byte_len mod 480,
+    *   mean_channel = mean byte value, sha_prefix = first 8 hex of sha-256.
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition "codec" init (real decoders are expensive to create)
+      val digest = MessageDigest.getInstance("SHA-256")
+      it.map { m =>
+        digest.reset()
+        val sha = digest.digest(m.payload).map("%02x".format(_)).mkString
+        val len = m.payload.length.toLong
+        val mean =
+          if (len == 0) 0.0
+          else m.payload.map(b => (b & 0xFF).toDouble).sum / len
+        MediaFeatures(m.media_id, m.modality, len, sha.take(8),
+          (len % 640).toInt, (len % 480).toInt, mean)
+      }
+    }
+  }
+
+  /** Deterministic frame/sample extraction: n evenly spaced byte-slices of
+    * the payload (the video frame-sampling shape — a real pipeline slices at
+    * container keyframe offsets instead). Pure Column algebra; emits
+    * (media_id, frame_idx, frame: binary).
+    */
+  def sampleFrames(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {
+    val stride = (octet_length(col("payload")).cast("long") / lit(n)).cast("long")
+    media.select(col("media_id"), col("payload"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => col("payload").substr((i.cast("long") * stride + 1).cast("int"),
+            lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .select("media_id", "frame_idx", "frame")
+  }
+
+  /** End-to-end media feature pipeline over a text table. */
+  def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = asMedia(docs, "doc_id", "text", "source").as[MediaRecord]
+    decodeStub(media).toDF()
+  }
+}

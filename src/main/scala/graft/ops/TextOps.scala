@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting, shingling. All pure Column
+  * algebra (codegen-friendly, no UDFs) — every function here runs inside
+  * whole-stage codegen and scales embarrassingly (no shuffle, no state).
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Canonical form for exact-dup detection: collapse whitespace, lowercase. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** 128-bit content fingerprint of the normalized text (rolling-hash
+    * equivalent for exact dedup; stable across partitions/engines).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Distinct word k-shingles ("a b c" 3-grams) — the unit set for Jaccard
+    * similarity and MinHash.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    // guard: Spark's sequence(0, n) runs DESCENDING when n < 0, so short
+    // docs must yield an empty shingle set explicitly
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val punctPattern = "[^.!?,;:]"
+
+  /** Punctuation character ratio (punct chars / total chars). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, punctPattern, "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of tokens that are common-English stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Composite quality heuristic in [0, ~2]: long-enough docs with normal
+    * word lengths and some stopword mass score high; degenerate docs
+    * (no stopwords, extreme word lengths) score low.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val avgWordLen = length(trim(text)).cast("double") / greatest(nTok, lit(1.0))
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val wordLenScore =
+      when(avgWordLen >= 3 && avgWordLen <= 10, lit(1.0)).otherwise(lit(0.25))
+    val stopScore = least(stopwordRatio(text, EnStopwords) * lit(5.0), lit(1.0))
+    round((lenScore + wordLenScore + stopScore) / lit(3.0), 6)
+  }
+
+  /** Stopword-marker hit counts for a language. */
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+
+  /** Marker lexicons for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  /** Predicted language = first lexicon (in [[LangMarkers]] order) achieving
+    * the maximum hit count; "und" (undetermined) when no marker hits at all.
+    * Deterministic CASE chain → trivially mirrored in the SQL oracle.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, m) => lang -> langHits(text, m) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und"): Column) { case ((lang, h), els) =>
+      when(best > 0 && h === best, lit(lang)).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * All vector math is sequential left-fold in DOUBLE over the array order —
+  * deterministic across partitions and bit-matchable by an oracle that does
+  * the same (cast to DOUBLE[] first; float accumulation would diverge).
+  *
+  * Scale shapes:
+  *  - brute-force top-k: broadcast the (small) query set, one pass over the
+  *    corpus, per-query window top-k. Linear scan — the baseline.
+  *  - IVF: assign every vector to its nearest of K fixed centroids (one
+  *    broadcast pass), bucket by cell; queries probe only `nprobe` cells —
+  *    the scan shrinks by ~K/nprobe. Cell assignment is itself a broadcast
+  *    argmax, no shuffle of the corpus.
+  */
+object VectorOps {
+
+  /** Sequential double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. `queries` must be small (broadcast). Returns
+    * (query_id, rank, vec_id, cos).
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("query_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
+    * id). Centroids must be small (broadcast). Adds `cell` and `cell_cos`.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("embedding"), col("centroid_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+      .withColumnRenamed("centroid_id", "cell")
+      .withColumnRenamed("c_cos", "cell_cos")
+      .drop("centroid_vec")
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells only. Returns
+    * (query_id, rank, vec_id, cos) — approximate: recall < 1 when true
+    * neighbors live outside probed cells.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cells = assignCells(corpus, centroids)
+    val qScored = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("query_vec"), col("centroid_vec")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("centroid_id").as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("query_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Blocked by `label`
+    * here (the clustering key); at scale the block key would be an LSH
+    * sign-bucket. Returns (vec_a, vec_b, cos).
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val v = corpus.select(col("vec_id"), col("label"), col("embedding"))
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .where(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, TextOps, VectorOps}
+
+/** LLM-training-data pipeline operators (dedup, text analysis, similarity
+  * search, multimodal) over the `documents` and `embeddings` tables, with
+  * DuckDB oracles wherever the op is ANSI-SQL-expressible. Hash-based ops
+  * whose exact outputs depend on xxhash64 (simhash) are rows-only; the
+  * MinHash-LSH query IS oracled against brute-force exact Jaccard because
+  * with 32 bands × 2 rows its recall at j>=0.8 is 1 - 0.36^32 ≈ 1 and its
+  * candidates are deterministic (xxhash64, no RNG), then exact-verified.
+  */
+object CorpusOps {
+
+  val defs: Map[String, QueryFn] = Map(
+    // tokenization: whitespace token count per doc
+    "q_doc_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("len_chars"))
+        .orderBy("doc_id")),
+
+    // quality scoring: length/punct/stopword heuristics
+    "q_doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextOps.stopwordRatio(col("text"), TextOps.EnStopwords), 6)
+            .as("stop_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // language ID: stopword-marker heuristic
+    "q_doc_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // document fingerprinting + exact dedup groups
+    "q_doc_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")),
+
+    // shingling: distinct word-3-shingles per doc
+    "q_doc_shingle_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.wordShingles(col("text"), 3)).as("n_shingles"))
+        .orderBy("doc_id")),
+
+    // near-dup: exact n-gram Jaccard via shared-shingle candidate join
+    "q_doc_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")),
+
+    // near-dup: MinHash + banded LSH candidates, exact-Jaccard verified
+    "q_doc_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, nHashes = 64, bands = 32, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")),
+
+    // near-dup: 64-bit SimHash, 4x16-bit band join, hamming <= 6
+    // (signature values are xxhash64-specific → rows-only check)
+    "q_doc_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 6)
+        .orderBy("doc_a", "doc_b")),
+
+    // similarity search: brute-force cosine top-10 for 3 query vectors
+    "q_emb_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      VectorOps.bruteTopK(emb, queries, 10)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // similarity search, scale path: IVF cell assignment histogram
+    "q_emb_ivf_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      VectorOps.assignCells(emb, centroids)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), round(avg(col("cell_cos")), 6).as("avg_cos"))
+        .orderBy("cell")
+    }),
+
+    // similarity search: IVF top-5 probing 2 cells
+    "q_emb_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      VectorOps.ivfTopK(emb, centroids, queries, k = 5, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // dedup: embedding-cosine near-dup pairs blocked by label
+    "q_emb_neardup" -> ((s, dir) =>
+      VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_a", "vec_b")),
+
+    // multimodal: binary payload + batched decode-stub feature extraction
+    "q_mm_decode" -> ((s, dir) =>
+      Multimodal.featurePipeline(s, t(s, dir, "documents"))
+        .withColumn("mean_channel", round(col("mean_channel"), 6))
+        .orderBy("media_id")),
+
+    // multimodal: deterministic frame sampling (binary slices as text)
+    "q_mm_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"),
+        "doc_id", "text", "source")
+      Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
+        .select(col("media_id"), col("frame_idx"),
+          decode(col("frame"), "UTF-8").as("frame_str"))
+        .orderBy("media_id", "frame_idx")
+    }))
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val shinglesSql =
+    """(SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |        for i in generate_series(1, len(t) - 2)]
+      |  ELSE [] END) AS s
+      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |       FROM documents))""".stripMargin
+  private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+  private val dotSql = (a: String, b: String) => s"list_dot_product($a, $b)"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val jaccardPairsSql =
+    s"""WITH sh AS $shinglesSql,
+       |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE), 6)
+       |    AS jaccard
+       |FROM cand
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_token_count" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(length(text) AS INT) AS len_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, $toksSql AS toks, text FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS praw,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS sraw,
+         |    CAST(length(trim(text)) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+         |      AS awl,
+         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens
+         |  FROM b)
+         |SELECT doc_id, n_tokens, round(praw, 6) AS punct_ratio,
+         |  round(sraw, 6) AS stop_ratio,
+         |  round((lens
+         |    + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+         |    + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_doc_langid" -> {
+      val hitCols = TextOps.LangMarkers.map { case (lang, m) =>
+        val lst = m.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($lst))) AS h_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = TextOps.LangMarkers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+      val caseChain = TextOps.LangMarkers.map { case (lang, _) =>
+        s"WHEN best > 0 AND h_$lang = best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH b AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |    $hitCols
+         |  FROM b),
+         |m AS (SELECT *, $bestExpr AS best FROM h)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE $caseChain ELSE 'und' END AS pred_lang
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_doc_shingle_stats" ->
+      s"""SELECT doc_id, CAST(len(s) AS INT) AS n_shingles
+         |FROM $shinglesSql ORDER BY doc_id""".stripMargin,
+
+    "q_doc_jaccard_pairs" -> jaccardPairsSql,
+
+    // LSH with 32 bands x 2 rows has recall ≈ 1 at j >= 0.8 and exact-Jaccard
+    // verification → its output equals the brute-force pair set.
+    "q_doc_minhash_lsh" -> jaccardPairsSql,
+
+    "q_emb_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |s AS (SELECT q.query_id, c.vec_id, ${cosSql("c.ev", "q.qv")} AS cos
+         |  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_emb_ivf_assign" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |s AS (SELECT c.vec_id, cent.centroid_id, ${cosSql("c.ev", "cent.cv")} AS cos
+         |  FROM c CROSS JOIN cent),
+         |a AS (SELECT vec_id, centroid_id, cos,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id)
+         |    AS rn FROM s)
+         |SELECT centroid_id AS cell, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(cos), 6) AS avg_cos
+         |FROM a WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q_emb_knn_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id, centroid_id AS cell, ev FROM (
+         |    SELECT c.vec_id, cent.centroid_id, c.ev,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("c.ev", "cent.cv")} DESC, cent.centroid_id) AS rn
+         |    FROM c CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, cent.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.centroid_id) AS rn
+         |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+         |s AS (SELECT p.query_id, cl.vec_id, ${cosSql("cl.ev", "p.qv")} AS cos
+         |  FROM cells cl JOIN probes p USING (cell)
+         |  WHERE cl.vec_id != p.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_emb_neardup" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosSql("a.ev", "b.ev")}, 6) AS cos
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.ev", "b.ev")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_mm_decode" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(sum(ascii(substr(text, i, 1))) AS DOUBLE) AS bsum
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, 'image' AS modality,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+        |  substr(sha256(d.text), 1, 8) AS sha_prefix,
+        |  CAST(octet_length(encode(d.text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(d.text)) % 480 AS INT) AS height,
+        |  round(ch.bsum / octet_length(encode(d.text)), 6) AS mean_channel
+        |FROM documents d JOIN ch ON d.doc_id = ch.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    "q_mm_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  substr(text, CAST(f * (octet_length(encode(text)) // 4) + 1 AS INT), 16)
+        |    AS frame_str
+        |FROM documents, LATERAL (SELECT unnest(generate_series(0, 3)) AS f)
+        |ORDER BY media_id, frame_idx""".stripMargin)
+}
