@@ -41,29 +41,55 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val sh = withShingles(docs, idCol, textCol, k)
-    val e = sh.select(col("doc_id"), col("shingles"), explode(col("shingles")).as("sh"))
+    val sh = withShingles(docs, idCol, textCol, k).persist()
+    // candidate join carries only (doc_id, shingle) rows — the set sizes
+    // rejoin AFTER the count, so shingle arrays never ride the big shuffle
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val e = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
     val cand = e.as("a").join(e.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"),
-        first(size(col("a.shingles"))).as("na"),
-        first(size(col("b.shingles"))).as("nb"))
-    cand.withColumn("jaccard",
+      .agg(count(lit(1)).as("common"))
+    // no broadcast hint: sizes is one row per doc (huge at corpus scale) —
+    // AQE picks broadcast when it actually fits
+    cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(sh, i).
-    * Null (empty shingle set) → empty signature.
+  /** Per-seed re-hash of a base 64-bit hash without overflow (Spark 4 runs
+    * ANSI mode, so wrap-around `*`/`+` would throw):
+    * `((h >>> 8) * (2i+1)) XOR c_i` — the shifted operand keeps the product
+    * under 2^63 for i < 64, XOR never overflows, and `c_i = i * φ64` (Scala
+    * compile-time wrap) decorrelates the seeds. Not a bijection (low 8 bits
+    * dropped) but minhash needs only uniform hashing, and 2^-56 collision
+    * mass is negligible.
     */
-  def minhashSignature(shingles: Column, nHashes: Int): Column =
-    when(size(shingles) > 0,
-      transform(sequence(lit(0), lit(nHashes - 1)),
-        i => array_min(transform(shingles, sh => xxhash64(sh, i)))))
-      .otherwise(array().cast("array<bigint>"))
+  private def seeded(h: Column, i: Int): Column =
+    (shiftrightunsigned(h, 8) * lit(2L * i + 1))
+      .bitwiseXOR(lit(-0x61c8864680b583ebL * i))
+
+  /** MinHash signatures for a (doc_id, shingles) table, computed in the
+    * scale shape: explode → one xxhash64 per (doc, shingle) → nHashes
+    * `min(affine(h, i))` aggregate expressions in a single codegen'd hash
+    * aggregation (NOT a nested per-row higher-order loop, which evaluates
+    * nHashes × |shingles| string hashes per document and dominated the
+    * benchmark at 100× the cost). Docs with empty shingle sets drop out.
+    * Returns (doc_id, sig: array<long>[nHashes]).
+    */
+  def minhashSignatures(shingled: DataFrame, nHashes: Int): DataFrame = {
+    val e = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val aggs = (0 until nHashes).map(i => min(seeded(col("h"), i)).as(s"m$i"))
+    e.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs from banded minhash signatures, verified with exact
     * Jaccard. `bands` bands of `nHashes/bands` rows; a pair is a candidate
@@ -76,39 +102,50 @@ object Dedup {
       k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
+    // reused three times (signatures + two verify joins) — persist so the
+    // shingle derivation runs once
     val sh = withShingles(docs, idCol, textCol, k)
-      .withColumn("sig", minhashSignature(col("shingles"), nHashes))
-      .where(size(col("sig")) > 0)
-    val banded = sh.select(col("doc_id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r)), b))))
+      .where(size(col("shingles")) > 0).persist()
+    val banded = minhashSignatures(sh, nHashes)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand.withColumn("jaccard",
+    // exact-Jaccard verification: shingle arrays shuffled only for candidates
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), Seq("doc_b"))
+      .withColumn("jaccard",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset: bit i is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1).
+  /** 64-bit SimHash signatures for (id, text): bit i is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1) over NORMALIZED tokens.
+    * Same scale shape as minhash: explode → one hash per token → 64
+    * `sum(±1)` aggregate expressions → fold to one long. Empty docs drop out.
+    * Returns (doc_id, sig: long).
     */
-  def simhash(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val bitSums = transform(sequence(lit(0), lit(63)), i =>
-      aggregate(toks, lit(0),
-        (acc, tk) => acc + when(call_function("shiftright", xxhash64(tk), i).bitwiseAND(lit(1L)) === 1L,
-          lit(1)).otherwise(lit(-1))))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val e = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.normTokens(col(textCol))).as("tk"))
+      .withColumn("h", xxhash64(col("tk")))
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    e.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, candidates via
@@ -117,7 +154,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+    val sig = simhashSignatures(docs, idCol, textCol)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * lit(16)).bitwiseAND(lit(0xFFFFL)))))

@@ -24,11 +24,15 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Distinct word k-shingles ("a b c" 3-grams) — the unit set for Jaccard
-    * similarity and MinHash.
+  /** Tokens of the normalized (lowercased) text — the dedup token stream. */
+  def normTokens(text: Column): Column = split(normalize(text), "\\s+")
+
+  /** Distinct word k-shingles ("a b c" 3-grams) over NORMALIZED tokens —
+    * the unit set for Jaccard similarity and MinHash (case/whitespace
+    * variants of a document must shingle identically).
     */
   def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+    val toks = normTokens(text)
     // guard: Spark's sequence(0, n) runs DESCENDING when n < 0, so short
     // docs must yield an empty shingle set explicitly
     when(size(toks) >= k,

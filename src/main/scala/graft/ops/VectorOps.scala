@@ -34,9 +34,14 @@ object VectorOps {
     * (query_id, rank, vec_id, cos).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // norms precomputed per vector (not per pair): 1 dot product per pair
+    // instead of 3, bit-identical result (same fold, same operand order)
+    val c = corpus.withColumn("c_norm", norm(col("embedding")))
+    val q = queries.withColumn("q_norm", norm(col("query_vec")))
+    val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("query_vec")))
+      .withColumn("cos", dot(col("embedding"), col("query_vec"))
+        / (col("c_norm") * col("q_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -48,8 +53,11 @@ object VectorOps {
     * id). Centroids must be small (broadcast). Adds `cell` and `cell_cos`.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosine(col("embedding"), col("centroid_vec")))
+    val c = corpus.withColumn("v_norm", norm(col("embedding")))
+    val cen = centroids.withColumn("cen_norm", norm(col("centroid_vec")))
+    val scored = c.crossJoin(broadcast(cen))
+      .withColumn("c_cos", dot(col("embedding"), col("centroid_vec"))
+        / (col("v_norm") * col("cen_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -76,7 +84,8 @@ object VectorOps {
       .select(col("query_id"), col("query_vec"), col("centroid_id").as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("query_vec")))
+      .withColumn("cos", dot(col("embedding"), col("query_vec"))
+        / (col("v_norm") * norm(col("query_vec"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -90,9 +99,11 @@ object VectorOps {
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val v = corpus.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")))
       .where(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }

@@ -132,7 +132,7 @@ object CorpusOps {
       |  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |        for i in generate_series(1, len(t) - 2)]
       |  ELSE [] END) AS s
-      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      | FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       |       FROM documents))""".stripMargin
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
   private val dotSql = (a: String, b: String) => s"list_dot_product($a, $b)"

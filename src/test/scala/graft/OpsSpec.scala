@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, TextOps, VectorOps}
+
+/** Unit specs for the corpus operators on hand-computed fixtures. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "src0"),
+    (1L, "the quick brown fox jumps over the lazy cat", "src0"), // near-dup of 0
+    (2L, "completely different words entirely unrelated text here", "src1"),
+    (3L, "THE  Quick   Brown fox jumps over the lazy dog", "src1"), // case/ws variant of 0
+    (4L, "tiny", "src2")) // shorter than shingle k
+    .toDF("doc_id", "text", "source")
+
+  test("tokenize + shingles") {
+    val r = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"),
+      size(TextOps.wordShingles(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(r(0L) == ((9, 7)))
+    assert(r(4L) == ((1, 0))) // short doc → empty shingle set, not a crash
+  }
+
+  test("exact dedup groups normalize case and whitespace") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .where(col("n_docs") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_docs") == 2) // docs 0 and 3
+    assert(g(0).getAs[Long]("keep_id") == 0)
+  }
+
+  test("jaccard pairs find the near-dup, minhash LSH agrees") {
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0~1 share 5 of 9 3-shingles (j=5/9); 0~3 identical after tokenize (j=1)
+    assert(j == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    val l = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l == j)
+  }
+
+  test("simhash: identical-token docs collide, distance ordering sane") {
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) != sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-dup pair closer than unrelated pair
+    assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // tokenized-identical → hamming 0
+  }
+
+  test("vector ops: cosine, brute top-k, IVF recall on probed cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.95f, 0.05f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cos01 = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === 0L && col("b.vec_id") === 1L)
+      .select(VectorOps.cosine(col("a.embedding"), col("b.embedding")))
+      .head().getDouble(0)
+    assert(math.abs(cos01 - 0.9 / math.sqrt(0.82)) < 1e-9)
+
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val topk = VectorOps.bruteTopK(vecs, queries, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(topk(1) == 1L) // nearest is the 0.9-aligned vector
+
+    val centroids = vecs.where(col("vec_id").isin(0L, 2L, 4L))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val cells = VectorOps.assignCells(vecs, centroids)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(1L) == 0L && cells(3L) == 2L && cells(4L) == 4L)
+
+    val ivf = VectorOps.ivfTopK(vecs, centroids, queries, k = 1, nprobe = 1)
+      .collect()
+    assert(ivf.length == 1 && ivf(0).getLong(2) == 1L)
+  }
+
+  test("multimodal decode stub: deterministic features from bytes") {
+    val feats = Multimodal.featurePipeline(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3), r.getDouble(6))).toMap
+    val text0 = "the quick brown fox jumps over the lazy dog"
+    assert(feats(0L)._1 == text0.length.toLong)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text0.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    assert(feats(0L)._2 == sha)
+    val mean = text0.getBytes("UTF-8").map(b => (b & 0xFF).toDouble).sum / text0.length
+    assert(math.abs(feats(0L)._3 - mean) < 1e-9)
+  }
+
+  test("frame sampling slices evenly and deterministically") {
+    val media = Multimodal.asMedia(docs.where(col("doc_id") === 0L),
+      "doc_id", "text", "source")
+    val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 10)
+      .orderBy("frame_idx")
+      .select(col("frame_idx"), decode(col("frame"), "UTF-8").as("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(frames.length == 4)
+    val text0 = "the quick brown fox jumps over the lazy dog" // 43 bytes, stride 10
+    assert(frames(0)._2 == text0.substring(0, 10))
+    assert(frames(1)._2 == text0.substring(10, 20))
+  }
+
+  test("langid picks marker-majority language deterministically") {
+    val r = Seq((1L, "the cat and the dog of the house"),
+      (2L, "el perro de la casa es que grande"),
+      (3L, "xyz qrs tuv"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "es" && r(3L) == "und")
+  }
+}

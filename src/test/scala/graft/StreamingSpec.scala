@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Stages
+import graft.model.MeanCombine
+import graft.streaming.StreamingAggregator
+
+case class StreamEv(stay_id: Long, event_time: Timestamp, feature_id: Long, value: Double)
+
+/** Streaming bucketize/combine must agree with the batch path on the same
+  * data, including a stay-relative (non-epoch-aligned) window grid and
+  * multi-microbatch arrival.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming partials fold to the batch result across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    // intime 00:30 → stay-relative windows straddle epoch-hour boundaries
+    val stayIdx = Seq((1L, ts("2020-01-01 00:30:00").getTime / 1000, 5L))
+      .toDF("stay_id", "intime", "total_windows")
+
+    val evs = Seq(
+      StreamEv(1L, ts("2020-01-01 00:40:00"), 7L, 2.0), // tidx 0
+      StreamEv(1L, ts("2020-01-01 01:20:00"), 7L, 4.0), // tidx 0 (same tidx, different epoch hour)
+      StreamEv(1L, ts("2020-01-01 01:40:00"), 7L, 6.0), // tidx 1
+      StreamEv(1L, ts("2020-01-01 00:10:00"), 7L, 8.0), // pre-intime → clamp 0
+      StreamEv(1L, ts("2020-01-01 07:00:00"), 7L, 9.0)) // post-stay → dropped
+
+    val source = MemoryStream[StreamEv]
+    val partials = StreamingAggregator.partials(
+      source.toDF(), stayIdx, 3600L, watermark = "10 hours")
+    val q = partials.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    try {
+      source.addData(evs.take(2))
+      q.processAllAvailable()
+      source.addData(evs.drop(2))
+      q.processAllAvailable()
+      val streamed = StreamingAggregator.finalizeView(
+        spark.table("stream_out"), MeanCombine)
+        .select("stay_id", "feature_id", "tidx", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+
+      // batch reference on identical input
+      val batchEvents = evs.toDF()
+        .select(col("stay_id"), unix_timestamp(col("event_time")).as("event_epoch_time"),
+          col("feature_id"), col("value"))
+      val batch = Stages.combine(
+        Stages.bucketize(batchEvents, stayIdx, 3600L), MeanCombine)
+        .select("stay_id", "feature_id", "tidx", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+
+      assert(streamed == batch)
+      // tidx 0 mean over {2.0, 4.0, 8.0} despite spanning two epoch windows
+      assert(streamed.contains((1L, 7L, 0L, 14.0 / 3)))
+      assert(streamed.contains((1L, 7L, 1L, 6.0)))
+      assert(!streamed.exists(_._3 > 5L)) // post-stay dropped
+    } finally q.stop()
+  }
+}
