@@ -1,0 +1,72 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan auditor: prints `explain("formatted")` for selected queries and
+  * greps the physical plans for the properties the 100 TB posture requires —
+  * filters/columns pushed into scans, dimension joins broadcast, no
+  * accidental cartesian products, codegen coverage.
+  *
+  * Usage: `runMain graft.cli.ExplainCheck [sfDir] [queryName ...]`
+  * With no query names, audits a representative set and exits nonzero if an
+  * expectation fails.
+  */
+object ExplainCheck {
+
+  // query -> (mustContain, mustNotContain) over the formatted physical plan.
+  // NOTE: with AQE the pre-execution formatted plan has no WholeStageCodegen
+  // annotations (isFinalPlan=false), so codegen coverage is not grep-able
+  // here; Batched scans + HashAggregate/BroadcastHashJoin nodes are.
+  private val expectations: Map[String, (Seq[String], Seq[String])] = Map(
+    "q_filter_project" -> (Seq("PushedFilters: [IsNotNull", "Batched: true"),
+      Seq("CartesianProduct")),
+    "q_agg_pricing" -> (Seq("PushedFilters", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin")),
+    "q_join_broadcast" -> (Seq("BroadcastHashJoin", "ReadSchema: struct<l_partkey:bigint"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    "q_join_multiway" -> (Seq("BroadcastHashJoin"), Seq("SortMergeJoin")),
+    "q_join_semi" -> (Seq("BroadcastHashJoin", "LeftSemi"), Seq("SortMergeJoin")),
+    "q_ts_bucketize" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    "q_ts_densify" -> (Seq("Generate", "BroadcastHashJoin"), Seq("CartesianProduct")),
+    "q_doc_minhash_lsh" -> (Seq("HashAggregate"), Seq("CartesianProduct")),
+    "q_emb_knn_brute" -> (Seq("BroadcastNestedLoopJoin"), Seq("SortMergeJoin")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else expectations.keys.toSeq
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failed = 0
+    names.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== $name ==========")
+      println(plan.take(6000))
+      expectations.get(name).foreach { case (must, mustNot) =>
+        must.foreach { frag =>
+          if (!plan.contains(frag)) {
+            println(s"[explain-check] FAIL $name: expected fragment '$frag'")
+            failed += 1
+          }
+        }
+        mustNot.foreach { frag =>
+          if (plan.contains(frag)) {
+            println(s"[explain-check] FAIL $name: forbidden fragment '$frag'")
+            failed += 1
+          }
+        }
+      }
+    }
+    println(s"\n[explain-check] ${names.size} plans audited, $failed failures")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product of two `array<float>` columns, accumulated in
+  * double with a sequential left fold — bit-identical to the composed
+  * `aggregate(zip_with(cast, cast, _*_), 0.0, _+_)` form it replaces, but
+  * a tight primitive loop instead of per-element interpreted lambda calls.
+  *
+  * This is the one place the engine drops to a custom Catalyst `Expression`
+  * (SURVEY.md §7.3): the built-in higher-order functions express the
+  * semantics but can't give the hot path (millions of candidate pairs ×
+  * vector width) a codegen inner loop.
+  *
+  * Null semantics mirror the HOF form: any null element (or null array)
+  * → null result.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
+      left.dataType == ArrayType(FloatType, containsNull = true)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected array<float>, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  // always nullable: a null ELEMENT nulls the result even when the array
+  // columns themselves are non-nullable, and the generated code assigns
+  // ev.isNull (which only exists as a variable when nullable is true)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+
+  /** Dot product over float-array columns via the codegen'd expression. */
+  def float_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

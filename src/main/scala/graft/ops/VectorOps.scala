@@ -19,8 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential double-precision dot product of two float arrays. */
+  /** Sequential double-precision dot product of two float arrays —
+    * the codegen'd [[graft.functions.FloatVectorDot]] expression
+    * (bit-identical to the HOF fold `aggregate(zip_with(_*_), 0.0, _+_)`,
+    * see [[dotHof]], but a primitive loop).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.float_dot(a, b)
+
+  /** Built-ins-only reference implementation of [[dot]] (kept for parity
+    * testing and for inputs that are not float arrays).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)

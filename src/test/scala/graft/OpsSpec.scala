@@ -88,6 +88,22 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.length == 1 && ivf(0).getLong(2) == 1L)
   }
 
+  test("codegen'd FloatVectorDot is bit-identical to the HOF fold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = emb.select(
+        VectorOps.dot(col("embedding"), col("embedding")).as("native"),
+        VectorOps.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .where(col("native") =!= col("hof") ||
+        col("native").isNull =!= col("hof").isNull)
+      .count()
+    assert(diff == 0)
+    // null element → null result, matching the HOF form
+    val withNull = Seq((Array(1.0f, 2.0f), 1)).toDF("e", "i")
+      .select(array(col("e")(0), lit(null).cast("float")).as("v"))
+    val r = withNull.select(VectorOps.dot(col("v"), col("v")).as("d")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("multimodal decode stub: deterministic features from bytes") {
     val feats = Multimodal.featurePipeline(spark, docs)
       .collect().map(r => r.getLong(0) ->
