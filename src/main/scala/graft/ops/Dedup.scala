@@ -149,8 +149,12 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, candidates via
-    * 4×16-bit band join (any pair with distance <= 3 shares at least one of
-    * the 4 bands by pigeonhole).
+    * 4×16-bit band join. Recall is GUARANTEED only for maxDist <= 3 (a pair
+    * differing in <= 3 bits must leave one of the 4 bands untouched, by
+    * pigeonhole); pairs at distance 4..maxDist are found only when their
+    * differing bits happen to cluster outside some band. For guaranteed
+    * recall at larger distances, raise the band count (e.g. 8×8-bit for
+    * maxDist <= 7).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {

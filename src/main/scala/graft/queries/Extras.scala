@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Stages
+import graft.functions.MedianCombine
+import graft.model.CustomCombine
+
+/** Coverage extensions: rollup/grouping sets, statistical aggregates, exact
+  * percentiles, the SQL entry point, and the custom-Aggregator combiner slot.
+  */
+object Extras {
+
+  val defs: Map[String, QueryFn] = Map(
+    // multi-level aggregation: ROLLUP (subtotals + grand total)
+    "q_rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * lit(100), 0).cast("long")).as("qty_c"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // statistical aggregates (sample stddev/variance, correlation)
+    "q_stats_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"))
+        .orderBy("l_returnflag")),
+
+    // exact interpolated percentiles
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")),
+
+    // SQL entry point: the same engine driven through spark.sql + temp view
+    "q_sql_api" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+              |FROM orders_v
+              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              |GROUP BY o_orderpriority
+              |HAVING count(*) > 10
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // custom-Aggregator combiner slot: exact median per (user, type, window)
+    "q_ts_combine_median" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("event_epoch_time", expr("ts DIV 1000000000"))
+      val idx = e.groupBy(col("user_id").as("stay_id"))
+        .agg(min(col("event_epoch_time")).as("intime"),
+          max(col("event_epoch_time")).as("outtime"))
+        .withColumn("total_windows",
+          floor((col("outtime") - col("intime")) / lit(3600)).cast("long"))
+      val b = Stages.bucketize(
+        e.select(col("user_id").as("stay_id"), col("event_epoch_time"),
+          col("event_type").as("feature_id"), col("value")),
+        idx, 3600L)
+      Stages.combine(b, CustomCombine(MedianCombine.median_combine))
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), round(col("value"), 6).as("med_value"))
+        .orderBy("user_id", "event_type", "tidx")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qe
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_ts_combine_median" ->
+      """WITH idx AS (
+        |  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS intime,
+        |         CAST(floor((CAST(floor(epoch(max(ts))) AS BIGINT)
+        |           - CAST(floor(epoch(min(ts))) AS BIGINT)) / 3600) AS BIGINT) AS tw
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT e.user_id, e.event_type,
+        |    greatest(CAST(floor((CAST(floor(epoch(e.ts)) AS BIGINT) - i.intime) / 3600)
+        |      AS BIGINT), 0) AS tidx,
+        |    e.value, i.tw
+        |  FROM events e JOIN idx i USING (user_id))
+        |SELECT user_id, event_type, tidx, round(median(value), 6) AS med_value
+        |FROM b WHERE tidx <= tw
+        |GROUP BY user_id, event_type, tidx
+        |ORDER BY user_id, event_type, tidx""".stripMargin)
+}
