@@ -26,6 +26,9 @@ object MatrixWriter {
 
   def write(densified: DataFrame, stayIdx: DataFrame, dstPath: String,
       sourceName: String): Unit = {
+    // persisted: consumed twice (file write + produced-stay anti-join for
+    // dummies) — without this the WHOLE upstream pipeline re-executes for
+    // the dummy pass. One compact row per (stay, feature).
     val lines = densified
       .groupBy("stay_id", "feature_id")
       .agg(array_sort(collect_list(struct(col("tidx"), col("value")))).as("cells"))
@@ -34,6 +37,7 @@ object MatrixWriter {
           array_join(transform(col("cells"), c => c.getField("value").cast("string")), ","))
           .as("line"))
       .join(broadcast(stayIdx.select("stay_id", "total_windows")), Seq("stay_id"))
+      .persist()
 
     lines
       .repartition(col("stay_id"))
@@ -62,7 +66,8 @@ object MatrixWriter {
         } finally close()
       }
 
-    writeDummies(densified, stayIdx, dstPath, sourceName)
+    writeDummies(lines, stayIdx, dstPath, sourceName)
+    lines.unpersist()
   }
 
   private def header(totalWindows: Long): String =
@@ -72,10 +77,10 @@ object MatrixWriter {
     * a metadata-only anti-join over the (small) stay dimension; facts are
     * never collected.
     */
-  private def writeDummies(densified: DataFrame, stayIdx: DataFrame,
+  private def writeDummies(produced: DataFrame, stayIdx: DataFrame,
       dstPath: String, sourceName: String): Unit = {
     val missing = stayIdx.select("stay_id", "total_windows")
-      .join(densified.select("stay_id").distinct(), Seq("stay_id"), "left_anti")
+      .join(produced.select("stay_id").distinct(), Seq("stay_id"), "left_anti")
       .collect()
     missing.foreach { r =>
       val dir = Paths.get(dstPath, r.getLong(0).toString)
