@@ -15,6 +15,13 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the unit a byte-pair tokenizer would merge
+    * from (the regex is engine-portable: no lookarounds).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
   /** Canonical form for exact-dup detection: collapse whitespace, lowercase. */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

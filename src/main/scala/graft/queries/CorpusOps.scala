@@ -15,10 +15,11 @@ import graft.ops.{Dedup, Multimodal, TextOps, VectorOps}
 object CorpusOps {
 
   val defs: Map[String, QueryFn] = Map(
-    // tokenization: whitespace token count per doc
+    // tokenization: whitespace + BPE-ish regex token counts per doc
     "q_doc_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
           length(col("text")).as("len_chars"))
         .orderBy("doc_id")),
 
@@ -159,6 +160,8 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q_doc_token_count" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+         |    AS INT) AS n_bpe_tokens,
          |  CAST(length(text) AS INT) AS len_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
