@@ -68,14 +68,19 @@ object VectorOps {
     val scored = c.crossJoin(broadcast(cen))
       .withColumn("c_cos", dot(col("embedding"), col("centroid_vec"))
         / (col("v_norm") * col("cen_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
-      .withColumnRenamed("centroid_id", "cell")
-      .withColumnRenamed("c_cos", "cell_cos")
-      .drop("centroid_vec")
+    // argmax as max(struct(cos, -id)) aggregation, NOT a window sort: the
+    // groupBy gets map-side partial aggregation, so only one row per vector
+    // survives each mapper instead of shuffling K centroid-scored copies of
+    // the corpus. Tie semantics identical: equal cos → larger -id → lowest
+    // centroid id.
+    scored.groupBy("vec_id")
+      .agg(
+        max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"),
+        first(col("v_norm")).as("v_norm"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("v_norm"),
+        (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells only. Returns
