@@ -1,0 +1,67 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextOps}
+
+/** End-to-end training-corpus cleaning facade: annotate → exact-dedup →
+  * near-dedup (MinHash-LSH) → quality/language filter. The composition a
+  * 100 TB text pipeline runs before tokenization; every stage is one of the
+  * library's operators, so the whole clean is a single lazy Spark plan plus
+  * the two dedup joins.
+  *
+  * @param minQuality   drop docs scoring below this ([[TextOps.qualityScore]])
+  * @param langs        keep only these predicted languages (None = all)
+  * @param jaccard      near-dup threshold; of each near-dup pair the
+  *                     higher-id doc is dropped
+  */
+class CorpusCleaner(
+    minQuality: Double = 0.3,
+    langs: Option[Set[String]] = None,
+    jaccard: Double = 0.8,
+    shingleK: Int = 3,
+    nHashes: Int = 64,
+    bands: Int = 32) {
+
+  /** Annotated input: quality, predicted language, fingerprint, token count. */
+  def annotate(docs: DataFrame): DataFrame =
+    docs.withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("pred_lang", TextOps.langId(col("text")))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+
+  /** Returns (cleaned docs, per-stage drop counts). */
+  def clean(docs: DataFrame): (DataFrame, Map[String, Long]) = {
+    val n0 = docs.count()
+    val annotated = annotate(docs).persist()
+
+    // exact dedup: keep the lowest doc_id of each fingerprint group
+    val keepExact = annotated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val afterExact = annotated.join(keepExact, Seq("doc_id"), "left_semi").persist()
+    val n1 = afterExact.count()
+
+    // near-dedup: drop the higher-id member of every LSH-verified pair
+    val dropNear = Dedup.minhashLshPairs(afterExact, "doc_id", "text",
+      shingleK, nHashes, bands, jaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val afterNear = afterExact.join(dropNear, Seq("doc_id"), "left_anti").persist()
+    val n2 = afterNear.count()
+
+    // quality + language filter
+    val cleaned = afterNear
+      .where(col("quality") >= minQuality)
+      .where(langs.map(ls => col("pred_lang").isin(ls.toSeq: _*))
+        .getOrElse(lit(true)))
+    val n3 = cleaned.count()
+
+    annotated.unpersist(); afterExact.unpersist()
+    (cleaned, Map(
+      "input" -> n0,
+      "exact_dups_dropped" -> (n0 - n1),
+      "near_dups_dropped" -> (n1 - n2),
+      "low_quality_or_lang_dropped" -> (n2 - n3),
+      "output" -> n3))
+  }
+}

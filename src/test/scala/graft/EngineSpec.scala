@@ -178,6 +178,21 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(r100(1) - 11.0 / 3) < 1e-12)
   }
 
+  test("custom Aggregator combiner plugs into the facade (median chartevents)") {
+    val root = Files.createTempDirectory("graft-mimic-med")
+    val dst = Files.createTempDirectory("graft-out-med")
+    writeFixtures(root)
+    val medianSource = graft.api.Sources.chartevents.copy(
+      combiner = graft.model.CustomCombine(
+        graft.functions.MedianCombine.median_combine))
+    new EventsAggregator(spark, root.toString, dst.toString,
+      sources = Seq(medianSource)).run()
+    val lines = readCsvLines(dst.resolve("1/chartevents_features.csv"))
+    val r100 = lines(1).split(",")
+    // window 0 values {1.0, 3.0, 7.0} → median 3.0 (mean would be 11/3)
+    assert(r100(1).toDouble == 3.0)
+  }
+
   test("stay filter prunes and still emits dummies for requested empty stays") {
     val root = Files.createTempDirectory("graft-mimic-f")
     val dst = Files.createTempDirectory("graft-out-f")
