@@ -43,7 +43,7 @@ object CorpusOps {
 
     // document fingerprinting + exact dedup groups
     "q_doc_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.exactGroups(wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("fp")),
 
     // shingling: distinct word-3-shingles per doc
@@ -55,13 +55,13 @@ object CorpusOps {
 
     // near-dup: exact n-gram Jaccard via shared-shingle candidate join
     "q_doc_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+      Dedup.jaccardPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 3, 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
     // near-dup: MinHash + banded LSH candidates, exact-Jaccard verified
     "q_doc_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(wide(s, t(s, dir, "documents")), "doc_id", "text",
         k = 3, nHashes = 64, bands = 32, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
@@ -69,12 +69,25 @@ object CorpusOps {
     // near-dup: 64-bit SimHash, 4x16-bit band join, hamming <= 6
     // (signature values are xxhash64-specific → rows-only check)
     "q_doc_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 6)
+      Dedup.simhashPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 6)
         .orderBy("doc_a", "doc_b")),
+
+    // corpus statistics: term frequencies (top 50 by count, tiebreak term)
+    "q_doc_term_freq" -> ((s, dir) => {
+      val terms = wide(s, t(s, dir, "documents"))
+        .select(explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term"))
+      terms.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 50)
+        .select("rk", "term", "n")
+        .orderBy("rk")
+    }),
 
     // similarity search: brute-force cosine top-10 for 3 query vectors
     "q_emb_knn_brute" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = wide(s, t(s, dir, "embeddings"))
       val queries = emb.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       VectorOps.bruteTopK(emb, queries, 10)
@@ -84,7 +97,7 @@ object CorpusOps {
 
     // similarity search, scale path: IVF cell assignment histogram
     "q_emb_ivf_assign" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = wide(s, t(s, dir, "embeddings"))
       val centroids = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       VectorOps.assignCells(emb, centroids)
@@ -95,7 +108,7 @@ object CorpusOps {
 
     // similarity search: IVF top-5 probing 2 cells
     "q_emb_knn_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = wide(s, t(s, dir, "embeddings"))
       val centroids = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val queries = emb.where(col("vec_id") < 3)
@@ -113,7 +126,7 @@ object CorpusOps {
 
     // multimodal: binary payload + batched decode-stub feature extraction
     "q_mm_decode" -> ((s, dir) =>
-      Multimodal.featurePipeline(s, t(s, dir, "documents"))
+      Multimodal.featurePipeline(s, wide(s, t(s, dir, "documents")))
         .withColumn("mean_channel", round(col("mean_channel"), 6))
         .orderBy("media_id")),
 
@@ -219,6 +232,15 @@ object CorpusOps {
     // LSH with 32 bands x 2 rows has recall ≈ 1 at j >= 0.8 and exact-Jaccard
     // verification → its output equals the brute-force pair set.
     "q_doc_minhash_lsh" -> jaccardPairsSql,
+
+    "q_doc_term_freq" ->
+      """WITH terms AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM terms GROUP BY term),
+        |r AS (SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rk FROM f)
+        |SELECT rk, term, n FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
 
     "q_emb_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -147,10 +147,15 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
-    // semi-structured: JSON field extraction from the props column
+    // semi-structured: JSON field extraction from the props column.
+    // from_json parses each row ONCE into a typed struct (get_json_object
+    // re-walks the JSON text per extraction).
     "q_ts_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           countDistinct(col("k")).as("n_k"))
