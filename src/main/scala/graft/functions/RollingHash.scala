@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash of a string (Rabin-Karp form):
+  * `h_i = (h_{i-1} * 31 + byte_i) mod (2^31 - 1)`, h_0 = 0 — the classic
+  * document-fingerprinting primitive, as a codegen'd Catalyst expression
+  * (a per-byte interpreted higher-order fold would be the alternative).
+  *
+  * The modulus keeps every intermediate under 2^36, so the arithmetic is
+  * overflow-free in ANSI mode and reproducible in any engine with 64-bit
+  * integers — the DuckDB oracle mirrors it with `list_reduce` over
+  * `ascii()` codes (identical for ASCII text; non-ASCII bytes hash by
+  * UTF-8 byte here vs codepoint there).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xFF)) % 2147483647L
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31L + ($bytes[$i] & 0xFF)) % 2147483647L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHashFn {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+}

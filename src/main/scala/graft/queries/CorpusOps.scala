@@ -72,6 +72,15 @@ object CorpusOps {
       Dedup.simhashPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 6)
         .orderBy("doc_a", "doc_b")),
 
+    // document fingerprinting: codegen'd polynomial rolling hash over the
+    // normalized text (Rabin-Karp primitive; md5 variant in q_doc_dedup_exact)
+    "q_doc_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.RollingHashFn.rolling_hash(
+            TextOps.normalize(col("text"))).as("fp"))
+        .orderBy("doc_id")),
+
     // corpus statistics: term frequencies (top 50 by count, tiebreak term)
     "q_doc_term_freq" -> ((s, dir) => {
       val terms = wide(s, t(s, dir, "documents"))
@@ -232,6 +241,19 @@ object CorpusOps {
     // LSH with 32 bands x 2 rows has recall ≈ 1 at j >= 0.8 and exact-Jaccard
     // verification → its output equals the brute-force pair set.
     "q_doc_minhash_lsh" -> jaccardPairsSql,
+
+    "q_doc_rolling_fp" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in generate_series(1, length(t))]),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_doc_term_freq" ->
       """WITH terms AS (

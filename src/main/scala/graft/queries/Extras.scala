@@ -50,6 +50,18 @@ object Extras {
               |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // approximate sketches: HLL distinct counts + quantile sketch. Sketch
+    // estimates are engine-specific, so this is a rows-only check (no
+    // DuckDB oracle) — deterministic within Spark for fixed input.
+    "q_approx_sketch" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("price_quantiles"))
+        .orderBy("l_returnflag")),
+
     // custom-Aggregator combiner slot: exact median per (user, type, window)
     "q_ts_combine_median" -> ((s, dir) => {
       val e = t(s, dir, "events")
