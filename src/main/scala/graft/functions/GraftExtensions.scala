@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL exposure of the engine's custom Catalyst expressions.
+  *
+  * Two registration paths:
+  *  - config-time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the standard library-extension hook, applied at session build);
+  *  - runtime: [[GraftFunctionRegistry.register]] on an existing session
+  *    (tests, notebooks).
+  *
+  * After either, `spark.sql("SELECT rolling_hash(text), float_dot(a, b)")`
+  * plans the codegen'd expressions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.builtins.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctionRegistry {
+
+  private[functions] val builtins
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    ("float_dot",
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    builtins.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

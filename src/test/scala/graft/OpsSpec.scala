@@ -130,6 +130,17 @@ class OpsSpec extends AnyFunSuite {
     assert(frames(1)._2 == text0.substring(10, 20))
   }
 
+  test("custom expressions register for SQL use") {
+    graft.ops.VectorOps // touch
+    graft.functions.GraftFunctionRegistry.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('hi') AS h, float_dot(array(CAST(1.0 AS FLOAT), " +
+        "CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head()
+    assert(r.getLong(0) == (104L * 31 + 105) % 2147483647L)
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("langid picks marker-majority language deterministically") {
     val r = Seq((1L, "the cat and the dog of the house"),
       (2L, "el perro de la casa es que grande"),
