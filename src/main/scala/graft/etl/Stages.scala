@@ -121,7 +121,21 @@ object Stages {
     *
     * Input/output: long form `(stay_id, feature_id, tidx, value)`.
     */
-  def densify(combined: DataFrame, ffill: Boolean): DataFrame = {
+  def densify(combined: DataFrame, ffill: Boolean): DataFrame =
+    densify(combined, if (ffill) ForwardFill else ZeroFill)
+
+  sealed trait FillMode
+  /** Gaps → 0.0 (the reference default, `__init__.py:132-136`). */
+  case object ZeroFill extends FillMode
+  /** Carry last observation forward; leading gaps → 0.0 (`--ffill`). */
+  case object ForwardFill extends FillMode
+  /** Linear interpolation between observations (beyond-reference): interior
+    * gaps get `prev + (next-prev)·(t-pt)/(nt-pt)`; leading gaps → 0.0,
+    * trailing gaps carry the last observation (pandas-interpolate shape).
+    */
+  case object LinearInterp extends FillMode
+
+  def densify(combined: DataFrame, mode: FillMode): DataFrame = {
     val packed = combined
       .groupBy("stay_id", "feature_id")
       .agg(
@@ -138,14 +152,34 @@ object Stages {
           t => element_at(col("cells"), t))))
       .withColumnRenamed("pos", "tidx")
       .withColumn("tidx", col("tidx").cast("long"))
-    val filled =
-      if (ffill) {
-        val w = Window.partitionBy("stay_id", "feature_id").orderBy("tidx")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        dense.withColumn("col", last(col("col"), ignoreNulls = true).over(w))
-      } else dense
+    // all window frames sort within the (stay, feature) partitioning the
+    // groupBy above already produced — no extra exchange
+    val wPrev = Window.partitionBy("stay_id", "feature_id").orderBy("tidx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("stay_id", "feature_id").orderBy("tidx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = mode match {
+      case ZeroFill => dense.withColumn("out", coalesce(col("col"), lit(0.0)))
+      case ForwardFill => dense.withColumn("out",
+        coalesce(last(col("col"), ignoreNulls = true).over(wPrev), lit(0.0)))
+      case LinearInterp =>
+        dense
+          .withColumn("pv", last(col("col"), ignoreNulls = true).over(wPrev))
+          .withColumn("pt", last(when(col("col").isNotNull, col("tidx")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("col"), ignoreNulls = true).over(wNext))
+          .withColumn("nt", first(when(col("col").isNotNull, col("tidx")),
+            ignoreNulls = true).over(wNext))
+          .withColumn("out",
+            when(col("col").isNotNull, col("col"))
+              .when(col("pv").isNull, lit(0.0)) // leading gap
+              .when(col("nv").isNull, col("pv")) // trailing gap
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (col("tidx") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+    }
     filled.select(col("stay_id"), col("feature_id"), col("tidx"),
-      coalesce(col("col"), lit(0.0)).as("value"))
+      col("out").as("value"))
   }
 
   /** Membership filter with the reference's ½-selectivity rewrite

@@ -107,6 +107,34 @@ object TimeSeries {
         .orderBy("user_id", "event_type", "tidx")
     }),
 
+    // beyond-ffill: linear interpolation between observations
+    "q_ts_interpolate" -> ((s, dir) => {
+      val combined = Stages.combine(bucketized(s, dir), MeanCombine)
+        .withColumn("value", round(col("value"), 6))
+      // NO round on the output: interpolating 6-decimal inputs lands on
+      // 7th-decimal .5 boundaries systematically (denominators 2^k·5^j),
+      // where Spark's decimal-string rounding and DuckDB's multiply-based
+      // rounding disagree. The raw doubles are bit-exact across engines
+      // (identical rounded inputs, identical op order).
+      Stages.densify(combined, Stages.LinearInterp)
+        .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
+          col("tidx"), col("value"))
+        .orderBy("user_id", "event_type", "tidx")
+    }),
+
+    // anomaly flagging: per-(user, type) z-scores, |z| > 2 outliers
+    "q_ts_zscore" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val stats = e.groupBy("user_id", "event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      e.join(stats, Seq("user_id", "event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .where(abs(col("z")) > 2)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_outliers"), round(max(abs(col("z"))), 6).as("max_z"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // G1-G3: interval explode + even split + sum, via Stages.intervalExpand.
     // Synthetic intervals: [ts, ts + floor(value*60) s] — value minutes.
     "q_ts_interval_expand" -> ((s, dir) => {
@@ -213,6 +241,56 @@ object TimeSeries {
         |  ON s.user_id = a.user_id AND s.event_type = a.event_type
         |  AND s.tidx = a.tidx
         |ORDER BY s.user_id, s.event_type, s.tidx""".stripMargin),
+
+    "q_ts_interpolate" -> (idxSql +
+      """, agg AS (
+        |  SELECT user_id, event_type, tidx, round(avg(value), 6) AS v
+        |  FROM b WHERE tidx <= tw GROUP BY user_id, event_type, tidx),
+        |spine AS (
+        |  SELECT p.user_id, p.event_type,
+        |    unnest(generate_series(0, i.tw)) AS tidx
+        |  FROM (SELECT DISTINCT user_id, event_type FROM agg) p
+        |  JOIN idx i USING (user_id)),
+        |d AS (
+        |  SELECT s.user_id, s.event_type, s.tidx, a.v
+        |  FROM spine s LEFT JOIN agg a
+        |    ON s.user_id = a.user_id AND s.event_type = a.event_type
+        |    AND s.tidx = a.tidx),
+        |w AS (
+        |  SELECT user_id, event_type, tidx, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tidx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN tidx END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id, event_type ORDER BY tidx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tidx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN tidx END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id, event_type ORDER BY tidx
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM d)
+        |SELECT user_id, event_type, tidx,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN 0.0
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * CAST(tidx - pt AS DOUBLE)
+        |      / CAST(nt - pt AS DOUBLE) END AS value
+        |FROM w ORDER BY user_id, event_type, tidx""".stripMargin),
+
+    "q_ts_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value FROM events),
+        |stats AS (
+        |  SELECT user_id, event_type, avg(value) AS mu,
+        |    stddev_samp(value) AS sd
+        |  FROM e GROUP BY user_id, event_type)
+        |SELECT e.user_id, e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_outliers,
+        |  round(max(abs((e.value - s.mu) / s.sd)), 6) AS max_z
+        |FROM e JOIN stats s USING (user_id, event_type)
+        |WHERE abs((e.value - s.mu) / s.sd) > 2
+        |GROUP BY e.user_id, e.event_type
+        |ORDER BY e.user_id, e.event_type""".stripMargin,
 
     "q_ts_interval_expand" ->
       """WITH idx AS (

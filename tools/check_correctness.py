@@ -38,14 +38,11 @@ def rows_of(con, sql):
 
 
 def cells_equal(a, b):
+    # STRICT bit-exact compare — the driver's gate hashes values, so any
+    # tolerance here would hide failures the driver will catch.
     if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-12 * max(abs(a), abs(b))
-    if isinstance(a, float) and isinstance(b, (int,)) or \
-       isinstance(b, float) and isinstance(a, (int,)):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, float) != isinstance(b, float):
         return False  # dtype mismatch counts as failure
     return a == b
 
