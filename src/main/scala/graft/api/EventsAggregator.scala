@@ -33,7 +33,15 @@ class EventsAggregator(
     featureIds: Option[Seq[Long]] = None,
     timestepSeconds: Long = 3600,
     ffill: Boolean = false,
-    sources: Seq[EventSource] = Sources.all) {
+    sources: Seq[EventSource] = Sources.all,
+    fillMode: Option[graft.etl.Stages.FillMode] = None) {
+
+  /** Effective fill policy: explicit `fillMode` wins; else the reference's
+    * boolean (`--ffill`) semantics.
+    */
+  private val fill: graft.etl.Stages.FillMode =
+    fillMode.getOrElse(
+      if (ffill) graft.etl.Stages.ForwardFill else graft.etl.Stages.ZeroFill)
 
   private def readCsv(fileName: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(s"$mimicPath/icu/$fileName")
@@ -85,7 +93,7 @@ class EventsAggregator(
 
     val bucketized = Stages.bucketize(pointed, stayIndex, timestepSeconds)
     val combined = Stages.combine(bucketized, source.combiner)
-    Stages.densify(combined, ffill)
+    Stages.densify(combined, fill)
   }
 
   /** Run all sources: write matrices + dummy files + manifest (K1-K3). */

@@ -15,6 +15,7 @@ object Main {
       |  [--exclude chartevents,inputevents,...]
       |  [--timestep SECONDS]            (default 3600)
       |  [--ffill]
+      |  [--fill zero|ffill|interp]       (overrides --ffill)
       |  [--stay-ids id,id,...]
       |  [--feature-ids id,id,...]
       |  [--max-partition-bytes N]
@@ -27,6 +28,7 @@ object Main {
     var exclude = Set.empty[String]
     var timestep = 3600L
     var ffill = false
+    var fillMode: Option[graft.etl.Stages.FillMode] = None
     var stayIds: Option[Seq[Long]] = None
     var featureIds: Option[Seq[Long]] = None
     var maxPartitionBytes = "134217728"
@@ -36,6 +38,13 @@ object Main {
         case "--exclude" => exclude = args(i + 1).split(",").map(_.trim).toSet; i += 2
         case "--timestep" => timestep = args(i + 1).toLong; i += 2
         case "--ffill" => ffill = true; i += 1
+        case "--fill" =>
+          fillMode = Some(args(i + 1) match {
+            case "zero" => graft.etl.Stages.ZeroFill
+            case "ffill" => graft.etl.Stages.ForwardFill
+            case "interp" => graft.etl.Stages.LinearInterp
+            case other => System.err.println(s"unknown fill mode: $other"); sys.exit(2)
+          }); i += 2
         case "--stay-ids" => stayIds = Some(args(i + 1).split(",").map(_.trim.toLong).toSeq); i += 2
         case "--feature-ids" => featureIds = Some(args(i + 1).split(",").map(_.trim.toLong).toSeq); i += 2
         case "--max-partition-bytes" => maxPartitionBytes = args(i + 1); i += 2
@@ -54,7 +63,8 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sources = Sources.all.filterNot(s => exclude.contains(s.name))
-    new EventsAggregator(spark, src, dst, stayIds, featureIds, timestep, ffill, sources).run()
+    new EventsAggregator(spark, src, dst, stayIds, featureIds, timestep, ffill,
+      sources, fillMode).run()
     spark.stop()
   }
 }

@@ -193,6 +193,21 @@ class EngineSpec extends AnyFunSuite {
     assert(r100(1).toDouble == 3.0)
   }
 
+  test("--fill interp linearly interpolates interior gaps") {
+    val root = Files.createTempDirectory("graft-mimic-li")
+    val dst = Files.createTempDirectory("graft-out-li")
+    writeFixtures(root)
+    new EventsAggregator(spark, root.toString, dst.toString,
+      sources = Seq(Sources.chartevents),
+      fillMode = Some(graft.etl.Stages.LinearInterp)).run()
+    val lines = readCsvLines(dst.resolve("1/chartevents_features.csv"))
+    val r100 = lines(1).split(",").drop(1).map(_.toDouble)
+    // observations: w0 = 11/3, w2 = 5.0 (w1's null-only window is a gap):
+    // w1 = midpoint, trailing gap carries 5.0, leading none
+    assert(math.abs(r100(1) - (11.0 / 3 + 5.0) / 2) < 1e-12)
+    assert(r100(3) == 5.0 && r100(5) == 5.0)
+  }
+
   test("stay filter prunes and still emits dummies for requested empty stays") {
     val root = Files.createTempDirectory("graft-mimic-f")
     val dst = Files.createTempDirectory("graft-out-f")
