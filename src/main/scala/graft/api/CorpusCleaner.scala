@@ -56,7 +56,7 @@ class CorpusCleaner(
         .getOrElse(lit(true)))
     val n3 = cleaned.count()
 
-    annotated.unpersist(); afterExact.unpersist()
+    annotated.unpersist(); afterExact.unpersist(); afterNear.unpersist()
     (cleaned, Map(
       "input" -> n0,
       "exact_dups_dropped" -> (n0 - n1),

@@ -188,14 +188,21 @@ object Stages {
     * more than half the universe become a NOT-isin over the complement.
     * For very large lists callers should pass a DataFrame and use a
     * `left_semi` join instead (see [[semiFilter]]).
+    *
+    * The complement rewrite is only equivalent to `isin(keep)` when the
+    * column's values all lie inside `universe` (dimension integrity — true
+    * for MIMIC itemids vs d_items); out-of-universe keys would pass the
+    * NOT-isin branch. Nulls are dropped by BOTH branches (a null key is in
+    * no keep-list), so the two branches agree for in-universe data.
     */
   def membershipFilter(df: DataFrame, column: String, keep: Seq[Long],
       universe: Option[Seq[Long]]): DataFrame = {
     universe match {
       case Some(u) if keep.size > u.size / 2 =>
         val complement = u.toSet -- keep.toSet
-        if (complement.isEmpty) df
-        else df.where(!col(column).isin(complement.toSeq: _*) || col(column).isNull)
+        if (complement.isEmpty) df.where(col(column).isNotNull)
+        else df.where(col(column).isNotNull &&
+          !col(column).isin(complement.toSeq: _*))
       case _ => df.where(col(column).isin(keep: _*))
     }
   }

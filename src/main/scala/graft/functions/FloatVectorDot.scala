@@ -26,12 +26,15 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
-      left.dataType == ArrayType(FloatType, containsNull = true)) {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"expected array<float>, got ${left.dataType} / ${right.dataType}")
+        s"expected array<float> on both sides, got ${left.dataType} / ${right.dataType}")
     }
   }
 
@@ -43,7 +46,10 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // unequal lengths → null, matching the HOF form (zip_with pads the
+    // shorter side with null, which nulls the whole fold)
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -60,11 +66,15 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

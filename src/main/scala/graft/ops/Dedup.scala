@@ -41,6 +41,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
+    // cached because consumed by two branches of one job (sizes + explode);
+    // long-lived sessions should spark.catalog.clearCache() between
+    // pipelines (Verify/Bench do) — a lazily-returned DataFrame gives the
+    // callee no post-action hook to unpersist
     val sh = withShingles(docs, idCol, textCol, k).persist()
     // candidate join carries only (doc_id, shingle) rows — the set sizes
     // rejoin AFTER the count, so shingle arrays never ride the big shuffle

@@ -96,11 +96,14 @@ object VectorOps {
       .partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))
     val probes = qScored.withColumn("rn", row_number().over(wq))
       .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("centroid_id").as("cell"))
+      .select(col("query_id"), col("query_vec"),
+        // precomputed per query, not per candidate pair (see bruteTopK)
+        norm(col("query_vec")).as("q_norm"),
+        col("centroid_id").as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("embedding"), col("query_vec"))
-        / (col("v_norm") * norm(col("query_vec"))))
+        / (col("v_norm") * col("q_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -64,18 +64,8 @@ object Extras {
 
     // custom-Aggregator combiner slot: exact median per (user, type, window)
     "q_ts_combine_median" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("event_epoch_time", expr("ts DIV 1000000000"))
-      val idx = e.groupBy(col("user_id").as("stay_id"))
-        .agg(min(col("event_epoch_time")).as("intime"),
-          max(col("event_epoch_time")).as("outtime"))
-        .withColumn("total_windows",
-          floor((col("outtime") - col("intime")) / lit(3600)).cast("long"))
-      val b = Stages.bucketize(
-        e.select(col("user_id").as("stay_id"), col("event_epoch_time"),
-          col("event_type").as("feature_id"), col("value")),
-        idx, 3600L)
-      Stages.combine(b, CustomCombine(MedianCombine.median_combine))
+      Stages.combine(TimeSeries.bucketized(s, dir),
+          CustomCombine(MedianCombine.median_combine))
         .select(col("stay_id").as("user_id"), col("feature_id").as("event_type"),
           col("tidx"), round(col("value"), 6).as("med_value"))
         .orderBy("user_id", "event_type", "tidx")
@@ -109,20 +99,9 @@ object Extras {
         |HAVING count(*) > 10
         |ORDER BY o_orderpriority""".stripMargin,
 
-    "q_ts_combine_median" ->
-      """WITH idx AS (
-        |  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS intime,
-        |         CAST(floor((CAST(floor(epoch(max(ts))) AS BIGINT)
-        |           - CAST(floor(epoch(min(ts))) AS BIGINT)) / 3600) AS BIGINT) AS tw
-        |  FROM events GROUP BY user_id),
-        |b AS (
-        |  SELECT e.user_id, e.event_type,
-        |    greatest(CAST(floor((CAST(floor(epoch(e.ts)) AS BIGINT) - i.intime) / 3600)
-        |      AS BIGINT), 0) AS tidx,
-        |    e.value, i.tw
-        |  FROM events e JOIN idx i USING (user_id))
-        |SELECT user_id, event_type, tidx, round(median(value), 6) AS med_value
+    "q_ts_combine_median" -> (TimeSeries.idxSql +
+      """SELECT user_id, event_type, tidx, round(median(value), 6) AS med_value
         |FROM b WHERE tidx <= tw
         |GROUP BY user_id, event_type, tidx
-        |ORDER BY user_id, event_type, tidx""".stripMargin)
+        |ORDER BY user_id, event_type, tidx""".stripMargin))
 }

@@ -19,27 +19,27 @@ import graft.model.{MeanCombine, SumCombine}
   */
 object TimeSeries {
 
-  private val Step = 3600L
+  private[queries] val Step = 3600L
 
   /** events with epoch seconds. `ts` arrives as epoch-nanos LongType (see
     * [[graft.queries.t]]); integer `DIV` floors toward -inf for positive
     * epochs, same as the oracle's `floor(epoch(ts))`.
     */
-  private def ev(s: SparkSession, dir: String): DataFrame =
+  private[queries] def ev(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("event_epoch_time", expr("ts DIV 1000000000"))
 
   /** Per-user stay analog: intime = min epoch, outtime = max epoch,
     * `total_windows = floor((outtime-intime)/step)` (W2 semantics).
     */
-  private def userIndex(events: DataFrame): DataFrame =
+  private[queries] def userIndex(events: DataFrame): DataFrame =
     events.groupBy(col("user_id").as("stay_id"))
       .agg(min(col("event_epoch_time")).as("intime"),
         max(col("event_epoch_time")).as("outtime"))
       .withColumn("total_windows",
         floor((col("outtime") - col("intime")) / lit(Step)).cast("long"))
 
-  private def bucketized(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def bucketized(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
     Stages.bucketize(
       e.select(col("user_id").as("stay_id"), col("event_epoch_time"),
@@ -48,7 +48,7 @@ object TimeSeries {
   }
 
   /** Shared oracle CTE prelude: per-user index + bucketized events. */
-  private val idxSql =
+  private[queries] val idxSql =
     """WITH idx AS (
       |  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS intime,
       |         CAST(floor(epoch(max(ts))) AS BIGINT) AS outtime,

@@ -48,14 +48,21 @@ object StreamingAggregator {
       .agg(sum(col("value")).as("value_sum"), count(col("value")).as("value_n"))
       .select("stay_id", "feature_id", "tidx", "value_sum", "value_n")
 
-  /** Fold partials into final combined values (batch view over the sink). */
+  /** Fold partials into final combined values (batch view over the sink).
+    * Only mean/sum are finalizable from (sum, count) partials — an arbitrary
+    * `CustomCombine` (e.g. median) is NOT decomposable this way and is
+    * rejected here; custom combiners belong to the batch path (or a
+    * flatMapGroupsWithState stream keeping full per-key state).
+    */
   def finalizeView(partials: DataFrame, combiner: Combiner): DataFrame = {
     val folded = partials.groupBy("stay_id", "feature_id", "tidx")
       .agg(sum(col("value_sum")).as("s"), sum(col("value_n")).as("n"))
     val value = combiner match {
       case MeanCombine => col("s") / col("n")
       case SumCombine => col("s")
-      case other => other.agg(col("s"))
+      case other => throw new IllegalArgumentException(
+        s"combiner $other cannot be finalized from (sum, count) partials; " +
+          "use the batch path for custom combiners")
     }
     folded.select(col("stay_id"), col("feature_id"), col("tidx"),
       value.as("value"))
