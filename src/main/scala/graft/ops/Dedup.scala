@@ -31,27 +31,38 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
 
-  /** Docs with their distinct word-k-shingle set attached. */
+  /** Docs with their distinct word-k-shingle set attached.
+    *
+    * NOTE for pipeline authors: `explode` this column IN THE SAME select
+    * that computes it (as [[shingleRows]] does) — projecting the array
+    * column first and exploding in a later select leaves a non-collapsed
+    * Project of the higher-order expression in the plan, measured ~14x
+    * slower than the fused generate.
+    */
   def withShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       TextOps.wordShingles(col(textCol), k).as("shingles"))
+
+  /** One row per (doc_id, distinct shingle) — the base relation for both
+    * Jaccard candidate generation and MinHash signatures.
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
 
   /** Exact Jaccard-similar pairs (j >= threshold) via shared-shingle
     * candidate join. Returns (doc_a, doc_b, jaccard).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    // cached because consumed by two branches of one job (sizes + explode);
-    // long-lived sessions should spark.catalog.clearCache() between
-    // pipelines (Verify/Bench do) — a lazily-returned DataFrame gives the
-    // callee no post-action hook to unpersist
-    val sh = withShingles(docs, idCol, textCol, k).persist()
-    // candidate join carries only (doc_id, shingle) rows — the set sizes
-    // rejoin AFTER the count, so shingle arrays never ride the big shuffle
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val e = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    // exploded (doc, shingle) rows are the cached base: consumed by the
+    // candidate join (twice) and the per-doc sizes. Long-lived sessions
+    // should spark.catalog.clearCache() between pipelines (Verify/Bench
+    // do) — a lazily-returned DataFrame gives no post-action unpersist hook.
+    val e = shingleRows(docs, idCol, textCol, k).persist()
+    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = e.as("a").join(e.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     // no broadcast hint: sizes is one row per doc (huge at corpus scale) —
@@ -86,9 +97,9 @@ object Dedup {
     * benchmark at 100× the cost). Docs with empty shingle sets drop out.
     * Returns (doc_id, sig: array<long>[nHashes]).
     */
-  def minhashSignatures(shingled: DataFrame, nHashes: Int): DataFrame = {
-    val e = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+  /** Signatures from a (doc_id, sh) exploded-row table (see [[shingleRows]]). */
+  def minhashSignatures(shingleRows: DataFrame, nHashes: Int): DataFrame = {
+    val e = shingleRows.withColumn("h", xxhash64(col("sh")))
     val aggs = (0 until nHashes).map(i => min(seeded(col("h"), i)).as(s"m$i"))
     e.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -106,11 +117,11 @@ object Dedup {
       k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
-    // reused three times (signatures + two verify joins) — persist so the
-    // shingle derivation runs once
-    val sh = withShingles(docs, idCol, textCol, k)
-      .where(size(col("shingles")) > 0).persist()
-    val banded = minhashSignatures(sh, nHashes)
+    // exploded (doc, shingle) rows: reused by signatures + both verify
+    // sides — persist so the shingle derivation runs once (empty-shingle
+    // docs produce no rows, so the old size>0 filter is implicit)
+    val e = shingleRows(docs, idCol, textCol, k).persist()
+    val banded = minhashSignatures(e, nHashes)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r)), b))))
@@ -120,13 +131,20 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact-Jaccard verification: shingle arrays shuffled only for candidates
+    // exact-Jaccard verification: shingle sets rebuilt from the cached rows
+    // and shuffled only for candidates (collect order is irrelevant to the
+    // set intersection; per-doc shingles are distinct by construction)
+    val arrs = e.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shingles"), count(lit(1)).as("n"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), Seq("doc_b"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sha"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("shb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

