@@ -75,7 +75,38 @@ object StreamDemo {
         col("s.value").isNull || col("b.value").isNull)
       .count()
     println(s"[stream-demo] streamed=$sCount batch=$bCount mismatches=$mismatches")
+
+    // stateful sessionization (flatMapGroupsWithState) against the batch
+    // lag/cumsum session count on the same data
+    val sessIn = Files.createTempDirectory("sess-in").toString
+    val sessEvents = batch.select(col("stay_id").as("user_id"),
+      col("event_time"), col("value"))
+    sessEvents.write.mode("overwrite").parquet(sessIn)
+    val sessStream = graft.streaming.StreamingSessionizer.sessionize(
+      spark.readStream.schema(sessEvents.schema).parquet(sessIn)
+        .as[graft.streaming.SessionEvent],
+      gapSeconds = 1800, watermarkDelay = "1 hour")
+    val q2 = sessStream.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q2.processAllAvailable()
+    // sentinel advances the watermark so in-flight sessions time out
+    val maxT = sessEvents.agg(max(col("event_time"))).head().getTimestamp(0)
+    Seq((-1L, new java.sql.Timestamp(maxT.getTime + 30L * 24 * 3600 * 1000), 0.0))
+      .toDF("user_id", "event_time", "value")
+      .write.mode("append").parquet(sessIn)
+    q2.processAllAvailable(); q2.stop()
+    val streamSessions = spark.table("sessions")
+      .where(col("user_id") >= 0).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_time", "value")
+    val batchSessions = sessEvents
+      .withColumn("prev", lag(unix_timestamp(col("event_time")), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_timestamp(col("event_time")) - col("prev") > 1800, 1).otherwise(0))
+      .agg(sum("new_s")).head().getLong(0)
+    println(s"[stream-demo] sessions streamed=$streamSessions batch=$batchSessions")
     spark.stop()
-    if (sCount == 0 || mismatches != 0) sys.exit(1)
+    if (sCount == 0 || mismatches != 0 || streamSessions != batchSessions)
+      sys.exit(1)
   }
 }

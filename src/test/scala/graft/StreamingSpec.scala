@@ -23,6 +23,40 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("stateful sessionizer closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SessionEvent, StreamingSessionizer}
+    val source = MemoryStream[SessionEvent]
+    val sessions = StreamingSessionizer.sessionize(
+      source.toDS(), gapSeconds = 1800, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one session), then a
+      // 2-hour gap to a third event -> first session closes mid-batch
+      source.addData(
+        SessionEvent(1L, ts("2020-01-01 00:00:00"), 1.0),
+        SessionEvent(1L, ts("2020-01-01 00:10:00"), 2.0),
+        SessionEvent(1L, ts("2020-01-01 02:10:00"), 4.0))
+      q.processAllAvailable()
+      // batch 2: far-future event for user 2 advances the watermark past
+      // user 1's open session + gap -> timeout closes it
+      source.addData(SessionEvent(2L, ts("2020-01-02 00:00:00"), 8.0))
+      q.processAllAvailable()
+      source.addData(SessionEvent(2L, ts("2020-01-03 00:00:00"), 16.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      // user 1: session {1.0, 2.0} closed by gap; session {4.0} by timeout
+      assert(got.contains((1L, 2L, 3.0)))
+      assert(got.contains((1L, 1L, 4.0)))
+      // user 2's first event closed by the day-3 watermark advance
+      assert(got.contains((2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("streaming partials fold to the batch result across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     // intime 00:30 → stay-relative windows straddle epoch-hour boundaries
