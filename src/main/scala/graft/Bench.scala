@@ -30,16 +30,24 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
 
+    // a throwing query is REPORTED and fails the run — swallowing it would
+    // make a broken query look like a fast one and *improve* the total
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       finally spark.catalog.clearCache() // bound intra-query persist() use
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -96,13 +96,26 @@ class EventsAggregator(
     Stages.densify(combined, fill)
   }
 
-  /** Run all sources: write matrices + dummy files + manifest (K1-K3). */
-  def run(): Unit = {
+  /** Run all sources: write matrices + dummy files + manifest (K1-K3).
+    * `sink` picks the layout: [[graft.io.CsvMatrixSink]] (reference
+    * contract, one CSV per stay) or [[graft.io.LongParquetSink]] (long-form
+    * partitioned parquet + companion stay table — the layout that survives
+    * millions of stays, where per-stay files are themselves the bottleneck).
+    */
+  def run(sink: graft.io.SinkMode = graft.io.CsvMatrixSink): Unit = {
     val t0 = System.nanoTime()
-    sources.foreach { source =>
-      MatrixWriter.write(aggregate(source), stayIndex, dstPath, source.name)
+    sink match {
+      case graft.io.CsvMatrixSink =>
+        sources.foreach { source =>
+          MatrixWriter.write(aggregate(source), stayIndex, dstPath, source.name)
+        }
+      case graft.io.LongParquetSink =>
+        sources.foreach { source =>
+          MatrixWriter.writeLongForm(aggregate(source), dstPath, source.name)
+        }
+        MatrixWriter.writeStayIndex(stayIndex, dstPath)
     }
-    MatrixWriter.writeManifest(dstPath, timestepSeconds, ffill,
+    MatrixWriter.writeManifest(spark, dstPath, timestepSeconds, ffill,
       sources.map(_.name), (System.nanoTime() - t0) / 1e9)
   }
 }

@@ -19,6 +19,7 @@ object Main {
       |  [--stay-ids id,id,...]
       |  [--feature-ids id,id,...]
       |  [--max-partition-bytes N]
+      |  [--sink csv|long-parquet]        (default csv: per-stay matrices)
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -32,6 +33,7 @@ object Main {
     var stayIds: Option[Seq[Long]] = None
     var featureIds: Option[Seq[Long]] = None
     var maxPartitionBytes = "134217728"
+    var sink: graft.io.SinkMode = graft.io.CsvMatrixSink
     var i = 2
     while (i < args.length) {
       args(i) match {
@@ -48,6 +50,12 @@ object Main {
         case "--stay-ids" => stayIds = Some(args(i + 1).split(",").map(_.trim.toLong).toSeq); i += 2
         case "--feature-ids" => featureIds = Some(args(i + 1).split(",").map(_.trim.toLong).toSeq); i += 2
         case "--max-partition-bytes" => maxPartitionBytes = args(i + 1); i += 2
+        case "--sink" =>
+          sink = args(i + 1) match {
+            case "csv" => graft.io.CsvMatrixSink
+            case "long-parquet" => graft.io.LongParquetSink
+            case other => System.err.println(s"unknown sink: $other"); sys.exit(2)
+          }; i += 2
         case other => System.err.println(s"unknown arg: $other\n$usage"); sys.exit(2)
       }
     }
@@ -64,7 +72,7 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val sources = Sources.all.filterNot(s => exclude.contains(s.name))
     new EventsAggregator(spark, src, dst, stayIds, featureIds, timestep, ffill,
-      sources, fillMode).run()
+      sources, fillMode).run(sink)
     spark.stop()
   }
 }

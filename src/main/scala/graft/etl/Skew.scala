@@ -19,10 +19,20 @@ object Skew {
     * `partialAggs` and `finalAggs` must compose (e.g. partial `sum(x) as s`,
     * final `sum(s) as s`).
     */
+  /** Deterministic per-row salt: hash of the FULL row content (not
+    * monotonically_increasing_id, which is nondeterministic across stage
+    * retries — a re-fetched task could re-salt the same rows differently
+    * and double-count/drop them under executor failure). Exact duplicate
+    * rows share a bucket; only a key that is heavy-hitting in *identical*
+    * rows would defeat the spread, and such data defeats any
+    * content-derived salt.
+    */
+  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val salted = df.withColumn("__salt", rowSalt(df, saltBuckets))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -37,8 +47,7 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val saltedLeft = left.withColumn("__salt", rowSalt(left, saltBuckets))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

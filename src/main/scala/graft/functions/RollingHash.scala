@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash of a string (Rabin-Karp form):
@@ -20,6 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // analysis-time type error instead of a runtime ClassCastException on
+  // non-string input (e.g. spark.sql("SELECT rolling_hash(123)"))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.sql}")
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]

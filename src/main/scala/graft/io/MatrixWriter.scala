@@ -1,10 +1,34 @@
 package graft.io
 
-import java.io.{BufferedWriter, File, FileWriter}
-import java.nio.file.{Files, Paths}
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+/** Hadoop `Configuration` is not `Serializable`; this wrapper ships it to
+  * executor tasks via its `Writable` form (public Hadoop API) so tasks can
+  * open the SAME filesystem the driver resolved (s3a/hdfs credentials and
+  * all) instead of whatever a fresh `new Configuration()` would load.
+  */
+private class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+/** Sink selection for [[graft.api.EventsAggregator.run]]. */
+sealed trait SinkMode
+/** One CSV matrix per (stay, source) — the reference's layout. */
+case object CsvMatrixSink extends SinkMode
+/** Long-form partitioned parquet — the >100k-stays scale layout. */
+case object LongParquetSink extends SinkMode
 
 /** The per-(stay, source) matrix CSV sink (SURVEY.md §7.4 hard part #1).
   *
@@ -21,11 +45,23 @@ import org.apache.spark.sql.functions._
   * `foreachPartition` streams them to exact-named files. No global pivot —
   * width is a per-stay function, so a single wide schema cannot exist
   * (SURVEY.md §1.3) — and no driver-side loop over facts.
+  *
+  * All file I/O goes through the Hadoop `FileSystem` API resolved from the
+  * session's Hadoop configuration — `dstPath` may be any supported scheme
+  * (local, hdfs://, s3a://). A `java.io.FileWriter` would write to the
+  * EXECUTOR-local disk of whichever machine ran the task: correct only in
+  * `local[*]`, silently scattered on a real cluster.
+  *
+  * For >100k stays the per-stay-file layout itself is the bottleneck
+  * (millions of small files); [[writeLongForm]] is the scale alternative.
   */
 object MatrixWriter {
 
   def write(densified: DataFrame, stayIdx: DataFrame, dstPath: String,
       sourceName: String): Unit = {
+    val spark = densified.sparkSession
+    val hconf =
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     // persisted: consumed twice (file write + produced-stay anti-join for
     // dummies) — without this the WHOLE upstream pipeline re-executes for
     // the dummy pass. One compact row per (stay, feature).
@@ -44,6 +80,8 @@ object MatrixWriter {
       .sortWithinPartitions("stay_id", "feature_id")
       .select("stay_id", "total_windows", "line")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new Path(dstPath).getFileSystem(hconf.value)
+        fs.setWriteChecksum(false) // no .crc sidecars on checksummed local FS
         var currentStay = Long.MinValue
         var out: BufferedWriter = null
         def close(): Unit = if (out != null) { out.close(); out = null }
@@ -53,10 +91,11 @@ object MatrixWriter {
             if (stay != currentStay) {
               close()
               currentStay = stay
-              val dir = new File(s"$dstPath/$stay")
-              dir.mkdirs()
+              // FileSystem.create makes parent dirs; overwrite = true
+              val stream = fs.create(
+                new Path(s"$dstPath/$stay/${sourceName}_features.csv"), true)
               out = new BufferedWriter(
-                new FileWriter(new File(dir, s"${sourceName}_features.csv")))
+                new OutputStreamWriter(stream, StandardCharsets.UTF_8))
               out.write(header(r.getLong(1)))
               out.newLine()
             }
@@ -70,6 +109,35 @@ object MatrixWriter {
     lines.unpersist()
   }
 
+  /** Long-form partitioned-parquet sink — the >100k-stays alternative to
+    * per-stay CSV files (SCALE.md): at millions of stays the matrix layout
+    * IS the bottleneck (millions of tiny files and directories), so the
+    * scale path keeps the engine's canonical long form
+    * `(stay_id, feature_id, tidx, value)` as one parquet dataset per source
+    * under `{dst}/long/source={name}/` (sources as Hive-style partitions —
+    * `spark.read.parquet("{dst}/long")` exposes a `source` column with
+    * partition pruning). Rows are repartitioned and sorted by stay so each
+    * stay lives in one file with tight row-group min/max stats on `stay_id`
+    * — a per-stay read prunes to one row group instead of scanning the
+    * dataset. Use [[writeStayIndex]] once per run for the companion
+    * `(stay_id, total_windows)` table; a reader reconstructs any stay's
+    * matrix from the two (dummy stays need no special casing — they are
+    * simply absent from the long table).
+    */
+  def writeLongForm(densified: DataFrame, dstPath: String,
+      sourceName: String): Unit =
+    densified.select("stay_id", "feature_id", "tidx", "value")
+      .repartition(col("stay_id"))
+      .sortWithinPartitions("stay_id", "feature_id", "tidx")
+      .write.mode("overwrite")
+      .parquet(s"$dstPath/long/source=$sourceName")
+
+  /** Companion stay dimension for [[writeLongForm]] readers. */
+  def writeStayIndex(stayIdx: DataFrame, dstPath: String): Unit =
+    stayIdx.select("stay_id", "total_windows")
+      .coalesce(1) // dimension-sized
+      .write.mode("overwrite").parquet(s"$dstPath/long_stays")
+
   private def header(totalWindows: Long): String =
     (0L to totalWindows).mkString("feature_id,", ",", "")
 
@@ -82,19 +150,27 @@ object MatrixWriter {
     val missing = stayIdx.select("stay_id", "total_windows")
       .join(produced.select("stay_id").distinct(), Seq("stay_id"), "left_anti")
       .collect()
+    val fs = new Path(dstPath)
+      .getFileSystem(stayIdx.sparkSession.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
     missing.foreach { r =>
-      val dir = Paths.get(dstPath, r.getLong(0).toString)
-      Files.createDirectories(dir)
-      Files.writeString(dir.resolve(s"${sourceName}_features.csv"),
-        header(r.getLong(1)) + System.lineSeparator())
+      val p = new Path(s"$dstPath/${r.getLong(0)}/${sourceName}_features.csv")
+      val out = new BufferedWriter(
+        new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8))
+      try { out.write(header(r.getLong(1))); out.newLine() } finally out.close()
     }
   }
 
   /** K3: run manifest, mirroring `/root/reference/src/mimic2ts/__main__.py:83-91`. */
-  def writeManifest(dstPath: String, timestepSeconds: Long, ffill: Boolean,
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, dstPath: String,
+      timestepSeconds: Long, ffill: Boolean,
       sources: Seq[String], runtimeSec: Double): Unit = {
-    Files.createDirectories(Paths.get(dstPath))
-    Files.writeString(Paths.get(dstPath, "readme.txt"),
+    val fs = new Path(dstPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      fs.create(new Path(dstPath, "readme.txt"), true), StandardCharsets.UTF_8))
+    try out.write(
       s"""graft spark-native events aggregator
          |version: 0.1.0
          |runtime: $runtimeSec sec
@@ -102,5 +178,6 @@ object MatrixWriter {
          |ffill: $ffill
          |sources: ${sources.mkString(", ")}
          |""".stripMargin)
+    finally out.close()
   }
 }

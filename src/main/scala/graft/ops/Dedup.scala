@@ -50,16 +50,38 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
 
-  /** Exact Jaccard-similar pairs (j >= threshold) via shared-shingle
-    * candidate join. Returns (doc_a, doc_b, jaccard).
+  /** A lazily-evaluated pipeline result paired with a `release()` that
+    * unpersists the pipeline's cached base relations. Library users in
+    * long-lived sessions should call `release()` after their terminal
+    * action; the DataFrame-returning convenience overloads document the
+    * alternative (`spark.catalog.clearCache()`, as Verify/Bench do).
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
+  final case class Scoped(df: DataFrame, release: () => Unit)
+
+  /** Exact Jaccard-similar pairs (j >= threshold) via shared-shingle
+    * candidate join, with the cached shingle base scoped to the returned
+    * handle. Returns (doc_a, doc_b, jaccard).
+    *
+    * `dfCap` bounds candidate blowup: the equi-join on shingles is
+    * quadratic in documents-per-shingle, so one stopword-like shingle
+    * ("of the and") at corpus scale funnels O(df²) pairs through a single
+    * reducer. Shingles with document frequency > dfCap are dropped from
+    * the WHOLE pipeline (candidates AND sizes) — i.e. Jaccard restricted
+    * to the informative-shingle universe, the standard df-cap trick. At
+    * the default (uncapped) the result is classic exact Jaccard.
+    */
+  def jaccardPairsScoped(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, dfCap: Int = Int.MaxValue): Scoped = {
+    val raw = shingleRows(docs, idCol, textCol, k)
+    val capped =
+      if (dfCap == Int.MaxValue) raw
+      else raw.join(
+        raw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).select("sh"),
+        Seq("sh"), "left_semi")
     // exploded (doc, shingle) rows are the cached base: consumed by the
-    // candidate join (twice) and the per-doc sizes. Long-lived sessions
-    // should spark.catalog.clearCache() between pipelines (Verify/Bench
-    // do) — a lazily-returned DataFrame gives no post-action unpersist hook.
-    val e = shingleRows(docs, idCol, textCol, k).persist()
+    // candidate join (twice) and the per-doc sizes.
+    val e = capped.persist()
     val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = e.as("a").join(e.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -67,7 +89,7 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
     // no broadcast hint: sizes is one row per doc (huge at corpus scale) —
     // AQE picks broadcast when it actually fits
-    cand
+    val out = cand
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
@@ -75,7 +97,15 @@ object Dedup {
           (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    Scoped(out, () => { e.unpersist(); () })
   }
+
+  /** [[jaccardPairsScoped]] without the handle — callers owning the session
+    * lifecycle (or clearing the cache themselves) can ignore scoping.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame =
+    jaccardPairsScoped(docs, idCol, textCol, k, threshold, dfCap).df
 
   /** Per-seed re-hash of a base 64-bit hash without overflow (Spark 4 runs
     * ANSI mode, so wrap-around `*`/`+` would throw):
@@ -99,6 +129,8 @@ object Dedup {
     */
   /** Signatures from a (doc_id, sh) exploded-row table (see [[shingleRows]]). */
   def minhashSignatures(shingleRows: DataFrame, nHashes: Int): DataFrame = {
+    require(nHashes <= 64,
+      "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
     val e = shingleRows.withColumn("h", xxhash64(col("sh")))
     val aggs = (0 until nHashes).map(i => min(seeded(col("h"), i)).as(s"m$i"))
     e.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -113,9 +145,11 @@ object Dedup {
     * 0.8 threshold, while the band join keys are fixed-width (no shingle
     * heavy-hitter skew). Returns (doc_a, doc_b, jaccard) with j >= threshold.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame = {
+  def minhashLshPairsScoped(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nHashes: Int, bands: Int, threshold: Double): Scoped = {
     require(nHashes % bands == 0, "bands must divide nHashes")
+    require(nHashes <= 64,
+      "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
     val r = nHashes / bands
     // exploded (doc, shingle) rows: reused by signatures + both verify
     // sides — persist so the shingle derivation runs once (empty-shingle
@@ -136,7 +170,7 @@ object Dedup {
     // set intersection; per-doc shingles are distinct by construction)
     val arrs = e.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("shingles"), count(lit(1)).as("n"))
-    cand
+    val out = cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sha"),
         col("n").as("na")), Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("shb"),
@@ -147,51 +181,84 @@ object Dedup {
           (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    Scoped(out, () => { e.unpersist(); () })
   }
 
-  /** 64-bit SimHash signatures for (id, text): bit i is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1) over NORMALIZED tokens.
-    * Same scale shape as minhash: explode → one hash per token → 64
-    * `sum(±1)` aggregate expressions → fold to one long. Empty docs drop out.
-    * Returns (doc_id, sig: long).
+  /** [[minhashLshPairsScoped]] without the handle — callers owning the
+    * session lifecycle (or clearing the cache themselves) can ignore it.
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame =
+    minhashLshPairsScoped(docs, idCol, textCol, k, nHashes, bands, threshold).df
+
+  /** Engine-portable 64-bit SimHash, banded as 4×16-bit chunks.
+    *
+    * The per-token hash is the first 16 hex nibbles of md5(token), chosen
+    * over xxhash64 so an INDEPENDENT engine can compute the identical
+    * signature: md5 is standardized, while xxhash64 constants differ across
+    * implementations. That makes the banded pair query fully verifiable
+    * against a brute-force all-pairs oracle (DuckDB mirrors the exact same
+    * integer math), instead of a rows-only check.
+    *
+    * Bit j of a token's hash is bit (j mod 4) of hex nibble (j div 4);
+    * signature bit j is set iff 2·Σ_tokens(bit_j) > n_tokens (ties → 0 —
+    * the majority-sign rule, stated over integers so both engines agree).
+    *
+    * Scale shape (same as minhash): explode → one md5 per token → 16 nibble
+    * columns → 64 sum aggregates + count in ONE partial-aggregable hash
+    * aggregation. Returns (doc_id, band0..band3: int).
+    */
+  def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val e = docs.select(col(idCol).as("doc_id"),
         explode(TextOps.normTokens(col(textCol))).as("tk"))
-      .withColumn("h", xxhash64(col("tk")))
-    val aggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    e.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      .withColumn("hx", md5(col("tk")))
+    val nibs = e.select(col("doc_id") +:
+      (0 until 16).map(p =>
+        conv(substring(col("hx"), p + 1, 1), 16, 10).cast("int").as(s"nib$p")): _*)
+    val aggs = (0 until 64).map { j =>
+      sum(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(lit(1))).as(s"s$j")
+    } :+ count(lit(1)).as("ntok")
+    nibs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: (0 until 4).map { t =>
+        (0 until 16).map { k =>
+          val j = 16 * t + k
+          when(col(s"s$j") * 2 > col("ntok"), lit(1 << k)).otherwise(lit(0))
+        }.reduce(_ + _).as(s"band$t")
+      }: _*)
   }
 
+  /** Single-long SimHash signature assembled from the 4 bands (bitwise
+    * shifts — no ANSI overflow). Returns (doc_id, sig: long).
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBands(docs, idCol, textCol)
+      .select(col("doc_id"),
+        (0 until 4).map(t => shiftleft(col(s"band$t").cast("long"), 16 * t))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+
   /** SimHash near-dup pairs with hamming distance <= maxDist, candidates via
-    * 4×16-bit band join. Recall is GUARANTEED only for maxDist <= 3 (a pair
-    * differing in <= 3 bits must leave one of the 4 bands untouched, by
-    * pigeonhole); pairs at distance 4..maxDist are found only when their
-    * differing bits happen to cluster outside some band. For guaranteed
-    * recall at larger distances, raise the band count (e.g. 8×8-bit for
-    * maxDist <= 7).
+    * the 4×16-bit band join. maxDist <= 3 is REQUIRED: a pair differing in
+    * <= 3 bits must leave one of the 4 bands untouched (pigeonhole), so the
+    * banded candidate set provably equals the all-pairs result — which is
+    * exactly what the DuckDB oracle computes. For larger distances raise the
+    * band count (8×8-bit bands guarantee maxDist <= 7) before relaxing this.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
-    val sig = simhashSignatures(docs, idCol, textCol)
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sig"), b * lit(16)).bitwiseAND(lit(0xFFFFL)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    require(maxDist <= 3,
+      "4x16-bit banding guarantees recall only for maxDist <= 3 (pigeonhole)")
+    val sig = simhashBands(docs, idCol, textCol)
+    val bandCols = (0 until 4).map(t => col(s"band$t"))
+    val banded = sig.select(col("doc_id") +: bandCols :+
+      posexplode(array(bandCols: _*)).as(Seq("band", "chunk")): _*)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+        (0 until 4).map(t =>
+            bit_count(col(s"a.band$t").bitwiseXOR(col(s"b.band$t"))))
+          .reduce(_ + _).cast("int").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b") // hamming is functionally dependent
       .where(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
   }

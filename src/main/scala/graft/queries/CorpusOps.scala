@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, TextOps, VectorOps}
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
-  * search, multimodal) over the `documents` and `embeddings` tables, with
-  * DuckDB oracles wherever the op is ANSI-SQL-expressible. Hash-based ops
-  * whose exact outputs depend on xxhash64 (simhash) are rows-only; the
-  * MinHash-LSH query IS oracled against brute-force exact Jaccard because
-  * with 32 bands × 2 rows its recall at j>=0.8 is 1 - 0.36^32 ≈ 1 and its
-  * candidates are deterministic (xxhash64, no RNG), then exact-verified.
+  * search, multimodal) over the `documents` and `embeddings` tables — every
+  * query here carries a full DuckDB oracle. The MinHash-LSH query is oracled
+  * against brute-force exact Jaccard (with 32 bands × 2 rows its recall at
+  * j>=0.8 is 1 - 0.36^32 ≈ 1, candidates are deterministic xxhash64, then
+  * exact-verified); the SimHash query is oracled against all-pairs hamming
+  * on identically-recomputed md5-derived signatures (recall is exact at
+  * maxDist <= 3 by the 4-band pigeonhole bound).
   */
 object CorpusOps {
 
@@ -53,9 +54,12 @@ object CorpusOps {
           size(TextOps.wordShingles(col("text"), 3)).as("n_shingles"))
         .orderBy("doc_id")),
 
-    // near-dup: exact n-gram Jaccard via shared-shingle candidate join
+    // near-dup: exact n-gram Jaccard via shared-shingle candidate join,
+    // df-capped at 100 (heavy-hitter shingles would funnel O(df²) candidate
+    // pairs through one reducer at corpus scale; the oracle mirrors the cap)
     "q_doc_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 3, 0.8)
+      Dedup.jaccardPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 3, 0.8,
+          dfCap = 100)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
@@ -66,10 +70,13 @@ object CorpusOps {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
-    // near-dup: 64-bit SimHash, 4x16-bit band join, hamming <= 6
-    // (signature values are xxhash64-specific → rows-only check)
+    // near-dup: 64-bit SimHash on an md5-derived portable hash, 4x16-bit
+    // band join, hamming <= 3. At maxDist <= 3 the banded result provably
+    // equals brute-force all-pairs (pigeonhole) and the md5 nibble math is
+    // engine-portable, so DuckDB recomputes the identical signatures and
+    // compares all pairs — a full rows+schema+hash oracle.
     "q_doc_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 6)
+      Dedup.simhashPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 3)
         .orderBy("doc_a", "doc_b")),
 
     // document fingerprinting: codegen'd polynomial rolling hash over the
@@ -81,15 +88,23 @@ object CorpusOps {
             TextOps.normalize(col("text"))).as("fp"))
         .orderBy("doc_id")),
 
-    // corpus statistics: term frequencies (top 50 by count, tiebreak term)
+    // corpus statistics: term frequencies (top 50 by count, tiebreak term).
+    // orderBy().limit(k) → TakeOrderedAndProject (per-partition top-k,
+    // driver merge) instead of a global row_number window — at corpus scale
+    // the vocabulary is huge and a no-partition WindowExec would sort it
+    // all in one task. Rank is recomputed over the 50 survivors by a tiny
+    // ordering self-join (WindowExec-free plan).
     "q_doc_term_freq" -> ((s, dir) => {
-      val terms = wide(s, t(s, dir, "documents"))
+      val top = wide(s, t(s, dir, "documents"))
         .select(explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("term"))
-      terms.withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 50)
+        .limit(50)
+      top.as("a").join(top.as("b"),
+          col("b.n") > col("a.n") ||
+            (col("b.n") === col("a.n") && col("b.term") < col("a.term")), "left")
+        .groupBy(col("a.term").as("term"), col("a.n").as("n"))
+        .agg((count(col("b.term")) + 1).cast("int").as("rk"))
         .select("rk", "term", "n")
         .orderBy("rk")
     }),
@@ -162,10 +177,68 @@ object CorpusOps {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  private val jaccardPairsSql =
+  /** Brute-force all-pairs mirror of [[Dedup.simhashBands]]: identical
+    * integer math (md5 hex nibbles → 64 per-bit sums → majority bands →
+    * hamming via bit_count(xor)), generated for 64 bits. Equality with the
+    * Spark banded-LSH result at maxDist <= 3 is the pigeonhole argument
+    * documented on [[Dedup.simhashPairs]].
+    */
+  private val simhashPairsSql: String = {
+    val nibCols = (0 until 16).map(p =>
+      s"instr('0123456789abcdef', substr(hx, ${p + 1}, 1)) - 1 AS nib$p")
+      .mkString(",\n    ")
+    val sumCols = (0 until 64).map(j =>
+      s"sum((nib${j / 4} // ${1 << (j % 4)}) % 2) AS s$j").mkString(",\n    ")
+    val bandCols = (0 until 4).map { t =>
+      (0 until 16).map { k =>
+        val j = 16 * t + k
+        s"(CASE WHEN 2*s$j > ntok THEN ${1 << k} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS band$t")
+    }.mkString(",\n    ")
+    val ham = (0 until 4).map(t => s"bit_count(xor(a.band$t, b.band$t))")
+      .mkString(" + ")
+    raw"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tk) AS hx FROM toks),
+         |nib AS (SELECT doc_id,
+         |    $nibCols
+         |  FROM h),
+         |s AS (SELECT doc_id,
+         |    $sumCols,
+         |    count(*) AS ntok
+         |  FROM nib GROUP BY doc_id),
+         |bands AS (SELECT doc_id,
+         |    $bandCols
+         |  FROM s)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST($ham AS INT) AS hamming
+         |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+         |WHERE $ham <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact-Jaccard all-pairs oracle; dfCap = None mirrors the uncapped
+    * pipeline (sizes from the full shingle set), dfCap = Some(c) mirrors
+    * [[Dedup.jaccardPairsScoped]]'s informative-shingle universe (shingles
+    * with document frequency > c removed before candidates AND sizes).
+    */
+  private def jaccardPairsSqlFor(dfCap: Option[Int]): String = {
+    val eDef = dfCap match {
+      case None => "e AS (SELECT doc_id, unnest(s) AS g FROM sh)"
+      case Some(c) =>
+        s"""e0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |okg AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= $c),
+           |e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN okg USING (g))""".stripMargin
+    }
+    val sizesDef = dfCap match {
+      case None => "sizes AS (SELECT doc_id, len(s) AS n FROM sh)"
+      case Some(_) => "sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id)"
+    }
     s"""WITH sh AS $shinglesSql,
-       |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
-       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |$eDef,
+       |$sizesDef,
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -178,6 +251,9 @@ object CorpusOps {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val jaccardPairsSql = jaccardPairsSqlFor(None)
 
   val oracles: Map[String, String] = Map(
     "q_doc_token_count" ->
@@ -236,7 +312,9 @@ object CorpusOps {
       s"""SELECT doc_id, CAST(len(s) AS INT) AS n_shingles
          |FROM $shinglesSql ORDER BY doc_id""".stripMargin,
 
-    "q_doc_jaccard_pairs" -> jaccardPairsSql,
+    "q_doc_jaccard_pairs" -> jaccardPairsSqlFor(Some(100)),
+
+    "q_doc_simhash_pairs" -> simhashPairsSql,
 
     // LSH with 32 bands x 2 rows has recall ≈ 1 at j >= 0.8 and exact-Jaccard
     // verification → its output equals the brute-force pair set.

@@ -52,14 +52,19 @@ object Extras {
 
     // approximate sketches: HLL distinct counts + quantile sketch. Sketch
     // estimates are engine-specific, so this is a rows-only check (no
-    // DuckDB oracle) — deterministic within Spark for fixed input.
+    // DuckDB oracle) — deterministic within Spark for fixed input. The
+    // quantile pair is projected to SCALAR columns (element_at) so the
+    // row hash is computable (array cells broke the round-1 checker).
     "q_approx_sketch" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-            .as("price_quantiles"))
+            .as("pq"))
+        .select(col("l_returnflag"), col("approx_parts"), col("approx_orders"),
+          element_at(col("pq"), 1).as("price_p50"),
+          element_at(col("pq"), 2).as("price_p95"))
         .orderBy("l_returnflag")),
 
     // custom-Aggregator combiner slot: exact median per (user, type, window)

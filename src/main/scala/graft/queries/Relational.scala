@@ -118,12 +118,26 @@ object Relational {
       c.except(su).orderBy("nk")
     }),
 
-    // top-k with total tie-break (deterministic LIMIT analog)
+    // top-k with total tie-break (deterministic LIMIT analog).
+    // orderBy().limit(k) plans as TakeOrderedAndProject — per-partition
+    // top-k with a driver merge of k×partitions rows — NOT a global
+    // row_number window, which would move the whole table to one partition
+    // (the round-1 scale hazard). The rank is then recomputed over the k
+    // surviving rows by a tiny ordering self-join, keeping the plan free of
+    // single-partition WindowExec.
     "q_topk" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 10)
+      val top = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+      top.as("a").join(top.as("b"),
+          col("b.o_totalprice") > col("a.o_totalprice") ||
+            (col("b.o_totalprice") === col("a.o_totalprice") &&
+              col("b.o_orderkey") < col("a.o_orderkey")), "left")
+        .groupBy(col("a.o_orderkey").as("o_orderkey"),
+          col("a.o_custkey").as("o_custkey"),
+          col("a.o_totalprice").as("o_totalprice"))
+        .agg((count(col("b.o_orderkey")) + 1).cast("int").as("rk"))
         .select("rk", "o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("rk")
     }),

@@ -127,8 +127,10 @@ object TimeSeries {
       val e = ev(s, dir)
       val stats = e.groupBy("user_id", "event_type")
         .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      // nullif guard: a constant group has sd = 0 and must yield NULL z
+      // (filtered out), not a divide-by-zero — mirrored in the oracle
       e.join(stats, Seq("user_id", "event_type"))
-        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .withColumn("z", (col("value") - col("mu")) / nullif(col("sd"), lit(0.0)))
         .where(abs(col("z")) > 2)
         .groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n_outliers"), round(max(abs(col("z"))), 6).as("max_z"))
@@ -286,9 +288,9 @@ object TimeSeries {
         |  FROM e GROUP BY user_id, event_type)
         |SELECT e.user_id, e.event_type,
         |  CAST(count(*) AS BIGINT) AS n_outliers,
-        |  round(max(abs((e.value - s.mu) / s.sd)), 6) AS max_z
+        |  round(max(abs((e.value - s.mu) / nullif(s.sd, 0))), 6) AS max_z
         |FROM e JOIN stats s USING (user_id, event_type)
-        |WHERE abs((e.value - s.mu) / s.sd) > 2
+        |WHERE abs((e.value - s.mu) / nullif(s.sd, 0)) > 2
         |GROUP BY e.user_id, e.event_type
         |ORDER BY e.user_id, e.event_type""".stripMargin,
 

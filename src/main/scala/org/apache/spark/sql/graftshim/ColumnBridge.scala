@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True when the session holds no cached plans — lets library tests
+    * assert that scoped pipelines (graft.ops.Dedup.Scoped) really release
+    * their persisted bases (`sharedState` is `private[sql]`).
+    */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -208,6 +208,32 @@ class EngineSpec extends AnyFunSuite {
     assert(r100(3) == 5.0 && r100(5) == 5.0)
   }
 
+  test("long-parquet sink roundtrip matches the CSV matrices") {
+    val root = Files.createTempDirectory("graft-mimic-lp")
+    val dst = Files.createTempDirectory("graft-out-lp")
+    writeFixtures(root)
+    new EventsAggregator(spark, root.toString, dst.toString)
+      .run(graft.io.LongParquetSink)
+    import org.apache.spark.sql.functions._
+    val long = spark.read.parquet(dst.resolve("long").toString)
+    // sources surface as a Hive partition column (partition-pruned reads)
+    assert(long.columns.toSet ==
+      Set("stay_id", "feature_id", "tidx", "value", "source"))
+    // stay 1 / chartevents / feature 100 reconstructs the CSV matrix row
+    val vals = long
+      .where(col("source") === "chartevents" && col("stay_id") === 1 &&
+        col("feature_id") === 100)
+      .orderBy("tidx").collect().map(_.getAs[Double]("value")).toSeq
+    val csv = readCsvLines(outDir.resolve("1/chartevents_features.csv"))(1)
+      .split(",").drop(1).map(_.toDouble).toSeq
+    assert(vals.size == csv.size)
+    vals.zip(csv).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // companion stay table covers ALL requested stays (incl. eventless 3)
+    val stays = spark.read.parquet(dst.resolve("long_stays").toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stays == Map(1L -> 5L, 2L -> 4L, 3L -> 2L))
+  }
+
   test("stay filter prunes and still emits dummies for requested empty stays") {
     val root = Files.createTempDirectory("graft-mimic-f")
     val dst = Files.createTempDirectory("graft-out-f")

@@ -45,6 +45,18 @@ class OpsSpec extends AnyFunSuite {
     assert(l == j)
   }
 
+  test("scoped dedup pipelines release their cached base relations") {
+    spark.catalog.clearCache() // isolate from other suites
+    val sj = Dedup.jaccardPairsScoped(docs, "doc_id", "text", 3, 0.5, dfCap = 100)
+    sj.df.count()
+    val sl = Dedup.minhashLshPairsScoped(docs, "doc_id", "text", 3, 64, 32, 0.5)
+    sl.df.count()
+    assert(!org.apache.spark.sql.graftshim.ColumnBridge.noCachedPlans(spark))
+    sj.release(); sl.release()
+    assert(org.apache.spark.sql.graftshim.ColumnBridge.noCachedPlans(spark),
+      "cached plans must not outlive the scoped pipelines")
+  }
+
   test("simhash: identical-token docs collide, distance ordering sane") {
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
