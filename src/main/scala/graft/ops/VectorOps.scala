@@ -111,9 +111,57 @@ object VectorOps {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** Deterministic ±1 pseudo-hyperplane entry for (plane j, dimension d):
+    * parity of a multiplicative mix modulo a prime — engine-portable
+    * integer math (no RNG), mirrored verbatim in the DuckDB oracle so both
+    * engines compute the IDENTICAL sign signature.
+    */
+  private def planeSign(j: Int, d: Column): Column =
+    when(((lit(j.toLong) * lit(2654435761L) + d * lit(40503L)) % 97) % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane (SimHash-for-vectors) near-dup blocking — the scale
+    * path for [[nearDupPairs]] when no natural block key exists: vectors
+    * hash to a `nPlanes`-bit sign bucket (bit j = sign of the projection
+    * onto pseudo-plane j), pairs are generated WITHIN buckets only and
+    * then exact-verified by cosine. 2^nPlanes buckets bound the expected
+    * block size at |corpus| / 2^nPlanes; by the random-hyperplane bound a
+    * pair at angle θ lands in one bucket with probability (1 - θ/π)^nPlanes
+    * — recall < 1 (approximate by design; raise recall with multiple bucket
+    * tables OR fewer planes at the cost of bigger blocks).
+    * Returns (vec_a, vec_b, bucket, cos) with cos >= threshold.
+    */
+  def signLshNearDupPairs(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, "nPlanes must be in [1, 30]")
+    val emb = col("embedding")
+    def planeSum(j: Int): Column = aggregate(
+      transform(sequence(lit(0), size(emb) - 1),
+        d => element_at(emb, d + lit(1)).cast("double") * planeSign(j, d)),
+      lit(0.0), (acc, x) => acc + x)
+    // two selects: projections first (plain HOF columns), THEN the CASE
+    // bucket fold over the scalar sums — conditionals wrapping higher-order
+    // expressions defeat codegen collapse (measured 20x on the shingle
+    // pipelines)
+    val sums = corpus.select(Seq(col("vec_id"), col("embedding")) ++
+      (0 until nPlanes).map(j => planeSum(j).as(s"s$j")): _*)
+    val v = sums.select(col("vec_id"), col("embedding"),
+        (0 until nPlanes)
+          .map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _).as("bucket"))
+      .withColumn("nrm", norm(col("embedding")))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Blocked by `label`
-    * here (the clustering key); at scale the block key would be an LSH
-    * sign-bucket. Returns (vec_a, vec_b, cos).
+    * here (the clustering key); [[signLshNearDupPairs]] is the variant for
+    * corpora with no natural block key. Returns (vec_a, vec_b, cos).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val v = corpus.select(col("vec_id"), col("label"), col("embedding"))

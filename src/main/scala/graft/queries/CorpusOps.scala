@@ -148,6 +148,14 @@ object CorpusOps {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
+    // dedup, scale path: near-dup pairs blocked by an 8-bit random-
+    // hyperplane sign bucket (no natural block key needed); the ±1 planes
+    // are portable integer math, so DuckDB recomputes identical buckets
+    "q_emb_lsh_neardup" -> ((s, dir) =>
+      VectorOps.signLshNearDupPairs(wide(s, t(s, dir, "embeddings")), 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_a", "vec_b")),
+
     // multimodal: binary payload + batched decode-stub feature extraction
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.featurePipeline(s, wide(s, t(s, dir, "documents")))
@@ -401,6 +409,33 @@ object CorpusOps {
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.ev", "b.ev")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // sign-bucket mirror of VectorOps.signLshNearDupPairs: identical ±1
+    // plane parity, identical sequential left-fold (list_reduce, matching
+    // Spark's aggregate() order — list_sum could reorder the additions and
+    // flip a near-zero sign)
+    "q_emb_lsh_neardup" -> {
+      val sumCols = (0 until 8).map { j =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      [ev[d+1] * (CASE WHEN (($j * 2654435761 + d * 40503) % 97) % 2 = 0
+           |                  THEN 1.0 ELSE -1.0 END)
+           |       for d in generate_series(0, len(ev)-1)]),
+           |      (a, b) -> a + b) AS s$j""".stripMargin
+      }.mkString(",\n    ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |s AS (SELECT vec_id, ev,
+         |    $sumCols
+         |  FROM v),
+         |b AS (SELECT vec_id, ev, $bucket AS bucket FROM s)
+         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket AS bucket,
+         |  round(${cosSql("a.ev", "b2.ev")}, 6) AS cos
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ${cosSql("a.ev", "b2.ev")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "q_mm_decode" ->
       """WITH ch AS (

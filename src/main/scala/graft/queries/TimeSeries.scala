@@ -137,6 +137,26 @@ object TimeSeries {
         .orderBy("user_id", "event_type")
     }),
 
+    // as-of join (point-in-time lookup): each purchase gets the latest
+    // at-or-before click by the same user — Spark side is the union+window
+    // merge (graft.ops.AsOf), oracle is DuckDB's native ASOF LEFT JOIN.
+    // Clicks are pre-aggregated to one row per (user, epoch) so "latest"
+    // is deterministic in both engines.
+    "q_ts_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("event_epoch_time").as("purchase_epoch"),
+          col("value").as("purchase_value"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("event_epoch_time").as("click_epoch"))
+        .agg(max(col("value")).as("click_value"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, Seq("user_id"),
+          "purchase_epoch", "click_epoch", "click_value",
+          outTime = "click_epoch", outValue = "click_value")
+        .orderBy("event_id")
+    }),
+
     // G1-G3: interval explode + even split + sum, via Stages.intervalExpand.
     // Synthetic intervals: [ts, ts + floor(value*60) s] — value minutes.
     "q_ts_interval_expand" -> ((s, dir) => {
@@ -293,6 +313,23 @@ object TimeSeries {
         |WHERE abs((e.value - s.mu) / nullif(s.sd, 0)) > 2
         |GROUP BY e.user_id, e.event_type
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    "q_ts_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_epoch,
+        |    max(value) AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, click_epoch)
+        |SELECT p.event_id, p.user_id, p.purchase_epoch, p.purchase_value,
+        |  c.click_epoch, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_epoch >= c.click_epoch
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_ts_interval_expand" ->
       """WITH idx AS (

@@ -76,4 +76,36 @@ object StreamingAggregator {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("10 seconds"))
+
+  /** foreachBatch sink closing the streaming → matrix loop (SURVEY.md §7.5's
+    * last step): each microbatch appends its watermark-evicted partials to a
+    * parquet partial store — an idempotent, cheap append (partials for a key
+    * may land in several batches; the store is fold-on-read). Call
+    * [[materializeMatrices]] against the store to produce the SAME per-stay
+    * matrix files as the batch engine.
+    */
+  def matrixSink(partials: DataFrame, storePath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    partials.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(storePath)
+        ()
+      }
+
+  /** Fold the partial store and write the per-stay matrices through the
+    * batch engine's own sink ([[graft.io.MatrixWriter]]) — a consumer
+    * cannot tell whether a matrix came from the batch or the streaming
+    * path. `stayIndex` needs (stay_id, intime, total_windows).
+    */
+  def materializeMatrices(spark: SparkSession, storePath: String,
+      stayIndex: DataFrame, dstPath: String, sourceName: String,
+      combiner: Combiner, fill: graft.etl.Stages.FillMode): Unit = {
+    val combined = finalizeView(spark.read.parquet(storePath), combiner)
+      .join(broadcast(stayIndex.select("stay_id", "total_windows")),
+        Seq("stay_id"), "inner")
+    val dense = graft.etl.Stages.densify(combined, fill)
+    graft.io.MatrixWriter.write(dense, stayIndex, dstPath, sourceName)
+  }
 }

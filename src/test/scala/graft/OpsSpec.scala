@@ -69,6 +69,34 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 3L))) // tokenized-identical → hamming 0
   }
 
+  test("as-of join: latest at-or-before right row per key, nulls before first") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 8L, "p0"), (2L, 5L, "p3"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1L, 8L, 1.0), (1L, 15L, 2.0), (2L, 9L, 3.0))
+      .toDF("k", "rt", "rv")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "lt", "rt", "rv")
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("p0") == ((Some(8L), Some(1.0)))) // tie: right at same t visible
+    assert(got("p1") == ((Some(8L), Some(1.0))))
+    assert(got("p2") == ((Some(15L), Some(2.0))))
+    assert(got("p3") == ((None, None))) // no right row at-or-before t=5
+  }
+
+  test("sign-LSH near-dup: same-bucket identical vectors found, verified cosine") {
+    import graft.ops.VectorOps
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)), // identical → same bucket, cos 1
+      (2L, Array(-4.0f, 3.0f, -2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorOps.signLshNearDupPairs(vecs, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("vector ops: cosine, brute top-k, IVF recall on probed cell") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),

@@ -57,6 +57,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch matrix sink produces byte-identical files to the batch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val stayIdx = Seq((1L, ts("2020-01-01 00:30:00").getTime / 1000, 5L))
+      .toDF("stay_id", "intime", "total_windows")
+    val evs = Seq(
+      StreamEv(1L, ts("2020-01-01 00:40:00"), 7L, 2.0),
+      StreamEv(1L, ts("2020-01-01 01:20:00"), 7L, 4.0),
+      StreamEv(1L, ts("2020-01-01 01:40:00"), 7L, 6.0),
+      StreamEv(1L, ts("2020-01-01 03:05:00"), 9L, 5.0))
+    val store = Files.createTempDirectory("graft-stream-store").toString + "/p"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val streamDst = Files.createTempDirectory("graft-stream-dst")
+    val batchDst = Files.createTempDirectory("graft-batch-dst")
+
+    val source = MemoryStream[StreamEv]
+    val partials = StreamingAggregator.partials(
+      source.toDF(), stayIdx, 3600L, watermark = "10 hours")
+    val q = StreamingAggregator.matrixSink(partials, store, ckpt).start()
+    try {
+      source.addData(evs.take(2)); q.processAllAvailable()
+      source.addData(evs.drop(2)); q.processAllAvailable()
+      // append mode emits a group only once the watermark passes its
+      // window: push far-future events (post-stay → dropped from the
+      // aggregation itself) to advance the watermark, then one more
+      // microbatch so the flushed groups reach the store
+      source.addData(StreamEv(1L, ts("2020-01-03 00:00:00"), 7L, 99.0))
+      q.processAllAvailable()
+      source.addData(StreamEv(1L, ts("2020-01-04 00:00:00"), 7L, 99.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    StreamingAggregator.materializeMatrices(spark, store, stayIdx,
+      streamDst.toString, "chartevents", MeanCombine, Stages.ZeroFill)
+
+    // batch reference through the SAME sink on identical input
+    val batchEvents = evs.toDF()
+      .select(col("stay_id"), unix_timestamp(col("event_time")).as("event_epoch_time"),
+        col("feature_id"), col("value"))
+    graft.io.MatrixWriter.write(
+      Stages.densify(
+        Stages.combine(Stages.bucketize(batchEvents, stayIdx, 3600L), MeanCombine),
+        Stages.ZeroFill),
+      stayIdx, batchDst.toString, "chartevents")
+
+    val a = Files.readAllLines(streamDst.resolve("1/chartevents_features.csv"))
+    val b = Files.readAllLines(batchDst.resolve("1/chartevents_features.csv"))
+    assert(a == b, "streamed matrix must be byte-identical to the batch matrix")
+  }
+
   test("streaming partials fold to the batch result across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     // intime 00:30 → stay-relative windows straddle epoch-hour boundaries
