@@ -45,8 +45,25 @@ object Bench {
       graft.ops.Dedup.simhashPairs(tiny, "doc_id", "text", 3).count()
       spark.catalog.clearCache()
     }
+    // same idea for the bucketize → combine → densify/fill family (the
+    // other expression-heavy generated classes: map-collect aggregate,
+    // grid generate, fill windows)
+    def warmTimeSeries(): Unit = {
+      val idx = spark.range(4).selectExpr("id AS stay_id", "0L AS intime",
+        "20L AS total_windows")
+      val ev = spark.range(256).selectExpr("id % 4 AS stay_id",
+        "id % 3 AS feature_id", "(id * 37) % 1200 AS event_epoch_time",
+        "CAST(id AS DOUBLE) AS value")
+      val b = graft.etl.Stages.bucketize(ev, idx, 60L)
+      Seq(graft.etl.Stages.ZeroFill, graft.etl.Stages.ForwardFill,
+        graft.etl.Stages.LinearInterp).foreach { fill =>
+        graft.etl.Stages.densify(
+          graft.etl.Stages.combine(b, graft.model.MeanCombine), fill).count()
+      }
+    }
     try {
       warmDedup()
+      warmTimeSeries()
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

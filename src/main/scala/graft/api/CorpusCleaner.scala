@@ -42,12 +42,15 @@ class CorpusCleaner(
     val afterExact = annotated.join(keepExact, Seq("doc_id"), "left_semi").persist()
     val n1 = afterExact.count()
 
-    // near-dedup: drop the higher-id member of every LSH-verified pair
-    val dropNear = Dedup.minhashLshPairs(afterExact, "doc_id", "text",
+    // near-dedup: drop the higher-id member of every LSH-verified pair.
+    // Scoped handle: the pipeline's internal shingle cache is released as
+    // soon as afterNear is materialized (no cached plans leak from clean())
+    val nearScoped = Dedup.minhashLshPairsScoped(afterExact, "doc_id", "text",
       shingleK, nHashes, bands, jaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val dropNear = nearScoped.df.select(col("doc_b").as("doc_id")).distinct()
     val afterNear = afterExact.join(dropNear, Seq("doc_id"), "left_anti").persist()
     val n2 = afterNear.count()
+    nearScoped.release()
 
     // quality + language filter
     val cleaned = afterNear

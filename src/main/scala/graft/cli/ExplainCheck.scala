@@ -35,7 +35,11 @@ object ExplainCheck {
     "q_emb_knn_brute" -> (Seq("BroadcastNestedLoopJoin"), Seq("SortMergeJoin")),
     // top-k must plan as TakeOrderedAndProject, never a global window
     "q_topk" -> (Seq("TakeOrderedAndProject"), Seq("Window")),
-    "q_doc_term_freq" -> (Seq("TakeOrderedAndProject"), Seq("Window")))
+    "q_doc_term_freq" -> (Seq("TakeOrderedAndProject"), Seq("Window")),
+    // as-of merge: one partitioned window over the union, no product join
+    "q_ts_asof" -> (Seq("Window", "Union"), Seq("CartesianProduct")),
+    // sign-LSH blocking must equi-join on the bucket, never cross
+    "q_emb_lsh_neardup" -> (Seq(), Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -67,6 +67,19 @@ object Extras {
           element_at(col("pq"), 2).as("price_p95"))
         .orderBy("l_returnflag")),
 
+    // skew-salted two-phase aggregation must equal the plain aggregate —
+    // proven through the oracle, not just the unit spec: the salt spreads
+    // each key over 8 reducers, the final fold collapses them
+    "q_skew_salted_agg" -> ((s, dir) =>
+      graft.etl.Skew.saltedAgg(
+        t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        keys = Seq("l_returnflag"), saltBuckets = 8,
+        partialAggs = Seq(
+          sum(round(col("l_quantity") * lit(100), 0).cast("long")).as("qty_c"),
+          count(lit(1)).as("n")),
+        finalAggs = Seq(sum(col("qty_c")).as("qty_c"), sum(col("n")).as("n")))
+        .orderBy("l_returnflag")),
+
     // custom-Aggregator combiner slot: exact median per (user, type, window)
     "q_ts_combine_median" -> ((s, dir) => {
       Stages.combine(TimeSeries.bucketized(s, dir),
@@ -103,6 +116,12 @@ object Extras {
         |GROUP BY o_orderpriority
         |HAVING count(*) > 10
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_ts_combine_median" -> (TimeSeries.idxSql +
       """SELECT user_id, event_type, tidx, round(median(value), 6) AS med_value
