@@ -57,6 +57,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first-seen per fingerprint, re-admits after horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    case class Doc(doc_id: Long, event_time: Timestamp, text: String)
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val kept = StreamingDedup.firstSeen(
+      source.toDF().toDF("doc_id", "event_time", "text"),
+      horizonSeconds = 3600, watermarkDelay = "0 seconds")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: two copies of A (case/whitespace variants → same
+      // fingerprint) + one B → keep the earliest A (id 2) and B
+      source.addData(
+        (5L, ts("2020-01-01 00:10:00"), "Hello  World"),
+        (2L, ts("2020-01-01 00:05:00"), "hello world"),
+        (3L, ts("2020-01-01 00:06:00"), "something else"))
+      q.processAllAvailable()
+      // batch 2: another A inside the horizon → dropped
+      source.addData((7L, ts("2020-01-01 00:30:00"), "HELLO WORLD"))
+      q.processAllAvailable()
+      // advance the watermark past lastSeen(00:30) + 1h, expiring A's state
+      source.addData((8L, ts("2020-01-01 02:00:00"), "unrelated new doc"))
+      q.processAllAvailable()
+      source.addData((9L, ts("2020-01-01 03:00:00"), "another unrelated"))
+      q.processAllAvailable()
+      // batch 5: A returns AFTER the horizon → re-admitted
+      source.addData((11L, ts("2020-01-01 03:10:00"), "hello world"))
+      q.processAllAvailable()
+      source.addData((12L, ts("2020-01-02 00:00:00"), "watermark pusher"))
+      q.processAllAvailable()
+
+      val keptIds = spark.table("dedup_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(keptIds.contains(2L) && !keptIds.contains(5L) && !keptIds.contains(7L),
+        s"first-seen A must win: $keptIds")
+      assert(keptIds.contains(3L) && keptIds.contains(8L) && keptIds.contains(9L))
+      assert(keptIds.contains(11L), s"post-horizon duplicate must re-admit: $keptIds")
+    } finally q.stop()
+  }
+
   test("foreachBatch matrix sink produces byte-identical files to the batch sink") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
