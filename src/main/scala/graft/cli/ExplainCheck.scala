@@ -41,6 +41,29 @@ object ExplainCheck {
     // sign-LSH blocking must equi-join on the bucket, never cross
     "q_emb_lsh_neardup" -> (Seq(), Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
+  /** Audits `names` (default: all expectation keys) against `sfDir`;
+    * returns failure descriptions (empty = all plans as expected).
+    * Callable from tests (PlanSpec) and from this CLI main.
+    */
+  def audit(spark: SparkSession, sfDir: String,
+      names: Seq[String] = expectations.keys.toSeq,
+      printPlans: Boolean = false): Seq[String] =
+    names.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      if (printPlans) {
+        println(s"\n========== $name ==========")
+        println(plan.take(6000))
+      }
+      expectations.get(name).toSeq.flatMap { case (must, mustNot) =>
+        must.filterNot(plan.contains)
+          .map(f => s"$name: expected fragment '$f'") ++
+          mustNot.filter(plan.contains)
+            .map(f => s"$name: forbidden fragment '$f'")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else expectations.keys.toSeq
@@ -51,30 +74,10 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    var failed = 0
-    names.sorted.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      println(s"\n========== $name ==========")
-      println(plan.take(6000))
-      expectations.get(name).foreach { case (must, mustNot) =>
-        must.foreach { frag =>
-          if (!plan.contains(frag)) {
-            println(s"[explain-check] FAIL $name: expected fragment '$frag'")
-            failed += 1
-          }
-        }
-        mustNot.foreach { frag =>
-          if (plan.contains(frag)) {
-            println(s"[explain-check] FAIL $name: forbidden fragment '$frag'")
-            failed += 1
-          }
-        }
-      }
-    }
-    println(s"\n[explain-check] ${names.size} plans audited, $failed failures")
+    val failures = audit(spark, sfDir, names, printPlans = true)
+    failures.foreach(f => println(s"[explain-check] FAIL $f"))
+    println(s"\n[explain-check] ${names.size} plans audited, ${failures.size} failures")
     spark.stop()
-    if (failed > 0) sys.exit(1)
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

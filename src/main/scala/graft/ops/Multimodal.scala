@@ -82,6 +82,28 @@ object Multimodal {
       .select("media_id", "frame_idx", "frame")
   }
 
+  /** Deterministic "resize" in the stub codec model: a real implementation
+    * decodes and rescales pixels to (tw, th); the stub downsamples the
+    * pretend-media text to `sampleN` evenly-spaced units (position
+    * `1 + (i·len) div sampleN` — pure integer math, mirrored exactly by the
+    * DuckDB oracle) and recomputes the channel mean over the sample. The
+    * Spark-side shape — per-row Column algebra, no shuffle, no UDF — is
+    * what survives a real-codec swap. Emits
+    * (media_id, width, height, mean_channel_resized).
+    */
+  def resizeStub(docs: DataFrame, idCol: String, textCol: String,
+      tw: Int, th: Int, sampleN: Int = 32): DataFrame = {
+    val len = length(col(textCol)).cast("long")
+    val vals = transform(sequence(lit(0), lit(sampleN - 1)),
+      i => ascii(col(textCol).substr(
+        ((i.cast("long") * len) / lit(sampleN.toLong) + 1).cast("int"), lit(1)))
+        .cast("double"))
+    docs.select(col(idCol).as("media_id"),
+      lit(tw).as("width"), lit(th).as("height"),
+      round(aggregate(vals, lit(0.0), (a, x) => a + x) / lit(sampleN.toDouble), 6)
+        .as("mean_channel_resized"))
+  }
+
   /** End-to-end media feature pipeline over a text table. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

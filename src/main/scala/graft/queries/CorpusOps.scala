@@ -162,6 +162,12 @@ object CorpusOps {
         .withColumn("mean_channel", round(col("mean_channel"), 6))
         .orderBy("media_id")),
 
+    // multimodal: deterministic resize (downsample + channel-mean recompute
+    // in the stub codec model; integer sampling math mirrored by the oracle)
+    "q_mm_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(t(s, dir, "documents"), "doc_id", "text", 64, 64)
+        .orderBy("media_id")),
+
     // multimodal: deterministic frame sampling (binary slices as text)
     "q_mm_frames" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"),
@@ -451,6 +457,15 @@ object CorpusOps {
         |  round(ch.bsum / octet_length(encode(d.text)), 6) AS mean_channel
         |FROM documents d JOIN ch ON d.doc_id = ch.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    "q_mm_resize" ->
+      """SELECT doc_id AS media_id, 64 AS width, 64 AS height,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    [CAST(ascii(substr(text,
+        |        CAST((i * length(text)) // 32 + 1 AS INT), 1)) AS DOUBLE)
+        |     for i in generate_series(0, 31)]),
+        |    (a, b) -> a + b) / 32.0, 6) AS mean_channel_resized
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
