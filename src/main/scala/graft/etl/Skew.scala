@@ -19,16 +19,27 @@ object Skew {
     * `partialAggs` and `finalAggs` must compose (e.g. partial `sum(x) as s`,
     * final `sum(s) as s`).
     */
-  /** Deterministic per-row salt: hash of the FULL row content (not
+  /** Deterministic per-row salt: hash of the row content (not
     * monotonically_increasing_id, which is nondeterministic across stage
     * retries — a re-fetched task could re-salt the same rows differently
-    * and double-count/drop them under executor failure). Exact duplicate
-    * rows share a bucket; only a key that is heavy-hitting in *identical*
-    * rows would defeat the spread, and such data defeats any
-    * content-derived salt.
+    * and double-count/drop them under executor failure). Columns whose type
+    * contains a MapType are excluded (xxhash64 rejects them at analysis
+    * time). Rows identical in every hashable column share a bucket; only a
+    * key that is heavy-hitting in *identical* rows would defeat the spread,
+    * and such data defeats any content-derived salt.
     */
-  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+  private def rowSalt(df: DataFrame, saltBuckets: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty, "rowSalt needs at least one hashable column")
+    pmod(xxhash64(cols.toIndexedSeq: _*), lit(saltBuckets.toLong))
+  }
 
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {

@@ -60,24 +60,41 @@ case object LongParquetSink extends SinkMode
   */
 object MatrixWriter {
 
+  /** Scheme of `path` by prefix scan — NOT `new java.net.URI(path)`, which
+    * throws on URI-illegal characters (spaces, '%', '#') that are legal in
+    * plain filesystem paths. A scheme needs >= 2 chars so `C:\out` stays a
+    * local path (the standard Hadoop convention).
+    */
+  private def schemeOf(path: String): Option[String] = {
+    val i = path.indexOf(':')
+    if (i >= 2 && path(0).isLetter &&
+        path.substring(1, i).forall(c => c.isLetterOrDigit || "+.-".contains(c)))
+      Some(path.substring(0, i).toLowerCase)
+    else None
+  }
+
   /** UTF-8 buffered writer at `fullPath`, parents created; scheme dispatch
     * per the class note above.
     */
-  private def openWriter(conf: Configuration, fullPath: String): BufferedWriter = {
-    val uri = new java.net.URI(fullPath)
-    if (uri.getScheme == null || uri.getScheme == "file") {
-      val p =
-        if (uri.getScheme == null) java.nio.file.Paths.get(fullPath)
-        else java.nio.file.Paths.get(uri)
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.newBufferedWriter(p, StandardCharsets.UTF_8)
-    } else {
-      val fs = new Path(fullPath).getFileSystem(conf)
-      fs.setWriteChecksum(false)
-      new BufferedWriter(new OutputStreamWriter(
-        fs.create(new Path(fullPath), true), StandardCharsets.UTF_8))
+  private def openWriter(conf: Configuration, fullPath: String): BufferedWriter =
+    schemeOf(fullPath) match {
+      case None | Some("file") =>
+        val p =
+          if (fullPath.startsWith("file:"))
+            java.nio.file.Paths.get(new java.net.URI(fullPath))
+          else java.nio.file.Paths.get(fullPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.newBufferedWriter(p, StandardCharsets.UTF_8)
+      case Some(_) =>
+        // no setWriteChecksum here: Path.getFileSystem returns the
+        // JVM-cached shared instance, and mutating it would disable
+        // client checksums for every other writer in the process (.crc
+        // sidecars only afflict the LOCAL ChecksumFileSystem, which the
+        // java.nio branch bypasses entirely)
+        val fs = new Path(fullPath).getFileSystem(conf)
+        new BufferedWriter(new OutputStreamWriter(
+          fs.create(new Path(fullPath), true), StandardCharsets.UTF_8))
     }
-  }
 
   def write(densified: DataFrame, stayIdx: DataFrame, dstPath: String,
       sourceName: String): Unit = {

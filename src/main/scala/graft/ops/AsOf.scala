@@ -35,11 +35,19 @@ object AsOf {
     val ltType = left.schema(leftTime).dataType
     val rtType = right.schema(rightTime).dataType
     val rvType = right.schema(rightValue).dataType
+    // the carried right row is ONE nullable struct (not two independent
+    // columns): two separate last(_, ignoreNulls) calls would skip a
+    // matched right row whose VALUE is null and pair its time with an
+    // older row's value — the struct is non-null for every right row, so
+    // (time, value) always come from the same row, and a null right value
+    // surfaces as null (matching ASOF semantics and the DuckDB oracle)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // left sorts AFTER right at equal time
-      .withColumn("__rt", lit(null).cast(rtType))
-      .withColumn("__rv", lit(null).cast(rvType))
+      .withColumn("__r",
+        lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rt", rtType),
+          org.apache.spark.sql.types.StructField("rv", rvType)))))
     val r = right.select(
       leftCols.map { c =>
         if (key.contains(c)) col(c)
@@ -47,15 +55,15 @@ object AsOf {
       } ++ Seq(
         col(rightTime).cast(ltType).as("__t"),
         lit(0).as("__side"),
-        col(rightTime).as("__rt"),
-        col(rightValue).as("__rv")): _*)
+        struct(col(rightTime).as("rt"), col(rightValue).as("rv")).as("__r")): _*)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(outTime, last(col("__rt"), ignoreNulls = true).over(w))
-      .withColumn(outValue, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      .withColumn(outTime, col("__last.rt"))
+      .withColumn(outValue, col("__last.rv"))
       .select((leftCols :+ outTime :+ outValue).map(col): _*)
   }
 }

@@ -165,7 +165,8 @@ object CorpusOps {
     // multimodal: deterministic resize (downsample + channel-mean recompute
     // in the stub codec model; integer sampling math mirrored by the oracle)
     "q_mm_resize" -> ((s, dir) =>
-      Multimodal.resizeStub(t(s, dir, "documents"), "doc_id", "text", 64, 64)
+      Multimodal.resizeStub(wide(s, t(s, dir, "documents")), "doc_id", "text",
+          64, 64)
         .orderBy("media_id")),
 
     // multimodal: deterministic frame sampling (binary slices as text)

@@ -78,9 +78,13 @@ object StreamingAggregator {
       .trigger(Trigger.ProcessingTime("10 seconds"))
 
   /** foreachBatch sink closing the streaming → matrix loop (SURVEY.md §7.5's
-    * last step): each microbatch appends its watermark-evicted partials to a
-    * parquet partial store — an idempotent, cheap append (partials for a key
-    * may land in several batches; the store is fold-on-read). Call
+    * last step): each microbatch writes its watermark-evicted partials to a
+    * batch-id-keyed partition of the parquet partial store. foreachBatch is
+    * at-least-once — a crash between the parquet commit and the checkpoint
+    * commit replays the same batchId — so the write is mode("overwrite") of
+    * THAT batch's own directory, making replays idempotent (a blind append
+    * would duplicate partials and double-count sums). Partials for a key may
+    * still land in several batches; the store is fold-on-read. Call
     * [[materializeMatrices]] against the store to produce the SAME per-stay
     * matrix files as the batch engine.
     */
@@ -89,8 +93,8 @@ object StreamingAggregator {
     partials.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(storePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
         ()
       }
 

@@ -85,6 +85,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got("p3") == ((None, None))) // no right row at-or-before t=5
   }
 
+  test("as-of join: matched right row with NULL value yields (time, null)") {
+    import graft.ops.AsOf
+    // two last(_, ignoreNulls) windows would pair t=10 with the OLDER 1.0;
+    // the struct carry must return (10, null) like DuckDB ASOF
+    val left = Seq((1L, 20L)).toDF("k", "lt")
+    val right = Seq((1L, 5L, Some(1.0)), (1L, 10L, None)).toDF("k", "rt", "rv")
+    val r = AsOf.asofJoin(left, right, Seq("k"), "lt", "rt", "rv").collect()(0)
+    assert(r.getLong(2) == 10L && r.isNullAt(3))
+  }
+
   test("sign-LSH near-dup: same-bucket identical vectors found, verified cosine") {
     import graft.ops.VectorOps
     val vecs = Seq(
