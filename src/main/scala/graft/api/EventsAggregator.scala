@@ -104,17 +104,33 @@ class EventsAggregator(
     */
   def run(sink: graft.io.SinkMode = graft.io.CsvMatrixSink): Unit = {
     val t0 = System.nanoTime()
-    sink match {
-      case graft.io.CsvMatrixSink =>
-        sources.foreach { source =>
-          MatrixWriter.write(aggregate(source), stayIndex, dstPath, source.name)
+    // source pipelines are independent (separate input files, separate
+    // output trees) — submit them from parallel threads so one source's
+    // sink/scan phases overlap another's compute; Spark schedules
+    // concurrent jobs from multiple threads natively. stayIndex is forced
+    // first so the lazy broadcast dimension is built once, not raced.
+    stayIndex.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(sources.size, 4)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    try {
+      val work = sink match {
+        case graft.io.CsvMatrixSink => sources.map { source =>
+          Future(MatrixWriter.write(aggregate(source), stayIndex, dstPath,
+            source.name))
         }
-      case graft.io.LongParquetSink =>
-        sources.foreach { source =>
-          MatrixWriter.writeLongForm(aggregate(source), dstPath, source.name)
+        case graft.io.LongParquetSink => sources.map { source =>
+          Future(MatrixWriter.writeLongForm(aggregate(source), dstPath,
+            source.name))
         }
+      }
+      Await.result(Future.sequence(work), Duration.Inf)
+      if (sink == graft.io.LongParquetSink)
         MatrixWriter.writeStayIndex(stayIndex, dstPath)
-    }
+    } finally pool.shutdown()
     MatrixWriter.writeManifest(spark, dstPath, timestepSeconds, ffill,
       sources.map(_.name), (System.nanoTime() - t0) / 1e9)
   }

@@ -83,7 +83,7 @@ object MatrixWriter {
           if (fullPath.startsWith("file:"))
             java.nio.file.Paths.get(new java.net.URI(fullPath))
           else java.nio.file.Paths.get(fullPath)
-        java.nio.file.Files.createDirectories(p.getParent)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.newBufferedWriter(p, StandardCharsets.UTF_8)
       case Some(_) =>
         // no setWriteChecksum here: Path.getFileSystem returns the
