@@ -43,6 +43,16 @@ class EventsAggregator(
     fillMode.getOrElse(
       if (ffill) graft.etl.Stages.ForwardFill else graft.etl.Stages.ZeroFill)
 
+  /** The RESOLVED fill policy name for the run manifest — recording the raw
+    * `ffill` boolean alone would misreport runs using the `fillMode`
+    * override (e.g. LinearInterp with ffill=false).
+    */
+  private val fillPolicy: String = fill match {
+    case graft.etl.Stages.ZeroFill => "zero"
+    case graft.etl.Stages.ForwardFill => "ffill"
+    case graft.etl.Stages.LinearInterp => "interp"
+  }
+
   private def readCsv(fileName: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(s"$mimicPath/icu/$fileName")
 
@@ -104,34 +114,51 @@ class EventsAggregator(
     */
   def run(sink: graft.io.SinkMode = graft.io.CsvMatrixSink): Unit = {
     val t0 = System.nanoTime()
+    // parallel pipelines write per-name output paths — a duplicate name
+    // would race two writers on the same files (sequentially it was a
+    // deterministic overwrite)
+    require(sources.map(_.name).distinct.size == sources.size,
+      s"source names must be distinct: ${sources.map(_.name)}")
     // source pipelines are independent (separate input files, separate
     // output trees) — submit them from parallel threads so one source's
     // sink/scan phases overlap another's compute; Spark schedules
-    // concurrent jobs from multiple threads natively. stayIndex is forced
-    // first so the lazy broadcast dimension is built once, not raced.
-    stayIndex.count()
+    // concurrent jobs from multiple threads natively. The stay dimension is
+    // materialized ONCE up front (persist + count): every pipeline reuses
+    // it several times (bucketize join, sink join, dummy anti-join), which
+    // would otherwise rescan icustays.csv per use.
+    stayIndex.persist().count()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(sources.size, 4)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Try}
+    val writeOne: EventSource => Unit = sink match {
+      case graft.io.CsvMatrixSink => source =>
+        MatrixWriter.write(aggregate(source), stayIndex, dstPath, source.name)
+      case graft.io.LongParquetSink => source =>
+        MatrixWriter.writeLongForm(aggregate(source), dstPath, source.name)
+    }
     try {
-      val work = sink match {
-        case graft.io.CsvMatrixSink => sources.map { source =>
-          Future(MatrixWriter.write(aggregate(source), stayIndex, dstPath,
-            source.name))
-        }
-        case graft.io.LongParquetSink => sources.map { source =>
-          Future(MatrixWriter.writeLongForm(aggregate(source), dstPath,
-            source.name))
-        }
+      // all-settled await: no pipeline is abandoned mid-write on a sibling
+      // failure, and EVERY failure is reported (first thrown, rest
+      // suppressed) instead of only the one Await happened to see
+      val results = Await.result(
+        Future.sequence(sources.map(s => Future(Try(writeOne(s))))),
+        Duration.Inf)
+      val failures = results.collect { case Failure(e) => e }
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed)
+        throw first
       }
-      Await.result(Future.sequence(work), Duration.Inf)
       if (sink == graft.io.LongParquetSink)
         MatrixWriter.writeStayIndex(stayIndex, dstPath)
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      stayIndex.unpersist()
+    }
     MatrixWriter.writeManifest(spark, dstPath, timestepSeconds, ffill,
-      sources.map(_.name), (System.nanoTime() - t0) / 1e9)
+      fillPolicy, sources.map(_.name), (System.nanoTime() - t0) / 1e9)
   }
 }

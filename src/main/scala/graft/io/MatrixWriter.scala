@@ -192,9 +192,12 @@ object MatrixWriter {
     }
   }
 
-  /** K3: run manifest, mirroring `/root/reference/src/mimic2ts/__main__.py:83-91`. */
+  /** K3: run manifest, mirroring `/root/reference/src/mimic2ts/__main__.py:83-91`
+    * plus the RESOLVED fill policy (the raw `ffill` flag alone misreports
+    * runs using the fillMode override).
+    */
   def writeManifest(spark: org.apache.spark.sql.SparkSession, dstPath: String,
-      timestepSeconds: Long, ffill: Boolean,
+      timestepSeconds: Long, ffill: Boolean, fillPolicy: String,
       sources: Seq[String], runtimeSec: Double): Unit = {
     val out = openWriter(spark.sparkContext.hadoopConfiguration,
       s"$dstPath/readme.txt")
@@ -204,6 +207,7 @@ object MatrixWriter {
          |runtime: $runtimeSec sec
          |timestep_seconds: $timestepSeconds
          |ffill: $ffill
+         |fill_policy: $fillPolicy
          |sources: ${sources.mkString(", ")}
          |""".stripMargin)
     finally out.close()
