@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting.
+  *
+  * Training pipelines need STABLE sampling: the same document must land in
+  * the same split on every run, on any engine, regardless of partitioning —
+  * which rules out seeded RNG (`df.sample` reseeds per partition and
+  * reshuffles on repartition). The standard trick is a content hash mapped
+  * to a bucket in [0, buckets): membership is a pure function of the key.
+  *
+  * The hash here is the first 4 hex nibbles of md5 (16 bits → bucket skew
+  * < 2^-16·buckets), the same engine-portable primitive as the SimHash
+  * signatures — DuckDB mirrors it exactly, so split assignment is
+  * oracle-checkable, and a Python/pandas consumer can reproduce it with
+  * two lines of hashlib.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) for a STRING key column: integer value of the
+    * first 4 md5 hex nibbles, mod buckets. Engine-portable integer math.
+    */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets >= 1 && buckets <= 65536, "buckets must be in [1, 65536]")
+    conv(substring(md5(key), 1, 4), 16, 10).cast("int") % buckets
+  }
+
+  /** Keep ~`keepBuckets/buckets` of rows, deterministically by key. */
+  def hashSample(key: Column, buckets: Int, keepBuckets: Int): Column =
+    hashBucket(key, buckets) < keepBuckets
+
+  /** Named split assignment by cumulative bucket ranges, e.g.
+    * `split(key, Seq("train" -> 80, "val" -> 10, "test" -> 10))` — weights
+    * are bucket counts out of their sum; assignment is stable under any
+    * re-partitioning, re-run, or engine.
+    */
+  def split(key: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val b = hashBucket(key, total)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), els) => when(b < cut, lit(name)).otherwise(els)
+    }
+  }
+}

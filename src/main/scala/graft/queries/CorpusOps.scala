@@ -88,6 +88,19 @@ object CorpusOps {
             TextOps.normalize(col("text"))).as("fp"))
         .orderBy("doc_id")),
 
+    // deterministic hash split: stable train/val/test assignment (80/10/10)
+    // by md5 bucket of the normalized text — same assignment on every run,
+    // partitioning, and engine (the oracle recomputes it bit-for-bit)
+    "q_doc_hash_split" -> ((s, dir) => {
+      val splitCol = graft.ops.Sampling.split(
+        graft.ops.TextOps.normalize(col("text")),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      t(s, dir, "documents")
+        .select(col("doc_id"), splitCol.as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("split")
+    }),
+
     // corpus statistics: term frequencies (top 50 by count, tiebreak term).
     // orderBy().limit(k) → TakeOrderedAndProject (per-partition top-k,
     // driver merge) instead of a global row_number window — at corpus scale
@@ -347,6 +360,24 @@ object CorpusOps {
         |       for i in generate_series(1, length(t))]),
         |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_doc_hash_split" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM documents),
+           |b AS (SELECT doc_id,
+           |    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           |   + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           |   + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           |   + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS bk
+           |  FROM n),
+           |s AS (SELECT doc_id,
+           |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM b)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+           |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q_doc_term_freq" ->
       """WITH terms AS (

@@ -85,6 +85,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got("p3") == ((None, None))) // no right row at-or-before t=5
   }
 
+  test("hash split: deterministic, partition-independent, covers all names") {
+    import graft.ops.Sampling
+    val docs1k = spark.range(1000).selectExpr("id", "concat('doc ', id) AS text")
+    val assign = docs1k
+      .select(col("id"), Sampling.split(col("text"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same assignment under a different partitioning (purely key-derived)
+    val assign2 = docs1k.repartition(7)
+      .select(col("id"), Sampling.split(col("text"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assign == assign2)
+    val byName = assign.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 700 && byName("train") < 900) // ~80% ± noise
+    // sample predicate agrees with bucket arithmetic
+    val kept = docs1k.where(Sampling.hashSample(col("text"), 10, 2)).count()
+    assert(kept > 120 && kept < 280) // ~20% ± noise
+  }
+
   test("as-of join: matched right row with NULL value yields (time, null)") {
     import graft.ops.AsOf
     // two last(_, ignoreNulls) windows would pair t=10 with the OLDER 1.0;
