@@ -37,7 +37,15 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm guard on every cosine denominator: under Spark 4's ANSI
+    * mode a double division by zero THROWS (probed) — a single zero vector
+    * in a 100 TB corpus must yield a NULL similarity (dropped by any
+    * threshold/rank), not kill the job. The SQL oracles carry the same
+    * nullif so both engines agree on degenerate inputs.
+    */
+  private def over(nprod: Column): Column = nullif(nprod, lit(0.0))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / over(norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. `queries` must be small (broadcast). Returns
@@ -51,7 +59,7 @@ object VectorOps {
     val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("embedding"), col("query_vec"))
-        / (col("c_norm") * col("q_norm")))
+        / over(col("c_norm") * col("q_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -67,7 +75,7 @@ object VectorOps {
     val cen = centroids.withColumn("cen_norm", norm(col("centroid_vec")))
     val scored = c.crossJoin(broadcast(cen))
       .withColumn("c_cos", dot(col("embedding"), col("centroid_vec"))
-        / (col("v_norm") * col("cen_norm")))
+        / over(col("v_norm") * col("cen_norm")))
     // argmax as max(struct(cos, -id)) aggregation, NOT a window sort: the
     // groupBy gets map-side partial aggregation, so only one row per vector
     // survives each mapper instead of shuffling K centroid-scored copies of
@@ -103,7 +111,7 @@ object VectorOps {
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("embedding"), col("query_vec"))
-        / (col("v_norm") * col("q_norm")))
+        / over(col("v_norm") * col("q_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -153,7 +161,7 @@ object VectorOps {
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
-        / (col("a.nrm") * col("b.nrm")))
+        / over(col("a.nrm") * col("b.nrm")))
       .where(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"), col("cos"))
@@ -169,7 +177,7 @@ object VectorOps {
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
-        / (col("a.nrm") * col("b.nrm")))
+        / over(col("a.nrm") * col("b.nrm")))
       .where(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }

@@ -202,8 +202,11 @@ object CorpusOps {
       |       FROM documents))""".stripMargin
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
   private val dotSql = (a: String, b: String) => s"list_dot_product($a, $b)"
+  // nullif mirrors VectorOps' zero-norm guard: a zero vector yields NULL
+  // cosine in both engines (Spark ANSI would otherwise throw; DuckDB would
+  // otherwise produce inf/nan)
   private def cosSql(a: String, b: String) =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"${dotSql(a, b)} / nullif(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
 
   /** Brute-force all-pairs mirror of [[Dedup.simhashBands]]: identical
     * integer math (md5 hex nibbles → 64 per-bit sums → majority bands →

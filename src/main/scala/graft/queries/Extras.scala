@@ -21,13 +21,21 @@ object Extras {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
-    // statistical aggregates (sample stddev/variance, correlation)
+    // statistical aggregates (sample stddev/variance, correlation).
+    // Pearson r is computed algebraically — covar/(sd·sd) with a nullif
+    // guard — NOT via corr(): under Spark 4's ANSI mode corr() THROWS
+    // DIVIDE_BY_ZERO on a zero-variance group (probed), where DuckDB's
+    // returns NULL; the explicit form yields NULL in both engines AND
+    // shares the exact op order with the oracle (the built-in's different
+    // association would diverge at rounding boundaries).
     "q_stats_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
           round(var_samp(col("l_discount")), 6).as("var_disc"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"))
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")) /
+            nullif(stddev_samp(col("l_quantity")) *
+              stddev_samp(col("l_extendedprice")), lit(0.0)), 6).as("corr_qe"))
         .orderBy("l_returnflag")),
 
     // exact interpolated percentiles
@@ -100,7 +108,9 @@ object Extras {
     "q_stats_agg" ->
       """SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty,
         |  round(var_samp(l_discount), 6) AS var_disc,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qe
+        |  round(covar_samp(l_quantity, l_extendedprice)
+        |    / nullif(stddev_samp(l_quantity) * stddev_samp(l_extendedprice), 0),
+        |    6) AS corr_qe
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_percentile" ->

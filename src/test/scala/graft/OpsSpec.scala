@@ -85,6 +85,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got("p3") == ((None, None))) // no right row at-or-before t=5
   }
 
+  test("ANSI degenerate inputs: zero vectors and constant groups yield null, not throw") {
+    // Spark 4 ANSI mode throws DIVIDE_BY_ZERO on double division — these
+    // guards turn degenerate inputs into NULLs instead of job failures
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), // zero vector
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val selfCos = vecs
+      .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(selfCos(0L).isEmpty && selfCos(1L).nonEmpty)
+    // sign-LSH over a corpus containing the zero vector: no crash, the
+    // identical pair is found, the zero vector's null cosine is filtered
+    val pairs = VectorOps.signLshNearDupPairs(vecs, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // algebraic Pearson r on a zero-variance group → null (corr() throws)
+    val r = Seq((1, 5.0, 2.0), (1, 5.0, 3.0)).toDF("g", "x", "y")
+      .groupBy("g")
+      .agg((covar_samp(col("x"), col("y")) /
+        nullif(stddev_samp(col("x")) * stddev_samp(col("y")), lit(0.0))).as("r"))
+      .collect()
+    assert(r(0).isNullAt(1))
+  }
+
   test("hash split: deterministic, partition-independent, covers all names") {
     import graft.ops.Sampling
     val docs1k = spark.range(1000).selectExpr("id", "concat('doc ', id) AS text")
