@@ -126,6 +126,38 @@ object PropertySpec extends Properties("graft.stages") {
           .count() == 0 && b.count() >= events.size - late
     }
 
+  property("as-of join matches a naive per-row latest-at-or-before lookup") = {
+    val genCase = for {
+      nl <- Gen.choose(5, 40)
+      nr <- Gen.choose(0, 40)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 100L)
+      } yield (k, t))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 100L)
+        v <- Gen.choose(0, 1000).map(_ / 10.0)
+      } yield (k, t, v))
+    } yield (left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      // right must be unique per (key, time): keep max value like the gate
+      right.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toList)
+    forAll(genCase) { case (left, right) =>
+      import spark.implicits._
+      val l = left.toDF("id", "k", "lt")
+      val r = right.toDF("k", "rt", "rv")
+      val got = graft.ops.AsOf.asofJoin(l, r, Seq("k"), "lt", "rt", "rv")
+        .collect().map(row => row.getLong(0) ->
+          (Option(row.get(3)).map(_.asInstanceOf[Long]),
+            Option(row.get(4)).map(_.asInstanceOf[Double]))).toMap
+      val naive = left.map { case (id, k, lt) =>
+        val cand = right.filter(rr => rr._1 == k && rr._2 <= lt)
+        id -> (if (cand.isEmpty) (None, None)
+               else { val b = cand.maxBy(_._2); (Some(b._2), Some(b._3)) })
+      }.toMap
+      got == naive
+    }
+  }
+
   property("mean combine matches a plain-Scala per-window oracle") =
     forAll(genStays.flatMap(st => genPointEvents(st).map(ev => (st, ev)))) {
       case (stays, events) =>
