@@ -158,6 +158,53 @@ object PropertySpec extends Properties("graft.stages") {
     }
   }
 
+  /** Random small documents over a tiny vocabulary (high shingle overlap —
+    * the adversarial case for candidate pruning).
+    */
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(6, 25)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("prefix-filter Jaccard equals the naive all-pairs computation") =
+    forAll(genDocs) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ops.Dedup
+        .jaccardPairs(df, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // naive oracle in plain Scala: distinct word-3-shingles, all pairs
+      def sh(t: String): Set[String] = {
+        val w = t.trim.toLowerCase.split("\\s+").toSeq
+        w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+      val naive = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= 0.5
+      } yield (ia, ib)).toSet
+      got == naive
+    }
+
+  property("simhash banded pairs equal brute-force hamming at maxDist 3") =
+    forAll(genDocs) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ops.Dedup.simhashPairs(df, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sigs = graft.ops.Dedup.simhashSignatures(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val naive = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (ia, ib)).toSet
+      got == naive
+    }
+
   property("mean combine matches a plain-Scala per-window oracle") =
     forAll(genStays.flatMap(st => genPointEvents(st).map(ev => (st, ev)))) {
       case (stays, events) =>
