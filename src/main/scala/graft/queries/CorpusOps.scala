@@ -88,6 +88,24 @@ object CorpusOps {
             TextOps.normalize(col("text"))).as("fp"))
         .orderBy("doc_id")),
 
+    // corpus statistics: TF-IDF per (doc, term) — two linear aggregations
+    // (term frequency per doc, document frequency per term) + one join +
+    // a broadcast scalar N; idf = ln(N/df). Everything shuffles on term or
+    // (doc, term) — linear in corpus tokens, no all-pairs anywhere.
+    "q_doc_tfidf" -> ((s, dir) => {
+      val terms = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("nd"))
+      tf.join(dfT, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df_t"),
+          round(col("tf") * log(col("nd") / col("df_t")), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
     // deterministic hash split: stable train/val/test assignment (80/10/10)
     // by md5 bucket of the normalized text — same assignment on every run,
     // partitioning, and engine (the oracle recomputes it bit-for-bit)
@@ -363,6 +381,21 @@ object CorpusOps {
         |       for i in generate_series(1, length(t))]),
         |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_doc_tfidf" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM t GROUP BY doc_id, term),
+           |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+           |  FROM tf GROUP BY term),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+           |SELECT tf.doc_id, tf.term, tf.tf, df.df_t,
+           |  round(tf.tf * ln(nd / df_t), 6) AS tfidf
+           |FROM tf JOIN df USING (term) CROSS JOIN n
+           |ORDER BY tf.doc_id, tf.term""".stripMargin,
 
     "q_doc_hash_split" ->
       raw"""WITH n AS (
