@@ -43,6 +43,9 @@ object Bench {
       graft.ops.Dedup.jaccardPairs(tiny, "doc_id", "text", 3, 0.8, 100).count()
       graft.ops.Dedup.minhashLshPairs(tiny, "doc_id", "text", 3, 64, 32, 0.8).count()
       graft.ops.Dedup.simhashPairs(tiny, "doc_id", "text", 3).count()
+      val tinyPairs = spark.range(16)
+        .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+      graft.ops.Dedup.components(tinyPairs, 20).count()
       spark.catalog.clearCache()
     }
     // same idea for the bucketize → combine → densify/fill family (the

@@ -204,6 +204,93 @@ object Dedup {
       k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame =
     minhashLshPairsScoped(docs, idCol, textCol, k, nHashes, bands, threshold).df
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into DUPLICATE CLUSTERS (pairs alone under-specify
+    * transitive groups: a~b, b~c must collapse to one cluster keeping one
+    * doc). Returns (doc_id, cluster_id = min reachable id) for every doc
+    * appearing in a pair; input needs (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * Hybrid strategy, chosen by the MEASURED node count:
+    *  - `nNodes <= localThreshold` (default 2^20): collect the pair list
+    *    and run union-find with path compression on the driver — a dup
+    *    graph of a million nodes is tens of MB of longs, and the driver
+    *    pass costs one collect instead of O(diameter) Spark rounds at
+    *    ~0.4 s of fixed job overhead each (measured: the loop's wall
+    *    clock is bounded by ROUND COUNT, not data volume — 7-11 s for a
+    *    500-node graph).
+    *  - larger graphs: distributed iterative min-label propagation —
+    *    every node takes the min of its own and its neighbors' labels per
+    *    round, fixpoint when nothing changes; `maxIters` caps pathological
+    *    chains (a capped result is still a valid refinement, just split).
+    *    Each round is one join+aggregate over cached (edge, label) tables
+    *    — the standard distributed CC loop.
+    */
+  def componentsScoped(pairs: DataFrame, maxIters: Int = 20,
+      localThreshold: Long = 1L << 20): Scoped = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val nNodes = nodes.count()
+
+    if (nNodes <= localThreshold) {
+      // driver union-find with path compression: one collect of the pairs
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+        val ra = find(row.getLong(0))
+        val rb = find(row.getLong(1))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val assign = nodes.collect().map(_.getLong(0)).sorted
+        .map(id => (id, find(id))).toSeq
+      edges.unpersist()
+      import spark.implicits._
+      Scoped(assign.toDF("doc_id", "cluster_id"), () => ())
+    } else {
+      var labels = nodes.withColumn("lab", col("doc_id")).persist()
+      labels.count()
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("doc_id", "src")
+            .withColumnRenamed("lab", "src_lab"), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("src_lab")).as("nbr_lab"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+          .persist()
+        val changed = next
+          .join(labels.withColumnRenamed("lab", "old"), Seq("doc_id"))
+          .where(col("lab") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      val out = labels.select(col("doc_id"), col("lab").as("cluster_id"))
+      edges.unpersist()
+      // result is backed by the final persisted label table (its lineage
+      // spans every iteration — lazy recompute would replay the loop)
+      val finalLabels = labels
+      Scoped(out, () => { finalLabels.unpersist(); () })
+    }
+  }
+
+  /** [[componentsScoped]]'s frame without the release handle. */
+  def components(pairs: DataFrame, maxIters: Int): DataFrame =
+    componentsScoped(pairs, maxIters).df
+
   /** Engine-portable 64-bit SimHash, banded as 4×16-bit chunks.
     *
     * The per-token hash is the first 16 hex nibbles of md5(token), chosen

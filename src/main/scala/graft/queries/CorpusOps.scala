@@ -70,6 +70,16 @@ object CorpusOps {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // near-dup clusters: LSH pairs → connected components via iterative
+    // min-label propagation (the driver-coordinated fixpoint loop); oracle
+    // recomputes reachability with a recursive CTE over the exact-Jaccard
+    // pair set (equal to the LSH output at this threshold)
+    "q_doc_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(wide(s, t(s, dir, "documents")),
+        "doc_id", "text", 3, 64, 32, 0.8)
+      Dedup.components(pairs, 20).orderBy("doc_id")
+    }),
+
     // near-dup: 64-bit SimHash on an md5-derived portable hash, 4x16-bit
     // band join, hamming <= 3. At maxDist <= 3 the banded result provably
     // equals brute-force all-pairs (pigeonhole) and the md5 nibble math is
@@ -304,6 +314,32 @@ object CorpusOps {
 
   private val jaccardPairsSql = jaccardPairsSqlFor(None)
 
+  /** Recursive-CTE mirror of [[Dedup.componentsScoped]]: duplicate clusters
+    * as min reachable id over the (uncapped) exact-Jaccard pair graph.
+    */
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE sh AS $shinglesSql,
+       |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+       |    >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e2.b, r.lab FROM reach r JOIN edges e2 ON e2.a = r.node)
+       |SELECT node AS doc_id, min(lab) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_doc_token_count" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens,
@@ -362,6 +398,8 @@ object CorpusOps {
          |FROM $shinglesSql ORDER BY doc_id""".stripMargin,
 
     "q_doc_jaccard_pairs" -> jaccardPairsSqlFor(Some(100)),
+
+    "q_doc_dedup_clusters" -> dedupClustersSql,
 
     "q_doc_simhash_pairs" -> simhashPairsSql,
 

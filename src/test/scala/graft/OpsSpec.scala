@@ -85,6 +85,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got("p3") == ((None, None))) // no right row at-or-before t=5
   }
 
+  test("components: transitive chains collapse to one cluster, min-id label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val sc = Dedup.componentsScoped(pairs, maxIters = 20)
+    val got = sc.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sc.release()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // force the DISTRIBUTED label-propagation path; must agree exactly
+    val scd = Dedup.componentsScoped(pairs, maxIters = 20, localThreshold = 0)
+    val gotD = scd.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scd.release()
+    assert(gotD == got, "hybrid paths must produce identical clusters")
+  }
+
   test("ANSI degenerate inputs: zero vectors and constant groups yield null, not throw") {
     // Spark 4 ANSI mode throws DIVIDE_BY_ZERO on double division — these
     // guards turn degenerate inputs into NULLs instead of job failures
