@@ -13,8 +13,9 @@ import graft.ops.{Dedup, TextOps}
   *
   * @param minQuality   drop docs scoring below this ([[TextOps.qualityScore]])
   * @param langs        keep only these predicted languages (None = all)
-  * @param jaccard      near-dup threshold; of each near-dup pair the
-  *                     higher-id doc is dropped
+  * @param jaccard      near-dup threshold; near-dup pairs are closed into
+  *                     connected components and only the min-id doc of each
+  *                     component is kept (chains collapse consistently)
   */
 class CorpusCleaner(
     minQuality: Double = 0.3,
@@ -42,15 +43,21 @@ class CorpusCleaner(
     val afterExact = annotated.join(keepExact, Seq("doc_id"), "left_semi").persist()
     val n1 = afterExact.count()
 
-    // near-dedup: drop the higher-id member of every LSH-verified pair.
-    // Scoped handle: the pipeline's internal shingle cache is released as
-    // soon as afterNear is materialized (no cached plans leak from clean())
+    // near-dedup, CLUSTER-AWARE: LSH-verified pairs → connected components,
+    // keep the min-id doc of each component. Dropping doc_b per pair would
+    // under-drop on chains (a~c, b~c keeps both a and b even though all
+    // three are transitive duplicates); min-per-cluster collapses the whole
+    // closure consistently. Scoped handles: the pipeline's internal shingle
+    // cache and the components' pair cache are released as soon as
+    // afterNear is materialized (no cached plans leak from clean())
     val nearScoped = Dedup.minhashLshPairsScoped(afterExact, "doc_id", "text",
       shingleK, nHashes, bands, jaccard)
-    val dropNear = nearScoped.df.select(col("doc_b").as("doc_id")).distinct()
+    val comp = Dedup.componentsDetailed(nearScoped.df)
+    val dropNear = comp.df.where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
     val afterNear = afterExact.join(dropNear, Seq("doc_id"), "left_anti").persist()
     val n2 = afterNear.count()
-    nearScoped.release()
+    comp.release(); nearScoped.release()
 
     // quality + language filter
     val cleaned = afterNear

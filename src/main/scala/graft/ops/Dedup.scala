@@ -204,39 +204,68 @@ object Dedup {
       k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame =
     minhashLshPairsScoped(docs, idCol, textCol, k, nHashes, bands, threshold).df
 
+  /** [[componentsDetailed]]'s result with convergence metadata: whether the
+    * label propagation reached a fixpoint (always true on the driver path)
+    * and how many distributed rounds ran. A capped (non-converged) result is
+    * still a valid refinement — every reported cluster is a subset of a true
+    * component — but a pipeline deduplicating on it would under-merge, so
+    * the flag must be surfaced, not swallowed.
+    */
+  final case class ComponentsResult(df: DataFrame, release: () => Unit,
+      converged: Boolean, iterations: Int)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into DUPLICATE CLUSTERS (pairs alone under-specify
     * transitive groups: a~b, b~c must collapse to one cluster keeping one
     * doc). Returns (doc_id, cluster_id = min reachable id) for every doc
     * appearing in a pair; input needs (doc_a, doc_b) with doc_a < doc_b.
     *
-    * Hybrid strategy, chosen by the MEASURED node count:
-    *  - `nNodes <= localThreshold` (default 2^20): collect the pair list
+    * The pair list is persisted HERE, once, before any consumption: it is
+    * read by the node count, the edge derivation, and either the driver
+    * collect or every propagation round — and its upstream is typically the
+    * whole MinHash-LSH pipeline, which an unpersisted plan would re-execute
+    * per consumer (measured: ~3x re-execution cost 2.5x the LSH query
+    * itself before this discipline was applied).
+    *
+    * Hybrid strategy, chosen by MEASURED node AND edge counts:
+    *  - `nNodes <= localThreshold` (default 2^20) AND `nEdges <=
+    *    localEdgeThreshold` (default 2^23): collect the cached pair list
     *    and run union-find with path compression on the driver — a dup
     *    graph of a million nodes is tens of MB of longs, and the driver
     *    pass costs one collect instead of O(diameter) Spark rounds at
     *    ~0.4 s of fixed job overhead each (measured: the loop's wall
     *    clock is bounded by ROUND COUNT, not data volume — 7-11 s for a
-    *    500-node graph).
+    *    500-node graph). The edge guard matters independently: a dense dup
+    *    graph (an exact-dup-heavy corpus hitting LSH) can have O(n²) pairs
+    *    over few nodes, which a node-count-only guard would happily
+    *    collect onto the driver.
     *  - larger graphs: distributed iterative min-label propagation —
     *    every node takes the min of its own and its neighbors' labels per
     *    round, fixpoint when nothing changes; `maxIters` caps pathological
-    *    chains (a capped result is still a valid refinement, just split).
-    *    Each round is one join+aggregate over cached (edge, label) tables
-    *    — the standard distributed CC loop.
+    *    chains (a capped result is still a valid refinement, just split —
+    *    reported via [[ComponentsResult.converged]] and a warning log).
+    *    Each round is one join+aggregate over the cached edge table; the
+    *    label table is `localCheckpoint`ed every `checkpointEvery` rounds
+    *    so plan lineage stays bounded by the checkpoint interval instead
+    *    of growing linearly with round count (planning overhead, and a
+    *    lost-executor recompute would otherwise replay the whole loop).
     */
-  def componentsScoped(pairs: DataFrame, maxIters: Int = 20,
-      localThreshold: Long = 1L << 20): Scoped = {
+  def componentsDetailed(pairs: DataFrame, maxIters: Int = 20,
+      localThreshold: Long = 1L << 20,
+      localEdgeThreshold: Long = 1L << 23,
+      checkpointEvery: Int = 5): ComponentsResult = {
     val spark = pairs.sparkSession
-    // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    val nodes = edges.select(col("src").as("doc_id")).distinct()
-    val nNodes = nodes.count()
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val nEdges = p.count() // materializes the cache: upstream runs ONCE
+    val nodes = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    val nNodes = nodes.count() // cache-fed
 
-    if (nNodes <= localThreshold) {
-      // driver union-find with path compression: one collect of the pairs
+    if (nNodes <= localThreshold && nEdges <= localEdgeThreshold) {
+      // driver union-find with path compression: one collect of the CACHED
+      // pairs (bounded by both guards above)
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -245,17 +274,25 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
-        val ra = find(row.getLong(0))
-        val rb = find(row.getLong(1))
+      val collected = p.collect()
+      p.unpersist()
+      val nodeIds = scala.collection.mutable.SortedSet.empty[Long]
+      collected.foreach { row =>
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        nodeIds += a; nodeIds += b
+        val ra = find(a)
+        val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val assign = nodes.collect().map(_.getLong(0)).sorted
-        .map(id => (id, find(id))).toSeq
-      edges.unpersist()
+      val assign = nodeIds.toSeq.map(id => (id, find(id)))
       import spark.implicits._
-      Scoped(assign.toDF("doc_id", "cluster_id"), () => ())
+      ComponentsResult(assign.toDF("doc_id", "cluster_id"), () => (),
+        converged = true, iterations = 0)
     } else {
+      // undirected edge list, both directions, derived from the cached pairs
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       var labels = nodes.withColumn("lab", col("doc_id")).persist()
       labels.count()
       var converged = false
@@ -266,25 +303,43 @@ object Dedup {
             .withColumnRenamed("lab", "src_lab"), Seq("src"))
           .groupBy(col("dst").as("doc_id"))
           .agg(min(col("src_lab")).as("nbr_lab"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        var next = labels.join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
           .persist()
         val changed = next
           .join(labels.withColumnRenamed("lab", "old"), Seq("doc_id"))
           .where(col("lab") =!= col("old")).count()
+        converged = changed == 0
+        if (!converged && (it + 1) % checkpointEvery == 0) {
+          // truncate lineage: the plan otherwise accretes one join+agg layer
+          // per round (localCheckpoint is eager — computed from the
+          // just-materialized cache, then the cache handle is dropped)
+          val cp = next.localCheckpoint()
+          next.unpersist()
+          next = cp
+        }
         labels.unpersist()
         labels = next
-        converged = changed == 0
         it += 1
       }
+      if (!converged) log.warn(
+        s"componentsDetailed: label propagation hit the maxIters=$maxIters cap " +
+          "before fixpoint — clusters are a valid refinement but may be split")
       val out = labels.select(col("doc_id"), col("lab").as("cluster_id"))
-      edges.unpersist()
-      // result is backed by the final persisted label table (its lineage
-      // spans every iteration — lazy recompute would replay the loop)
+      p.unpersist()
+      // result is backed by the final persisted/checkpointed label table
       val finalLabels = labels
-      Scoped(out, () => { finalLabels.unpersist(); () })
+      ComponentsResult(out, () => { finalLabels.unpersist(); () },
+        converged, it)
     }
+  }
+
+  /** [[componentsDetailed]] as a plain [[Scoped]] handle. */
+  def componentsScoped(pairs: DataFrame, maxIters: Int = 20,
+      localThreshold: Long = 1L << 20): Scoped = {
+    val r = componentsDetailed(pairs, maxIters, localThreshold)
+    Scoped(r.df, r.release)
   }
 
   /** [[componentsScoped]]'s frame without the release handle. */

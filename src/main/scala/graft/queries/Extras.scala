@@ -58,21 +58,36 @@ object Extras {
               |ORDER BY o_orderpriority""".stripMargin)
     }),
 
-    // approximate sketches: HLL distinct counts + quantile sketch. Sketch
-    // estimates are engine-specific, so this is a rows-only check (no
-    // DuckDB oracle) — deterministic within Spark for fixed input. The
-    // quantile pair is projected to SCALAR columns (element_at) so the
-    // row hash is computable (array cells broke the round-1 checker).
+    // approximate sketches: HLL distinct counts + quantile sketch. The raw
+    // estimates are engine-specific (no other engine reproduces Spark's HLL
+    // register math), so the gate row instead emits DETERMINISTIC
+    // ASSERTIONS: exact counts both engines compute identically, plus
+    // boolean error-bound checks that Spark evaluates against its sketches
+    // and DuckDB states as literal TRUE. Hash-exact when the sketches hold
+    // their documented bounds — so the gate actually tests the error bound,
+    // not just row counts. Bounds: 3 sigma for HLL (rsd 0.05 → 15%,
+    // rsd 0.01 → 3%); approx_percentile's rank-error guarantee is
+    // 1/accuracy = 0.001, checked against exact quantiles ±0.02 rank.
     "q_approx_sketch" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        .agg(count_distinct(col("l_partkey")).as("exact_parts"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-            .as("pq"))
-        .select(col("l_returnflag"), col("approx_parts"), col("approx_orders"),
-          element_at(col("pq"), 1).as("price_p50"),
-          element_at(col("pq"), 2).as("price_p95"))
+            .as("pq"),
+          expr("percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))")
+            .as("pe"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") <=
+            col("exact_parts") * lit(0.15)).as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")).cast("double") <=
+            col("exact_orders") * lit(0.03)).as("orders_ok"),
+          (element_at(col("pq"), 1) >= element_at(col("pe"), 1) &&
+            element_at(col("pq"), 1) <= element_at(col("pe"), 2)).as("p50_ok"),
+          (element_at(col("pq"), 2) >= element_at(col("pe"), 3) &&
+            element_at(col("pq"), 2) <= element_at(col("pe"), 4)).as("p95_ok"))
         .orderBy("l_returnflag")),
 
     // skew-salted two-phase aggregation must equal the plain aggregate —
@@ -126,6 +141,17 @@ object Extras {
         |GROUP BY o_orderpriority
         |HAVING count(*) > 10
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the assertions are constructed so an INDEPENDENT engine states them
+    // as literals: exact counts match by computation, the bound checks by
+    // the sketches' documented guarantees (a sketch drifting outside its
+    // bound flips a Spark-side boolean and fails the hash)
+    "q_approx_sketch" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT l_returnflag,
