@@ -100,6 +100,66 @@ class OpsSpec extends AnyFunSuite {
     assert(gotD == got, "hybrid paths must produce identical clusters")
   }
 
+  test("components: dense edge list forces the distributed path despite few nodes") {
+    // complete graph on 6 nodes = 15 edges; with the edge threshold below
+    // that, the driver collect must NOT run even though nNodes is tiny —
+    // the guard that keeps an exact-dup-heavy corpus (O(n²) pairs over few
+    // nodes) off the driver
+    val n = 6
+    val pairs = (for (a <- 0 until n; b <- a + 1 until n) yield (a.toLong, b.toLong))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.componentsDetailed(pairs, maxIters = 20,
+      localThreshold = 1L << 20, localEdgeThreshold = 10L)
+    val got = r.df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.iterations > 0, "iterations == 0 means the driver path ran")
+    assert(r.converged)
+    r.release()
+    assert(got == (0 until n).map(i => i.toLong -> 0L).toMap)
+  }
+
+  test("components: maxIters cap is reported as non-convergence, not silently split") {
+    // chain 0-1-...-7: min-label propagates one hop per round, so fixpoint
+    // needs 7 rounds (+1 to detect); maxIters=3 must report converged=false
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val capped = Dedup.componentsDetailed(chain, maxIters = 3, localThreshold = 0)
+    assert(!capped.converged && capped.iterations == 3)
+    // capped result is still a valid refinement: every cluster ⊆ a true component
+    val refinement = capped.df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    capped.release()
+    assert(refinement.forall { case (_, lab) => lab >= 0L && lab <= 7L })
+    val full = Dedup.componentsDetailed(chain, maxIters = 20, localThreshold = 0)
+    assert(full.converged && full.iterations <= 9)
+    val got = full.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.release()
+    assert(got == (0L to 7L).map(_ -> 0L).toMap)
+  }
+
+  test("components: localCheckpoint bounds plan lineage across rounds") {
+    // each round's plan references the previous round's labels TWICE (own
+    // label + neighbor min), so unchecked lineage doubles per round —
+    // exponential plan strings that stall AQE's explain building after
+    // ~15 rounds. localCheckpoint truncates the logical plan at the
+    // checkpoint (LogicalRDD root), bounding it by checkpointEvery.
+    // A 5-node chain (~5 rounds) keeps the unchecked side demonstrable.
+    val chain = (0L until 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // measure the ANALYZED plan: cache substitution (optimizedPlan) could
+    // mask lineage length, while localCheckpoint truncates the logical plan
+    val unchecked = Dedup.componentsDetailed(chain, maxIters = 20,
+      localThreshold = 0, checkpointEvery = 1000)
+    val uncheckedLen = unchecked.df.queryExecution.analyzed.toString.length
+    unchecked.release()
+    val checked = Dedup.componentsDetailed(chain, maxIters = 20,
+      localThreshold = 0, checkpointEvery = 2)
+    val checkedLen = checked.df.queryExecution.analyzed.toString.length
+    val gotC = checked.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    checked.release()
+    assert(gotC == (0L to 4L).map(_ -> 0L).toMap,
+      "checkpointed loop must still converge to the same clusters")
+    assert(checkedLen < uncheckedLen / 2,
+      s"checkpointed plan ($checkedLen chars) should be far smaller than " +
+        s"the unchecked one ($uncheckedLen chars)")
+  }
+
   test("ANSI degenerate inputs: zero vectors and constant groups yield null, not throw") {
     // Spark 4 ANSI mode throws DIVIDE_BY_ZERO on double division — these
     // guards turn degenerate inputs into NULLs instead of job failures
