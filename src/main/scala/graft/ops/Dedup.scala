@@ -259,11 +259,15 @@ object Dedup {
     val spark = pairs.sparkSession
     val p = pairs.select(col("doc_a"), col("doc_b")).persist()
     val nEdges = p.count() // materializes the cache: upstream runs ONCE
-    val nodes = p.select(col("doc_a").as("doc_id"))
+    lazy val nodes = p.select(col("doc_a").as("doc_id"))
       .union(p.select(col("doc_b").as("doc_id"))).distinct()
-    val nNodes = nodes.count() // cache-fed
+    // nNodes <= 2*nEdges always, so when the edge count alone already
+    // clears both guards the distinct+count job is provably redundant —
+    // skipping it saves a shuffle job on the common small-graph path
+    def localOk = nEdges <= localEdgeThreshold &&
+      (nEdges * 2 <= localThreshold || nodes.count() <= localThreshold)
 
-    if (nNodes <= localThreshold && nEdges <= localEdgeThreshold) {
+    if (localOk) {
       // driver union-find with path compression: one collect of the CACHED
       // pairs (bounded by both guards above)
       val parent = scala.collection.mutable.LongMap.empty[Long]
