@@ -193,4 +193,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(!streamed.exists(_._3 > 5L)) // post-stay dropped
     } finally q.stop()
   }
+
+  test("streaming window clusters match the batch clustering per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingClusters
+    val out = java.nio.file.Files.createTempDirectory("sc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sc_ckpt").toString
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val closed = StreamingClusters.windowedDocSets(
+      source.toDF().toDF("doc_id", "event_time", "text"),
+      windowDuration = "1 hour", watermarkDelay = "0 seconds")
+    // threshold 0.5 so the fox-sentence variants chain into one cluster
+    val q = StreamingClusters.sink(closed, out, ckpt,
+      k = 3, nHashes = 64, bands = 32, threshold = 0.5).start()
+    try {
+      // window [00:00, 01:00): docs 0/1/3 are near-dup variants (the
+      // OpsSpec fixture — 0~1, 0~3, 1~3 at j >= 5/9), 2 unrelated, 4 has
+      // no 3-shingles at all (must still label itself)
+      source.addData(
+        (0L, ts("2020-01-01 00:05:00"), "the quick brown fox jumps over the lazy dog"),
+        (1L, ts("2020-01-01 00:10:00"), "the quick brown fox jumps over the lazy cat"),
+        (2L, ts("2020-01-01 00:15:00"), "completely different words entirely unrelated text here"),
+        (3L, ts("2020-01-01 00:20:00"), "THE  Quick   Brown fox jumps over the lazy dog"),
+        (4L, ts("2020-01-01 00:25:00"), "tiny"))
+      q.processAllAvailable()
+      // window [01:00, 02:00) arrivals ALSO close window 0 (watermark 0)
+      source.addData(
+        (10L, ts("2020-01-01 01:10:00"), "the quick brown fox jumps over the lazy dog"),
+        (11L, ts("2020-01-01 01:15:00"), "the quick brown fox jumps over the lazy cat"),
+        (12L, ts("2020-01-01 01:20:00"), "nothing like the others at all in any way"))
+      q.processAllAvailable()
+      // pusher closes window 1
+      source.addData((99L, ts("2020-01-01 03:00:00"), "watermark pusher"))
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(out)
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      val w0 = "2020-01-01 00:00:00.0"
+      val w1 = "2020-01-01 01:00:00.0"
+      assert(got == Set(
+        (w0, 0L, 0L), (w0, 1L, 0L), (w0, 3L, 0L), // transitive chain → min id
+        (w0, 2L, 2L), (w0, 4L, 4L),               // singletons label themselves
+        (w1, 10L, 10L), (w1, 11L, 10L),           // same text, NEW window → new cluster
+        (w1, 12L, 12L)))
+
+      // parity: the batch operator on window 0's slice produces the same labels
+      val w0docs = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy cat"),
+        (2L, "completely different words entirely unrelated text here"),
+        (3L, "THE  Quick   Brown fox jumps over the lazy dog"),
+        (4L, "tiny")).toDF("doc_id", "text")
+      val batchPairs = graft.ops.Dedup.minhashLshPairs(
+        w0docs, "doc_id", "text", 3, 64, 32, 0.5)
+      val batchLabels = graft.ops.Dedup.components(batchPairs, 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamedW0 = got.filter(_._1 == w0)
+        .map { case (_, d, c) => d -> c }.toMap
+      assert(batchLabels.forall { case (d, c) => streamedW0(d) == c },
+        s"streamed window-0 labels $streamedW0 must cover batch $batchLabels")
+    } finally q.stop()
+  }
 }
