@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOps, Extras, Relational, TimeSeries}
+import graft.queries.{CorpusOps, CurationQueries, Extras, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry is one operator from the SURVEY §2 inventory (or a
@@ -18,8 +18,10 @@ object SparkEntry {
     TimeSeries.defs("q_ts_densify")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TimeSeries.defs ++ CorpusOps.defs ++ Extras.defs
+    Relational.defs ++ TimeSeries.defs ++ CorpusOps.defs ++ Extras.defs ++
+      CurationQueries.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TimeSeries.oracles ++ CorpusOps.oracles ++ Extras.oracles
+    Relational.oracles ++ TimeSeries.oracles ++ CorpusOps.oracles ++
+      Extras.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of dedup/quality: benchmark decontamination, repetition profiling,
+  * stratified sampling, and sequence packing. All declarative
+  * DataFrame/Column algebra — the shuffles are linear in corpus tokens
+  * (shingle- or term-keyed), never all-pairs.
+  */
+object Curation {
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * word k-shingle with the eval corpus, with the count of distinct shared
+    * shingles — the standard n-gram-overlap test-set leak scan. Returns
+    * (doc_id, n_shingles, n_shared) for CONTAMINATED train docs only.
+    *
+    * Scale shape: one explode per side (shingles are `array_distinct`ed per
+    * doc, so rows are (doc, shingle) pairs without within-doc dups), one
+    * distinct on the eval side, one shuffle join keyed by shingle, one
+    * aggregate keyed by doc — all linear. An eval corpus (benchmarks are
+    * thousands of docs, not billions) typically broadcasts; Catalyst/AQE
+    * decides from its actual size, which is exactly right.
+    */
+  def contaminationScan(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val trainSh = train.select(col(idCol).as("doc_id"),
+      explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
+    val evalSh = evalDocs
+      .select(explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
+      .distinct()
+    val shared = trainSh.join(evalSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.wordShingles(col(textCol), k)).as("n_shingles"))
+      .join(shared, Seq("doc_id")) // inner: contaminated docs only
+  }
+
+  /** Per-document token-repetition profile — the Gopher-style repetition
+    * quality signals: total tokens, distinct tokens, the top token's
+    * frequency, and the derived ratios (raw doubles; both engines compute
+    * the identical IEEE division). Shuffles on (doc, term) then doc —
+    * linear in corpus tokens, the same shape as TF-IDF.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.normTokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("max_tf"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("max_tf").cast("long").as("max_tf"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_ratio"),
+        (col("max_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("top_ratio"))
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff its content-hash
+    * bucket (out of `buckets`) falls below the stratum's keep count —
+    * `rates` maps stratum value → kept buckets (a missing stratum keeps
+    * everything). Stable under re-partitioning, re-runs, and engines
+    * (same [[Sampling.hashBucket]] md5 math as the train/val/test split);
+    * no shuffle at all — the filter is pure Column algebra over a
+    * broadcast-free CASE chain (rates are a handful of literals, not a
+    * table).
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, keyCol: Column,
+      rates: Map[String, Int], buckets: Int = 100): DataFrame = {
+    val b = Sampling.hashBucket(keyCol, buckets)
+    val keep = rates.toSeq.sortBy(_._1).foldRight(lit(buckets): Column) {
+      case ((stratum, k), els) => when(col(strataCol) === stratum, lit(k)).otherwise(els)
+    }
+    docs.where(b < keep)
+  }
+
+  /** Greedy sequence packing: within each group (ordered by `idCol`), fill
+    * bins of `capacity` tokens first-fit-in-order — the context-window
+    * packing step of an LLM data pipeline. Returns one row per doc:
+    * (group, doc_id, n_tokens, bin). A doc longer than `capacity` gets a
+    * bin of its own (greedy rule: open a new bin whenever the doc doesn't
+    * fit the current fill).
+    *
+    * Packing is inherently sequential PER GROUP (each bin decision depends
+    * on the previous fill), so the group is the parallelism unit: one
+    * shuffle to group, then a codegen'd higher-order fold over the sorted
+    * (doc, tokens) structs — no driver involvement, no iterative jobs. At
+    * 100 TB you pack per bounded shard (date × source × hash-bucket, the
+    * standard layout) so a group is ~10⁴–10⁵ docs; the fold's accumulator
+    * is the group's output array, the same working-set bound any per-group
+    * operator (collect_list, pandas groupBy-apply) carries.
+    */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val toks = docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).as("n_tokens"))
+    val grouped = toks.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens"))))
+        .as("ds"))
+    // fold state: (packed rows so far, current bin, current fill); the
+    // initial fill = capacity + 1 forces the first doc to open bin 0
+    val init = struct(
+      array().cast("array<struct<doc_id:bigint,n_tokens:int,bin:int>>").as("arr"),
+      lit(-1).as("bin"), lit(capacity + 1).as("fill"))
+    val packed = aggregate(col("ds"), init, (acc, d) => {
+      val fits = acc.getField("fill") + d.getField("n_tokens") <= lit(capacity)
+      val bin = when(fits, acc.getField("bin")).otherwise(acc.getField("bin") + 1)
+      val fill = when(fits, acc.getField("fill") + d.getField("n_tokens"))
+        .otherwise(d.getField("n_tokens"))
+      struct(
+        concat(acc.getField("arr"),
+          array(struct(d.getField("doc_id").as("doc_id"),
+            d.getField("n_tokens").as("n_tokens"), bin.as("bin")))).as("arr"),
+        bin.as("bin"), fill.as("fill"))
+    })
+    // explode in the SAME select that computes the fold (a separate
+    // select(explode(col)) does not collapse and re-evaluates the HOF)
+    grouped
+      .select(col("grp"), explode(packed.getField("arr")).as("p"))
+      .select(col("grp"), col("p.doc_id").as("doc_id"),
+        col("p.n_tokens").as("n_tokens"), col("p.bin").as("bin"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Sampling, TextOps}
+
+/** Corpus-curation gate queries (decontamination, repetition profiling,
+  * stratified sampling, sequence packing) — the round-3 additions to the
+  * LLM-pipeline surface, each with a full DuckDB oracle.
+  */
+object CurationQueries {
+
+  private val rates = Map("en" -> 40, "de" -> 75, "fr" -> 100)
+
+  val defs: Map[String, QueryFn] = Map(
+
+    // benchmark decontamination: train docs sharing any word 3-shingle
+    // with the held-out test split (split = the same deterministic md5
+    // bucketing as q_doc_hash_split, so the eval set needs no extra input)
+    "q_doc_decontaminate" -> ((s, dir) => {
+      val splitCol = Sampling.split(TextOps.normalize(col("text")),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val tagged = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"), splitCol.as("split"))
+      Curation.contaminationScan(
+        tagged.where(col("split") === "train"),
+        tagged.where(col("split") === "test"),
+        "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals: token totals, distinct counts, top
+    // token frequency, raw-double ratios (derived fractions stay unrounded
+    // — both engines run the identical IEEE division)
+    "q_doc_repetition" -> ((s, dir) =>
+      Curation.repetitionProfile(wide(s, t(s, dir, "documents")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // deterministic stratified downsampling: keep 40% of en, 75% of de,
+    // all fr (and everything in strata without a rate) by content-hash
+    // bucket — rebalancing an over-represented language, stable across
+    // runs/partitionings/engines
+    "q_doc_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "lang",
+        TextOps.normalize(col("text")), rates)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("lang")),
+
+    // context-window packing: greedy first-fit-in-order bins of 256 tokens
+    // per language stream; oracle replays the same sequential rule with a
+    // recursive CTE
+    "q_doc_pack" -> ((s, dir) =>
+      Curation.packSequences(wide(s, t(s, dir, "documents")),
+        "lang", "doc_id", "text", capacity = 256)
+        .select(col("grp").as("lang"), col("doc_id"), col("n_tokens"),
+          col("bin"))
+        .orderBy("lang", "doc_id")))
+
+  /** DuckDB bucket of the md5-of-normalized-text, mirroring
+    * [[Sampling.hashBucket]]'s first-4-nibbles integer math.
+    */
+  private def bucketSql(buckets: Int): String =
+    s"""((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+       | + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+       | + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+       | + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % $buckets""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q_doc_decontaminate" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, text,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |sp AS (SELECT doc_id, text,
+         |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, ${bucketSql(100)} AS bk FROM n)),
+         |sh AS (SELECT doc_id, split,
+         |    list_distinct(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |            for i in generate_series(1, len(t) - 2)]
+         |      ELSE [] END) AS s
+         |  FROM (SELECT doc_id, split,
+         |          regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |        FROM sp)),
+         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE split = 'test'),
+         |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE split = 'train'),
+         |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM tr JOIN ev USING (g) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(s) AS INT) AS n_shingles, n_shared
+         |FROM sh JOIN shared USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_repetition" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+           |a AS (SELECT doc_id,
+           |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |    CAST(count(*) AS BIGINT) AS n_distinct,
+           |    CAST(max(tf) AS BIGINT) AS max_tf
+           |  FROM tf GROUP BY doc_id)
+           |SELECT doc_id, n_tokens, n_distinct, max_tf,
+           |  1.0 - (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           |    AS dup_ratio,
+           |  CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_ratio
+           |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_doc_stratified_sample" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, lang,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang, ${bucketSql(100)} AS bk FROM n),
+         |k AS (SELECT doc_id, lang FROM b
+         |  WHERE bk < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 75
+         |                       WHEN 'fr' THEN 100 ELSE 100 END)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_doc_pack" ->
+      raw"""WITH RECURSIVE tk AS (
+           |  SELECT lang, doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           |      AS n_tokens,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+           |      AS INT) AS rn
+           |  FROM documents),
+           |p AS (
+           |  SELECT lang, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS fill
+           |  FROM tk WHERE rn = 1
+           |  UNION ALL
+           |  SELECT tk.lang, tk.doc_id, tk.n_tokens, tk.rn,
+           |    CASE WHEN p.fill + tk.n_tokens <= 256 THEN p.bin
+           |         ELSE p.bin + 1 END AS bin,
+           |    CASE WHEN p.fill + tk.n_tokens <= 256 THEN p.fill + tk.n_tokens
+           |         ELSE tk.n_tokens END AS fill
+           |  FROM tk JOIN p ON tk.lang = p.lang AND tk.rn = p.rn + 1)
+           |SELECT lang, doc_id, n_tokens, bin
+           |FROM p ORDER BY lang, doc_id""".stripMargin)
+}

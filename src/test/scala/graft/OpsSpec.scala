@@ -160,6 +160,53 @@ class OpsSpec extends AnyFunSuite {
         s"the unchecked one ($uncheckedLen chars)")
   }
 
+  test("sequence packing: greedy first-fit-in-order, oversize doc gets own bin") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "g", "w w"),            // 2 tokens → bin 0 (fill 2)
+      (2L, "g", "w w w w"),        // 4: 2+4 > 5 → bin 1 (fill 4)
+      (3L, "g", "w"),              // 1: 4+1 = 5 ≤ 5 → bin 1
+      (4L, "g", "w w w w w w"),    // 6 > capacity → bin 2, alone
+      (5L, "h", "w w w"))          // separate group restarts at bin 0
+      .toDF("doc_id", "grp", "text")
+    val got = Curation.packSequences(docs, "grp", "doc_id", "text", capacity = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(("g", 1L, 2, 0), ("g", 2L, 4, 1), ("g", 3L, 1, 1),
+      ("g", 4L, 6, 2), ("h", 5L, 3, 0)))
+  }
+
+  test("repetition profile: exact counts and IEEE ratios") {
+    import graft.ops.Curation
+    val r = Curation.repetitionProfile(
+      Seq((1L, "A a  a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2 && r.getLong(3) == 3)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.75)
+  }
+
+  test("contamination scan: only train docs sharing an eval shingle, counted once") {
+    import graft.ops.Curation
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),    // shares 'alpha beta gamma' + 'beta gamma delta'
+      (2L, "nothing in common here at all"),
+      (3L, "beta gamma delta epsilon"))  // shares 'beta gamma delta'
+      .toDF("doc_id", "text")
+    val ev = Seq((9L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val got = Curation.contaminationScan(train, ev, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("stratified sample: rate 0 drops the stratum, missing stratum keeps all") {
+    import graft.ops.Curation
+    val docs = Seq((1L, "a", "x1"), (2L, "a", "x2"), (3L, "b", "y1"),
+      (4L, "c", "z1")).toDF("doc_id", "lang", "text")
+    val kept = Curation.stratifiedSample(docs, "lang", col("text"),
+      Map("a" -> 0, "b" -> 100)).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L)) // a dropped entirely; b and unrated c kept
+  }
+
   test("ANSI degenerate inputs: zero vectors and constant groups yield null, not throw") {
     // Spark 4 ANSI mode throws DIVIDE_BY_ZERO on double division — these
     // guards turn degenerate inputs into NULLs instead of job failures
