@@ -39,7 +39,19 @@ object ExplainCheck {
     // as-of merge: one partitioned window over the union, no product join
     "q_ts_asof" -> (Seq("Window", "Union"), Seq("CartesianProduct")),
     // sign-LSH blocking must equi-join on the bucket, never cross
-    "q_emb_lsh_neardup" -> (Seq(), Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+    "q_emb_lsh_neardup" -> (Seq(), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // decontamination: the (small) eval shingle set must broadcast into the
+    // shingle-keyed join; shingling runs as Generate, never a product join
+    "q_doc_decontaminate" -> (Seq("BroadcastHashJoin", "Generate"),
+      Seq("CartesianProduct")),
+    // packing: per-group fold = collect_list partials (ObjectHashAggregate)
+    // + Generate in the same stage; no global window anywhere
+    "q_doc_pack" -> (Seq("ObjectHashAggregate", "Generate"),
+      Seq("CartesianProduct", "Window")),
+    "q_doc_repetition" -> (Seq("HashAggregate"),
+      Seq("CartesianProduct", "Window")),
+    "q_doc_stratified_sample" -> (Seq("HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -207,6 +207,28 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L)) // a dropped entirely; b and unrated c kept
   }
 
+  test("CorpusCleaner collapses transitive near-dup chains via clusters") {
+    // chain: 1~2 (j=0.75) and 2~3 (j=0.75) but 1~3 only j=5/9 < 0.7 —
+    // per-pair doc_b dropping would test only direct pairs; cluster-aware
+    // cleaning must drop the whole closure {2,3}, keeping min id 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (3L, "lambda beta gamma delta epsilon zeta eta theta kappa"),
+      (4L, "ALPHA beta   gamma delta epsilon zeta eta theta iota"), // exact dup of 1
+      (5L, "completely unrelated content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val (cleaned, stats) = new graft.api.CorpusCleaner(
+      minQuality = 0.0, jaccard = 0.7).clean(docs)
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L),
+      s"chain {1,2,3} must collapse to min-id 1; got $kept")
+    assert(stats("input") == 5 && stats("exact_dups_dropped") == 1 &&
+      stats("near_dups_dropped") == 2 && stats("output") == 2, stats.toString)
+    assert(org.apache.spark.sql.graftshim.ColumnBridge.noCachedPlans(spark),
+      "clean() must release every cached plan it created")
+  }
+
   test("ANSI degenerate inputs: zero vectors and constant groups yield null, not throw") {
     // Spark 4 ANSI mode throws DIVIDE_BY_ZERO on double division — these
     // guards turn degenerate inputs into NULLs instead of job failures
