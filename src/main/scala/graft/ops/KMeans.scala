@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means — the trainer for the IVF index
+  * ([[VectorOps]] probes cells; this learns them).
+  *
+  * Reproducibility is the design driver: floating-point sums re-associate
+  * with partition order, so a float-accumulating trainer produces different
+  * centroids under AQE re-plans, task retry, or a different partition
+  * count. This trainer therefore runs in FIXED-POINT INTEGER arithmetic:
+  * vectors are quantized once to longs (`floor(x·scale + 0.5)`), distances
+  * and centroid sums are exact integer math (order-free), and centroid
+  * updates use truncating integer division — bit-identical results on any
+  * cluster layout, any engine (the DuckDB oracle replays it exactly), any
+  * retry. Quantization error is 1/scale per dimension (1e-6 default) —
+  * far below any embedding's meaningful precision.
+  *
+  * Scale shape per iteration: one broadcast of k centroids into a
+  * map-side-combined argmin aggregation (shuffle carries k·dims partials
+  * per partition, not n·k rows), one posexplode + (cid, dim) sum, one
+  * k·dims driver collect (k=1024, dims=1024 → 8 MB — dimension-bounded,
+  * like the feature-universe collect). No iteration-to-iteration lineage:
+  * each round rebuilds from the quantized cache + a literal centroid table.
+  *
+  * Ties and degenerate cases are pinned: argmin breaks ties by lowest
+  * centroid id (`min(struct(dist, cid))`), empty clusters are dropped for
+  * subsequent rounds (documented, engine-reproducible).
+  */
+object KMeans {
+
+  /** Fixed-point quantization of a float/double vector to `array<long>`. */
+  def quantize(vec: Column, scale: Double): Column =
+    transform(vec, x => floor(x.cast("double") * lit(scale) + lit(0.5)))
+
+  /** Exact squared L2 distance between two `array<long>` columns. */
+  def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  final case class Result(assignments: DataFrame,
+      centroids: Seq[(Int, Seq[Long])], release: () => Unit)
+
+  /** Train `iters` rounds of Lloyd's algorithm over `vectors`
+    * (`idCol`: long, `vecCol`: array<float|double>); initial centroids are
+    * the k lowest-id vectors (deterministic). Returns the final
+    * assignments (vec_id, cluster) — computed against the LAST round's
+    * centroids — plus the quantized centroids themselves.
+    */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Double = 1e6): Result = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol), scale).as("qv"))
+      .persist()
+
+    var centroids: Seq[(Int, Seq[Long])] = q.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1).toSeq }.toSeq
+
+    def assign(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+      val cdf = cs.toDF("cid", "cv")
+      q.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("qv"),
+          struct(qdist2(col("qv"), col("cv")).as("d"), col("cid").as("cid"))
+            .as("s"))
+        .groupBy("vec_id")
+        .agg(min(col("s")).getField("cid").as("cluster"),
+          first(col("qv")).as("qv")) // constant within the group
+    }
+
+    var lastIterations = 0
+    while (lastIterations < iters) {
+      val sums = assign(centroids)
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      centroids = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          // truncating long division == DuckDB's `//` == Spark SQL DIV
+          cid -> rows.sortBy(_.getInt(1)).map(r =>
+            r.getLong(2) / r.getLong(3)).toSeq
+      }
+      lastIterations += 1
+    }
+    Result(assign(centroids).select("vec_id", "cluster"), centroids,
+      () => { q.unpersist(); () })
+  }
+}

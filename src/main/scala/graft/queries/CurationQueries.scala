@@ -57,7 +57,19 @@ object CurationQueries {
         "lang", "doc_id", "text", capacity = 256)
         .select(col("grp").as("lang"), col("doc_id"), col("n_tokens"),
           col("bin"))
-        .orderBy("lang", "doc_id")))
+        .orderBy("lang", "doc_id")),
+
+    // IVF centroid training: 3 Lloyd's rounds, k=4, fixed-point integer
+    // arithmetic throughout — bit-reproducible under any partitioning, so
+    // the oracle replays the identical rounds with unrolled CTEs
+    "q_emb_kmeans" -> ((s, dir) => {
+      val r = graft.ops.KMeans.fit(wide(s, t(s, dir, "embeddings")),
+        "vec_id", "embedding", k = 4, iters = 3)
+      val out = r.assignments.orderBy("vec_id")
+      val materialized = out.localCheckpoint() // release the quantized cache
+      r.release()
+      materialized
+    }))
 
   /** DuckDB bucket of the md5-of-normalized-text, mirroring
     * [[Sampling.hashBucket]]'s first-4-nibbles integer math.
@@ -68,7 +80,46 @@ object CurationQueries {
        | + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
        | + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % $buckets""".stripMargin
 
+  /** Unrolled Lloyd's rounds in SQL: every step is exact integer math
+    * (quantize → squared distances → sums → truncating division, `//` ==
+    * Spark DIV == Java long division), so DuckDB reproduces the Spark
+    * trainer bit-for-bit — the payoff of the fixed-point design.
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assignStep(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, v, cid FROM (
+         |  SELECT q.vec_id, q.v, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+         |                for i in generate_series(1, len(q.v))]),
+         |      c.cid) AS rn
+         |  FROM q, $cents c) WHERE rn = 1)""".stripMargin
+    def updateStep(name: String, assigns: String) =
+      s"""$name AS (SELECT cid, list(s ORDER BY dim) AS cv FROM (
+         |    SELECT cid, dim, CAST(sum(val) AS BIGINT) // count(*) AS s
+         |    FROM (SELECT cid, unnest(v) AS val,
+         |            unnest(generate_series(1, len(v))) AS dim FROM $assigns)
+         |    GROUP BY cid, dim) GROUP BY cid)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assignStep(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
+        updateStep(s"c$i", s"a$i"))
+    } :+ assignStep(s"a${iters + 1}", s"c$iters")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |     for x in embedding] AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |    v AS cv
+       |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),
+       |${steps.mkString(",\n")}
+       |SELECT vec_id, cid AS cluster FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_emb_kmeans" -> kmeansSql(4, 3),
 
     "q_doc_decontaminate" ->
       s"""WITH n AS (

@@ -229,6 +229,29 @@ class OpsSpec extends AnyFunSuite {
       "clean() must release every cached plan it created")
   }
 
+  test("fixed-point kmeans: separable clusters found, bit-identical under repartition") {
+    import graft.ops.KMeans
+    val pts = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i, Array(base + (i % 5) * 0.01f, base - (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val r1 = KMeans.fit(pts, "vec_id", "embedding", k = 2, iters = 3)
+    val a1 = r1.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c1 = r1.centroids
+    r1.release()
+    // the two planted clusters must separate exactly by parity
+    val byCluster = a1.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(byCluster == Set((0L until 20L by 2).toSet, (1L until 20L by 2).toSet),
+      s"separable clusters must split by parity: $a1")
+    // determinism: a different partitioning must give bit-identical output
+    val r2 = KMeans.fit(pts.repartition(7), "vec_id", "embedding", k = 2, iters = 3)
+    val a2 = r2.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c2 = r2.centroids
+    r2.release()
+    assert(a1 == a2 && c1 == c2,
+      "fixed-point trainer must be partition-order independent")
+  }
+
   test("ANSI degenerate inputs: zero vectors and constant groups yield null, not throw") {
     // Spark 4 ANSI mode throws DIVIDE_BY_ZERO on double division — these
     // guards turn degenerate inputs into NULLs instead of job failures
