@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical corpus layout for the 100 TB posture: hash-bucketed tables for
+  * shuffle-free co-located joins, and value-partitioned directories for
+  * partition-pruned scans.
+  *
+  *  - BUCKETING kills the join shuffle: two tables bucketed by the same
+  *    key into the same bucket count sort-merge-join with NO Exchange on
+  *    either side — the join that dominates a doc-id-keyed pipeline
+  *    (docs ⋈ scores ⋈ annotations) becomes a per-bucket local merge.
+  *    LayoutSpec asserts the Exchange-free plan. Spark requires the table
+  *    catalog for bucket metadata (`saveAsTable`), so callers set
+  *    `spark.sql.warehouse.dir` to the corpus root.
+  *  - PARTITIONING prunes the scan: `partitionBy` on low-cardinality
+  *    columns (language, source, date) turns `WHERE lang = 'en'` into a
+  *    directory skip — the scan never opens non-matching files
+  *    (LayoutSpec asserts PartitionFilters in the plan). Keep partition
+  *    columns low-cardinality: a high-cardinality partition key produces
+  *    the millions-of-tiny-files layout that kills any file index.
+  */
+object CorpusLayout {
+
+  /** Write `df` as a managed table hash-bucketed (and sorted) by `idCol`. */
+  def writeBucketed(df: DataFrame, table: String, idCol: String,
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write `df` under `path` partitioned by `cols` (low-cardinality). */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  /** True iff the physical plan of `df` contains a shuffle exchange —
+    * the thing bucketed joins exist to eliminate (exposed for specs and
+    * plan audits).
+    */
+  def hasShuffleExchange(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

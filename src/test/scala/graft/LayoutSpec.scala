@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.CorpusLayout
+
+/** The physical-layout contract: bucketed tables join without a shuffle,
+  * partitioned directories prune non-matching values out of the scan.
+  */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  test("bucketed co-located join plans with no shuffle exchange") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    val scores = (0L until 200L).map(i => (i, i * 0.01)).toDF("doc_id", "score")
+    CorpusLayout.writeBucketed(docs, "layout_docs", "doc_id", buckets = 4)
+    CorpusLayout.writeBucketed(scores, "layout_scores", "doc_id", buckets = 4)
+    val savedT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // disable broadcast so the join would OTHERWISE be a shuffled SMJ —
+    // bucket co-location is what must remove the exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = CorpusLayout.table(spark, "layout_docs")
+        .join(CorpusLayout.table(spark, "layout_scores"), "doc_id")
+      assert(joined.count() == 200)
+      assert(!CorpusLayout.hasShuffleExchange(joined),
+        "bucketed join must not shuffle:\n" +
+          joined.queryExecution.executedPlan.toString.take(2000))
+      // sanity: the same join over plain (unbucketed) frames DOES shuffle
+      val plain = docs.join(scores, "doc_id")
+      plain.count()
+      assert(CorpusLayout.hasShuffleExchange(plain),
+        "control join should shuffle when unbucketed")
+    } finally {
+      savedT.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      savedA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE IF EXISTS layout_docs")
+      spark.sql("DROP TABLE IF EXISTS layout_scores")
+    }
+  }
+
+  test("JSONL roundtrip preserves docs; corrupt lines quarantine, not drop") {
+    import graft.sources.JsonlCorpus
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString + "/docs"
+    val docs = Seq((1L, "hello world", "en", "src0", 11L),
+      (2L, "bonjour", "fr", "src1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    JsonlCorpus.write(docs, out)
+    // plant a corrupt line among the part files
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-corrupt.json"),
+      "{not valid json at all\n".getBytes)
+    val (good, bad, release) = JsonlCorpus.readSplit(spark, out)
+    try {
+      val got = good.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "hello world", "en"), (2L, "bonjour", "fr")))
+      val rejects = bad.collect().map(_.getString(0))
+      assert(rejects.length == 1 && rejects.head.startsWith("{not valid"),
+        s"corrupt line must be quarantined verbatim: ${rejects.toSeq}")
+    } finally release()
+  }
+
+  test("partitioned layout prunes the scan by partition value") {
+    val out = java.nio.file.Files.createTempDirectory("layout_part").toString
+    val docs = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"),
+      (4L, "fr", "d")).toDF("doc_id", "lang", "text")
+    CorpusLayout.writePartitioned(docs, out, Seq("lang"))
+    // directory structure is the partition encoding
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).sorted
+    assert(dirs.sameElements(Array("lang=de", "lang=en", "lang=fr")))
+    val en = spark.read.parquet(out).where(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"scan must prune on the partition column:\n${plan.take(1500)}")
+    assert(en.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+  }
+}
