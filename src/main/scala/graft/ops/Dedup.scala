@@ -168,11 +168,7 @@ object Dedup {
     // sides — persist so the shingle derivation runs once (empty-shingle
     // docs produce no rows, so the old size>0 filter is implicit)
     val e = shingleRows(docs, idCol, textCol, k).persist()
-    val banded = minhashSignatures(e, nHashes)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedRows(minhashSignatures(e, nHashes), bands, r)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -203,6 +199,79 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame =
     minhashLshPairsScoped(docs, idCol, textCol, k, nHashes, bands, threshold).df
+
+  /** One row per (doc_id, band, bucket): fixed-width band keys from the
+    * banded minhash signature — the SHARED key derivation for the in-batch
+    * pair join and the persistable index.
+    */
+  private def bandedRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** The persistable LSH index of a corpus: (doc_id, band, bucket) rows.
+    * Write it once (partitioned parquet) when the corpus is ingested; each
+    * new batch then dedups against it via [[incrementalNearDupsScoped]]
+    * WITHOUT re-shingling or re-hashing the existing corpus — the daily-
+    * crawl pattern (at 100 TB, re-hashing the full corpus per batch is the
+    * difference between a minutes job and a day one).
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nHashes: Int, bands: Int): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    require(nHashes <= 64,
+      "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
+    bandedRows(minhashSignatures(shingleRows(docs, idCol, textCol, k), nHashes),
+      bands, nHashes / bands)
+  }
+
+  /** Near-dups of a NEW batch against an EXISTING corpus index: candidates
+    * come from band-bucket equality between the batch's freshly-hashed
+    * index rows and the stored index; exact-Jaccard verification then
+    * re-shingles ONLY the candidate old docs (a semi-join prunes
+    * `oldDocs` before any text work). The old corpus is never re-hashed.
+    * Returns (new_id, old_id, jaccard >= threshold). `k/nHashes/bands`
+    * MUST match the parameters the index was built with.
+    */
+  def incrementalNearDupsScoped(newDocs: DataFrame, oldDocs: DataFrame,
+      oldIndex: DataFrame, idCol: String, textCol: String,
+      k: Int, nHashes: Int, bands: Int, threshold: Double): Scoped = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val eNew = shingleRows(newDocs, idCol, textCol, k).persist()
+    val newIdx = bandedRows(minhashSignatures(eNew, nHashes),
+      bands, nHashes / bands)
+    // candidate (new, old) pairs; persisted — consumed by the old-doc
+    // semi-join and the verification join
+    val cand = newIdx.as("n")
+      .join(oldIndex.as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+      .persist()
+    cand.count()
+    val oldCand = oldDocs.join(
+      cand.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val eOld = shingleRows(oldCand, idCol, textCol, k)
+    val arrsNew = eNew.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("sha"), count(lit(1)).as("na"))
+    val arrsOld = eOld.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shb"), count(lit(1)).as("nb"))
+    val out = cand
+      .join(arrsNew.select(col("doc_id").as("new_id"), col("sha"), col("na")),
+        Seq("new_id"))
+      .join(arrsOld.select(col("doc_id").as("old_id"), col("shb"), col("nb")),
+        Seq("old_id"))
+      .withColumn("common",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+    Scoped(out, () => { eNew.unpersist(); cand.unpersist(); () })
+  }
 
   /** [[componentsDetailed]]'s result with convergence metadata: whether the
     * label propagation reached a fixpoint (always true on the driver path)

@@ -221,7 +221,7 @@ object CorpusOps {
     }))
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """(SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
       |  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |        for i in generate_series(1, len(t) - 2)]

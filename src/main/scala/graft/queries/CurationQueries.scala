@@ -59,6 +59,25 @@ object CurationQueries {
           col("bin"))
         .orderBy("lang", "doc_id")),
 
+    // incremental dedup: the odd-id half is a "new crawl batch" deduped
+    // against the even-id half's PERSISTED LSH index — the old corpus is
+    // never re-hashed; verification re-shingles only candidate old docs.
+    // LSH recall ≈ 1 at j >= 0.8 + exact verification → output equals the
+    // brute-force odd×even pair set, which is what the oracle computes.
+    "q_doc_incremental_dedup" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val newDocs = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val idx = graft.ops.Dedup.minhashIndex(oldDocs, "doc_id", "text",
+        k = 3, nHashes = 64, bands = 32)
+      val sc = graft.ops.Dedup.incrementalNearDupsScoped(newDocs, oldDocs,
+        idx, "doc_id", "text", 3, 64, 32, 0.8)
+      val out = sc.df.withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("new_id", "old_id").localCheckpoint()
+      sc.release()
+      out
+    }),
+
     // IVF centroid training: 3 Lloyd's rounds, k=4, fixed-point integer
     // arithmetic throughout — bit-reproducible under any partitioning, so
     // the oracle replays the identical rounds with unrolled CTEs
@@ -120,6 +139,24 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_doc_incremental_dedup" ->
+      s"""WITH sh AS ${CorpusOps.shinglesSql},
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |cand AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS common
+         |  FROM e a JOIN e b ON a.g = b.g
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY 1, 2)
+         |SELECT new_id, old_id,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM cand
+         |JOIN sizes sa ON new_id = sa.doc_id
+         |JOIN sizes sb ON old_id = sb.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, old_id""".stripMargin,
 
     "q_doc_decontaminate" ->
       s"""WITH n AS (

@@ -229,6 +229,32 @@ class OpsSpec extends AnyFunSuite {
       "clean() must release every cached plan it created")
   }
 
+  test("incremental dedup: new batch against a parquet-persisted LSH index") {
+    spark.catalog.clearCache()
+    val idxPath = java.nio.file.Files.createTempDirectory("lsh_idx").toString + "/idx"
+    val oldDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely unrelated text here"),
+      (4L, "some other old corpus document with its own content"))
+      .toDF("doc_id", "text")
+    // ingest-time: index written once, read back like any table
+    Dedup.minhashIndex(oldDocs, "doc_id", "text", 3, 64, 32)
+      .write.mode("overwrite").parquet(idxPath)
+    val newDocs = Seq(
+      (11L, "THE  Quick   Brown fox jumps over the lazy dog"), // j=1 vs 0
+      (13L, "a brand new document sharing nothing with the corpus"))
+      .toDF("doc_id", "text")
+    val sc = Dedup.incrementalNearDupsScoped(newDocs, oldDocs,
+      spark.read.parquet(idxPath), "doc_id", "text", 3, 64, 32, 0.8)
+    val got = sc.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sc.release()
+    assert(got == Set((11L, 0L, 1.0)),
+      s"only the planted near-dup must match its old doc: $got")
+    assert(org.apache.spark.sql.graftshim.ColumnBridge.noCachedPlans(spark),
+      "incremental dedup must release its caches")
+  }
+
   test("fixed-point kmeans: separable clusters found, bit-identical under repartition") {
     import graft.ops.KMeans
     val pts = (0L until 20L).map { i =>
