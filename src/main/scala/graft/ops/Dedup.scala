@@ -159,7 +159,8 @@ object Dedup {
     * heavy-hitter skew). Returns (doc_a, doc_b, jaccard) with j >= threshold.
     */
   def minhashLshPairsScoped(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, nHashes: Int, bands: Int, threshold: Double): Scoped = {
+      k: Int, nHashes: Int, bands: Int, threshold: Double,
+      bucketCap: Int = Int.MaxValue): Scoped = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
@@ -168,7 +169,8 @@ object Dedup {
     // sides — persist so the shingle derivation runs once (empty-shingle
     // docs produce no rows, so the old size>0 filter is implicit)
     val e = shingleRows(docs, idCol, textCol, k).persist()
-    val banded = bandedRows(minhashSignatures(e, nHashes), bands, r)
+    val banded = capBuckets(
+      bandedRows(minhashSignatures(e, nHashes), bands, r), bucketCap)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -210,6 +212,23 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
+  /** Heavy-hitter guard for the band-bucket join: drop buckets holding
+    * more than `cap` docs. A bucket of n near-identical docs funnels
+    * O(n²) candidate pairs through one reducer — the same skew the jaccard
+    * path caps with its shingle df-cap. Buckets that hot are exact-dup
+    * residue (run [[exactGroups]] FIRST, as [[graft.api.CorpusCleaner]]
+    * does) or boilerplate clusters better collapsed by fingerprint; the
+    * cap bounds every bucket's contribution while the 31 other bands still
+    * catch pairs the dropped bucket would have. Default = uncapped
+    * (exact LSH semantics; production at corpus scale sets a cap).
+    */
+  private def capBuckets(banded: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) banded
+    else banded.join(
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+        .where(col("c") <= cap).select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi")
+
   /** The persistable LSH index of a corpus: (doc_id, band, bucket) rows.
     * Write it once (partitioned parquet) when the corpus is ingested; each
     * new batch then dedups against it via [[incrementalNearDupsScoped]]
@@ -218,12 +237,15 @@ object Dedup {
     * difference between a minutes job and a day one).
     */
   def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, nHashes: Int, bands: Int): DataFrame = {
+      k: Int, nHashes: Int, bands: Int,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
-    bandedRows(minhashSignatures(shingleRows(docs, idCol, textCol, k), nHashes),
-      bands, nHashes / bands)
+    capBuckets(
+      bandedRows(minhashSignatures(shingleRows(docs, idCol, textCol, k),
+        nHashes), bands, nHashes / bands),
+      bucketCap)
   }
 
   /** Near-dups of a NEW batch against an EXISTING corpus index: candidates

@@ -229,6 +229,27 @@ class OpsSpec extends AnyFunSuite {
       "clean() must release every cached plan it created")
   }
 
+  test("LSH bucket cap drops heavy-hitter buckets, leaves normal pairs intact") {
+    spark.catalog.clearCache()
+    // 10 near-identical docs land in the same bucket in EVERY band —
+    // O(n²) candidates through one reducer uncapped; cap 5 drops them
+    val hot = (0L until 10L).map(i => (i, "same boilerplate text repeated " +
+      "across the corpus again and again identically"))
+    val normal = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "THE  Quick  Brown fox jumps over the lazy dog"))
+    val docs = (hot ++ normal).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 32, 0.8)
+      .count()
+    assert(uncapped == 45 + 1) // C(10,2) hot pairs + the fox pair
+    val sc = Dedup.minhashLshPairsScoped(docs, "doc_id", "text", 3, 64, 32, 0.8,
+      bucketCap = 5)
+    val capped = sc.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sc.release()
+    assert(capped == Set((100L, 101L)),
+      s"cap must drop only the hot bucket's pairs: $capped")
+  }
+
   test("incremental dedup: new batch against a parquet-persisted LSH index") {
     spark.catalog.clearCache()
     val idxPath = java.nio.file.Files.createTempDirectory("lsh_idx").toString + "/idx"
