@@ -122,6 +122,23 @@ object TimeSeries {
         .orderBy("user_id", "event_type", "tidx")
     }),
 
+    // bounded-frame + offset window functions per (user, type) event
+    // stream, ordered by the (unique) event timestamp: 3-row rolling sum
+    // in exact integer cents (double sums would re-associate), lag delta
+    // (one subtraction of identical doubles — exact), and row index
+    "q_ts_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      ev(s, dir)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .select(col("user_id"), col("event_type"),
+          col("event_epoch_time").as("ts_epoch"),
+          sum(col("cents")).over(w.rowsBetween(-2, 0)).as("roll3_cents"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          row_number().over(w).as("rn"))
+        .orderBy("user_id", "event_type", "ts_epoch")
+    }),
+
     // anomaly flagging: per-(user, type) z-scores, |z| > 2 outliers
     "q_ts_zscore" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -298,6 +315,20 @@ object TimeSeries {
         |    ELSE pv + (nv - pv) * CAST(tidx - pt AS DOUBLE)
         |      / CAST(nt - pt AS DOUBLE) END AS value
         |FROM w ORDER BY user_id, event_type, tidx""".stripMargin),
+
+    "q_ts_rolling" ->
+      """SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+        |    (PARTITION BY user_id, event_type ORDER BY ts
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll3_cents,
+        |  value - lag(value, 1) OVER
+        |    (PARTITION BY user_id, event_type ORDER BY ts) AS delta,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY user_id, event_type ORDER BY ts) AS INT) AS rn
+        |FROM events
+        |ORDER BY user_id, event_type, ts_epoch""".stripMargin,
 
     "q_ts_zscore" ->
       """WITH e AS (
