@@ -39,6 +39,38 @@ object CorpusLayout {
       .partitionBy(cols: _*)
       .parquet(path)
 
+  /** Compact a parquet directory's small files into ~`targetBytes` files
+    * (streaming sinks and fine-grained batch appends leave thousands of
+    * KB-scale files; at corpus scale the file LISTING becomes the scan
+    * bottleneck before the data does). File count = ceil(bytes/target),
+    * written via round-robin repartition to equalize sizes; returns
+    * (files before, files after). Partition-column layouts should compact
+    * per partition directory (call this on each leaf).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val dir = new java.io.File(path)
+    def parquetFiles = dir.listFiles().filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: remove originals, move compacted files in
+    before.foreach(_.delete())
+    new java.io.File(tmp).listFiles().foreach { f =>
+      if (f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(path, f.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    new java.io.File(tmp).delete()
+    (before.length, parquetFiles.length)
+  }
+
   /** True iff the physical plan of `df` contains a shuffle exchange —
     * the thing bucketed joins exist to eliminate (exposed for specs and
     * plan audits).

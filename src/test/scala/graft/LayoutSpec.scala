@@ -68,6 +68,18 @@ class LayoutSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("compaction merges small files without losing rows") {
+    val out = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 64 tiny files
+    (0L until 640L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(64).write.parquet(out)
+    val (before, after) = CorpusLayout.compact(spark, out, targetBytes = 1L << 20)
+    assert(before == 64 && after < before, s"$before -> $after")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 640)
+    assert(back.agg(sum(col("doc_id"))).head.getLong(0) == 639L * 640 / 2)
+  }
+
   test("partitioned layout prunes the scan by partition value") {
     val out = java.nio.file.Files.createTempDirectory("layout_part").toString
     val docs = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"),
