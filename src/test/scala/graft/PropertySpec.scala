@@ -229,4 +229,41 @@ object PropertySpec extends Properties("graft.stages") {
           combined.contains(k) && math.abs(combined(k) - v) < 1e-9
         }
     }
+
+  /** Random per-group docs with 1..40 tokens (some above small capacities). */
+  private val genPackDocs: Gen[List[(String, Long, Int)]] = for {
+    nGroups <- Gen.choose(1, 3)
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.choose(0, nGroups - 1).map(i => s"g$i")
+      toks <- Gen.choose(1, 40)
+    } yield (g, toks))
+  } yield rows.zipWithIndex.map { case ((g, t), i) => (g, i.toLong, t) }
+
+  property("sequence packing: greedy invariants hold for any doc stream") =
+    forAll(genPackDocs, Gen.choose(8, 64)) { (rows, capacity) =>
+      import spark.implicits._
+      val docs = rows.map { case (g, id, toks) =>
+        (g, id, List.fill(toks)("w").mkString(" "))
+      }.toDF("grp", "doc_id", "text")
+      val packed = graft.ops.Curation
+        .packSequences(docs, "grp", "doc_id", "text", capacity)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      val byGroup = packed.groupBy(_._1)
+      packed.length == rows.length && byGroup.forall { case (_, ds) =>
+        val inOrder = ds.sortBy(_._2)
+        val bins = inOrder.map(_._4)
+        val binFills = inOrder.groupBy(_._4).view
+          .mapValues(_.map(_._3).sum).toMap
+        // bins are contiguous from 0, never decrease along the id order,
+        // every multi-doc bin fits capacity (only a single oversize doc
+        // may exceed it), and no doc could have fit the PREVIOUS bin
+        bins.head == 0 &&
+          bins.zip(bins.tail).forall { case (a, b) => b == a || b == a + 1 } &&
+          binFills.forall { case (b, fill) =>
+            fill <= capacity || inOrder.count(_._4 == b) == 1 } &&
+          inOrder.zip(inOrder.tail).forall { case ((_, _, _, ba), (_, _, t, bb)) =>
+            bb == ba || binFills(ba) + t > capacity }
+      }
+    }
 }
