@@ -80,6 +80,18 @@ object Curation {
     docs.where(b < keep)
   }
 
+  /** Per-row weighted sampling: keep a row with probability ~`rate` (a
+    * Column in [0, 1], e.g. a quality score) by content-hash bucket —
+    * quality-PROPORTIONAL downsampling (keep most good docs, few bad ones)
+    * instead of a hard threshold, and fully deterministic: the decision is
+    * a pure function of (content, rate), so it survives re-partitioning,
+    * re-runs, and engines, unlike `rand() < rate`. Zero shuffle.
+    */
+  def weightedSample(docs: DataFrame, keyCol: Column, rate: Column,
+      buckets: Int = 100): DataFrame =
+    docs.where(Sampling.hashBucket(keyCol, buckets).cast("double") <
+      rate * buckets)
+
   /** Greedy sequence packing: within each group (ordered by `idCol`), fill
     * bins of `capacity` tokens first-fit-in-order — the context-window
     * packing step of an LLM data pipeline. Returns one row per doc:

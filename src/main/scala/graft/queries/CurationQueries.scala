@@ -59,6 +59,18 @@ object CurationQueries {
           col("bin"))
         .orderBy("lang", "doc_id")),
 
+    // quality-weighted sampling: each doc kept with probability equal to
+    // its quality score, decided by content-hash bucket — deterministic
+    // quality-proportional downsampling (both engines recompute the same
+    // rounded quality and the same md5 bucket, so the kept set is exact)
+    "q_doc_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(t(s, dir, "documents"),
+        TextOps.normalize(col("text")), TextOps.qualityScore(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("lang")),
+
     // incremental dedup: the odd-id half is a "new crawl batch" deduped
     // against the even-id half's PERSISTED LSH index — the old corpus is
     // never re-hashed; verification re-shingles only candidate old docs.
@@ -139,6 +151,32 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_doc_weighted_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks, text,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, ${bucketSql(100)} AS bk,
+         |    CAST(len(list_filter(toks,
+         |      x -> x IN (${TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")})))
+         |      AS DOUBLE) / greatest(len(toks), 1) AS sraw,
+         |    CAST(length(trim(text)) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl,
+         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens
+         |  FROM b),
+         |q AS (
+         |  SELECT doc_id, lang, bk,
+         |    round((lens
+         |      + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+         |      + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality
+         |  FROM m)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM q WHERE CAST(bk AS DOUBLE) < quality * 100
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_doc_incremental_dedup" ->
       s"""WITH sh AS ${CorpusOps.shinglesSql},

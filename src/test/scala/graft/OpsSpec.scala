@@ -276,6 +276,29 @@ class OpsSpec extends AnyFunSuite {
       "incremental dedup must release its caches")
   }
 
+  test("curation ops tolerate empty and degenerate inputs") {
+    import graft.ops.{Curation, KMeans}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val some = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // empty eval corpus → nothing is contaminated; empty train → no rows
+    assert(Curation.contaminationScan(some, empty, "doc_id", "text", 3).count() == 0)
+    assert(Curation.contaminationScan(empty, some, "doc_id", "text", 3).count() == 0)
+    // empty pack input → no rows, no crash in the fold
+    val g = empty.withColumn("grp", lit("g"))
+    assert(Curation.packSequences(g, "grp", "doc_id", "text", 10).count() == 0)
+    assert(Curation.repetitionProfile(empty, "doc_id", "text").count() == 0)
+    // k larger than the corpus: fit degrades to k = n, still deterministic
+    val two = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val r = KMeans.fit(two, "vec_id", "embedding", k = 5, iters = 2)
+    val a = r.assignments.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    r.release()
+    assert(a == Map(1L -> 0, 2L -> 1))
+    // weighted sample: rate 0 drops everything, rate 1 keeps everything
+    assert(Curation.weightedSample(some, col("text"), lit(0.0)).count() == 0)
+    assert(Curation.weightedSample(some, col("text"), lit(1.0)).count() == 1)
+  }
+
   test("fixed-point kmeans: separable clusters found, bit-identical under repartition") {
     import graft.ops.KMeans
     val pts = (0L until 20L).map { i =>
