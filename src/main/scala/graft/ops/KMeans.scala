@@ -90,4 +90,32 @@ object KMeans {
     Result(assign(centroids).select("vec_id", "cluster"), centroids,
       () => { q.unpersist(); () })
   }
+
+  /** Product quantization: split each vector into `m` contiguous
+    * sub-vectors, train an INDEPENDENT fixed-point codebook per sub-space
+    * ([[fit]]), and emit each vector's per-sub-space cluster ids as its
+    * compressed code — m·log₂(k) bits per vector instead of dims·32
+    * (64-dim float → 2 bytes at m=2, k=256). The standard ANN compression;
+    * asymmetric-distance search then scans codes with per-query lookup
+    * tables. Inherits [[fit]]'s bit-reproducibility: the whole encoding is
+    * deterministic under any partitioning, and the DuckDB oracle replays
+    * every sub-space trainer exactly. Returns (vec_id, code0..code{m-1}).
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    val dims = vectors.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    val subs = (0 until m).map { s =>
+      val sub = vectors.select(col(idCol),
+        slice(col(vecCol), s * d + 1, d).as("sub"))
+      val r = fit(sub, idCol, "sub", k, iters, scale)
+      // materialize before releasing the sub-space's quantized cache
+      val a = r.assignments.withColumnRenamed("cluster", s"code$s")
+        .localCheckpoint()
+      r.release()
+      a
+    }
+    subs.reduce((a, b) => a.join(b, "vec_id"))
+  }
 }

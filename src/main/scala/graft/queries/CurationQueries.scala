@@ -90,6 +90,16 @@ object CurationQueries {
       out
     }),
 
+    // product quantization: independent fixed-point codebooks per
+    // sub-space (m=2 halves of the 64-dim vectors, k=8, 2 rounds) — each
+    // vector compressed to two cluster ids; the oracle replays both
+    // sub-space trainers and joins the codes
+    "q_emb_pq" -> ((s, dir) => {
+      val out = graft.ops.KMeans.pqEncode(wide(s, t(s, dir, "embeddings")),
+        "vec_id", "embedding", m = 2, k = 8, iters = 2)
+      out.orderBy("vec_id")
+    }),
+
     // IVF centroid training: 3 Lloyd's rounds, k=4, fixed-point integer
     // arithmetic throughout — bit-reproducible under any partitioning, so
     // the oracle replays the identical rounds with unrolled CTEs
@@ -116,7 +126,12 @@ object CurationQueries {
     * Spark DIV == Java long division), so DuckDB reproduces the Spark
     * trainer bit-for-bit — the payoff of the fixed-point design.
     */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  /** CTE chain `q$sfx, c0$sfx, a1$sfx … a{iters+1}$sfx` replaying the
+    * fixed-point trainer over `vecExpr` (full vector or a sub-slice for
+    * PQ); the final assignment CTE is `a${iters + 1}$sfx`.
+    */
+  private def kmeansCtes(sfx: String, vecExpr: String, k: Int,
+      iters: Int): Seq[String] = {
     def assignStep(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, v, cid FROM (
          |  SELECT q.vec_id, q.v, c.cid,
@@ -124,33 +139,57 @@ object CurationQueries {
          |      list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
          |                for i in generate_series(1, len(q.v))]),
          |      c.cid) AS rn
-         |  FROM q, $cents c) WHERE rn = 1)""".stripMargin
+         |  FROM q$sfx q, $cents c) WHERE rn = 1)""".stripMargin
     def updateStep(name: String, assigns: String) =
       s"""$name AS (SELECT cid, list(s ORDER BY dim) AS cv FROM (
          |    SELECT cid, dim, CAST(sum(val) AS BIGINT) // count(*) AS s
          |    FROM (SELECT cid, unnest(v) AS val,
          |            unnest(generate_series(1, len(v))) AS dim FROM $assigns)
          |    GROUP BY cid, dim) GROUP BY cid)""".stripMargin
-    val steps = (1 to iters).flatMap { i =>
-      Seq(assignStep(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
-        updateStep(s"c$i", s"a$i"))
-    } :+ assignStep(s"a${iters + 1}", s"c$iters")
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-       |     for x in embedding] AS v
-       |  FROM embeddings),
-       |c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-       |    v AS cv
-       |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),
-       |${steps.mkString(",\n")}
+    Seq(
+      s"""q$sfx AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         |     for x in $vecExpr] AS v
+         |  FROM embeddings)""".stripMargin,
+      s"""c0$sfx AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v FROM q$sfx ORDER BY vec_id LIMIT $k))""".stripMargin) ++
+      (1 to iters).flatMap { i =>
+        Seq(assignStep(s"a$i$sfx", if (i == 1) s"c0$sfx" else s"c${i - 1}$sfx"),
+          updateStep(s"c$i$sfx", s"a$i$sfx"))
+      } :+ assignStep(s"a${iters + 1}$sfx", s"c$iters$sfx")
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes("", "embedding", k, iters).mkString(",\n")}
        |SELECT vec_id, cid AS cluster FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+
+  /** PQ oracle: one independent trainer replay per sub-vector slice,
+    * joined on vec_id into the code columns.
+    */
+  private def pqSql(m: Int, dims: Int, k: Int, iters: Int): String = {
+    val d = dims / m
+    val blocks = (0 until m).flatMap { s =>
+      kmeansCtes(s"_s$s", s"embedding[${s * d + 1}:${(s + 1) * d}]", k, iters)
+    }
+    val joins = (1 until m)
+      .map(s => s"JOIN a${iters + 1}_s$s t$s USING (vec_id)").mkString("\n")
+    val codes = (0 until m)
+      .map(s => s"${if (s == 0) "t0" else s"t$s"}.cid AS code$s").mkString(", ")
+    s"""WITH ${blocks.mkString(",\n")}
+       |SELECT vec_id, $codes
+       |FROM a${iters + 1}_s0 t0
+       |$joins
+       |ORDER BY vec_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_emb_pq" -> pqSql(2, 64, 8, 2),
 
     "q_doc_weighted_sample" ->
       s"""WITH b AS (
