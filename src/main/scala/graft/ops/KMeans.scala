@@ -102,7 +102,17 @@ object KMeans {
     * every sub-space trainer exactly. Returns (vec_id, code0..code{m-1}).
     */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String, m: Int,
-      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+      k: Int, iters: Int, scale: Double = 1e6): DataFrame =
+    pqEncodeDetailed(vectors, idCol, vecCol, m, k, iters, scale).codes
+
+  final case class PqModel(codes: DataFrame,
+      codebooks: Seq[(Int, Seq[(Int, Seq[Long])])], subDims: Int)
+
+  /** [[pqEncode]] plus the trained sub-space codebooks (quantized centroid
+    * vectors) — the model [[pqSearchAdc]] scans with.
+    */
+  def pqEncodeDetailed(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, scale: Double = 1e6): PqModel = {
     val dims = vectors.select(size(col(vecCol)).as("d")).head.getInt(0)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val d = dims / m
@@ -114,8 +124,51 @@ object KMeans {
       val a = r.assignments.withColumnRenamed("cluster", s"code$s")
         .localCheckpoint()
       r.release()
-      a
+      (a, s -> r.centroids)
     }
-    subs.reduce((a, b) => a.join(b, "vec_id"))
+    PqModel(subs.map(_._1).reduce((a, b) => a.join(b, "vec_id")),
+      subs.map(_._2), d)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    * distance to each sub-space centroid is computed ONCE into a lookup
+    * table (nq·m·k entries, driver-built from the tiny codebooks and
+    * broadcast), then every corpus vector's estimated distance is just m
+    * table lookups summed — the compressed scan never touches the original
+    * vectors. All integer math on the quantized grid, so ranking is
+    * deterministic (ties by vec_id) and engine-reproducible. Returns
+    * (query_id, vec_id, adc_d2, rnk <= topK).
+    */
+  def pqSearchAdc(model: PqModel, queries: DataFrame, idCol: String,
+      vecCol: String, topK: Int, scale: Double = 1e6): DataFrame = {
+    val spark = model.codes.sparkSession
+    import spark.implicits._
+    val m = model.codebooks.length
+    val d = model.subDims
+    // query batches are small by contract (same bound as broadcast knn)
+    val qrows = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val table = for {
+      (qid, qv) <- qrows.toSeq
+      (s, cents) <- model.codebooks
+      (cid, cv) <- cents
+    } yield {
+      val sub = qv.slice(s * d, (s + 1) * d)
+      (qid, s, cid, sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val tdf = table.toDF("query_id", "sub", "code", "d2")
+    val melted = model.codes.select(col("vec_id"),
+      posexplode(array((0 until m).map(s => col(s"code$s")): _*))
+        .as(Seq("sub", "code")))
+    val scored = melted.join(broadcast(tdf), Seq("sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select("query_id", "vec_id", "adc_d2", "rnk")
   }
 }

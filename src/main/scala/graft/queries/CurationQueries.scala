@@ -100,6 +100,18 @@ object CurationQueries {
       out.orderBy("vec_id")
     }),
 
+    // PQ asymmetric-distance search: 3 queries scan the compressed codes
+    // via per-query lookup tables — the original vectors are never touched
+    // after encoding; all-integer math makes the ranking engine-exact
+    "q_emb_pq_search" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id", "embedding",
+        m = 2, k = 8, iters = 2)
+      graft.ops.KMeans.pqSearchAdc(model, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", topK = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     // IVF centroid training: 3 Lloyd's rounds, k=4, fixed-point integer
     // arithmetic throughout — bit-reproducible under any partitioning, so
     // the oracle replays the identical rounds with unrolled CTEs
@@ -185,11 +197,54 @@ object CurationQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** PQ ADC search oracle: replay the sub-space trainers, build the same
+    * per-(query, sub, centroid) integer distance tables, sum m lookups per
+    * corpus vector, rank by (distance, vec_id).
+    */
+  private def pqSearchSql(m: Int, dims: Int, k: Int, iters: Int,
+      nQueries: Int, topK: Int): String = {
+    val d = dims / m
+    val blocks = (0 until m).flatMap { s =>
+      kmeansCtes(s"_s$s", s"embedding[${s * d + 1}:${(s + 1) * d}]", k, iters)
+    }
+    val dts = (0 until m).map { s =>
+      s"""dt_s$s AS (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+         |      for i in generate_series(1, len(q.v))]) AS BIGINT) AS d2
+         |  FROM (SELECT vec_id, v FROM q_s$s WHERE vec_id < $nQueries) q,
+         |       c${iters}_s$s c)""".stripMargin
+    }
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN a${iters + 1}_s$s t$s USING (vec_id)").mkString("\n")
+    val dtJoins = (0 until m).map { s =>
+      val qj = if (s == 0) "" else s" AND d$s.query_id = d0.query_id"
+      s"JOIN dt_s$s d$s ON d$s.cid = t$s.cid$qj"
+    }.mkString("\n")
+    val distSum = (0 until m).map(s => s"d$s.d2").mkString(" + ")
+    s"""WITH ${(blocks ++ dts).mkString(",\n")},
+       |adc AS (
+       |  SELECT d0.query_id, t0.vec_id,
+       |    CAST($distSum AS BIGINT) AS adc_d2
+       |  FROM a${iters + 1}_s0 t0
+       |$codeJoins
+       |$dtJoins),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc_d2,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2, vec_id) AS INT) AS rnk
+       |  FROM adc)
+       |SELECT query_id, vec_id, adc_d2, rnk FROM ranked
+       |WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
 
     "q_emb_pq" -> pqSql(2, 64, 8, 2),
+
+    "q_emb_pq_search" -> pqSearchSql(2, 64, 8, 2, nQueries = 3, topK = 5),
 
     "q_doc_weighted_sample" ->
       s"""WITH b AS (
