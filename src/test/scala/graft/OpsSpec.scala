@@ -322,6 +322,43 @@ class OpsSpec extends AnyFunSuite {
       "fixed-point trainer must be partition-order independent")
   }
 
+  test("PQ ADC search matches a brute-force scan of the same codes") {
+    import graft.ops.KMeans
+    val vecs = (0L until 24L).map { i =>
+      val base = (i % 4).toFloat * 3f
+      (i, Array(base + 0.1f * (i % 3), base - 0.1f * (i % 5),
+        -base + 0.2f * (i % 2), base))
+    }.toDF("vec_id", "embedding")
+    val model = KMeans.pqEncodeDetailed(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2)
+    val queries = vecs.where(col("vec_id") < 2)
+    val got = KMeans.pqSearchAdc(model, queries, "vec_id", "embedding", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // brute-force reference: decode every vector via its codes and the
+    // codebooks, rank by the same integer ADC distance
+    val codes = model.codes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2))).toMap
+    val books = model.codebooks.toMap
+    val qs = queries.select(col("vec_id"),
+      KMeans.quantize(col("embedding"), 1e6).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    qs.foreach { case (qid, qv) =>
+      val expected = codes.toSeq.map { case (vid, cs) =>
+        val d2 = (0 until 2).map { s =>
+          val cv = books(s).toMap.apply(cs(s))
+          qv.slice(s * 2, (s + 1) * 2).zip(cv)
+            .map { case (a, b) => (a - b) * (a - b) }.sum
+        }.sum
+        (d2, vid)
+      }.sorted.take(3)
+      expected.zipWithIndex.foreach { case ((d2, vid), i) =>
+        assert(got((qid, i + 1)) == ((vid, d2)),
+          s"query $qid rank ${i + 1}: expected ($vid, $d2), got ${got((qid, i + 1))}")
+      }
+    }
+  }
+
   test("ANSI degenerate inputs: zero vectors and constant groups yield null, not throw") {
     // Spark 4 ANSI mode throws DIVIDE_BY_ZERO on double division — these
     // guards turn degenerate inputs into NULLs instead of job failures
