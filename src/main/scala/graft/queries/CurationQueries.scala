@@ -59,6 +59,16 @@ object CurationQueries {
           col("bin"))
         .orderBy("lang", "doc_id")),
 
+    // inverted-index conjunctive search: docs containing ALL query terms —
+    // one selective postings scan + one doc-keyed count agg, independent
+    // of term count (an intersect chain would shuffle once per term)
+    "q_doc_search" -> ((s, dir) => {
+      val p = graft.ops.Search.postings(wide(s, t(s, dir, "documents")),
+        "doc_id", "text")
+      graft.ops.Search.matchAll(p, Seq("spark", "query", "join"))
+        .orderBy("doc_id")
+    }),
+
     // quality-weighted sampling: each doc kept with probability equal to
     // its quality score, decided by content-hash bucket — deterministic
     // quality-proportional downsampling (both engines recompute the same
@@ -245,6 +255,17 @@ object CurationQueries {
     "q_emb_pq" -> pqSql(2, 64, 8, 2),
 
     "q_emb_pq_search" -> pqSearchSql(2, 64, 8, 2, nQueries = 3, topK = 5),
+
+    "q_doc_search" ->
+      raw"""WITH p AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents)
+           |SELECT doc_id FROM (
+           |  SELECT doc_id, count(*) AS nt FROM p
+           |  WHERE term IN ('spark', 'query', 'join')
+           |  GROUP BY doc_id)
+           |WHERE nt = 3 ORDER BY doc_id""".stripMargin,
 
     "q_doc_weighted_sample" ->
       s"""WITH b AS (

@@ -21,6 +21,15 @@ object Extras {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // multi-level aggregation: CUBE (every grouping-set combination)
+    "q_cube_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * lit(100), 0).cast("long")).as("qty_c"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // statistical aggregates (sample stddev/variance, correlation).
     // Pearson r is computed algebraically — covar/(sd·sd) with a nullif
     // guard — NOT via corr(): under Spark 4's ANSI mode corr() THROWS
@@ -113,6 +122,13 @@ object Extras {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c

@@ -118,6 +118,13 @@ object Relational {
       c.except(su).orderBy("nk")
     }),
 
+    // set op: INTERSECT (distinct semantics)
+    "q_set_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersect(su).orderBy("nk")
+    }),
+
     // top-k with total tie-break (deterministic LIMIT analog).
     // orderBy().limit(k) plans as TakeOrderedAndProject — per-partition
     // top-k with a driver merge of k×partitions rows — NOT a global
@@ -284,6 +291,12 @@ object Relational {
     "q_set_except" ->
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
 
