@@ -32,7 +32,14 @@ object ExplainCheck {
     "q_ts_densify" -> (Seq("Generate", "BroadcastHashJoin"), Seq("CartesianProduct")),
     // signature agg runs as ObjectHashAggregate (typed Aggregator buffers)
     "q_doc_minhash_lsh" -> (Seq("ObjectHashAggregate"), Seq("CartesianProduct")),
-    "q_emb_knn_brute" -> (Seq("BroadcastNestedLoopJoin"), Seq("SortMergeJoin")),
+    // embedding search top-k must run as bounded ObjectHashAggregate
+    // (TopKAgg partial top-k), never a per-query window sort of the whole
+    // scored corpus on one task
+    "q_emb_knn_brute" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      Seq("SortMergeJoin", "Window")),
+    "q_emb_knn_ivf" -> (Seq("ObjectHashAggregate"),
+      Seq("CartesianProduct", "Window")),
+    "q_emb_pq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // top-k must plan as TakeOrderedAndProject, never a global window
     "q_topk" -> (Seq("TakeOrderedAndProject"), Seq("Window")),
     "q_doc_term_freq" -> (Seq("TakeOrderedAndProject"), Seq("Window")),

@@ -138,18 +138,31 @@ object KMeans {
     * vectors. All integer math on the quantized grid, so ranking is
     * deterministic (ties by vec_id) and engine-reproducible. Returns
     * (query_id, vec_id, adc_d2, rnk <= topK).
+    *
+    * `maxQueryBatch` is a HARD bound, not advice: the code-melt join
+    * replicates every corpus code row once per matching LUT entry, i.e.
+    * the compressed corpus flows through the distance aggregation
+    * ×nQueries (map-side combined, but still scanned). The LUT itself is
+    * driver-built and broadcast at nq·m·k rows. Both grow linearly in the
+    * batch — a million-query workload must loop over batches (each batch
+    * is one job; the codes frame is reusable across batches), not widen
+    * one.
     */
   def pqSearchAdc(model: PqModel, queries: DataFrame, idCol: String,
-      vecCol: String, topK: Int, scale: Double = 1e6): DataFrame = {
+      vecCol: String, topK: Int, scale: Double = 1e6,
+      maxQueryBatch: Int = 1024): DataFrame = {
     val spark = model.codes.sparkSession
     import spark.implicits._
     val m = model.codebooks.length
     val d = model.subDims
-    // query batches are small by contract (same bound as broadcast knn)
     val qrows = queries
       .select(col(idCol).cast("long").as("query_id"),
         quantize(col(vecCol), scale).as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(qrows.length <= maxQueryBatch,
+      s"pqSearchAdc got ${qrows.length} queries > maxQueryBatch=$maxQueryBatch; " +
+        "the ADC scan replicates the corpus codes per query — run batches " +
+        "in a loop (or raise the bound deliberately)")
     val table = for {
       (qid, qv) <- qrows.toSeq
       (s, cents) <- model.codebooks
@@ -165,10 +178,14 @@ object KMeans {
     val scored = melted.join(broadcast(tdf), Seq("sub", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("d2")).as("adc_d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= topK)
-      .select("query_id", "vec_id", "adc_d2", "rnk")
+    // bounded per-query top-k (exact long keys — no double round-trip),
+    // never a row_number window sorting a query's whole scored corpus on
+    // one task; see graft.functions.TopKAgg
+    val top = graft.functions.TopKAgg.smallest_k_long(topK)
+    scored.groupBy("query_id")
+      .agg(top(col("adc_d2"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("vec_id"),
+        col("e.key").as("adc_d2"), (col("pos") + 1).cast("int").as("rnk"))
   }
 }

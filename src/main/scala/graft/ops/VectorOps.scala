@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shapes:
   *  - brute-force top-k: broadcast the (small) query set, one pass over the
-  *    corpus, per-query window top-k. Linear scan — the baseline.
+  *    corpus, bounded per-query top-k aggregation (never a window sort).
+  *    Linear scan — the baseline.
   *  - IVF: assign every vector to its nearest of K fixed centroids (one
   *    broadcast pass), bucket by cell; queries probe only `nprobe` cells —
   *    the scan shrinks by ~K/nprobe. Cell assignment is itself a broadcast
@@ -47,6 +48,28 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / over(norm(a) * norm(b))
 
+  /** Scale-safe per-query ranking of (query_id, vec_id, cos) rows: bounded
+    * top-k aggregation ([[graft.functions.TopKAgg]]) — each mapper keeps at
+    * most ~4k candidates per query and the shuffle carries k-bounded
+    * buffers, where a `row_number` window would sort a query's ENTIRE
+    * scored corpus on one task (the 100 TB killer; same discipline as the
+    * q_topk TakeOrderedAndProject fix, per-group form). Ordering (cos desc,
+    * vec_id asc) via the negated-key trick — bit-exact, and `cos` itself is
+    * carried through untouched. Null cos (zero-norm vectors) is excluded
+    * from ranking (the window form admitted such rows only when a query had
+    * fewer than k finite candidates).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.functions.TopKAgg.smallest_k(k)
+    scored.where(col("cos").isNotNull)
+      .groupBy("query_id")
+      .agg(top(negate(col("cos")), col("vec_id").cast("long"), col("cos"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("vec_id"), col("e.value").as("cos"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. `queries` must be small (broadcast). Returns
     * (query_id, rank, vec_id, cos).
@@ -60,11 +83,7 @@ object VectorOps {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("embedding"), col("query_vec"))
         / over(col("c_norm") * col("q_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+    topKPerQuery(scored, k)
   }
 
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
@@ -100,23 +119,26 @@ object VectorOps {
     val cells = assignCells(corpus, centroids)
     val qScored = queries.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(col("query_vec"), col("centroid_vec")))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe)
+    // probe selection is the same bounded top-k (nprobe nearest cells,
+    // ties → lowest centroid id) — no window even on the small query side,
+    // so the whole operator stays Window-free (ExplainCheck pins it)
+    val topP = graft.functions.TopKAgg.smallest_k(nprobe)
+    val probes = qScored.where(col("c_cos").isNotNull)
+      .groupBy("query_id")
+      .agg(first(col("query_vec")).as("query_vec"),
+        topP(negate(col("c_cos")), col("centroid_id").cast("long"),
+          col("c_cos")).as("top"))
       .select(col("query_id"), col("query_vec"),
         // precomputed per query, not per candidate pair (see bruteTopK)
         norm(col("query_vec")).as("q_norm"),
-        col("centroid_id").as("cell"))
+        explode(col("top")).as("e"))
+      .select(col("query_id"), col("query_vec"), col("q_norm"),
+        col("e.id").as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("embedding"), col("query_vec"))
         / over(col("v_norm") * col("q_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic ±1 pseudo-hyperplane entry for (plane j, dimension d):
@@ -139,8 +161,23 @@ object VectorOps {
     * tables OR fewer planes at the cost of bigger blocks).
     * Returns (vec_a, vec_b, bucket, cos) with cos >= threshold.
     */
+  /** Heavy-hitter guard for similarity blocking, mirroring the MinHash
+    * path's `Dedup.capBuckets`: drop blocks holding more than `cap`
+    * vectors before the in-block self-join — a block of n near-identical
+    * embeddings funnels O(n²) pairs through one reducer. Blocks that hot
+    * are exact-dup residue (dedup first) or a degenerate block key; the
+    * cap bounds every block's contribution. Default = uncapped (exact
+    * blocking semantics; production at corpus scale sets a cap).
+    */
+  private def capBlocks(v: DataFrame, keyCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) v
+    else v.join(
+      v.groupBy(keyCol).agg(count(lit(1)).as("c"))
+        .where(col("c") <= cap).select(keyCol),
+      Seq(keyCol), "left_semi")
+
   def signLshNearDupPairs(corpus: DataFrame, threshold: Double,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8, blockCap: Int = Int.MaxValue): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 30, "nPlanes must be in [1, 30]")
     val emb = col("embedding")
     def planeSum(j: Int): Column = aggregate(
@@ -153,11 +190,13 @@ object VectorOps {
     // pipelines)
     val sums = corpus.select(Seq(col("vec_id"), col("embedding")) ++
       (0 until nPlanes).map(j => planeSum(j).as(s"s$j")): _*)
-    val v = sums.select(col("vec_id"), col("embedding"),
+    val v = capBlocks(
+      sums.select(col("vec_id"), col("embedding"),
         (0 until nPlanes)
           .map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
           .reduce(_ + _).as("bucket"))
-      .withColumn("nrm", norm(col("embedding")))
+        .withColumn("nrm", norm(col("embedding"))),
+      "bucket", blockCap)
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
@@ -171,9 +210,12 @@ object VectorOps {
     * here (the clustering key); [[signLshNearDupPairs]] is the variant for
     * corpora with no natural block key. Returns (vec_a, vec_b, cos).
     */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val v = corpus.select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      blockCap: Int = Int.MaxValue): DataFrame = {
+    val v = capBlocks(
+      corpus.select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("nrm", norm(col("embedding"))),
+      "label", blockCap)
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))

@@ -511,6 +511,65 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("TopKAgg: trim path + merge bit-match a full sort, under repartition") {
+    // 500 scores in one group exercises the 4k trim on both the reduce and
+    // the merge path (trimAt = 64 at k = 3); a different partitioning must
+    // give the identical ranked output (bounded buffers, deterministic order)
+    val rows = (0L until 500L).map(i => (1L, ((i * 7919) % 499).toDouble, i))
+      .toDF("query_id", "cos", "vec_id")
+    val expected = rows.collect()
+      .map(r => (-r.getDouble(1), r.getLong(2)))
+      .sorted.take(3)
+      .zipWithIndex.map { case ((negCos, id), i) => (i + 1, id, -negCos) }.toSeq
+    Seq(rows, rows.repartition(13)).foreach { input =>
+      val top = graft.functions.TopKAgg.smallest_k(3)
+      val got = input.groupBy("query_id")
+        .agg(top(negate(col("cos")), col("vec_id"), col("cos")).as("t"))
+        .select(posexplode(col("t")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("int"), col("e.id"), col("e.value"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("near-dup block caps bound a hot block; uncapped default unchanged") {
+    // label "hot" holds 5 identical vectors (10 in-block pairs), label
+    // "cold" holds 2 — a cap of 3 must drop the hot block entirely while
+    // the cold block's pair survives; the embedding analog of the MinHash
+    // bucket cap
+    // cold = (1, -2): every plane projection has the opposite sign of the
+    // hot (1, 2) vectors' (the ±2 term dominates), so the sign-LSH bucket
+    // is the bitwise complement of the hot bucket — guaranteed distinct
+    val vecs = ((0L until 5L).map(i => (i, "hot", Array(1.0f, 2.0f))) ++
+      Seq((10L, "cold", Array(1.0f, -2.0f)), (11L, "cold", Array(1.0f, -2.0f))))
+      .toDF("vec_id", "label", "embedding")
+    val capped = VectorOps.nearDupPairs(vecs, 0.9, blockCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)))
+    val uncapped = VectorOps.nearDupPairs(vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 11 && uncapped((10L, 11L)))
+    // the sign-LSH variant caps its hash buckets the same way: 5 identical
+    // vectors share a bucket, so cap=3 leaves only the cold pair (cold
+    // vectors hash to a different bucket than the hot ones here)
+    val lshCapped = VectorOps.signLshNearDupPairs(vecs, 0.9, blockCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshCapped == Set((10L, 11L)))
+  }
+
+  test("pqSearchAdc enforces the query-batch bound") {
+    import graft.ops.KMeans
+    val vecs = (0L until 8L).map(i => (i, Array(i.toFloat, -i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = KMeans.pqEncodeDetailed(vecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      KMeans.pqSearchAdc(model, vecs, "vec_id", "embedding", topK = 2,
+        maxQueryBatch = 4).count()
+    }
+    assert(e.getMessage.contains("maxQueryBatch"))
+  }
+
   test("langid picks marker-majority language deterministically") {
     val r = Seq((1L, "the cat and the dog of the house"),
       (2L, "el perro de la casa es que grande"),
