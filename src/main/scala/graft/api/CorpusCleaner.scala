@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, TextOps}
 
+/** Result of [[CorpusCleaner.clean]]. `nearDupConverged` surfaces
+  * [[Dedup.ComponentsResult.converged]]: a maxIters-capped components run
+  * under-merges duplicate chains (some near-dups survive the clean), which
+  * callers must be able to see and act on — the Dedup contract says the
+  * flag "must be surfaced, not swallowed", so it rides in the report, not
+  * just a warning log.
+  */
+final case class CleanReport(docs: DataFrame, dropCounts: Map[String, Long],
+    nearDupConverged: Boolean, nearDupIterations: Int)
+
 /** End-to-end training-corpus cleaning facade: annotate → exact-dedup →
   * near-dedup (MinHash-LSH) → quality/language filter. The composition a
   * 100 TB text pipeline runs before tokenization; every stage is one of the
@@ -32,8 +42,8 @@ class CorpusCleaner(
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withColumn("n_tokens", TextOps.tokenCount(col("text")))
 
-  /** Returns (cleaned docs, per-stage drop counts). */
-  def clean(docs: DataFrame): (DataFrame, Map[String, Long]) = {
+  /** Cleans `docs`; see [[CleanReport]] for what comes back. */
+  def clean(docs: DataFrame): CleanReport = {
     val n0 = docs.count()
     val annotated = annotate(docs).persist()
 
@@ -67,11 +77,13 @@ class CorpusCleaner(
     val n3 = cleaned.count()
 
     annotated.unpersist(); afterExact.unpersist(); afterNear.unpersist()
-    (cleaned, Map(
+    CleanReport(cleaned, Map(
       "input" -> n0,
       "exact_dups_dropped" -> (n0 - n1),
       "near_dups_dropped" -> (n1 - n2),
       "low_quality_or_lang_dropped" -> (n2 - n3),
-      "output" -> n3))
+      "output" -> n3),
+      nearDupConverged = comp.converged,
+      nearDupIterations = comp.iterations)
   }
 }

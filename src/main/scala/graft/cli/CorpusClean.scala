@@ -23,9 +23,15 @@ object CorpusClean {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(in)
-    val (cleaned, stats) = new CorpusCleaner(minQuality = minQuality).clean(docs)
-    cleaned.write.mode("overwrite").parquet(out)
-    stats.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[corpus-clean] $k=$v") }
+    val report = new CorpusCleaner(minQuality = minQuality).clean(docs)
+    report.docs.write.mode("overwrite").parquet(out)
+    report.dropCounts.toSeq.sortBy(_._1)
+      .foreach { case (k, v) => println(s"[corpus-clean] $k=$v") }
+    println(s"[corpus-clean] near_dup_converged=${report.nearDupConverged} " +
+      s"(iterations=${report.nearDupIterations})")
+    if (!report.nearDupConverged)
+      System.err.println("[corpus-clean] WARNING: near-dup components hit " +
+        "maxIters — output may keep under-merged duplicate chains")
     spark.stop()
   }
 }

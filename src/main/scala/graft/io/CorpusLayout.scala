@@ -46,29 +46,43 @@ object CorpusLayout {
     * written via round-robin repartition to equalize sizes; returns
     * (files before, files after). Partition-column layouts should compact
     * per partition directory (call this on each leaf).
+    *
+    * Swap protocol: compacted data is fully written to a `.compact-tmp`
+    * sibling, then the ORIGINAL directory is renamed aside and the tmp
+    * renamed into place (two same-filesystem renames), then the aside copy
+    * is deleted. A crash at any point never loses or duplicates data: the
+    * original survives intact (as `path` or as `path.compact-old`) until
+    * the compacted copy is live, and no state ever contains both copies
+    * under `path` — the failure modes of delete-then-move (empty dir) and
+    * move-then-delete (doubled rows) for in-place file swaps. LOCAL
+    * FILESYSTEM ONLY (java.io rename semantics; a concurrent reader mid-
+    * swap can still catch the brief no-directory gap between the renames —
+    * coordinate compaction with readers, as any file-level compactor
+    * without a table format must).
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val dir = new java.io.File(path)
-    def parquetFiles = dir.listFiles().filter(f =>
-      f.isFile && f.getName.endsWith(".parquet"))
-    val before = parquetFiles
-    val totalBytes = before.map(_.length()).sum
+    require(dir.isDirectory,
+      s"compact() needs a local directory, got: $path")
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles(dir).length
+    val totalBytes = parquetFiles(dir).map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    val tmp = new java.io.File(path.stripSuffix("/") + ".compact-tmp")
+    val old = new java.io.File(path.stripSuffix("/") + ".compact-old")
     spark.read.parquet(path).repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: remove originals, move compacted files in
-    before.foreach(_.delete())
-    new java.io.File(tmp).listFiles().foreach { f =>
-      if (f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(path, f.getName),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    java.nio.file.Files.move(dir.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, dir.toPath)
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(); ()
     }
-    new java.io.File(tmp).listFiles().foreach(_.delete())
-    new java.io.File(tmp).delete()
-    (before.length, parquetFiles.length)
+    deleteRecursively(old)
+    (before, parquetFiles(dir).length)
   }
 
   /** True iff the physical plan of `df` contains a shuffle exchange —

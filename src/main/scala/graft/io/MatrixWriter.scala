@@ -176,20 +176,27 @@ object MatrixWriter {
     (0L to totalWindows).mkString("feature_id,", ",", "")
 
   /** K2: header-only matrices for requested stays that produced no rows —
-    * a metadata-only anti-join over the (small) stay dimension; facts are
-    * never collected.
+    * a metadata-only anti-join over the stay dimension; facts are never
+    * collected. The header writes run in `foreachPartition` on the
+    * EXECUTORS, not a driver loop: at 10⁶ missing stays a driver-serial
+    * loop is 10⁶ sequential remote-FS round-trips, while here each task
+    * streams its partition's headers in parallel (same per-file bytes,
+    * same filenames — byte-identical output).
     */
   private def writeDummies(produced: DataFrame, stayIdx: DataFrame,
       dstPath: String, sourceName: String): Unit = {
-    val missing = stayIdx.select("stay_id", "total_windows")
+    val hconf = new SerializableHadoopConf(
+      stayIdx.sparkSession.sparkContext.hadoopConfiguration)
+    stayIdx.select("stay_id", "total_windows")
       .join(produced.select("stay_id").distinct(), Seq("stay_id"), "left_anti")
-      .collect()
-    val conf = stayIdx.sparkSession.sparkContext.hadoopConfiguration
-    missing.foreach { r =>
-      val out = openWriter(conf,
-        s"$dstPath/${r.getLong(0)}/${sourceName}_features.csv")
-      try { out.write(header(r.getLong(1))); out.newLine() } finally out.close()
-    }
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val out = openWriter(hconf.value,
+            s"$dstPath/${r.getLong(0)}/${sourceName}_features.csv")
+          try { out.write(header(r.getLong(1))); out.newLine() }
+          finally out.close()
+        }
+      }
   }
 
   /** K3: run manifest, mirroring `/root/reference/src/mimic2ts/__main__.py:83-91`

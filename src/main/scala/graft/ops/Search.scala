@@ -25,11 +25,16 @@ object Search {
     */
   def matchAll(postings: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
+    // dedupe AFTER lowercasing: postings are distinct per doc, so a
+    // duplicated input term (e.g. "spark" and "Spark") can match at most
+    // once — comparing n_matched against the raw length would silently
+    // return zero docs
+    val ts = terms.map(_.toLowerCase).distinct
     postings
-      .where(col("term").isin(terms.map(_.toLowerCase): _*))
+      .where(col("term").isin(ts: _*))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matched")) // postings are distinct per doc
-      .where(col("n_matched") === terms.length)
+      .where(col("n_matched") === ts.length)
       .select("doc_id")
   }
 }

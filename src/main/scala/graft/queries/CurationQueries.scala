@@ -84,16 +84,28 @@ object CurationQueries {
     // incremental dedup: the odd-id half is a "new crawl batch" deduped
     // against the even-id half's PERSISTED LSH index — the old corpus is
     // never re-hashed; verification re-shingles only candidate old docs.
-    // LSH recall ≈ 1 at j >= 0.8 + exact verification → output equals the
-    // brute-force odd×even pair set, which is what the oracle computes.
+    // ORACLE RECALL BOUND: the DuckDB oracle computes the exhaustive
+    // shared-shingle odd×even pair set, while the Spark side emits only
+    // LSH band-collision candidates (then exact-verified) — equality is
+    // PROBABILISTIC, not structural. It holds because in the pinned regime
+    // (r = nHashes/bands = 2 rows per band, 32 bands, threshold j >= 0.8)
+    // a qualifying pair misses every band with probability (1-j²)^32
+    // ≤ (1-0.64)^32 ≈ 4e-15 — zero expected misses at any realistic
+    // corpus size. The guard below pins that regime: loosening it (fewer
+    // bands, wider rows, lower threshold) would make this gate flaky
+    // rather than wrong, which is worse.
     "q_doc_incremental_dedup" -> ((s, dir) => {
+      val (k, nHashes, bands, threshold) = (3, 64, 32, 0.8)
+      require(nHashes / bands <= 2 && bands >= 32 && threshold >= 0.8,
+        "bit-exact oracle is only valid in the r<=2 / bands>=32 / j>=0.8 " +
+          "regime (miss prob <= (1-j^2)^bands ~ 4e-15); see comment")
       val docs = wide(s, t(s, dir, "documents"))
       val oldDocs = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val newDocs = docs.where(pmod(col("doc_id"), lit(2)) === 1)
       val idx = graft.ops.Dedup.minhashIndex(oldDocs, "doc_id", "text",
-        k = 3, nHashes = 64, bands = 32)
+        k, nHashes, bands)
       val sc = graft.ops.Dedup.incrementalNearDupsScoped(newDocs, oldDocs,
-        idx, "doc_id", "text", 3, 64, 32, 0.8)
+        idx, "doc_id", "text", k, nHashes, bands, threshold)
       val out = sc.df.withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("new_id", "old_id").localCheckpoint()
       sc.release()

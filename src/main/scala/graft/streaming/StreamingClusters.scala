@@ -48,7 +48,10 @@ object StreamingClusters {
 
   /** Cluster one closed window's corpus with the batch operators: every doc
     * gets a row (singletons label themselves). Returns (window_start,
-    * doc_id, cluster_id).
+    * doc_id, cluster_id, converged) — `converged` surfaces
+    * [[Dedup.ComponentsResult.converged]] per window: a maxIters-capped
+    * (under-merged) window is marked in its OWN OUTPUT, not just a driver
+    * log line a downstream consumer never sees.
     */
   private[streaming] def clusterWindow(winDocs: DataFrame, k: Int,
       nHashes: Int, bands: Int, threshold: Double): DataFrame = {
@@ -58,7 +61,8 @@ object StreamingClusters {
     val labeled = winDocs
       .join(comp.df, Seq("doc_id"), "left")
       .select(col("window_start"), col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        lit(comp.converged).as("converged"))
     // foreachBatch is synchronous per batch: materialize before releasing
     // the pipeline caches the labels were computed from
     val rows = labeled.localCheckpoint()
@@ -66,9 +70,16 @@ object StreamingClusters {
     rows
   }
 
-  /** Append-mode parquet sink: each closed window's clusters land under
-    * `path` as (window_start, doc_id, cluster_id). The foreachBatch loop
-    * runs the batch clustering once per closed window in the micro-batch.
+  /** Parquet sink, partitioned by window: each closed window's clusters
+    * land under `path/window_start=.../` as (doc_id, cluster_id,
+    * converged). IDEMPOTENT under micro-batch replay: foreachBatch is
+    * at-least-once, so a blind append would duplicate a window's rows when
+    * a batch re-runs after failure/restart — instead each write OVERWRITES
+    * exactly the window partitions present in it (dynamic
+    * partitionOverwriteMode), so a replayed window rewrites its own
+    * directory byte-for-byte (the clustering is deterministic) and touches
+    * nothing else. The foreachBatch loop runs the batch clustering once
+    * per closed window in the micro-batch.
     */
   def sink(closedWindows: DataFrame, path: String, checkpoint: String,
       k: Int = 3, nHashes: Int = 64, bands: Int = 32,
@@ -86,7 +97,10 @@ object StreamingClusters {
             .select(col("window_start"), col("d.doc_id").as("doc_id"),
               col("d.text").as("text"))
           clusterWindow(winDocs, k, nHashes, bands, threshold)
-            .write.mode("append").parquet(path)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(path)
         }
       }
 }

@@ -218,13 +218,15 @@ class OpsSpec extends AnyFunSuite {
       (4L, "ALPHA beta   gamma delta epsilon zeta eta theta iota"), // exact dup of 1
       (5L, "completely unrelated content with nothing shared at all"))
       .toDF("doc_id", "text")
-    val (cleaned, stats) = new graft.api.CorpusCleaner(
+    val report = new graft.api.CorpusCleaner(
       minQuality = 0.0, jaccard = 0.7).clean(docs)
-    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    val stats = report.dropCounts
+    val kept = report.docs.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 5L),
       s"chain {1,2,3} must collapse to min-id 1; got $kept")
     assert(stats("input") == 5 && stats("exact_dups_dropped") == 1 &&
       stats("near_dups_dropped") == 2 && stats("output") == 2, stats.toString)
+    assert(report.nearDupConverged, "tiny fixture must converge")
     assert(org.apache.spark.sql.graftshim.ColumnBridge.noCachedPlans(spark),
       "clean() must release every cached plan it created")
   }

@@ -227,7 +227,13 @@ class StreamingSpec extends AnyFunSuite {
       source.addData((99L, ts("2020-01-01 03:00:00"), "watermark pusher"))
       q.processAllAvailable()
 
-      val got = spark.read.parquet(out)
+      // window_start is now the partition column (idempotent dynamic-
+      // overwrite sink) — select by name, not position
+      val outDf = spark.read.parquet(out)
+      assert(outDf.select("converged").distinct().collect()
+        .map(_.getBoolean(0)).toSeq == Seq(true))
+      val got = outDf
+        .select("window_start", "doc_id", "cluster_id")
         .collect()
         .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
         .toSet
@@ -254,6 +260,19 @@ class StreamingSpec extends AnyFunSuite {
         .map { case (_, d, c) => d -> c }.toMap
       assert(batchLabels.forall { case (d, c) => streamedW0(d) == c },
         s"streamed window-0 labels $streamedW0 must cover batch $batchLabels")
+
+      // replay idempotency: re-writing window 0's rows the way a failed
+      // micro-batch replay would (same dynamic-overwrite writer) must leave
+      // the dataset unchanged — a blind append would double the window
+      val before = spark.read.parquet(out).count()
+      spark.read.parquet(out)
+        .where(col("window_start") === lit(ts("2020-01-01 00:00:00")))
+        .select("doc_id", "cluster_id", "converged", "window_start")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("window_start")
+        .parquet(out)
+      assert(spark.read.parquet(out).count() == before)
     } finally q.stop()
   }
 }
