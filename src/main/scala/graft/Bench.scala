@@ -74,9 +74,47 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    // relational broadcast-join family: the r3 driver bench showed
+    // q_join_broadcast/anti/multiway 3-5x their r2 times while everything
+    // else stayed <=1.7x — idle re-runs reproduce r2-level times (0.3-0.5 s),
+    // so the bump is first-compile JIT landing on the clock under
+    // contention, exactly the class this shape-warmup exists for. The doc/
+    // event warmups never compile a relational BroadcastHashJoin + two-agg
+    // stage; this half-slice pass does (same expressions as the queries:
+    // broadcast dim join, cents() agg, left_semi/left_anti variants).
+    def warmRelational(): Unit = {
+      def cents(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.functions.round(c * lit(100), 0).cast("long")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(pmod(col("l_orderkey"), lit(2)) === 0)
+      val p = spark.read.parquet(s"$sfDir/part.parquet")
+      li.join(org.apache.spark.sql.functions.broadcast(p),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(org.apache.spark.sql.functions.sum(
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .count()
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .where(pmod(col("o_orderkey"), lit(2)) === 0)
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      o.join(org.apache.spark.sql.functions.broadcast(
+          c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .count()
+      c.join(o.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .count()
+      spark.catalog.clearCache()
+    }
     try {
       warmDedup()
       warmTimeSeries()
+      warmRelational()
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
