@@ -70,6 +70,8 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stage/row progress on the console — the reference's ProgressBar analog
+    spark.sparkContext.addSparkListener(new ProgressListener)
     val sources = Sources.all.filterNot(s => exclude.contains(s.name))
     new EventsAggregator(spark, src, dst, stayIds, featureIds, timestep, ffill,
       sources, fillMode).run(sink)

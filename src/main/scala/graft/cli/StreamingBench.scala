@@ -1,0 +1,124 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingAggregator
+
+/** Sustained-throughput measurement for the streaming bucketize→combine
+  * path: the MEDIUM fixture corpus (GenFixtures 2000 stays × 200
+  * chartevents = 400 k events — the same corpus as BASELINE.md's batch
+  * table) replayed as a file-source stream in bounded micro-batches, through
+  * the watermarked partial aggregation into the parquet partial store.
+  *
+  * Reported rate = events / wall-clock from stream start until the LAST
+  * window is flushed (sentinel past the watermark, same protocol as
+  * [[StreamDemo]]) — i.e. including micro-batch scheduling, state-store
+  * traffic, watermark eviction, and sink commits, not just the hot loop.
+  *
+  * Usage: `runMain graft.cli.StreamingBench [nStays] [perStay] [filesPerTrigger]`
+  */
+object StreamingBench {
+  def main(args: Array[String]): Unit = {
+    val nStays = args.headOption.map(_.toInt).getOrElse(2000)
+    val perStay = if (args.length > 1) args(1).toInt else 200
+    val filesPerTrigger = if (args.length > 2) args(2).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").appName("graft-streaming-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // the medium corpus's chartevents, built with GenFixtures' exact
+    // hash-derived formulas (stay intime/duration, event offset/value) —
+    // deterministic, no CSV round-trip
+    val base = 1577836800L // 2020-01-01, GenFixtures.Base
+    val stays = spark.range(1, nStays + 1).toDF("stay_id")
+      .withColumn("intime", lit(base) +
+        pmod(xxhash64(col("stay_id"), lit(1)), lit(30 * 24 * 3600L)))
+      .withColumn("dur", lit(3600L) +
+        pmod(xxhash64(col("stay_id"), lit(2)), lit(9 * 24 * 3600L)))
+    val stayIndex = stays
+      .withColumn("total_windows", floor(col("dur") / lit(3600L)).cast("long"))
+      .select("stay_id", "intime", "total_windows")
+    val events = stays
+      .withColumn("i", explode(sequence(lit(0), lit(perStay - 1))))
+      .select(col("stay_id"),
+        timestamp_seconds(col("intime") +
+          pmod(xxhash64(col("stay_id"), col("i"), lit(11)), col("dur")))
+          .as("event_time"),
+        concat(lit("item"),
+          pmod(xxhash64(col("stay_id"), col("i"), lit(10)), lit(200L)))
+          .as("feature_id"),
+        (pmod(xxhash64(col("stay_id"), col("i"), lit(12)), lit(10000L)) / lit(100.0))
+          .as("value"))
+    val nEvents = nStays.toLong * perStay
+
+    // stage as many small files so maxFilesPerTrigger yields a real
+    // micro-batch cadence instead of one giant batch. RANGE-partitioned by
+    // event_time: the file source replays files in order, and a replay must
+    // arrive roughly in event-time order or the watermark races ahead and
+    // silently drops later files' events as late (measured: random file
+    // order retained only ~20% of events) — a real stream is
+    // arrival-ordered, so the replay must be too
+    val inDir = Files.createTempDirectory("sbench-in").toString
+    val outDir = Files.createTempDirectory("sbench-out").toString
+    val ckDir = Files.createTempDirectory("sbench-ck").toString
+    events.repartitionByRange(40, col("event_time"))
+      .write.mode("overwrite").parquet(inDir)
+    // the file source replays in MODIFICATION-TIME order, and one write job
+    // stamps every part file with the same mtime — stagger them in range
+    // (= part-number = event-time) order or pickup order is arbitrary and
+    // the watermark races ahead anyway
+    val parts = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1600000000000L + i * 60000L)
+    }
+
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .schema(events.schema).parquet(inDir)
+    val partials = StreamingAggregator.partials(stream, stayIndex, 3600L,
+      watermark = "1 hour")
+
+    val t0 = System.nanoTime()
+    val q = partials.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .start()
+    q.processAllAvailable()
+    // flush the tail: a sentinel far past the data advances the watermark
+    // (joins no stay, contributes no rows), then one more pass emits
+    // everything still in state
+    val maxTs = events.agg(max(col("event_time"))).head().getTimestamp(0)
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000),
+        "sentinel", 0.0))
+      .toDF("stay_id", "event_time", "feature_id", "value")
+      .write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val outAgg = spark.read.parquet(outDir)
+      .agg(count(lit(1)), coalesce(sum("value_n"), lit(0L))).head()
+    val outRows = outAgg.getLong(0)
+    // events that actually made it through the watermark into a flushed
+    // window — the throughput claim is over RETAINED events, and a lossy
+    // replay (watermark racing the file order) fails loudly instead of
+    // inflating the rate
+    val retained = outAgg.getLong(1)
+    val batches = q.recentProgress.length
+    println(f"""{"metric":"streaming_rows_per_sec","value":${retained / wallSec}%.0f,"events":$nEvents,"retained":$retained,"wall_sec":$wallSec%.2f,"partial_rows":$outRows,"micro_batches":$batches,"files_per_trigger":$filesPerTrigger,"stays":$nStays}""")
+    spark.stop()
+    if (outRows == 0 || retained < (nEvents * 99) / 100) sys.exit(1)
+  }
+}

@@ -124,6 +124,28 @@ class EngineSpec extends AnyFunSuite {
     assert(h3 == "feature_id,0,1,2") // dummy file still has correct width
   }
 
+  test("MatrixReader loads matrices back: reindex, zero-fill, collate pad") {
+    import graft.cli.MatrixReader
+    val sources = Sources.all.map(_.name)
+    // universe spanning both observed features and one no-stay-has feature
+    val universe = Vector(100L, 200L, 300L, 999L)
+    val m1 = MatrixReader.readStay(outDir.toString, 1L, sources, universe)
+    assert(m1.width == 6) // stay 1 header is feature_id,0..5
+    // feature 100 row matches the written chartevents CSV line
+    val csvRow = readCsvLines(outDir.resolve("1/chartevents_features.csv"))(1)
+      .split(",").drop(1).map(_.toDouble).toSeq
+    assert(m1.values(universe.indexOf(100L)).take(csvRow.length).toSeq == csvRow)
+    // feature 999 exists nowhere → zero row (reference reindex+fillna)
+    assert(m1.values(universe.indexOf(999L)).forall(_ == 0.0))
+    // dummy stay 3: header-only files → all-zero (features × 3) matrix
+    val m3 = MatrixReader.readStay(outDir.toString, 3L, sources, universe)
+    assert(m3.width == 3 && m3.values.flatten.forall(_ == 0.0))
+    // collate right-pads the time axis to the widest stay in the batch
+    val (n, nf, w, padded) = MatrixReader.collate(Seq(m1, m3))
+    assert(n == 2 && nf == universe.size && w == m1.width)
+    assert(padded(1).forall(_.length == w))
+  }
+
   test("chartevents mean combine + clamp + drop + null skip") {
     val lines = readCsvLines(outDir.resolve("1/chartevents_features.csv"))
     assert(lines.length == 3) // header + itemid 100 + itemid 200 (sorted)
