@@ -92,4 +92,9 @@ object GraftFunctions {
   def float_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact squared L2 over long-array columns via the codegen'd expression. */
+  def long_dist2(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongVectorDist2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -34,8 +34,17 @@ object KMeans {
   def quantize(vec: Column, scale: Double): Column =
     transform(vec, x => floor(x.cast("double") * lit(scale) + lit(0.5)))
 
-  /** Exact squared L2 distance between two `array<long>` columns. */
+  /** Exact squared L2 distance between two `array<long>` columns — the
+    * codegen'd [[graft.functions.LongVectorDist2]] expression (bit-identical
+    * to the HOF fold [[qdist2Hof]]; integer math is order-free).
+    */
   def qdist2(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.long_dist2(a, b)
+
+  /** Built-ins-only reference implementation of [[qdist2]] (kept for parity
+    * testing, like [[VectorOps.dotHof]]).
+    */
+  def qdist2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   final case class Result(assignments: DataFrame,

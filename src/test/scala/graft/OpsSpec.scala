@@ -507,10 +507,12 @@ class OpsSpec extends AnyFunSuite {
     graft.functions.GraftFunctionRegistry.register(spark)
     val r = spark.sql(
       "SELECT rolling_hash('hi') AS h, float_dot(array(CAST(1.0 AS FLOAT), " +
-        "CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        "CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "long_dist2(array(1L, 2L), array(3L, 5L)) AS q")
       .head()
     assert(r.getLong(0) == (104L * 31 + 105) % 2147483647L)
     assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == 13L)
   }
 
   test("TopKAgg: trim path + merge bit-match a full sort, under repartition") {
@@ -557,6 +559,26 @@ class OpsSpec extends AnyFunSuite {
     val lshCapped = VectorOps.signLshNearDupPairs(vecs, 0.9, blockCap = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshCapped == Set((10L, 11L)))
+  }
+
+  test("codegen'd LongVectorDist2 is bit-identical to the HOF fold") {
+    import graft.ops.KMeans
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(KMeans.quantize(col("embedding"), 1e6).as("a"),
+        KMeans.quantize(reverse(col("embedding")), 1e6).as("b"))
+    val mismatches = emb.where(
+      KMeans.qdist2(col("a"), col("b")) =!= KMeans.qdist2Hof(col("a"), col("b")))
+      .count()
+    assert(mismatches == 0)
+    // null semantics mirror the HOF: mismatched lengths and null elements
+    // yield null, not a crash
+    val edge = Seq(
+      (Seq(1L, 2L), Seq(1L)),          // length mismatch
+      (Seq(1L, 2L), Seq(3L, 5L)))      // plain: (1-3)^2+(2-5)^2 = 13
+      .toDF("a", "b")
+      .select(KMeans.qdist2(col("a"), col("b")).as("d"))
+      .collect().map(r => Option(r.get(0)))
+    assert(edge(0).isEmpty && edge(1).contains(13L))
   }
 
   test("pqSearchAdc enforces the query-batch bound") {
