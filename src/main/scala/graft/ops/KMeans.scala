@@ -160,16 +160,64 @@ object KMeans {
   def pqSearchAdc(model: PqModel, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int, scale: Double = 1e6,
       maxQueryBatch: Int = 1024): DataFrame = {
+    val tdf = adcLut(model, queries, idCol, vecCol, scale, maxQueryBatch)
+    val scored = meltedCodes(model).join(broadcast(tdf), Seq("sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+    rankTopK(scored, topK)
+  }
+
+  /** IVF-PQ: the billion-scale ANN composition — a coarse quantizer
+    * restricts each query's ADC scan to its `nprobe` nearest cells, so the
+    * per-query work is ~|corpus|·nprobe/K code lookups instead of the whole
+    * compressed corpus. `cells` is the coarse assignment
+    * ([[VectorOps.assignCells]]: vec_id, cell), `centroids` the coarse
+    * centroid table (centroid_id, centroid_vec) — the probe selection is
+    * the same bounded top-k as [[VectorOps.ivfTopK]] (cosine, ties → lowest
+    * centroid id, Window-free). The candidate restriction happens BEFORE
+    * the per-query LUT join, so non-probed cells' codes are never
+    * replicated. Approximate like IVF: recall < 1 when true neighbors live
+    * outside probed cells. Returns (query_id, vec_id, adc_d2, rnk <= topK).
+    */
+  def ivfPqSearchAdc(model: PqModel, cells: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, topK: Int,
+      nprobe: Int, scale: Double = 1e6, maxQueryBatch: Int = 1024): DataFrame = {
+    val topP = graft.functions.TopKAgg.smallest_k(nprobe)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", VectorOps.cosine(col(vecCol), col("centroid_vec")))
+      .where(col("c_cos").isNotNull)
+      .groupBy(col(idCol))
+      .agg(topP(negate(col("c_cos")), col("centroid_id").cast("long"),
+        col("c_cos")).as("top"))
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("cell"))
+    val tdf = adcLut(model, queries, idCol, vecCol, scale, maxQueryBatch)
+    val candidates = meltedCodes(model)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+    val scored = candidates
+      .join(broadcast(tdf), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+    rankTopK(scored, topK)
+  }
+
+  /** Per-(query, sub-space, centroid) integer distance lookup table:
+    * nq·m·k rows, driver-built from the tiny codebooks (broadcast by the
+    * callers). `maxQueryBatch` is a HARD bound — see [[pqSearchAdc]].
+    */
+  private def adcLut(model: PqModel, queries: DataFrame, idCol: String,
+      vecCol: String, scale: Double, maxQueryBatch: Int): DataFrame = {
     val spark = model.codes.sparkSession
     import spark.implicits._
-    val m = model.codebooks.length
     val d = model.subDims
     val qrows = queries
       .select(col(idCol).cast("long").as("query_id"),
         quantize(col(vecCol), scale).as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     require(qrows.length <= maxQueryBatch,
-      s"pqSearchAdc got ${qrows.length} queries > maxQueryBatch=$maxQueryBatch; " +
+      s"ADC search got ${qrows.length} queries > maxQueryBatch=$maxQueryBatch; " +
         "the ADC scan replicates the corpus codes per query — run batches " +
         "in a loop (or raise the bound deliberately)")
     val table = for {
@@ -180,16 +228,21 @@ object KMeans {
       val sub = qv.slice(s * d, (s + 1) * d)
       (qid, s, cid, sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
     }
-    val tdf = table.toDF("query_id", "sub", "code", "d2")
-    val melted = model.codes.select(col("vec_id"),
-      posexplode(array((0 until m).map(s => col(s"code$s")): _*))
-        .as(Seq("sub", "code")))
-    val scored = melted.join(broadcast(tdf), Seq("sub", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("d2")).as("adc_d2"))
-    // bounded per-query top-k (exact long keys — no double round-trip),
-    // never a row_number window sorting a query's whole scored corpus on
-    // one task; see graft.functions.TopKAgg
+    table.toDF("query_id", "sub", "code", "d2")
+  }
+
+  /** Codes melted long: (vec_id, sub, code). */
+  private def meltedCodes(model: PqModel): DataFrame =
+    model.codes.select(col("vec_id"),
+      posexplode(array((0 until model.codebooks.length)
+        .map(s => col(s"code$s")): _*)).as(Seq("sub", "code")))
+
+  /** Bounded per-query top-k over (query_id, vec_id, adc_d2) — exact long
+    * keys (no double round-trip), never a row_number window sorting a
+    * query's whole scored corpus on one task; see
+    * [[graft.functions.TopKAgg]].
+    */
+  private def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
     val top = graft.functions.TopKAgg.smallest_k_long(topK)
     scored.groupBy("query_id")
       .agg(top(col("adc_d2"), col("vec_id")).as("top"))

@@ -233,7 +233,7 @@ object CorpusOps {
   // nullif mirrors VectorOps' zero-norm guard: a zero vector yields NULL
   // cosine in both engines (Spark ANSI would otherwise throw; DuckDB would
   // otherwise produce inf/nan)
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / nullif(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
 
   /** Brute-force all-pairs mirror of [[Dedup.simhashBands]]: identical

@@ -134,6 +134,25 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF-PQ: the billion-scale ANN composition — coarse cells (cosine
+    // assignment to 8 fixed centroids) restrict each query's ADC scan to
+    // its 2 probed cells' codes; all ranking integer math, so the oracle
+    // replays coarse assignment + probes + both sub-space trainers + the
+    // restricted LUT scan exactly
+    "q_emb_ivfpq_search" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cells = graft.ops.VectorOps.assignCells(emb, centroids)
+      val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id",
+        "embedding", m = 2, k = 8, iters = 2)
+      graft.ops.KMeans.ivfPqSearchAdc(model, cells, centroids,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        topK = 5, nprobe = 2)
+        .orderBy("query_id", "rnk")
+    }),
+
     // IVF centroid training: 3 Lloyd's rounds, k=4, fixed-point integer
     // arithmetic throughout — bit-reproducible under any partitioning, so
     // the oracle replays the identical rounds with unrolled CTEs
@@ -260,7 +279,70 @@ object CurationQueries {
        |WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** IVF-PQ oracle: coarse cosine cell assignment + per-query probe
+    * selection (the q_emb_knn_ivf / q_emb_ivf_assign CTE shapes), composed
+    * with the PQ ADC replay — candidates restricted to probed cells before
+    * ranking, exactly like the Spark operator.
+    */
+  private def ivfPqSearchSql(m: Int, dims: Int, k: Int, iters: Int,
+      nQueries: Int, topK: Int, nprobe: Int, nCoarse: Int): String = {
+    val d = dims / m
+    val blocks = (0 until m).flatMap { s =>
+      kmeansCtes(s"_s$s", s"embedding[${s * d + 1}:${(s + 1) * d}]", k, iters)
+    }
+    val dts = (0 until m).map { s =>
+      s"""dt_s$s AS (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+         |      for i in generate_series(1, len(q.v))]) AS BIGINT) AS d2
+         |  FROM (SELECT vec_id, v FROM q_s$s WHERE vec_id < $nQueries) q,
+         |       c${iters}_s$s c)""".stripMargin
+    }
+    val cos = CorpusOps.cosSql _
+    val coarse = Seq(
+      s"""cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < $nCoarse)""".stripMargin,
+      """corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+        |  FROM embeddings)""".stripMargin,
+      s"""cells AS (SELECT vec_id, centroid_id AS cell FROM (
+         |  SELECT c.vec_id, cent.centroid_id,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${cos("c.ev", "cent.cv")} DESC, cent.centroid_id) AS rn
+         |  FROM corpus c, cents cent) WHERE rn = 1)""".stripMargin,
+      s"""probes AS (SELECT query_id, cell FROM (
+         |  SELECT q.vec_id AS query_id, cent.centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cos("q.ev", "cent.cv")} DESC, cent.centroid_id) AS rn
+         |  FROM (SELECT vec_id, ev FROM corpus WHERE vec_id < $nQueries) q,
+         |       cents cent) WHERE rn <= $nprobe)""".stripMargin)
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN a${iters + 1}_s$s t$s USING (vec_id)").mkString("\n")
+    val dtJoins = (0 until m).map { s =>
+      s"JOIN dt_s$s d$s ON d$s.cid = t$s.cid AND d$s.query_id = p.query_id"
+    }.mkString("\n")
+    val distSum = (0 until m).map(s => s"d$s.d2").mkString(" + ")
+    s"""WITH ${(blocks ++ dts ++ coarse).mkString(",\n")},
+       |adc AS (
+       |  SELECT p.query_id, t0.vec_id,
+       |    CAST($distSum AS BIGINT) AS adc_d2
+       |  FROM a${iters + 1}_s0 t0
+       |$codeJoins
+       |JOIN cells cl ON cl.vec_id = t0.vec_id
+       |JOIN probes p ON p.cell = cl.cell
+       |$dtJoins),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc_d2,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2, vec_id) AS INT) AS rnk
+       |  FROM adc)
+       |SELECT query_id, vec_id, adc_d2, rnk FROM ranked
+       |WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_emb_ivfpq_search" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
+      topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
 

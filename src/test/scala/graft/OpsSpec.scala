@@ -581,6 +581,38 @@ class OpsSpec extends AnyFunSuite {
     assert(edge(0).isEmpty && edge(1).contains(13L))
   }
 
+  test("IVF-PQ equals full ADC when probing all cells; restricts otherwise") {
+    import graft.ops.{KMeans, VectorOps}
+    // two well-separated direction clusters → two coarse cells
+    val vecs = (0L until 24L).map { i =>
+      val s = if (i % 2 == 0) 1f else -1f
+      (i, Array(s * (1f + (i % 3) * 0.01f), s * (2f - (i % 5) * 0.01f),
+        s * 0.5f, s * 1.5f), "l")
+    }.toDF("vec_id", "embedding", "label")
+    val centroids = vecs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val cells = VectorOps.assignCells(vecs, centroids)
+    val model = KMeans.pqEncodeDetailed(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2)
+    val queries = vecs.where(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // nprobe = all cells → identical to the unrestricted ADC scan
+    val full = rows(KMeans.pqSearchAdc(model, queries, "vec_id", "embedding",
+      topK = 3))
+    val allProbes = rows(KMeans.ivfPqSearchAdc(model, cells, centroids,
+      queries, "vec_id", "embedding", topK = 3, nprobe = 2))
+    assert(allProbes == full)
+    // nprobe = 1 → every hit comes from the query's own (probed) cell
+    val one = KMeans.ivfPqSearchAdc(model, cells, centroids, queries,
+      "vec_id", "embedding", topK = 3, nprobe = 1)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toSet
+    val qCell = cells.where(col("vec_id") < 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cell")).toMap
+    assert(one.nonEmpty && one.forall { case (qid, cell) => qCell(qid) == cell })
+  }
+
   test("pqSearchAdc enforces the query-batch bound") {
     import graft.ops.KMeans
     val vecs = (0L until 8L).map(i => (i, Array(i.toFloat, -i.toFloat)))
