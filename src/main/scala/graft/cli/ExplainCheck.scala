@@ -60,7 +60,35 @@ object ExplainCheck {
     "q_doc_repetition" -> (Seq("HashAggregate"),
       Seq("CartesianProduct", "Window")),
     "q_doc_stratified_sample" -> (Seq("HashAggregate"),
-      Seq("CartesianProduct", "SortMergeJoin", "Window")))
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // bigram counts: k-bounded ranking (TakeOrderedAndProject), with the
+    // generator and the count's map-side partial in one pipeline
+    "q_doc_bigrams" -> (Seq("TakeOrderedAndProject", "Generate",
+      "HashAggregate"), Seq("Window", "CartesianProduct")),
+    // centroid stats: partial-aggregated integer sums; shuffle is bounded
+    // by partitions × labels × dims, never a sort or window
+    "q_emb_centroids" -> (Seq("HashAggregate", "Generate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // redaction: pure codegen'd projection — no shuffle at all before the
+    // gate's orderBy (no agg, no join, no window, no exchange mid-plan)
+    "q_doc_redact" -> (Seq("Batched: true"),
+      Seq("Window", "CartesianProduct", "HashAggregate")),
+    // full outer fact-vs-fact reconciliation: both sides stream through a
+    // shuffled join (outer sides can't broadcast); the per-key order count
+    // is partially aggregated before the exchange
+    "q_join_outer" -> (Seq("FullOuter", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // range join: grid blocking must make the interval join an EQUI-join
+    // (hash/broadcast on cell+key) — an inequality-only join would plan as
+    // a nested-loop product and never finish at scale
+    "q_ts_interval_join" -> (Seq("Generate", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // SQ8 search: bounded TopKAgg ranking like the float/PQ paths
+    "q_emb_sq8_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
+    // aggregated; no window, no product join
+    "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),
+      Seq("Window", "CartesianProduct")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

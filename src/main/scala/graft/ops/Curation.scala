@@ -139,4 +139,31 @@ object Curation {
       .select(col("grp"), col("p.doc_id").as("doc_id"),
         col("p.n_tokens").as("n_tokens"), col("p.bin").as("bin"))
   }
+
+  /** Corpus-LM typicality score — the count-space analog of the CCNet
+    * language-model quality filter: how "corpus-typical" each document's
+    * bigram stream is. Score = mean corpus frequency of the doc's bigrams
+    * (an unusual/garbled doc scores near 1, boilerplate scores high).
+    * Log-perplexity is deliberately NOT used: `ln` is not bit-identical
+    * across engines, while integer counts + ONE double division are.
+    *
+    * Scale shape: the bigram count table is vocabulary-bounded (not
+    * corpus-bounded); both the count and the per-doc rollup are
+    * partially-aggregated shuffles keyed by bigram/doc — all linear. The
+    * frequency join is bigram-keyed; AQE broadcasts the count table when
+    * the vocabulary is small. Docs with fewer than 2 tokens have no
+    * bigrams and drop out (no score, not a zero — callers outer-join if
+    * they need the distinction).
+    */
+  def typicalityProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol),
+      explode(TextOps.wordBigrams(col(textCol))).as("bigram"))
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("bg_count"))
+    bg.join(counts, "bigram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("bg_count").as("sum_count"))
+      .withColumn("typicality",
+        col("sum_count").cast("double") / col("n_bigrams"))
+  }
 }

@@ -53,6 +53,40 @@ object TextOps {
         lit(1), greatest(size(toks) - (k - 1), lit(0))))
   }
 
+  /** Adjacent word bigrams over normalized tokens ("a b c" → ["a b",
+    * "b c"]) — the corpus n-gram statistics unit (vocabulary induction,
+    * collocation mining, contamination fingerprints). Branch-free like
+    * [[wordShingles]]: zip the token array against its shift; a
+    * one-token doc zips two empty slices into the empty set. Pure
+    * Column algebra — no shuffle until the caller aggregates.
+    */
+  def wordBigrams(text: Column): Column = {
+    val toks = normTokens(text)
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Sequential regex scrub — the PII-redaction seam (emails, phone
+    * numbers, IPs, entity names → placeholder tokens). Each rule is
+    * (pattern, replacement), applied in order, all occurrences (Spark's
+    * `regexp_replace` is global). Patterns must stay in the portable
+    * subset shared by Java regex and RE2 (no lookarounds) so external
+    * engines reproduce the scrub byte-for-byte. Pure per-row Column
+    * algebra — codegen'd, shuffle-free, embarrassingly parallel.
+    */
+  def scrub(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Occurrence count of one scrub pattern (audit column for redaction:
+    * how many spans were masked per document).
+    */
+  def scrubHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   private val punctPattern = "[^.!?,;:]"
 
   /** Punctuation character ratio (punct chars / total chars). */

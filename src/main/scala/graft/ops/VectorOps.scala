@@ -59,15 +59,16 @@ object VectorOps {
     * from ranking (the window form admitted such rows only when a query had
     * fewer than k finite candidates).
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int,
+      scoreCol: String = "cos"): DataFrame = {
     val top = graft.functions.TopKAgg.smallest_k(k)
-    scored.where(col("cos").isNotNull)
+    scored.where(col(scoreCol).isNotNull)
       .groupBy("query_id")
-      .agg(top(negate(col("cos")), col("vec_id").cast("long"), col("cos"))
-        .as("top"))
+      .agg(top(negate(col(scoreCol)), col("vec_id").cast("long"),
+        col(scoreCol)).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("e.id").as("vec_id"), col("e.value").as("cos"))
+        col("e.id").as("vec_id"), col("e.value").as(scoreCol))
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -223,4 +224,30 @@ object VectorOps {
       .where(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
+
+  /** Per-label centroid statistics over an embedding column — the vector
+    * analog of a grouped mean (class prototypes, cluster summaries,
+    * per-source embedding drift).
+    *
+    * Determinism: float sums re-associate with partition order, so the
+    * vectors are quantized once to fixed-point longs ([[KMeans.quantize]],
+    * 1e-6 units) and summed in exact integer math — bit-identical on any
+    * cluster layout, and the mean is ONE double division of exact integers
+    * (both engines run the identical IEEE ops).
+    *
+    * Scale shape: posexplode feeds a (label, pos) hash aggregate whose
+    * map-side partials bound the shuffle at partitions × labels × dims
+    * rows regardless of corpus size — the n·dims exploded rows never cross
+    * the wire. Output is dimension-bounded (labels × dims rows).
+    */
+  def labelCentroids(corpus: DataFrame, labelCol: String, vecCol: String,
+      scale: Double = 1e6): DataFrame =
+    corpus
+      .select(col(labelCol).as("label"),
+        KMeans.quantize(col(vecCol), scale).as("qv"))
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_q"))
+      .withColumn("mean",
+        col("sum_q").cast("double") / col("n") / lit(scale))
 }

@@ -197,6 +197,63 @@ object CorpusOps {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
+    // vector analytics: per-label centroid stats in fixed-point integer
+    // sums (order-free → bit-exact under any partitioning; the mean is one
+    // double division of exact integers). Map-side partials bound the
+    // shuffle at partitions × labels × dims rows.
+    "q_emb_centroids" -> ((s, dir) =>
+      VectorOps.labelCentroids(wide(s, t(s, dir, "embeddings")),
+        "label", "embedding")
+        .orderBy("label", "pos")),
+
+    // n-gram statistics: corpus-wide top-20 bigrams — explode feeds a
+    // partially-aggregated count, the ranking is TakeOrderedAndProject
+    // (k-bounded, never a global sort; same discipline as q_topk)
+    "q_doc_bigrams" -> ((s, dir) =>
+      wide(s, t(s, dir, "documents"))
+        .select(explode(TextOps.wordBigrams(col("text"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
+    // PII-style redaction: sequential regex scrub (entity words → [ENT],
+    // runs collapsed → [ENTS]) with an audit hit count — pure codegen'd
+    // column algebra, byte-identical across engines (portable regex subset)
+    "q_doc_redact" -> ((s, dir) => {
+      val norm = TextOps.normalize(col("text"))
+      val entPat = "\\b(customer|supplier|part)\\b"
+      val red = TextOps.scrub(norm,
+        Seq(entPat -> "[ENT]", "\\[ENT\\]( \\[ENT\\])+" -> "[ENTS]"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.scrubHits(norm, entPat).as("n_hits"),
+          length(red).as("redacted_len"),
+          md5(red).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // compression point 3: int8 scalar quantization — symmetric integer-
+    // dot search over 4×-compressed codes (exact long math rescaled by two
+    // doubles in pinned order; TopKAgg ranking, never a window)
+    "q_emb_sq8_search" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.ops.ScalarQuant.sq8SearchTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "query_vec", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LM-filter analog: corpus-typicality score per doc (mean corpus
+    // frequency of its bigrams, exact integer counts + one division —
+    // count-space CCNet; ln() would not be bit-identical across engines)
+    "q_doc_lm_score" -> ((s, dir) =>
+      graft.ops.Curation.typicalityProfile(
+        wide(s, t(s, dir, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // multimodal: binary payload + batched decode-stub feature extraction
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.featurePipeline(s, wide(s, t(s, dir, "documents")))
@@ -548,6 +605,96 @@ object CorpusOps {
          |WHERE ${cosSql("a.ev", "b2.ev")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    // fixed-point quantization replay (same floor(x·1e6 + 0.5) as the
+    // kmeans/PQ oracles); HUGEINT sums cast back to BIGINT; the mean is the
+    // identical (sum → /n → /scale) IEEE division chain
+    "q_emb_centroids" ->
+      """WITH e AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos1,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS v
+        |  FROM embeddings)
+        |SELECT label, CAST(pos1 - 1 AS INT) AS pos,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_q,
+        |  CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS mean
+        |FROM e GROUP BY label, pos1
+        |ORDER BY label, pos""".stripMargin,
+
+    "q_doc_bigrams" ->
+      raw"""WITH w AS (
+           |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |b AS (
+           |  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+           |  FROM w, LATERAL (
+           |    SELECT unnest(generate_series(1, len(ws) - 1)) AS i))
+           |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+           |FROM b GROUP BY bigram
+           |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_doc_redact" ->
+      raw"""WITH nm AS (
+           |  SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tx
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, tx,
+           |    regexp_replace(
+           |      regexp_replace(tx, '\b(customer|supplier|part)\b',
+           |        '[ENT]', 'g'),
+           |      '\[ENT\]( \[ENT\])+', '[ENTS]', 'g') AS red
+           |  FROM nm)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(tx, '\b(customer|supplier|part)\b'))
+           |    AS INT) AS n_hits,
+           |  CAST(length(red) AS INT) AS redacted_len,
+           |  md5(red) AS redacted_fp
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+    // SQ8 replay: identical floor(x/scale + 0.5) quantization, exact
+    // integer dot (BIGINT reduce), score = (CAST(idot) * scale_a) *
+    // scale_q — the same left-assoc IEEE chain as the Spark side
+    "q_emb_sq8_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |s AS (SELECT vec_id, ev,
+        |    list_max([abs(x) for x in ev]) / 127.0 AS scl FROM e),
+        |c AS (SELECT vec_id, scl,
+        |    [CAST(coalesce(floor(x / nullif(scl, 0.0) + 0.5), 0) AS BIGINT)
+        |     for x in ev] AS codes
+        |  FROM s),
+        |q AS (SELECT vec_id AS query_id, scl AS qscl, codes AS qcodes
+        |  FROM c WHERE vec_id < 3),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [c.codes[i] * q.qcodes[i]
+        |       for i in generate_series(1, len(c.codes))]),
+        |      (a, b) -> a + b) AS DOUBLE) * c.scl * q.qscl AS score
+        |  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+        |r AS (SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_doc_lm_score" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+           |  FROM w, LATERAL (
+           |    SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+           |c AS (
+           |  SELECT bigram, CAST(count(*) AS BIGINT) AS bg_count
+           |  FROM b GROUP BY bigram)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(c.bg_count) AS BIGINT) AS sum_count,
+           |  CAST(sum(c.bg_count) AS DOUBLE) / count(*) AS typicality
+           |FROM b JOIN c USING (bigram)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_mm_decode" ->
       """WITH ch AS (

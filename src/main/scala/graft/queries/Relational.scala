@@ -95,6 +95,29 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // J-family completion: FULL OUTER join — both null sides exercised by
+    // restricting the customer side to even keys (odd-key customers'
+    // orders surface as order_only). Shuffle hash join on the key; the
+    // outer sides can't broadcast, which is exactly the plan a 100 TB
+    // fact-vs-fact reconciliation wants.
+    "q_join_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .where(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, lit("order_only"))
+            .when(col("o_custkey").isNull, lit("cust_only"))
+            .otherwise(lit("both")).as("side"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n_keys"), sum("n_orders").as("total_orders"))
+        .orderBy("side")
+    }),
+
     // A11: distinct
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
@@ -275,6 +298,20 @@ object Relational {
          |FROM customer
          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+        |o AS (SELECT o_custkey, count(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey),
+        |j AS (SELECT
+        |    CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |         WHEN o.o_custkey IS NULL THEN 'cust_only'
+        |         ELSE 'both' END AS side,
+        |    coalesce(o.n_orders, 0) AS n_orders
+        |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+        |SELECT side, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n_orders) AS BIGINT) AS total_orders
+        |FROM j GROUP BY side ORDER BY side""".stripMargin,
 
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

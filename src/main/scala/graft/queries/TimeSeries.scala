@@ -174,6 +174,28 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // range join: in-window click attribution. Purchases open a
+    // value-scaled attribution window; same-user clicks land in it via
+    // the grid-cell equi-join (RangeJoin — a naive lo<=pt<=hi join has no
+    // equi-key and plans as a nested-loop product). Integer-cents sums.
+    "q_ts_interval_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("event_epoch_time").as("lo"),
+          (col("event_epoch_time") + floor(col("value") * 120).cast("long"))
+            .as("hi"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_epoch_time").as("click_epoch"),
+          col("value"))
+      graft.ops.RangeJoin.pointInInterval(clicks, "click_epoch",
+          purchases, "lo", "hi", grid = 3600, keys = Seq("user_id"))
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(round(col("value") * 100, 0).cast("long")).as("click_value_c"))
+        .orderBy("purchase_id")
+    }),
+
     // G1-G3: interval explode + even split + sum, via Stages.intervalExpand.
     // Synthetic intervals: [ts, ts + floor(value*60) s] — value minutes.
     "q_ts_interval_expand" -> ((s, dir) => {
@@ -361,6 +383,24 @@ object TimeSeries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_epoch >= c.click_epoch
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_ts_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + CAST(floor(value * 120) AS BIGINT) AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_epoch,
+        |    value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  CAST(sum(CAST(round(c.value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS click_value_c
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_epoch >= p.lo AND c.click_epoch <= p.hi
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
 
     "q_ts_interval_expand" ->
       """WITH idx AS (

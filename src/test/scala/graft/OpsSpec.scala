@@ -635,4 +635,129 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(r(1L) == "en" && r(2L) == "es" && r(3L) == "und")
   }
+
+  test("label centroids: exact integer sums, hand-checked mean") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -2.0f), 7),
+      (1L, Array(3.0f, 4.0f), 7),
+      (2L, Array(0.5f, 0.25f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val r = VectorOps.labelCentroids(vecs, "label", "embedding")
+      .collect()
+      .map(x => (x.getInt(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // label 7, dim 0: (1e6 + 3e6) / 2 / 1e6 = 2.0
+    assert(r((7, 0)) == ((2L, 4000000L, 2.0)))
+    assert(r((7, 1)) == ((2L, 2000000L, 1.0)))
+    assert(r((9, 0)) == ((1L, 500000L, 0.5)))
+    assert(r((9, 1)) == ((1L, 250000L, 0.25)))
+  }
+
+  test("word bigrams: adjacent pairs, degenerate docs empty") {
+    val r = Seq((0L, "a b c d"), (1L, "solo"), (2L, " x   Y "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.wordBigrams(col("text")).as("bg"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(0L) == Seq("a b", "b c", "c d"))
+    assert(r(1L) == Seq.empty) // one token → no bigram, not a crash
+    assert(r(2L) == Seq("x y")) // normalized: ws collapsed, lowercased
+  }
+
+  test("scrub applies rules sequentially and counts hits") {
+    val rules = Seq(
+      "\\b(customer|part)\\b" -> "[ENT]",
+      "\\[ENT\\]( \\[ENT\\])+" -> "[ENTS]")
+    val r = Seq(
+      (0L, "customer part ordered a part"),
+      (1L, "no entities here"),
+      (2L, "partial customers untouched")) // \b guards substrings
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.scrub(col("text"), rules).as("red"),
+        TextOps.scrubHits(col("text"), "\\b(customer|part)\\b").as("n"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(0L) == (("[ENTS] ordered a [ENT]", 3)))
+    assert(r(1L) == (("no entities here", 0)))
+    assert(r(2L) == (("partial customers untouched", 0)))
+  }
+
+  test("range join equals the naive cross-filter; spans cells; guards blowup") {
+    import graft.ops.RangeJoin
+    val intervals = Seq(
+      (1L, 10L, 100L, 250L),   // spans grid cells 1..2 at grid=100
+      (1L, 11L, 300L, 320L),
+      (2L, 12L, 0L, 50L))
+      .toDF("uid", "iv_id", "lo", "hi")
+    val points = Seq(
+      (1L, 100L), (1L, 250L), (1L, 251L), (1L, 310L),
+      (2L, 50L), (2L, 51L), (1L, 10L))
+      .toDF("uid", "pt")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals,
+        "lo", "hi", grid = 100, keys = Seq("uid"))
+      .select("iv_id", "pt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.as("p").join(intervals.as("i"),
+        col("p.uid") === col("i.uid") &&
+          col("p.pt") >= col("i.lo") && col("p.pt") <= col("i.hi"))
+      .select("iv_id", "pt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got == Set((10L, 100L), (10L, 250L), (11L, 310L), (12L, 50L)))
+    // degenerate interval (1M cells at grid=1) fails loudly, not silently hot
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt",
+        Seq((1L, 13L, 0L, 1000000L)).toDF("uid", "iv_id", "lo", "hi"),
+        "lo", "hi", grid = 1, keys = Seq("uid"), maxCells = 1000).count()
+    }
+    assert(e.getMessage.contains("grid cells"))
+  }
+
+  test("SQ8: codes bounded to ±127, zero vector safe, ranking sane") {
+    import graft.ops.ScalarQuant
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // near query 0
+      (2L, Array(-1.0f, 0.0f)),  // opposite
+      (3L, Array(0.0f, 0.0f)),   // zero vector
+      (4L, Array(0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val enc = ScalarQuant.sq8Encode(vecs, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2)))).toMap
+    assert(enc.values.forall(_._2.forall(c => c >= -127 && c <= 127)))
+    assert(enc(0L) == ((1.0 / 127, Seq(127L, 0L))))
+    assert(enc(3L) == ((0.0, Seq(0L, 0L)))) // zero vector: no ANSI div error
+    val queries = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = ScalarQuant.sq8SearchTopK(vecs, "vec_id", "embedding",
+        queries, "query_id", "query_vec", k = 4)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(top.head == 1L)   // most aligned first
+    assert(top.last == 2L)   // opposite direction last
+  }
+
+  test("IVF search keeps high recall vs brute force on real embeddings") {
+    import graft.ops.KMeans
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(4)
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = VectorOps.bruteTopK(emb, queries, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+    // trained coarse quantizer (not arbitrary seed vectors), half the
+    // cells probed — the operating point a real ANN deployment would pick
+    val km = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val centroids = km.centroids.toDF("centroid_id", "qcv")
+      .select(col("centroid_id").cast("long"),
+        expr("transform(qcv, x -> cast(x / 1000000.0 as float))")
+          .as("centroid_vec"))
+    val ivf = VectorOps.ivfTopK(emb, centroids, queries, k = 5, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+    km.release()
+    val recalls = brute.keys.map { q =>
+      val b = brute(q).map(_._2).toSet
+      val i = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      (b intersect i).size.toDouble / b.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // deterministic pipeline → a fixed number; bound it with headroom
+    assert(mean >= 0.7, s"mean recall@5 $mean")
+  }
 }
