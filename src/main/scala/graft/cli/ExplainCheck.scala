@@ -88,7 +88,15 @@ object ExplainCheck {
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),
-      Seq("Window", "CartesianProduct")))
+      Seq("Window", "CartesianProduct")),
+    // chunking: pure generate pipeline — no shuffle before the gate sort
+    "q_doc_chunk" -> (Seq("Generate", "Batched: true"),
+      Seq("Window", "CartesianProduct", "HashAggregate", "SortMergeJoin")),
+    // profiler: melt (Generate) + keyed aggregation; the SINGLE
+    // count-distinct rewrites as a two-level aggregate — no Expand at all
+    // (N distinct counts over the wide frame would Expand every row N×)
+    "q_profile" -> (Seq("Generate", "HashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin", "Expand")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -93,4 +93,51 @@ object CorpusLayout {
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Morton (Z-order) key of two numeric columns: each value is scaled to
+    * a `bits`-bit integer inside its [lo, hi] range, then the bits are
+    * interleaved — points close in BOTH dimensions get close z-values.
+    * Pure Column algebra (static bit shifts, codegen'd).
+    */
+  def zValue(x: org.apache.spark.sql.Column, xLo: Double, xHi: Double,
+      y: org.apache.spark.sql.Column, yLo: Double, yHi: Double,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(xHi > xLo && yHi > yLo, "empty scaling range")
+    val maxB = (1L << bits) - 1
+    def scaled(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(greatest(
+        floor((c.cast("double") - lo) / (hi - lo) * maxB).cast("long"),
+        lit(0L)), lit(maxB))
+    val (sx, sy) = (scaled(x, xLo, xHi), scaled(y, yLo, yHi))
+    (0 until bits).map { i =>
+      (shiftright(sx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(sy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` Z-ORDERED on two numeric columns: range-partitioned and
+    * sorted by the interleaved Morton key, so row-group/file min-max
+    * stats stay TIGHT ON BOTH columns — a selective filter on either one
+    * touches a handful of files, where a single-column sort gives perfect
+    * pruning on that column and none on the other. The multi-dimensional
+    * clustering a (time × user), (lang × quality), (length × score) scan
+    * workload needs; bounds come from the caller (or one dimension-bounded
+    * min/max agg). Returns the file count written.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      xCol: String, xLo: Double, xHi: Double,
+      yCol: String, yLo: Double, yHi: Double,
+      nFiles: Int, bits: Int = 16): Int = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    df.withColumn("_z",
+        zValue(col(xCol), xLo, xHi, col(yCol), yLo, yHi, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    nFiles
+  }
 }

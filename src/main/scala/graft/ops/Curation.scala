@@ -166,4 +166,37 @@ object Curation {
       .withColumn("typicality",
         col("sum_count").cast("double") / col("n_bigrams"))
   }
+
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size chunks of `size` tokens with `overlap` tokens carried
+    * between consecutive chunks (stride = size − overlap) — the standard
+    * pre-training/RAG windowing step. Emits (id, chunk_idx, chunk_text,
+    * n_tokens); the last chunk may be short, and a chunk that would start
+    * past the end is never emitted (a doc of ≤ size tokens is exactly one
+    * chunk). Pure per-row column algebra — array slices over a generated
+    * stride sequence, no shuffle, embarrassingly parallel; per-row output
+    * is ~|doc| · size/stride tokens, so overlap cost is explicit.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got size=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = TextOps.normTokens(col(textCol))
+    // chunk count = ceil((n − overlap)/stride), floored at 1: the last
+    // chunk always reaches the end (s_last + size ≥ n) and every chunk
+    // past the first carries NEW tokens beyond its overlap — ceil(n/stride)
+    // would emit a redundant pure-overlap tail when stride divides n−overlap
+    val nChunks = greatest(
+      ceil((size(toks) - overlap).cast("double") / stride).cast("int"),
+      lit(1))
+    docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(toks, i * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "chunk_toks")))
+      .where(size(col("chunk_toks")) > 0)
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"),
+        size(col("chunk_toks")).as("n_tokens"))
+  }
 }

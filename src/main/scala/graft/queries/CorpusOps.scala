@@ -233,6 +233,17 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: 32-token chunks with 8-token overlap
+    // (stride 24) — the pre-training/RAG windowing step; fingerprints
+    // instead of full chunk text keep the gate output compact while still
+    // proving byte-exact chunk content
+    "q_doc_chunk" -> ((s, dir) =>
+      graft.ops.Curation.chunk(wide(s, t(s, dir, "documents")),
+          "doc_id", "text", chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // compression point 3: int8 scalar quantization — symmetric integer-
     // dot search over 4×-compressed codes (exact long math rescaled by two
     // doubles in pinned order; TopKAgg ranking, never a window)
@@ -652,6 +663,28 @@ object CorpusOps {
            |  CAST(length(red) AS INT) AS redacted_len,
            |  md5(red) AS redacted_fp
            |FROM r ORDER BY doc_id""".stripMargin,
+
+    // chunk replay: same stride arithmetic over the same normalized token
+    // list; DuckDB list slices clamp at len like Spark's slice()
+    "q_doc_chunk" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |k AS (
+           |  SELECT doc_id, ws,
+           |    greatest(CAST(ceil((len(ws) - 8) / 24.0) AS INT), 1) AS nch
+           |  FROM w),
+           |c AS (
+           |  SELECT doc_id, i AS chunk_idx,
+           |    ws[i*24 + 1 : least(i*24 + 32, len(ws))] AS toks
+           |  FROM k, LATERAL (
+           |    SELECT unnest(generate_series(0, nch - 1)) AS i))
+           |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           |  CAST(len(toks) AS INT) AS n_tokens,
+           |  md5(array_to_string(toks, ' ')) AS chunk_fp
+           |FROM c WHERE len(toks) > 0
+           |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // SQ8 replay: identical floor(x/scale + 0.5) quantization, exact
     // integer dot (BIGINT reduce), score = (CAST(idot) * scale_a) *

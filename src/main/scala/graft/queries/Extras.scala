@@ -30,6 +30,12 @@ object Extras {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // data-quality profiler: per-column n/null/distinct/min/max in ONE
+    // melted aggregate (ingest's first look at an unknown table)
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profiler.profile(t(s, dir, "lineitem"), ProfileCols)
+        .orderBy("col_name")),
+
     // statistical aggregates (sample stddev/variance, correlation).
     // Pearson r is computed algebraically — covar/(sd·sd) with a nullif
     // guard — NOT via corr(): under Spark 4's ANSI mode corr() THROWS
@@ -121,7 +127,16 @@ object Extras {
         .orderBy("user_id", "event_type", "tidx")
     }))
 
+  /** Profiled lineitem columns: ints, doubles, strings, and a timestamp —
+    * each type exercising the cast-through-string comparison semantics.
+    */
+  private val ProfileCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
   val oracles: Map[String, String] = Map(
+    "q_profile" -> graft.ops.Profiler.profileSql("lineitem", ProfileCols),
+
     "q_cube_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c

@@ -95,4 +95,34 @@ class LayoutSpec extends AnyFunSuite {
       s"scan must prune on the partition column:\n${plan.take(1500)}")
     assert(en.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
   }
+
+  test("z-order clusters BOTH dimensions; single-column sort only one") {
+    // 64×64 grid of (x, y) points — every (x, y) combination exists, so
+    // clustering quality is purely a property of the layout, not the data
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "payload")
+    val zDir = java.nio.file.Files.createTempDirectory("layout_z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("layout_x").toString
+    CorpusLayout.writeZOrdered(grid, zDir, "x", 0, 64, "y", 0, 64,
+      nFiles = 16, bits = 6)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir) // control: linear sort on x
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).where(pred)
+        .select(input_file_name()).distinct().count()
+    val yPred = col("y") >= 10 && col("y") < 14 // selective on the OTHER dim
+    val zTouched = filesTouched(zDir, yPred)
+    val xTouched = filesTouched(xDir, yPred)
+    // linear-on-x spreads a y-slice over every file; z-order concentrates
+    // it (16-file layout: a 1/16 y-slice lands in ~4 of 16 z-runs)
+    assert(xTouched == 16, s"control layout should spread: $xTouched")
+    assert(zTouched <= 8, s"z-order should concentrate the y-slice: $zTouched")
+    // and the x dimension stays clustered too (not a plain y-sort)
+    val xPred = col("x") >= 10 && col("x") < 14
+    assert(filesTouched(zDir, xPred) <= 8,
+      s"z-order should also concentrate an x-slice: ${filesTouched(zDir, xPred)}")
+    // row fidelity: z-ordering is a permutation, nothing lost
+    assert(spark.read.parquet(zDir).agg(sum(col("payload"))).head.getLong(0)
+      == grid.agg(sum(col("payload"))).head.getLong(0))
+  }
 }

@@ -710,6 +710,47 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("grid cells"))
   }
 
+  test("chunking: stride/overlap arithmetic, short docs, reassembly") {
+    import graft.ops.Curation
+    val d = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (1L, "single"),
+      (2L, (1 to 8).map(i => s"x$i").mkString(" ")))  // exactly one chunk
+      .toDF("doc_id", "text")
+    val r = Curation.chunk(d, "doc_id", "text", chunkSize = 8, overlap = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> ((x.getString(2), x.getInt(3))))
+      .toMap
+    // doc 0: starts 0 and 6 (stride 6) → [w1..w8], [w7..w10]
+    assert(r((0L, 0)) == (((1 to 8).map(i => s"w$i").mkString(" "), 8)))
+    assert(r((0L, 1)) == (((7 to 10).map(i => s"w$i").mkString(" "), 4)))
+    assert(r((1L, 0)) == (("single", 1)))
+    assert(r((2L, 0))._2 == 8 && !r.contains((2L, 1))) // no empty tail chunk
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(r((0L, 0))._1.split(" ").takeRight(2).toSeq ==
+      r((0L, 1))._1.split(" ").take(2).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Curation.chunk(d, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+    assert(e.getMessage.contains("overlap"))
+  }
+
+  test("profiler: one-pass stats match hand counts, non-numeric min/max null") {
+    import graft.ops.Profiler
+    val d = Seq(
+      (1L, Some(2.5), "a"),
+      (2L, None, "b"),
+      (3L, Some(7.5), "a"))
+      .toDF("id", "v", "s")
+    val r = Profiler.profile(d, Seq("id", "v", "s")).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          Option(x.get(4)), Option(x.get(5))))).toMap
+    assert(r("id") == ((3L, 0L, 3L, Some(1.0), Some(3.0))))
+    assert(r("v") == ((3L, 1L, 2L, Some(2.5), Some(7.5))))
+    assert(r("s") == ((3L, 0L, 2L, None, None)))
+  }
+
   test("SQ8: codes bounded to ±127, zero vector safe, ranking sane") {
     import graft.ops.ScalarQuant
     val vecs = Seq(
