@@ -96,7 +96,14 @@ object ExplainCheck {
     // count-distinct rewrites as a two-level aggregate — no Expand at all
     // (N distinct counts over the wide frame would Expand every row N×)
     "q_profile" -> (Seq("Generate", "HashAggregate"),
-      Seq("Window", "CartesianProduct", "SortMergeJoin", "Expand")))
+      Seq("Window", "CartesianProduct", "SortMergeJoin", "Expand")),
+    // ranked retrieval: term filter before the tf agg, df/N broadcast,
+    // k-bounded ranking — never a global sort or window
+    "q_doc_rank_search" -> (Seq("TakeOrderedAndProject", "HashAggregate"),
+      Seq("Window", "SortMergeJoin")),
+    // histogram: 1-row boundary frame broadcast into the bucketing pass
+    "q_histogram" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      Seq("Window", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

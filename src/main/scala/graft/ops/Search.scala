@@ -37,4 +37,40 @@ object Search {
       .where(col("n_matched") === ts.length)
       .select("doc_id")
   }
+
+  /** TF-IDF-ranked OR retrieval: top-k docs by Σ_matched tf·ln(N/df) —
+    * the scoring complement to [[matchAll]]'s boolean intersect.
+    *
+    * Scale shape: the term filter lands BEFORE the tf aggregation (only
+    * query-term rows survive the explode), df comes from one tiny agg
+    * over those rows, N is a broadcast scalar, and the final ranking is
+    * TakeOrderedAndProject (k-bounded) — never a global sort. Per-term
+    * weights are summed in MICRO-UNITS (round(w·1e6) → long): a double
+    * sum re-associates with shuffle arrival order and can flip a rank at
+    * the k boundary; the integer sum is order-free and the oracle replays
+    * it exactly. Returns (doc_id, score, n_terms).
+    */
+  def rankedSearch(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
+    val ts = terms.map(_.toLowerCase).distinct
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.normTokens(col(textCol))).as("term"))
+      .where(col("term").isin(ts: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = docs.agg(count(lit(1)).cast("double").as("nd"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w_micro",
+        round((col("tf") * log(col("nd") / col("df_t"))) * lit(1e6), 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("w_micro")).as("sm"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"),
+        (col("sm").cast("double") / lit(1e6)).as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

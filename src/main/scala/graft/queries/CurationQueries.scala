@@ -69,6 +69,12 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ranked retrieval: top-10 docs by tf·idf over an OR term set —
+    // micro-unit integer score sums (order-free), TakeOrderedAndProject
+    "q_doc_rank_search" -> ((s, dir) =>
+      graft.ops.Search.rankedSearch(wide(s, t(s, dir, "documents")),
+        "doc_id", "text", Seq("spark", "vector", "stream"), k = 10)),
+
     // quality-weighted sampling: each doc kept with probability equal to
     // its quality score, decided by content-hash bucket — deterministic
     // quality-proportional downsampling (both engines recompute the same
@@ -349,6 +355,29 @@ object CurationQueries {
     "q_emb_pq" -> pqSql(2, 64, 8, 2),
 
     "q_emb_pq_search" -> pqSearchSql(2, 64, 8, 2, nQueries = 3, topK = 5),
+
+    // micro-unit replay: identical (tf · ln(nd/df)) · 1e6 rounding and
+    // BIGINT sum — double-sum re-association can't flip ranks
+    "q_doc_rank_search" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('spark', 'vector', 'stream')
+           |  GROUP BY doc_id, term),
+           |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+           |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+           |s AS (
+           |  SELECT tf.doc_id,
+           |    sum(CAST(round((tf.tf * ln(nd.nd / dft.df_t)) * 1000000.0)
+           |      AS BIGINT)) AS sm,
+           |    CAST(count(*) AS BIGINT) AS n_terms
+           |  FROM tf JOIN dft USING (term) CROSS JOIN nd
+           |  GROUP BY tf.doc_id)
+           |SELECT doc_id, CAST(sm AS DOUBLE) / 1000000.0 AS score, n_terms
+           |FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_doc_search" ->
       raw"""WITH p AS (

@@ -61,6 +61,27 @@ object Extras {
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
         .orderBy("l_returnflag")),
 
+    // equi-depth histogram: exact quartile boundaries over INTEGER CENTS
+    // (interpolation of longs is the same exact double arithmetic in both
+    // engines — boundaries over raw doubles could differ in the last ulp
+    // and flip a row at a bucket edge), then one bucketed count pass with
+    // the 1-row boundary frame broadcast
+    "q_histogram" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val li = t(s, dir, "lineitem").select(cents.as("c"))
+      val b = li.agg(
+        expr("percentile(c, array(0.25, 0.5, 0.75))").as("bs"))
+      li.crossJoin(broadcast(b))
+        .withColumn("bucket",
+          when(col("c") <= col("bs")(0), 0)
+            .when(col("c") <= col("bs")(1), 1)
+            .when(col("c") <= col("bs")(2), 2)
+            .otherwise(3))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("c").as("min_c"), max("c").as("max_c"))
+        .orderBy("bucket")
+    }),
+
     // SQL entry point: the same engine driven through spark.sql + temp view
     "q_sql_api" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -163,6 +184,21 @@ object Extras {
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT quantile_cont(c, 0.25) AS b0, quantile_cont(c, 0.5) AS b1,
+        |    quantile_cont(c, 0.75) AS b2
+        |  FROM li)
+        |SELECT CASE WHEN c <= b0 THEN 0 WHEN c <= b1 THEN 1
+        |            WHEN c <= b2 THEN 2 ELSE 3 END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(c) AS min_c, max(c) AS max_c
+        |FROM li CROSS JOIN b
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_sql_api" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -710,6 +710,25 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("grid cells"))
   }
 
+  test("ranked search: rare terms outweigh common, ties break by doc id") {
+    import graft.ops.Search
+    val d = Seq(
+      (0L, "spark spark spark common"),  // tf=3 of a rarer term
+      (1L, "spark common common"),
+      (2L, "common common common"),      // only the ubiquitous term
+      (3L, "nothing matches here"),
+      (4L, "common common common"))      // identical to 2 → doc-id tiebreak
+      .toDF("doc_id", "text")
+    val r = Search.rankedSearch(d, "doc_id", "text",
+        Seq("spark", "common"), k = 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L, 4L)) // 3 never matches
+    assert(r(0)._2 > r(1)._2 && r(1)._2 > r(2)._2)
+    assert(r(2)._2 == r(3)._2) // identical docs, identical score
+    // df("spark")=2 of N=5 → idf > 0; common appears in 4 docs
+    assert(r.forall(_._2 > 0.0))
+  }
+
   test("chunking: stride/overlap arithmetic, short docs, reassembly") {
     import graft.ops.Curation
     val d = Seq(
