@@ -275,4 +275,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(out).count() == before)
     } finally q.stop()
   }
+
+  test("streaming trending terms match the batch top-k per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingTrends
+    val out = java.nio.file.Files.createTempDirectory("st_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("st_ckpt").toString
+    val source = MemoryStream[(Timestamp, String)]
+    val counts = StreamingTrends.windowedTermCounts(
+      source.toDF().toDF("event_time", "text"),
+      windowDuration = "1 hour", watermarkDelay = "0 seconds")
+    val q = StreamingTrends.sink(counts, out, k = 2, ckpt).start()
+    try {
+      // window 0: "spam" floods (5×), "ham" 3×, "rare" once
+      source.addData(
+        (ts("2020-01-01 00:05:00"), "spam spam spam ham"),
+        (ts("2020-01-01 00:10:00"), "spam SPAM ham"),
+        (ts("2020-01-01 00:20:00"), "ham rare"))
+      q.processAllAvailable()
+      // window 1 arrivals close window 0; tie between tied/knot broken
+      // lexicographically at rank 2
+      source.addData(
+        (ts("2020-01-01 01:10:00"), "burst burst tied knot"),
+        (ts("2020-01-01 01:20:00"), "knot tied"))
+      q.processAllAvailable()
+      source.addData((ts("2020-01-01 03:00:00"), "pusher"))
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(out)
+        .select("window_start", "rank", "term", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1),
+          r.getString(2), r.getLong(3))).toSet
+      val w0 = "2020-01-01 00:00:00.0"
+      val w1 = "2020-01-01 01:00:00.0"
+      assert(got == Set(
+        (w0, 1, "spam", 5L), (w0, 2, "ham", 3L),
+        (w1, 1, "burst", 2L), (w1, 2, "knot", 2L))) // knot < tied at n=2
+      // parity: the same rows through the BATCH path (window + topTerms)
+      val batch = Seq(
+        (ts("2020-01-01 00:05:00"), "spam spam spam ham"),
+        (ts("2020-01-01 00:10:00"), "spam SPAM ham"),
+        (ts("2020-01-01 00:20:00"), "ham rare"),
+        (ts("2020-01-01 01:10:00"), "burst burst tied knot"),
+        (ts("2020-01-01 01:20:00"), "knot tied"),
+        (ts("2020-01-01 03:00:00"), "pusher")).toDF("event_time", "text")
+      val batchCounts = batch
+        .select(col("event_time"),
+          explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
+        .groupBy(window(col("event_time"), "1 hour"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("term"), col("n"))
+      val batchTop = StreamingTrends.topTerms(batchCounts, 2)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1),
+          r.getString(2), r.getLong(3)))
+        .filter(t => t._1 == w0 || t._1 == w1).toSet
+      assert(batchTop == got)
+    } finally q.stop()
+  }
 }
