@@ -46,4 +46,32 @@ object Sampling {
       case (((name, _), cut), els) => when(b < cut, lit(name)).otherwise(els)
     }
   }
+
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor gets `k` pseudo-random partner ids, chosen by md5 of
+    * (anchor, slot) — reproducible on every run, partitioning, and engine
+    * (seeded RNG is not; see [[hashBucket]]). Ids must be DENSE 0..n−1
+    * (the standard contrastive-batch layout — hash mod n must hit a real
+    * doc); a self-collision remaps to the next id. 32 hash bits keep the
+    * modulo skew < n·2⁻³² per id. Returns (anchor_id, slot, neg_id) — one
+    * projection over anchors × k, no shuffle, no join until the caller
+    * fetches negative payloads.
+    */
+  def negativeSamples(ids: org.apache.spark.sql.DataFrame, idCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val n = ids.agg(count(lit(1)).as("n_docs"))
+    ids.select(col(idCol).cast("long").as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("n_docs"),
+        explode(sequence(lit(0), lit(k - 1))).as("slot"))
+      .withColumn("h",
+        conv(substring(
+          md5(concat_ws("|", col("anchor_id"), col("slot"))), 1, 8), 16, 10)
+          .cast("long") % col("n_docs"))
+      .select(col("anchor_id"), col("slot").cast("int").as("slot"),
+        when(col("h") === col("anchor_id"),
+          (col("h") + 1) % col("n_docs"))
+          .otherwise(col("h")).as("neg_id"))
+  }
 }

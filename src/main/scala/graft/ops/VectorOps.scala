@@ -116,8 +116,17 @@ object VectorOps {
     * neighbors live outside probed cells.
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val cells = assignCells(corpus, centroids)
+      k: Int, nprobe: Int): DataFrame =
+    ivfTopKIndexed(assignCells(corpus, centroids), centroids, queries,
+      k, nprobe)
+
+  /** [[ivfTopK]] over a PREBUILT cell assignment ([[assignCells]] output,
+    * typically loaded from a persisted index) — the serving path: the
+    * corpus is assigned once at index-build time and every query batch
+    * afterwards probes without re-scoring corpus × centroids.
+    */
+  def ivfTopKIndexed(cells: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val qScored = queries.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(col("query_vec"), col("centroid_vec")))
     // probe selection is the same bounded top-k (nprobe nearest cells,
@@ -141,6 +150,26 @@ object VectorOps {
         / over(col("v_norm") * col("q_norm")))
     topKPerQuery(scored, k)
   }
+
+  /** Persist an IVF index in the SERVING layout: centroids + the cell
+    * assignment written PARTITIONED BY cell — a probe of nprobe cells then
+    * reads only those directories (partition pruning; with the probe set
+    * broadcast, Spark's dynamic partition pruning pushes it into the file
+    * listing). Build once ([[assignCells]]), serve every later query
+    * batch via [[loadIvfIndex]] + [[ivfTopKIndexed]] without re-scoring
+    * corpus × centroids — the ANN analog of [[Dedup.minhashIndex]].
+    */
+  def saveIvfIndex(path: String, centroids: DataFrame,
+      cells: DataFrame): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/cells"))
 
   /** Deterministic ±1 pseudo-hyperplane entry for (plane j, dimension d):
     * parity of a multiplicative mix modulo a prime — engine-portable

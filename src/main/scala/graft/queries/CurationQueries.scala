@@ -159,6 +159,15 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // deterministic negative sampling: 4 contrastive negatives per anchor
+    // by md5 of (anchor, slot) mod corpus size — reproducible on any run,
+    // partitioning, or engine (the oracle replays the identical integer
+    // math), self-collisions remapped to the next id
+    "q_sample_negatives" -> ((s, dir) =>
+      Sampling.negativeSamples(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 4)
+        .orderBy("anchor_id", "slot")),
+
     // IVF centroid training: 3 Lloyd's rounds, k=4, fixed-point integer
     // arithmetic throughout — bit-reproducible under any partitioning, so
     // the oracle replays the identical rounds with unrolled CTEs
@@ -351,6 +360,19 @@ object CurationQueries {
       topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_sample_negatives" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |h AS (
+        |  SELECT doc_id AS anchor_id, CAST(g.slot AS INT) AS slot,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '|' || g.slot::VARCHAR),
+        |      1, 8))::BIGINT % n_docs AS h,
+        |    n_docs
+        |  FROM documents CROSS JOIN generate_series(0, 3) AS g(slot)
+        |  CROSS JOIN n)
+        |SELECT anchor_id, slot,
+        |  CASE WHEN h = anchor_id THEN (h + 1) % n_docs ELSE h END AS neg_id
+        |FROM h ORDER BY anchor_id, slot""".stripMargin,
 
     "q_emb_pq" -> pqSql(2, 64, 8, 2),
 

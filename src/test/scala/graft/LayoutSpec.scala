@@ -125,4 +125,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).agg(sum(col("payload"))).head.getLong(0)
       == grid.agg(sum(col("payload"))).head.getLong(0))
   }
+
+  test("persisted IVF index serves identical results without re-assignment") {
+    import graft.ops.VectorOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    VectorOps.saveIvfIndex(dir, centroids, VectorOps.assignCells(emb, centroids))
+    // build-once layout: the cell assignment is partitioned by cell on
+    // disk, so an nprobe-cell probe can prune to those directories
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length == 4, cellDirs.mkString(","))
+    val (cen2, cells2) = VectorOps.loadIvfIndex(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val direct = key(VectorOps.ivfTopK(emb, centroids, queries, k = 3, nprobe = 2))
+    val served = key(VectorOps.ivfTopKIndexed(cells2, cen2, queries, k = 3, nprobe = 2))
+    assert(direct == served)
+    assert(direct.nonEmpty)
+  }
 }

@@ -407,6 +407,25 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("negative samples: k per anchor, in range, no self, deterministic") {
+    import graft.ops.Sampling
+    val n = 100
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val negs = Sampling.negativeSamples(ids, "doc_id", k = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(negs.size == n * 4) // every (anchor, slot) exactly once
+    assert(negs.forall { case (_, v) => v >= 0 && v < n })
+    assert(negs.forall { case ((a, _), v) => v != a }) // self remapped
+    // pure function of (anchor, slot): partitioning cannot change it
+    val negs2 = Sampling.negativeSamples(ids.repartition(7), "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(negs == negs2)
+    // pinned value: md5("7|2") first 8 nibbles = 0x52a53db4 → % 100 = 8
+    assert(negs((7L, 2)) ==
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex("7|2").substring(0, 8), 16) % n)
+  }
+
   test("as-of join: matched right row with NULL value yields (time, null)") {
     import graft.ops.AsOf
     // two last(_, ignoreNulls) windows would pair t=10 with the OLDER 1.0;
