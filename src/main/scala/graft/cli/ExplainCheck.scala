@@ -103,7 +103,19 @@ object ExplainCheck {
       Seq("Window", "SortMergeJoin")),
     // histogram: 1-row boundary frame broadcast into the bucketing pass
     "q_histogram" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
-      Seq("Window", "SortMergeJoin")))
+      Seq("Window", "SortMergeJoin")),
+    // snapshot upsert: union + argmax aggregate ONLY — the MERGE-join and
+    // row_number-window formulations are both forbidden shapes. The
+    // struct-max argmax is not hash-aggregable (immutable buffer type) so
+    // it plans as SortAggregate — crucially WITH a partial before the
+    // exchange (the sort is per-partition; the shuffle carries one row per
+    // key per mapper, not history)
+    "q_doc_upsert" -> (Seq("Union", "SortAggregate"),
+      Seq("Window", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // grouped top-k: bounded k-heap aggregation, never a per-group window
+    // sort (one hot group would serialize on one task)
+    "q_topk_group" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC-style snapshot maintenance for a versioned corpus: apply a change
+  * batch (upserts + tombstones) to a base snapshot — the daily-crawl
+  * refresh ("new crawl of the same URLs supersedes yesterday's text,
+  * takedowns delete") that every living training corpus needs.
+  *
+  * Shape: ONE unionByName + ONE aggregate. Latest-version-wins is
+  * `max(struct(version, change_rank, payload...))` — an argmax the same
+  * way as [[VectorOps.assignCells]], so map-side partial aggregation
+  * leaves at most one row per key per mapper and the shuffle carries keys,
+  * not history (struct max is not hash-aggregable, so it plans as a
+  * partially-aggregated SortAggregate — the sort is per-partition and the
+  * k-per-key history it sorts is short). The join-based MERGE formulation
+  * shuffles BOTH sides and
+  * then needs a second pass for the not-matched rows; the window
+  * formulation (`row_number over (partition by key order by version)`)
+  * sorts every key's full history on one task. Both are strictly worse at
+  * corpus scale.
+  *
+  * Determinism: ties on `version` between base and changes go to the
+  * CHANGES row (rank 1 beats rank 0 inside the struct comparison); ties
+  * WITHIN the change batch are the caller's bug — one row per (key,
+  * version) is the CDC contract.
+  */
+object Snapshot {
+
+  /** Apply `changes` to `base`. Both must share (keyCol, versionCol,
+    * payload...) columns; `changes` additionally carries boolean
+    * `deleteCol` tombstones. Returns the new snapshot with base's schema:
+    * highest version per key, tombstoned keys dropped.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, keyCol: String,
+      versionCol: String, deleteCol: String = "deleted"): DataFrame = {
+    val payload = base.columns.toSeq
+      .filterNot(c => c == keyCol || c == versionCol)
+    require(payload.nonEmpty, "snapshot needs at least one payload column")
+    require(changes.columns.contains(deleteCol),
+      s"changes must carry a boolean '$deleteCol' tombstone column")
+    val all = base
+      .withColumn(deleteCol, lit(false)).withColumn("_chg", lit(0))
+      .unionByName(changes.withColumn("_chg", lit(1)))
+    // version first, change-rank second: payload fields after them can
+    // only decide a (key, version, rank) tie, which the contract forbids
+    val winner = struct(
+      Seq(col(versionCol), col("_chg"), col(deleteCol)) ++
+        payload.map(col): _*)
+    all.groupBy(keyCol)
+      .agg(max(winner).as("w"))
+      .where(!col(s"w.$deleteCol"))
+      .select(col(keyCol) +:
+        col(s"w.$versionCol").as(versionCol) +:
+        payload.map(c => col(s"w.$c").as(c)): _*)
+  }
+}

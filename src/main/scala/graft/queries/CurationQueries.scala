@@ -159,6 +159,28 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // CDC snapshot upsert: a change batch (re-crawled texts + takedown
+    // tombstones) applied to the corpus — latest version per doc wins,
+    // changes beat base on version ties, tombstoned docs drop. One union +
+    // one argmax agg; no join, no window (see Snapshot scaladoc)
+    "q_doc_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), lit(1).as("version"),
+        col("text"), col("lang"))
+      val recrawl = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), lit(2).as("version"),
+          upper(col("text")).as("text"), col("lang"),
+          lit(false).as("deleted"))
+      val takedown = docs.where(pmod(col("doc_id"), lit(11)) === 7)
+        .select(col("doc_id"), lit(3).as("version"), col("text"),
+          col("lang"), lit(true).as("deleted"))
+      graft.ops.Snapshot.upsert(base, recrawl.unionByName(takedown),
+          "doc_id", "version")
+        .select(col("doc_id"), col("version"), md5(col("text")).as("fp"),
+          col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic negative sampling: 4 contrastive negatives per anchor
     // by md5 of (anchor, slot) mod corpus size — reproducible on any run,
     // partitioning, or engine (the oracle replays the identical integer
@@ -360,6 +382,25 @@ object CurationQueries {
       topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_doc_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id, 1 AS version, text, lang, FALSE AS deleted
+        |  FROM documents),
+        |recrawl AS (
+        |  SELECT doc_id, 2 AS version, upper(text) AS text, lang,
+        |    FALSE AS deleted
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |takedown AS (
+        |  SELECT doc_id, 3 AS version, text, lang, TRUE AS deleted
+        |  FROM documents WHERE doc_id % 11 = 7),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM recrawl
+        |      UNION ALL SELECT * FROM takedown),
+        |r AS (SELECT *, row_number()
+        |        OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |      FROM u)
+        |SELECT doc_id, version, md5(text) AS fp, lang
+        |FROM r WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
 
     "q_sample_negatives" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),

@@ -172,6 +172,27 @@ object Relational {
         .orderBy("rk")
     }),
 
+    // grouped top-k: the k best rows PER GROUP via the bounded k-heap
+    // Aggregator (map-side combined, k-bounded shuffle buffers) — the
+    // per-group analog of q_topk's TakeOrderedAndProject discipline. A
+    // row_number window (q_window_rank's shape) sorts every group's FULL
+    // row set on one task; fine for many small groups, a killer when one
+    // group holds a large share of a 100 TB table. Exact integer cents
+    // make the heap order engine-portable.
+    "q_topk_group" -> ((s, dir) => {
+      val top = graft.functions.TopKAgg.smallest_k_long(3)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(top(negate(col("cents")), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rk"),
+          col("e.id").as("o_orderkey"),
+          (negate(col("e.key")) / 100.0).as("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
     // W: ranking window per partition
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -343,6 +364,15 @@ object Relational {
         |    CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
         |  FROM orders)
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "q_topk_group" ->
+      s"""SELECT o_orderpriority, rk, o_orderkey, cents / 100.0 AS o_totalprice
+         |FROM (
+         |  SELECT o_orderpriority, o_orderkey, ${centsSql("o_totalprice")} AS cents,
+         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY ${centsSql("o_totalprice")} DESC, o_orderkey) AS INT) AS rk
+         |  FROM orders)
+         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (

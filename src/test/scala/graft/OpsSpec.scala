@@ -407,6 +407,37 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("snapshot upsert: latest wins, change beats base on tie, tombstones drop") {
+    import graft.ops.Snapshot
+    val base = Seq(
+      (0L, 3, "keep me"),     // untouched — survives as-is
+      (1L, 3, "old text"),    // superseded by version 4
+      (2L, 3, "tied text"),   // change arrives with the SAME version 3
+      (3L, 3, "taken down"))  // tombstoned
+      .toDF("doc_id", "version", "text")
+    val changes = Seq(
+      (1L, 4, "new text", false),
+      (2L, 3, "change wins tie", false),
+      (3L, 9, "", true),      // delete
+      (4L, 1, "fresh insert", false)) // key absent from base
+      .toDF("doc_id", "version", "text", "deleted")
+    val got = Snapshot.upsert(base, changes, "doc_id", "version")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(got == Map(
+      0L -> ((3, "keep me")),
+      1L -> ((4, "new text")),
+      2L -> ((3, "change wins tie")),
+      4L -> ((1, "fresh insert"))))
+    // idempotent: replaying the same change batch changes nothing
+    val replay = Snapshot.upsert(
+      Snapshot.upsert(base, changes, "doc_id", "version"),
+      changes, "doc_id", "version")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(replay == got)
+  }
+
   test("negative samples: k per anchor, in range, no self, deterministic") {
     import graft.ops.Sampling
     val n = 100

@@ -332,4 +332,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchTop == got)
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins dims per batch, defaults missing keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingEnrich
+    val dims = Seq(("crawl_a", "permissive"), ("crawl_b", "restricted"))
+      .toDF("source", "tier")
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val enriched = StreamingEnrich.enrich(
+      source.toDF().toDF("event_time", "doc_id", "source"),
+      dims, "source", Map("tier" -> lit("unknown")))
+    val counts = StreamingEnrich.windowedDimCounts(
+      enriched, "tier", windowDuration = "1 hour",
+      watermarkDelay = "0 seconds")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      source.addData(
+        (ts("2020-01-01 00:05:00"), 0L, "crawl_a"),
+        (ts("2020-01-01 00:10:00"), 1L, "crawl_a"),
+        (ts("2020-01-01 00:20:00"), 2L, "crawl_b"),
+        (ts("2020-01-01 00:25:00"), 3L, "crawl_new")) // not in the registry
+      q.processAllAvailable()
+      // next hour's arrival closes window 0
+      source.addData((ts("2020-01-01 01:30:00"), 4L, "crawl_b"))
+      q.processAllAvailable()
+      source.addData((ts("2020-01-01 03:00:00"), 5L, "crawl_a"))
+      q.processAllAvailable()
+
+      val got = spark.table("enrich_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2))).toSet
+      val w0 = "2020-01-01 00:00:00.0"
+      val w1 = "2020-01-01 01:00:00.0"
+      assert(got == Set(
+        (w0, "permissive", 2L), (w0, "restricted", 1L), (w0, "unknown", 1L),
+        (w1, "restricted", 1L)))
+      // parity: identical rows through the batch path (same join + window)
+      val batch = Seq(
+        (ts("2020-01-01 00:05:00"), 0L, "crawl_a"),
+        (ts("2020-01-01 00:10:00"), 1L, "crawl_a"),
+        (ts("2020-01-01 00:20:00"), 2L, "crawl_b"),
+        (ts("2020-01-01 00:25:00"), 3L, "crawl_new"),
+        (ts("2020-01-01 01:30:00"), 4L, "crawl_b"))
+        .toDF("event_time", "doc_id", "source")
+      val batchGot = StreamingEnrich.enrich(batch, dims, "source",
+          Map("tier" -> lit("unknown")))
+        .groupBy(window(col("event_time"), "1 hour"), col("tier"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("tier"), col("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2))).toSet
+      assert(batchGot == got)
+    } finally q.stop()
+  }
 }
