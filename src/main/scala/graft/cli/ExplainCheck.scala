@@ -115,7 +115,11 @@ object ExplainCheck {
     // grouped top-k: bounded k-heap aggregation, never a per-group window
     // sort (one hot group would serialize on one task)
     "q_topk_group" -> (Seq("ObjectHashAggregate"),
-      Seq("Window", "CartesianProduct")))
+      Seq("Window", "CartesianProduct")),
+    // MG sketch: capacity-bounded typed Aggregator partials — the one-pass
+    // shape for key domains too big to groupBy; never a full count shuffle
+    "q_doc_heavy_hitters" -> (Seq("ObjectHashAggregate", "Generate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

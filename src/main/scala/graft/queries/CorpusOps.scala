@@ -135,6 +135,20 @@ object CorpusOps {
     // the vocabulary is huge and a no-partition WindowExec would sort it
     // all in one task. Rank is recomputed over the 50 survivors by a tiny
     // ordering self-join (WindowExec-free plan).
+    // Misra-Gries heavy hitters in the sketch's EXACT regime (capacity 64
+    // > the corpus vocabulary): one pass, state bounded by capacity — the
+    // shape that still works when the key domain itself (URLs, hosts,
+    // n-grams) doesn't fit a groupBy. No decrement fires here, so every
+    // count is exact and the full-count oracle matches bit-for-bit; the
+    // bounded-capacity error contract is spec-checked on adversarial data
+    "q_doc_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
+        .agg(graft.functions.FreqSketch.frequent_terms(64)(col("term")).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("e.term").as("term"), col("e.n").as("n"))),
+
     "q_doc_term_freq" -> ((s, dir) => {
       val top = wide(s, t(s, dir, "documents"))
         .select(explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
@@ -520,6 +534,15 @@ object CorpusOps {
            |  FROM b)
            |SELECT split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
            |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_doc_heavy_hitters" ->
+      """WITH terms AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM terms GROUP BY term)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rk,
+        |  term, n
+        |FROM f ORDER BY rk""".stripMargin,
 
     "q_doc_term_freq" ->
       """WITH terms AS (

@@ -407,6 +407,42 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("Misra-Gries sketch: exact when capacity fits, bounded error when not") {
+    import graft.functions.FreqSketch
+    // exact regime: capacity >= distinct keys -> identical to a full count
+    val toks = docs.select(explode(graft.ops.TextOps.normTokens(col("text")))
+      .as("term"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = toks.agg(FreqSketch.frequent_terms(64)(col("term")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch == exact)
+
+    // bounded regime: skewed stream, capacity 8, forced multi-partition
+    // merges. MG contract: <= m keys retained; estimates never exceed the
+    // truth; every key with true count > N/(m+1) survives with estimate
+    // >= true - N/(m+1)
+    val m = 8
+    val stream = (Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 400).map(i => s"cold${i % 50}")) // 50 keys x 8 each
+    val n = stream.length
+    val df = stream.toDF("term").repartition(7)
+    val est = df.agg(FreqSketch.frequent_terms(m)(col("term")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est.size <= m)
+    assert(est.forall { case (t, c) => c <= truth(t) })
+    val bound = n / (m + 1)
+    truth.filter(_._2 > bound).foreach { case (t, c) =>
+      assert(est.contains(t), s"heavy key $t (true $c) must be retained")
+      assert(est(t) >= c - bound, s"$t estimate ${est(t)} below $c - $bound")
+    }
+  }
+
   test("snapshot upsert: latest wins, change beats base on tie, tombstones drop") {
     import graft.ops.Snapshot
     val base = Seq(
