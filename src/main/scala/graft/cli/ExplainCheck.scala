@@ -119,7 +119,12 @@ object ExplainCheck {
     // MG sketch: capacity-bounded typed Aggregator partials — the one-pass
     // shape for key domains too big to groupBy; never a full count shuffle
     "q_doc_heavy_hitters" -> (Seq("ObjectHashAggregate", "Generate"),
-      Seq("Window", "CartesianProduct", "SortMergeJoin")))
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // salted join: the salt only matters in the sort-merge shape (hinted),
+    // with the right side replicated by an in-stage Generate — and the
+    // post-join agg still partially aggregates before its exchange
+    "q_join_salted" -> (Seq("SortMergeJoin", "Generate", "HashAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -139,6 +139,23 @@ object Extras {
         finalAggs = Seq(sum(col("qty_c")).as("qty_c"), sum(col("n")).as("n")))
         .orderBy("l_returnflag")),
 
+    // skew-salted large-large JOIN: the left side salts each row (content
+    // hash, retry-safe), the right side replicates once per salt, so a
+    // heavy-hitter join key spreads over 8 reducers instead of one
+    // straggler task. The merge hint forces the sort-merge shape the salt
+    // exists for (broadcast would dodge shuffle skew entirely and AQE
+    // would hide it at this SF); the oracle proves salting changes nothing
+    "q_join_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.etl.Skew.saltedJoin(li, ord.hint("merge"), "l_orderkey", 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(round(col("l_quantity") * lit(100), 0).cast("long"))
+          .as("qty_c"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // custom-Aggregator combiner slot: exact median per (user, type, window)
     "q_ts_combine_median" -> ((s, dir) => {
       Stages.combine(TimeSeries.bucketized(s, dir),
@@ -225,6 +242,13 @@ object Extras {
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_ts_combine_median" -> (TimeSeries.idxSql +
       """SELECT user_id, event_type, tidx, round(median(value), 6) AS med_value

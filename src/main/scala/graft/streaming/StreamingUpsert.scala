@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.ops.Snapshot
+
+/** Streaming CDC apply: fold an arriving change stream (re-crawls +
+  * takedown tombstones) into a persisted corpus snapshot — the live form
+  * of [[Snapshot.upsert]].
+  *
+  * Each micro-batch rewrites the snapshot as a NEW versioned directory
+  * (`v<batchId>`) and then flips a one-line pointer file; readers resolve
+  * the pointer and only ever see a fully-written version — no reader can
+  * observe a half-applied batch. Replay safety under foreachBatch's
+  * at-least-once contract comes from [[Snapshot.upsert]]'s idempotence
+  * (applying the same change batch twice is a no-op) plus the versioned
+  * layout: a replayed batch id deterministically regenerates its own
+  * version directory rather than appending. Old versions are pruned
+  * beyond `keepVersions` (time-travel window).
+  *
+  * Scale note: this rewrites the snapshot per batch — right for
+  * dimension-to-mid-size corpora (metadata tables, registries, curated
+  * subsets). A 100 TB base wants the same upsert folded into a
+  * partition-pruned rewrite (only partitions containing changed keys;
+  * pair with [[graft.io.CorpusLayout]] bucketing) — the algebra is
+  * identical, the sink granularity changes.
+  */
+object StreamingUpsert {
+
+  private def pointerPath(root: String) = Paths.get(root, "CURRENT")
+
+  /** Initialize the snapshot root with `base` as version -1. */
+  def init(base: DataFrame, root: String): Unit = {
+    base.write.mode("overwrite").parquet(s"$root/v-1")
+    writePointer(root, -1L)
+  }
+
+  /** Resolve the pointer and load the current snapshot. */
+  def current(spark: SparkSession, root: String): DataFrame = {
+    val v = new String(Files.readAllBytes(pointerPath(root))).trim.toLong
+    spark.read.parquet(s"$root/v$v")
+  }
+
+  private def writePointer(root: String, version: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s".CURRENT.tmp")
+    Files.write(tmp, version.toString.getBytes)
+    Files.move(tmp, pointerPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Apply one change batch: current snapshot + changes → `v<batchId>`,
+    * flip the pointer, prune old versions. Public so tests (and manual
+    * backfills) can drive the exact foreachBatch body.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, root: String,
+      keyCol: String, versionCol: String, keepVersions: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val next = Snapshot.upsert(current(spark, root), batch, keyCol, versionCol)
+    next.write.mode("overwrite").parquet(s"$root/v$batchId")
+    writePointer(root, batchId)
+    // prune: keep the newest keepVersions version dirs (by numeric id)
+    val dir = new java.io.File(root)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v-?\\d+"))
+      .sortBy(f => -f.getName.drop(1).toLong)
+      .drop(keepVersions)
+      .foreach(old => {
+        Option(old.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        old.delete()
+      })
+  }
+
+  /** The streaming writer: every micro-batch of `changes` (key, version,
+    * payload..., deleted) folds into the snapshot at `root`.
+    */
+  def sink(changes: DataFrame, root: String, keyCol: String,
+      versionCol: String, checkpoint: String,
+      keepVersions: Int = 3): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch, id, root, keyCol, versionCol, keepVersions)
+      }
+}

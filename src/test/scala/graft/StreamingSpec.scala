@@ -386,4 +386,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchGot == got)
     } finally q.stop()
   }
+
+  test("streaming CDC apply folds change batches into the batch-equal snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingUpsert
+    val root = java.nio.file.Files.createTempDirectory("su_root").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("su_ckpt").toString
+    val base = Seq((0L, 1, "a"), (1L, 1, "b"), (2L, 1, "c"))
+      .toDF("doc_id", "version", "text")
+    StreamingUpsert.init(base, root)
+
+    val source = MemoryStream[(Long, Int, String, Boolean)]
+    val q = StreamingUpsert.sink(
+      source.toDF().toDF("doc_id", "version", "text", "deleted"),
+      root, "doc_id", "version", ckpt).start()
+    val allChanges = Seq(
+      (1L, 2, "b2", false), (3L, 1, "d", false), // batch 1
+      (2L, 2, "", true), (1L, 3, "b3", false))   // batch 2
+    try {
+      source.addData(allChanges.take(2): _*)
+      q.processAllAvailable()
+      source.addData(allChanges.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def snap() = StreamingUpsert.current(spark, root)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    val got = snap()
+    // batch equivalent: all changes applied at once
+    val batchAll = graft.ops.Snapshot.upsert(base,
+      allChanges.toDF("doc_id", "version", "text", "deleted"),
+      "doc_id", "version")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(got == batchAll)
+    assert(got == Map(0L -> ((1, "a")), 1L -> ((3, "b3")), 3L -> ((1, "d"))))
+
+    // at-least-once replay: re-applying the LAST batch id is a no-op
+    StreamingUpsert.applyBatch(
+      allChanges.drop(2).toDF("doc_id", "version", "text", "deleted"),
+      batchId = 1L, root, "doc_id", "version")
+    assert(snap() == got)
+
+    // pruning keeps a bounded number of version dirs
+    val vdirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(vdirs.length <= 3, vdirs.mkString(","))
+  }
 }
