@@ -120,6 +120,10 @@ object ExplainCheck {
     // shape for key domains too big to groupBy; never a full count shuffle
     "q_doc_heavy_hitters" -> (Seq("ObjectHashAggregate", "Generate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // expectations audit: N rules = ONE aggregate over ONE scan (1-row
+    // partials), melted by a Generate over literals — never N passes
+    "q_expectations" -> (Seq("HashAggregate", "Generate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin", "Union")),
     // salted join: the salt only matters in the sort-merge shape (hinted),
     // with the right side replicated by an in-stage Generate — and the
     // post-join agg still partially aggregates before its exchange

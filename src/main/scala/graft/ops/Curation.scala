@@ -80,6 +80,45 @@ object Curation {
     docs.where(b < keep)
   }
 
+  /** Target-mixture resampling: downsample strata so the KEPT corpus hits
+    * target proportions — "make the mix 40% en / 20% each de-fr-es". The
+    * largest feasible total under weights w_i is T = min_i(n_i / w_i)
+    * (the binding stratum keeps everything); stratum i then keeps rate
+    * w_i·T/n_i by the same content-hash bucket as [[stratifiedSample]].
+    * Strata with no weight are dropped (they are not part of the mix).
+    *
+    * Deterministic end to end: counts are exact, the threshold arithmetic
+    * is a fixed IEEE expression both engines evaluate identically, and
+    * membership is a pure function of the key — re-runs, re-partitionings
+    * and engines agree row-for-row (proportions are approximate within
+    * hash-bucket granularity, the decision is not random).
+    *
+    * Scale shape: one count aggregate (strata-bounded), a 1-row min, and
+    * two broadcasts back onto the scan — the corpus is read once and never
+    * shuffled.
+    */
+  def mixtureSample(docs: DataFrame, strataCol: String, keyCol: Column,
+      weights: Seq[(String, Double)], buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("__stratum", "__w")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(w), col(strataCol) === col("__stratum"))
+    val total = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val thresholds = counts.crossJoin(broadcast(total))
+      .select(col("__stratum"),
+        round(lit(buckets) * col("__w") * (col("__t") / col("__n")), 0)
+          .cast("long").as("__thr"))
+    docs.join(broadcast(thresholds), col(strataCol) === col("__stratum"))
+      .where(Sampling.hashBucket(keyCol, buckets) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Per-row weighted sampling: keep a row with probability ~`rate` (a
     * Column in [0, 1], e.g. a quality score) by content-hash bucket —
     * quality-PROPORTIONAL downsampling (keep most good docs, few bad ones)

@@ -159,6 +159,21 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // target-mixture resampling: hit 40/20/20/20 en/de/fr/es by
+    // downsampling every stratum to the largest feasible total (the
+    // binding stratum keeps all); zh has no weight and is dropped.
+    // Decision is content-hash deterministic, thresholds a fixed IEEE
+    // expression — the oracle replays count, min, threshold, and bucket
+    // math identically
+    "q_doc_mixture" -> ((s, dir) =>
+      Curation.mixtureSample(t(s, dir, "documents"), "lang",
+        TextOps.normalize(col("text")),
+        Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("lang")),
+
     // CDC snapshot upsert: a change batch (re-crawled texts + takedown
     // tombstones) applied to the corpus — latest version per doc wins,
     // changes beat base on version ties, tombstoned docs drop. One union +
@@ -382,6 +397,26 @@ object CurationQueries {
       topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_doc_mixture" ->
+      s"""WITH w(stratum, wt) AS (VALUES
+         |  ('en', 0.4::DOUBLE), ('de', 0.2::DOUBLE),
+         |  ('fr', 0.2::DOUBLE), ('es', 0.2::DOUBLE)),
+         |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM documents GROUP BY lang),
+         |cw AS (SELECT lang, cnt, wt FROM c JOIN w ON lang = stratum),
+         |t AS (SELECT min(cnt / wt) AS tt FROM cw),
+         |thr AS (SELECT lang, CAST(round(10000 * wt * (tt / cnt)) AS BIGINT)
+         |          AS thr FROM cw CROSS JOIN t),
+         |n AS (SELECT doc_id, lang,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang, ${bucketSql(10000)} AS bk FROM n),
+         |k AS (SELECT b.doc_id, b.lang FROM b
+         |      JOIN thr ON b.lang = thr.lang WHERE bk < thr)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_doc_upsert" ->
       """WITH base AS (

@@ -139,6 +139,20 @@ object Extras {
         finalAggs = Seq(sum(col("qty_c")).as("qty_c"), sum(col("n")).as("n")))
         .orderBy("l_returnflag")),
 
+    // data-contract audit: 5 declarative expectations over lineitem in ONE
+    // aggregate pass (one scan for N rules, not N jobs); the under-5pct
+    // rule intentionally fails — the report records drift, callers decide
+    // severity
+    "q_expectations" -> ((s, dir) =>
+      graft.ops.Expectations.check(t(s, dir, "lineitem"), Seq(
+        "discount_bounded" ->
+          (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        "discount_under_5pct" -> (col("l_discount") <= 0.05),
+        "price_positive" -> (col("l_extendedprice") > lit(0)),
+        "quantity_in_range" -> col("l_quantity").between(1, 50),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull))
+        .orderBy("rule")),
+
     // skew-salted large-large JOIN: the left side salts each row (content
     // hash, retry-safe), the right side replicates once per salt, so a
     // heavy-hitter join key spreads over 8 reducers instead of one
@@ -242,6 +256,22 @@ object Extras {
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_expectations" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM lineitem)
+        |SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'discount_bounded' AS rule, n_rows, v0 AS n_violations FROM a
+        |  UNION ALL SELECT 'discount_under_5pct', n_rows, v1 FROM a
+        |  UNION ALL SELECT 'price_positive', n_rows, v2 FROM a
+        |  UNION ALL SELECT 'quantity_in_range', n_rows, v3 FROM a
+        |  UNION ALL SELECT 'shipdate_not_null', n_rows, v4 FROM a)
+        |ORDER BY rule""".stripMargin,
 
     "q_join_salted" ->
       """SELECT o_orderpriority,

@@ -407,6 +407,51 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("mixture sample: binding stratum keeps all, unweighted strata drop") {
+    import graft.ops.Curation
+    // 80 a / 40 b / 20 c / 10 z; weights .5/.25/.25 → T = min(160,160,80)
+    // = 80 → target keeps 40/20/20; c is binding (rate 1.0, keeps ALL)
+    val rows = (0 until 80).map(i => (s"a$i", "a")) ++
+      (0 until 40).map(i => (s"b$i", "b")) ++
+      (0 until 20).map(i => (s"c$i", "c")) ++
+      (0 until 10).map(i => (s"z$i", "z"))
+    val df = rows.toDF("key", "lang")
+    val kept = Curation.mixtureSample(df, "lang", col("key"),
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("z")) // no weight → not in the mix
+    assert(kept("c") == 20) // binding stratum keeps everything, exactly
+    assert(kept("a") >= 28 && kept("a") <= 52, kept) // 40 ± hash noise
+    assert(kept("b") >= 12 && kept("b") <= 28, kept) // 20 ± hash noise
+    // pure key function: identical under different partitioning
+    val kept2 = Curation.mixtureSample(df.repartition(7), "lang", col("key"),
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .select("key").collect().map(_.getString(0)).toSet
+    val kept1 = Curation.mixtureSample(df, "lang", col("key"),
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(kept1 == kept2)
+  }
+
+  test("expectations: nulls violate, report counts, quarantine tags first failure") {
+    import graft.ops.Expectations
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("id", "v")
+    val rules = Seq(
+      "v_not_null" -> col("v").isNotNull,
+      "v_positive" -> (col("v") > 0))
+    val rep = Expectations.check(df, rules)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // null v fails BOTH rules: unknown is not compliant
+    assert(rep("v_not_null") == ((3L, 1L, false)))
+    assert(rep("v_positive") == ((3L, 2L, false)))
+    val quarantine = Expectations.violations(df, rules)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(quarantine == Map(2L -> "v_positive", 3L -> "v_not_null"))
+  }
+
   test("Misra-Gries sketch: exact when capacity fits, bounded error when not") {
     import graft.functions.FreqSketch
     // exact regime: capacity >= distinct keys -> identical to a full count
