@@ -171,6 +171,21 @@ object VectorOps {
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/cells"))
 
+  /** Incremental index maintenance: assign ONLY the new batch against the
+    * SAVED centroids and append its rows into the cell-partitioned layout
+    * — the existing corpus is never re-read, re-scored, or rewritten (the
+    * daily embedding ingest; the ANN analog of the incremental MinHash
+    * path, [[Dedup.incrementalNearDupsScoped]]). Quantization drift is the
+    * caller's trade: appended vectors use the ORIGINAL centroids, so after
+    * heavy distribution shift rebuild rather than append.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assignCells(newVecs, centroids).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Deterministic ±1 pseudo-hyperplane entry for (plane j, dimension d):
     * parity of a multiplicative mix modulo a prime — engine-portable
     * integer math (no RNG), mirrored verbatim in the DuckDB oracle so both

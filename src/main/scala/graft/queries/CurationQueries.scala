@@ -159,6 +159,20 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // snapshot drift report: volume, token, and vocabulary movement
+    // between two corpus versions (halves stand in for yesterday/today) —
+    // the promote-or-rollback check paired with the CDC upsert
+    "q_doc_drift" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      graft.ops.Drift.report(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "lang", "text")
+        .withColumn("volume_ratio", round(col("volume_ratio"), 6))
+        .withColumn("novel_frac", round(col("novel_frac"), 6))
+        .orderBy("stratum")
+    }),
+
     // target-mixture resampling: hit 40/20/20/20 en/de/fr/es by
     // downsampling every stratum to the largest feasible total (the
     // binding stratum keeps all); zh has no weight and is dropped.
@@ -397,6 +411,42 @@ object CurationQueries {
       topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_doc_drift" ->
+      raw"""WITH o AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+           |nw AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+           |vo AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_old,
+           |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           |    AS tok_old FROM o GROUP BY lang),
+           |vn AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_new,
+           |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           |    AS tok_new FROM nw GROUP BY lang),
+           |so AS (SELECT DISTINCT lang AS stratum,
+           |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM o),
+           |sn AS (SELECT DISTINCT lang AS stratum,
+           |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM nw),
+           |nv AS (SELECT sn.stratum, CAST(count(*) AS BIGINT) AS terms_new,
+           |  CAST(sum(CASE WHEN so.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS terms_novel
+           |  FROM sn LEFT JOIN so
+           |    ON sn.stratum = so.stratum AND sn.term = so.term
+           |  GROUP BY sn.stratum),
+           |j AS (SELECT coalesce(vo.stratum, vn.stratum) AS stratum,
+           |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+           |    coalesce(tok_old, 0) AS tok_old, coalesce(tok_new, 0) AS tok_new
+           |  FROM vo FULL OUTER JOIN vn ON vo.stratum = vn.stratum)
+           |SELECT j.stratum, n_old, n_new, tok_old, tok_new,
+           |  coalesce(terms_new, 0) AS terms_new,
+           |  coalesce(terms_novel, 0) AS terms_novel,
+           |  round(CAST(n_new AS DOUBLE) / nullif(CAST(n_old AS DOUBLE), 0.0), 6)
+           |    AS volume_ratio,
+           |  round(CAST(coalesce(terms_novel, 0) AS DOUBLE)
+           |    / nullif(CAST(coalesce(terms_new, 0) AS DOUBLE), 0.0), 6)
+           |    AS novel_frac
+           |FROM j LEFT JOIN nv ON j.stratum = nv.stratum
+           |ORDER BY j.stratum""".stripMargin,
 
     "q_doc_mixture" ->
       s"""WITH w(stratum, wt) AS (VALUES

@@ -150,4 +150,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(direct == served)
     assert(direct.nonEmpty)
   }
+
+  test("IVF index append folds a new batch without touching the old corpus") {
+    import graft.ops.VectorOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    // day 0: index the even half; day 1: append the odd half
+    VectorOps.saveIvfIndex(dir, centroids,
+      VectorOps.assignCells(emb.where(col("vec_id") % 2 === 0), centroids))
+    VectorOps.appendToIvfIndex(spark, dir, emb.where(col("vec_id") % 2 === 1))
+    val (cen2, cells2) = VectorOps.loadIvfIndex(spark, dir)
+    assert(cells2.count() == emb.count()) // nothing lost, nothing doubled
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    // served results over the appended index == one-shot index of everything
+    val oneShot = key(VectorOps.ivfTopK(emb, centroids, queries, k = 3, nprobe = 2))
+    val served = key(VectorOps.ivfTopKIndexed(cells2, cen2, queries, k = 3, nprobe = 2))
+    assert(served == oneShot)
+  }
 }

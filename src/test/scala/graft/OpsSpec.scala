@@ -407,6 +407,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("drift report: novelty counted per stratum, one-sided strata surface") {
+    import graft.ops.Drift
+    val old = Seq((0L, "en", "alpha beta gamma"), (1L, "en", "alpha beta"),
+      (2L, "de", "eins zwei")).toDF("doc_id", "lang", "text")
+    val neu = Seq((3L, "en", "alpha delta"), // delta novel, alpha seen
+      (4L, "fr", "un deux")) // fr appears from nowhere
+      .toDF("doc_id", "lang", "text")
+    val r = Drift.report(old, neu, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r.keySet == Set("en", "de", "fr"))
+    val en = r("en")
+    assert(en.getAs[Long]("n_old") == 2 && en.getAs[Long]("n_new") == 1)
+    assert(en.getAs[Long]("tok_old") == 5 && en.getAs[Long]("tok_new") == 2)
+    assert(en.getAs[Long]("terms_new") == 2 && en.getAs[Long]("terms_novel") == 1)
+    assert(en.getAs[Double]("volume_ratio") == 0.5)
+    val de = r("de") // vanished: new side all zeros, ratio 0
+    assert(de.getAs[Long]("n_new") == 0 && de.getAs[Long]("terms_new") == 0)
+    assert(de.getAs[Double]("volume_ratio") == 0.0)
+    val fr = r("fr") // appeared: no old volume -> null ratio, all novel
+    assert(fr.getAs[Long]("n_old") == 0)
+    assert(fr.isNullAt(fr.fieldIndex("volume_ratio")))
+    assert(fr.getAs[Long]("terms_novel") == 2)
+    assert(fr.getAs[Double]("novel_frac") == 1.0)
+  }
+
   test("mixture sample: binding stratum keeps all, unweighted strata drop") {
     import graft.ops.Curation
     // 80 a / 40 b / 20 c / 10 z; weights .5/.25/.25 → T = min(160,160,80)
