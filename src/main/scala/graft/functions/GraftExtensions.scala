@@ -16,10 +16,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * plans the codegen'd expressions directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.builtins.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer-time guardrail: refuse unhinted cartesian products
+    // (see CartesianGuard scaladoc; spark.graft.guard.cartesian=false
+    // opts a session out)
+    e.injectOptimizerRule(graft.plans.CartesianGuard.apply)
+  }
 }
 
 object GraftFunctionRegistry {

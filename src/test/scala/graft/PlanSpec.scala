@@ -17,4 +17,44 @@ class PlanSpec extends AnyFunSuite {
     val failures = graft.cli.ExplainCheck.audit(SparkTest.session, sfDir)
     assert(failures.isEmpty, failures.mkString("; "))
   }
+
+  test("cartesian guard refuses unhinted products; whole engine is guard-clean") {
+    import org.apache.spark.sql.functions.broadcast
+    SparkTest.session // ensure the shared context exists first
+    val guarded = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(e => new graft.functions.GraftExtensions()(e))
+      .create()
+    try {
+      val a = guarded.range(5)
+      val b = guarded.range(5)
+      def trips(body: => Any): Unit = {
+        val e = intercept[Exception](body)
+        assert(e.getMessage.contains("unhinted cartesian"), e.getMessage)
+      }
+      trips(a.crossJoin(b).count())
+      // condition-less inner join is the same trap, incl. through SQL
+      trips(a.join(b).count())
+      a.createOrReplaceTempView("ga"); b.createOrReplaceTempView("gb")
+      trips(guarded.sql("SELECT * FROM ga, gb").count())
+      // the documented escapes pass
+      assert(a.crossJoin(broadcast(b)).count() == 25)
+      assert(a.join(b, Seq("id")).count() == 5) // using-join untouched
+      guarded.conf.set(graft.plans.CartesianGuard.ConfKey, "false")
+      assert(a.crossJoin(b).count() == 25)
+      guarded.conf.set(graft.plans.CartesianGuard.ConfKey, "true")
+      // and the registered SQL functions still resolve in the same session
+      assert(guarded.sql("SELECT float_dot(array(1.0f,2.0f), array(3.0f,4.0f))")
+        .head().getDouble(0) == 11.0)
+      // every engine query OPTIMIZES clean under the guard: each legitimate
+      // cartesian in the inventory is broadcast-hinted, none slips through
+      val sfDir = "/root/testdata/sf0.001"
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(guarded, sfDir).queryExecution.optimizedPlan
+        catch { case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("unhinted cartesian") =>
+          fail(s"$name tripped the cartesian guard: ${e.getMessage}")
+        }
+      }
+    } finally guarded.conf.set(graft.plans.CartesianGuard.ConfKey, "true")
+  }
 }

@@ -387,6 +387,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs within the time bound, matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingJoin
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingJoin.withinTime(
+      imps.toDF().toDF("ad_id", "imp_time"),
+      clicks.toDF().toDF("ad_id", "click_time"),
+      "ad_id", "imp_time", "click_time",
+      maxDelay = "10 minutes", watermarkDelay = "0 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    val impRows = Seq(
+      (1L, ts("2020-01-01 00:00:00")),
+      (2L, ts("2020-01-01 00:05:00")),
+      (3L, ts("2020-01-01 00:10:00")))
+    val clickRows = Seq(
+      (1L, ts("2020-01-01 00:04:00")),  // in window -> pair
+      (1L, ts("2020-01-01 00:20:00")),  // 20 min late -> out of window
+      (2L, ts("2020-01-01 00:04:00")),  // BEFORE its impression -> no pair
+      (3L, ts("2020-01-01 00:19:59")))  // just inside -> pair
+    try {
+      imps.addData(impRows.take(2): _*)
+      clicks.addData(clickRows.take(2): _*)
+      q.processAllAvailable()
+      imps.addData(impRows.drop(2): _*)
+      clicks.addData(clickRows.drop(2): _*)
+      q.processAllAvailable()
+      // push the watermark far forward so every joinable pair is emitted
+      imps.addData((99L, ts("2020-01-02 00:00:00")))
+      clicks.addData((99L, ts("2020-01-03 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("ad_id", "imp_time", "click_time").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).toSet
+      // batch parity: same condition over the full static frames
+      val expected = impRows.toDF("ad_id", "imp_time").as("l")
+        .join(clickRows.toDF("ad_id", "click_time").as("r"),
+          col("l.ad_id") === col("r.ad_id") &&
+            col("click_time") >= col("imp_time") &&
+            col("click_time") <= col("imp_time") + expr("INTERVAL 10 minutes"))
+        .select(col("l.ad_id"), col("imp_time"), col("click_time")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).toSet
+      assert(got == expected)
+      assert(got == Set(
+        (1L, "2020-01-01 00:00:00.0", "2020-01-01 00:04:00.0"),
+        (3L, "2020-01-01 00:10:00.0", "2020-01-01 00:19:59.0")))
+    } finally q.stop()
+  }
+
   test("streaming CDC apply folds change batches into the batch-equal snapshot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingUpsert
