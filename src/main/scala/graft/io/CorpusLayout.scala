@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Physical corpus layout for the 100 TB posture: hash-bucketed tables for
   * shuffle-free co-located joins, and value-partitioned directories for
@@ -38,6 +39,29 @@ object CorpusLayout {
       .mode(SaveMode.Overwrite)
       .partitionBy(cols: _*)
       .parquet(path)
+
+  /** Training-shard export: the final "hand the corpus to the trainer"
+    * sink. Shard membership is the content hash of `key`
+    * ([[graft.ops.Sampling.hashBucket]]) — a pure key function, so the
+    * SAME document lands in the SAME shard on every run, every
+    * partitioning, every engine (a trainer can resume/compare across
+    * exports; `repartition(n)` round-robin cannot promise that). Rows are
+    * sorted by `sortCols` within each shard for reproducible file
+    * content. One file per shard: all rows of a shard hash-collect into
+    * one task, so `shard=K/` holds exactly one parquet file — the fixed
+    * fan-in data loaders expect.
+    *
+    * Shard-size skew equals hash skew (< nShards·2⁻¹⁶ bias) — uniform for
+    * any real corpus, no planning needed.
+    */
+  def writeShards(df: DataFrame, path: String, key: Column, nShards: Int,
+      sortCols: Seq[String]): Unit = {
+    require(nShards >= 1 && nShards <= 65536, "nShards in [1, 65536]")
+    df.withColumn("shard", graft.ops.Sampling.hashBucket(key, nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
 
   /** Compact a parquet directory's small files into ~`targetBytes` files
     * (streaming sinks and fine-grained batch appends leave thousands of

@@ -151,6 +151,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("shard export: stable membership, one file per shard, sorted content") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    CorpusLayout.writeShards(docs, dir, col("text"), nShards = 8,
+      sortCols = Seq("doc_id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // membership is exactly the content-hash prediction (engine-portable)
+    val predicted = docs.select(col("doc_id"),
+        graft.ops.Sampling.hashBucket(col("text"), 8).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val actual = back.select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(actual == predicted)
+    // one parquet file per shard directory, rows sorted within it
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 8)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+      val ids = spark.read.parquet(files(0).getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"${d.getName} not sorted")
+    }
+  }
+
   test("IVF index append folds a new batch without touching the old corpus") {
     import graft.ops.VectorOps
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
