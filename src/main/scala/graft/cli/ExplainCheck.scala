@@ -120,6 +120,10 @@ object ExplainCheck {
     // shape for key domains too big to groupBy; never a full count shuffle
     "q_doc_heavy_hitters" -> (Seq("ObjectHashAggregate", "Generate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // BPE pair stats: corpus touched once (word-freq agg); pair counting
+    // runs on the vocab table; k-bounded ranking
+    "q_doc_bpe_pairs" -> (Seq("TakeOrderedAndProject", "Generate",
+      "HashAggregate"), Seq("Window", "CartesianProduct")),
     // expectations audit: N rules = ONE aggregate over ONE scan (1-row
     // partials), melted by a Generate over literals — never N passes
     "q_expectations" -> (Seq("HashAggregate", "Generate"),

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training, split along its natural scale boundary.
+  *
+  * The corpus-scale part — reducing 100 TB of text to a WORD-FREQUENCY
+  * table and counting adjacent symbol pairs — is distributed and
+  * vocabulary-bounded after the first aggregate (every later step touches
+  * distinct words, not corpus tokens; this is how real BPE trainers work:
+  * the corpus is read once, the merge loop never sees it again). The
+  * merge loop itself is inherently sequential (merge i+1 depends on the
+  * table AFTER merge i) over the vocab table — it runs on the collected
+  * word table, the same bounded-driver-state argument as the k-means
+  * centroid collect (k·dims there, distinct-words × avg-len here; a
+  * 100 TB web corpus has millions of distinct words, comfortably
+  * driver-sized, vs trillions of tokens that are not).
+  */
+object Bpe {
+
+  /** Distinct-word frequencies over the normalized tokens — ONE corpus
+    * pass, map-side combined; everything downstream is vocab-bounded.
+    */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.normTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+
+  /** Adjacent character-pair counts weighted by word frequency — the
+    * argmax candidates of the FIRST merge round (and the gate's
+    * oracle-checkable surface). Runs over the word table: corpus size
+    * only enters through the counts.
+    */
+  def pairStats(docs: DataFrame, textCol: String): DataFrame =
+    wordFreq(docs, textCol)
+      .where(length(col("term")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+
+  /** Greedy BPE merge training over a (collected, vocab-bounded)
+    * word-frequency table: `nMerges` rounds of "merge the most frequent
+    * adjacent symbol pair" (ties → lexicographically smallest pair, so
+    * training is deterministic). Returns the merge list in order — the
+    * tokenizer model.
+    */
+  def train(wordFreq: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    var words: Seq[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        words = words.map { case (syms, f) => (mergeOnce(syms, best), f) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def mergeOnce(syms: Vector[String],
+      pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Apply a trained merge list to one word — the (driver-side) encoder,
+    * for tests and for building a broadcast vocabulary; a corpus-scale
+    * encoder would ship `merges` as a broadcast and run this per token.
+    */
+  def tokenize(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString).toVector)(mergeOnce)
+}

@@ -135,6 +135,24 @@ object CorpusOps {
     // the vocabulary is huge and a no-partition WindowExec would sort it
     // all in one task. Rank is recomputed over the 50 survivors by a tiny
     // ordering self-join (WindowExec-free plan).
+    // BPE round-0 pair statistics: the corpus-scale half of tokenizer
+    // training — everything after the word-frequency aggregate is
+    // vocabulary-bounded (the merge loop itself, Bpe.train, runs on the
+    // collected vocab table and is spec'd, not gated). Top 20, k-bounded
+    // ranking
+    "q_doc_bpe_pairs" -> ((s, dir) => {
+      val top = graft.ops.Bpe.pairStats(t(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+      top.as("a").join(top.as("b"),
+          col("b.n") > col("a.n") ||
+            (col("b.n") === col("a.n") && col("b.pair") < col("a.pair")), "left")
+        .groupBy(col("a.pair").as("pair"), col("a.n").as("n"))
+        .agg((count(col("b.pair")) + 1).cast("int").as("rk"))
+        .select("rk", "pair", "n")
+        .orderBy("rk")
+    }),
+
     // Misra-Gries heavy hitters in the sketch's EXACT regime (capacity 64
     // > the corpus vocabulary): one pass, state bounded by capacity — the
     // shape that still works when the key domain itself (URLs, hosts,
@@ -534,6 +552,21 @@ object CorpusOps {
            |  FROM b)
            |SELECT split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
            |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_doc_bpe_pairs" ->
+      raw"""WITH terms AS (
+           |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |words AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+           |          FROM terms GROUP BY term),
+           |idx AS (SELECT term, f,
+           |    unnest(generate_series(1, length(term) - 1)) AS i
+           |  FROM words WHERE length(term) >= 2),
+           |p AS (SELECT substr(term, i, 2) AS pair, CAST(sum(f) AS BIGINT) AS n
+           |      FROM idx GROUP BY pair)
+           |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk,
+           |  pair, n
+           |FROM p ORDER BY rk LIMIT 20""".stripMargin,
 
     "q_doc_heavy_hitters" ->
       """WITH terms AS (

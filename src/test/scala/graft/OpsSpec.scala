@@ -407,6 +407,28 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("BPE trainer: canonical merges, deterministic ties, encoder roundtrip") {
+    import graft.ops.Bpe
+    // the classic worked example: expected merge order (u,g), (u,n), (h,ug)
+    val vocab = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L))
+    val merges = Bpe.train(vocab, 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    // encoder applies merges in training order
+    assert(Bpe.tokenize("hugs", merges) == Seq("hug", "s"))
+    assert(Bpe.tokenize("bug", merges) == Seq("b", "ug"))
+    assert(Bpe.tokenize("pun", merges) == Seq("p", "un"))
+    // ties break lexicographically: ab and cd both count 1 -> ab merges
+    assert(Bpe.train(Seq(("ab", 1L), ("cd", 1L)), 1) == Seq(("a", "b")))
+    // more merges requested than pairs exist: stops clean
+    assert(Bpe.train(Seq(("ab", 1L)), 10) == Seq(("a", "b")))
+    // distributed pair stats agree with a hand count on the same fixture
+    val docs = Seq((0L, "hug hug pun")).toDF("doc_id", "text")
+    val stats = Bpe.pairStats(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("hu" -> 2L, "ug" -> 2L, "pu" -> 1L, "un" -> 1L))
+  }
+
   test("drift report: novelty counted per stratum, one-sided strata surface") {
     import graft.ops.Drift
     val old = Seq((0L, "en", "alpha beta gamma"), (1L, "en", "alpha beta"),
