@@ -120,6 +120,11 @@ object ExplainCheck {
     // shape for key domains too big to groupBy; never a full count shuffle
     "q_doc_heavy_hitters" -> (Seq("ObjectHashAggregate", "Generate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // end-to-end curation pipeline: dedup semi-join + quality projection +
+    // split + summary compose into ONE plan — no window, no product, no
+    // intermediate materialization
+    "q_doc_pipeline" -> (Seq("LeftSemi", "HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // BPE pair stats: corpus touched once (word-freq agg); pair counting
     // runs on the vocab table; k-bounded ranking
     "q_doc_bpe_pairs" -> (Seq("TakeOrderedAndProject", "Generate",

@@ -12,6 +12,8 @@ object CurationQueries {
 
   private val rates = Map("en" -> 40, "de" -> 75, "fr" -> 100)
 
+  private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+
   val defs: Map[String, QueryFn] = Map(
 
     // benchmark decontamination: train docs sharing any word 3-shingle
@@ -157,6 +159,31 @@ object CurationQueries {
         emb.where(col("vec_id") < 3), "vec_id", "embedding",
         topK = 5, nprobe = 2)
         .orderBy("query_id", "rnk")
+    }),
+
+    // END-TO-END curation pipeline in one plan: exact dedup (keep-min per
+    // content fingerprint) → quality filter (threshold 0.5) → train/val/
+    // test hash split → per-(split, lang) summary. Every stage is the
+    // already-gated deterministic op; this gate pins the COMPOSITION
+    // (the "switch your pipeline to this library" claim), one job, no
+    // intermediate materialization
+    "q_doc_pipeline" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val fp = docs.withColumn("fp", TextOps.fingerprint(col("text")))
+      val keep = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val deduped = fp.join(keep, Seq("fp", "doc_id"), "left_semi")
+      val scored = deduped
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .where(col("quality") >= 0.5)
+      scored
+        .withColumn("split", Sampling.split(TextOps.normalize(col("text")),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          // exact micro-unit sum: quality is already 6dp-rounded, so the
+          // integer sum is order-free (a double avg would re-associate)
+          sum(round(col("quality") * 1e6, 0).cast("long")).as("q_micro"))
+        .orderBy("split", "lang")
     }),
 
     // snapshot drift report: volume, token, and vocabulary movement
@@ -411,6 +438,42 @@ object CurationQueries {
       topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
+
+    "q_doc_pipeline" ->
+      raw"""WITH fps AS (SELECT doc_id, lang, text,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           |  FROM documents),
+           |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp),
+           |d AS (SELECT f.doc_id, f.lang, f.text FROM fps f
+           |      JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+           |b AS (SELECT doc_id, lang, text,
+           |    regexp_split_to_array(trim(text), '\s+') AS toks FROM d),
+           |m AS (SELECT doc_id, lang, text,
+           |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+           |      / greatest(len(toks), 1) AS sraw,
+           |    CAST(length(trim(text)) AS DOUBLE)
+           |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl,
+           |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens
+           |  FROM b),
+           |q AS (SELECT doc_id, lang, text,
+           |    round((lens
+           |      + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+           |      + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality
+           |  FROM m),
+           |f AS (SELECT * FROM q WHERE quality >= 0.5),
+           |n AS (SELECT doc_id, lang, quality,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM f),
+           |s AS (SELECT doc_id, lang, quality, ${bucketSql(100)} AS bk FROM n),
+           |sp AS (SELECT doc_id, lang, quality,
+           |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM s)
+           |SELECT split, lang, CAST(count(*) AS BIGINT) AS n,
+           |  min(doc_id) AS min_id,
+           |  CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+           |    AS q_micro
+           |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q_doc_drift" ->
       raw"""WITH o AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
