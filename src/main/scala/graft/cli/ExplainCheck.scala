@@ -49,6 +49,10 @@ object ExplainCheck {
     "q_ts_asof" -> (Seq("Window", "Union"), Seq("CartesianProduct")),
     // sign-LSH blocking must equi-join on the bucket, never cross
     "q_emb_lsh_neardup" -> (Seq(), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // SemDeDup: centroid assignment broadcasts (small cross is the hinted
+    // BNLJ) and its argmax is a partially-aggregated SortAggregate (struct
+    // max); the PAIR join must be the cell equi-join, never a product
+    "q_emb_semdedup" -> (Seq("SortAggregate"), Seq("CartesianProduct", "Window")),
     // decontamination: the (small) eval shingle set must broadcast into the
     // shingle-keyed join; shingling runs as Generate, never a product join
     "q_doc_decontaminate" -> (Seq("BroadcastHashJoin", "Generate"),

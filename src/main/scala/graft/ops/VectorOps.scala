@@ -251,6 +251,36 @@ object VectorOps {
         col("a.bucket").as("bucket"), col("cos"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicate pairs
+    * WITHIN k-means cells — the blocking key is learned (nearest centroid)
+    * rather than a natural label ([[nearDupPairs]]) or a random projection
+    * ([[signLshNearDupPairs]]). Recall trade: a pair straddling a cell
+    * boundary is missed (the paper's trade too — raise k for purity,
+    * lower for recall). Composition: [[assignCells]] (broadcast argmax,
+    * no corpus shuffle) → in-cell pairs with the same heavy-hitter
+    * `blockCap` guard as every other blocked self-join here.
+    * Returns (vec_a, vec_b, cell, cos) with cos >= threshold.
+    */
+  def semanticDedupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, blockCap: Int = Int.MaxValue): DataFrame = {
+    // assignCells carries a label column through; semantic dedup has no
+    // use for one — synthesize it when the corpus doesn't have it
+    val c = if (corpus.columns.contains("label")) corpus
+      else corpus.withColumn("label", lit(null).cast("string"))
+    val v = capBlocks(
+      assignCells(c, centroids)
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          col("v_norm").as("nrm")),
+      "cell", blockCap)
+    v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
+        / over(col("a.nrm") * col("b.nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.cell").as("cell"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Blocked by `label`
     * here (the clustering key); [[signLshNearDupPairs]] is the variant for
     * corpora with no natural block key. Returns (vec_a, vec_b, cos).

@@ -221,6 +221,20 @@ object CorpusOps {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
+    // SemDeDup (Abbas et al. 2023): near-dup pairs within LEARNED blocks
+    // (nearest-centroid cells) — the semantic-dedup composition of the
+    // IVF assignment and the capped in-block self-join; the oracle
+    // replays the argmax assignment then the in-cell pair scan
+    "q_emb_semdedup" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      VectorOps.semanticDedupPairs(emb, centroids, 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // dedup, scale path: near-dup pairs blocked by an 8-bit random-
     // hyperplane sign bucket (no natural block key needed); the ±1 planes
     // are portable integer math, so DuckDB recomputes identical buckets
@@ -637,6 +651,25 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_emb_semdedup" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |s AS (SELECT c.vec_id, c.ev, cent.centroid_id,
+         |    ${cosSql("c.ev", "cent.cv")} AS ccos
+         |  FROM c CROSS JOIN cent),
+         |cells AS (SELECT vec_id, ev, centroid_id AS cell FROM (
+         |    SELECT vec_id, ev, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, centroid_id) AS rn
+         |    FROM s) WHERE rn = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+         |  round(${cosSql("a.ev", "b.ev")}, 6) AS cos
+         |FROM cells a JOIN cells b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.ev", "b.ev")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_emb_neardup" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)

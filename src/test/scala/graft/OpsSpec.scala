@@ -407,6 +407,33 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("semantic dedup: in-cell pairs only, cross-cell near-dups are the trade") {
+    import graft.ops.VectorOps
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.10f)),   // cell 0
+      (1L, Array(1.0f, 0.15f)),   // cell 0 — pairs with 0
+      (2L, Array(0.70f, 0.71f)),  // cell 1 (marginally)
+      (3L, Array(0.71f, 0.70f)))  // cell 0 (marginally) — ~0.9999 cos to 2
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "centroid_vec")
+    val pairs = VectorOps.semanticDedupPairs(vecs, centroids, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1) found in cell 0; (2,3) straddles the cell boundary — missed
+    // by design (the SemDeDup recall trade; raise k→fewer misses)
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((2L, 3L)))
+    // the boundary pair IS a near-dup — the unblocked path confirms it
+    val lab = vecs.withColumn("label", lit("x"))
+    val all = VectorOps.nearDupPairs(lab, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((2L, 3L)))
+    // hot-cell cap bounds the in-cell self-join like every blocked path
+    val capped = VectorOps.semanticDedupPairs(vecs, centroids, 0.9, blockCap = 2)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set.empty) // cell 0 holds 3 vectors > cap -> dropped
+  }
+
   test("BPE trainer: canonical merges, deterministic ties, encoder roundtrip") {
     import graft.ops.Bpe
     // the classic worked example: expected merge order (u,g), (u,n), (h,ug)
