@@ -287,6 +287,61 @@ object PropertySpec extends Properties("graft.stages") {
       enc.values.forall(_.forall(c => c >= -127 && c <= 127))
     }
 
+  private val genSnapshot: Gen[(List[(Long, Int, String)],
+      List[(Long, Int, String, Boolean)])] = for {
+    nKeys <- Gen.choose(1, 30)
+    baseKeys <- Gen.someOf(0L until nKeys.toLong)
+    base <- Gen.sequence[List[(Long, Int, String)], (Long, Int, String)](
+      baseKeys.toList.map(k => for {
+        v <- Gen.choose(1, 3)
+        t <- Gen.alphaStr.map(_.take(8))
+      } yield (k, v, t)))
+    nChanges <- Gen.choose(0, 40)
+    changes <- Gen.listOfN(nChanges, for {
+      k <- Gen.choose(0L, nKeys.toLong - 1)
+      v <- Gen.choose(1, 6)
+      t <- Gen.alphaStr.map(_.take(8))
+      del <- Gen.oneOf(true, false)
+    } yield (k, v, t, del))
+  } yield (base,
+    // CDC contract: one change row per (key, version) — dedupe the gen
+    changes.groupBy(c => (c._1, c._2)).values.map(_.head).toList)
+
+  property("snapshot upsert matches a per-key latest-wins model; idempotent") =
+    forAll(genSnapshot) { case (base, changes) =>
+      import spark.implicits._
+      val baseDf = base.toDF("k", "version", "payload")
+      val chDf = changes.toDF("k", "version", "payload", "deleted")
+      def run(b: org.apache.spark.sql.DataFrame) =
+        graft.ops.Snapshot.upsert(b, chDf, "k", "version")
+          .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+          .toMap
+      val got = run(baseDf)
+      // reference model: per key, the (version, isChange) max wins;
+      // winners that are tombstones disappear
+      val model = (base.map(b => (b._1, (b._2, 0, b._3, false))) ++
+        changes.map(c => (c._1, (c._2, 1, c._3, c._4))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).maxBy(e => (e._1, e._2)))
+        .collect { case (k, (v, _, t, false)) => k -> ((v, t)) }
+        .toMap
+      val replay = run(got.toSeq.map { case (k, (v, t)) => (k, v, t) }
+        .toDF("k", "version", "payload"))
+      got == model && replay == got
+    }
+
+  property("negative samples: dense coverage, range, no self, any (n, k)") =
+    forAll(Gen.choose(2, 200), Gen.choose(1, 8)) { (n, k) =>
+      import spark.implicits._
+      val ids = spark.range(n.toLong).select(col("id").as("doc_id"))
+      val negs = graft.ops.Sampling.negativeSamples(ids, "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      negs.size == n * k &&
+        negs.forall { case ((a, s), v) =>
+          v >= 0 && v < n && v != a && s >= 0 && s < k }
+    }
+
   property("sequence packing: greedy invariants hold for any doc stream") =
     forAll(genPackDocs, Gen.choose(8, 64)) { (rows, capacity) =>
       import spark.implicits._
