@@ -124,6 +124,18 @@ object ExplainCheck {
     // shape for key domains too big to groupBy; never a full count shuffle
     "q_doc_heavy_hitters" -> (Seq("ObjectHashAggregate", "Generate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // mixture resampling: strata thresholds broadcast back onto the ONE
+    // corpus scan; no wide shuffle of the docs at all
+    "q_doc_mixture" -> (Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    // negative sampling: projection + 1-row count broadcast + explode —
+    // the corpus is never shuffled
+    "q_sample_negatives" -> (Seq("Generate"),
+      Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    // drift: stratum-bounded aggregates; the vocab join is term-keyed —
+    // never a product, never a window
+    "q_doc_drift" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // end-to-end curation pipeline: dedup semi-join + quality projection +
     // split + summary compose into ONE plan — no window, no product, no
     // intermediate materialization
