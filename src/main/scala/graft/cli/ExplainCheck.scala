@@ -124,6 +124,10 @@ object ExplainCheck {
     // shape for key domains too big to groupBy; never a full count shuffle
     "q_doc_heavy_hitters" -> (Seq("ObjectHashAggregate", "Generate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // k-per-group sampling: bounded k-heap aggregation (the TopKAgg
+    // discipline), never a per-group window sort
+    "q_doc_group_sample" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // mixture resampling: strata thresholds broadcast back onto the ONE
     // corpus scan; no wide shuffle of the docs at all
     "q_doc_mixture" -> (Seq("BroadcastHashJoin", "HashAggregate"),

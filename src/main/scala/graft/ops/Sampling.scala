@@ -47,6 +47,32 @@ object Sampling {
     }
   }
 
+  /** Deterministic k-per-group sampling ("5 example docs per language"):
+    * rank rows within each group by the md5 of their key and keep the k
+    * smallest — a pure function of (group, key), so the sample is stable
+    * across runs, partitionings, and engines (a per-group `rand()` or
+    * `limit` is neither), and uniform-ish because the hash order is
+    * unrelated to any data order. Ranking runs through the bounded k-heap
+    * Aggregator ([[graft.functions.TopKAgg]]): mappers keep ≤ ~4k rows
+    * per group and the shuffle carries k-bounded buffers — never a
+    * per-group window sort (one hot group would serialize a task).
+    * Returns (group, rank, id) — callers join back for payloads.
+    */
+  def groupSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      key: Column, idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val top = graft.functions.TopKAgg.smallest_k_long(k)
+    // 32 md5 bits as the sort key (engine-portable integer math, like
+    // hashBucket); the id breaks hash ties, making the order total
+    val h32 = conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+    df.select(col(groupCol), col(idCol).cast("long").as("__id"), h32.as("__h"))
+      .groupBy(groupCol)
+      .agg(top(col("__h"), col("__id")).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol))
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor gets `k` pseudo-random partner ids, chosen by md5 of
     * (anchor, slot) — reproducible on every run, partitioning, and engine

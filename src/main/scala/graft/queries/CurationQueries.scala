@@ -237,6 +237,14 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic k-per-group sampling: 5 example docs per language by
+    // content-hash order — stable across runs/partitionings/engines;
+    // ranked through the bounded k-heap Aggregator, never a group window
+    "q_doc_group_sample" -> ((s, dir) =>
+      Sampling.groupSample(t(s, dir, "documents"), "lang",
+        TextOps.normalize(col("text")), "doc_id", k = 5)
+        .orderBy("lang", "rank")),
+
     // deterministic negative sampling: 4 contrastive negatives per anchor
     // by md5 of (anchor, slot) mod corpus size — reproducible on any run,
     // partitioning, or engine (the oracle replays the identical integer
@@ -549,6 +557,19 @@ object CurationQueries {
         |      FROM u)
         |SELECT doc_id, version, md5(text) AS fp, lang
         |FROM r WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
+    "q_doc_group_sample" ->
+      raw"""WITH n AS (SELECT doc_id, lang,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM documents),
+           |b AS (SELECT doc_id, lang,
+           |    ('0x' || substr(h, 1, 8))::BIGINT AS h32 FROM n),
+           |r AS (SELECT lang, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY h32, doc_id) AS INT) AS rank
+           |  FROM b)
+           |SELECT lang, rank, doc_id FROM r WHERE rank <= 5
+           |ORDER BY lang, rank""".stripMargin,
 
     "q_sample_negatives" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
