@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.TextOps
+
+/** One banded arrival: a document's presence in one LSH (band, bucket),
+  * carrying what verification needs (its distinct shingle hashes).
+  */
+final case class BandArrival(bkey: String, doc_id: Long,
+    event_time: Timestamp, hashes: Array[Long])
+
+/** Per-(band, bucket) state: docs currently inside the horizon. */
+final case class BucketDocs(docs: List[(Long, Long, Array[Long])])
+
+/** A verified streaming near-duplicate hit (doc_a < doc_b). */
+final case class NearDupHit(doc_a: Long, doc_b: Long, jaccard: Double)
+
+/** Streaming MinHash-LSH near-duplicate detection: the streaming
+  * counterpart of [[graft.ops.Dedup.minhashLshPairs]] — arriving documents
+  * are checked against everything seen inside a time horizon, emitting
+  * exact-Jaccard-verified pairs as they happen (the live feed
+  * [[StreamingDedup]] provides for EXACT dups, extended to near-dups).
+  *
+  * Shape: the signature is computed STATELESSLY per row (one xxhash64 per
+  * shingle, then the seeded long-multiply rehash family per hash — string
+  * hashing happens once, so the nHashes × |shingles| inner loop is cheap
+  * integer math), because a streaming groupBy-Aggregator signature would
+  * chain two stateful operators (unsupported shape). The SAME seeded
+  * family and band-key derivation as the batch path, so stream and batch
+  * agree on candidates bit-for-bit; verification stores each doc's
+  * distinct shingle HASHES in state — set intersection over 64-bit hashes
+  * equals the batch string-set intersection up to hash collisions
+  * (~n²·2⁻⁶⁴, ignorable).
+  *
+  * State: one list of (doc_id, seconds, hashes) per LIVE (band, bucket) —
+  * horizon-bounded like [[StreamingDedup]] (event-time timeout evicts
+  * idle buckets; arrivals prune in-bucket docs older than the horizon).
+  * A pair sharing several buckets emits once PER bucket — downstream
+  * consumers dedupe by (doc_a, doc_b) (the batch path dedupes candidates
+  * the same way before verification; here verification is per-bucket so
+  * the dedupe moves downstream).
+  */
+object StreamingNearDup {
+
+  /** Mirror of the batch seeded rehash ([[graft.functions.SigAggregators]]
+    * `seeded`): base = xxhash64(sh) >>> 8, element i =
+    * (base · (2i+1)) XOR (i · −φ64). The XOR constants are precomputed on
+    * the JVM (wrapping) — inline SQL multiplication would overflow under
+    * ANSI mode.
+    */
+  private def sigExpr(shingles: org.apache.spark.sql.Column, nHashes: Int) = {
+    val bases = transform(shingles, sh => shiftrightunsigned(xxhash64(sh), 8))
+    array((0 until nHashes).map { i =>
+      array_min(transform(bases,
+        h => (h * lit(2L * i + 1)).bitwiseXOR(lit(-0x61c8864680b583ebL * i))))
+    }: _*)
+  }
+
+  /** Verified near-dup hits for a streaming (doc_id, event_time, text)
+    * frame. Emits per matching bucket — `dropDuplicates` or a downstream
+    * distinct collapses multi-band hits.
+    */
+  def hits(docs: DataFrame, k: Int, nHashes: Int, bands: Int,
+      threshold: Double, horizonSeconds: Long,
+      watermarkDelay: String): Dataset[NearDupHit] = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    require(nHashes <= 64, "seeded rehash is overflow-free only for <= 64")
+    val r = nHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = TextOps.wordShingles(col("text"), k)
+    val withSig = docs
+      .withColumn("hashes", transform(sh, s => xxhash64(s)))
+      .where(size(col("hashes")) > 0) // shingle-less docs drop out (batch too)
+      .withColumn("sig", sigExpr(sh, nHashes))
+    val banded = withSig.select(col("doc_id"), col("event_time"),
+        col("hashes"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r)), b)))
+          .as(Seq("band", "bucket")))
+      .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
+        col("doc_id"), col("event_time"), col("hashes"))
+      .as[BandArrival]
+    banded
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[BucketDocs, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, batch: Iterator[BandArrival], state: GroupState[BucketDocs]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = batch.toSeq
+              .sortBy(a => (a.event_time.getTime, a.doc_id))
+            val latest = arrivals.map(_.event_time.getTime / 1000).max
+            val floor = latest - horizonSeconds
+            var docs = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_._2 >= floor)
+            val out = Seq.newBuilder[NearDupHit]
+            arrivals.foreach { a =>
+              val aSet = a.hashes.toSet
+              docs.foreach { case (oid, _, oh) =>
+                if (oid != a.doc_id) {
+                  val common = oh.count(aSet.contains)
+                  val j = common.toDouble /
+                    (aSet.size + oh.length - common).toDouble
+                  if (j >= threshold)
+                    out += NearDupHit(math.min(a.doc_id, oid),
+                      math.max(a.doc_id, oid), j)
+                }
+              }
+              docs = (a.doc_id, a.event_time.getTime / 1000,
+                a.hashes.distinct) :: docs
+            }
+            state.update(BucketDocs(docs))
+            state.setTimeoutTimestamp((latest + horizonSeconds) * 1000)
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -439,6 +439,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup LSH emits exactly the batch-verified pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingNearDup
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over the lazy cat", // near-dup of 0
+      2L -> "completely different words entirely unrelated text here",
+      3L -> "THE  Quick   Brown fox jumps over the lazy dog", // dup of 0
+      4L -> "tiny") // shingle-less -> drops out
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val hits = StreamingNearDup.hits(
+      source.toDF().toDF("doc_id", "event_time", "text"),
+      k = 3, nHashes = 64, bands = 32, threshold = 0.5,
+      horizonSeconds = 86400, watermarkDelay = "0 seconds")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("snd_out").start()
+    try {
+      // arrivals split across micro-batches: 0,1 then 2,3,4 — pairs form
+      // both within a batch (0-1) and across batches (0-3, 1-3)
+      source.addData(
+        (0L, ts("2020-01-01 00:00:00"), texts(0)._2),
+        (1L, ts("2020-01-01 00:10:00"), texts(1)._2))
+      q.processAllAvailable()
+      source.addData(
+        (2L, ts("2020-01-01 00:20:00"), texts(2)._2),
+        (3L, ts("2020-01-01 00:30:00"), texts(3)._2),
+        (4L, ts("2020-01-01 00:40:00"), texts(4)._2))
+      q.processAllAvailable()
+      val got = spark.table("snd_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet // multi-band dups collapse
+      val batch = graft.ops.Dedup.minhashLshPairs(
+        texts.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, nHashes = 64, bands = 32, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.exists { case (a, b, _) => a == 0L && b == 3L }) // exact dup
+      assert(got.exists { case (a, b, _) => a == 0L && b == 1L }) // near dup
+    } finally q.stop()
+  }
+
   test("streaming CDC apply folds change batches into the batch-equal snapshot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingUpsert
