@@ -104,6 +104,29 @@ object Multimodal {
         .as("mean_channel_resized"))
   }
 
+  /** Container-header sniffing WITHOUT a codec: parse the PNG IHDR fields
+    * (width, height, bit depth, color type) straight from the byte layout
+    * — magic `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk whose
+    * big-endian dimensions sit at fixed offsets 17-24. This is the step a
+    * real crawl pipeline runs on EVERY fetched blob (filter by size/type
+    * before paying for a decode), and unlike [[decodeStub]] it is not a
+    * stub: the byte offsets are the real PNG specification. Pure Column
+    * algebra (substring on binary + hex→int), zero shuffle, codegen'd.
+    * Non-PNG payloads yield is_png=false with null fields.
+    */
+  def pngHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def be(off: Int, len: Int) = // big-endian unsigned int at byte offset
+      conv(hex(substring(payload, off, len)), 16, 10).cast("long")
+    val isPng = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A") &&
+      hex(substring(payload, 13, 4)) === lit("49484452") // "IHDR"
+    struct(
+      isPng.as("is_png"),
+      when(isPng, be(17, 4)).as("width"),
+      when(isPng, be(21, 4)).as("height"),
+      when(isPng, be(25, 1).cast("int")).as("bit_depth"),
+      when(isPng, be(26, 1).cast("int")).as("color_type"))
+  }
+
   /** End-to-end media feature pipeline over a text table. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

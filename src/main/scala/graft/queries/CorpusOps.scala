@@ -312,6 +312,26 @@ object CorpusOps {
         .orderBy("doc_id")),
 
     // multimodal: binary payload + batched decode-stub feature extraction
+    // container-header sniffing (NOT a stub — real PNG IHDR byte offsets):
+    // payloads assembled as valid PNG headers (every 7th doc a JPEG
+    // signature instead), then width/height/depth/color parsed back from
+    // the BYTES; the oracle replays assembly+parse in hex space
+    "q_mm_headers" -> ((s, dir) => {
+      val w = col("doc_id") % 640 + 1
+      val h = col("doc_id") % 480 + 1
+      val png = unhex(concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806")))
+      val pl = when(pmod(col("doc_id"), lit(7)) === 0,
+        unhex(lit("FFD8FFE000104A464946"))).otherwise(png)
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.Multimodal.pngHeader(pl).as("hdr"))
+        .select(col("doc_id"), col("hdr.is_png").as("is_png"),
+          col("hdr.width").as("width"), col("hdr.height").as("height"),
+          col("hdr.bit_depth").as("bit_depth"),
+          col("hdr.color_type").as("color_type"))
+        .orderBy("doc_id")
+    }),
+
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.featurePipeline(s, wide(s, t(s, dir, "documents")))
         .withColumn("mean_channel", round(col("mean_channel"), 6))
@@ -817,6 +837,27 @@ object CorpusOps {
            |  CAST(sum(c.bg_count) AS DOUBLE) / count(*) AS typicality
            |FROM b JOIN c USING (bigram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mm_headers" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'FFD8FFE000104A464946'
+        |       ELSE '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |            || lpad(upper(to_hex(doc_id % 640 + 1)), 8, '0')
+        |            || lpad(upper(to_hex(doc_id % 480 + 1)), 8, '0')
+        |            || '0806'
+        |  END AS hx FROM documents),
+        |f AS (SELECT doc_id, hx,
+        |    (substr(hx, 1, 16) = '89504E470D0A1A0A'
+        |     AND substr(hx, 25, 8) = '49484452') AS is_png
+        |  FROM p)
+        |SELECT doc_id, is_png,
+        |  CASE WHEN is_png THEN ('0x' || substr(hx, 33, 8))::BIGINT END AS width,
+        |  CASE WHEN is_png THEN ('0x' || substr(hx, 41, 8))::BIGINT END AS height,
+        |  CASE WHEN is_png THEN CAST(('0x' || substr(hx, 49, 2))::BIGINT AS INT) END
+        |    AS bit_depth,
+        |  CASE WHEN is_png THEN CAST(('0x' || substr(hx, 51, 2))::BIGINT AS INT) END
+        |    AS color_type
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_mm_decode" ->
       """WITH ch AS (

@@ -407,6 +407,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 120 && kept < 280) // ~20% ± noise
   }
 
+  test("PNG header sniff: real byte layout parsed, non-PNG rejected") {
+    import graft.ops.Multimodal
+    // hand-assembled REAL PNG header: magic + IHDR, 800x600, depth 8, RGBA
+    def be4(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val png: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        be4(13) ++ "IHDR".getBytes("US-ASCII") ++
+        be4(800) ++ be4(600) ++ Array(8.toByte, 6.toByte)
+    val jpeg: Array[Byte] = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+    val truncated = png.take(10) // magic ok, IHDR missing
+    val rows = Seq((0L, png), (1L, jpeg), (2L, truncated))
+      .toDF("media_id", "payload")
+    val got = rows.select(col("media_id"),
+        Multimodal.pngHeader(col("payload")).as("h"))
+      .select(col("media_id"), col("h.is_png"), col("h.width"),
+        col("h.height"), col("h.bit_depth"), col("h.color_type"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = got(0L)
+    assert(ok.getBoolean(1) && ok.getLong(2) == 800L && ok.getLong(3) == 600L)
+    assert(ok.getInt(4) == 8 && ok.getInt(5) == 6)
+    assert(!got(1L).getBoolean(1) && got(1L).isNullAt(2))
+    assert(!got(2L).getBoolean(1))
+  }
+
   test("semantic dedup: in-cell pairs only, cross-cell near-dups are the trade") {
     import graft.ops.VectorOps
     val vecs = Seq(
