@@ -122,7 +122,7 @@ object KMeans {
     */
   def pqEncodeDetailed(vectors: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int, scale: Double = 1e6): PqModel = {
-    val dims = vectors.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val dims = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val d = dims / m
     val subs = (0 until m).map { s =>

@@ -127,6 +127,30 @@ object Multimodal {
       when(isPng, be(26, 1).cast("int")).as("color_type"))
   }
 
+  /** WAV/RIFF header sniff — the audio counterpart of [[pngHeader]], and
+    * the LITTLE-endian case (RIFF numeric fields reverse byte order, so
+    * the hex pairs are re-sequenced before the int conversion; PNG was
+    * big-endian). Canonical PCM layout: "RIFF" @1, "WAVE" @9, "fmt " @13,
+    * then LE u16/u32 fields — audio format @21, channels @23, sample rate
+    * @25, bits per sample @35. Pure codegen'd projection, zero shuffle.
+    */
+  def wavHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def leHex(off: Int, len: Int) = { // reverse `len` hex byte-pairs
+      val be = hex(substring(payload, off, len))
+      concat((len to 1 by -1).map(i => substring(be, i * 2 - 1, 2)): _*)
+    }
+    def le(off: Int, len: Int) = conv(leHex(off, len), 16, 10).cast("long")
+    val isWav = hex(substring(payload, 1, 4)) === lit("52494646") &&
+      hex(substring(payload, 9, 4)) === lit("57415645") && // "WAVE"
+      hex(substring(payload, 13, 4)) === lit("666D7420") // "fmt "
+    struct(
+      isWav.as("is_wav"),
+      when(isWav, le(21, 2).cast("int")).as("audio_format"),
+      when(isWav, le(23, 2).cast("int")).as("channels"),
+      when(isWav, le(25, 4)).as("sample_rate"),
+      when(isWav, le(35, 2).cast("int")).as("bits_per_sample"))
+  }
+
   /** End-to-end media feature pipeline over a text table. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

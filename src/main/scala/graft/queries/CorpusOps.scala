@@ -332,6 +332,41 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // WAV/RIFF sniff (little-endian fields): payloads assembled as
+    // canonical 36-byte PCM headers (every 5th doc gets a PNG magic
+    // instead), parsed back from the BYTES. The oracle states the expected
+    // OUTPUT directly — assembly∘parse must be the identity, so any
+    // offset or endianness bug on either side breaks the gate
+    "q_mm_wav" -> ((s, dir) => {
+      def le32(v: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(v), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le16(v: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(v), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val ch = col("doc_id") % 2 + 1
+      val rate = element_at(
+        array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val wav = unhex(concat(
+        lit("52494646"), le32(lit(36L)), lit("57415645"), lit("666D7420"),
+        le32(lit(16L)), le16(lit(1L)), le16(ch), le32(rate),
+        le32(rate * ch * 2), le16(ch * 2), le16(lit(16L))))
+      val pl = when(pmod(col("doc_id"), lit(5)) === 0,
+        unhex(lit("89504E470D0A1A0A"))).otherwise(wav)
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.Multimodal.wavHeader(pl).as("h"))
+        .select(col("doc_id"), col("h.is_wav").as("is_wav"),
+          col("h.audio_format").as("audio_format"),
+          col("h.channels").as("channels"),
+          col("h.sample_rate").as("sample_rate"),
+          col("h.bits_per_sample").as("bits_per_sample"))
+        .orderBy("doc_id")
+    }),
+
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.featurePipeline(s, wide(s, t(s, dir, "documents")))
         .withColumn("mean_channel", round(col("mean_channel"), 6))
@@ -837,6 +872,17 @@ object CorpusOps {
            |  CAST(sum(c.bg_count) AS DOUBLE) / count(*) AS typicality
            |FROM b JOIN c USING (bigram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mm_wav" ->
+      """SELECT doc_id, doc_id % 5 <> 0 AS is_wav,
+        |  CASE WHEN doc_id % 5 <> 0 THEN 1 END AS audio_format,
+        |  CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 2 + 1 AS INT) END
+        |    AS channels,
+        |  CASE WHEN doc_id % 5 <> 0 THEN
+        |    CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 + 1 AS INT)]
+        |      AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 5 <> 0 THEN 16 END AS bits_per_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_headers" ->
       """WITH p AS (SELECT doc_id,

@@ -432,6 +432,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!got(2L).getBoolean(1))
   }
 
+  test("WAV header sniff: little-endian fields parsed, non-WAV rejected") {
+    import graft.ops.Multimodal
+    def le4(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
+      (v >>> 24).toByte)
+    def le2(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    // canonical 44.1 kHz stereo 16-bit PCM header
+    val wav: Array[Byte] = "RIFF".getBytes("US-ASCII") ++ le4(36) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      le4(16) ++ le2(1) ++ le2(2) ++ le4(44100) ++ le4(176400) ++
+      le2(4) ++ le2(16)
+    val rows = Seq((0L, wav),
+      (1L, "RIFX junk".getBytes("US-ASCII"))) // big-endian RIFX: rejected
+      .toDF("media_id", "payload")
+    val got = rows.select(col("media_id"),
+        Multimodal.wavHeader(col("payload")).as("h"))
+      .select(col("media_id"), col("h.is_wav"), col("h.audio_format"),
+        col("h.channels"), col("h.sample_rate"), col("h.bits_per_sample"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = got(0L)
+    assert(ok.getBoolean(1) && ok.getInt(2) == 1 && ok.getInt(3) == 2)
+    assert(ok.getLong(4) == 44100L && ok.getInt(5) == 16)
+    assert(!got(1L).getBoolean(1) && got(1L).isNullAt(4))
+  }
+
   test("semantic dedup: in-cell pairs only, cross-cell near-dups are the trade") {
     import graft.ops.VectorOps
     val vecs = Seq(
