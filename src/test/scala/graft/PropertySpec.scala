@@ -342,6 +342,30 @@ object PropertySpec extends Properties("graft.stages") {
           v >= 0 && v < n && v != a && s >= 0 && s < k }
     }
 
+  property("group sample: k-cap, subset, full small groups, repartition-stable") =
+    forAll(Gen.choose(1, 6), Gen.listOfN(120, for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      id <- Gen.choose(0L, 999L)
+    } yield (g, id))) { (k, rawRows) =>
+      import spark.implicits._
+      val rows = rawRows.distinct // (group, id) unique
+      val df = rows.toDF("grp", "id")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Sampling.groupSample(d, "grp", concat_ws("|",
+          col("grp"), col("id")), "id", k)
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val got = run(df)
+      val byGroup = got.groupBy(_._1)
+      val groupSizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val subsetOk = got.forall { case (g, _, id) => rows.contains((g, id)) }
+      val capOk = byGroup.forall { case (g, s) =>
+        s.length == math.min(k, groupSizes(g)) } // k, or ALL of a small group
+      val ranksOk = byGroup.forall { case (_, s) =>
+        s.map(_._2).sorted.toSeq == (1 to s.length) }
+      val stable = run(df.repartition(7)).toSet == got.toSet
+      subsetOk && capOk && ranksOk && stable
+    }
+
   property("sequence packing: greedy invariants hold for any doc stream") =
     forAll(genPackDocs, Gen.choose(8, 64)) { (rows, capacity) =>
       import spark.implicits._
