@@ -45,6 +45,45 @@ object Expectations {
         (col("e.n_violations") === 0L).as("passed"))
   }
 
+  /** Contract metrics that ride ANOTHER job: attach the rule counters to
+    * `df` via Spark's `observe` (CollectMetrics) and read them AFTER the
+    * caller's own action — the audit costs ZERO extra passes, because the
+    * counters accumulate on the very scan that writes the shards /
+    * trains the index. [[check]] is the standalone one-pass audit; this
+    * is the free-rider variant for pipelines that are about to read the
+    * data anyway.
+    *
+    * Usage:
+    * {{{
+    *   val (instrumented, obs) = Expectations.observed(df, rules)
+    *   instrumented.write.parquet(out)          // the real job
+    *   val report = Expectations.fromObserved(obs.get, rules) // no new job
+    * }}}
+    */
+  def observed(df: DataFrame, rules: Seq[(String, Column)],
+      name: String = "expectations")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "at least one expectation required")
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("_n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
+    }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
+  /** Decode an [[observed]] metrics row into the same (rule, n_rows,
+    * n_violations, passed) shape [[check]] returns — driver-side, no job.
+    */
+  def fromObserved(metrics: Map[String, Any],
+      rules: Seq[(String, Column)]): Seq[(String, Long, Long, Boolean)] = {
+    val n = metrics("_n").asInstanceOf[Long]
+    rules.zipWithIndex.map { case ((rule, _), i) =>
+      val v = metrics(s"_v$i").asInstanceOf[Long]
+      (rule, n, v, v == 0L)
+    }
+  }
+
   /** Rows violating ANY rule, tagged with the (first) failed rule name —
     * the quarantine feed. Same one-pass shape: a codegen'd projection +
     * filter, no shuffle.

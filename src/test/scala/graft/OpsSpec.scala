@@ -575,6 +575,26 @@ class OpsSpec extends AnyFunSuite {
     assert(quarantine == Map(2L -> "v_positive", 3L -> "v_not_null"))
   }
 
+  test("observed expectations ride the writing job and match the standalone audit") {
+    import graft.ops.Expectations
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("id", "v")
+    val rules = Seq(
+      "v_not_null" -> col("v").isNotNull,
+      "v_positive" -> (col("v") > 0))
+    val (instrumented, obs) = Expectations.observed(df, rules)
+    val out = java.nio.file.Files.createTempDirectory("obs_exp").toString
+    instrumented.write.mode("overwrite").parquet(out) // the REAL job
+    // metrics came along for free — no second scan
+    val riding = Expectations.fromObserved(obs.get, rules)
+      .map { case (r, n, v, p) => r -> ((n, v, p)) }.toMap
+    val standalone = Expectations.check(df, rules)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(riding == standalone)
+    assert(spark.read.parquet(out).count() == 3) // payload intact
+  }
+
   test("Misra-Gries sketch: exact when capacity fits, bounded error when not") {
     import graft.functions.FreqSketch
     // exact regime: capacity >= distinct keys -> identical to a full count
