@@ -113,6 +113,18 @@ object CorpusLayout {
     * the thing bucketed joins exist to eliminate (exposed for specs and
     * plan audits).
     */
+  /** Per-file health of a parquet dataset: (file, n_rows) from ONE scan
+    * via `input_file_name` — the observability that drives [[compact]]
+    * (thousands of KB-scale streaming-sink files make the LISTING the
+    * bottleneck long before the data). Row-count skew across files also
+    * flags a bad writer partitioning. One narrow aggregate, no shuffle
+    * wider than (files × partitions) partial rows.
+    */
+  def fileStats(df: DataFrame): DataFrame =
+    df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+
   def hasShuffleExchange(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 

@@ -68,6 +68,17 @@ class LayoutSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("fileStats counts rows per physical file from one scan") {
+    val out = java.nio.file.Files.createTempDirectory("fstats").toString + "/t"
+    (0L until 100L).map(i => (i, s"row $i")).toDF("id", "payload")
+      .repartition(4).write.parquet(out)
+    val stats = CorpusLayout.fileStats(spark.read.parquet(out))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(stats.length == 4) // one row per part-file
+    assert(stats.map(_._2).sum == 100L)
+    assert(stats.forall(_._1.endsWith(".parquet")))
+  }
+
   test("compaction merges small files without losing rows") {
     val out = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     // 64 tiny files
