@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.etl.Stages
 import graft.model.{MeanCombine, SumCombine}
@@ -340,6 +340,61 @@ object PropertySpec extends Properties("graft.stages") {
       negs.size == n * k &&
         negs.forall { case ((a, s), v) =>
           v >= 0 && v < n && v != a && s >= 0 && s < k }
+    }
+
+  property("mixture sample: binding stratum exact, unweighted dropped, subset") =
+    forAll(Gen.listOfN(150, for {
+      g <- Gen.oneOf("a", "b", "c", "z") // z never gets a weight
+      id <- Gen.choose(0L, 9999L)
+    } yield (g, id)), Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(1, 8)) {
+      (rawRows, wa, wb, wc) =>
+        import spark.implicits._
+        val rows = rawRows.distinct
+        val present = rows.map(_._1).toSet
+        // only run when all weighted strata exist (else T is over a subset)
+        (Set("a", "b", "c").subsetOf(present)) ==> {
+          val tot = (wa + wb + wc).toDouble
+          val weights = Seq("a" -> wa / tot, "b" -> wb / tot, "c" -> wc / tot)
+          val df = rows.toDF("lang", "id").withColumn("key",
+            concat_ws("|", col("lang"), col("id")))
+          val kept = graft.ops.Curation
+            .mixtureSample(df, "lang", col("key"), weights)
+            .select("lang", "key").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+          val keptByLang = kept.groupBy(_._1).view.mapValues(_.length).toMap
+          val n = rows.groupBy(_._1).view.mapValues(_.size).toMap
+          val tVal = Seq(n("a") / (wa / tot), n("b") / (wb / tot),
+            n("c") / (wc / tot)).min
+          // the binding stratum (n/w == T) keeps EVERYTHING, exactly
+          val binding = Seq(("a", wa), ("b", wb), ("c", wc))
+            .filter { case (s, w) => math.abs(n(s) / (w / tot) - tVal) < 1e-9 }
+          val bindingExact = binding.forall { case (s, _) =>
+            keptByLang.getOrElse(s, 0) == n(s) }
+          val allRows = rows.map { case (g, id) => (g, s"$g|$id") }.toSet
+          bindingExact && !keptByLang.contains("z") &&
+            kept.forall(allRows.contains) &&
+            keptByLang.keySet.subsetOf(Set("a", "b", "c"))
+        }
+    }
+
+  property("expectations report equals brute-force per-rule filter counts") =
+    forAll(Gen.listOfN(60, Gen.option(Gen.choose(-50, 50)))) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toDouble)) }
+        .toDF("id", "v")
+      val rules = Seq(
+        "v_not_null" -> col("v").isNotNull,
+        "v_positive" -> (col("v") > 0),
+        "v_small" -> (abs(col("v")) <= 25))
+      val rep = graft.ops.Expectations.check(df, rules)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      // brute force in plain Scala (null fails every rule)
+      val expect = Map(
+        "v_not_null" -> vals.count(_.isEmpty),
+        "v_positive" -> vals.count(v => !v.exists(_ > 0)),
+        "v_small" -> vals.count(v => !v.exists(x => math.abs(x) <= 25)))
+      rep == expect.view.mapValues(_.toLong).toMap
     }
 
   property("group sample: k-cap, subset, full small groups, repartition-stable") =
