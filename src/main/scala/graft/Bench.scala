@@ -111,10 +111,47 @@ object Bench {
         .count()
       spark.catalog.clearCache()
     }
+    // k-means/PQ trainer family + embedding pair/scan family: the r4 driver
+    // bench showed q_emb_pq 2.90->9.31 s (3.2x) and q_emb_neardup 0.44->1.23 s
+    // (2.8x) while idle re-runs and every sibling stayed inside the ~1.45x
+    // ambient-tenancy envelope — the same mechanism as the r3 relational-join
+    // bump: the warmups above compile NO trainer shape (quantize →
+    // crossJoin(broadcast) → min-struct argmin → posexplode sum → ADC LUT
+    // join) and NO embedding self-join shape (FloatVectorDot pair scoring),
+    // so the family's first-compile Janino+C2 cost lands on whichever
+    // q_emb_* runs first under contention. (q_emb_neardup's blockCap guard
+    // is ruled out: at the default cap, capBlocks returns its input
+    // unchanged — the r4 plan is bit-identical to r3's.) Half id-slice of
+    // the real embeddings, same discipline as the other warmups.
+    def warmVectors(): Unit = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(pmod(col("vec_id"), lit(2)) === 0)
+      // trainer shapes: fit (argmin + centroid-sum rounds) and the full PQ
+      // composition including the ADC LUT join + bounded top-k
+      val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id",
+        "embedding", m = 2, k = 8, iters = 1)
+      graft.ops.KMeans.pqSearchAdc(model, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", topK = 5).count()
+      val r = graft.ops.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+      r.assignments.count(); r.release()
+      // pair/scan shapes: label-blocked self-join pair scoring, sign-LSH
+      // bucket fold, coarse argmax assignment + IVF probe search
+      graft.ops.VectorOps.nearDupPairs(emb, 0.4).count()
+      graft.ops.VectorOps.signLshNearDupPairs(emb, 0.4).count()
+      val centroids = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val queries = emb.where(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.ops.VectorOps.ivfTopK(emb, centroids, queries, k = 5, nprobe = 2)
+        .count()
+      spark.catalog.clearCache()
+    }
     try {
       warmDedup()
       warmTimeSeries()
       warmRelational()
+      warmVectors()
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -143,7 +180,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only a tail of this process's stdout (BENCH_r04 lost
+    // 31 of 96 per-query numbers) — persist the full line so regressions
+    // stay diagnosable from artifacts alone
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -29,9 +29,13 @@ object Expectations {
     */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one expectation required")
+    // sum over zero rows is NULL — coalesce so an EMPTY ingest drop audits
+    // as "0 violations, passed=true" rather than a ternary non-answer that
+    // NPEs the caller's require(passed)
     val aggs = count(lit(1)).as("_n") +: rules.zipWithIndex.map {
       case ((_, pred), i) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
+        coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"_v$i")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // melt via an inline struct array: (idx, name) pairs are literals, so
@@ -65,9 +69,12 @@ object Expectations {
       : (DataFrame, org.apache.spark.sql.Observation) = {
     require(rules.nonEmpty, "at least one expectation required")
     val obs = org.apache.spark.sql.Observation(name)
+    // same empty-input coalesce as [[check]]: a zero-row observed scan must
+    // report 0 violations, not NULL
     val metrics = count(lit(1)).as("_n") +: rules.zipWithIndex.map {
       case ((_, pred), i) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
+        coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"_v$i")
     }
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }

@@ -57,8 +57,17 @@ object KMeans {
     * centroids — plus the quantized centroids themselves.
     */
   def fit(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, scale: Double = 1e6): Result = {
+      iters: Int, scale: Double = 1e6,
+      maxCentroidCells: Long = 8L * 1000 * 1000): Result = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val dims = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(k.toLong * dims <= maxCentroidCells,
+      s"k-means got k*dims = $k*$dims = ${k.toLong * dims} centroid cells > " +
+        s"maxCentroidCells=$maxCentroidCells; each round collects one " +
+        "(cluster, dim) row per cell onto the driver — at k=2^18, dims=1024 " +
+        "that is ~270M rows. Shard the corpus and train per shard, use PQ " +
+        "sub-space trainers (pqEncode: m independent k'-sized codebooks), " +
+        "or raise the bound deliberately on a driver sized for it")
     val spark = vectors.sparkSession
     import spark.implicits._
     val q = vectors

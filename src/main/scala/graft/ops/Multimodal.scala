@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted in partition-sized batches.
   *
-  * The Spark-side shape is real and tested — schema, partition batching,
-  * typed Dataset signatures — while the codec itself is a STUB (this
-  * container has no image/audio libraries): `decodeStub` derives
-  * deterministic pseudo-features from the bytes. Swapping in a real decoder
-  * means replacing only the body of [[decodeStub]]; every seam it plugs into
-  * (mapPartitions batching, feature schema, downstream aggregation) stays.
+  * REAL decode paths (no external dependency — the JDK itself ships the
+  * codecs): [[decodeImages]] uses `javax.imageio` (PNG/BMP/GIF/JPEG readers
+  * are part of every JDK) and [[decodeWav]] uses `javax.sound.sampled`
+  * (WAV/AIFF/AU). Both run one codec context per PARTITION (`mapPartitions`,
+  * `ImageIO.setUseCache(false)` so no temp-file churn per record) — the
+  * batching shape a real crawl pipeline needs at scale.
+  *
+  * [[decodeStub]] remains for modalities the JDK has no codec for (video
+  * frames, proprietary containers): it derives deterministic pseudo-features
+  * from the bytes so the surrounding plumbing stays testable; swapping a
+  * real external decoder in means replacing only its body.
   */
 object Multimodal {
 
@@ -34,15 +39,152 @@ object Multimodal {
       height: Int,
       mean_channel: Double)
 
+  /** Real image decode output: exact integer channel sums (order-free —
+    * the pixel loop is deterministic, so sums are bit-exact on any
+    * partitioning), dims, plus `decoded=false` rows for payloads no
+    * installed reader understands.
+    */
+  final case class ImageFeatures(
+      media_id: Long,
+      decoded: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      n_pixels: Option[Long],
+      sum_r: Option[Long],
+      sum_g: Option[Long],
+      sum_b: Option[Long])
+
+  /** Real audio decode output: sample count, exact sum, and peak over the
+    * decoded PCM stream (integer math — bit-exact).
+    */
+  final case class WavFeatures(
+      media_id: Long,
+      decoded: Boolean,
+      channels: Option[Int],
+      sample_rate: Option[Long],
+      bits_per_sample: Option[Int],
+      n_samples: Option[Long],
+      sum_val: Option[Long],
+      peak_abs: Option[Long])
+
+  /** REAL image decode via the JDK's own `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers ship with every JRE — no external dependency). One reader
+    * context per partition; `ImageIO.setUseCache(false)` keeps the decode
+    * purely in-memory (the default spools every ImageInputStream to a temp
+    * file — a syscall storm at corpus scale). Pixels are folded into exact
+    * integer per-channel sums, so downstream stats are engine- and
+    * partitioning-exact. Unreadable payloads (no registered reader, corrupt
+    * stream) yield `decoded=false` rows rather than killing the job — one
+    * bad blob in a 100 TB crawl must quarantine, not abort.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-JVM, idempotent
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null } // corrupt stream → quarantine
+        if (img == null) // null also = no registered reader for the format
+          ImageFeatures(m.media_id, decoded = false,
+            None, None, None, None, None, None)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y) // sRGB regardless of storage layout
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(m.media_id, decoded = true, Some(w), Some(h),
+            Some(w.toLong * h), Some(sr), Some(sg), Some(sb))
+        }
+      }
+    }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU).
+    * Streams the PCM payload once, folding samples into exact integer
+    * (count, sum, peak) — 16-bit little-endian signed PCM is decoded
+    * explicitly (the canonical WAV data layout; other depths/encodings
+    * report header facts with `n_samples=None`). Same quarantine contract
+    * as [[decodeImages]]: unparseable payloads → `decoded=false`.
+    */
+  def decodeWav(media: Dataset[MediaRecord]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val f = in.getFormat
+            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+              f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcm16le)
+              WavFeatures(m.media_id, decoded = true, Some(f.getChannels),
+                Some(f.getSampleRate.toLong), Some(f.getSampleSizeInBits),
+                None, None, None)
+            else {
+              val bytes = in.readAllBytes()
+              var i = 0; var n = 0L; var sum = 0L; var peak = 0L
+              while (i + 1 < bytes.length) {
+                // little-endian signed 16-bit: low byte unsigned, high signed
+                val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toLong
+                n += 1; sum += s
+                val a = math.abs(s); if (a > peak) peak = a
+                i += 2
+              }
+              WavFeatures(m.media_id, decoded = true, Some(f.getChannels),
+                Some(f.getSampleRate.toLong), Some(16), Some(n), Some(sum),
+                Some(peak))
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception =>
+            WavFeatures(m.media_id, decoded = false,
+              None, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
+  /** Driver-side PNG assembly for tests/oracles: encode a known pixel grid
+    * with the SAME JDK codec [[decodeImages]] reads with — PNG is lossless,
+    * so decode∘encode is the identity and an oracle can state the expected
+    * dims/channel sums in closed form from the generator.
+    */
+  def makePng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(x, y) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Wrap a text table as pretend media: payload = utf-8 bytes. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame =
     docs.select(col(idCol).as("media_id"), lit("image").as("modality"),
       encode(col(textCol), "UTF-8").as("payload"), col(sourceCol).as("source"))
 
-  /** STUB DECODER — deterministic fake. A real deployment decodes
-    * image/audio bytes here (one codec instance per partition, amortized
-    * over the iterator — the mapPartitions shape is the point). The fake
+  /** STUB DECODER — deterministic fake, for modalities with no JDK codec
+    * (see [[decodeImages]]/[[decodeWav]] for the REAL image/audio paths;
+    * one codec instance per partition, amortized over the iterator — the
+    * mapPartitions shape is the point). The fake
     * derives every "feature" from the payload bytes so tests and oracles
     * are exact:
     *   width  = byte_len mod 640, height = byte_len mod 480,

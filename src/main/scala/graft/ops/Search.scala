@@ -49,6 +49,17 @@ object Search {
     * sum re-associates with shuffle arrival order and can flip a rank at
     * the k boundary; the integer sum is order-free and the oracle replays
     * it exactly. Returns (doc_id, score, n_terms).
+    *
+    * Known portability caveat — this is the ONE gate whose oracle depends
+    * on libm `ln` agreeing between engines (every other oracle stays in
+    * count/fixed-point space, see [[Curation.typicalityProfile]]): a 1-ulp
+    * `ln` divergence could flip `round(w·1e6)` only if tf·ln(N/df)·1e6
+    * sits within ~1 ulp (≈1e-10 relative) of a half-integer. The sole
+    * exactly-on-boundary input is df = N, where ln(1) = 0 exactly in both
+    * engines; elsewhere the flip probability per row is ~1e-10. Accepted
+    * and documented rather than rebuilt in rational form, because
+    * tf·N/df without the log is a semantically different (undamped)
+    * ranking.
     */
   def rankedSearch(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {

@@ -40,6 +40,13 @@ object Snapshot {
     require(payload.nonEmpty, "snapshot needs at least one payload column")
     require(changes.columns.contains(deleteCol),
       s"changes must carry a boolean '$deleteCol' tombstone column")
+    // a base payload column named like the tombstone would be silently
+    // overwritten to false below AND duplicated inside the winner struct —
+    // corruption, so fail loudly and let the caller rename one side
+    require(!base.columns.contains(deleteCol),
+      s"base snapshot already has a column named '$deleteCol' — it would " +
+        "collide with the tombstone marker; pass a different deleteCol or " +
+        "rename the payload column")
     val all = base
       .withColumn(deleteCol, lit(false)).withColumn("_chg", lit(0))
       .unionByName(changes.withColumn("_chg", lit(1)))

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner,
+  LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join,
   JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -29,6 +30,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * replicate (1-row bound frames, centroid tables, query batches).
   * Toggle with `spark.graft.guard.cartesian=false` for exploratory work.
   *
+  * Covered shapes — this is a tripwire, not a proof of safety:
+  * condition-less CROSS/INNER/LEFT/RIGHT/FULL joins without a broadcast
+  * hint (all plan as cartesian or BroadcastNestedLoopJoin). NOT covered:
+  * (a) joins whose only condition is non-equi (e.g. a bare range
+  * predicate) — they also plan as BNLJ, but flagging them would break
+  * legitimate broadcast range joins ([[graft.ops.RangeJoin]] bins
+  * instead, precisely to avoid that shape at scale); (b) joins introduced
+  * by rewrites that run AFTER this rule's batch (injected optimizer rules
+  * run once, early); (c) semi/anti joins (degenerate without a condition
+  * but size-bounded by the left side). Review `.explain` for
+  * BroadcastNestedLoopJoin before trusting an unfamiliar plan at scale.
+  *
   * Wired via [[graft.functions.GraftExtensions]] `injectOptimizerRule`.
   */
 case class CartesianGuard(session: SparkSession) extends Rule[LogicalPlan] {
@@ -36,11 +49,15 @@ case class CartesianGuard(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (session.conf.get(CartesianGuard.ConfKey, "true").toBoolean)
       plan.foreach {
-        case Join(_, _, Cross | Inner, None, hint)
+        // outer joins without a condition plan as BroadcastNestedLoopJoin —
+        // the same row-product pathology as a bare cross join, so they are
+        // flagged too (see "Covered shapes" in the scaladoc)
+        case Join(_, _,
+            Cross | Inner | LeftOuter | RightOuter | FullOuter, None, hint)
             if !CartesianGuard.broadcastHinted(hint) =>
           throw new SparkException(
             "[graft] unhinted cartesian product: a cross/condition-less " +
-              "inner join with no broadcast-hinted side never finishes at " +
+              "join with no broadcast-hinted side never finishes at " +
               "scale. If one side is genuinely small, write " +
               "a.crossJoin(broadcast(b)); to disable this guard for the " +
               s"session set ${CartesianGuard.ConfKey}=false.")

@@ -387,7 +387,96 @@ object CorpusOps {
         .select(col("media_id"), col("frame_idx"),
           decode(col("frame"), "UTF-8").as("frame_str"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // multimodal: REAL PNG decode (javax.imageio — the JDK's own codec, no
+    // stub): payloads are known-pixel PNGs encoded on the driver with the
+    // SAME lossless codec (8 distinct gradient grids; every doc_id%10 in
+    // {8,9} gets a truncated-JPEG / plain-text payload to prove the
+    // quarantine path), decoded back distributed; the oracle states the
+    // expected dims + exact per-channel pixel sums in closed form from the
+    // generator — decode∘encode must be the identity
+    "q_mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = (0 until 8).map { k =>
+        val (w, h) = mmPngDims(k)
+        Multimodal.makePng(w, h, mmPngPixel(k))
+      }
+      val junk = Seq[Array[Byte]](
+        Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte), // JPEG stump
+        "not an image".getBytes("UTF-8"))
+      val payloads = array((pngs ++ junk).map(b => lit(b)): _*)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          element_at(payloads, pmod(col("doc_id"), lit(10)).cast("int") + 1)
+            .as("payload"),
+          lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeImages(media).toDF().orderBy("media_id")
+    }),
+
+    // multimodal: REAL WAV PCM decode (javax.sound.sampled): canonical
+    // 52-byte mono 16-bit files assembled IN-QUERY (header as q_mm_wav plus
+    // a data chunk of 4 doc_id-derived samples), decoded back by the JDK's
+    // audio reader into exact integer (count, sum, peak) — identity oracle;
+    // every 5th doc gets a non-audio payload to prove the quarantine path
+    "q_mm_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      def le32(v: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(v), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le16(v: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(v), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val rate = element_at(
+        array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+        (col("doc_id") % 4 + 1).cast("int"))
+      def samp(i: Int) = (col("doc_id") * 7 + lit(i * 1231)) % 30000
+      val wav = unhex(concat(
+        lit("52494646"), le32(lit(44L)), lit("57415645"), lit("666D7420"),
+        le32(lit(16L)), le16(lit(1L)), le16(lit(1L)), le32(rate),
+        le32(rate * 2), le16(lit(2L)), le16(lit(16L)),
+        lit("64617461"), le32(lit(8L)),
+        concat((0 until 4).map(i => le16(samp(i))): _*)))
+      val pl = when(pmod(col("doc_id"), lit(5)) === 0,
+        encode(lit("not audio"), "UTF-8")).otherwise(wav)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          pl.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeWav(media).toDF().orderBy("media_id")
     }))
+
+  /** Known-pixel generator for q_mm_decode_png: PNG k is a (3+k)×(2+k%3)
+    * RGB gradient. Shared by the encoder (query side) and the closed-form
+    * expected-sum computation (oracle side) — the single source of truth
+    * that makes the decode gate an identity test.
+    */
+  private[queries] def mmPngPixel(k: Int)(x: Int, y: Int): Int = {
+    val r = (x * 37 + y * 11 + k * 5) % 256
+    val g = (x * 17 + y * 29 + k * 3) % 256
+    val b = (x * 23 + y * 13 + k * 7) % 256
+    (r << 16) | (g << 8) | b
+  }
+
+  private[queries] def mmPngDims(k: Int): (Int, Int) = (3 + k, 2 + k % 3)
+
+  /** Closed-form (width, height, n_pixels, sum_r, sum_g, sum_b) for PNG k —
+    * computed from the generator, NOT by decoding, so the oracle is
+    * independent of the codec under test.
+    */
+  private def mmPngExpected(k: Int): (Int, Int, Long, Long, Long, Long) = {
+    val (w, h) = mmPngDims(k)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = mmPngPixel(k)(x, y)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+    }
+    (w, h, w.toLong * h, sr, sg, sb)
+  }
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private[queries] val shinglesSql =
@@ -934,5 +1023,43 @@ object CorpusOps {
         |  substr(text, CAST(f * (octet_length(encode(text)) // 4) + 1 AS INT), 16)
         |    AS frame_str
         |FROM documents, LATERAL (SELECT unnest(generate_series(0, 3)) AS f)
-        |ORDER BY media_id, frame_idx""".stripMargin)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // expected decode facts stated in closed form from the pixel generator
+    // (computed here in plain Scala, independent of the codec under test)
+    "q_mm_decode_png" -> {
+      val rows = (0 until 8).map { k =>
+        val (w, h, np, sr, sg, sb) = mmPngExpected(k)
+        s"($k, $w, $h, $np, $sr, $sg, $sb)"
+      }.mkString(",\n        |    ")
+      s"""WITH e(k, w, h, np, sr, sg, sb) AS (VALUES
+        |    $rows)
+        |SELECT d.doc_id AS media_id, d.doc_id % 10 < 8 AS decoded,
+        |  CAST(e.w AS INT) AS width, CAST(e.h AS INT) AS height,
+        |  CAST(e.np AS BIGINT) AS n_pixels, CAST(e.sr AS BIGINT) AS sum_r,
+        |  CAST(e.sg AS BIGINT) AS sum_g, CAST(e.sb AS BIGINT) AS sum_b
+        |FROM documents d
+        |LEFT JOIN e ON CAST(d.doc_id % 10 AS INT) = e.k
+        |ORDER BY media_id""".stripMargin
+    },
+
+    // identity oracle: the same doc_id-derived sample math the query
+    // assembled into the PCM data chunk, stated directly
+    "q_mm_decode_wav" ->
+      """SELECT doc_id AS media_id, doc_id % 5 <> 0 AS decoded,
+        |  CASE WHEN doc_id % 5 <> 0 THEN 1 END AS channels,
+        |  CASE WHEN doc_id % 5 <> 0 THEN
+        |    CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 + 1 AS INT)]
+        |      AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 5 <> 0 THEN 16 END AS bits_per_sample,
+        |  CASE WHEN doc_id % 5 <> 0 THEN CAST(4 AS BIGINT) END AS n_samples,
+        |  CASE WHEN doc_id % 5 <> 0 THEN CAST(
+        |    (doc_id * 7) % 30000 + (doc_id * 7 + 1231) % 30000
+        |    + (doc_id * 7 + 2462) % 30000 + (doc_id * 7 + 3693) % 30000
+        |    AS BIGINT) END AS sum_val,
+        |  CASE WHEN doc_id % 5 <> 0 THEN CAST(greatest(
+        |    (doc_id * 7) % 30000, (doc_id * 7 + 1231) % 30000,
+        |    (doc_id * 7 + 2462) % 30000, (doc_id * 7 + 3693) % 30000)
+        |    AS BIGINT) END AS peak_abs
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

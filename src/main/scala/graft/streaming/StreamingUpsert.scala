@@ -15,11 +15,13 @@ import graft.ops.Snapshot
   * (`v<batchId>`) and then flips a one-line pointer file; readers resolve
   * the pointer and only ever see a fully-written version — no reader can
   * observe a half-applied batch. Replay safety under foreachBatch's
-  * at-least-once contract comes from [[Snapshot.upsert]]'s idempotence
-  * (applying the same change batch twice is a no-op) plus the versioned
-  * layout: a replayed batch id deterministically regenerates its own
-  * version directory rather than appending. Old versions are pruned
-  * beyond `keepVersions` (time-travel window).
+  * at-least-once contract: the pointer flip is the atomic commit, so a
+  * replayed batch id whose version is already CURRENT is detected and
+  * skipped (without that check the replay would read v<batchId> as its
+  * base while overwriting the same directory — a permanent crash loop);
+  * a crash BEFORE the flip simply rebuilds v<batchId> from the prior
+  * version, deterministically. Old versions are pruned beyond
+  * `keepVersions` (time-travel window).
   *
   * Scale note: this rewrites the snapshot per batch — right for
   * dimension-to-mid-size corpora (metadata tables, registries, curated
@@ -38,11 +40,12 @@ object StreamingUpsert {
     writePointer(root, -1L)
   }
 
+  private def currentVersion(root: String): Long =
+    new String(Files.readAllBytes(pointerPath(root))).trim.toLong
+
   /** Resolve the pointer and load the current snapshot. */
-  def current(spark: SparkSession, root: String): DataFrame = {
-    val v = new String(Files.readAllBytes(pointerPath(root))).trim.toLong
-    spark.read.parquet(s"$root/v$v")
-  }
+  def current(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/v${currentVersion(root)}")
 
   private def writePointer(root: String, version: Long): Unit = {
     Files.createDirectories(Paths.get(root))
@@ -59,6 +62,16 @@ object StreamingUpsert {
   def applyBatch(batch: DataFrame, batchId: Long, root: String,
       keyCol: String, versionCol: String, keepVersions: Int = 3): Unit = {
     val spark = batch.sparkSession
+    // Replay guard: foreachBatch is at-least-once, and a crash AFTER the
+    // pointer flip but BEFORE the checkpoint commit replays this batchId.
+    // Without the guard the replay reads CURRENT = v<batchId> as its base
+    // while overwriting the same directory — Spark refuses ("Cannot
+    // overwrite a path that is also being read from") and the query dies
+    // permanently on every restart. Pointer >= batchId means the version
+    // was fully written and flipped (the flip is the atomic commit), so
+    // the replayed batch is already applied — skip it.
+    if (Files.exists(pointerPath(root)) && currentVersion(root) >= batchId)
+      return
     val next = Snapshot.upsert(current(spark, root), batch, keyCol, versionCol)
     next.write.mode("overwrite").parquet(s"$root/v$batchId")
     writePointer(root, batchId)

@@ -1067,6 +1067,95 @@ class OpsSpec extends AnyFunSuite {
     assert(top.last == 2L)   // opposite direction last
   }
 
+  test("real PNG decode: ImageIO roundtrip recovers exact generator pixels") {
+    val w = 5; val h = 3
+    def pixel(x: Int, y: Int): Int = {
+      val r = (x * 37 + y * 11) % 256
+      val g = (x * 17 + y * 29) % 256
+      val b = (x * 23 + y * 13) % 256
+      (r << 16) | (g << 8) | b
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = pixel(x, y)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+    }
+    val png = Multimodal.makePng(w, h, pixel)
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "image", png, "t"),
+      Multimodal.MediaRecord(1L, "image", "garbage".getBytes("UTF-8"), "t"))
+      .toDS()
+    val out = Multimodal.decodeImages(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(0L).decoded)
+    assert(out(0L).width.contains(w) && out(0L).height.contains(h))
+    assert(out(0L).n_pixels.contains(w.toLong * h))
+    assert(out(0L).sum_r.contains(sr) && out(0L).sum_g.contains(sg) &&
+      out(0L).sum_b.contains(sb))
+    assert(!out(1L).decoded && out(1L).width.isEmpty)
+  }
+
+  test("real WAV decode: 16-bit LE PCM samples recovered with sign extension") {
+    def le16(v: Int) =
+      Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val samples = Seq(100, 2000, -12345, 30000)
+    val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(22050) ++
+      le32(22050 * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "audio", wav, "t"),
+      Multimodal.MediaRecord(1L, "audio", "not audio".getBytes("UTF-8"), "t"))
+      .toDS()
+    val out = Multimodal.decodeWav(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(0L).decoded)
+    assert(out(0L).channels.contains(1) &&
+      out(0L).sample_rate.contains(22050L) &&
+      out(0L).bits_per_sample.contains(16))
+    assert(out(0L).n_samples.contains(samples.length.toLong))
+    assert(out(0L).sum_val.contains(samples.map(_.toLong).sum))
+    assert(out(0L).peak_abs.contains(30000L))
+    assert(!out(1L).decoded && out(1L).n_samples.isEmpty)
+  }
+
+  test("kmeans: k*dims driver-collect envelope is a hard require") {
+    import graft.ops.KMeans
+    val vecs = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.fit(vecs, "vec_id", "embedding", k = 2, iters = 1,
+        maxCentroidCells = 3)
+    }
+    assert(e.getMessage.contains("maxCentroidCells"))
+  }
+
+  test("expectations: empty input audits as zero violations, passed=true") {
+    import graft.ops.Expectations
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val rep = Expectations.check(empty,
+        Seq("v_pos" -> (col("v") > 0), "id_set" -> col("id").isNotNull))
+      .collect()
+    assert(rep.length == 2)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_violations") == 0L)
+      assert(r.getAs[Boolean]("passed"))
+    }
+  }
+
+  test("snapshot upsert: base payload colliding with tombstone col is refused") {
+    import graft.ops.Snapshot
+    val base = Seq((1L, 1, "x", false)).toDF("k", "version", "t", "deleted")
+    val chg = Seq((1L, 2, "y", false)).toDF("k", "version", "t", "deleted")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.upsert(base, chg, "k", "version")
+    }
+    assert(e.getMessage.contains("deleted"))
+  }
+
   test("IVF search keeps high recall vs brute force on real embeddings") {
     import graft.ops.KMeans
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
