@@ -87,9 +87,41 @@ object Bpe {
   }
 
   /** Apply a trained merge list to one word — the (driver-side) encoder,
-    * for tests and for building a broadcast vocabulary; a corpus-scale
-    * encoder would ship `merges` as a broadcast and run this per token.
+    * for tests and as the single source of truth [[encodeCorpus]]
+    * broadcasts to executors.
     */
   def tokenize(word: String, merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(word.map(_.toString).toVector)(mergeOnce)
+
+  /** Distributed corpus encode — the step a tokenizer exists for: apply a
+    * trained merge table to EVERY document, emitting the piece sequence
+    * per token. Returns (doc_id, pos, term, pieces: array<string>).
+    *
+    * Scale shape: the merge table ships as ONE broadcast; the imperative
+    * merge loop (inexpressible in Column algebra — each merge rewrites the
+    * symbol sequence the next one scans) runs once per DISTINCT word, not
+    * once per corpus token: Zipf's law makes the distinct-word table
+    * millions of rows where the token stream is trillions, so the
+    * `mapPartitions` encoder touches the vocab-bounded side only and the
+    * corpus-scale side stays pure Column algebra (explode + join). The
+    * pieces-to-token join is a plain equi-join on `term` that AQE turns
+    * into a broadcast join whenever the encoded vocab fits — at web-corpus
+    * vocab sizes pre-bucket both sides by term instead.
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toVector)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(TextOps.normTokens(col(textCol))).as(Seq("pos", "term")))
+    val vocab = toks.select("term").distinct().as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map(w => (w, tokenize(w, m)))
+      }
+      .toDF("term", "pieces")
+    toks.join(vocab, Seq("term"))
+      .select(col("doc_id"), col("pos"), col("term"), col("pieces"))
+  }
 }

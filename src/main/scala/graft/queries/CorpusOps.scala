@@ -153,6 +153,21 @@ object CorpusOps {
         .orderBy("rk")
     }),
 
+    // distributed BPE corpus ENCODE — the step a tokenizer exists for:
+    // a fixed merge table (trained once from the seed vocabulary below, so
+    // both engines can state it) is broadcast and applied to every token of
+    // every document; the encoder itself runs once per DISTINCT word
+    // (vocab-bounded), pieces join back to the corpus-scale token stream.
+    // The oracle replays the merge loop as chained replace() calls over a
+    // separator-wrapped symbol string — bit-exact, so any divergence in
+    // merge order or application breaks the gate
+    "q_doc_bpe_encode" -> ((s, dir) =>
+      graft.ops.Bpe.encodeCorpus(t(s, dir, "documents"), "doc_id", "text",
+          bpeGateMerges)
+        .select(col("doc_id"), col("pos"), col("term"),
+          posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
+        .orderBy("doc_id", "pos", "piece_idx")),
+
     // Misra-Gries heavy hitters in the sketch's EXACT regime (capacity 64
     // > the corpus vocabulary): one pass, state bounded by capacity — the
     // shape that still works when the key domain itself (URLs, hosts,
@@ -449,6 +464,21 @@ object CorpusOps {
         .as[Multimodal.MediaRecord]
       Multimodal.decodeWav(media).toDF().orderBy("media_id")
     }))
+
+  /** Fixed seed vocabulary for the BPE encode gate: data-independent, so
+    * the trained merge table is identical at every SF and both the query
+    * and the oracle can derive it at build time (training over the actual
+    * corpus is exercised by the OpsSpec corpus roundtrip instead — its
+    * merge table is data-dependent and therefore not SQL-stateable).
+    * Letters only: the symbols appear verbatim inside SQL literals.
+    */
+  private[queries] val bpeSeedFreq: Seq[(String, Long)] = Seq(
+    "the" -> 120L, "of" -> 80L, "and" -> 75L, "ing" -> 60L, "tion" -> 50L,
+    "er" -> 45L, "in" -> 40L, "at" -> 30L, "es" -> 25L, "en" -> 20L,
+    "ed" -> 18L, "is" -> 15L, "on" -> 12L, "re" -> 10L)
+
+  private[queries] lazy val bpeGateMerges: Seq[(String, String)] =
+    graft.ops.Bpe.train(bpeSeedFreq, 24)
 
   /** Known-pixel generator for q_mm_decode_png: PNG k is a (3+k)×(2+k%3)
     * RGB gradient. Shared by the encoder (query side) and the closed-form
@@ -1024,6 +1054,36 @@ object CorpusOps {
         |    AS frame_str
         |FROM documents, LATERAL (SELECT unnest(generate_series(0, 3)) AS f)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // merge-loop replay in SQL: each symbol is wrapped as SEP||sym||SEP
+    // (SEP = chr(1), never inside a symbol), so the pattern for merge (a,b)
+    // — SEP a SEP SEP b SEP — can neither match mid-symbol (needs a leading
+    // SEP) nor consume the next pair's delimiter (each symbol carries its
+    // own); replace() is left-to-right non-overlapping in both engines,
+    // matching mergeOnce's greedy scan. Final pieces = split on SEP minus
+    // empties.
+    "q_doc_bpe_encode" -> {
+      val init = "chr(1) || array_to_string([term[i] for i in " +
+        "generate_series(1, length(term))], chr(1) || chr(1)) || chr(1)"
+      val chain = bpeGateMerges.foldLeft(init) { case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), " +
+          s"chr(1)||'$a$b'||chr(1))"
+      }
+      s"""WITH tok AS (
+        |  SELECT doc_id, i - 1 AS pos, ws[i] AS term
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |        FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+        |enc AS (
+        |  SELECT doc_id, pos, term,
+        |    list_filter(string_split($chain, chr(1)), x -> x <> '') AS pieces
+        |  FROM tok)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, term,
+        |  CAST(pi - 1 AS INT) AS piece_idx, pieces[pi] AS piece
+        |FROM enc, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS pi)
+        |ORDER BY doc_id, pos, piece_idx""".stripMargin
+    },
 
     // expected decode facts stated in closed form from the pixel generator
     // (computed here in plain Scala, independent of the codec under test)

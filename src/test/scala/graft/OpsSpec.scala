@@ -1067,6 +1067,28 @@ class OpsSpec extends AnyFunSuite {
     assert(top.last == 2L)   // opposite direction last
   }
 
+  test("BPE corpus encode: distributed pieces replay the driver encoder") {
+    import graft.ops.Bpe
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    // train on the ACTUAL corpus (the data-dependent path the SQL gate
+    // can't state), then require every distributed piece sequence to match
+    // a driver-side tokenize of the same term under the same merges
+    val wf = Bpe.wordFreq(real, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (w, f) => (-f, w) }.take(200)
+    val merges = Bpe.train(wf, 30)
+    assert(merges.nonEmpty)
+    val enc = Bpe.encodeCorpus(real, "doc_id", "text", merges).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val term = r.getString(2)
+      val pieces = r.getSeq[String](3)
+      assert(pieces == Bpe.tokenize(term, merges), s"term '$term'")
+      assert(pieces.mkString == term, s"pieces must concatenate to '$term'")
+    }
+  }
+
   test("real PNG decode: ImageIO roundtrip recovers exact generator pixels") {
     val w = 5; val h = 3
     def pixel(x: Int, y: Int): Int = {
