@@ -42,6 +42,8 @@ object ExplainCheck {
     "q_emb_pq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_emb_ivfpq_search" -> (Seq("ObjectHashAggregate"),
       Seq("Window", "CartesianProduct")),
+    "q_emb_ivfpq_serve" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // top-k must plan as TakeOrderedAndProject, never a global window
     "q_topk" -> (Seq("TakeOrderedAndProject"), Seq("Window")),
     "q_doc_term_freq" -> (Seq("TakeOrderedAndProject"), Seq("Window")),

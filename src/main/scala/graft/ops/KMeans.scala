@@ -148,6 +148,43 @@ object KMeans {
       subs.map(_._2), d)
   }
 
+  /** Persist a PQ model in the SERVING layout — codes as a parquet table,
+    * codebooks + sub-dims as tiny metadata tables. The ANN analog of
+    * [[VectorOps.saveIvfIndex]]: train once, serve every later query batch
+    * via [[loadPqModel]] + [[pqSearchAdc]]/[[ivfPqSearchAdc]] without
+    * re-running the sub-space trainers (the dominant cost — the search
+    * stage itself is a code-table scan).
+    */
+  def savePqModel(path: String, model: PqModel): Unit = {
+    val spark = model.codes.sparkSession
+    import spark.implicits._
+    model.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for {
+      (s, cents) <- model.codebooks
+      (cid, cv) <- cents
+    } yield (s, cid, cv)
+    rows.toDF("sub", "cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq(model.subDims).toDF("sub_dims").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[savePqModel]] layout. The codebook collect is m·k-bounded
+    * (the LUT build needs it driver-side anyway); codes stay distributed.
+    */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqModel = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val cb = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      }
+    val subDims = spark.read.parquet(s"$path/meta").head().getInt(0)
+    PqModel(codes, cb, subDims)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: per query, the
     * distance to each sub-space centroid is computed ONCE into a lookup
     * table (nq·m·k entries, driver-built from the tiny codebooks and

@@ -161,6 +161,34 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF-PQ SERVING path: identical ranking to q_emb_ivfpq_search, but
+    // the coarse index and PQ model are TRAINED ONCE and persisted
+    // (saveIvfIndex + savePqModel into a per-SF scratch layout, reused if
+    // present — safe because training is bit-reproducible), so the query
+    // itself is load + probe + ADC scan only. This is the shape a real
+    // deployment runs per query batch — the in-query-trainer gates measure
+    // composition, this one isolates serving
+    "q_emb_ivfpq_serve" -> ((s, dir) => {
+      val base = s"/tmp/graft_serve_v1_${math.abs(dir.hashCode.toLong)}"
+      val emb = wide(s, t(s, dir, "embeddings"))
+      if (!new java.io.File(s"$base/pq/codes/_SUCCESS").exists) {
+        val centroids = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("centroid_vec"))
+        val cells = graft.ops.VectorOps.assignCells(emb, centroids)
+        graft.ops.VectorOps.saveIvfIndex(s"$base/ivf", centroids, cells)
+        val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id",
+          "embedding", m = 2, k = 8, iters = 2)
+        graft.ops.KMeans.savePqModel(s"$base/pq", model)
+      }
+      val (cen, cells) = graft.ops.VectorOps.loadIvfIndex(s, s"$base/ivf")
+      val model = graft.ops.KMeans.loadPqModel(s, s"$base/pq")
+      graft.ops.KMeans.ivfPqSearchAdc(model, cells, cen,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        topK = 5, nprobe = 2)
+        .orderBy("query_id", "rnk")
+    }),
+
     // END-TO-END curation pipeline in one plan: exact dedup (keep-min per
     // content fingerprint) → quality filter (threshold 0.5) → train/val/
     // test hash split → per-(split, lang) summary. Every stage is the
@@ -443,6 +471,11 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
 
     "q_emb_ivfpq_search" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
+      topK = 5, nprobe = 2, nCoarse = 8),
+
+    // serving gate: same ranking contract as the in-query-trainer variant
+    // (persistence must not change a single bit), so the same full replay
+    "q_emb_ivfpq_serve" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
       topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
