@@ -52,7 +52,17 @@ object Multimodal {
       n_pixels: Option[Long],
       sum_r: Option[Long],
       sum_g: Option[Long],
-      sum_b: Option[Long])
+      sum_b: Option[Long],
+      px_fp: Option[Long])
+
+  /** FNV-1a 64 over the row-major (r, g, b) byte stream — the VISUAL
+    * fingerprint: equal pixels → equal fp regardless of container bytes
+    * (PNG vs BMP vs encoder settings), which is what image dedup needs
+    * (byte-level md5 misses re-encodes). Plain integer math, closed-form
+    * stateable by oracles.
+    */
+  private[ops] def fnv1a(hash: Long, byte: Int): Long =
+    (hash ^ (byte & 0xFF)) * 0x100000001b3L
 
   /** Real audio decode output: sample count, exact sum, and peak over the
     * decoded PCM stream (integer math — bit-exact).
@@ -88,22 +98,26 @@ object Multimodal {
           catch { case _: Exception => null } // corrupt stream → quarantine
         if (img == null) // null also = no registered reader for the format
           ImageFeatures(m.media_id, decoded = false,
-            None, None, None, None, None, None)
+            None, None, None, None, None, None, None)
         else {
           val w = img.getWidth; val h = img.getHeight
           var sr = 0L; var sg = 0L; var sb = 0L
+          var fp = 0xcbf29ce484222325L // FNV-1a offset basis
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val p = img.getRGB(x, y) // sRGB regardless of storage layout
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF
+              val b = p & 0xFF
+              sr += r; sg += g; sb += b
+              fp = fnv1a(fnv1a(fnv1a(fp, r), g), b)
               x += 1
             }
             y += 1
           }
           ImageFeatures(m.media_id, decoded = true, Some(w), Some(h),
-            Some(w.toLong * h), Some(sr), Some(sg), Some(sb))
+            Some(w.toLong * h), Some(sr), Some(sg), Some(sb), Some(fp))
         }
       }
     }
@@ -156,6 +170,59 @@ object Multimodal {
     }
   }
 
+  /** Real image RESIZE on the decode path: decode ([[decodeImages]]'
+    * codec), then nearest-neighbor downsample to (tw, th) — target pixel
+    * (x, y) reads source pixel (x·w div tw, y·h div th), integer math, so
+    * the resized channel sums are exactly stateable by an oracle that
+    * knows the source pixels (bilinear/area filters are float-kernel and
+    * codec-version dependent; NN is the deterministic choice when the
+    * consumer is a training pipeline that needs reproducible shards).
+    * Emits decoded=false rows for unreadable payloads like the decoder.
+    */
+  final case class ResizedFeatures(
+      media_id: Long,
+      decoded: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      sum_r: Option[Long],
+      sum_g: Option[Long],
+      sum_b: Option[Long])
+
+  def resizeImages(media: Dataset[MediaRecord], tw: Int,
+      th: Int): Dataset[ResizedFeatures] = {
+    require(tw >= 1 && th >= 1, "target dims must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null)
+          ResizedFeatures(m.media_id, decoded = false,
+            None, None, None, None, None)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < th) {
+            val sy = y * h / th
+            var x = 0
+            while (x < tw) {
+              val p = img.getRGB(x * w / tw, sy)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ResizedFeatures(m.media_id, decoded = true, Some(tw), Some(th),
+            Some(sr), Some(sg), Some(sb))
+        }
+      }
+    }
+  }
+
   /** Driver-side PNG assembly for tests/oracles: encode a known pixel grid
     * with the SAME JDK codec [[decodeImages]] reads with — PNG is lossless,
     * so decode∘encode is the identity and an oracle can state the expected
@@ -172,6 +239,24 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[makePng]]'s BMP counterpart — a SECOND lossless container for the
+    * same pixel grid, so cross-format visual dedup is testable: different
+    * payload bytes, identical `px_fp` after decode.
+    */
+  def makeBmp(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(x, y) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
     bos.toByteArray
   }
 

@@ -413,21 +413,54 @@ object CorpusOps {
     // generator — decode∘encode must be the identity
     "q_mm_decode_png" -> ((s, dir) => {
       import s.implicits._
-      val pngs = (0 until 8).map { k =>
-        val (w, h) = mmPngDims(k)
-        Multimodal.makePng(w, h, mmPngPixel(k))
-      }
-      val junk = Seq[Array[Byte]](
-        Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte), // JPEG stump
-        "not an image".getBytes("UTF-8"))
-      val payloads = array((pngs ++ junk).map(b => lit(b)): _*)
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), lit("image").as("modality"),
-          element_at(payloads, pmod(col("doc_id"), lit(10)).cast("int") + 1)
-            .as("payload"),
-          lit("synth").as("source"))
+          mmPngJunkPayload.as("payload"), lit("synth").as("source"))
         .as[Multimodal.MediaRecord]
       Multimodal.decodeImages(media).toDF().orderBy("media_id")
+    }),
+
+    // multimodal: REAL resize on the decode path — nearest-neighbor
+    // downsample to 4×3 after an ImageIO decode (integer source mapping,
+    // so the resized channel sums are closed-form stateable); junk
+    // payloads keep exercising the quarantine path
+    "q_mm_resize_nn" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          mmPngJunkPayload.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.resizeImages(media, 4, 3).toDF().orderBy("media_id")
+    }),
+
+    // multimodal: VISUAL exact dedup across container formats — even docs
+    // carry PNG bytes, odd docs carry BMP bytes of the SAME pixel grid;
+    // byte-level fingerprints (md5 of payload) would see 16 distinct
+    // blobs, the pixel fingerprint sees 8 groups each spanning both
+    // formats. The re-encode dedup case every image crawl hits
+    "q_mm_visual_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = (0 until 8).map { k =>
+        val (w, h) = mmPngDims(k)
+        lit(Multimodal.makePng(w, h, mmPngPixel(k)))
+      }
+      val bmps = (0 until 8).map { k =>
+        val (w, h) = mmPngDims(k)
+        lit(Multimodal.makeBmp(w, h, mmPngPixel(k)))
+      }
+      val idx = pmod(col("doc_id"), lit(8)).cast("int") + 1
+      val payload = when(pmod(col("doc_id"), lit(2)) === 0,
+        element_at(array(pngs: _*), idx))
+        .otherwise(element_at(array(bmps: _*), idx))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          payload.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeImages(media).toDF()
+        .groupBy("px_fp")
+        .agg(count(lit(1)).as("n"), min("media_id").as("min_id"),
+          countDistinct(pmod(col("media_id"), lit(2))).as("n_formats"))
+        .orderBy("px_fp")
     }),
 
     // multimodal: REAL WAV PCM decode (javax.sound.sampled): canonical
@@ -480,6 +513,22 @@ object CorpusOps {
   private[queries] lazy val bpeGateMerges: Seq[(String, String)] =
     graft.ops.Bpe.train(bpeSeedFreq, 24)
 
+  /** Shared payload column for the real-decode gates: doc_id%10 ∈ [0,8)
+    * selects known-pixel PNG k; 8 → a truncated JPEG stump, 9 → plain
+    * text (both must quarantine as decoded=false).
+    */
+  private[queries] def mmPngJunkPayload: org.apache.spark.sql.Column = {
+    val pngs = (0 until 8).map { k =>
+      val (w, h) = mmPngDims(k)
+      lit(graft.ops.Multimodal.makePng(w, h, mmPngPixel(k)))
+    }
+    val junk = Seq(
+      lit(Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte)),
+      lit("not an image".getBytes("UTF-8")))
+    element_at(array((pngs ++ junk): _*),
+      pmod(col("doc_id"), lit(10)).cast("int") + 1)
+  }
+
   /** Known-pixel generator for q_mm_decode_png: PNG k is a (3+k)×(2+k%3)
     * RGB gradient. Shared by the encoder (query side) and the closed-form
     * expected-sum computation (oracle side) — the single source of truth
@@ -494,18 +543,37 @@ object CorpusOps {
 
   private[queries] def mmPngDims(k: Int): (Int, Int) = (3 + k, 2 + k % 3)
 
-  /** Closed-form (width, height, n_pixels, sum_r, sum_g, sum_b) for PNG k —
-    * computed from the generator, NOT by decoding, so the oracle is
-    * independent of the codec under test.
+  /** Closed-form (width, height, n_pixels, sum_r, sum_g, sum_b, px_fp)
+    * for PNG k — computed from the generator, NOT by decoding, so the
+    * oracle is independent of the codec under test.
     */
-  private def mmPngExpected(k: Int): (Int, Int, Long, Long, Long, Long) = {
+  private def mmPngExpected(k: Int): (Int, Int, Long, Long, Long, Long, Long) = {
     val (w, h) = mmPngDims(k)
     var sr = 0L; var sg = 0L; var sb = 0L
+    var fp = 0xcbf29ce484222325L
     for (y <- 0 until h; x <- 0 until w) {
       val p = mmPngPixel(k)(x, y)
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      sr += r; sg += g; sb += b
+      fp = ((fp ^ r) * 0x100000001b3L ^ g) * 0x100000001b3L
+      fp = (fp ^ b) * 0x100000001b3L
+    }
+    (w, h, w.toLong * h, sr, sg, sb, fp)
+  }
+
+  /** Closed-form resized sums for PNG k at (tw, th): nearest-neighbor
+    * source pixel (x·w div tw, y·h div th) — the same integer mapping
+    * [[graft.ops.Multimodal.resizeImages]] applies post-decode.
+    */
+  private def mmPngResizedExpected(k: Int, tw: Int,
+      th: Int): (Long, Long, Long) = {
+    val (w, h) = mmPngDims(k)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until th; x <- 0 until tw) {
+      val p = mmPngPixel(k)(x * w / tw, y * h / th)
       sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
     }
-    (w, h, w.toLong * h, sr, sg, sb)
+    (sr, sg, sb)
   }
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1089,18 +1157,56 @@ object CorpusOps {
     // (computed here in plain Scala, independent of the codec under test)
     "q_mm_decode_png" -> {
       val rows = (0 until 8).map { k =>
-        val (w, h, np, sr, sg, sb) = mmPngExpected(k)
-        s"($k, $w, $h, $np, $sr, $sg, $sb)"
+        val (w, h, np, sr, sg, sb, fp) = mmPngExpected(k)
+        s"($k, $w, $h, $np, $sr, $sg, $sb, CAST($fp AS BIGINT))"
       }.mkString(",\n        |    ")
-      s"""WITH e(k, w, h, np, sr, sg, sb) AS (VALUES
+      s"""WITH e(k, w, h, np, sr, sg, sb, fp) AS (VALUES
         |    $rows)
         |SELECT d.doc_id AS media_id, d.doc_id % 10 < 8 AS decoded,
         |  CAST(e.w AS INT) AS width, CAST(e.h AS INT) AS height,
         |  CAST(e.np AS BIGINT) AS n_pixels, CAST(e.sr AS BIGINT) AS sum_r,
-        |  CAST(e.sg AS BIGINT) AS sum_g, CAST(e.sb AS BIGINT) AS sum_b
+        |  CAST(e.sg AS BIGINT) AS sum_g, CAST(e.sb AS BIGINT) AS sum_b,
+        |  e.fp AS px_fp
         |FROM documents d
         |LEFT JOIN e ON CAST(d.doc_id % 10 AS INT) = e.k
         |ORDER BY media_id""".stripMargin
+    },
+
+    // nearest-neighbor resized sums stated from the generator via the
+    // same integer source mapping (x*w div tw, y*h div th)
+    "q_mm_resize_nn" -> {
+      val rows = (0 until 8).map { k =>
+        val (sr, sg, sb) = mmPngResizedExpected(k, 4, 3)
+        s"($k, $sr, $sg, $sb)"
+      }.mkString(",\n        |    ")
+      s"""WITH e(k, sr, sg, sb) AS (VALUES
+        |    $rows)
+        |SELECT d.doc_id AS media_id, d.doc_id % 10 < 8 AS decoded,
+        |  CASE WHEN d.doc_id % 10 < 8 THEN 4 END AS width,
+        |  CASE WHEN d.doc_id % 10 < 8 THEN 3 END AS height,
+        |  CAST(e.sr AS BIGINT) AS sum_r, CAST(e.sg AS BIGINT) AS sum_g,
+        |  CAST(e.sb AS BIGINT) AS sum_b
+        |FROM documents d
+        |LEFT JOIN e ON CAST(d.doc_id % 10 AS INT) = e.k
+        |ORDER BY media_id""".stripMargin
+    },
+
+    // visual dedup groups: one group per pixel grid k, spanning BOTH
+    // container formats — n/min_id/n_formats derivable from doc_id math,
+    // the fingerprint from the generator
+    "q_mm_visual_dedup" -> {
+      val rows = (0 until 8).map { k =>
+        s"($k, CAST(${mmPngExpected(k)._7} AS BIGINT))"
+      }.mkString(",\n        |    ")
+      s"""WITH e(k, fp) AS (VALUES
+        |    $rows),
+        |g AS (SELECT CAST(doc_id % 8 AS INT) AS k,
+        |        CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id,
+        |        CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_formats
+        |      FROM documents GROUP BY 1)
+        |SELECT e.fp AS px_fp, g.n, g.min_id, g.n_formats
+        |FROM g JOIN e USING (k)
+        |ORDER BY px_fp""".stripMargin
     },
 
     // identity oracle: the same doc_id-derived sample math the query

@@ -1098,14 +1098,20 @@ class OpsSpec extends AnyFunSuite {
       (r << 16) | (g << 8) | b
     }
     var sr = 0L; var sg = 0L; var sb = 0L
+    var fp = 0xcbf29ce484222325L
     for (y <- 0 until h; x <- 0 until w) {
       val p = pixel(x, y)
-      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      sr += r; sg += g; sb += b
+      fp = ((fp ^ r) * 0x100000001b3L ^ g) * 0x100000001b3L
+      fp = (fp ^ b) * 0x100000001b3L
     }
     val png = Multimodal.makePng(w, h, pixel)
+    val bmp = Multimodal.makeBmp(w, h, pixel)
     val media = Seq(
       Multimodal.MediaRecord(0L, "image", png, "t"),
-      Multimodal.MediaRecord(1L, "image", "garbage".getBytes("UTF-8"), "t"))
+      Multimodal.MediaRecord(1L, "image", "garbage".getBytes("UTF-8"), "t"),
+      Multimodal.MediaRecord(2L, "image", bmp, "t"))
       .toDS()
     val out = Multimodal.decodeImages(media).collect()
       .map(f => f.media_id -> f).toMap
@@ -1114,7 +1120,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L).n_pixels.contains(w.toLong * h))
     assert(out(0L).sum_r.contains(sr) && out(0L).sum_g.contains(sg) &&
       out(0L).sum_b.contains(sb))
+    assert(out(0L).px_fp.contains(fp))
     assert(!out(1L).decoded && out(1L).width.isEmpty)
+    // different container bytes, identical pixels → identical fingerprint
+    assert(out(2L).decoded && out(2L).px_fp == out(0L).px_fp)
+    assert(!java.util.Arrays.equals(png, bmp))
+    // NN resize: integer source mapping replayed in plain Scala
+    val (tw, th) = (3, 2)
+    var rr = 0L; var rg = 0L; var rb = 0L
+    for (y <- 0 until th; x <- 0 until tw) {
+      val p = pixel(x * w / tw, y * h / th)
+      rr += (p >> 16) & 0xFF; rg += (p >> 8) & 0xFF; rb += p & 0xFF
+    }
+    val rz = Multimodal.resizeImages(media, tw, th).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(rz(0L).decoded && rz(0L).width.contains(tw) &&
+      rz(0L).height.contains(th))
+    assert(rz(0L).sum_r.contains(rr) && rz(0L).sum_g.contains(rg) &&
+      rz(0L).sum_b.contains(rb))
+    assert(rz(2L).sum_r.contains(rr)) // BMP resizes identically
+    assert(!rz(1L).decoded)
   }
 
   test("real WAV decode: 16-bit LE PCM samples recovered with sign extension") {
