@@ -148,10 +148,21 @@ object Curation {
     * operator (collect_list, pandas groupBy-apply) carries.
     */
   def packSequences(docs: DataFrame, groupCol: String, idCol: String,
-      textCol: String, capacity: Int): DataFrame = {
+      textCol: String, capacity: Int): DataFrame =
+    packBySize(
+      docs.select(col(groupCol), col(idCol),
+        TextOps.tokenCount(col(textCol)).as("__pack_sz")),
+      groupCol, idCol, "__pack_sz", capacity)
+
+  /** [[packSequences]] over a PRECOMPUTED size column — the variant a
+    * tokenizer-aware pipeline uses (pack by BPE piece count, image patch
+    * count, audio frame count...), same greedy first-fit-in-order fold.
+    */
+  def packBySize(docs: DataFrame, groupCol: String, idCol: String,
+      sizeCol: String, capacity: Int): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val toks = docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
-      TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      col(sizeCol).cast("int").as("n_tokens"))
     val grouped = toks.groupBy("grp")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens"))))
         .as("ds"))

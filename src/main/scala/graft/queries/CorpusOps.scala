@@ -168,6 +168,26 @@ object CorpusOps {
           posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
         .orderBy("doc_id", "pos", "piece_idx")),
 
+    // tokenizer-aware packing: context windows packed by BPE PIECE count
+    // (not whitespace tokens) — the composition a training pipeline
+    // actually runs: encode → count pieces per doc → greedy first-fit
+    // bins per language stream. One plan; the oracle chains the bpe
+    // merge-loop replay into the recursive packing CTE
+    "q_doc_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = graft.ops.Bpe.encodeCorpus(docs, "doc_id", "text",
+          bpeGateMerges)
+        .groupBy("doc_id")
+        .agg(sum(size(col("pieces"))).cast("int").as("n_pieces"))
+      val sized = docs.select(col("doc_id"), col("lang"))
+        .join(counts, Seq("doc_id"))
+      graft.ops.Curation.packBySize(sized, "lang", "doc_id", "n_pieces",
+          capacity = 256)
+        .select(col("grp").as("lang"), col("doc_id"),
+          col("n_tokens").as("n_pieces"), col("bin"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Misra-Gries heavy hitters in the sketch's EXACT regime (capacity 64
     // > the corpus vocabulary): one pass, state bounded by capacity — the
     // shape that still works when the key domain itself (URLs, hosts,
@@ -512,6 +532,29 @@ object CorpusOps {
 
   private[queries] lazy val bpeGateMerges: Seq[(String, String)] =
     graft.ops.Bpe.train(bpeSeedFreq, 24)
+
+  /** Shared oracle CTEs `tok` (token stream with positions) and `enc`
+    * (per-token BPE pieces via the chained-replace merge replay) — used
+    * by both the encode gate and the bpe-sized packing gate.
+    */
+  private lazy val bpeEncCteSql: String = {
+    val init = "chr(1) || array_to_string([term[i] for i in " +
+      "generate_series(1, length(term))], chr(1) || chr(1)) || chr(1)"
+    val chain = bpeGateMerges.foldLeft(init) { case (acc, (a, b)) =>
+      s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), " +
+        s"chr(1)||'$a$b'||chr(1))"
+    }
+    s"""tok AS (
+      |  SELECT doc_id, i - 1 AS pos, ws[i] AS term
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      |        FROM documents),
+      |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      |enc AS (
+      |  SELECT doc_id, pos, term,
+      |    list_filter(string_split($chain, chr(1)), x -> x <> '') AS pieces
+      |  FROM tok)""".stripMargin
+  }
 
   /** Shared payload column for the real-decode gates: doc_id%10 ∈ [0,8)
     * selects known-pixel PNG k; 8 → a truncated JPEG stump, 9 → plain
@@ -1130,28 +1173,36 @@ object CorpusOps {
     // own); replace() is left-to-right non-overlapping in both engines,
     // matching mergeOnce's greedy scan. Final pieces = split on SEP minus
     // empties.
-    "q_doc_bpe_encode" -> {
-      val init = "chr(1) || array_to_string([term[i] for i in " +
-        "generate_series(1, length(term))], chr(1) || chr(1)) || chr(1)"
-      val chain = bpeGateMerges.foldLeft(init) { case (acc, (a, b)) =>
-        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), " +
-          s"chr(1)||'$a$b'||chr(1))"
-      }
-      s"""WITH tok AS (
-        |  SELECT doc_id, i - 1 AS pos, ws[i] AS term
-        |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-        |        FROM documents),
-        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
-        |enc AS (
-        |  SELECT doc_id, pos, term,
-        |    list_filter(string_split($chain, chr(1)), x -> x <> '') AS pieces
-        |  FROM tok)
+    "q_doc_bpe_encode" ->
+      s"""WITH $bpeEncCteSql
         |SELECT doc_id, CAST(pos AS INT) AS pos, term,
         |  CAST(pi - 1 AS INT) AS piece_idx, pieces[pi] AS piece
         |FROM enc, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS pi)
-        |ORDER BY doc_id, pos, piece_idx""".stripMargin
-    },
+        |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+
+    // the bpe replay chained into the recursive greedy-pack CTE (the
+    // q_doc_pack idiom, sized by pieces instead of whitespace tokens)
+    "q_doc_bpe_pack" ->
+      s"""WITH RECURSIVE $bpeEncCteSql,
+        |cnt AS (SELECT doc_id, CAST(sum(len(pieces)) AS INT) AS n_pieces
+        |        FROM enc GROUP BY doc_id),
+        |tk AS MATERIALIZED (SELECT d.lang, c.doc_id, c.n_pieces,
+        |    CAST(row_number() OVER (PARTITION BY d.lang ORDER BY c.doc_id)
+        |      AS INT) AS rn
+        |  FROM cnt c JOIN documents d USING (doc_id)),
+        |p AS (
+        |  SELECT lang, doc_id, n_pieces, rn, 0 AS bin, n_pieces AS fill
+        |  FROM tk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT tk.lang, tk.doc_id, tk.n_pieces, tk.rn,
+        |    CASE WHEN p.fill + tk.n_pieces <= 256 THEN p.bin
+        |         ELSE p.bin + 1 END AS bin,
+        |    CASE WHEN p.fill + tk.n_pieces <= 256
+        |         THEN p.fill + tk.n_pieces
+        |         ELSE tk.n_pieces END AS fill
+        |  FROM tk JOIN p ON tk.lang = p.lang AND tk.rn = p.rn + 1)
+        |SELECT lang, doc_id, n_pieces, CAST(bin AS INT) AS bin
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
 
     // expected decode facts stated in closed form from the pixel generator
     // (computed here in plain Scala, independent of the codec under test)
