@@ -223,6 +223,65 @@ object Multimodal {
     }
   }
 
+  /** Real audio RESAMPLE on the decode path: decode 16-bit LE PCM
+    * ([[decodeWav]]'s codec), then nearest-neighbor pick `n` samples —
+    * output sample i reads source sample (i·len div n), integer math, so
+    * the resampled stats are closed-form stateable (sinc/linear kernels
+    * are float and implementation-dependent; NN is the reproducible
+    * choice for fingerprinting/sharding). Emits (media_id, decoded,
+    * n_out, sum_val, peak_abs); undecodable or non-PCM16 payloads →
+    * decoded=false/None like the decoder.
+    */
+  final case class ResampledAudio(
+      media_id: Long,
+      decoded: Boolean,
+      n_out: Option[Long],
+      sum_val: Option[Long],
+      peak_abs: Option[Long])
+
+  def resampleWav(media: Dataset[MediaRecord], n: Int): Dataset[ResampledAudio] = {
+    require(n >= 1, "target sample count must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val f = in.getFormat
+            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+              f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcm16le) ResampledAudio(m.media_id, decoded = false,
+              None, None, None)
+            else {
+              val bytes = in.readAllBytes()
+              val len = bytes.length / 2
+              if (len == 0) ResampledAudio(m.media_id, decoded = true,
+                Some(0L), Some(0L), Some(0L))
+              else {
+                var i = 0; var sum = 0L; var peak = 0L
+                while (i < n) {
+                  val s0 = (i.toLong * len / n).toInt * 2
+                  val s = ((bytes(s0) & 0xFF) | (bytes(s0 + 1) << 8))
+                    .toShort.toLong
+                  sum += s
+                  val a = math.abs(s); if (a > peak) peak = a
+                  i += 1
+                }
+                ResampledAudio(m.media_id, decoded = true, Some(n.toLong),
+                  Some(sum), Some(peak))
+              }
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception =>
+            ResampledAudio(m.media_id, decoded = false, None, None, None)
+        }
+      }
+    }
+  }
+
   /** Driver-side PNG assembly for tests/oracles: encode a known pixel grid
     * with the SAME JDK codec [[decodeImages]] reads with — PNG is lossless,
     * so decode∘encode is the identity and an oracle can state the expected

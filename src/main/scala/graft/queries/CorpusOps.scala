@@ -490,32 +490,43 @@ object CorpusOps {
     // every 5th doc gets a non-audio payload to prove the quarantine path
     "q_mm_decode_wav" -> ((s, dir) => {
       import s.implicits._
-      def le32(v: org.apache.spark.sql.Column) = {
-        val be = lpad(hex(v), 8, "0")
-        concat(substring(be, 7, 2), substring(be, 5, 2),
-          substring(be, 3, 2), substring(be, 1, 2))
-      }
-      def le16(v: org.apache.spark.sql.Column) = {
-        val be = lpad(hex(v), 4, "0")
-        concat(substring(be, 3, 2), substring(be, 1, 2))
-      }
-      val rate = element_at(
-        array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
-        (col("doc_id") % 4 + 1).cast("int"))
-      def samp(i: Int) = (col("doc_id") * 7 + lit(i * 1231)) % 30000
-      val wav = unhex(concat(
-        lit("52494646"), le32(lit(44L)), lit("57415645"), lit("666D7420"),
-        le32(lit(16L)), le16(lit(1L)), le16(lit(1L)), le32(rate),
-        le32(rate * 2), le16(lit(2L)), le16(lit(16L)),
-        lit("64617461"), le32(lit(8L)),
-        concat((0 until 4).map(i => le16(samp(i))): _*)))
-      val pl = when(pmod(col("doc_id"), lit(5)) === 0,
-        encode(lit("not audio"), "UTF-8")).otherwise(wav)
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
-          pl.as("payload"), lit("synth").as("source"))
+          mmWavPayload.as("payload"), lit("synth").as("source"))
         .as[Multimodal.MediaRecord]
       Multimodal.decodeWav(media).toDF().orderBy("media_id")
+    }),
+
+    // multimodal: REAL audio resample — decode the 4-sample PCM stream,
+    // nearest-neighbor pick 3 samples (source index i·len div n, integer
+    // math → closed-form oracle: samples 0, 1, 2 of the assembly)
+    "q_mm_resample_wav" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          mmWavPayload.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.resampleWav(media, 3).toDF().orderBy("media_id")
+    }),
+
+    // multimodal curation pipeline in ONE plan (the q_doc_pipeline story
+    // for media): decode mixed payloads → quarantine junk → visual exact
+    // dedup (keep lowest media_id per pixel fingerprint) → per-dimension
+    // summary. Every stage is an already-gated op; this pins the
+    // composition
+    "q_mm_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          mmPngJunkPayload.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      val feats = Multimodal.decodeImages(media).toDF().where(col("decoded"))
+      val keep = feats.groupBy("px_fp").agg(min("media_id").as("media_id"))
+      feats.join(keep, Seq("px_fp", "media_id"), "left_semi")
+        .groupBy("width", "height")
+        .agg(count(lit(1)).as("n_kept"), min("media_id").as("min_id"),
+          sum("sum_r").as("tot_r"))
+        .orderBy("width", "height")
     }))
 
   /** Fixed seed vocabulary for the BPE encode gate: data-independent, so
@@ -570,6 +581,35 @@ object CorpusOps {
       lit("not an image".getBytes("UTF-8")))
     element_at(array((pngs ++ junk): _*),
       pmod(col("doc_id"), lit(10)).cast("int") + 1)
+  }
+
+  /** Shared audio payload for the real-decode gates: canonical 52-byte
+    * mono 16-bit PCM WAV with 4 doc_id-derived samples
+    * (s_i = (doc_id·7 + i·1231) mod 30000); every 5th doc gets a
+    * non-audio payload (quarantine path).
+    */
+  private[queries] def mmWavPayload: org.apache.spark.sql.Column = {
+    def le32(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le16(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val rate = element_at(
+      array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+      (col("doc_id") % 4 + 1).cast("int"))
+    def samp(i: Int) = (col("doc_id") * 7 + lit(i * 1231)) % 30000
+    val wav = unhex(concat(
+      lit("52494646"), le32(lit(44L)), lit("57415645"), lit("666D7420"),
+      le32(lit(16L)), le16(lit(1L)), le16(lit(1L)), le32(rate),
+      le32(rate * 2), le16(lit(2L)), le16(lit(16L)),
+      lit("64617461"), le32(lit(8L)),
+      concat((0 until 4).map(i => le16(samp(i))): _*)))
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      encode(lit("not audio"), "UTF-8")).otherwise(wav)
   }
 
   /** Known-pixel generator for q_mm_decode_png: PNG k is a (3+k)×(2+k%3)
@@ -1258,6 +1298,38 @@ object CorpusOps {
         |SELECT e.fp AS px_fp, g.n, g.min_id, g.n_formats
         |FROM g JOIN e USING (k)
         |ORDER BY px_fp""".stripMargin
+    },
+
+    // NN resample of the 4-sample stream to 3: source indices i·4 div 3 =
+    // 0, 1, 2 — the first three assembly samples, stated directly
+    "q_mm_resample_wav" ->
+      """SELECT doc_id AS media_id, doc_id % 5 <> 0 AS decoded,
+        |  CASE WHEN doc_id % 5 <> 0 THEN CAST(3 AS BIGINT) END AS n_out,
+        |  CASE WHEN doc_id % 5 <> 0 THEN CAST(
+        |    (doc_id * 7) % 30000 + (doc_id * 7 + 1231) % 30000
+        |    + (doc_id * 7 + 2462) % 30000 AS BIGINT) END AS sum_val,
+        |  CASE WHEN doc_id % 5 <> 0 THEN CAST(greatest(
+        |    (doc_id * 7) % 30000, (doc_id * 7 + 1231) % 30000,
+        |    (doc_id * 7 + 2462) % 30000) AS BIGINT) END AS peak_abs
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // decode → quarantine → visual-dedup-keep-min → per-dimension summary:
+    // dims are unique per pixel grid k, so each (width, height) keeps
+    // exactly the lowest doc_id of its k-residue class
+    "q_mm_pipeline" -> {
+      val rows = (0 until 8).map { k =>
+        val (w, h, _, sr, _, _, _) = mmPngExpected(k)
+        s"($k, $w, $h, $sr)"
+      }.mkString(",\n        |    ")
+      s"""WITH e(k, w, h, sr) AS (VALUES
+        |    $rows),
+        |m AS (SELECT CAST(doc_id % 10 AS INT) AS k, min(doc_id) AS min_id
+        |      FROM documents WHERE doc_id % 10 < 8 GROUP BY 1)
+        |SELECT CAST(e.w AS INT) AS width, CAST(e.h AS INT) AS height,
+        |  CAST(1 AS BIGINT) AS n_kept, m.min_id,
+        |  CAST(e.sr AS BIGINT) AS tot_r
+        |FROM e JOIN m USING (k)
+        |ORDER BY width, height""".stripMargin
     },
 
     // identity oracle: the same doc_id-derived sample math the query

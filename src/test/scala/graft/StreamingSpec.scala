@@ -528,4 +528,37 @@ class StreamingSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
     assert(vdirs.length <= 3, vdirs.mkString(","))
   }
+
+  test("streaming media decode matches the batch decoder per record") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    def pixel(x: Int, y: Int): Int = (x * 31 + y * 7) % 256 << 16 | 0x4080
+    val records = Seq(
+      Multimodal.MediaRecord(0L, "image", Multimodal.makePng(4, 3, pixel), "s"),
+      Multimodal.MediaRecord(1L, "image", Multimodal.makeBmp(4, 3, pixel), "s"),
+      Multimodal.MediaRecord(2L, "image", "junk".getBytes("UTF-8"), "s"))
+    val source = MemoryStream[Multimodal.MediaRecord]
+    // the decoder is a plain typed mapPartitions — it must compose with a
+    // streaming Dataset unchanged (per-micro-batch codec contexts)
+    val q = Multimodal.decodeImages(source.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("mm_decode_out")
+      .start()
+    try {
+      source.addData(records.take(2): _*)
+      q.processAllAvailable()
+      source.addData(records.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mm_decode_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(8)).map(_.asInstanceOf[Long])))).toMap
+    val batch = Multimodal.decodeImages(records.toDS())
+      .collect().map(f => f.media_id -> ((f.decoded, f.px_fp))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (id, (dec, fp)) =>
+      assert(streamed(id) == ((dec, fp)), s"media $id")
+    }
+    // PNG and BMP of the same grid agree in the stream too
+    assert(batch(0L)._2.nonEmpty && batch(0L)._2 == batch(1L)._2)
+  }
 }
