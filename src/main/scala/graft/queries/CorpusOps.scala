@@ -256,6 +256,39 @@ object CorpusOps {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
+    // dedup: embedding near-dup pairs collapsed to connected components —
+    // the clustering step that turns pairwise cosine hits into dedup
+    // groups (keep one per cluster), composing the gated pair generator
+    // with the gated union-find; min-id cluster labels
+    "q_emb_dedup_clusters" -> ((s, dir) => {
+      val pairs = VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.components(pairs, 20)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
+    // embedding-space drift between two corpus halves: per-label centroid
+    // movement in QUANTIZED units — per-dim micro-means via truncating
+    // integer division (the k-means discipline: order-free, engine-exact),
+    // squared diffs summed per label. The embedding counterpart of
+    // q_doc_drift: re-embedding or distribution shift surfaces as
+    // drift2_q >> 0 before a model ever trains on the snapshot
+    "q_emb_drift" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      def half(m: Int) = VectorOps.labelCentroids(
+          emb.where(pmod(col("vec_id"), lit(2)) === m), "label", "embedding")
+        .select(col("label"), col("pos"),
+          expr("sum_q DIV n").as(s"m$m"), col("n").as(s"n$m"))
+      half(0).join(half(1), Seq("label", "pos"))
+        .groupBy("label")
+        .agg(first(col("n0")).as("n_a"), first(col("n1")).as("n_b"),
+          count(lit(1)).as("dims"),
+          sum((col("m0") - col("m1")) * (col("m0") - col("m1")))
+            .as("drift2_q"))
+        .orderBy("label")
+    }),
+
     // SemDeDup (Abbas et al. 2023): near-dup pairs within LEARNED blocks
     // (nearest-centroid cells) — the semantic-dedup composition of the
     // IVF assignment and the capped in-block self-join; the oracle
@@ -1003,6 +1036,44 @@ object CorpusOps {
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.ev", "b.ev")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // pair replay + the recursive min-label reach (dedupClustersSql idiom)
+    "q_emb_dedup_clusters" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.ev", "b.ev")} >= 0.4),
+         |edges AS (SELECT va AS a, vb AS b FROM pairs
+         |  UNION SELECT vb, va FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e2.b, r.lab FROM reach r JOIN edges e2 ON e2.a = r.node)
+         |SELECT node AS vec_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    // per-half quantized sums (q_emb_centroids idiom), truncating integer
+    // micro-means, squared diffs summed per label
+    "q_emb_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos1,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS v
+        |  FROM embeddings),
+        |a AS (SELECT label, pos1, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v) AS BIGINT) AS s
+        |      FROM e WHERE vec_id % 2 = 0 GROUP BY label, pos1),
+        |b AS (SELECT label, pos1, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v) AS BIGINT) AS s
+        |      FROM e WHERE vec_id % 2 = 1 GROUP BY label, pos1)
+        |SELECT a.label, min(a.n) AS n_a, min(b.n) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(sum((a.s // a.n - b.s // b.n) * (a.s // a.n - b.s // b.n))
+        |    AS BIGINT) AS drift2_q
+        |FROM a JOIN b ON a.label = b.label AND a.pos1 = b.pos1
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
 
     // sign-bucket mirror of VectorOps.signLshNearDupPairs: identical ±1
     // plane parity, identical sequential left-fold (list_reduce, matching
