@@ -542,6 +542,43 @@ object CorpusOps {
       Multimodal.resampleWav(media, 3).toDF().orderBy("media_id")
     }),
 
+    // multimodal: incremental dedup — only the NEW batch (odd docs) is
+    // decoded and checked against the standing corpus's fingerprints
+    // (even docs): j = (doc_id div 2) mod 16 picks a known grid, j < 8
+    // collides with the old corpus, j >= 8 is novel. The media analog of
+    // q_doc_incremental_dedup's new-batch-only contract; fingerprints
+    // broadcast (bounded by distinct images, not corpus size)
+    "q_mm_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def grid(range: Range) = range.map { k =>
+        val (w, h) = mmPngDims(k)
+        lit(Multimodal.makePng(w, h, mmPngPixel(k)))
+      }
+      val j2 = (col("doc_id") / 2).cast("long")
+      val oldMedia = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          element_at(array(grid(0 until 8): _*),
+            pmod(j2, lit(8)).cast("int") + 1).as("payload"),
+          lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      val newMedia = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          element_at(array(grid(0 until 16): _*),
+            pmod(j2, lit(16)).cast("int") + 1).as("payload"),
+          lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      val index = Multimodal.decodeImages(oldMedia).toDF()
+        .where(col("decoded")).select("px_fp").distinct()
+      Multimodal.decodeImages(newMedia).toDF()
+        .join(broadcast(index.withColumn("is_dup", lit(true))),
+          Seq("px_fp"), "left")
+        .select(col("media_id"), coalesce(col("is_dup"), lit(false))
+          .as("is_dup"))
+        .orderBy("media_id")
+    }),
+
     // multimodal curation pipeline in ONE plan (the q_doc_pipeline story
     // for media): decode mixed payloads → quarantine junk → visual exact
     // dedup (keep lowest media_id per pixel fingerprint) → per-dimension
@@ -1370,6 +1407,14 @@ object CorpusOps {
         |FROM g JOIN e USING (k)
         |ORDER BY px_fp""".stripMargin
     },
+
+    // new-batch dedup verdicts in closed form: grid j < 8 collides with
+    // the standing corpus (which covers all 8 old grids at any corpus
+    // size >= 16), j >= 8 is novel
+    "q_mm_incremental_dedup" ->
+      """SELECT doc_id AS media_id, ((doc_id // 2) % 16) < 8 AS is_dup
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY media_id""".stripMargin,
 
     // NN resample of the 4-sample stream to 3: source indices i·4 div 3 =
     // 0, 1, 2 — the first three assembly samples, stated directly
