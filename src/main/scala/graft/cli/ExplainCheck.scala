@@ -44,6 +44,19 @@ object ExplainCheck {
       Seq("Window", "CartesianProduct")),
     "q_emb_ivfpq_serve" -> (Seq("ObjectHashAggregate"),
       Seq("Window", "CartesianProduct")),
+    // BPE encode: the pieces-to-tokens join must stay an equi-join on term
+    // (AQE may pick broadcast or shuffled hash — either is fine; a product
+    // or a per-doc window would not be)
+    "q_doc_bpe_encode" -> (Seq("Generate"),
+      Seq("CartesianProduct", "Window")),
+    // drift: two partial-aggregated quantized-sum passes + one equi-join;
+    // no window, no product
+    "q_emb_drift" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct")),
+    // visual dedup: decode feeds a hash aggregate on the fingerprint; the
+    // keep-min join is LeftSemi, never a product
+    "q_mm_visual_dedup" -> (Seq("HashAggregate"),
+      Seq("CartesianProduct", "Window")),
     // top-k must plan as TakeOrderedAndProject, never a global window
     "q_topk" -> (Seq("TakeOrderedAndProject"), Seq("Window")),
     "q_doc_term_freq" -> (Seq("TakeOrderedAndProject"), Seq("Window")),

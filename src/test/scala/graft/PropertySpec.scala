@@ -447,4 +447,30 @@ object PropertySpec extends Properties("graft.stages") {
             bb == ba || binFills(ba) + t > capacity }
       }
     }
+
+  // driver-only (no Spark jobs): BPE training must be independent of the
+  // input ORDER of the word-frequency table (the distributed wordFreq
+  // makes no ordering promise), and the encoder must partition each word
+  // exactly — losing or inventing characters is the classic off-by-one in
+  // chained merge application (the adversarial inputs here are runs of
+  // repeated characters, where greedy non-overlapping matters)
+  private val genWordFreqs: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 10)
+    words <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+    freqs <- Gen.listOfN(n, Gen.choose(1L, 50L))
+  } yield words.distinct.zip(freqs)
+
+  property("bpe: order-independent training; pieces partition the word") =
+    forAll(genWordFreqs) { wf =>
+      import graft.ops.Bpe
+      val m1 = Bpe.train(wf, 12)
+      val m2 = Bpe.train(wf.reverse, 12)
+      m1 == m2 && wf.forall { case (w, _) =>
+        val pieces = Bpe.tokenize(w, m1)
+        pieces.mkString == w && pieces.forall(_.nonEmpty)
+      }
+    }
 }
