@@ -129,4 +129,51 @@ object SigAggregators {
 
   /** `simhash_combine(md5(tk))` → `array<int>[4]` of 16-bit bands. */
   def simhash_combine(hx: Column): Column = simhashFn(hx)
+
+  /** Bounded-memory distinct sketch: a fixed m-bit bitmap per group (the
+    * linear-counting register file) — input is a bucket id in [0, m),
+    * output the occupied-bucket count. State is m/8 bytes per group
+    * REGARDLESS of key cardinality (m=4096 → 512 bytes), buffers are
+    * mergeable bitwise-OR partials, so the shuffle carries one small
+    * array per (partition, group) where `count(distinct term)` carries
+    * every distinct key through an Expand. The occupied count is EXACT
+    * integer state (engine-replayable as count-distinct-of-buckets); the
+    * cardinality estimate −m·ln(1−V/m) is one driver-side float op away
+    * and deliberately not computed in-engine (the Search.rankedSearch ln
+    * portability caveat).
+    */
+  final class BitmapDistinctAggregator(m: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Long] {
+    private val words = (m + 63) / 64
+
+    override def zero: Array[Long] = new Array[Long](words)
+
+    override def reduce(buf: Array[Long], b: java.lang.Long): Array[Long] = {
+      val i = b.longValue().toInt
+      buf(i >>> 6) |= 1L << (i & 63)
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < words) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Long = {
+      var c = 0L; var i = 0
+      while (i < words) { c += java.lang.Long.bitCount(buf(i)); i += 1 }
+      c
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** `bitmap_distinct(m)(bucket)` → occupied-bucket count (long). */
+  def bitmap_distinct(m: Int): Column => Column = {
+    val fn = udaf(new BitmapDistinctAggregator(m), Encoders.LONG)
+    b => fn(b)
+  }
 }

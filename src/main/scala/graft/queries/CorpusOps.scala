@@ -168,6 +168,27 @@ object CorpusOps {
           posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
         .orderBy("doc_id", "pos", "piece_idx")),
 
+    // bounded-memory cardinality: per-lang distinct-vocabulary sketch —
+    // a fixed 4096-bit bitmap per group (512 bytes of state regardless of
+    // vocabulary size, OR-mergeable partials) vs the exact count that
+    // carries every key through an Expand. The occupied count is exact
+    // integer state; the oracle replays it as count-distinct-of-buckets
+    // over the identical md5-nibble bucket math. At 100 TB the sketch is
+    // the only affordable per-stratum vocabulary monitor
+    "q_doc_cardinality" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.normTokens(col("text")))
+          .as("term"))
+      val bucket =
+        conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 4096
+      toks.select(col("lang"), col("term"), bucket.as("bk"))
+        .groupBy("lang")
+        .agg(graft.functions.SigAggregators.bitmap_distinct(4096)(col("bk"))
+          .as("occupied"),
+          countDistinct(col("term")).as("n_exact"))
+        .orderBy("lang")
+    }),
+
     // tokenizer-aware packing: context windows packed by BPE PIECE count
     // (not whitespace tokens) — the composition a training pipeline
     // actually runs: encode → count pieces per doc → greedy first-fit
@@ -1313,6 +1334,21 @@ object CorpusOps {
         |    AS frame_str
         |FROM documents, LATERAL (SELECT unnest(generate_series(0, 3)) AS f)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // bucket replay via the same md5-nibble integer math ('0x'||substr
+    // idiom == Spark conv(substring(md5,1,4),16,10)); occupied =
+    // count-distinct-of-buckets, exact in both engines
+    "q_doc_cardinality" ->
+      raw"""WITH tk AS (
+           |  SELECT lang,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |b AS (SELECT lang, term,
+           |    ('0x' || substr(md5(term), 1, 4))::BIGINT % 4096 AS bk
+           |  FROM tk)
+           |SELECT lang, CAST(count(DISTINCT bk) AS BIGINT) AS occupied,
+           |  CAST(count(DISTINCT term) AS BIGINT) AS n_exact
+           |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
 
     // merge-loop replay in SQL: each symbol is wrapped as SEP||sym||SEP
     // (SEP = chr(1), never inside a symbol), so the pattern for merge (a,b)

@@ -1089,6 +1089,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap distinct sketch: exact under no collision, <= exact always") {
+    import graft.functions.SigAggregators
+    // buckets chosen directly: 5 distinct buckets, one repeated → 5
+    val direct = Seq(0L, 1L, 63L, 64L, 4095L, 1L).toDF("bk")
+      .agg(SigAggregators.bitmap_distinct(4096)(col("bk")).as("v"))
+      .head().getLong(0)
+    assert(direct == 5L)
+    // repartition must not change the merged bitmap's count
+    val vals = (0 until 500).map(i => (i % 7).toLong)
+    val a = vals.toDF("bk").repartition(1)
+      .agg(SigAggregators.bitmap_distinct(4096)(col("bk"))).head().getLong(0)
+    val b = vals.toDF("bk").repartition(13)
+      .agg(SigAggregators.bitmap_distinct(4096)(col("bk"))).head().getLong(0)
+    assert(a == 7L && b == 7L)
+  }
+
   test("real PNG decode: ImageIO roundtrip recovers exact generator pixels") {
     val w = 5; val h = 3
     def pixel(x: Int, y: Int): Int = {
