@@ -504,4 +504,76 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** One row per (doc, window): winLen-char windows at `stride`-char steps
+    * over the NORMALIZED text (Rabin-Karp-style exact-substring units —
+    * the ExactSubstr pass of Lee et al., arXiv:2107.06499). Docs shorter
+    * than winLen produce no windows.
+    *
+    * Scale shape: a linear explode — ≤ len/stride windows per doc, the
+    * generate fused into the scan projection (no shuffle until the caller
+    * aggregates). The shuffled payload is the window text itself (winLen
+    * chars); callers that only count can hash first, but keeping the text
+    * lets [[dupSpans]] return the actual offending span.
+    */
+  def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+      winLen: Int, stride: Int): DataFrame = {
+    require(winLen >= 1 && stride >= 1, "winLen and stride must be positive")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.normalize(col(textCol)).as("t"))
+      .where(length(col("t")) >= winLen)
+      // explode in the SAME select as the sequence (see withShingles note)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - winLen + 1, lit(stride)))
+          .as("i"))
+      .select(col("doc_id"), expr(s"substring(t, i, $winLen)").as("win"))
+  }
+
+  /** Corpus-wide duplicated exact spans: windows appearing in >= minDocs
+    * DISTINCT documents, ranked by spread then frequency. This is the
+    * discovery half of exact-substring dedup — the per-doc filter signal
+    * is [[dupSpanCoverage]].
+    *
+    * One shuffle: groupBy(window) with a partial-aggregated distinct count.
+    * At 100 TB the group key is bounded (winLen chars) and the output is
+    * top-k only; no document pair ever meets a reducer.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 40, stride: Int = 10, minDocs: Int = 2,
+      topK: Int = 20): DataFrame =
+    spanWindows(docs, idCol, textCol, winLen, stride)
+      .groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("win").asc)
+      .limit(topK)
+
+  /** Per-document duplicate-span coverage: the fraction of a doc's windows
+    * whose exact text also appears in ANOTHER document — the ExactSubstr
+    * drop signal (docs above a coverage threshold are removed or trimmed).
+    *
+    * Reported in micro-units via integer floor division
+    * ((dup·1e6) div total) so the ratio is bit-identical on any engine —
+    * no floating division anywhere.
+    *
+    * Shape: window rows → per-(win) spread via one agg → join back on win
+    * → per-doc agg. Two shuffles on the window key + one on doc_id, all
+    * linear; the self-join is equi on win and never pairs documents.
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 40, stride: Int = 10): DataFrame = {
+    val wins = spanWindows(docs, idCol, textCol, winLen, stride)
+    // a window is "duplicated" for doc d if some OTHER doc has it too:
+    // n_docs >= 2 covers every occurrence incl. d's own
+    val spread = wins.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    wins.join(spread, Seq("win"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        expr("(n_dup * 1000000L) div n_windows").as("dup_ppm"))
+  }
 }

@@ -89,6 +89,20 @@ object CorpusOps {
       Dedup.simhashPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 3)
         .orderBy("doc_a", "doc_b")),
 
+    // exact-substring dedup (ExactSubstr pass, Lee et al. arXiv:2107.06499):
+    // corpus-wide duplicated 40-char spans at stride 10 — one groupBy(window)
+    // shuffle, no doc pairs ever meet a reducer; top-20 by (spread, freq, win)
+    // is a total order so the limit boundary is deterministic
+    "q_doc_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(wide(s, t(s, dir, "documents")), "doc_id", "text")),
+
+    // the per-doc drop signal of the same pass: fraction of a doc's windows
+    // also present in another doc, in integer micro-units (floor div —
+    // no float division, bit-identical across engines)
+    "q_doc_dup_coverage" -> ((s, dir) =>
+      Dedup.dupSpanCoverage(wide(s, t(s, dir, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // document fingerprinting: codegen'd polynomial rolling hash over the
     // normalized text (Rabin-Karp primitive; md5 variant in q_doc_dedup_exact)
     "q_doc_rolling_fp" -> ((s, dir) =>
@@ -936,6 +950,41 @@ object CorpusOps {
     // LSH with 32 bands x 2 rows has recall ≈ 1 at j >= 0.8 and exact-Jaccard
     // verification → its output equals the brute-force pair set.
     "q_doc_minhash_lsh" -> jaccardPairsSql,
+
+    "q_doc_dup_spans" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id,
+           |    unnest([substr(t, i, 40)
+           |            for i in generate_series(1, length(t) - 39, 10)]) AS win
+           |  FROM n WHERE length(t) >= 40)
+           |SELECT win, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_occ
+           |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY n_docs DESC, n_occ DESC, win LIMIT 20""".stripMargin,
+
+    "q_doc_dup_coverage" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id,
+           |    unnest([substr(t, i, 40)
+           |            for i in generate_series(1, length(t) - 39, 10)]) AS win
+           |  FROM n WHERE length(t) >= 40),
+           |s AS (SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY win)
+           |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup,
+           |  (CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000) // CAST(count(*) AS BIGINT) AS dup_ppm
+           |FROM w JOIN s USING (win)
+           |GROUP BY w.doc_id
+           |ORDER BY w.doc_id""".stripMargin,
 
     "q_doc_rolling_fp" ->
       """WITH n AS (

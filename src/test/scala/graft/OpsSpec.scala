@@ -35,6 +35,24 @@ class OpsSpec extends AnyFunSuite {
     assert(g(0).getAs[Long]("keep_id") == 0)
   }
 
+  test("duplicated exact spans across docs + per-doc coverage") {
+    // docs 0, 1, 3 share their first 40 normalized chars ("...the lazy ");
+    // doc 2 (55 chars → windows at pos 1, 11) is unique; doc 4 is too short
+    val spans = Dedup.dupSpans(docs, "doc_id", "text").collect()
+    assert(spans.length == 1)
+    assert(spans(0).getAs[String]("win") ==
+      "the quick brown fox jumps over the lazy ")
+    assert(spans(0).getAs[Long]("n_docs") == 3)
+    assert(spans(0).getAs[Long]("n_occ") == 3)
+    val cov = Dedup.dupSpanCoverage(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("dup_ppm")))).toMap
+    assert(cov.keySet == Set(0L, 1L, 2L, 3L))
+    assert(cov(0L) == ((1L, 1L, 1000000L)))
+    assert(cov(2L) == ((2L, 0L, 0L)))
+  }
+
   test("jaccard pairs find the near-dup, minhash LSH agrees") {
     val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
