@@ -282,6 +282,71 @@ object Multimodal {
     }
   }
 
+  /** One row per fixed-size sample window of a decoded stream: exact
+    * integer energy (Σ s²), peak, and a silence flag. */
+  final case class AudioWindow(
+      media_id: Long,
+      win_idx: Int,
+      n: Long,
+      energy: Long,
+      peak_abs: Long,
+      silent: Boolean)
+
+  /** Per-window energy profile of 16-bit LE PCM audio — the VAD /
+    * silence-trim primitive of audio curation (silent or near-silent
+    * windows are dropped or split on before training). Sum-of-squares
+    * energy is an exact integer fold (peak 32767² · winSamples stays far
+    * under Long range for any practical window), so the profile is
+    * bit-reproducible under any partitioning — the same discipline as
+    * [[decodeWav]]'s stats. The trailing partial window is emitted with
+    * its true `n` (callers can filter `n < winSamples` if they want only
+    * full windows); undecodable or non-PCM16 payloads yield no rows
+    * (quarantine them upstream via [[decodeWav]]'s decoded=false).
+    *
+    * Scale shape: typed mapPartitions at the codec seam (same seam as
+    * the decoders — one codec context per partition); output is a linear
+    * explode bounded by samples/winSamples, no shuffle introduced here.
+    */
+  def wavEnergyWindows(media: Dataset[MediaRecord],
+      winSamples: Int): Dataset[AudioWindow] = {
+    require(winSamples >= 1, "window must be at least one sample")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val f = in.getFormat
+            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+              f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcm16le) Seq.empty[AudioWindow]
+            else {
+              val bytes = in.readAllBytes() // eager: windows never outlive `in`
+              val len = bytes.length / 2
+              (0 until (len + winSamples - 1) / winSamples).map { w =>
+                var i = w * winSamples
+                val end = math.min(len, i + winSamples)
+                var n = 0L; var energy = 0L; var peak = 0L
+                while (i < end) {
+                  val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8))
+                    .toShort.toLong
+                  n += 1; energy += s * s
+                  val a = math.abs(s); if (a > peak) peak = a
+                  i += 1
+                }
+                AudioWindow(m.media_id, w, n, energy, peak, energy == 0L)
+              }
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception => Seq.empty[AudioWindow]
+        }
+      }
+    }
+  }
+
   /** Driver-side PNG assembly for tests/oracles: encode a known pixel grid
     * with the SAME JDK codec [[decodeImages]] reads with — PNG is lossless,
     * so decode∘encode is the identity and an oracle can state the expected

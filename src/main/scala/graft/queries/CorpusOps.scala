@@ -577,6 +577,20 @@ object CorpusOps {
       Multimodal.resampleWav(media, 3).toDF().orderBy("media_id")
     }),
 
+    // multimodal: per-window audio energy (VAD/silence-trim primitive) —
+    // REAL decode of a 12-sample PCM stream into three 4-sample windows;
+    // exact integer Σs² energy + peak + silence flag; window w of doc d is
+    // all-zero iff (d+w) mod 3 = 0, so every doc exercises the silent path
+    "q_mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          mmWavPayloadWindows.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.wavEnergyWindows(media, 4).toDF()
+        .orderBy("media_id", "win_idx")
+    }),
+
     // multimodal: incremental dedup — only the NEW batch (odd docs) is
     // decoded and checked against the standing corpus's fingerprints
     // (even docs): j = (doc_id div 2) mod 16 picks a known grid, j < 8
@@ -713,6 +727,35 @@ object CorpusOps {
       le32(rate * 2), le16(lit(2L)), le16(lit(16L)),
       lit("64617461"), le32(lit(8L)),
       concat((0 until 4).map(i => le16(samp(i))): _*)))
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      encode(lit("not audio"), "UTF-8")).otherwise(wav)
+  }
+
+  /** 12-sample variant for the energy-window gate: three 4-sample windows,
+    * window w of doc d all-zero iff (d + w) mod 3 = 0 (every doc has
+    * exactly one silent window); non-zero samples follow the mmWavPayload
+    * formula s_i = (doc_id·7 + i·1231) mod 30000. Fixed 8000 Hz mono.
+    * Same every-5th-doc quarantine payload.
+    */
+  private[queries] def mmWavPayloadWindows: org.apache.spark.sql.Column = {
+    def le32(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le16(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def samp(i: Int) =
+      when(pmod(col("doc_id") + lit(i / 4), lit(3)) === 0, lit(0L))
+        .otherwise((col("doc_id") * 7 + lit(i * 1231)) % 30000)
+    val wav = unhex(concat(
+      lit("52494646"), le32(lit(60L)), lit("57415645"), lit("666D7420"),
+      le32(lit(16L)), le16(lit(1L)), le16(lit(1L)), le32(lit(8000L)),
+      le32(lit(16000L)), le16(lit(2L)), le16(lit(16L)),
+      lit("64617461"), le32(lit(24L)),
+      concat((0 until 12).map(i => le16(samp(i))): _*)))
     when(pmod(col("doc_id"), lit(5)) === 0,
       encode(lit("not audio"), "UTF-8")).otherwise(wav)
   }
@@ -1551,5 +1594,29 @@ object CorpusOps {
         |    (doc_id * 7) % 30000, (doc_id * 7 + 1231) % 30000,
         |    (doc_id * 7 + 2462) % 30000, (doc_id * 7 + 3693) % 30000)
         |    AS BIGINT) END AS peak_abs
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // identity oracle: replay the windowed sample math of the assembly —
+    // window w of doc d is zeroed iff (d+w) % 3 = 0, else samples follow
+    // the decode_wav formula; quarantined docs (d % 5 = 0) emit no windows
+    "q_mm_audio_energy" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(generate_series(0, 2)) AS w
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |e AS (
+        |  SELECT doc_id, w,
+        |    CAST(list_sum(
+        |      [CASE WHEN (doc_id + w) % 3 = 0 THEN 0
+        |            ELSE ((doc_id*7 + i*1231) % 30000)
+        |               * ((doc_id*7 + i*1231) % 30000) END
+        |       for i in generate_series(4*w, 4*w + 3)]) AS BIGINT) AS energy,
+        |    CAST(list_max(
+        |      [CASE WHEN (doc_id + w) % 3 = 0 THEN 0
+        |            ELSE (doc_id*7 + i*1231) % 30000 END
+        |       for i in generate_series(4*w, 4*w + 3)]) AS BIGINT) AS peak
+        |  FROM w)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS win_idx,
+        |  CAST(4 AS BIGINT) AS n, energy, peak AS peak_abs,
+        |  energy = 0 AS silent
+        |FROM e ORDER BY media_id, win_idx""".stripMargin)
 }

@@ -1203,6 +1203,35 @@ class OpsSpec extends AnyFunSuite {
     assert(!out(1L).decoded && out(1L).n_samples.isEmpty)
   }
 
+  test("audio energy windows: exact Σs² per window, silence flag, partial tail") {
+    def le16(v: Int) =
+      Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // 7 samples at window 3: [full, silent-full, partial of 1]
+    val samples = Seq(100, -200, 300, 0, 0, 0, -32768)
+    val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000 * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "audio", wav, "t"),
+      Multimodal.MediaRecord(1L, "audio", "junk".getBytes("UTF-8"), "t"))
+      .toDS()
+    val out = Multimodal.wavEnergyWindows(media, 3).collect()
+      .map(w => (w.media_id, w.win_idx) -> w).toMap
+    assert(out.size == 3) // undecodable doc 1 yields no windows
+    assert(out((0L, 0)).n == 3 &&
+      out((0L, 0)).energy == 100L * 100 + 200L * 200 + 300L * 300 &&
+      out((0L, 0)).peak_abs == 300L && !out((0L, 0)).silent)
+    assert(out((0L, 1)).silent && out((0L, 1)).energy == 0L &&
+      out((0L, 1)).peak_abs == 0L)
+    assert(out((0L, 2)).n == 1 &&
+      out((0L, 2)).energy == 32768L * 32768L &&
+      out((0L, 2)).peak_abs == 32768L) // |Short.MinValue| — no overflow
+  }
+
   test("kmeans: k*dims driver-collect envelope is a hard require") {
     import graft.ops.KMeans
     val vecs = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
