@@ -172,7 +172,24 @@ object ExplainCheck {
     // with the right side replicated by an in-stage Generate — and the
     // post-join agg still partially aggregates before its exchange
     "q_join_salted" -> (Seq("SortMergeJoin", "Generate", "HashAggregate"),
-      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // exact-substring spans: linear Generate into a grouped distinct count
+    // (two-level aggregate, no Expand) with k-bounded ranking — no doc
+    // pair ever joins
+    "q_doc_dup_spans" -> (Seq("Generate", "TakeOrderedAndProject",
+      "HashAggregate"), Seq("Window", "CartesianProduct", "Expand")),
+    // span coverage: the win-keyed self-join must stay equi (hash/SMJ both
+    // fine at this size) — never a product, never a per-doc window
+    "q_doc_dup_coverage" -> (Seq("Generate", "HashAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // audio energy: typed mapPartitions at the codec seam, a pure linear
+    // pipeline — no join, no agg, no window before the gate sort
+    "q_mm_audio_energy" -> (Seq("MapPartitions"),
+      Seq("Window", "CartesianProduct", "HashAggregate", "SortMergeJoin")),
+    // recall eval: both searchers keep their bounded TopKAgg shape and the
+    // truth/approx join is equi on (query, vec) — never a product/window
+    "q_emb_recall_ivf" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -284,7 +284,7 @@ object Multimodal {
 
   /** One row per fixed-size sample window of a decoded stream: exact
     * integer energy (Σ s²), peak, and a silence flag. */
-  final case class AudioWindow(
+  final case class AudioFrame(
       media_id: Long,
       win_idx: Int,
       n: Long,
@@ -308,7 +308,7 @@ object Multimodal {
     * explode bounded by samples/winSamples, no shuffle introduced here.
     */
   def wavEnergyWindows(media: Dataset[MediaRecord],
-      winSamples: Int): Dataset[AudioWindow] = {
+      winSamples: Int): Dataset[AudioFrame] = {
     require(winSamples >= 1, "window must be at least one sample")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -321,7 +321,7 @@ object Multimodal {
             val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
               f.getEncoding ==
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcm16le) Seq.empty[AudioWindow]
+            if (!pcm16le) Seq.empty[AudioFrame]
             else {
               val bytes = in.readAllBytes() // eager: windows never outlive `in`
               val len = bytes.length / 2
@@ -336,12 +336,12 @@ object Multimodal {
                   val a = math.abs(s); if (a > peak) peak = a
                   i += 1
                 }
-                AudioWindow(m.media_id, w, n, energy, peak, energy == 0L)
+                AudioFrame(m.media_id, w, n, energy, peak, energy == 0L)
               }
             }
           } finally in.close()
         } catch {
-          case _: Exception => Seq.empty[AudioWindow]
+          case _: Exception => Seq.empty[AudioFrame]
         }
       }
     }

@@ -151,6 +151,28 @@ object VectorOps {
     topKPerQuery(scored, k)
   }
 
+  /** Recall@k evaluation: per query, the fraction of ground-truth
+    * neighbors (`truth`, e.g. a [[bruteTopK]] sample) that the approximate
+    * searcher (`approx`, e.g. [[ivfTopK]]) recovered — THE quality dial
+    * for nprobe/band tuning, computed in-engine so the sweep runs where
+    * the data is. Both inputs need (query_id, vec_id); extra columns are
+    * ignored. Recall is reported in integer micro-units via floor
+    * division — engine-exact, no float ratio.
+    *
+    * Scale shape: one equi-join on (query_id, vec_id) + one agg, both
+    * k·queries-sized — the evaluation never touches embeddings, so it
+    * costs nothing next to the searches it scores.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select("query_id", "vec_id")
+      .join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        expr("(n_hit * 1000000L) div k").as("recall_ppm"))
+
   /** Persist an IVF index in the SERVING layout: centroids + the cell
     * assignment written PARTITIONED BY cell — a probe of nprobe cells then
     * reads only those directories (partition pruning; with the probe set

@@ -285,6 +285,23 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // evaluation harness: recall@5 of the IVF searcher vs brute-force
+    // ground truth, per query, in integer micro-units — the in-engine
+    // quality dial for the nprobe trade (at nprobe=2 of 8 cells recall
+    // is genuinely < 1, so the gate exercises real misses)
+    "q_emb_recall_ivf" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      VectorOps.recallAtK(
+        VectorOps.bruteTopK(emb, queries, 5),
+        VectorOps.ivfTopK(emb, centroids, queries, k = 5, nprobe = 2))
+        .orderBy("query_id")
+    }),
+
     // dedup: embedding-cosine near-dup pairs blocked by label
     "q_emb_neardup" -> ((s, dir) =>
       VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4)
@@ -1159,6 +1176,47 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // composed replay: the brute oracle's top-5 as truth, the IVF oracle's
+    // probed top-5 as approx, recall in floor-div micro-units
+    "q_emb_recall_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |bs AS (SELECT q.query_id, c.vec_id, ${cosSql("c.ev", "q.qv")} AS cos
+         |  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS rn FROM bs) WHERE rn <= 5),
+         |cells AS (
+         |  SELECT vec_id, centroid_id AS cell, ev FROM (
+         |    SELECT c.vec_id, cent.centroid_id, c.ev,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("c.ev", "cent.cv")} DESC,
+         |          cent.centroid_id) AS rn
+         |    FROM c CROSS JOIN cent) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, cent.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q.qv", "cent.cv")} DESC,
+         |          cent.centroid_id) AS rn
+         |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+         |asq AS (SELECT p.query_id, cl.vec_id, ${cosSql("cl.ev", "p.qv")} AS cos
+         |  FROM cells cl JOIN probes p USING (cell)
+         |  WHERE cl.vec_id != p.query_id),
+         |approx AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS rn FROM asq) WHERE rn <= 5)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         |  (CAST(count(a.vec_id) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS recall_ppm
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
     "q_emb_semdedup" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
