@@ -189,7 +189,12 @@ object ExplainCheck {
     // recall eval: both searchers keep their bounded TopKAgg shape and the
     // truth/approx join is equi on (query, vec) — never a product/window
     "q_emb_recall_ivf" -> (Seq("ObjectHashAggregate"),
-      Seq("Window", "CartesianProduct")))
+      Seq("Window", "CartesianProduct")),
+    // pagerank: every round is equi-join + partial-aggregated groupBy on
+    // node keys; no product, no window, no nested loop anywhere in the
+    // iteration chain
+    "q_graph_pagerank" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -30,6 +30,26 @@ object Extras {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // link-quality centrality: weighted PageRank over the nation-level
+    // trade graph (customer nation → supplier nation per lineitem), 3
+    // fixed-point integer rounds — the crawl-curation quality signal
+    // (domain-graph centrality) as pure joins+aggs; the per-round edge
+    // exchange is identical so Catalyst reuses it across iterations
+    "q_graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.ops.Graph.pageRank(edges, nodes, 3).orderBy("node")
+    }),
+
     // data-quality profiler: per-column n/null/distinct/min/max in ONE
     // melted aggregate (ingest's first look at an unknown table)
     "q_profile" -> ((s, dir) =>
@@ -188,6 +208,39 @@ object Extras {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> graft.ops.Profiler.profileSql("lineitem", ProfileCols),
+
+    // exact replay of the fixed-point rounds: every division is an integer
+    // floor on non-negative operands, so the chained CTEs reproduce the
+    // engine's ranks bit-for-bit
+    "q_graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS wt FROM e GROUP BY src),
+        |ew AS (SELECT e.src, e.dst, e.w, ow.wt FROM e JOIN ow USING (src)),
+        |n AS (SELECT n_nationkey AS node FROM nation),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT ew.dst AS node,
+        |    sum((r0.r * 85 * ew.w) // (100 * ew.wt)) AS c
+        |  FROM ew JOIN r0 ON r0.node = ew.src GROUP BY ew.dst),
+        |r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT ew.dst AS node,
+        |    sum((r1.r * 85 * ew.w) // (100 * ew.wt)) AS c
+        |  FROM ew JOIN r1 ON r1.node = ew.src GROUP BY ew.dst),
+        |r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT ew.dst AS node,
+        |    sum((r2.r * 85 * ew.w) // (100 * ew.wt)) AS c
+        |  FROM ew JOIN r2 ON r2.node = ew.src GROUP BY ew.dst),
+        |r3 AS (SELECT n.node, CAST(150000 + COALESCE(c3.c, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, r FROM r3 ORDER BY node""".stripMargin,
 
     "q_cube_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,

@@ -1232,6 +1232,27 @@ class OpsSpec extends AnyFunSuite {
       out((0L, 2)).peak_abs == 32768L) // |Short.MinValue| — no overflow
   }
 
+  test("pagerank: fixed-point rounds match a driver replica, isolated node keeps base") {
+    import graft.ops.Graph
+    val es = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L))
+    val edges = es.toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node") // 3 has no edges at all
+    val got = Graph.pageRank(edges, nodes, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala replica of the fixed-point recurrence
+    val wt = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var r = Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L)
+    for (_ <- 1 to 3) {
+      val contrib = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _, w) => r(s) * 85 * w / (100 * wt(s)) }.sum
+      }
+      r = r.keys.map(n => n -> (150000L + contrib.getOrElse(n, 0L))).toMap
+    }
+    assert(got == r)
+    assert(got(3L) == 150000L) // isolated node holds only the base mass
+  }
+
   test("kmeans: k*dims driver-collect envelope is a hard require") {
     import graft.ops.KMeans
     val vecs = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
