@@ -194,7 +194,13 @@ object ExplainCheck {
     // node keys; no product, no window, no nested loop anywhere in the
     // iteration chain
     "q_graph_pagerank" -> (Seq("HashAggregate"),
-      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // hybrid retrieval: the dense stage must broadcast the k-bounded
+    // lexical candidates into the embeddings join (never shuffle the
+    // embedding table), and both rankings stay k-bounded
+    "q_doc_hybrid_search" -> (Seq("BroadcastHashJoin",
+      "TakeOrderedAndProject"), Seq("Window", "CartesianProduct",
+      "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -84,4 +84,35 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval: a lexical recall stage ([[rankedSearch]] top
+    * `kLex`) re-ranked by embedding cosine against a one-row query
+    * vector — the standard RAG retrieval shape (cheap sparse recall,
+    * expensive dense precision, in that order). Returns the top `kFinal`
+    * of the candidates as (doc_id, lex_score, cos), ordered and
+    * tie-broken on (round(cos, 6) desc, doc_id) so the selected set is
+    * deterministic.
+    *
+    * Scale shape: the dense stage scores only `kLex` candidates — the
+    * candidate frame broadcasts into the embeddings join (hinted; it is
+    * post-limit so size stats lag without the hint), the query vector is
+    * a broadcast scalar, and the final ranking is TakeOrderedAndProject.
+    * The embedding table is touched once, filtered by the semi-join-like
+    * candidate join — never scanned per term.
+    */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], queryVec: DataFrame,
+      kLex: Int, kFinal: Int): DataFrame = {
+    require(kFinal >= 1 && kLex >= kFinal, "need kLex >= kFinal >= 1")
+    val lex = rankedSearch(docs, idCol, textCol, terms, kLex)
+      .select(col("doc_id"), col("score").as("lex_score"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(lex), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(queryVec))
+      .select(col("doc_id"), col("lex_score"),
+        round(VectorOps.cosine(col("embedding"), col("query_vec")), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(kFinal)
+  }
 }

@@ -285,6 +285,19 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval (the RAG shape): lexical tf·idf top-25 recall →
+    // dense cosine rerank of ONLY those candidates against vec 0's
+    // embedding → top-10; candidates broadcast into the embeddings join
+    "q_doc_hybrid_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Search.hybridSearch(
+        wide(s, t(s, dir, "documents")), emb, "doc_id", "text",
+        Seq("spark", "vector", "stream"),
+        emb.where(col("vec_id") === 0)
+          .select(col("embedding").as("query_vec")),
+        kLex = 25, kFinal = 10)
+    }),
+
     // evaluation harness: recall@5 of the IVF searcher vs brute-force
     // ground truth, per query, in integer micro-units — the in-engine
     // quality dial for the nprobe trade (at nprobe=2 of 8 cells recall
@@ -1176,6 +1189,38 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // composed replay: the rank_search micro-unit lexical stage (top-25)
+    // joined to embeddings, cosine-reranked with the same rounded-tie
+    // ordering
+    "q_doc_hybrid_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'vector', 'stream')
+         |  GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    sum(CAST(round((tf.tf * ln(nd.nd / dft.df_t)) * 1000000.0)
+         |      AS BIGINT)) AS sm
+         |  FROM tf JOIN dft USING (term) CROSS JOIN nd
+         |  GROUP BY tf.doc_id),
+         |lex AS (
+         |  SELECT doc_id, CAST(sm AS DOUBLE) / 1000000.0 AS lex_score
+         |  FROM sc ORDER BY lex_score DESC, doc_id LIMIT 25),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+         |SELECT l.doc_id, l.lex_score,
+         |  round(${cosSql("e.ev", "q.qv")}, 6) AS cos
+         |FROM lex l JOIN e ON e.vec_id = l.doc_id CROSS JOIN q
+         |ORDER BY round(${cosSql("e.ev", "q.qv")}, 6) DESC, l.doc_id
+         |LIMIT 10""".stripMargin,
 
     // composed replay: the brute oracle's top-5 as truth, the IVF oracle's
     // probed top-5 as approx, recall in floor-div micro-units

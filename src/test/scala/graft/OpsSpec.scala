@@ -1232,6 +1232,28 @@ class OpsSpec extends AnyFunSuite {
       out((0L, 2)).peak_abs == 32768L) // |Short.MinValue| — no overflow
   }
 
+  test("hybrid search: dense rerank reorders lexical hits, non-hits stay out") {
+    import graft.ops.Search
+    val d = Seq(
+      (0L, "query target spark"), // query doc (vec 0)
+      (1L, "spark spark spark"), // strong lexical, opposite embedding
+      (2L, "spark words here"), // weak lexical, aligned embedding
+      (3L, "nothing relevant at all")) // no lexical hit, perfect embedding
+      .toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    val r = Search.hybridSearch(d, e, "doc_id", "text", Seq("spark"), qv,
+      kLex = 3, kFinal = 3).collect().map(_.getLong(0))
+    // doc 3 never enters (no lexical hit) despite cosine 1; dense stage
+    // puts the aligned doc 2 above the lexically-stronger doc 1
+    assert(!r.contains(3L))
+    assert(r.indexOf(2L) < r.indexOf(1L))
+  }
+
   test("pagerank: fixed-point rounds match a driver replica, isolated node keeps base") {
     import graft.ops.Graph
     val es = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L))
