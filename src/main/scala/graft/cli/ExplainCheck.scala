@@ -200,7 +200,11 @@ object ExplainCheck {
     // embedding table), and both rankings stay k-bounded
     "q_doc_hybrid_search" -> (Seq("BroadcastHashJoin",
       "TakeOrderedAndProject"), Seq("Window", "CartesianProduct",
-      "SortMergeJoin")))
+      "SortMergeJoin")),
+    // PQ reconstruction error: codebooks broadcast onto the code frame;
+    // the trainer's argmin stays an aggregate — no window, no product
+    "q_emb_pq_error" -> (Seq("BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

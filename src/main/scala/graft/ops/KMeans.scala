@@ -169,6 +169,40 @@ object KMeans {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Per-vector PQ reconstruction error — the quantization-quality dial
+    * that decides m/k for a corpus (the PQ analog of
+    * [[VectorOps.recallAtK]]): exact integer Σ‖sub − codeword‖² across
+    * sub-spaces, in quantized units (scale² · float-space MSE). All
+    * arithmetic inherits [[fit]]'s fixed-point discipline, so the error
+    * surface is engine- and partitioning-exact.
+    *
+    * Scale shape: per sub-space, one broadcast codebook join onto the
+    * (vec_id, code) frame + one codegen'd integer distance — linear in
+    * vectors, no shuffle beyond the code join; the m sub-frames equi-join
+    * back on vec_id.
+    */
+  def pqReconstructionError(vectors: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, iters: Int,
+      scale: Double = 1e6): DataFrame = {
+    val model = pqEncodeDetailed(vectors, idCol, vecCol, m, k, iters, scale)
+    val d = model.subDims
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val errs = (0 until m).map { s =>
+      val cb = model.codebooks(s)._2.toDF("cid", "cv")
+      vectors
+        .select(col(idCol).cast("long").as("vec_id"),
+          quantize(slice(col(vecCol), s * d + 1, d), scale).as("qv"))
+        .join(model.codes.select(col("vec_id"), col(s"code$s").as("cid")),
+          "vec_id")
+        .join(broadcast(cb), "cid")
+        .select(col("vec_id"), qdist2(col("qv"), col("cv")).as(s"err$s"))
+    }
+    errs.reduce((a, b) => a.join(b, "vec_id"))
+      .select(col("vec_id"),
+        (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err2"))
+  }
+
   /** Load a [[savePqModel]] layout. The codebook collect is m·k-bounded
     * (the LUT build needs it driver-side anyway); codes stay distributed.
     */

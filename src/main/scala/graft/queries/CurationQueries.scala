@@ -130,6 +130,15 @@ object CurationQueries {
       out.orderBy("vec_id")
     }),
 
+    // PQ quantization-quality dial: per-vector exact-integer
+    // reconstruction error Σ‖sub − codeword‖² in quantized units — what
+    // decides m/k for a corpus before committing to a compressed layout
+    "q_emb_pq_error" -> ((s, dir) =>
+      graft.ops.KMeans.pqReconstructionError(
+        wide(s, t(s, dir, "embeddings")), "vec_id", "embedding",
+        m = 2, k = 8, iters = 2)
+        .orderBy("vec_id")),
+
     // PQ asymmetric-distance search: 3 queries scan the compressed codes
     // via per-query lookup tables — the original vectors are never touched
     // after encoding; all-integer math makes the ranking engine-exact
@@ -363,6 +372,33 @@ object CurationQueries {
     s"""WITH ${blocks.mkString(",\n")}
        |SELECT vec_id, $codes
        |FROM a${iters + 1}_s0 t0
+       |$joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** PQ reconstruction-error oracle: replay the sub-space trainers, then
+    * per vector the exact integer distance to its assigned codeword,
+    * summed across sub-spaces.
+    */
+  private def pqErrorSql(m: Int, dims: Int, k: Int, iters: Int): String = {
+    val d = dims / m
+    val blocks = (0 until m).flatMap { s =>
+      kmeansCtes(s"_s$s", s"embedding[${s * d + 1}:${(s + 1) * d}]", k, iters)
+    }
+    val errs = (0 until m).map { s =>
+      s"""err_s$s AS (
+         |  SELECT a.vec_id,
+         |    CAST(list_sum([(a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i])
+         |      for i in generate_series(1, len(a.v))]) AS BIGINT) AS e$s
+         |  FROM a${iters + 1}_s$s a
+         |  JOIN c${iters}_s$s c USING (cid))""".stripMargin
+    }
+    val joins = (1 until m)
+      .map(s => s"JOIN err_s$s USING (vec_id)").mkString("\n")
+    val sum = (0 until m).map(s => s"e$s").mkString(" + ")
+    s"""WITH ${(blocks ++ errs).mkString(",\n")}
+       |SELECT vec_id, CAST($sum AS BIGINT) AS err2
+       |FROM err_s0
        |$joins
        |ORDER BY vec_id""".stripMargin
   }
@@ -618,6 +654,8 @@ object CurationQueries {
         |FROM h ORDER BY anchor_id, slot""".stripMargin,
 
     "q_emb_pq" -> pqSql(2, 64, 8, 2),
+
+    "q_emb_pq_error" -> pqErrorSql(2, 64, 8, 2),
 
     "q_emb_pq_search" -> pqSearchSql(2, 64, 8, 2, nQueries = 3, topK = 5),
 

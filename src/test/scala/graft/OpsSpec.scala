@@ -1232,6 +1232,18 @@ class OpsSpec extends AnyFunSuite {
       out((0L, 2)).peak_abs == 32768L) // |Short.MinValue| — no overflow
   }
 
+  test("pq reconstruction error: zero when every vector is a codeword") {
+    import graft.ops.KMeans
+    val vecs = (0L until 4L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val zero = KMeans.pqReconstructionError(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    assert(zero.collect().forall(_.getLong(1) == 0L))
+    val some = KMeans.pqReconstructionError(vecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1)
+    assert(some.collect().map(_.getLong(1)).sum > 0L)
+  }
+
   test("hybrid search: dense rerank reorders lexical hits, non-hits stay out") {
     import graft.ops.Search
     val d = Seq(
