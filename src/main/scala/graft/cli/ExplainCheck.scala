@@ -204,7 +204,11 @@ object ExplainCheck {
     // PQ reconstruction error: codebooks broadcast onto the code frame;
     // the trainer's argmin stays an aggregate — no window, no product
     "q_emb_pq_error" -> (Seq("BroadcastHashJoin"),
-      Seq("Window", "CartesianProduct")))
+      Seq("Window", "CartesianProduct")),
+    // OOV rate: the k-row vocab broadcasts into the token stream's left
+    // join — the corpus tokens are never shuffled for the membership test
+    "q_doc_oov" -> (Seq("Generate", "HashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -384,6 +384,23 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Driver-side canonical WAV assembly (mono 16-bit LE PCM) for
+    * tests/oracles — the audio counterpart of [[makePng]]: PCM is
+    * lossless, so decode∘assemble is the identity.
+    */
+  def makeWav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+    def le16(v: Int) =
+      Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++
+      le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
   /** Wrap a text table as pretend media: payload = utf-8 bytes. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale corpus pipelines: tokenization,
@@ -140,5 +140,33 @@ object TextOps {
     hits.foldRight(lit("und"): Column) { case ((lang, h), els) =>
       when(best > 0 && h === best, lit(lang)).otherwise(els)
     }
+  }
+
+  /** Tokenizer-coverage report: per group, the out-of-vocabulary token
+    * rate against a corpus-derived top-`vocabSize` vocabulary — the
+    * check run before committing a corpus to a fixed tokenizer/vocab
+    * (high OOV in one slice means that slice will fragment into bytes).
+    * Vocabulary selection is deterministic (count desc, term asc) and the
+    * rate is integer micro-units (floor div) — engine-exact.
+    *
+    * Scale shape: one token explode feeding BOTH the vocab top-k (k-row
+    * result, broadcast back) and the grouped coverage agg — linear in
+    * corpus tokens, the only wide ops keyed on term and group. The
+    * left-join against a k-row broadcast never shuffles the token stream.
+    */
+  def oovRate(docs: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(normTokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("grp"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000L) div n_tokens").as("oov_ppm"))
   }
 }

@@ -285,6 +285,15 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // tokenizer coverage: per-lang OOV rate against the corpus's own
+    // top-30 vocabulary (count-desc/term-asc deterministic selection) —
+    // the pre-tokenizer slice check, in integer micro-units
+    "q_doc_oov" -> ((s, dir) =>
+      TextOps.oovRate(wide(s, t(s, dir, "documents")), "lang", "text", 30)
+        .select(col("grp").as("lang"), col("n_tokens"), col("n_oov"),
+          col("oov_ppm"))
+        .orderBy("lang")),
+
     // hybrid retrieval (the RAG shape): lexical tf·idf top-25 recall →
     // dense cosine rerank of ONLY those candidates against vec 0's
     // embedding → top-10; candidates broadcast into the embeddings join
@@ -1189,6 +1198,23 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_doc_oov" ->
+      raw"""WITH toks AS (
+           |  SELECT lang AS grp,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |v AS (SELECT term FROM (
+           |  SELECT term, count(*) AS n FROM toks GROUP BY term
+           |  ORDER BY n DESC, term LIMIT 30)),
+           |j AS (SELECT t.grp, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END
+           |    AS oov
+           |  FROM toks t LEFT JOIN v ON t.term = v.term)
+           |SELECT grp AS lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(oov) AS BIGINT) AS n_oov,
+           |  (CAST(sum(oov) AS BIGINT) * 1000000)
+           |    // CAST(count(*) AS BIGINT) AS oov_ppm
+           |FROM j GROUP BY grp ORDER BY lang""".stripMargin,
 
     // composed replay: the rank_search micro-unit lexical stage (top-25)
     // joined to embeddings, cosine-reranked with the same rounded-tie

@@ -561,4 +561,37 @@ class StreamingSpec extends AnyFunSuite {
     // PNG and BMP of the same grid agree in the stream too
     assert(batch(0L)._2.nonEmpty && batch(0L)._2 == batch(1L)._2)
   }
+
+  test("streaming audio energy windows match the batch profile per record") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    val records = Seq(
+      Multimodal.MediaRecord(0L, "audio",
+        Multimodal.makeWav(8000, Seq(100, -200, 300, 0, 0, 0, 7)), "s"),
+      Multimodal.MediaRecord(1L, "audio",
+        Multimodal.makeWav(8000, Seq(0, 0, 0)), "s"), // fully silent
+      Multimodal.MediaRecord(2L, "audio", "junk".getBytes("UTF-8"), "s"))
+    val source = MemoryStream[Multimodal.MediaRecord]
+    // the window profiler is a typed flatMap-shaped mapPartitions — it
+    // must compose with a streaming Dataset unchanged
+    val q = Multimodal.wavEnergyWindows(source.toDS(), 3).writeStream
+      .outputMode("append").format("memory").queryName("mm_energy_out")
+      .start()
+    try {
+      source.addData(records.take(2): _*)
+      q.processAllAvailable()
+      source.addData(records.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mm_energy_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    val batch = Multimodal.wavEnergyWindows(records.toDS(), 3).collect()
+      .map(w => (w.media_id, w.win_idx) ->
+        ((w.n, w.energy, w.peak_abs, w.silent))).toMap
+    assert(streamed == batch)
+    assert(batch((1L, 0)) == ((3L, 0L, 0L, true))) // silent stream flagged
+    assert(!batch.keySet.exists(_._1 == 2L)) // junk quarantines to no rows
+  }
 }
