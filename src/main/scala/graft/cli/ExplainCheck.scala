@@ -208,7 +208,11 @@ object ExplainCheck {
     // OOV rate: the k-row vocab broadcasts into the token stream's left
     // join — the corpus tokens are never shuffled for the membership test
     "q_doc_oov" -> (Seq("Generate", "HashAggregate", "BroadcastHashJoin"),
-      Seq("Window", "CartesianProduct", "SortMergeJoin")))
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // temperature mixture: like q_doc_mixture — strata thresholds
+    // broadcast back onto the ONE corpus scan, corpus never shuffled
+    "q_doc_temp_mixture" -> (Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("Window", "SortMergeJoin", "CartesianProduct")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

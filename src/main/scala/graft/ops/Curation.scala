@@ -119,6 +119,43 @@ object Curation {
       .drop("__stratum", "__thr")
   }
 
+  /** Temperature-balanced mixture at α = 1/2: stratum target shares ∝ √n_i
+    * — the multilingual-corpus balancing standard (head strata
+    * down-weighted, tail up-weighted) with no hand-set weights. The share
+    * math is ALL integer: isqrt as floor(sqrt(n)) is exact below 2^52
+    * (IEEE sqrt is correctly rounded and consecutive square roots are
+    * farther apart than the ulp there), and totals/thresholds use floor
+    * division in a pinned order, so the kept set is content-hash
+    * deterministic and engine-replayable like [[mixtureSample]].
+    *
+    * Pinned threshold order (for overflow headroom): SW = Σ√n_j,
+    * T = min_i (n_i·SW div √n_i) (largest feasible total),
+    * share_i = (T·√n_i) div n_i ≤ SW, thr_i = (buckets·share_i) div SW.
+    * The largest intermediate, T·√n_i, stays under Long range for strata
+    * up to ~10^12 docs.
+    *
+    * Scale shape: identical to [[mixtureSample]] — one counts aggregate,
+    * two broadcast scalars, thresholds broadcast back onto the single
+    * corpus scan; the corpus itself is never shuffled.
+    */
+  def temperatureMixture(docs: DataFrame, strataCol: String, keyCol: Column,
+      buckets: Int = 10000): DataFrame = {
+    val counts = docs.groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__stratum"), col("__n"),
+        floor(sqrt(col("__n"))).cast("long").as("__wq"))
+    val sw = counts.agg(sum(col("__wq")).as("__sw"))
+    val t = counts.crossJoin(broadcast(sw))
+      .agg(min(expr("(__n * __sw) div __wq")).as("__t"),
+        max(col("__sw")).as("__sw"))
+    val thr = counts.crossJoin(broadcast(t))
+      .select(col("__stratum"),
+        expr(s"($buckets * ((__t * __wq) div __n)) div __sw").as("__thr"))
+    docs.join(broadcast(thr), col(strataCol) === col("__stratum"))
+      .where(Sampling.hashBucket(keyCol, buckets) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Per-row weighted sampling: keep a row with probability ~`rate` (a
     * Column in [0, 1], e.g. a quality score) by content-hash bucket —
     * quality-PROPORTIONAL downsampling (keep most good docs, few bad ones)

@@ -252,6 +252,18 @@ object CurationQueries {
           max("doc_id").as("max_id"))
         .orderBy("lang")),
 
+    // temperature mixture (α = 1/2): shares ∝ √n_lang, derived from the
+    // corpus itself — integer isqrt + pinned floor-division chain, so the
+    // rebalanced kept set replays exactly; every lang keeps some mass
+    // (unlike the explicit-weight gate, which drops unweighted strata)
+    "q_doc_temp_mixture" -> ((s, dir) =>
+      Curation.temperatureMixture(t(s, dir, "documents"), "lang",
+        TextOps.normalize(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("lang")),
+
     // CDC snapshot upsert: a change batch (re-crawled texts + takedown
     // tombstones) applied to the corpus — latest version per doc wins,
     // changes beat base on version ties, tombstoned docs drop. One union +
@@ -587,6 +599,29 @@ object CurationQueries {
            |    AS novel_frac
            |FROM j LEFT JOIN nv ON j.stratum = nv.stratum
            |ORDER BY j.stratum""".stripMargin,
+
+    // integer replay: isqrt weights, SW/T scalars, pinned floor-div
+    // threshold chain, same md5 bucket membership
+    "q_doc_temp_mixture" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM documents GROUP BY lang),
+         |cw AS (SELECT lang, cnt,
+         |    CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS wq FROM c),
+         |sw AS (SELECT CAST(sum(wq) AS BIGINT) AS sw FROM cw),
+         |t AS (SELECT min((cnt * sw.sw) // wq) AS tt, max(sw.sw) AS sw
+         |      FROM cw CROSS JOIN sw),
+         |thr AS (SELECT lang,
+         |    CAST((10000 * ((t.tt * wq) // cnt)) // t.sw AS BIGINT) AS thr
+         |  FROM cw CROSS JOIN t),
+         |n AS (SELECT doc_id, lang,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang, ${bucketSql(10000)} AS bk FROM n),
+         |k AS (SELECT b.doc_id, b.lang FROM b
+         |      JOIN thr ON b.lang = thr.lang WHERE bk < thr)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_doc_mixture" ->
       s"""WITH w(stratum, wt) AS (VALUES

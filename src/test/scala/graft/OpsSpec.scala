@@ -1232,6 +1232,20 @@ class OpsSpec extends AnyFunSuite {
       out((0L, 2)).peak_abs == 32768L) // |Short.MinValue| — no overflow
   }
 
+  test("temperature mixture: tail stratum keeps all, head stratum downsampled") {
+    import graft.ops.Curation
+    // counts 100 vs 4 → weights 10 vs 2, T = min(120, 24) = 24:
+    // tail thr = 10000 (keep all), head thr = (10000·2)div12 = 1666
+    val d = ((0 until 100).map(i => (i.toLong, s"head doc number $i", "big"))
+      ++ (0 until 4).map(i => (100L + i, s"tail doc number $i", "small")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Curation.temperatureMixture(d, "lang", col("text"))
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 4L) // binding stratum keeps everything
+    assert(kept("big") < 40L && kept("big") >= 1L) // ~16.7% hash-kept
+  }
+
   test("pq reconstruction error: zero when every vector is a codeword") {
     import graft.ops.KMeans
     val vecs = (0L until 4L).map(i => (i, Array.fill(4)(i.toFloat)))
