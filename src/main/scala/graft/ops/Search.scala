@@ -18,6 +18,55 @@ object Search {
       explode(TextOps.normTokens(col(textCol))).as("term"))
       .distinct()
 
+  /** The partition bucket a term's postings live in — md5 hash bucket
+    * (uniform; a raw first-letter prefix would skew toward hot letters),
+    * computed identically by [[Sampling.hashBucket]] in-plan and by this
+    * driver-side replica for partition-pruning literals.
+    */
+  private[graft] def termBucket(term: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8")).take(2)
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex, 16) % buckets
+  }
+
+  /** Persist postings in the SERVING layout: partitioned by term hash
+    * bucket (`tb=`), so a term-list query prunes to its terms' directories
+    * instead of scanning the whole index — the inverted-index analog of
+    * [[VectorOps.saveIvfIndex]] (build once, serve every query after).
+    * At corpus scale each bucket holds ~vocab/buckets posting lists;
+    * appending a new crawl batch is a partition-wise `mode(append)` write
+    * of its postings, old buckets untouched.
+    */
+  def savePostings(path: String, postings: DataFrame,
+      buckets: Int = 64): Unit = {
+    require(buckets >= 1 && buckets <= 65536, "buckets in [1, 65536]")
+    postings
+      .withColumn("tb", Sampling.hashBucket(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+  }
+
+  def loadPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** [[matchAll]] against a persisted postings layout: the query's term
+    * buckets become a partition filter (pruned at the scan — only the
+    * terms' `tb=` directories are read), then the same two-op
+    * filter + count-match shape.
+    */
+  def matchAllIndexed(postings: DataFrame, terms: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val ts = terms.map(_.toLowerCase).distinct
+    val tbs = ts.map(termBucket(_, buckets)).distinct
+    postings
+      .where(col("tb").isin(tbs: _*) && col("term").isin(ts: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") === ts.length)
+      .select("doc_id")
+  }
+
   /** Docs containing ALL `terms`: one selective postings scan (term IN
     * list — pushable) + one doc-keyed count aggregation, regardless of
     * term count. The per-term intersect chain would be |terms| shuffles;

@@ -71,6 +71,23 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // the same conjunctive search served from the PERSISTED postings
+    // index: term-bucket partition filter prunes the scan to the query
+    // terms' tb= directories (build once, serve every query after —
+    // the lexical analog of q_emb_ivfpq_serve)
+    "q_doc_search_serve" -> ((s, dir) => {
+      val base = s"/tmp/graft_postings_v1_${math.abs(dir.hashCode.toLong)}"
+      if (!new java.io.File(s"$base/_SUCCESS").exists) {
+        graft.ops.Search.savePostings(base,
+          graft.ops.Search.postings(wide(s, t(s, dir, "documents")),
+            "doc_id", "text"), buckets = 16)
+      }
+      graft.ops.Search.matchAllIndexed(
+        graft.ops.Search.loadPostings(s, base),
+        Seq("spark", "query", "join"), buckets = 16)
+        .orderBy("doc_id")
+    }),
+
     // ranked retrieval: top-10 docs by tf·idf over an OR term set —
     // micro-unit integer score sums (order-free), TakeOrderedAndProject
     "q_doc_rank_search" -> ((s, dir) =>
@@ -387,6 +404,20 @@ object CurationQueries {
        |$joins
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** Conjunctive-search oracle, shared by the direct and the
+    * index-served gates (same result contract).
+    */
+  private val matchAllSql: String =
+    raw"""WITH p AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         |  FROM documents)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, count(*) AS nt FROM p
+         |  WHERE term IN ('spark', 'query', 'join')
+         |  GROUP BY doc_id)
+         |WHERE nt = 3 ORDER BY doc_id""".stripMargin
 
   /** PQ reconstruction-error oracle: replay the sub-space trainers, then
     * per vector the exact integer distance to its assigned codeword,
@@ -717,16 +748,11 @@ object CurationQueries {
            |SELECT doc_id, CAST(sm AS DOUBLE) / 1000000.0 AS score, n_terms
            |FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
-    "q_doc_search" ->
-      raw"""WITH p AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-           |  FROM documents)
-           |SELECT doc_id FROM (
-           |  SELECT doc_id, count(*) AS nt FROM p
-           |  WHERE term IN ('spark', 'query', 'join')
-           |  GROUP BY doc_id)
-           |WHERE nt = 3 ORDER BY doc_id""".stripMargin,
+    "q_doc_search" -> matchAllSql,
+
+    // identical result contract: the index is a layout, not a semantic —
+    // serving from tb= partitions must return exactly the direct scan
+    "q_doc_search_serve" -> matchAllSql,
 
     "q_doc_weighted_sample" ->
       s"""WITH b AS (

@@ -137,6 +137,41 @@ class LayoutSpec extends AnyFunSuite {
       == grid.agg(sum(col("payload"))).head.getLong(0))
   }
 
+  test("persisted postings index prunes to the query terms' buckets") {
+    import graft.ops.Search
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("postings").toString
+    val p = Search.postings(docs, "doc_id", "text")
+    Search.savePostings(dir, p, buckets = 16)
+    // tb= directory layout exists
+    val tbDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("tb=")).map(_.getName)
+    assert(tbDirs.nonEmpty && tbDirs.length <= 16)
+    val loaded = Search.loadPostings(spark, dir)
+    val terms = Seq("spark", "query", "join")
+    // served result == direct matchAll on the in-memory postings
+    val direct = Search.matchAll(p, terms).collect().map(_.getLong(0)).toSet
+    val served = Search.matchAllIndexed(loaded, terms, buckets = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(served == direct && served.nonEmpty)
+    // partition pruning: the scan touches only the terms' buckets' files,
+    // not the whole index
+    val tbs = terms.map(Search.termBucket(_, 16)).distinct
+    val touched = loaded
+      .where(col("tb").isin(tbs: _*) && col("term").isin(terms.map(lit): _*))
+      .select(input_file_name()).distinct().count()
+    val total = loaded.select(input_file_name()).distinct().count()
+    assert(touched <= tbs.length, s"touched $touched > ${tbs.length} buckets")
+    assert(total > touched, s"pruning should beat the full scan ($total)")
+    // the partition filter reaches the scan as a PartitionFilter
+    val plan = Search.matchAllIndexed(loaded, terms, buckets = 16)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(l => l.contains("tb") && !l.contains("PartitionFilters: []")),
+      s"partition filter missing: $pf")
+  }
+
   test("persisted IVF index serves identical results without re-assignment") {
     import graft.ops.VectorOps
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
