@@ -212,7 +212,11 @@ object ExplainCheck {
     // temperature mixture: like q_doc_mixture — strata thresholds
     // broadcast back onto the ONE corpus scan, corpus never shuffled
     "q_doc_temp_mixture" -> (Seq("BroadcastHashJoin", "HashAggregate"),
-      Seq("Window", "SortMergeJoin", "CartesianProduct")))
+      Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    // interval merge: ONE key-partitioned window (running max) + one hash
+    // agg — the window is the operator here, but never a join or product
+    "q_ts_interval_merge" -> (Seq("Window", "HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

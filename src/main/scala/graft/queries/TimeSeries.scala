@@ -174,6 +174,20 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // interval merge (gaps-and-islands): per-supplier shipping-coverage
+    // windows — sparse spans ([ship, ship+7d] where qty > 45) consolidate
+    // into maximal covered islands via ONE running-max window + one agg;
+    // merged output is tie-order invariant (equal starts always co-island)
+    "q_ts_interval_merge" -> ((s, dir) => {
+      val spans = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_suppkey"),
+          col("l_shipdate").cast("timestamp").cast("long").as("st"),
+          (col("l_shipdate").cast("timestamp").cast("long")
+            + lit(604800L)).as("en"))
+      graft.ops.Intervals.mergeIntervals(spans, "l_suppkey", "st", "en")
+        .orderBy("l_suppkey", "start")
+    }),
+
     // range join: in-window click attribution. Purchases open a
     // value-scaled attribution window; same-user clicks land in it via
     // the grid-cell equi-join (RangeJoin — a naive lo<=pt<=hi join has no
@@ -383,6 +397,26 @@ object TimeSeries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_epoch >= c.click_epoch
         |ORDER BY p.event_id""".stripMargin,
+
+    // window replay: same running-max island scan; "end" quoted (reserved)
+    "q_ts_interval_merge" ->
+      """WITH s AS (
+        |  SELECT l_suppkey, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT) + 604800 AS en
+        |  FROM lineitem WHERE l_quantity > 45),
+        |f AS (SELECT l_suppkey, st, en,
+        |    CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM s WINDOW w AS (PARTITION BY l_suppkey ORDER BY st, en
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (SELECT l_suppkey, st, en,
+        |    sum(flag) OVER (PARTITION BY l_suppkey ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f)
+        |SELECT l_suppkey, CAST(island AS BIGINT) AS island, min(st) AS start,
+        |  max(en) AS "end", CAST(count(*) AS BIGINT) AS n_spans
+        |FROM i GROUP BY l_suppkey, island
+        |ORDER BY l_suppkey, start""".stripMargin,
 
     "q_ts_interval_join" ->
       """WITH p AS (

@@ -1232,6 +1232,20 @@ class OpsSpec extends AnyFunSuite {
       out((0L, 2)).peak_abs == 32768L) // |Short.MinValue| — no overflow
   }
 
+  test("interval merge: overlapping and touching spans collapse, gaps split") {
+    import graft.ops.Intervals
+    val spans = Seq(
+      ("a", 1L, 5L), ("a", 4L, 8L), ("a", 8L, 9L), // chain: overlap + touch
+      ("a", 11L, 12L), // gap after 9 → new island
+      ("b", 1L, 3L), ("b", 1L, 2L)) // equal starts always co-island
+      .toDF("k", "st", "en")
+    val got = Intervals.mergeIntervals(spans, "k", "st", "en").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(("a", 1L, 9L, 3L), ("a", 11L, 12L, 1L),
+      ("b", 1L, 3L, 2L)))
+  }
+
   test("temperature mixture: tail stratum keeps all, head stratum downsampled") {
     import graft.ops.Curation
     // counts 100 vs 4 → weights 10 vs 2, T = min(120, 24) = 24:
