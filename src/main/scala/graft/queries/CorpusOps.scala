@@ -285,6 +285,27 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // contrastive pair mining: positives = near-dup pairs (SimHash d≤3),
+    // negatives = 2 deterministic content-hash draws per positive anchor,
+    // de-duped and filtered against the positive set — the training-pair
+    // prep for embedding fine-tuning, reproducible on any engine/run
+    "q_doc_contrastive" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val pos = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+        .select(col("doc_a").as("anchor_id"), col("doc_b").as("other_id"),
+          lit(1).as("label"))
+      val anchors = pos.select("anchor_id").distinct()
+      val negs = graft.ops.Sampling
+        .negativeSamples(t(s, dir, "documents"), "doc_id", 2)
+        .select(col("anchor_id"), col("neg_id").as("other_id"))
+        .join(anchors, Seq("anchor_id"), "left_semi")
+        .join(pos.select("anchor_id", "other_id"),
+          Seq("anchor_id", "other_id"), "left_anti")
+        .distinct() // two slots can hash to the same negative
+      pos.unionByName(negs.withColumn("label", lit(0)))
+        .orderBy("anchor_id", "label", "other_id")
+    }),
+
     // tokenizer coverage: per-lang OOV rate against the corpus's own
     // top-30 vocabulary (count-desc/term-asc deterministic selection) —
     // the pre-tokenizer slice check, in integer micro-units
@@ -1198,6 +1219,35 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // composed replay: the simhash pair oracle as positives, the
+    // q_sample_negatives md5-slot formula (k=2) as negatives, same
+    // dedupe/anti-filter
+    "q_doc_contrastive" ->
+      s"""WITH pos AS (SELECT doc_a AS anchor_id, doc_b AS other_id
+         |  FROM ($simhashPairsSql)),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |g AS (
+         |  SELECT doc_id AS anchor_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR || '|' || s.slot::VARCHAR),
+         |      1, 8))::BIGINT % n_docs AS h,
+         |    n_docs
+         |  FROM documents CROSS JOIN generate_series(0, 1) AS s(slot)
+         |  CROSS JOIN n),
+         |negs0 AS (SELECT anchor_id,
+         |    CASE WHEN h = anchor_id THEN (h + 1) % n_docs ELSE h END
+         |      AS other_id
+         |  FROM g),
+         |anch AS (SELECT DISTINCT anchor_id FROM pos),
+         |negs AS (SELECT DISTINCT ng.anchor_id, ng.other_id
+         |  FROM negs0 ng JOIN anch USING (anchor_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |    WHERE p.anchor_id = ng.anchor_id
+         |      AND p.other_id = ng.other_id))
+         |SELECT anchor_id, other_id, 1 AS label FROM pos
+         |UNION ALL
+         |SELECT anchor_id, other_id, 0 AS label FROM negs
+         |ORDER BY anchor_id, label, other_id""".stripMargin,
 
     "q_doc_oov" ->
       raw"""WITH toks AS (
