@@ -154,6 +154,29 @@ object TimeSeries {
         .orderBy("user_id", "event_type")
     }),
 
+    // robust anomaly flagging: median/MAD z-scores (outlier-resistant
+    // where mean/stddev are themselves dragged by the outliers they're
+    // meant to find); |z| > 3.5 at the standard 1.4826 consistency factor.
+    // Same double op order as the oracle; zero-MAD groups yield NULL z
+    "q_ts_robust_z" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val med = e.groupBy("user_id", "event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = e.join(med, Seq("user_id", "event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+        .groupBy("user_id", "event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      val z = (col("value") - col("med")) /
+        nullif(col("mad") * lit(1.4826), lit(0.0))
+      e.join(med, Seq("user_id", "event_type"))
+        .join(mad, Seq("user_id", "event_type"))
+        .where(abs(z) > 3.5)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          round(max(abs(z)), 6).as("max_rz"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // as-of join (point-in-time lookup): each purchase gets the latest
     // at-or-before click by the same user — Spark side is the union+window
     // merge (graft.ops.AsOf), oracle is DuckDB's native ASOF LEFT JOIN.
@@ -365,6 +388,29 @@ object TimeSeries {
         |    (PARTITION BY user_id, event_type ORDER BY ts) AS INT) AS rn
         |FROM events
         |ORDER BY user_id, event_type, ts_epoch""".stripMargin,
+
+    // quantile_cont == Spark's exact interpolated percentile; identical
+    // op order keeps the raw doubles bit-equal (the q_ts_zscore idiom)
+    "q_ts_robust_z" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value FROM events),
+        |med AS (
+        |  SELECT user_id, event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY user_id, event_type),
+        |mad AS (
+        |  SELECT e.user_id, e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM e JOIN med m USING (user_id, event_type)
+        |  GROUP BY e.user_id, e.event_type)
+        |SELECT e.user_id, e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_outliers,
+        |  round(max(abs((e.value - m.med) / nullif(d.mad * 1.4826, 0))), 6)
+        |    AS max_rz
+        |FROM e JOIN med m USING (user_id, event_type)
+        |JOIN mad d USING (user_id, event_type)
+        |WHERE abs((e.value - m.med) / nullif(d.mad * 1.4826, 0)) > 3.5
+        |GROUP BY e.user_id, e.event_type
+        |ORDER BY e.user_id, e.event_type""".stripMargin,
 
     "q_ts_zscore" ->
       """WITH e AS (
