@@ -153,11 +153,35 @@ object Bench {
         .foreach(_(spark, sfDir).count())
       spark.catalog.clearCache()
     }
+    // ranked-retrieval family: tf·idf scoring (term-filtered tf agg +
+    // broadcast df + 1-row N crossJoin + micro-unit TakeOrdered ranking)
+    // and the hybrid candidate-broadcast cosine rerank. PerfProbe measured
+    // q_doc_rank_search 7.3 s first-run vs 1.2 s steady in a cold JVM —
+    // the same first-compile class as the r3 join / r4 trainer bumps, on
+    // a family none of the other warmups compile. Also pre-builds the
+    // postings serving layout so q_doc_search_serve measures the pruned
+    // read, not the one-time index build (the ivfpq_serve discipline).
+    def warmSearch(): Unit = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .repartition(cpus.toInt)
+      graft.ops.Search.rankedSearch(docs, "doc_id", "text",
+        Seq("spark", "vector"), 10).count()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.ops.Search.hybridSearch(docs, emb, "doc_id", "text",
+        Seq("spark", "vector"),
+        emb.where(col("vec_id") === 0)
+          .select(col("embedding").as("query_vec")), 25, 10).count()
+      SparkEntry.queries.get("q_doc_search_serve")
+        .foreach(_(spark, sfDir).count())
+      spark.catalog.clearCache()
+    }
     try {
       warmDedup()
       warmTimeSeries()
       warmRelational()
       warmVectors()
+      warmSearch()
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
