@@ -285,6 +285,23 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // bounded fuzzy match: exact Levenshtein distance computed ONLY on
+    // the banded SimHash candidate pairs — the O(len²) DP never runs
+    // all-pairs; candidates are k-bounded by the band join. Integer DP,
+    // identical in both engines
+    "q_doc_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(wide(s, docs), "doc_id", "text", 3)
+        .select("doc_a", "doc_b")
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+          (length(col("text_a")) + length(col("text_b"))).as("len_sum"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // contrastive pair mining: positives = near-dup pairs (SimHash d≤3),
     // negatives = 2 deterministic content-hash draws per positive anchor,
     // de-duped and filtered against the positive set — the training-pair
@@ -1219,6 +1236,17 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same candidate pairs, DuckDB's levenshtein (identical unit-cost DP)
+    "q_doc_edit_distance" ->
+      s"""WITH pos AS (SELECT doc_a, doc_b FROM ($simhashPairsSql))
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+         |  CAST(length(a.text) + length(b.text) AS INT) AS len_sum
+         |FROM pos p
+         |JOIN documents a ON a.doc_id = p.doc_a
+         |JOIN documents b ON b.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     // composed replay: the simhash pair oracle as positives, the
     // q_sample_negatives md5-slot formula (k=2) as negatives, same
