@@ -103,6 +103,22 @@ object CorpusOps {
       Dedup.dupSpanCoverage(wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // the ExactSubstr DROP decision: keep docs whose duplicate-span
+    // coverage is under 50% (exact integer ppm — no float boundary);
+    // docs too short to window (no coverage row) are kept, since the
+    // pass cannot judge them. Composes the gated coverage op end-to-end
+    "q_doc_span_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cov = Dedup.dupSpanCoverage(wide(s, docs), "doc_id", "text")
+        .select("doc_id", "dup_ppm")
+      docs.join(cov, Seq("doc_id"), "left")
+        .where(col("dup_ppm").isNull || col("dup_ppm") < 500000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("lang")
+    }),
+
     // document fingerprinting: codegen'd polynomial rolling hash over the
     // normalized text (Rabin-Karp primitive; md5 variant in q_doc_dedup_exact)
     "q_doc_rolling_fp" -> ((s, dir) =>
@@ -1105,6 +1121,29 @@ object CorpusOps {
            |FROM w JOIN s USING (win)
            |GROUP BY w.doc_id
            |ORDER BY w.doc_id""".stripMargin,
+
+    "q_doc_span_filter" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id,
+           |    unnest([substr(t, i, 40)
+           |            for i in generate_series(1, length(t) - 39, 10)]) AS win
+           |  FROM n WHERE length(t) >= 40),
+           |sp AS (SELECT win, count(DISTINCT doc_id) AS nd FROM w
+           |  GROUP BY win),
+           |cov AS (
+           |  SELECT w.doc_id,
+           |    (CAST(sum(CASE WHEN sp.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      * 1000000) // CAST(count(*) AS BIGINT) AS dup_ppm
+           |  FROM w JOIN sp USING (win) GROUP BY w.doc_id)
+           |SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+           |  min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+           |FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+           |WHERE cov.dup_ppm IS NULL OR cov.dup_ppm < 500000
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_doc_rolling_fp" ->
       """WITH n AS (
