@@ -142,6 +142,21 @@ object TextOps {
     }
   }
 
+  /** Deterministic MLM corruption: replace ~pct% of a doc's normalized
+    * tokens with the mask sentinel, the masked positions decided by
+    * md5(doc_id, position) — so the corruption is identical on every
+    * run, partition layout, and engine (seeded-Random masking is not),
+    * and the label side is recoverable by re-running the same predicate
+    * over the original tokens. Pure Column algebra (one transform over
+    * the token array), zero shuffle.
+    */
+  def maskedTokens(id: Column, text: Column, pct: Int): Column = {
+    require(pct >= 0 && pct <= 100, "pct is a percentage")
+    transform(normTokens(text), (t, i) =>
+      when(conv(substring(md5(concat_ws("|", id, i)), 1, 4), 16, 10)
+        .cast("int") % 100 < pct, lit("<mask>")).otherwise(t))
+  }
+
   /** Tokenizer-coverage report: per group, the out-of-vocabulary token
     * rate against a corpus-derived top-`vocabSize` vocabulary — the
     * check run before committing a corpus to a fixed tokenizer/vocab

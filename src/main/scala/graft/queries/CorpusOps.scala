@@ -301,6 +301,18 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // MLM sample prep: ~15% of tokens masked, positions decided by
+    // md5(doc, position) — identical corruption on every run/engine
+    // (seeded Random would not be); labels recoverable by re-running
+    // the same predicate on the originals
+    "q_doc_mask" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.maskedTokens(col("doc_id"), col("text"), 15).as("mt"))
+        .select(col("doc_id"), array_join(col("mt"), " ").as("masked_text"),
+          size(filter(col("mt"), x => x === "<mask>")).as("n_masked"))
+        .orderBy("doc_id")),
+
     // bounded fuzzy match: exact Levenshtein distance computed ONLY on
     // the banded SimHash candidate pairs — the O(len²) DP never runs
     // all-pairs; candidates are k-bounded by the band join. Integer DP,
@@ -1275,6 +1287,23 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // position-hash replay: DuckDB's 1-based series maps to Spark's
+    // 0-based transform index via (i-1) in the hash input
+    "q_doc_mask" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           |  FROM documents),
+           |m AS (SELECT doc_id,
+           |    [CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|'
+           |            || (i - 1)::VARCHAR), 1, 4))::BIGINT % 100 < 15
+           |          THEN '<mask>' ELSE toks[i] END
+           |     for i in generate_series(1, len(toks))] AS mt
+           |  FROM n)
+           |SELECT doc_id, array_to_string(mt, ' ') AS masked_text,
+           |  CAST(len(list_filter(mt, x -> x = '<mask>')) AS INT) AS n_masked
+           |FROM m ORDER BY doc_id""".stripMargin,
 
     // same candidate pairs, DuckDB's levenshtein (identical unit-cost DP)
     "q_doc_edit_distance" ->
