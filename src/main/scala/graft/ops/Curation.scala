@@ -38,6 +38,34 @@ object Curation {
       .join(shared, Seq("doc_id")) // inner: contaminated docs only
   }
 
+  /** [[contaminationScan]] at web scale: the eval shingle set rides a
+    * BLOOM FILTER (fixed-size bits, built distributed — [[Bloom]])
+    * instead of a broadcast relation, so the pre-filter cost is
+    * independent of how many benchmark shingles exist; the surviving
+    * candidates (true hits + fp rate's worth of noise) then take the
+    * exact verification join. The OUTPUT is bit-identical to the exact
+    * scan — false positives never reach it — which is what makes this
+    * gateable against the same oracle.
+    */
+  def contaminationScanBloom(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int, expectedItems: Long,
+      fpp: Double): DataFrame = {
+    val trainSh = train.select(col(idCol).as("doc_id"),
+      explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
+    val evalSh = evalDocs
+      .select(explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
+      .distinct()
+    val bits = Bloom.buildFilter(evalSh, col("sh"), expectedItems, fpp)
+    val shared = trainSh
+      .where(Bloom.mightContain(bits, col("sh"))) // cheap bits pre-filter
+      .join(evalSh, Seq("sh")) // exact verify: fp's die here
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.wordShingles(col(textCol), k)).as("n_shingles"))
+      .join(shared, Seq("doc_id"))
+  }
+
   /** Per-document token-repetition profile — the Gopher-style repetition
     * quality signals: total tokens, distinct tokens, the top token's
     * frequency, and the derived ratios (raw doubles; both engines compute

