@@ -139,6 +139,23 @@ object TimeSeries {
         .orderBy("user_id", "event_type", "ts_epoch")
     }),
 
+    // time-RANGE frame (vs q_ts_rolling's ROWS frame): trailing 1-hour
+    // sum/count per (user, type) — the rate-limit/monitoring window,
+    // where the frame is defined by event-time distance, not row count;
+    // exact integer cents keep the moving sum order-free
+    "q_ts_rolling_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("event_epoch_time").rangeBetween(-3599, 0)
+      ev(s, dir)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .select(col("user_id"), col("event_type"),
+          col("event_epoch_time").as("ts_epoch"),
+          sum(col("cents")).over(w).as("trail1h_cents"),
+          count(lit(1)).over(w).as("n_trail"))
+        .orderBy("user_id", "event_type", "ts_epoch", "trail1h_cents")
+    }),
+
     // anomaly flagging: per-(user, type) z-scores, |z| > 2 outliers
     "q_ts_zscore" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -388,6 +405,22 @@ object TimeSeries {
         |    (PARTITION BY user_id, event_type ORDER BY ts) AS INT) AS rn
         |FROM events
         |ORDER BY user_id, event_type, ts_epoch""".stripMargin,
+
+    "q_ts_rolling_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_type, ts_epoch,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_epoch RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail1h_cents,
+        |  CAST(count(*) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_epoch RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_trail
+        |FROM e
+        |ORDER BY user_id, event_type, ts_epoch, trail1h_cents""".stripMargin,
 
     // quantile_cont == Spark's exact interpolated percentile; identical
     // op order keeps the raw doubles bit-equal (the q_ts_zscore idiom)
