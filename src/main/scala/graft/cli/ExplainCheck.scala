@@ -216,7 +216,12 @@ object ExplainCheck {
     // interval merge: ONE key-partitioned window (running max) + one hash
     // agg — the window is the operator here, but never a join or product
     "q_ts_interval_merge" -> (Seq("Window", "HashAggregate"),
-      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")))
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    // fused signal export: one scan, one codegen'd projection — every
+    // signal in a single pass, no shuffle at all before the gate sort
+    "q_doc_signals" -> (Seq("Batched: true"),
+      Seq("Window", "CartesianProduct", "HashAggregate", "SortMergeJoin",
+        "Exchange hashpartitioning")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -301,6 +301,23 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // fused signal export (the feature-store pass): every per-doc scalar
+    // signal — tokens, length, punct/stopword ratios, quality, language,
+    // fingerprint — in ONE projection over ONE scan; at 100 TB this is
+    // the difference between one pass and six
+    "q_doc_signals" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text"), TextOps.EnStopwords), 6)
+          .as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
     // MLM sample prep: ~15% of tokens masked, positions decided by
     // md5(doc, position) — identical corruption on every run/engine
     // (seeded Random would not be); labels recoverable by re-running
@@ -1287,6 +1304,41 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // every signal formula is the one its standalone gate already proves
+    "q_doc_signals" -> {
+      val hitCols = TextOps.LangMarkers.map { case (lang, m) =>
+        val lst = m.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($lst))) AS h_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = TextOps.LangMarkers.map(m => s"h_${m._1}")
+        .mkString("greatest(", ", ", ")")
+      val caseChain = TextOps.LangMarkers.map { case (lang, _) =>
+        s"WHEN best > 0 AND h_$lang = best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH b AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+         |      AS DOUBLE) / greatest(length(text), 1) AS praw,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS sraw,
+         |    CAST(length(trim(text)) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl,
+         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens,
+         |    $hitCols
+         |  FROM b),
+         |m2 AS (SELECT *, $bestExpr AS best FROM m)
+         |SELECT doc_id, n_tokens, CAST(length(text) AS INT) AS len_chars,
+         |  round(praw, 6) AS punct_ratio, round(sraw, 6) AS stop_ratio,
+         |  round((lens
+         |    + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+         |    + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality,
+         |  CASE $caseChain ELSE 'und' END AS pred_lang,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |FROM m2 ORDER BY doc_id""".stripMargin
+    },
 
     // position-hash replay: DuckDB's 1-based series maps to Spark's
     // 0-based transform index via (i-1) in the hash input
