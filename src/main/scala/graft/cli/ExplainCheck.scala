@@ -221,7 +221,28 @@ object ExplainCheck {
     // signal in a single pass, no shuffle at all before the gate sort
     "q_doc_signals" -> (Seq("Batched: true"),
       Seq("Window", "CartesianProduct", "HashAggregate", "SortMergeJoin",
-        "Exchange hashpartitioning")))
+        "Exchange hashpartitioning")),
+    // EWMA: ONE key-partitioned window carries all 16 lag slots (the
+    // window IS the operator); no join, no product, no extra exchange
+    "q_ts_ewma" -> (Seq("Window"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "HashAggregate")),
+    // token budget: one stratum-partitioned window cumsum on a pruned
+    // 3-column scan — no join at all, no aggregate before the gate sort
+    "q_doc_token_budget" -> (Seq("Window", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "HashAggregate")),
+    // RRF fusion: both candidate stages k-bounded (TakeOrdered), rank
+    // windows run on post-limit ≤k frames. The FULL-OUTER fusion join
+    // cannot broadcast (outer on both sides) so it plans as SMJ — over
+    // two ≤kCand-row frames, which is the bounded-by-construction case
+    // where a sort join is fine at any corpus size
+    "q_doc_rrf_search" -> (Seq("TakeOrderedAndProject", "FullOuter"),
+      Seq("CartesianProduct")),
+    // length bins: two aggregates + a 1-row cutoff frame broadcast back
+    // onto the scan (the q_histogram shape) — never a global ntile window
+    "q_doc_length_bins" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

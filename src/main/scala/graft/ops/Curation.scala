@@ -255,6 +255,42 @@ object Curation {
         col("p.n_tokens").as("n_tokens"), col("p.bin").as("bin"))
   }
 
+  /** Token-budgeted corpus assembly: within each stratum, documents are
+    * taken in deterministic content-hash order until the stratum's token
+    * budget is exhausted — how a pre-training mixture is actually
+    * MATERIALIZED ("this many tokens from each source"), with the hash
+    * order standing in for a shuffled read order so the cut is unbiased
+    * w.r.t. any physical data order. A doc is kept iff the running token
+    * total through itself stays ≤ `budget` (first-fit-in-order: the first
+    * over-budget doc and everything hash-after it drop). The order key is
+    * (md5-32(content), id) — a pure content function (the [[Sampling]]
+    * discipline: no rand(), no partition dependence), so the kept set is
+    * identical on every run, partitioning, and engine.
+    *
+    * Returns (stratum, id, n_tokens, cum_tokens) for kept docs; callers
+    * join back by id for payloads.
+    *
+    * Scale shape: ONE window cumsum per stratum — the same shuffle+sort
+    * any per-stratum ordered scan costs. At 100 TB, run per layout shard
+    * (source × hash-bucket): each sort is shard-bounded, and an exact
+    * global budget then needs only bucket-level prefix sums over the ~10³
+    * shard subtotals (two tiny jobs over pre-aggregated counts) to turn
+    * per-shard cutoffs into the global one — never a global sort.
+    */
+  def tokenBudget(docs: DataFrame, strataCol: String, keyCol: Column,
+      idCol: String, sizeCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val h32 = conv(substring(md5(keyCol), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(strataCol).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(strataCol), col(idCol),
+        sizeCol.cast("long").as("n_tokens"), h32.as("__h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .drop("__h")
+  }
+
   /** Corpus-LM typicality score — the count-space analog of the CCNet
     * language-model quality filter: how "corpus-typical" each document's
     * bigram stream is. Score = mean corpus frequency of the doc's bigrams

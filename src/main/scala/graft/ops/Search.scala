@@ -164,4 +164,50 @@ object Search {
       .orderBy(col("cos").desc, col("doc_id"))
       .limit(kFinal)
   }
+
+  /** Reciprocal-rank fusion of the lexical and dense rankings:
+    * score = Σ_lists 1/(c + rank) — the standard rank-only fusion
+    * (c = 60 in the original formulation), robust to incomparable score
+    * scales because only POSITIONS enter, where [[hybridSearch]]'s
+    * rerank lets the dense score overrule lexical recall entirely. A doc
+    * present in one list contributes only that list's term.
+    *
+    * Determinism: each candidate list is a bounded top-k with a total
+    * tie-break (lexical: micro-unit score desc, id; dense: round(cos, 6)
+    * desc, id), and 1/(c+rank) is ONE IEEE division of small exact ints —
+    * no libm, identical in any engine — summed in rounded micro-units.
+    *
+    * Scale shape: both stages are k-bounded TakeOrderedAndProject; the
+    * rank windows and the full-outer fusion join run over ≤ kCand rows
+    * each (post-limit frames — a single-task window over k rows, the
+    * same bound the TakeOrdered output already carries). The embedding
+    * scan is the one corpus-sized pass; everything after is O(k).
+    */
+  def rrfSearch(docs: DataFrame, embeddings: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], queryVec: DataFrame,
+      kCand: Int, c: Int, kFinal: Int): DataFrame = {
+    require(kFinal >= 1 && kCand >= kFinal && c >= 1,
+      "need kCand >= kFinal >= 1 and c >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = rankedSearch(docs, idCol, textCol, terms, kCand)
+      .select(col("doc_id"), row_number().over(lexW).as("lex_rank"))
+    val denseW = Window.orderBy(col("cos_r").desc, col("vec_id"))
+    val dense = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queryVec))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("query_vec")), 6)
+          .as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id")).limit(kCand)
+      .select(col("vec_id"), row_number().over(denseW).as("dense_rank"))
+    def rrfTerm(rank: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1e6) / (lit(c) + rank), 0).cast("long"), lit(0L))
+    lex.join(dense, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("lex_rank"), col("dense_rank"),
+        (rrfTerm(col("lex_rank")) + rrfTerm(col("dense_rank")))
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(kFinal)
+  }
 }

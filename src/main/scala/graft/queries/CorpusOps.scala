@@ -35,6 +35,32 @@ object CorpusOps {
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // curriculum length binning: quartile bins over token counts via
+    // EXACT interpolated-percentile cutoffs (one tiny agg) + per-row
+    // comparison — never a global ntile sort (a corpus-wide window with
+    // no partition key is one task; the two-pass cutoff shape is the one
+    // that survives 100×). Quartile cutoffs over integer counts are
+    // dyadic rationals (frac ∈ {0,¼,½,¾} × int deltas), so both engines'
+    // interpolation is exact and the bin assignment is engine-stable
+    "q_doc_length_bins" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt"))
+      val cuts = d.agg(
+        expr("percentile(nt, 0.25)").as("q1"),
+        expr("percentile(nt, 0.5)").as("q2"),
+        expr("percentile(nt, 0.75)").as("q3"))
+      d.crossJoin(broadcast(cuts))
+        .withColumn("bin", lit(1)
+          + (col("nt") > col("q1")).cast("int")
+          + (col("nt") > col("q2")).cast("int")
+          + (col("nt") > col("q3")).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("nt").as("min_tokens"), max("nt").as("max_tokens"),
+          sum(col("nt").cast("long")).as("sum_tokens"))
+        .orderBy("bin")
+    }),
+
     // language ID: stopword-marker heuristic
     "q_doc_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -388,6 +414,19 @@ object CorpusOps {
         emb.where(col("vec_id") === 0)
           .select(col("embedding").as("query_vec")),
         kLex = 25, kFinal = 10)
+    }),
+
+    // reciprocal-rank fusion (the rank-only alternative to the rerank
+    // above): top-20 lexical + top-20 dense fused by Σ 1/(60+rank) in
+    // micro-units — score scales never meet, only positions do
+    "q_doc_rrf_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Search.rrfSearch(
+        wide(s, t(s, dir, "documents")), emb, "doc_id", "text",
+        Seq("spark", "vector", "stream"),
+        emb.where(col("vec_id") === 0)
+          .select(col("embedding").as("query_vec")),
+        kCand = 20, c = 60, kFinal = 10)
     }),
 
     // evaluation harness: recall@5 of the IVF searcher vs brute-force
@@ -1057,6 +1096,22 @@ object CorpusOps {
          |  CAST(length(text) AS INT) AS len_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_doc_length_bins" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS INT) AS nt FROM documents),
+         |c AS (
+         |  SELECT quantile_cont(nt, 0.25) AS q1, quantile_cont(nt, 0.5) AS q2,
+         |    quantile_cont(nt, 0.75) AS q3 FROM d),
+         |b AS (
+         |  SELECT nt, 1 + CAST(nt > q1 AS INT) + CAST(nt > q2 AS INT)
+         |    + CAST(nt > q3 AS INT) AS bin
+         |  FROM d CROSS JOIN c)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(nt) AS INT) AS min_tokens,
+         |  CAST(max(nt) AS INT) AS max_tokens,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_doc_quality" ->
       s"""WITH b AS (
          |  SELECT doc_id, $toksSql AS toks, text FROM documents),
@@ -1445,6 +1500,50 @@ object CorpusOps {
          |FROM lex l JOIN e ON e.vec_id = l.doc_id CROSS JOIN q
          |ORDER BY round(${cosSql("e.ev", "q.qv")}, 6) DESC, l.doc_id
          |LIMIT 10""".stripMargin,
+
+    // composed replay: rank both candidate lists with the same total
+    // tie-breaks, fuse by micro-unit 1/(60+rank) terms
+    "q_doc_rrf_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'vector', 'stream')
+         |  GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    sum(CAST(round((tf.tf * ln(nd.nd / dft.df_t)) * 1000000.0)
+         |      AS BIGINT)) AS sm
+         |  FROM tf JOIN dft USING (term) CROSS JOIN nd
+         |  GROUP BY tf.doc_id),
+         |lexr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY CAST(sm AS DOUBLE) / 1000000.0 DESC, doc_id) AS INT)
+         |    AS lex_rank
+         |  FROM sc),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |denser AS (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY round(${cosSql("e.ev", "q.qv")}, 6) DESC, vec_id)
+         |    AS INT) AS dense_rank
+         |  FROM e CROSS JOIN q),
+         |f AS (
+         |  SELECT coalesce(l.doc_id, d.vec_id) AS doc_id,
+         |    l.lex_rank, d.dense_rank,
+         |    coalesce(CAST(round(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+         |    + coalesce(CAST(round(1000000.0 / (60 + d.dense_rank)) AS BIGINT), 0)
+         |      AS rrf_micro
+         |  FROM (SELECT * FROM lexr WHERE lex_rank <= 20) l
+         |  FULL JOIN (SELECT * FROM denser WHERE dense_rank <= 20) d
+         |    ON l.doc_id = d.vec_id)
+         |SELECT doc_id, lex_rank, dense_rank, rrf_micro
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     // composed replay: the brute oracle's top-5 as truth, the IVF oracle's
     // probed top-5 as approx, recall in floor-div micro-units

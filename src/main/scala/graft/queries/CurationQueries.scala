@@ -122,6 +122,18 @@ object CurationQueries {
           max("doc_id").as("max_id"))
         .orderBy("lang")),
 
+    // token-budgeted mixture materialization: each source contributes
+    // docs in content-hash order until its 600-token budget fills —
+    // the step that turns mixture WEIGHTS into an actual training set
+    // ("N tokens per source"). Kept set is a pure content function
+    // (hash order, running-sum cutoff), so the oracle replays it exactly
+    "q_doc_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(
+        t(s, dir, "documents"),
+        "source", TextOps.normalize(col("text")), "doc_id",
+        TextOps.tokenCount(col("text")), budget = 600L)
+        .orderBy("source", "cum_tokens")),
+
     // incremental dedup: the odd-id half is a "new crawl batch" deduped
     // against the even-id half's PERSISTED LSH index — the old corpus is
     // never re-hashed; verification re-shingles only candidate old docs.
@@ -733,6 +745,24 @@ object CurationQueries {
         |      FROM u)
         |SELECT doc_id, version, md5(text) AS fp, lang
         |FROM r WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
+    "q_doc_token_budget" ->
+      raw"""WITH n AS (SELECT source, doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |      AS n_tokens,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM documents),
+           |b AS (SELECT source, doc_id, n_tokens,
+           |    ('0x' || substr(h, 1, 8))::BIGINT AS h32 FROM n),
+           |c AS (SELECT source, doc_id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY source
+           |      ORDER BY h32, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tokens
+           |  FROM b)
+           |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens <= 600
+           |ORDER BY source, cum_tokens""".stripMargin,
 
     "q_doc_group_sample" ->
       raw"""WITH n AS (SELECT doc_id, lang,

@@ -156,6 +156,39 @@ object TimeSeries {
         .orderBy("user_id", "event_type", "ts_epoch", "trail1h_cents")
     }),
 
+    // exponentially-weighted trailing average (α = ½): the decay-weighted
+    // analog of q_ts_rolling_range's flat trailing sum — the recency-
+    // weighted smoothing shape (monitoring EWMAs, feature freshness decay).
+    // The recursion y_i = x_i/2 + y_{i−1}/2 is truncated at 16 lags (the
+    // dropped tail weighs 2⁻¹⁶ < 2e-5) and computed EXACTLY: micro-unit
+    // ints × power-of-two weights are plain BIGINT adds, so no engine's
+    // float fold order can drift the gate (the q_ts_rolling cents idiom,
+    // extended to weighted sums). Emitted as the fixed-point numerator
+    // (Σ lag_d·2^(15−d), denominator 2¹⁶−2^(16−n) for the n lags present)
+    // plus the normalized double — one int division both engines perform
+    // identically under IEEE-754. One window, 16 lag slots, no shuffle
+    // beyond the (user, type) partition the family already keys by.
+    "q_ts_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      def micro(c: org.apache.spark.sql.Column) =
+        round(c * 1e6, 0).cast("long")
+      val num = (0 until 16).map { d =>
+        coalesce(micro(lag(col("value"), d).over(w)), lit(0L)) *
+          lit(1L << (15 - d))
+      }.reduce(_ + _)
+      val nLags = least(row_number().over(w), lit(16))
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("event_epoch_time").as("ts_epoch"),
+          num.as("ewma_fp"), nLags.as("__n"))
+        .withColumn("ewma", round(col("ewma_fp").cast("double")
+          / (lit(65536L)
+             - expr("shiftleft(CAST(1 AS BIGINT), 16 - __n)")).cast("double")
+          / lit(1e6), 6))
+        .drop("__n")
+        .orderBy("user_id", "event_type", "ts_epoch")
+    }),
+
     // anomaly flagging: per-(user, type) z-scores, |z| > 2 outliers
     "q_ts_zscore" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -421,6 +454,28 @@ object TimeSeries {
         |    AS BIGINT) AS n_trail
         |FROM e
         |ORDER BY user_id, event_type, ts_epoch, trail1h_cents""".stripMargin,
+
+    "q_ts_ewma" -> {
+      val terms = (0 until 16).map { d =>
+        s"coalesce(lag(mu, $d) OVER w, 0) * ${1L << (15 - d)}"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ts,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         |    CAST(round(value * 1e6, 0) AS BIGINT) AS mu
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_type, ts_epoch,
+         |    CAST($terms AS BIGINT) AS ewma_fp,
+         |    least(row_number() OVER w, 16) AS n
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
+         |SELECT user_id, event_type, ts_epoch, ewma_fp,
+         |  round(CAST(ewma_fp AS DOUBLE)
+         |    / CAST(65536 - (CAST(1 AS BIGINT) << (16 - n)) AS DOUBLE)
+         |    / 1e6, 6) AS ewma
+         |FROM f ORDER BY user_id, event_type, ts_epoch""".stripMargin
+    },
 
     // quantile_cont == Spark's exact interpolated percentile; identical
     // op order keeps the raw doubles bit-equal (the q_ts_zscore idiom)

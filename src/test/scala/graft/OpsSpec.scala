@@ -1393,4 +1393,55 @@ class OpsSpec extends AnyFunSuite {
     // deterministic pipeline → a fixed number; bound it with headroom
     assert(mean >= 0.7, s"mean recall@5 $mean")
   }
+
+  test("token budget: hash-order running-sum cutoff, partition-invariant") {
+    import graft.ops.Curation
+    // fixture token counts: src0 → 9+9, src1 → 7+9, src2 → 1; budget 9
+    // keeps exactly the hash-first doc of src0/src1 and all of src2
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.tokenBudget(df, "source", TextOps.normalize(col("text")),
+        "doc_id", TextOps.tokenCount(col("text")), budget = 9L)
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("doc_id"))).toSet
+    val kept = run(docs)
+    assert(kept.size == 3)
+    assert(Seq("src0", "src1", "src2").forall(s => kept.count(_._1 == s) == 1))
+    // cutoff is all-or-nothing per doc: a cum total over budget drops the
+    // doc entirely (src0's second 9-token doc would land at cum 18)
+    val cums = Curation.tokenBudget(docs, "source",
+      TextOps.normalize(col("text")), "doc_id",
+      TextOps.tokenCount(col("text")), budget = 9L)
+      .collect().map(_.getAs[Long]("cum_tokens"))
+    assert(cums.forall(_ <= 9L))
+    // pure content function: any physical partitioning keeps the same set
+    assert(run(docs.repartition(7)) == kept)
+  }
+
+  test("rrf fusion: both-list docs outrank single-list docs at equal depth") {
+    import graft.ops.Search
+    val d = Seq(
+      (0L, "query target spark"),
+      (1L, "spark spark spark"), // top lexical, opposite embedding
+      (2L, "spark words here"), // in both lists
+      (3L, "nothing relevant at all")) // dense-only candidate
+      .toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    val r = Search.rrfSearch(d, e, "doc_id", "text", Seq("spark"), qv,
+      kCand = 3, c = 60, kFinal = 3).collect()
+    val order = r.map(_.getAs[Long]("doc_id"))
+    val scores = r.map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[Long]("rrf_micro")).toMap
+    // lex ranks: 1→1, 0→2, 2→3; dense ranks: 0→1, 3→2, 2→3. Docs 0 and 2
+    // appear in BOTH lists → two 1/(60+r) terms beat doc 1's single best
+    // term: 0 (16129+16393) > 2 (15873+15873) > 1 (16393)
+    assert(order.toSeq == Seq(0L, 2L, 1L))
+    // every fused score is the sum of its present list terms — spot-check
+    // doc 1: lexical rank 1 only → round(1e6/61) = 16393
+    assert(scores(1L) == 16393L)
+  }
 }
