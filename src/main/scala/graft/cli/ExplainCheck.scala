@@ -242,7 +242,17 @@ object ExplainCheck {
     // length bins: two aggregates + a 1-row cutoff frame broadcast back
     // onto the scan (the q_histogram shape) — never a global ntile window
     "q_doc_length_bins" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
-      Seq("Window", "CartesianProduct", "SortMergeJoin")))
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // Matryoshka: prefix ranking keeps the bounded TopKAgg shape and the
+    // full-dim rescore broadcasts the k winners back onto the one corpus
+    // scan — never a window, never a shuffled join
+    "q_emb_matryoshka" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    // split overlap: shingle Generate → split-distinct aggregate →
+    // shingle-keyed equi self-join (each shingle ≤ |splits| rows after
+    // the distinct); sizes broadcast back; never a product or window
+    "q_doc_split_overlap" -> (Seq("Generate", "HashAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

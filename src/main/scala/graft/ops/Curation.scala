@@ -66,6 +66,42 @@ object Curation {
       .join(shared, Seq("doc_id"))
   }
 
+  /** Split-overlap audit: the pairwise k-shingle containment matrix
+    * between dataset splits — the "is my val/test leaking into train"
+    * check run BEFORE training, complementing [[contaminationScan]]'s
+    * per-document view with the corpus-level matrix. One row per
+    * unordered split pair: distinct-shingle counts of both sides, the
+    * shared count, and containment in ppm of the smaller side (integer
+    * floor-div — exact, engine-portable).
+    *
+    * Scale shape: shingles are distinct-ed per split FIRST (vocabulary-
+    * bounded, not corpus-bounded); after that each shingle appears at
+    * most once per split, so the shingle-keyed self-join fans out
+    * ≤ |splits|² rows per shingle — linear, never all-pairs in docs.
+    */
+  def splitOverlap(docs: DataFrame, textCol: String, k: Int,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val sp = docs.select(
+      Sampling.split(TextOps.normalize(col(textCol)), weights).as("split"),
+      explode(TextOps.wordShingles(col(textCol), k)).as("g"))
+      .distinct()
+    val sizes = sp.groupBy("split").agg(count(lit(1)).as("n"))
+    val shared = sp.as("a")
+      .join(sp.as("b"),
+        col("a.g") === col("b.g") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("split").as("split_a"),
+        col("n").as("n_a"))), Seq("split_a"))
+      .join(broadcast(sizes.select(col("split").as("split_b"),
+        col("n").as("n_b"))), Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("(n_shared * 1000000L) div least(n_a, n_b)")
+          .as("containment_ppm"))
+  }
+
   /** Per-document token-repetition profile — the Gopher-style repetition
     * quality signals: total tokens, distinct tokens, the top token's
     * frequency, and the derived ratios (raw doubles; both engines compute

@@ -304,6 +304,31 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // Matryoshka serving: rank by the 16-dim PREFIX of each embedding
+    // (a 4× cheaper scan when embeddings are trained nested), then
+    // rescore ONLY the k winners at full dimension — the dimension-
+    // truncation serving pattern. slice() keeps element order and
+    // float→double widening is exact, so prefix cosine is the same IEEE
+    // fold in both engines; the full-dim rescore touches k·queries rows
+    "q_emb_matryoshka" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val tr = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val q = tr.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val winners = VectorOps.bruteTopK(tr, q, 5)
+        .withColumn("cos16", round(col("cos"), 6)).drop("cos")
+      val qfull = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(winners), Seq("vec_id"))
+        .join(broadcast(qfull), col("query_id") === col("qid"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos16"),
+          round(VectorOps.cosine(col("embedding"), col("qv")), 6)
+            .as("cos_full"))
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity search, scale path: IVF cell assignment histogram
     "q_emb_ivf_assign" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
@@ -1319,6 +1344,26 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_emb_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:16]::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id, embedding[1:16]::DOUBLE[] AS ev FROM embeddings),
+         |s AS (SELECT q.query_id, c.vec_id, ${cosSql("c.ev", "q.qv")} AS cos
+         |  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s),
+         |w AS (SELECT query_id, rank, vec_id, round(cos, 6) AS cos16
+         |  FROM r WHERE rank <= 5),
+         |cf AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |qf AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv2
+         |  FROM embeddings WHERE vec_id < 3)
+         |SELECT w.query_id, w.rank, w.vec_id, w.cos16,
+         |  round(${cosSql("cf.ev", "qf.qv2")}, 6) AS cos_full
+         |FROM w JOIN cf ON cf.vec_id = w.vec_id
+         |JOIN qf ON qf.qid = w.query_id
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_emb_ivf_assign" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv

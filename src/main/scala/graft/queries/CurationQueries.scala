@@ -47,6 +47,14 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // split-overlap audit matrix: pairwise shared-shingle counts and
+    // containment between the train/val/test hash splits — the corpus-
+    // level leak check (the per-doc view is q_doc_decontaminate)
+    "q_doc_split_overlap" -> ((s, dir) =>
+      Curation.splitOverlap(wide(s, t(s, dir, "documents")), "text", 3,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .orderBy("split_a", "split_b")),
+
     // Gopher-style repetition signals: token totals, distinct counts, top
     // token frequency, raw-double ratios (derived fractions stay unrounded
     // — both engines run the identical IEEE division)
@@ -745,6 +753,38 @@ object CurationQueries {
         |      FROM u)
         |SELECT doc_id, version, md5(text) AS fp, lang
         |FROM r WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
+    "q_doc_split_overlap" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, text,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |sp AS (SELECT doc_id, text,
+         |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, ${bucketSql(100)} AS bk FROM n)),
+         |sh AS (SELECT doc_id, split,
+         |    CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |            for i in generate_series(1, len(t) - 2)]
+         |      ELSE [] END AS s
+         |  FROM (SELECT doc_id, split,
+         |          regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |        FROM sp)),
+         |e AS (SELECT DISTINCT split, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT split, CAST(count(*) AS BIGINT) AS n
+         |  FROM e GROUP BY split),
+         |shared AS (
+         |  SELECT a.split AS split_a, b.split AS split_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM e a JOIN e b ON a.g = b.g AND a.split < b.split
+         |  GROUP BY 1, 2)
+         |SELECT s.split_a, s.split_b, x.n AS n_a, y.n AS n_b, s.n_shared,
+         |  CAST((s.n_shared * 1000000) // least(x.n, y.n) AS BIGINT)
+         |    AS containment_ppm
+         |FROM shared s JOIN sizes x ON x.split = s.split_a
+         |JOIN sizes y ON y.split = s.split_b
+         |ORDER BY split_a, split_b""".stripMargin,
 
     "q_doc_token_budget" ->
       raw"""WITH n AS (SELECT source, doc_id,

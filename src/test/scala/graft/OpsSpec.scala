@@ -1417,6 +1417,22 @@ class OpsSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == kept)
   }
 
+  test("split overlap: containment bounded by the smaller side, pairs ordered") {
+    import graft.ops.Curation
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = Curation.splitOverlap(d, "text", 3,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)).collect()
+    assert(r.nonEmpty && r.length <= 3) // at most one row per unordered pair
+    r.foreach { row =>
+      val na = row.getAs[Long]("n_a"); val nb = row.getAs[Long]("n_b")
+      val sh = row.getAs[Long]("n_shared")
+      assert(sh <= math.min(na, nb)) // shared is an intersection count
+      assert(row.getAs[Long]("containment_ppm") ==
+        sh * 1000000L / math.min(na, nb)) // exact integer floor-div
+      assert(row.getAs[String]("split_a") < row.getAs[String]("split_b"))
+    }
+  }
+
   test("rrf fusion: both-list docs outrank single-list docs at equal depth") {
     import graft.ops.Search
     val d = Seq(
