@@ -252,7 +252,24 @@ object ExplainCheck {
     // shingle-keyed equi self-join (each shingle ≤ |splits| rows after
     // the distinct); sizes broadcast back; never a product or window
     "q_doc_split_overlap" -> (Seq("Generate", "HashAggregate"),
-      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // consecutive dedup: ONE key-partitioned lag window, no join/agg
+    "q_ts_dedup_consecutive" -> (Seq("Window"),
+      Seq("CartesianProduct", "SortMergeJoin", "HashAggregate",
+        "BroadcastNestedLoopJoin")),
+    // funnel: per-user min aggregates chained by user-keyed equi-joins —
+    // no window, no product, no per-stage re-scan beyond the type filters
+    "q_ts_funnel" -> (Seq("HashAggregate", "Union"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // cohort retention: two keyed aggregates + distinct, cohort sizes
+    // joined back — integer math, no window
+    "q_ts_cohort" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // survivor selection: the keeper argmax is a struct-max aggregate
+    // (partial before the exchange, the q_doc_upsert discipline) — never
+    // a per-cluster window sort of the clustered docs
+    "q_doc_dedup_survivors" -> (Seq("SortAggregate"),
+      Seq("Window", "CartesianProduct")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -276,6 +276,30 @@ object CurationQueries {
         .orderBy("split", "lang")
     }),
 
+    // near-dup survivor selection: the dedup DROP decision — per LSH
+    // cluster keep the best-QUALITY doc (micro-unit argmax, ties →
+    // lowest id), not the arbitrary lowest id the exact-dup path uses.
+    // The argmax is one struct-max aggregate (the q_doc_upsert shape:
+    // partial before the exchange), never a per-cluster window sort
+    "q_doc_dedup_survivors" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        3, 64, 32, 0.8)
+      val comp = graft.ops.Dedup.components(pairs, 20)
+      val q = docs.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")) * 1e6, 0).cast("long")
+          .as("q_micro"))
+      val scored = comp.join(q, Seq("doc_id"))
+      val best = scored.groupBy("cluster_id")
+        .agg(max(struct(col("q_micro"), (-col("doc_id")).as("neg_id")))
+          .as("b"))
+        .select(col("cluster_id"), (-col("b.neg_id")).as("keeper_id"))
+      scored.join(best, Seq("cluster_id"))
+        .select(col("cluster_id"), col("doc_id"), col("q_micro"),
+          col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
+        .orderBy("cluster_id", "doc_id")
+    }),
+
     // snapshot drift report: volume, token, and vocabulary movement
     // between two corpus versions (halves stand in for yesterday/today) —
     // the promote-or-rollback check paired with the CDC upsert
@@ -785,6 +809,60 @@ object CurationQueries {
          |FROM shared s JOIN sizes x ON x.split = s.split_a
          |JOIN sizes y ON y.split = s.split_b
          |ORDER BY split_a, split_b""".stripMargin,
+
+    // cluster replay (recursive CTE) + the weighted-sample quality chain,
+    // argmax replayed as a rank-1 window with the same (q desc, id) order
+    "q_doc_dedup_survivors" ->
+      s"""WITH RECURSIVE sh AS ${CorpusOps.shinglesSql},
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+         |    >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e2.b, r.lab FROM reach r JOIN edges e2 ON e2.a = r.node),
+         |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |bq AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopList)))
+         |      AS DOUBLE) / greatest(len(toks), 1) AS sraw,
+         |    CAST(length(trim(text)) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl,
+         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens
+         |  FROM bq),
+         |qq AS (
+         |  SELECT doc_id,
+         |    CAST(round(round((lens
+         |      + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+         |      + least(sraw * 5.0, 1.0)) / 3.0, 6) * 1000000) AS BIGINT)
+         |      AS q_micro
+         |  FROM m),
+         |j AS (SELECT c.cluster_id, c.doc_id, qq.q_micro
+         |  FROM comp c JOIN qq USING (doc_id)),
+         |best AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY q_micro DESC, doc_id) AS rn FROM j) WHERE rn = 1)
+         |SELECT j.cluster_id, j.doc_id, j.q_micro, best.keeper_id,
+         |  j.doc_id = best.keeper_id AS keep
+         |FROM j JOIN best USING (cluster_id)
+         |ORDER BY j.cluster_id, j.doc_id""".stripMargin,
 
     "q_doc_token_budget" ->
       raw"""WITH n AS (SELECT source, doc_id,

@@ -227,6 +227,74 @@ object TimeSeries {
         .orderBy("user_id", "event_type")
     }),
 
+    // consecutive-duplicate compression: drop events repeating the
+    // previous value per (user, type) stream — the sensor/log dedup that
+    // shrinks hold-steady telemetry to its change points. One lag per
+    // key-partitioned window; first row always kept; a null run keeps
+    // only nulls' first? No: null != null is NULL → dropped, mirrored
+    // exactly in the oracle (both engines treat the predicate identically)
+    "q_ts_dedup_consecutive" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      ev(s, dir)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .where(col("prev").isNull || col("value") =!= col("prev"))
+        .select(col("user_id"), col("event_type"),
+          col("event_epoch_time").as("ts_epoch"), col("value"))
+        .orderBy("user_id", "event_type", "ts_epoch")
+    }),
+
+    // conversion funnel: view → click → purchase, each stage gated on
+    // happening AT-OR-AFTER the user's previous stage entry (min-time
+    // semantics, not sessionized) — per-stage user counts and the total
+    // stage-transition delay in exact integer seconds. Three per-user
+    // min aggregates + two user-keyed joins: linear, no window, no
+    // funnel-step cross product
+    "q_ts_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("event_epoch_time").as("t"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t0"))
+      val c = e.where(col("event_type") === "click").join(v, Seq("user_id"))
+        .where(col("t") >= col("t0"))
+        .groupBy("user_id").agg(min("t").as("t1"), min("t0").as("t0"))
+      val p = e.where(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .where(col("t") >= col("t1"))
+        .groupBy("user_id").agg(min("t").as("t2"), min("t1").as("t1"))
+      val s1 = v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage_idx"), lit("view").as("stage"),
+          col("n_users"), lit(0L).as("sum_delay_s"))
+      val s2 = c.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("t1") - col("t0")), lit(0L)).as("sum_delay_s"))
+        .select(lit(2).as("stage_idx"), lit("click").as("stage"),
+          col("n_users"), col("sum_delay_s"))
+      val s3 = p.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_delay_s"))
+        .select(lit(3).as("stage_idx"), lit("purchase").as("stage"),
+          col("n_users"), col("sum_delay_s"))
+      s1.union(s2).union(s3).orderBy("stage_idx")
+    }),
+
+    // cohort retention: users grouped by first-activity week, distinct
+    // activity counted per (cohort, week offset), retention as exact ppm
+    // of the cohort's size. Two user-keyed aggregates + one distinct —
+    // all linear in events; integer week math end to end
+    "q_ts_cohort" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        expr("event_epoch_time DIV 604800").as("week"))
+      val first = e.groupBy("user_id").agg(min("week").as("cohort"))
+      val act = e.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort"),
+          (col("week") - col("cohort")).as("week_offset"))
+        .distinct()
+      val base = act.where(col("week_offset") === 0)
+        .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      act.groupBy("cohort", "week_offset").agg(count(lit(1)).as("n_users"))
+        .join(base, Seq("cohort"))
+        .select(col("cohort"), col("week_offset"), col("n_users"),
+          expr("(n_users * 1000000L) div cohort_size").as("retention_ppm"))
+        .orderBy("cohort", "week_offset")
+    }),
+
     // as-of join (point-in-time lookup): each purchase gets the latest
     // at-or-before click by the same user — Spark side is the union+window
     // merge (graft.ops.AsOf), oracle is DuckDB's native ASOF LEFT JOIN.
@@ -514,6 +582,59 @@ object TimeSeries {
         |WHERE abs((e.value - s.mu) / nullif(s.sd, 0)) > 2
         |GROUP BY e.user_id, e.event_type
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    "q_ts_dedup_consecutive" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id, event_type, ts_epoch, value
+        |FROM e WHERE prev IS NULL OR value != prev
+        |ORDER BY user_id, event_type, ts_epoch""".stripMargin,
+
+    "q_ts_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.t) AS t1, min(v.t0) AS t0
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.t >= v.t0
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.t) AS t2, min(c.t1) AS t1
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t >= c.t1
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(0 AS BIGINT) AS sum_delay_s FROM v
+        |UNION ALL
+        |SELECT 2, 'click', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(t1 - t0), 0) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM p
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_ts_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    e.week - f.cohort AS week_offset
+        |  FROM e JOIN f ON e.user_id = f.user_id),
+        |base AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM act WHERE week_offset = 0 GROUP BY cohort)
+        |SELECT a.cohort, a.week_offset, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST((count(*) * 1000000) // b.cohort_size AS BIGINT)
+        |    AS retention_ppm
+        |FROM act a JOIN base b ON a.cohort = b.cohort
+        |GROUP BY a.cohort, a.week_offset, b.cohort_size
+        |ORDER BY a.cohort, a.week_offset""".stripMargin,
 
     "q_ts_asof" ->
       """WITH p AS (
