@@ -269,7 +269,16 @@ object ExplainCheck {
     // (partial before the exchange, the q_doc_upsert discipline) — never
     // a per-cluster window sort of the clustered docs
     "q_doc_dedup_survivors" -> (Seq("SortAggregate"),
-      Seq("Window", "CartesianProduct")))
+      Seq("Window", "CartesianProduct")),
+    // PMI collocations: two linear token aggregates, term-keyed unigram
+    // joins, 1-row totals broadcast, k-bounded ranking — no libm in the
+    // score, no window, no product beyond the scalar broadcasts
+    "q_doc_pmi" -> (Seq("TakeOrderedAndProject", "HashAggregate",
+      "Generate"), Seq("Window")),
+    // exact split: one rank window per stratum (the tokenBudget shape) +
+    // the summary aggregate — no join at all
+    "q_doc_exact_split" -> (Seq("Window", "HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -327,6 +327,39 @@ object Curation {
       .drop("__h")
   }
 
+  /** Exact-proportion stratified split: within each stratum, docs are
+    * ranked by content hash and the split boundaries are drawn at exact
+    * integer fractions of the stratum's size (rank·total ≤ n·cumWeight) —
+    * where [[Sampling.split]]'s hash buckets give only EXPECTED
+    * proportions (a 100-doc stratum can hash 77/12/11), this gives the
+    * floor-exact 80/10/10 a small or skewed stratum needs. Returns one
+    * row per doc: (stratum, id, split). Deterministic: rank order is
+    * (md5-32(content), id), a pure content function.
+    *
+    * Scale shape: one window rank per stratum — the [[tokenBudget]]
+    * discipline; run per layout shard and reconcile boundaries with
+    * bucket-level prefix sums when a stratum spans shards.
+    */
+  def exactSplit(docs: DataFrame, strataCol: String, keyCol: Column,
+      idCol: String, weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative weights
+    val h32 = conv(substring(md5(keyCol), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(strataCol).orderBy(col("__h"), col(idCol))
+    val n = Window.partitionBy(strataCol)
+    val ranked = docs.select(col(strataCol), col(idCol), h32.as("__h"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+    val splitCol = weights.zip(cuts).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), cut), els) =>
+      when(col("__rn") * total <= col("__n") * cut, lit(name)).otherwise(els)
+    }
+    ranked.select(col(strataCol), col(idCol), splitCol.as("split"))
+  }
+
   /** Corpus-LM typicality score — the count-space analog of the CCNet
     * language-model quality filter: how "corpus-typical" each document's
     * bigram stream is. Score = mean corpus frequency of the doc's bigrams

@@ -35,6 +35,35 @@ object CorpusOps {
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // collocation mining: top bigrams by count-space LIFT — the exp(PMI)
+    // monotone c_ab·N²/(M·c_a·c_b), one mirrored left-assoc double chain
+    // over exact integer counts (no libm log, the typicality discipline);
+    // min-support 5 drops rare-pair noise. Bigram+unigram counts are two
+    // linear token-keyed aggregates; the unigram join is term-keyed
+    "q_doc_pmi" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(explode(TextOps.normTokens(col("text"))).as("term"))
+      val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      val bg = d.select(explode(TextOps.wordBigrams(col("text"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 5)
+      val nTok = toks.agg(count(lit(1)).as("n_tok"))
+      val nBig = d.select(explode(TextOps.wordBigrams(col("text"))).as("g"))
+        .agg(count(lit(1)).as("n_big"))
+      bg
+        .withColumn("w1", element_at(split(col("g"), " "), 1))
+        .withColumn("w2", element_at(split(col("g"), " "), 2))
+        .join(uni.select(col("term").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+        .select(col("g").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          round((col("c_ab").cast("double") * col("n_tok") * col("n_tok"))
+            / (col("n_big").cast("double") * col("c_a") * col("c_b")), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // curriculum length binning: quartile bins over token counts via
     // EXACT interpolated-percentile cutoffs (one tiny agg) + per-row
     // comparison — never a global ntile sort (a corpus-wide window with
@@ -1120,6 +1149,30 @@ object CorpusOps {
          |    AS INT) AS n_bpe_tokens,
          |  CAST(length(text) AS INT) AS len_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_pmi" ->
+      raw"""WITH w AS (
+           |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |toks AS (SELECT unnest(ws) AS term FROM w),
+           |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           |  FROM toks GROUP BY term),
+           |bgall AS (
+           |  SELECT ws[i] || ' ' || ws[i+1] AS g
+           |  FROM w, LATERAL (
+           |    SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+           |bg AS (SELECT g, CAST(count(*) AS BIGINT) AS c_ab
+           |  FROM bgall GROUP BY g HAVING count(*) >= 5),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks),
+           |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bgall)
+           |SELECT bg.g AS bigram, bg.c_ab, a.c AS c_a, b.c AS c_b,
+           |  round(((CAST(bg.c_ab AS DOUBLE) * nt.n_tok) * nt.n_tok)
+           |    / ((CAST(nb.n_big AS DOUBLE) * a.c) * b.c), 6) AS lift
+           |FROM bg
+           |JOIN uni a ON a.term = split_part(bg.g, ' ', 1)
+           |JOIN uni b ON b.term = split_part(bg.g, ' ', 2)
+           |CROSS JOIN nt CROSS JOIN nb
+           |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
 
     "q_doc_length_bins" ->
       s"""WITH d AS (

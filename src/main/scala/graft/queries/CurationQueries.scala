@@ -130,6 +130,19 @@ object CurationQueries {
           max("doc_id").as("max_id"))
         .orderBy("lang")),
 
+    // exact-proportion stratified split: per-source floor-exact 80/10/10
+    // by hash-rank boundaries — where q_doc_hash_split's buckets give
+    // only EXPECTED proportions (small strata skew), this is the splitter
+    // an eval set with per-source quotas needs
+    "q_doc_exact_split" -> ((s, dir) =>
+      Curation.exactSplit(t(s, dir, "documents"), "source",
+        TextOps.normalize(col("text")), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("source", "split")),
+
     // token-budgeted mixture materialization: each source contributes
     // docs in content-hash order until its 600-token budget fills —
     // the step that turns mixture WEIGHTS into an actual training set
@@ -863,6 +876,27 @@ object CurationQueries {
          |  j.doc_id = best.keeper_id AS keep
          |FROM j JOIN best USING (cluster_id)
          |ORDER BY j.cluster_id, j.doc_id""".stripMargin,
+
+    "q_doc_exact_split" ->
+      raw"""WITH n AS (SELECT source, doc_id,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM documents),
+           |b AS (SELECT source, doc_id,
+           |    ('0x' || substr(h, 1, 8))::BIGINT AS h32 FROM n),
+           |r AS (SELECT source, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY h32, doc_id) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nn
+           |  FROM b),
+           |s AS (SELECT source, doc_id,
+           |    CASE WHEN rn * 100 <= nn * 80 THEN 'train'
+           |         WHEN rn * 100 <= nn * 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM r)
+           |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM s GROUP BY source, split
+           |ORDER BY source, split""".stripMargin,
 
     "q_doc_token_budget" ->
       raw"""WITH n AS (SELECT source, doc_id,
