@@ -278,7 +278,21 @@ object ExplainCheck {
     // exact split: one rank window per stratum (the tokenBudget shape) +
     // the summary aggregate — no join at all
     "q_doc_exact_split" -> (Seq("Window", "HashAggregate"),
-      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")))
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    // hard negatives: the knn_brute shape — broadcast queries into the
+    // scan (the hinted BNLJ), ceiling filter BEFORE the bounded TopKAgg;
+    // never a per-query window sort
+    "q_emb_hard_negatives" -> (Seq("BroadcastNestedLoopJoin",
+      "ObjectHashAggregate"), Seq("SortMergeJoin", "Window")),
+    // coverage audit: id-keyed full outer (fact-vs-fact — can't
+    // broadcast) + one tiny status aggregate; never a product
+    "q_emb_coverage" -> (Seq("FullOuter", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+    // weekly bands: ONE grouped percentile aggregate (typed buffers →
+    // ObjectHashAggregate), groups bounded by types × weeks; no join
+    "q_ts_weekly_bands" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -87,6 +87,29 @@ object VectorOps {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining: each query's top-k nearest neighbors BELOW a
+    * similarity ceiling — the contrastive-training picks that are close
+    * enough to be informative but not near-duplicates (near-dups as
+    * negatives are label noise; see [[nearDupPairs]] for the positives
+    * side). The ceiling compares the 6dp-ROUNDED cosine so the boundary
+    * cannot flip on a last-ulp engine difference. Same bounded TopKAgg
+    * ranking and broadcast-queries shape as [[bruteTopK]]; at corpus
+    * scale the scan side swaps for the IVF/PQ serving layouts like any
+    * other dense search.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxCos: Double): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val c = corpus.withColumn("c_norm", norm(col("embedding")))
+    val q = queries.withColumn("q_norm", norm(col("query_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("embedding"), col("query_vec"))
+        / over(col("c_norm") * col("q_norm")))
+      .where(round(col("cos"), 6) <= maxCos)
+    topKPerQuery(scored, k)
+  }
+
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
     * id). Centroids must be small (broadcast). Adds `cell` and `cell_cos`.
     */

@@ -333,6 +333,37 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining: nearest neighbors UNDER a 0.95 rounded-cos
+    // ceiling — close enough to be hard, excluded if near-duplicate
+    // (those would be label noise in the contrastive batch)
+    "q_emb_hard_negatives" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      VectorOps.hardNegatives(emb, queries, k = 5, maxCos = 0.95)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pipeline-integrity audit: docs↔embeddings id coverage (every doc
+    // should embed exactly once; orphans on either side are ingest
+    // bugs). The synthetic tables align perfectly, so the gate offsets
+    // the two sides (docs < 400, vecs ≥ 100) to exercise ALL three
+    // statuses — the audit itself is the plain full-outer + status agg
+    "q_emb_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 400)
+      val e = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") >= 100)
+      d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+        .select(when(col("doc_id").isNotNull && col("vec_id").isNotNull,
+          "matched").when(col("vec_id").isNull, "doc_only")
+          .otherwise("vec_only").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // Matryoshka serving: rank by the 16-dim PREFIX of each embedding
     // (a 4× cheaper scan when embeddings are trained nested), then
     // rescore ONLY the k winners at full dimension — the dimension-
@@ -1397,6 +1428,31 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_emb_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |s AS (SELECT q.query_id, c.vec_id, ${cosSql("c.ev", "q.qv")} AS cos
+         |  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         |f AS (SELECT query_id, vec_id, cos FROM s
+         |  WHERE round(cos, 6) <= 0.95),
+         |r AS (SELECT query_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM f)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_emb_coverage" ->
+      """SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+        |         THEN 'matched'
+        |       WHEN e.vec_id IS NULL THEN 'doc_only'
+        |       ELSE 'vec_only' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+        |FULL JOIN (SELECT vec_id FROM embeddings WHERE vec_id >= 100) e
+        |  ON d.doc_id = e.vec_id
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "q_emb_matryoshka" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:16]::DOUBLE[] AS qv

@@ -227,6 +227,20 @@ object TimeSeries {
         .orderBy("user_id", "event_type")
     }),
 
+    // monitoring bands: weekly p50/p95 per event type — the SLO/drift
+    // dashboard cut. Exact interpolated percentile per (type, week)
+    // group, 6dp-rounded (the q_percentile parity discipline); one
+    // grouped aggregate, group count bounded by types × weeks
+    "q_ts_weekly_bands" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          expr("event_epoch_time DIV 604800").as("week"), col("value"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy("event_type", "week")),
+
     // consecutive-duplicate compression: drop events repeating the
     // previous value per (user, type) stream — the sensor/log dedup that
     // shrinks hold-steady telemetry to its change points. One lag per
@@ -582,6 +596,17 @@ object TimeSeries {
         |WHERE abs((e.value - s.mu) / nullif(s.sd, 0)) > 2
         |GROUP BY e.user_id, e.event_type
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    "q_ts_weekly_bands" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week, value
+        |  FROM events)
+        |SELECT event_type, week, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM e GROUP BY event_type, week
+        |ORDER BY event_type, week""".stripMargin,
 
     "q_ts_dedup_consecutive" ->
       """WITH e AS (
