@@ -292,7 +292,21 @@ object ExplainCheck {
     // ObjectHashAggregate), groups bounded by types × weeks; no join
     "q_ts_weekly_bands" -> (Seq("ObjectHashAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // winsorize: cutoffs from one grouped percentile agg broadcast back
+    // onto the scan; the clip + micro-sum is a second aggregate — no
+    // window, no shuffled join
+    "q_ts_winsorize" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // gap profile: one key-partitioned lag window + one grouped
+    // percentile aggregate
+    "q_ts_gaps" -> (Seq("Window", "ObjectHashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    // keywords: the rank window partitions by doc_id (bounded per group
+    // by the doc's own distinct terms — the scale-safe window case);
+    // df/N broadcast; never a product
+    "q_doc_keywords" -> (Seq("Window", "HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

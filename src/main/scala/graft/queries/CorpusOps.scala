@@ -201,6 +201,31 @@ object CorpusOps {
         .orderBy("doc_id", "term")
     }),
 
+    // keyword extraction: each doc's top-3 terms by tf·idf in micro-units
+    // (tags/index-terms export). The rank window partitions by doc_id —
+    // bounded per group by the doc's own distinct terms, not corpus size
+    // (the one place a window IS the scale-safe shape); rank on the
+    // integer micro weight, term tiebreak
+    "q_doc_keywords" -> ((s, dir) => {
+      val terms = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("nd"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("w_micro").desc, col("term"))
+      tf.join(dfT, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("w_micro",
+          round(col("tf") * log(col("nd") / col("df_t")) * 1e6, 0)
+            .cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("w_micro"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // deterministic hash split: stable train/val/test assignment (80/10/10)
     // by md5 bucket of the normalized text — same assignment on every run,
     // partitioning, and engine (the oracle recomputes it bit-for-bit)
@@ -1365,6 +1390,29 @@ object CorpusOps {
            |  round(tf.tf * ln(nd / df_t), 6) AS tfidf
            |FROM tf JOIN df USING (term) CROSS JOIN n
            |ORDER BY tf.doc_id, tf.term""".stripMargin,
+
+    "q_doc_keywords" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM t GROUP BY doc_id, term),
+           |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+           |  FROM tf GROUP BY term),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+           |s AS (
+           |  SELECT tf.doc_id, tf.term,
+           |    CAST(round(tf.tf * ln(nd / df_t) * 1e6, 0) AS BIGINT)
+           |      AS w_micro
+           |  FROM tf JOIN df USING (term) CROSS JOIN n),
+           |r AS (
+           |  SELECT doc_id, term, w_micro,
+           |    CAST(row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY w_micro DESC, term) AS INT) AS rank
+           |  FROM s)
+           |SELECT doc_id, rank, term, w_micro FROM r WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin,
 
     "q_doc_hash_split" ->
       raw"""WITH n AS (

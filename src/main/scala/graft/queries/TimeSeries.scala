@@ -227,6 +227,45 @@ object TimeSeries {
         .orderBy("user_id", "event_type")
     }),
 
+    // winsorization: clip each type's values at its exact p01/p99 —
+    // the outlier-robust preprocessing step before training on event
+    // values. Cutoffs from ONE grouped percentile agg broadcast back;
+    // clipped values summed in micro-units (post-clip round → exact
+    // integer sum, order-free)
+    "q_ts_winsorize" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"), col("value"))
+      val cuts = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.01)").as("lo"),
+          expr("percentile(value, 0.99)").as("hi"))
+      e.join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_type"), col("value"), col("lo"), col("hi"),
+          round(greatest(least(col("value"), col("hi")), col("lo")) * 1e6, 0)
+            .cast("long").as("clipped_micro"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") < col("lo")).cast("long")).as("n_clipped_low"),
+          sum((col("value") > col("hi")).cast("long")).as("n_clipped_high"),
+          sum(col("clipped_micro")).as("sum_clipped_micro"))
+        .orderBy("event_type")
+    }),
+
+    // arrival-rate profile: inter-event gap stats per type — the
+    // monitoring cut that catches a stalled producer (max gap) or a
+    // duplicate storm (p50 gap collapse). One lag window + one agg;
+    // gaps are exact integer seconds
+    "q_ts_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      ev(s, dir)
+        .withColumn("gap", col("event_epoch_time")
+          - lag(col("event_epoch_time"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50_gap"),
+          max("gap").as("max_gap"))
+        .orderBy("event_type")
+    }),
+
     // monitoring bands: weekly p50/p95 per event type — the SLO/drift
     // dashboard cut. Exact interpolated percentile per (type, week)
     // group, 6dp-rounded (the q_percentile parity discipline); one
@@ -596,6 +635,37 @@ object TimeSeries {
         |WHERE abs((e.value - s.mu) / nullif(s.sd, 0)) > 2
         |GROUP BY e.user_id, e.event_type
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    "q_ts_winsorize" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |c AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  CAST(sum(CAST(round(greatest(least(e.value, c.hi), c.lo) * 1e6, 0)
+        |    AS BIGINT)) AS BIGINT) AS sum_clipped_micro
+        |FROM e JOIN c USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_ts_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    t - lag(t, 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts) AS gap
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+        |  CAST(max(gap) AS BIGINT) AS max_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ts_weekly_bands" ->
       """WITH e AS (

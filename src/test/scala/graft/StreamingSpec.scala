@@ -57,6 +57,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming change points match the batch lag filter across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingChangePoints
+    val b1 = Seq(
+      (1L, "hr", ts("2020-01-01 00:00:00"), 1.0),
+      (1L, "hr", ts("2020-01-01 00:01:00"), 1.0), // repeat → dropped
+      (1L, "hr", ts("2020-01-01 00:02:00"), 2.0), // change → kept
+      (2L, "hr", ts("2020-01-01 00:00:30"), 2.0)) // other stream head → kept
+    // batch 2: head repeats stream 1's remembered last (2.0) → the
+    // CROSS-batch suppression the state exists for; then a change; plus a
+    // brand-new (user, type) stream whose head always emits
+    val b2 = Seq(
+      (1L, "hr", ts("2020-01-01 00:03:00"), 2.0),
+      (1L, "hr", ts("2020-01-01 00:04:00"), 3.0),
+      (1L, "spo2", ts("2020-01-01 00:04:30"), 3.0))
+    val source = MemoryStream[(Long, String, Timestamp, Double)]
+    val out = StreamingChangePoints.compress(
+      source.toDF().toDF("user_id", "event_type", "event_time", "value"),
+      horizonSeconds = 86400, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cp_out").start()
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("cp_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // ground truth: the BATCH lag filter over the concatenated input —
+      // the q_ts_dedup_consecutive plan itself
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("event_time")
+      val expected = (b1 ++ b2)
+        .toDF("user_id", "event_type", "event_time", "value")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .where(col("prev").isNull || col("value") =!= col("prev"))
+        .select(col("user_id"), col("event_type"),
+          (col("event_time").cast("long")).as("ts_epoch"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+      assert(got.size == 5) // 7 in, 2 suppressed (1 in-batch, 1 cross-batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen per fingerprint, re-admits after horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDedup
