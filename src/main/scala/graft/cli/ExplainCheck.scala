@@ -306,7 +306,12 @@ object ExplainCheck {
     // by the doc's own distinct terms — the scale-safe window case);
     // df/N broadcast; never a product
     "q_doc_keywords" -> (Seq("Window", "HashAggregate"),
-      Seq("CartesianProduct", "SortMergeJoin")))
+      Seq("CartesianProduct", "SortMergeJoin")),
+    // dim stats: one Generate + ONE dims-bounded aggregate carrying
+    // (n, Σq, Σq², min, max) partials — no join, no window
+    "q_emb_dim_stats" -> (Seq("Generate", "HashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

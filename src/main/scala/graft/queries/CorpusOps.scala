@@ -595,6 +595,29 @@ object CorpusOps {
         .orderBy("label")
     }),
 
+    // embedding-health audit: per-DIMENSION corpus stats in quantized
+    // integers — dead dims (min == max), collapsed spread, off-center
+    // means: the pre-index check that catches a broken encoder export.
+    // spread_q = n·Σq² − (Σq)² — exact integer variance proxy, NO
+    // division, order-free; envelope n·maxq² < 2⁶³ holds to ~10⁷
+    // unit-norm vectors at 1e6 scale (beyond: per-shard spreads merge
+    // exactly from (n, Σq, Σq²) partials)
+    "q_emb_dim_stats" -> ((s, dir) =>
+      wide(s, t(s, dir, "embeddings"))
+        .select(posexplode(
+          graft.ops.KMeans.quantize(col("embedding"), 1e6).cast("array<long>"))
+          .as(Seq("pos", "q")))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+          sum(col("q") * col("q")).as("ss_q"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .select(col("pos"), col("n"), expr("sum_q DIV n").as("mean_q"),
+          (col("n") * col("ss_q") - col("sum_q") * col("sum_q"))
+            .as("spread_q"),
+          col("min_q"), col("max_q"),
+          (col("min_q") === col("max_q")).as("dead"))
+        .orderBy("pos")),
+
     // SemDeDup (Abbas et al. 2023): near-dup pairs within LEARNED blocks
     // (nearest-centroid cells) — the semantic-dedup composition of the
     // IVF assignment and the capped in-block self-join; the oracle
@@ -1834,6 +1857,21 @@ object CorpusOps {
 
     // per-half quantized sums (q_emb_centroids idiom), truncating integer
     // micro-means, squared diffs summed per label
+    "q_emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT generate_subscripts(embedding, 1) AS pos1,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT CAST(pos1 - 1 AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_q,
+        |  CAST(count(*) * CAST(sum(q * q) AS BIGINT)
+        |    - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS BIGINT)
+        |    AS spread_q,
+        |  CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q,
+        |  min(q) = max(q) AS dead
+        |FROM e GROUP BY pos1 ORDER BY pos""".stripMargin,
+
     "q_emb_drift" ->
       """WITH e AS (
         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos1,
