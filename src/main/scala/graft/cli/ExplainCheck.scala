@@ -311,6 +311,14 @@ object ExplainCheck {
     // (n, Σq, Σq², min, max) partials — no join, no window
     "q_emb_dim_stats" -> (Seq("Generate", "HashAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")),
+    // confusion matrix: two keyed aggregates, row totals broadcast back
+    "q_doc_lang_confusion" -> (Seq("HashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // downsample-last: ONE struct-max argmax aggregate (map-side
+    // partials; the q_doc_upsert discipline) — never a per-bucket window
+    "q_ts_downsample_last" -> (Seq("SortAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
         "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;

@@ -97,6 +97,22 @@ object CorpusOps {
           TextOps.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
+    // classifier eval: labeled-vs-predicted language confusion matrix
+    // with per-cell share of the labeled language's row (exact ppm) —
+    // the accuracy audit for the langid heuristic
+    "q_doc_lang_confusion" -> ((s, dir) => {
+      val p = t(s, dir, "documents")
+        .select(col("lang").as("labeled_lang"),
+          TextOps.langId(col("text")).as("pred_lang"))
+      val rowTotals = p.groupBy("labeled_lang")
+        .agg(count(lit(1)).as("n_labeled"))
+      p.groupBy("labeled_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .join(broadcast(rowTotals), Seq("labeled_lang"))
+        .select(col("labeled_lang"), col("pred_lang"), col("n"),
+          expr("(n * 1000000L) div n_labeled").as("share_ppm"))
+        .orderBy("labeled_lang", "pred_lang")
+    }),
+
     // document fingerprinting + exact dedup groups
     "q_doc_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(wide(s, t(s, dir, "documents")), "doc_id", "text")
@@ -1307,6 +1323,33 @@ object CorpusOps {
          |SELECT doc_id, lang AS labeled_lang,
          |  CASE $caseChain ELSE 'und' END AS pred_lang
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_lang_confusion" -> {
+      val hitCols = TextOps.LangMarkers.map { case (lang, m) =>
+        val lst = m.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($lst))) AS h_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = TextOps.LangMarkers.map(m => s"h_${m._1}")
+        .mkString("greatest(", ", ", ")")
+      val caseChain = TextOps.LangMarkers.map { case (lang, _) =>
+        s"WHEN best > 0 AND h_$lang = best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH b AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |    $hitCols
+         |  FROM b),
+         |m AS (SELECT *, $bestExpr AS best FROM h),
+         |p AS (SELECT lang AS labeled_lang,
+         |    CASE $caseChain ELSE 'und' END AS pred_lang FROM m),
+         |rt AS (SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_labeled
+         |  FROM p GROUP BY labeled_lang)
+         |SELECT p.labeled_lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST((count(*) * 1000000) // min(rt.n_labeled) AS BIGINT)
+         |    AS share_ppm
+         |FROM p JOIN rt USING (labeled_lang)
+         |GROUP BY p.labeled_lang, p.pred_lang
+         |ORDER BY p.labeled_lang, p.pred_lang""".stripMargin
     },
 
     "q_doc_dedup_exact" ->

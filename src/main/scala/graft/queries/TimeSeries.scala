@@ -227,6 +227,21 @@ object TimeSeries {
         .orderBy("user_id", "event_type")
     }),
 
+    // telemetry downsampling: LAST value per (user, type, 6h bucket) —
+    // the keep-latest-reading combiner (vs bucketize's mean/sum), as ONE
+    // struct-max argmax aggregate with map-side partials; never a
+    // per-bucket window sort
+    "q_ts_downsample_last" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("bucket", expr("event_epoch_time DIV 21600"))
+        .groupBy("user_id", "event_type", "bucket")
+        .agg(max(struct(col("event_epoch_time").as("t"), col("value")))
+          .as("m"), count(lit(1)).as("n_in_bucket"))
+        .select(col("user_id"), col("event_type"), col("bucket"),
+          col("m.t").as("last_epoch"), col("m.value").as("last_value"),
+          col("n_in_bucket"))
+        .orderBy("user_id", "event_type", "bucket")),
+
     // winsorization: clip each type's values at its exact p01/p99 —
     // the outlier-robust preprocessing step before training on event
     // values. Cutoffs from ONE grouped percentile agg broadcast back;
@@ -635,6 +650,17 @@ object TimeSeries {
         |WHERE abs((e.value - s.mu) / nullif(s.sd, 0)) > 2
         |GROUP BY e.user_id, e.event_type
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    "q_ts_downsample_last" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events)
+        |SELECT user_id, event_type, t // 21600 AS bucket,
+        |  CAST(max(t) AS BIGINT) AS last_epoch,
+        |  arg_max(value, t) AS last_value,
+        |  CAST(count(*) AS BIGINT) AS n_in_bucket
+        |FROM e GROUP BY user_id, event_type, bucket
+        |ORDER BY user_id, event_type, bucket""".stripMargin,
 
     "q_ts_winsorize" ->
       """WITH e AS (SELECT event_type, value FROM events),
