@@ -57,6 +57,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances stages in order, ignores out-of-order stages") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    val source = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingFunnel.track(
+      source.toDF().toDF("user_id", "event_type", "event_time"),
+      horizonSeconds = 86400, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // user 1 walks view→click in batch 1; user 2's click precedes any
+      // view → ignored (the batch gate's t >= t0 join drops it too)
+      source.addData(
+        (1L, "view", ts("2020-01-01 00:00:00")),
+        (1L, "click", ts("2020-01-01 00:01:00")),
+        (1L, "view", ts("2020-01-01 00:01:10")), // repeat stage → ignored
+        (2L, "click", ts("2020-01-01 00:00:10")))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (CROSS-batch advance with exact delay);
+      // user 2 views (restarts nothing — first stage), then purchases
+      // while still awaiting click → ignored
+      source.addData(
+        (1L, "purchase", ts("2020-01-01 00:03:00")),
+        (2L, "view", ts("2020-01-01 00:02:00")),
+        (2L, "purchase", ts("2020-01-01 00:02:30")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(4))).toSet
+      val expected = Set(
+        (1L, 1, "view", 0L),
+        (1L, 2, "click", 60L),
+        (1L, 3, "purchase", 120L), // 00:03:00 − 00:01:00
+        (2L, 1, "view", 0L))
+      assert(got == expected, s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming change points match the batch lag filter across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingChangePoints
