@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, TextOps, VectorOps}
@@ -34,6 +35,117 @@ object CorpusOps {
             .as("stop_ratio"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    // tokenizer fertility by language: BPE-unit tokens per whitespace
+    // word (micro-units) — the corpus-mix diagnostic for whether one
+    // tokenizer taxes some languages with longer sequences than others.
+    // Count-space sums in one linear grouped aggregate (group count =
+    // languages, tiny); the integer ratios keep the gate libm-free
+    "q_doc_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("nw"),
+          TextOps.bpeTokenCount(col("text")).as("nb"),
+          length(col("text")).as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("sum_words"),
+          sum("nb").as("sum_bpe"), sum("nc").as("sum_chars"))
+        .withColumn("fertility_micro",
+          expr("sum_bpe * 1000000 DIV greatest(sum_words, 1)"))
+        .withColumn("bpe_per_100c_micro",
+          expr("sum_bpe * 100000000 DIV greatest(sum_chars, 1)"))
+        .orderBy("lang")),
+
+    // relative (per-source) quality filtering: an absolute quality
+    // threshold tuned on one source over- or under-prunes the others;
+    // ranking WITHIN source makes the cut distribution-free (the Gopher
+    // practice). Integer rank space end-to-end — row_number + per-source
+    // count, keep the strict top half — so no double-boundary compare
+    // can flip a row. One window shuffle on source, which downstream
+    // per-source sampling shares anyway; rank state is O(1) per row
+    "q_doc_quality_norm" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality"), col("doc_id"))
+      val ws = Window.partitionBy("source")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(ws))
+        .where(col("rk") * 2 > col("n_src"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          expr("CAST((rk - 1) * 1000000 DIV greatest(n_src - 1, 1) AS BIGINT)")
+            .as("q_rank_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // sentence segmentation stats: split on terminal-punctuation runs,
+    // count non-empty trimmed segments, mean/max sentence length — the
+    // run-on / fragment signals quality filters cut on. Pure Column
+    // algebra (split + transform + filter + aggregate) fused into the
+    // scan, no shuffle; integer micro-units for the mean
+    "q_doc_sentences" -> ((s, dir) => {
+      val segs = filter(
+        transform(split(col("text"), "[.!?]+"), x => trim(x)),
+        x => length(x) > 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), segs.as("segs"))
+        .select(col("doc_id"), size(col("segs")).as("n_sentences"),
+          aggregate(col("segs"), lit(0L), (a, x) => a + length(x))
+            .as("sum_sent_chars"),
+          coalesce(array_max(transform(col("segs"), x => length(x))), lit(0))
+            .as("max_sent_chars"))
+        .withColumn("mean_sent_micro",
+          expr("sum_sent_chars * 1000000 DIV greatest(n_sentences, 1)"))
+        .orderBy("doc_id")
+    }),
+
+    // vocabulary growth (Heaps-law curve) over 3-gram shingles: new
+    // distinct n-grams per corpus decile (by doc id) and the cumulative
+    // n-gram vocabulary — the diagnostic for dedup health and corpus
+    // saturation (a flat tail means new data has stopped contributing
+    // new content; unigrams saturate instantly, n-grams keep growing).
+    // min(doc_id) per shingle is one shingle-keyed linear aggregate;
+    // the decile histogram is 10 rows, so the unpartitioned running-sum
+    // window is trivially safe
+    "q_doc_vocab_growth" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val first = d
+        .select(col("doc_id"),
+          explode(TextOps.wordShingles(col("text"), 3)).as("term"))
+        .groupBy("term").agg(min("doc_id").as("first_doc"))
+      val mx = d.agg(max("doc_id").as("max_id"))
+      first.crossJoin(broadcast(mx))
+        .withColumn("decile",
+          expr("CAST(least(first_doc * 10 DIV (max_id + 1), 9) AS INT)"))
+        .groupBy("decile").agg(count(lit(1)).as("new_terms"))
+        .withColumn("cum_terms",
+          sum("new_terms").over(Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("decile")
+    }),
+
+    // n-gram novelty curve: per doc, the share of its distinct 3-gram
+    // shingles never seen in any EARLIER doc (by doc_id) — the
+    // crawl-ordering signal for when a source stops contributing new
+    // content (near-1 early, decaying as the corpus saturates).
+    // min(doc_id) per shingle is one aggregate over the exploded
+    // shingle stream; the per-doc ratio is a second grouped aggregate —
+    // both linear and shingle-keyed (hash the shingle at scale; the
+    // string key keeps the gate parity-trivial)
+    "q_doc_ngram_novelty" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.wordShingles(col("text"), 3)).as("g"))
+      val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_micro",
+          expr("n_novel * 1000000 DIV greatest(n_shingles, 1)"))
+        .orderBy("doc_id")
+    }),
 
     // collocation mining: top bigrams by count-space LIFT — the exp(PMI)
     // monotone c_ab·N²/(M·c_a·c_b), one mirrored left-assoc double chain
@@ -1305,6 +1417,95 @@ object CorpusOps {
          |    + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
          |    + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fertility" ->
+      s"""WITH d AS (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+         |      AS BIGINT) AS nb,
+         |    CAST(length(text) AS BIGINT) AS nc
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS sum_words,
+         |  CAST(sum(nb) AS BIGINT) AS sum_bpe,
+         |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+         |  CAST(sum(nb) * 1000000 // greatest(sum(nw), 1) AS BIGINT)
+         |    AS fertility_micro,
+         |  CAST(sum(nb) * 100000000 // greatest(sum(nc), 1) AS BIGINT)
+         |    AS bpe_per_100c_micro
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_doc_quality_norm" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, $toksSql AS toks, text FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS sraw,
+         |    CAST(length(trim(text)) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl,
+         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens
+         |  FROM b),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    round((lens
+         |      + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+         |      + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality
+         |  FROM m),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM q)
+         |SELECT doc_id, source, quality,
+         |  CAST((rk - 1) * 1000000 // greatest(n_src - 1, 1) AS BIGINT)
+         |    AS q_rank_micro
+         |FROM r WHERE rk * 2 > n_src ORDER BY doc_id""".stripMargin,
+
+    "q_doc_sentences" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x)), x -> length(x) > 0) AS segs
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(segs) AS INT) AS n_sentences,
+        |  CAST(coalesce(list_sum(list_transform(segs, x -> length(x))), 0)
+        |    AS BIGINT) AS sum_sent_chars,
+        |  CAST(coalesce(list_max(list_transform(segs, x -> length(x))), 0)
+        |    AS INT) AS max_sent_chars,
+        |  CAST(coalesce(list_sum(list_transform(segs, x -> length(x))), 0)
+        |    * 1000000 // greatest(len(segs), 1) AS BIGINT) AS mean_sent_micro
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_doc_vocab_growth" ->
+      s"""WITH tm AS (
+        |  SELECT doc_id, unnest(s) AS term FROM $shinglesSql),
+        |f AS (SELECT term, min(doc_id) AS first_doc FROM tm GROUP BY term),
+        |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |g AS (
+        |  SELECT CAST(least(first_doc * 10 // (max_id + 1), 9) AS INT)
+        |    AS decile
+        |  FROM f CROSS JOIN mx),
+        |h AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_terms
+        |  FROM g GROUP BY decile)
+        |SELECT decile, new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_terms
+        |FROM h ORDER BY decile""".stripMargin,
+
+    "q_doc_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(s) AS g FROM $shinglesSql),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    * 1000000 // greatest(count(*), 1) AS BIGINT) AS novelty_micro
+         |FROM sh JOIN f USING (g)
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_doc_langid" -> {
       val hitCols = TextOps.LangMarkers.map { case (lang, m) =>

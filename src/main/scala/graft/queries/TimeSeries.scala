@@ -459,6 +459,32 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // leakage-safe temporal split: train on the first 80% of the global
+    // time span, test on the last 20%, and DROP a 1-day embargo zone
+    // before the cut — a forecasting label whose window straddles the
+    // boundary would leak future into train. Cut epochs are integer
+    // arithmetic off one global min/max reduce (two longs, broadcast
+    // back over the scan); the label pass fuses into the scan and the
+    // per-(type, split) counts are one grouped aggregate. Integer-only:
+    // no double boundary can flip a row between engines
+    "q_ts_embargo_split" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val span = e.agg(min("event_epoch_time").as("t0"),
+        max("event_epoch_time").as("t1"))
+      e.crossJoin(broadcast(span))
+        .withColumn("cut", expr("t0 + (t1 - t0) * 8 DIV 10"))
+        .withColumn("split",
+          when(col("event_epoch_time") >= col("cut"), lit("test"))
+            .when(col("event_epoch_time") < col("cut") - lit(86400L),
+              lit("train"))
+            .otherwise(lit("embargo")))
+        .groupBy("event_type", "split")
+        .agg(count(lit(1)).as("n"),
+          min("event_epoch_time").as("min_ts"),
+          max("event_epoch_time").as("max_ts"))
+        .orderBy("event_type", "split")
+    }),
+
     // semi-structured: JSON field extraction from the props column.
     // from_json parses each row ONCE into a typed struct (get_json_object
     // re-walks the JSON text per extraction).
@@ -859,6 +885,23 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_embargo_split" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et
+        |  FROM events),
+        |s AS (SELECT min(et) AS t0, max(et) AS t1 FROM e),
+        |l AS (
+        |  SELECT event_type, et,
+        |    CASE WHEN et >= t0 + (t1 - t0) * 8 // 10 THEN 'test'
+        |         WHEN et < t0 + (t1 - t0) * 8 // 10 - 86400 THEN 'train'
+        |         ELSE 'embargo' END AS split
+        |  FROM e CROSS JOIN s)
+        |SELECT event_type, split, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(et) AS BIGINT) AS min_ts,
+        |  CAST(max(et) AS BIGINT) AS max_ts
+        |FROM l GROUP BY event_type, split
+        |ORDER BY event_type, split""".stripMargin,
 
     "q_ts_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
