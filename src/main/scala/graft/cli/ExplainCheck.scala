@@ -319,7 +319,42 @@ object ExplainCheck {
     // partials; the q_doc_upsert discipline) — never a per-bucket window
     "q_ts_downsample_last" -> (Seq("SortAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // fertility: count-space projection into a languages-sized aggregate;
+    // no join, no window, nothing but the scan and one partial agg
+    "q_doc_fertility" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")),
+    // per-source quality ranking: the rank window IS the operator (keyed
+    // by source); no join, no product anywhere
+    "q_doc_quality_norm" -> (Seq("Window"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "HashAggregate")),
+    // sentence stats: pure codegen'd projection (array algebra in-row) —
+    // no shuffle at all before the gate sort
+    "q_doc_sentences" -> (Seq("Batched: true"),
+      Seq("Window", "CartesianProduct", "HashAggregate", "SortMergeJoin")),
+    // vocab growth: explode → shingle-keyed partial agg; the max-id is a
+    // 1-row broadcast (hinted BNLJ); the cumsum window runs on 10 rows
+    "q_doc_vocab_growth" -> (Seq("Generate", "HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin")),
+    // novelty: explode → first-seen agg, re-joined on the shingle key —
+    // equi only (hash or SMJ both fine), never a product or a window
+    "q_doc_ngram_novelty" -> (Seq("Generate", "HashAggregate"),
+      Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
+    // embargo split: 2-long span reduce broadcast back (hinted BNLJ) over
+    // one scan + one grouped agg; never a product or window
+    "q_ts_embargo_split" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // autocorr: the (user,type)-keyed lag window feeds a partial-agg
+    // reduce; no join anywhere
+    "q_ts_autocorr" -> (Seq("Window", "HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    // label margin: centroid build is partial-aggregated; the L-centroid
+    // broadcast is the hinted BNLJ; both argmax layers stay aggregates —
+    // never a per-vector window
+    "q_emb_label_margin" -> (Seq("BroadcastNestedLoopJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

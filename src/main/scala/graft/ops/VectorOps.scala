@@ -369,4 +369,57 @@ object VectorOps {
       .agg(count(lit(1)).as("n"), sum("v").as("sum_q"))
       .withColumn("mean",
         col("sum_q").cast("double") / col("n") / lit(scale))
+
+  /** Label-separation audit for metric-learning / classifier corpora: per
+    * label, how tight the cluster is (mean squared distance to its own
+    * centroid) versus how far the nearest OTHER centroid sits (mean of
+    * each vector's min distance to a foreign centroid). A sep_ratio near
+    * 1 means the labels are not separable in this embedding — the signal
+    * to retrain before mining hard negatives from it.
+    *
+    * Exact integer end-to-end: vectors quantize to micro-units
+    * ([[KMeans.quantize]]), the centroid is the FLOOR of the exact
+    * rational mean — computed as `floor(sum/n)` in double, which is the
+    * true mathematical floor whenever |sum| < 2^53 and the quotient is
+    * at least 1/n away from any non-integer crossing (it is: the
+    * quotient is a rational with denominator n), so both engines agree
+    * bit-for-bit — and distances are the codegen'd
+    * [[graft.functions.LongVectorDist2]]. Per-vector d2 is bounded by
+    * dims·(2·scale)² independent of corpus size; the per-label sums hold
+    * to ~10⁴ vectors/label/dim=64 under the long envelope (beyond that,
+    * scale down or shard the sum — same discipline as dim stats).
+    *
+    * Scale shape: centroids are labels×dims rows (one partially
+    * aggregated pass, same as [[labelCentroids]]); scoring is a
+    * broadcast of L centroid arrays over one corpus pass with a map-side
+    * argmin/argmax groupBy on vec_id; the report is labels-sized.
+    */
+  def labelMargin(corpus: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", scale: Double = 1e6): DataFrame = {
+    val q = corpus.select(col("vec_id"), col(labelCol).as("lab"),
+      KMeans.quantize(col(vecCol), scale).as("qv"))
+    val cents = q
+      .select(col("lab"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("lab", "pos").agg(sum("v").as("s"), count(lit(1)).as("cn"))
+      .groupBy("lab")
+      .agg(max("cn").as("cn"),
+        array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("lab").as("clab"),
+        transform(col("ps"), e => floor(e.getField("s").cast("double")
+          / col("cn")).cast("long")).as("cen"))
+    val scored = q.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        graft.functions.GraftFunctions.long_dist2(col("qv"), col("cen")))
+    scored.groupBy("vec_id")
+      .agg(first("lab").as("lab"),
+        max(when(col("lab") === col("clab"), col("d2"))).as("own_d2"),
+        min(when(col("lab") =!= col("clab"), col("d2"))).as("min_other_d2"))
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n"),
+        sum("own_d2").as("sum_own_d2"),
+        sum("min_other_d2").as("sum_other_d2"))
+      .withColumn("sep_ratio",
+        round(col("sum_other_d2").cast("double")
+          / greatest(col("sum_own_d2"), lit(1L)).cast("double"), 6))
+  }
 }

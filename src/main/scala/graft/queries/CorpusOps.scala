@@ -253,6 +253,25 @@ object CorpusOps {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // near-dup recall eval: how much of the exact-Jaccard(≥0.8) truth
+    // set the cheap SimHash(≤3) screen recovers — the quality dial for
+    // hamming-radius / banding tuning, computed in-engine (the text
+    // analog of q_emb_recall_ivf). The pair-key join is equi; both
+    // inputs are the operators' own bounded pair outputs, so the eval
+    // costs nothing next to the screens it scores
+    "q_doc_simhash_recall" -> ((s, dir) => {
+      val d = wide(s, t(s, dir, "documents"))
+      val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+        .select("doc_a", "doc_b")
+      val approx = Dedup.simhashPairs(d, "doc_id", "text", 3)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      truth.join(approx, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
+    }),
+
     // near-dup clusters: LSH pairs → connected components via iterative
     // min-label propagation (the driver-coordinated fixpoint loop); oracle
     // recomputes reachability with a recursive CTE over the exact-Jaccard
@@ -776,6 +795,15 @@ object CorpusOps {
       VectorOps.labelCentroids(wide(s, t(s, dir, "embeddings")),
         "label", "embedding")
         .orderBy("label", "pos")),
+
+    // vector analytics: label-separation audit — per label, intra-cluster
+    // tightness vs the nearest FOREIGN centroid (sep_ratio ≈ 1 means the
+    // labels are not separable in this embedding). Exact integer
+    // fixed-point throughout (see VectorOps.labelMargin); one broadcast
+    // scoring pass, labels-sized output
+    "q_emb_label_margin" -> ((s, dir) =>
+      VectorOps.labelMargin(wide(s, t(s, dir, "embeddings")))
+        .orderBy("lab")),
 
     // n-gram statistics: corpus-wide top-20 bigrams — explode feeds a
     // partially-aggregated count, the ranking is TakeOrderedAndProject
@@ -1572,6 +1600,18 @@ object CorpusOps {
     // verification → its output equals the brute-force pair set.
     "q_doc_minhash_lsh" -> jaccardPairsSql,
 
+    // both pair sets replayed from their own oracles, composed as nested
+    // WITH subqueries; recall in integer ppm (floor division both sides)
+    "q_doc_simhash_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(sum(hit), 0) * 1000000 // greatest(count(*), 1)
+         |    AS BIGINT) AS recall_ppm
+         |FROM ($jaccardPairsSql) tr
+         |LEFT JOIN (SELECT doc_a, doc_b, 1 AS hit
+         |           FROM ($simhashPairsSql) ap) a
+         |  USING (doc_a, doc_b)""".stripMargin,
+
     "q_doc_dup_spans" ->
       raw"""WITH n AS (
            |  SELECT doc_id,
@@ -2177,6 +2217,41 @@ object CorpusOps {
         |  CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS mean
         |FROM e GROUP BY label, pos1
         |ORDER BY label, pos""".stripMargin,
+
+    // floor(sum/n) in double is the exact rational floor (see
+    // VectorOps.labelMargin scaladoc), so the centroid arrays and every
+    // integer distance replay bit-for-bit
+    "q_emb_label_margin" ->
+      """WITH q AS (
+        |  SELECT vec_id, label AS lab,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |     for x in embedding] AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT lab, generate_subscripts(qv, 1) AS pos1, unnest(qv) AS v
+        |  FROM q),
+        |g AS (SELECT lab, pos1, sum(v) AS sm, count(*) AS cn
+        |  FROM s GROUP BY lab, pos1),
+        |c AS (SELECT lab AS clab,
+        |    list(CAST(floor(CAST(sm AS DOUBLE) / cn) AS BIGINT)
+        |      ORDER BY pos1) AS cen
+        |  FROM g GROUP BY lab),
+        |d AS (
+        |  SELECT q.vec_id, q.lab, c.clab,
+        |    list_sum([(q.qv[i] - c.cen[i]) * (q.qv[i] - c.cen[i])
+        |              for i in generate_series(1, len(q.qv))]) AS d2
+        |  FROM q CROSS JOIN c),
+        |p AS (
+        |  SELECT vec_id, lab,
+        |    max(CASE WHEN lab = clab THEN d2 END) AS own_d2,
+        |    min(CASE WHEN lab <> clab THEN d2 END) AS min_other_d2
+        |  FROM d GROUP BY vec_id, lab)
+        |SELECT lab, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(own_d2) AS BIGINT) AS sum_own_d2,
+        |  CAST(sum(min_other_d2) AS BIGINT) AS sum_other_d2,
+        |  round(CAST(sum(min_other_d2) AS DOUBLE)
+        |    / CAST(greatest(sum(own_d2), 1) AS DOUBLE), 6) AS sep_ratio
+        |FROM p GROUP BY lab ORDER BY lab""".stripMargin,
 
     "q_doc_bigrams" ->
       raw"""WITH w AS (

@@ -459,6 +459,28 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // serial-correlation audit: lag-1 autocorrelation components per
+    // event stream, emitted as EXACT integer sums over milli-quantized
+    // values (n, Σx, Σy, Σxy, Σx², Σy²) so the gate carries no libm
+    // division — consumers derive Pearson r in one expression. The lag
+    // runs per (user, type) series (the partitioning a per-entity
+    // telemetry stream already has); the reduce is map-side partial.
+    // Milli (not micro) quantization keeps Σx² under the long envelope
+    // to ~10⁹ rows per type at |value| ≤ 100
+    "q_ts_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("x", expr("CAST(round(value * 1000, 0) AS BIGINT)"))
+        .withColumn("y", lag(col("x"), 1).over(w))
+        .where(col("y").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+          sum("y").as("sum_y"), sum(expr("x * y")).as("sum_xy"),
+          sum(expr("x * x")).as("sum_x2"), sum(expr("y * y")).as("sum_y2"))
+        .orderBy("event_type")
+    }),
+
     // leakage-safe temporal split: train on the first 80% of the global
     // time span, test on the last 20%, and DROP a 1-day embargo zone
     // before the cut — a forecasting label whose window straddles the
@@ -885,6 +907,24 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, ts, event_id,
+        |    CAST(round(value * 1000, 0) AS BIGINT) AS x
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS y
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_y2
+        |FROM l WHERE y IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ts_embargo_split" ->
       """WITH e AS (
