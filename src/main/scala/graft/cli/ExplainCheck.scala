@@ -354,7 +354,32 @@ object ExplainCheck {
     // broadcast is the hinted BNLJ; both argmax layers stay aggregates —
     // never a per-vector window
     "q_emb_label_margin" -> (Seq("BroadcastNestedLoopJoin"),
-      Seq("Window", "CartesianProduct", "SortMergeJoin")))
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // recall eval: both pair screens keep their equi-join shapes; the
+    // pair-key join is equi — never a product
+    "q_doc_simhash_recall" -> (Seq("HashAggregate"),
+      Seq("CartesianProduct", "Window")),
+    // lang mismatch: one scan into a source-sized aggregate; no join
+    "q_doc_lang_mismatch" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")),
+    // boilerplate: fingerprint projection + one partial-agg count
+    "q_doc_boilerplate" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")),
+    // burst detect: hourly rollup BEFORE the range window (the window
+    // runs over types×hours, never raw events); no join anywhere
+    "q_ts_burst_detect" -> (Seq("HashAggregate", "Window"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    // dup inflation: two linear corpus passes joined on the SOURCES-sized
+    // key (broadcast); the corpus never joins a corpus-sized keep table,
+    // and the keeper argmin is one struct-min aggregate — no window
+    "q_doc_dup_inflation" -> (Seq("HashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // seasonality: one 168-cell partial-agg pass, nothing else
+    "q_ts_dow_profile" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -109,7 +109,7 @@ object CorpusOps {
     // window is trivially safe
     "q_doc_vocab_growth" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val first = d
+      val first = wide(s, d)
         .select(col("doc_id"),
           explode(TextOps.wordShingles(col("text"), 3)).as("term"))
         .groupBy("term").agg(min("doc_id").as("first_doc"))
@@ -127,21 +127,30 @@ object CorpusOps {
     // n-gram novelty curve: per doc, the share of its distinct 3-gram
     // shingles never seen in any EARLIER doc (by doc_id) — the
     // crawl-ordering signal for when a source stops contributing new
-    // content (near-1 early, decaying as the corpus saturates).
-    // min(doc_id) per shingle is one aggregate over the exploded
-    // shingle stream; the per-doc ratio is a second grouped aggregate —
-    // both linear and shingle-keyed (hash the shingle at scale; the
-    // string key keeps the gate parity-trivial)
+    // content (near-1 early, decaying as the corpus saturates). ONE
+    // shingle-keyed aggregate (min doc per shingle) folded to per-doc
+    // novel counts; the denominator is the in-row shingle-set size, so
+    // the shingle stream never re-joins itself (the first cut did, and
+    // cost 2× the whole min-pass at sf0.1). Hash the shingle at scale;
+    // the string key keeps the gate parity-trivial
     "q_doc_ngram_novelty" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      val d = t(s, dir, "documents")
+      val novel = wide(s, d)
         .select(col("doc_id"),
           explode(TextOps.wordShingles(col("text"), 3)).as("g"))
-      val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
-      sh.join(first, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+        .groupBy("g").agg(min("doc_id").as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      // the ≥3-token precondition is the CHEAP equivalent of
+      // n_shingles > 0 — as a filter on the computed shingle column it
+      // would push below the repartition and run the whole shingle
+      // transform on the pre-shuffle scan task
+      wide(s, d.where(size(TextOps.normTokens(col("text"))) >= 3))
+        .select(col("doc_id"),
+          size(TextOps.wordShingles(col("text"), 3)).cast("long")
+            .as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
         .withColumn("novelty_micro",
           expr("n_novel * 1000000 DIV greatest(n_shingles, 1)"))
         .orderBy("doc_id")
@@ -223,6 +232,66 @@ object CorpusOps {
         .select(col("labeled_lang"), col("pred_lang"), col("n"),
           expr("(n * 1000000L) div n_labeled").as("share_ppm"))
         .orderBy("labeled_lang", "pred_lang")
+    }),
+
+    // ingest audit: per-source rate of declared-vs-detected language
+    // disagreement ('und' tracked separately — absence of marker
+    // evidence is not a mislabel) — the routing check that catches a
+    // feed whose lang tag went stale. One scan + source-sized aggregate
+    "q_doc_lang_mismatch" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang").as("labeled_lang"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === "und", 1L).otherwise(0L))
+            .as("n_und"),
+          sum(when(col("pred_lang") =!= "und" &&
+              col("pred_lang") =!= col("labeled_lang"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+        .withColumn("mismatch_ppm",
+          expr("n_mismatch * 1000000 DIV greatest(n_docs - n_und, 1)"))
+        .orderBy("source")),
+
+    // boilerplate/template detection: fingerprint of the first-8-token
+    // normalized prefix; fingerprints shared by ≥2 docs are template
+    // candidates (nav chrome, licence headers, form letters). One
+    // prefix projection + one fingerprint-keyed partial-agg count —
+    // linear, and the report is bounded by distinct templates
+    "q_doc_boilerplate" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(md5(concat_ws(" ",
+          slice(TextOps.normTokens(col("text")), 1, 8))).as("prefix_fp"))
+        .groupBy("prefix_fp").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix_fp"))),
+
+    // dedup ROI audit: token-weighted duplication inflation per source —
+    // raw token volume vs the volume after exact dedup (keeper = min
+    // doc_id per fingerprint, tokens attributed to the KEEPER's
+    // source), i.e. how much compute duplicate copies would waste.
+    // Two linear passes (per-source raw sums; per-fp argmin via ONE
+    // struct-min aggregate folded to per-source kept sums) joined on
+    // the sources-sized key — the corpus never joins a corpus-sized
+    // keep table. Integer token sums, ppm inflation
+    "q_doc_dup_inflation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val raw = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("raw_tokens"))
+      val kept = d
+        .groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("source"), col("nt"))).as("k"))
+        .groupBy(col("k.source").as("source"))
+        .agg(sum(col("k.nt")).as("kept_tokens"))
+      raw.join(broadcast(kept), Seq("source"), "left")
+        .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+        .withColumn("inflation_ppm",
+          expr("(raw_tokens - kept_tokens) * 1000000"
+            + " DIV greatest(raw_tokens, 1)"))
+        .orderBy("source")
     }),
 
     // document fingerprinting + exact dedup groups
@@ -1526,14 +1595,18 @@ object CorpusOps {
     "q_doc_ngram_novelty" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(s) AS g FROM $shinglesSql),
-         |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
-         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_novel,
-         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-         |    * 1000000 // greatest(count(*), 1) AS BIGINT) AS novelty_micro
-         |FROM sh JOIN f USING (g)
-         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+         |nv AS (SELECT first_doc AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM f GROUP BY first_doc),
+         |ns AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles
+         |  FROM $shinglesSql WHERE len(s) > 0)
+         |SELECT ns.doc_id, ns.n_shingles,
+         |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(coalesce(nv.n_novel, 0) * 1000000
+         |    // greatest(ns.n_shingles, 1) AS BIGINT) AS novelty_micro
+         |FROM ns LEFT JOIN nv USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_langid" -> {
       val hitCols = TextOps.LangMarkers.map { case (lang, m) =>
@@ -1580,6 +1653,66 @@ object CorpusOps {
          |GROUP BY p.labeled_lang, p.pred_lang
          |ORDER BY p.labeled_lang, p.pred_lang""".stripMargin
     },
+
+    "q_doc_lang_mismatch" -> {
+      val hitCols = TextOps.LangMarkers.map { case (lang, m) =>
+        val lst = m.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($lst))) AS h_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = TextOps.LangMarkers.map(m => s"h_${m._1}")
+        .mkString("greatest(", ", ", ")")
+      val caseChain = TextOps.LangMarkers.map { case (lang, _) =>
+        s"WHEN best > 0 AND h_$lang = best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH b AS (SELECT source, lang, $toksSql AS toks FROM documents),
+         |h AS (SELECT source, lang,
+         |    $hitCols
+         |  FROM b),
+         |m AS (SELECT *, $bestExpr AS best FROM h),
+         |p AS (SELECT source, lang AS labeled_lang,
+         |    CASE $caseChain ELSE 'und' END AS pred_lang FROM m)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_und,
+         |  CAST(sum(CASE WHEN pred_lang <> 'und'
+         |    AND pred_lang <> labeled_lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_mismatch,
+         |  CAST(sum(CASE WHEN pred_lang <> 'und'
+         |    AND pred_lang <> labeled_lang THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*) - sum(CASE WHEN pred_lang = 'und'
+         |      THEN 1 ELSE 0 END), 1) AS BIGINT) AS mismatch_ppm
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q_doc_dup_inflation" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, source,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |      AS nt
+           |  FROM documents),
+           |rw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(nt) AS BIGINT) AS raw_tokens FROM d GROUP BY source),
+           |k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp),
+           |kp AS (
+           |  SELECT d.source, CAST(sum(d.nt) AS BIGINT) AS kept_tokens
+           |  FROM d JOIN k ON d.fp = k.fp AND d.doc_id = k.keep_id
+           |  GROUP BY d.source)
+           |SELECT rw.source, n_docs, raw_tokens,
+           |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           |  CAST((raw_tokens - coalesce(kept_tokens, 0)) * 1000000
+           |    // greatest(raw_tokens, 1) AS BIGINT) AS inflation_ppm
+           |FROM rw LEFT JOIN kp USING (source) ORDER BY source""".stripMargin,
+
+    "q_doc_boilerplate" ->
+      raw"""WITH n AS (
+           |  SELECT md5(array_to_string(
+           |    regexp_split_to_array(trim(lower(text)), '\s+')[1:8], ' '))
+           |    AS prefix_fp
+           |  FROM documents)
+           |SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM n GROUP BY prefix_fp HAVING count(*) >= 2
+           |ORDER BY n_docs DESC, prefix_fp""".stripMargin,
 
     "q_doc_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -459,6 +459,44 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // seasonality profile: exact event counts + micro-unit value sums
+    // per (day-of-week, hour-of-day) cell — the calendar heatmap a
+    // scheduler or anomaly baseline consumes. Pure integer epoch math
+    // ((epoch DIV 86400 + 4) % 7; epoch day 0 was a Thursday), one
+    // 168-cell partially-aggregated pass
+    "q_ts_dow_profile" -> ((s, dir) =>
+      ev(s, dir)
+        .select(expr("(event_epoch_time DIV 86400 + 4) % 7").as("dow"),
+          expr("(event_epoch_time % 86400) DIV 3600").as("hour"),
+          col("value"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 1000000, 0) AS BIGINT)"))
+            .as("sum_value_micro"))
+        .orderBy("dow", "hour")),
+
+    // burst detection: hourly event counts vs the trailing-24h mean per
+    // type, flagged when the hour runs ≥3× its trailing rate with ≥6
+    // prior hours of evidence — the log-storm / scraper-spike monitor.
+    // The comparison stays integer (cnt·n ≥ 3·sum, never a mean
+    // division); the RANGE window is over the hour index, so sparse
+    // hours don't smear the baseline. Hourly rollup first: the window
+    // runs over types×hours rows, not raw events
+    "q_ts_burst_detect" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rangeBetween(-24, -1)
+      ev(s, dir)
+        .select(col("event_type"), expr("event_epoch_time DIV 3600").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_sum", sum("cnt").over(w))
+        .where(col("trail_n") >= 6 &&
+          col("cnt") * col("trail_n") >= lit(3L) * col("trail_sum"))
+        .select(col("event_type"), col("hr"), col("cnt"),
+          col("trail_n"), col("trail_sum"))
+        .orderBy("event_type", "hr")
+    }),
+
     // serial-correlation audit: lag-1 autocorrelation components per
     // event stream, emitted as EXACT integer sums over milli-quantized
     // values (n, Σx, Σy, Σxy, Σx², Σy²) so the gate carries no libm
@@ -907,6 +945,38 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_dow_profile" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS et, value FROM events)
+        |SELECT (et // 86400 + 4) % 7 AS dow,
+        |  (et % 86400) // 3600 AS hour,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micro
+        |FROM e GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+
+    "q_ts_burst_detect" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, hr, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY event_type, hr),
+        |t AS (
+        |  SELECT event_type, hr, cnt,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY hr
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum
+        |  FROM h)
+        |SELECT event_type, hr, cnt,
+        |  CAST(trail_n AS BIGINT) AS trail_n,
+        |  CAST(trail_sum AS BIGINT) AS trail_sum
+        |FROM t
+        |WHERE trail_n >= 6 AND cnt * trail_n >= 3 * trail_sum
+        |ORDER BY event_type, hr""".stripMargin,
 
     "q_ts_autocorr" ->
       """WITH e AS (
