@@ -95,6 +95,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming burst detector evaluates closed hours against trailing rate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingBursts
+    // hours 0..6: one event each (the quiet baseline); hour 7: a 10-event
+    // spike; batch 2's hour-8 event CLOSES hour 7 and must fire the alert.
+    // Hours 1..6 close with either trail_n < 6 or cnt below 3x — no alert.
+    val baseline = (0 to 6).map(h =>
+      ("api", ts(f"2020-01-01 $h%02d:15:00")))
+    val spike = (0 until 10).map(m =>
+      ("api", ts(f"2020-01-01 07:${m * 5}%02d:00")))
+    val b2 = Seq(("api", ts("2020-01-01 08:01:00")))
+    val source = MemoryStream[(String, Timestamp)]
+    val out = StreamingBursts.detect(
+      source.toDF().toDF("event_type", "event_time"),
+      horizonSeconds = 86400, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("burst_out").start()
+    try {
+      source.addData(baseline ++ spike: _*); q.processAllAvailable()
+      val afterB1 = spark.table("burst_out").count()
+      assert(afterB1 == 0, s"no hour with >=6h evidence bursts in batch 1")
+      source.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("burst_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // hour 7 = epoch hour 438295 + 7? No: epoch hours for 2020-01-01 are
+      // absolute — recompute from the timestamp itself for robustness
+      val hr7 = ts("2020-01-01 07:00:00").getTime / 1000 / 3600
+      assert(got == Set(("api", hr7, 10L, 7L, 7L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming change points match the batch lag filter across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingChangePoints
