@@ -379,7 +379,15 @@ object ExplainCheck {
     // seasonality: one 168-cell partial-agg pass, nothing else
     "q_ts_dow_profile" -> (Seq("HashAggregate", "Batched: true"),
       Seq("Window", "CartesianProduct", "SortMergeJoin",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // rate limit: two nested keyed aggregates, no join/window
+    "q_ts_rate_limit" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")),
+    // cross-modal consistency: LSH pair screen keeps its equi shapes;
+    // embedding lookups are id-keyed equi-joins — never a product
+    "q_emb_dup_consistency" -> (Seq("ObjectHashAggregate"),
+      Seq("CartesianProduct", "Window")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

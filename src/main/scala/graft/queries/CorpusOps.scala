@@ -341,6 +341,27 @@ object CorpusOps {
           expr("n_hit * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
     }),
 
+    // cross-modal integrity: text-near-dup pairs (MinHash-LSH, exact-
+    // verified ≥0.8) should carry similar embeddings — a pair with high
+    // Jaccard but low cosine is a stale or mis-joined embedding row (the
+    // re-embed worklist). Pairs are the dedup op's own bounded output;
+    // the two embedding lookups are id-keyed equi-joins
+    "q_emb_dup_consistency" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(wide(s, t(s, dir, "documents")),
+        "doc_id", "text", 3, 64, 32, 0.8)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      pairs
+        .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("va")),
+          Seq("doc_a"))
+        .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("vb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(VectorOps.cosine(col("va"), col("vb")), 6).as("cos"))
+        .withColumn("consistent", col("cos") >= 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // near-dup clusters: LSH pairs → connected components via iterative
     // min-label propagation (the driver-coordinated fixpoint loop); oracle
     // recomputes reachability with a recursive CTE over the exact-Jaccard
@@ -1732,6 +1753,17 @@ object CorpusOps {
     // LSH with 32 bands x 2 rows has recall ≈ 1 at j >= 0.8 and exact-Jaccard
     // verification → its output equals the brute-force pair set.
     "q_doc_minhash_lsh" -> jaccardPairsSql,
+
+    "q_emb_dup_consistency" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  round(${cosSql("a.ev", "b.ev")}, 6) AS cos,
+         |  round(${cosSql("a.ev", "b.ev")}, 6) >= 0.9 AS consistent
+         |FROM ($jaccardPairsSql) p
+         |JOIN e a ON p.doc_a = a.vec_id
+         |JOIN e b ON p.doc_b = b.vec_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // both pair sets replayed from their own oracles, composed as nested
     // WITH subqueries; recall in integer ppm (floor division both sides)

@@ -459,6 +459,20 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // abuse/ops audit: per-user hours exceeding a rate cap — the
+    // rate-limiter tuning view (who would a 2/hour cap throttle and how
+    // hard). Two nested integer aggregates, both partially aggregated;
+    // output is offending users only
+    "q_ts_rate_limit" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("user_id"), expr("event_epoch_time DIV 3600").as("hr"))
+        .groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(sum(when(col("n") > 2, 1L).otherwise(0L)).as("n_hot_hours"),
+          max("n").as("max_per_hour"))
+        .where(col("n_hot_hours") > 0)
+        .orderBy("user_id")),
+
     // seasonality profile: exact event counts + micro-unit value sums
     // per (day-of-week, hour-of-day) cell — the calendar heatmap a
     // scheduler or anomaly baseline consumes. Pure integer epoch math
@@ -945,6 +959,20 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_rate_limit" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id, hr)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hot_hours,
+        |  CAST(max(n) AS BIGINT) AS max_per_hour
+        |FROM m GROUP BY user_id
+        |HAVING sum(CASE WHEN n > 2 THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin,
 
     "q_ts_dow_profile" ->
       """WITH e AS (
