@@ -1460,4 +1460,24 @@ class OpsSpec extends AnyFunSuite {
     // doc 1: lexical rank 1 only → round(1e6/61) = 16393
     assert(scores(1L) == 16393L)
   }
+
+  test("label margin: separated clusters score > 1, single label nulls out") {
+    // two tight, far-apart clusters: own-centroid distance tiny, foreign
+    // centroid distance huge → sep_ratio >> 1
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(-1.0f, 0.0f), 1), (3L, Array(-0.9f, -0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = VectorOps.labelMargin(e).collect()
+      .map(x => x.getAs[Int]("lab") ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("sep_ratio")))).toMap
+    assert(r(0)._1 == 2 && r(1)._1 == 2)
+    assert(r(0)._2 > 10 && r(1)._2 > 10,
+      s"separated clusters must show sep_ratio >> 1: $r")
+    // a single-label corpus has no foreign centroid: min-other is null
+    // end-to-end (never a fake zero, which would read as zero margin)
+    val single = e.where(col("label") === 0)
+    val s0 = VectorOps.labelMargin(single).collect().head
+    assert(s0.isNullAt(s0.fieldIndex("sum_other_d2")))
+  }
 }
