@@ -387,7 +387,12 @@ object ExplainCheck {
     // cross-modal consistency: LSH pair screen keeps its equi shapes;
     // embedding lookups are id-keyed equi-joins — never a product
     "q_emb_dup_consistency" -> (Seq("ObjectHashAggregate"),
-      Seq("CartesianProduct", "Window")))
+      Seq("CartesianProduct", "Window")),
+    // stopword induction: per-doc-distinct explode → term-keyed partial
+    // agg; the 1-row corpus count is the hinted BNLJ broadcast
+    "q_doc_stopword_induce" -> (Seq("Generate", "HashAggregate",
+      "BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct", "Window", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

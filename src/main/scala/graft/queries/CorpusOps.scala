@@ -234,6 +234,27 @@ object CorpusOps {
         .orderBy("labeled_lang", "pred_lang")
     }),
 
+    // corpus-derived stopword induction: terms present in ≥30% of
+    // documents (DOCUMENT frequency, not raw counts — a term repeated
+    // in one doc is content, a term in every doc is glue). One
+    // per-doc-distinct explode into a term-keyed partial-agg count, the
+    // 1-row corpus size broadcast back; the induced list feeds
+    // stopwordRatio / langid as a corpus-specific lexicon
+    "q_doc_stopword_induce" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      d.select(col("doc_id"),
+          explode(array_distinct(TextOps.normTokens(col("text"))))
+            .as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("df_ppm", expr("df * 1000000 DIV n_docs"))
+        .where(col("df_ppm") >= 300000)
+        .select("term", "df", "df_ppm")
+        .orderBy(col("df").desc, col("term"))
+    }),
+
     // ingest audit: per-source rate of declared-vs-detected language
     // disagreement ('und' tracked separately — absence of marker
     // evidence is not a mislabel) — the routing check that catches a
@@ -1704,6 +1725,20 @@ object CorpusOps {
          |      THEN 1 ELSE 0 END), 1) AS BIGINT) AS mismatch_ppm
          |FROM p GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q_doc_stopword_induce" ->
+      raw"""WITH tm AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    regexp_split_to_array(trim(lower(text)), '\s+'))) AS term
+           |  FROM documents),
+           |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tm
+           |  WHERE length(term) > 0 GROUP BY term),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+           |SELECT term, df,
+           |  CAST(df * 1000000 // n_docs AS BIGINT) AS df_ppm
+           |FROM f CROSS JOIN n
+           |WHERE df * 1000000 // n_docs >= 300000
+           |ORDER BY df DESC, term""".stripMargin,
 
     "q_doc_dup_inflation" ->
       raw"""WITH d AS (
