@@ -109,6 +109,22 @@ object Bench {
         .groupBy("c_mktsegment")
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
         .count()
+      // exact-percentile + boundary-broadcast bucketize (the q_histogram /
+      // q_percentile family): compile the ObjectHashAggregate percentile
+      // and the 1-row-broadcast CASE-chain off-clock — PerfProbe measured
+      // q_histogram 10.0 s first-run vs 3.0 s steady in a fresh JVM, the
+      // same first-compile mechanism as the r3 join and r4 trainer holes
+      val liP = li.select(cents(col("l_extendedprice")).as("c"))
+      val bsW = liP.agg(expr("percentile(c, array(0.25, 0.5, 0.75))").as("bs"))
+      liP.crossJoin(org.apache.spark.sql.functions.broadcast(bsW))
+        .withColumn("bucket",
+          org.apache.spark.sql.functions.when(col("c") <= col("bs")(0), 0)
+            .when(col("c") <= col("bs")(1), 1)
+            .otherwise(2))
+        .groupBy("bucket")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          min(col("c")).as("mn"), max(col("c")).as("mx"))
+        .count()
       spark.catalog.clearCache()
     }
     // k-means/PQ trainer family + embedding pair/scan family: the r4 driver
