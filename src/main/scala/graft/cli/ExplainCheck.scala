@@ -392,6 +392,11 @@ object ExplainCheck {
     // agg; the 1-row corpus count is the hinted BNLJ broadcast
     "q_doc_stopword_induce" -> (Seq("Generate", "HashAggregate",
       "BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct", "Window", "SortMergeJoin")),
+    // value drift: baseline deciles and per-half totals both broadcast
+    // back over grouped passes; the raw stream shuffles only for its
+    // keyed counts — never a window, never a product
+    "q_ts_value_drift" -> (Seq("ObjectHashAggregate", "HashAggregate"),
       Seq("CartesianProduct", "Window", "SortMergeJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;

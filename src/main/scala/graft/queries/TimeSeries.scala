@@ -459,6 +459,45 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // value-distribution drift between stream halves (first vs second
+    // half of the time span — yesterday/today stand-ins): per event
+    // type, decile-bucket shares of each half and their L1/L∞ distance
+    // in exact ppm — the count-space drift verdict (no libm PSI; the
+    // shares carry the same signal). Bucket edges come from the FIRST
+    // half's exact deciles so "drift" means "moved against the old
+    // baseline"; two grouped passes + a types×10 reshape
+    "q_ts_value_drift" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val span = e.agg(min("event_epoch_time").as("t0"),
+        max("event_epoch_time").as("t1"))
+      val halved = e.crossJoin(broadcast(span))
+        .withColumn("half",
+          when(expr("(event_epoch_time - t0) * 2 <= (t1 - t0)"), lit("old"))
+            .otherwise(lit("new")))
+        .withColumn("c", expr("CAST(round(value * 1000000, 0) AS BIGINT)"))
+      val edges = halved.where(col("half") === "old")
+        .groupBy("event_type")
+        .agg(expr("percentile(c, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("es"))
+      val bucketed = halved.join(broadcast(edges), Seq("event_type"))
+        .withColumn("bucket",
+          (0 until 9).map(i => when(col("c") > col("es")(i), 1).otherwise(0))
+            .reduce(_ + _))
+        .groupBy("event_type", "half", "bucket")
+        .agg(count(lit(1)).as("n"))
+      val totals = bucketed.groupBy("event_type", "half")
+        .agg(sum("n").as("tot"))
+      bucketed.join(broadcast(totals), Seq("event_type", "half"))
+        .withColumn("share_ppm", expr("n * 1000000 DIV tot"))
+        .groupBy("event_type", "bucket")
+        .agg(sum(when(col("half") === "old", col("share_ppm"))
+            .otherwise(0L)).as("old_ppm"),
+          sum(when(col("half") === "new", col("share_ppm"))
+            .otherwise(0L)).as("new_ppm"))
+        .withColumn("abs_diff_ppm", abs(col("old_ppm") - col("new_ppm")))
+        .orderBy("event_type", "bucket")
+    }),
+
     // abuse/ops audit: per-user hours exceeding a rate cap — the
     // rate-limiter tuning view (who would a 2/hour cap throttle and how
     // hard). Two nested integer aggregates, both partially aggregated;
@@ -959,6 +998,52 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_value_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS c
+        |  FROM events),
+        |s AS (SELECT min(et) AS t0, max(et) AS t1 FROM e),
+        |h AS (
+        |  SELECT event_type, c,
+        |    CASE WHEN (et - t0) * 2 <= (t1 - t0) THEN 'old' ELSE 'new' END
+        |      AS half
+        |  FROM e CROSS JOIN s),
+        |ed AS (
+        |  SELECT event_type,
+        |    quantile_cont(c, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+        |  FROM h WHERE half = 'old' GROUP BY event_type),
+        |b AS (
+        |  SELECT h.event_type, h.half,
+        |    (CASE WHEN c > es[1] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[2] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[3] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[4] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[5] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[6] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[7] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[8] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c > es[9] THEN 1 ELSE 0 END) AS bucket
+        |  FROM h JOIN ed USING (event_type)),
+        |g AS (SELECT event_type, half, bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY event_type, half, bucket),
+        |t AS (SELECT event_type, half, sum(n) AS tot FROM g
+        |  GROUP BY event_type, half),
+        |sh AS (SELECT g.event_type, g.half, g.bucket,
+        |    CAST(g.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+        |  FROM g JOIN t USING (event_type, half))
+        |SELECT event_type, bucket,
+        |  CAST(sum(CASE WHEN half = 'old' THEN share_ppm ELSE 0 END)
+        |    AS BIGINT) AS old_ppm,
+        |  CAST(sum(CASE WHEN half = 'new' THEN share_ppm ELSE 0 END)
+        |    AS BIGINT) AS new_ppm,
+        |  CAST(abs(sum(CASE WHEN half = 'old' THEN share_ppm ELSE 0 END)
+        |    - sum(CASE WHEN half = 'new' THEN share_ppm ELSE 0 END))
+        |    AS BIGINT) AS abs_diff_ppm
+        |FROM sh GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "q_ts_rate_limit" ->
       """WITH m AS (

@@ -473,4 +473,55 @@ object PropertySpec extends Properties("graft.stages") {
         pieces.mkString == w && pieces.forall(_.nonEmpty)
       }
     }
+
+  property("embargo split partitions every event; zones ordered in time") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 500000L))) { offsets =>
+      import spark.implicits._
+      val base = 1577836800L // 2020-01-01
+      val e = offsets.zipWithIndex
+        .map { case (off, i) => (i.toLong, base + off) }
+        .toDF("event_id", "event_epoch_time")
+      val span = e.agg(min("event_epoch_time").as("t0"),
+        max("event_epoch_time").as("t1"))
+      val labeled = e.crossJoin(broadcast(span))
+        .withColumn("cut", expr("t0 + (t1 - t0) * 8 DIV 10"))
+        .withColumn("split",
+          when(col("event_epoch_time") >= col("cut"), lit("test"))
+            .when(col("event_epoch_time") < col("cut") - lit(86400L),
+              lit("train"))
+            .otherwise(lit("embargo")))
+        .select(col("event_epoch_time").as("t"), col("split"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val byZone = labeled.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      def mx(z: String) = byZone.get(z).map(_.max)
+      def mn(z: String) = byZone.get(z).map(_.min)
+      labeled.length == offsets.length &&
+        // zone boundaries never interleave: train < embargo < test
+        mx("train").forall(t => mn("embargo").forall(t < _) &&
+          mn("test").forall(t < _)) &&
+        mx("embargo").forall(t => mn("test").forall(t < _))
+    }
+
+  property("per-source top-half rank filter keeps exactly ceil(n/2)") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 3)) { (n, nSrc) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = (0 until n).map(i =>
+        (i.toLong, s"src${i % nSrc}", (i * 37 % 11).toDouble))
+        .toDF("doc_id", "source", "quality")
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality"), col("doc_id"))
+      val ws = Window.partitionBy("source")
+      val kept = docs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(ws))
+        .where(col("rk") * 2 > col("n_src"))
+        .groupBy("source").agg(count(lit(1)).as("k"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes = (0 until n).groupBy(i => s"src${i % nSrc}").view
+        .mapValues(_.size).toMap
+      sizes.forall { case (src, sz) =>
+        kept.getOrElse(src, 0L) == (sz + 1) / 2
+      }
+    }
 }
