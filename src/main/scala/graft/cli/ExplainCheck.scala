@@ -397,7 +397,12 @@ object ExplainCheck {
     // back over grouped passes; the raw stream shuffles only for its
     // keyed counts — never a window, never a product
     "q_ts_value_drift" -> (Seq("ObjectHashAggregate", "HashAggregate"),
-      Seq("CartesianProduct", "Window", "SortMergeJoin")))
+      Seq("CartesianProduct", "Window", "SortMergeJoin")),
+    // event trigrams: the lead window partitions per user (one user's
+    // stream per group); ranking is k-bounded TakeOrdered
+    "q_ts_event_trigrams" -> (Seq("Window", "TakeOrderedAndProject",
+      "HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -459,6 +459,25 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // behavioral sequence mining: top-20 event-type trigrams across
+    // per-user ordered streams — the path-analysis staple (what do
+    // users DO around a purchase). Two lead() slots on one
+    // user-partitioned window (per-partition size = one user's
+    // stream), then a trigram-keyed partial-agg count with k-bounded
+    // ranking — never a global sort
+    "q_ts_event_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .where(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram")).limit(20)
+    }),
+
     // value-distribution drift between stream halves (first vs second
     // half of the time span — yesterday/today stand-ins): per event
     // type, decile-bucket shares of each half and their L1/L∞ distance
@@ -998,6 +1017,19 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_event_trigrams" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE t3 IS NOT NULL
+        |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
 
     "q_ts_value_drift" ->
       """WITH e AS (
