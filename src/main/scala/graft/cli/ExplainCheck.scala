@@ -402,7 +402,12 @@ object ExplainCheck {
     // stream per group); ranking is k-bounded TakeOrdered
     "q_ts_event_trigrams" -> (Seq("Window", "TakeOrderedAndProject",
       "HashAggregate"),
-      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")))
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    // ppl buckets: the tercile cutoffs are a langs-sized broadcast back
+    // over the scored frame; lang rides the doc key through the bigram
+    // aggregate (no second corpus join); never a window
+    "q_doc_ppl_buckets" -> (Seq("ObjectHashAggregate", "Generate"),
+      Seq("CartesianProduct", "Window")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

@@ -975,6 +975,37 @@ object CorpusOps {
         wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity bucketing: per-language head/middle/tail by
+    // the corpus-LM typicality terciles — the canonical crawl-quality
+    // partition (train on head, sample middle, drop tail). Typicality
+    // carries lang through the bigram aggregate (no second corpus join);
+    // the tercile cutoffs are a languages-sized broadcast back over the
+    // scored frame; report is langs×3 rows
+    "q_doc_ppl_buckets" -> ((s, dir) => {
+      val d = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val bg = d.select(col("doc_id"), col("lang"),
+        explode(TextOps.wordBigrams(col("text"))).as("bigram"))
+      val counts = bg.groupBy("bigram").agg(count(lit(1)).as("bg_count"))
+      val scored = bg.join(counts, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), sum("bg_count").as("sum_count"))
+        .withColumn("typicality",
+          col("sum_count").cast("double") / col("n_bigrams"))
+      val cuts = scored.groupBy("lang")
+        .agg(expr("percentile(typicality, array(0.3333, 0.6667))").as("cs"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("typicality") > col("cs")(1), "head")
+            .when(col("typicality") > col("cs")(0), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("typicality"), 6).as("min_typ"),
+          round(max("typicality"), 6).as("max_typ"))
+        .orderBy("lang", "bucket")
+    }),
+
     // multimodal: binary payload + batched decode-stub feature extraction
     // container-header sniffing (NOT a stub — real PNG IHDR byte offsets):
     // payloads assembled as valid PNG headers (every 7th doc a JPEG
@@ -2548,6 +2579,40 @@ object CorpusOps {
            |  CAST(sum(c.bg_count) AS DOUBLE) / count(*) AS typicality
            |FROM b JOIN c USING (bigram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_doc_ppl_buckets" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id, lang,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS bigram
+           |  FROM w, LATERAL (
+           |    SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+           |c AS (
+           |  SELECT bigram, CAST(count(*) AS BIGINT) AS bg_count
+           |  FROM b GROUP BY bigram),
+           |sc AS (
+           |  SELECT doc_id, lang,
+           |    CAST(sum(c.bg_count) AS DOUBLE) / count(*) AS typicality
+           |  FROM b JOIN c USING (bigram)
+           |  GROUP BY doc_id, lang),
+           |cut AS (
+           |  SELECT lang,
+           |    quantile_cont(typicality, [0.3333, 0.6667]) AS cs
+           |  FROM sc GROUP BY lang),
+           |bk AS (
+           |  SELECT sc.lang,
+           |    CASE WHEN typicality > cs[2] THEN 'head'
+           |         WHEN typicality > cs[1] THEN 'middle'
+           |         ELSE 'tail' END AS bucket,
+           |    typicality
+           |  FROM sc JOIN cut USING (lang))
+           |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n,
+           |  round(min(typicality), 6) AS min_typ,
+           |  round(max(typicality), 6) AS max_typ
+           |FROM bk GROUP BY lang, bucket
+           |ORDER BY lang, bucket""".stripMargin,
 
     "q_mm_wav" ->
       """SELECT doc_id, doc_id % 5 <> 0 AS is_wav,
