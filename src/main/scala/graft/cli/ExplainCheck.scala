@@ -407,7 +407,20 @@ object ExplainCheck {
     // over the scored frame; lang rides the doc key through the bigram
     // aggregate (no second corpus join); never a window
     "q_doc_ppl_buckets" -> (Seq("ObjectHashAggregate", "Generate"),
-      Seq("CartesianProduct", "Window")))
+      Seq("CartesianProduct", "Window")),
+    // quality-length correlation: one scan, one 1-row reduce — nothing
+    // else is acceptable for a corpus-wide statistic
+    "q_doc_quality_len_corr" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin", "Generate")),
+    // norm stats: in-row fold + labels-sized partial aggregate
+    "q_emb_norm_stats" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin", "Generate")),
+    // attribution: both argmaxes ride ONE struct-aggregate pass (the
+    // q_doc_upsert partial-before-exchange discipline); no window
+    "q_ts_attribution" -> (Seq("SortAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

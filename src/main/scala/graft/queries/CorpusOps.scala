@@ -907,6 +907,21 @@ object CorpusOps {
         "label", "embedding")
         .orderBy("label", "pos")),
 
+    // embedding norm health per label: exact integer squared-norm stats
+    // over micro-quantized vectors — catches un-normalized or collapsed
+    // rows before they poison cosine math (the complement of the
+    // per-DIM q_emb_dim_stats audit). One in-row fold + one labels-
+    // sized partial aggregate
+    "q_emb_norm_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          aggregate(graft.ops.KMeans.quantize(col("embedding"), 1e6),
+            lit(0L), (a, x) => a + x * x).as("n2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), min("n2").as("min_n2"),
+          max("n2").as("max_n2"), sum("n2").as("sum_n2"))
+        .orderBy("label")),
+
     // vector analytics: label-separation audit — per label, intra-cluster
     // tightness vs the nearest FOREIGN centroid (sep_ratio ≈ 1 means the
     // labels are not separable in this embedding). Exact integer
@@ -974,6 +989,20 @@ object CorpusOps {
       graft.ops.Curation.typicalityProfile(
         wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // filter-bias audit: Pearson components between token count and the
+    // quality score, as EXACT integer sums (the q_ts_autocorr idiom) —
+    // if r ≈ 1 the "quality" filter is just a length filter (the known
+    // trap in heuristic quality scoring). One scan, one 1-row reduce
+    "q_doc_quality_len_corr" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextOps.tokenCount(col("text")).cast("long").as("x"),
+          round(TextOps.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+          sum("y").as("sum_y"), sum(expr("x * y")).as("sum_xy"),
+          sum(expr("x * x")).as("sum_x2"),
+          sum(expr("y * y")).as("sum_y2"))),
 
     // CCNet-style perplexity bucketing: per-language head/middle/tail by
     // the corpus-LM typicality terciles — the canonical crawl-quality
@@ -2448,6 +2477,46 @@ object CorpusOps {
         |  CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS mean
         |FROM e GROUP BY label, pos1
         |ORDER BY label, pos""".stripMargin,
+
+    "q_emb_norm_stats" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    list_sum([CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |                AS BIGINT)
+        |              * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |                AS BIGINT)
+        |              for x in embedding]) AS n2
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n2) AS BIGINT) AS min_n2,
+        |  CAST(max(n2) AS BIGINT) AS max_n2,
+        |  CAST(sum(n2) AS BIGINT) AS sum_n2
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_doc_quality_len_corr" -> {
+      val qualityExpr =
+        """round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+          |  + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+          |  + least(sraw * 5.0, 1.0)) / 3.0, 6)""".stripMargin
+      s"""WITH b AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
+         |m AS (
+         |  SELECT doc_id, toks,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS sraw,
+         |    CAST(length(trim(text)) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl
+         |  FROM b),
+         |v AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS x,
+         |    CAST(round($qualityExpr * 1000000, 0) AS BIGINT) AS y
+         |  FROM m)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+         |  CAST(sum(y * y) AS BIGINT) AS sum_y2
+         |FROM v""".stripMargin
+    },
 
     // floor(sum/n) in double is the exact rational floor (see
     // VectorOps.labelMargin scaladoc), so the centroid arrays and every

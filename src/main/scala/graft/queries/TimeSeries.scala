@@ -459,6 +459,22 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // first/last-touch attribution: per user the first and last event
+    // type (struct-argmin/argmax on the unique (ts, event_id) order),
+    // rolled up to (first, last) path counts — the marketing
+    // attribution cut. Both argmaxes ride ONE map-side-partial pass;
+    // output is at most types² rows
+    "q_ts_attribution" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("first_type"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("last_type"))
+        .groupBy("first_type", "last_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("first_type", "last_type")),
+
     // behavioral sequence mining: top-20 event-type trigrams across
     // per-user ordered streams — the path-analysis staple (what do
     // users DO around a purchase). Two lead() slots on one
@@ -1017,6 +1033,21 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_attribution" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events)
+        |SELECT f.event_type AS first_type, l.event_type AS last_type,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM (SELECT user_id, event_type FROM o WHERE rn = 1) f
+        |JOIN (SELECT user_id, event_type FROM o WHERE rn = cnt) l
+        |  USING (user_id)
+        |GROUP BY first_type, last_type
+        |ORDER BY first_type, last_type""".stripMargin,
 
     "q_ts_event_trigrams" ->
       """WITH l AS (
