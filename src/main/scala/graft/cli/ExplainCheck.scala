@@ -420,7 +420,20 @@ object ExplainCheck {
     // q_doc_upsert partial-before-exchange discipline); no window
     "q_ts_attribution" -> (Seq("SortAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // grouping sets: one Expand + one aggregate — never three passes
+    "q_grouping_sets" -> (Seq("Expand", "HashAggregate"),
+      Seq("Window", "CartesianProduct", "Union", "SortMergeJoin")),
+    // lifecycle: count-distinct rewrites as a two-level agg, no Expand
+    "q_ts_lifecycle" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin", "Expand")),
+    // power users: partial-agg count + k-bounded ranking + 1-row
+    // broadcast — never a global sort of the user table
+    "q_ts_power_users" -> (Seq("TakeOrderedAndProject", "HashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // stitch pairs: equi-join on the trigram key only
+    "q_doc_stitch_pairs" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).

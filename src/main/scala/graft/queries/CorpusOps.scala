@@ -234,6 +234,28 @@ object CorpusOps {
         .orderBy("labeled_lang", "pred_lang")
     }),
 
+    // crawl-stitching detection: doc A's literal trailing 3-gram equals
+    // doc B's literal leading 3-gram — continuation candidates from
+    // paginated crawls (the re-join worklist before chunking splits a
+    // document mid-thought). Each doc contributes ONE head and ONE tail
+    // trigram in-row (no explode, no distinct — a repeated early
+    // trigram must not shadow the true tail); the pair join is equi on
+    // the trigram (df-cap it at scale, the jaccard discipline)
+    "q_doc_stitch_pairs" -> ((s, dir) => {
+      val toks = TextOps.normTokens(col("text"))
+      val g = t(s, dir, "documents")
+        .where(size(toks) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, 1, 3)).as("head_g"),
+          concat_ws(" ", slice(toks, -3, 3)).as("tail_g"))
+      g.select(col("doc_id").as("prev_doc"), col("tail_g").as("g"))
+        .join(g.select(col("doc_id").as("next_doc"), col("head_g").as("g")),
+          Seq("g"))
+        .where(col("prev_doc") =!= col("next_doc"))
+        .select(col("prev_doc"), col("next_doc"), col("g"))
+        .orderBy("prev_doc", "next_doc")
+    }),
+
     // corpus-derived stopword induction: terms present in ≥30% of
     // documents (DOCUMENT frequency, not raw counts — a term repeated
     // in one doc is content, a term in every doc is glue). One
@@ -1785,6 +1807,21 @@ object CorpusOps {
          |      THEN 1 ELSE 0 END), 1) AS BIGINT) AS mismatch_ppm
          |FROM p GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q_doc_stitch_pairs" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, array_to_string(ws[1:3], ' ') AS head_g,
+           |    array_to_string(ws[len(ws)-2:len(ws)], ' ') AS tail_g
+           |  FROM tk WHERE len(ws) >= 3)
+           |SELECT a.doc_id AS prev_doc, b.doc_id AS next_doc,
+           |  a.tail_g AS g
+           |FROM g a JOIN g b ON a.tail_g = b.head_g
+           |  AND a.doc_id <> b.doc_id
+           |ORDER BY prev_doc, next_doc""".stripMargin,
 
     "q_doc_stopword_induce" ->
       raw"""WITH tm AS (

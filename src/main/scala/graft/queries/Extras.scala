@@ -103,6 +103,21 @@ object Extras {
     }),
 
     // SQL entry point: the same engine driven through spark.sql + temp view
+    // GROUPING SETS: the third multi-dimensional agg flavor next to
+    // rollup/cube — exactly the requested combinations (here (priority),
+    // (status), ()), one Expand + one aggregate, never three passes.
+    // grouping_id disambiguates the null-key rows
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderpriority, o_orderstatus,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(grouping(o_orderpriority) * 2
+              |    + grouping(o_orderstatus) AS INT) AS gid
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+              |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
+    }),
+
     "q_sql_api" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
       s.sql("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -248,6 +263,16 @@ object Extras {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(o_orderpriority) * 2
+        |    + grouping(o_orderstatus) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin,
 
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,

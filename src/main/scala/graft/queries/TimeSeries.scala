@@ -459,6 +459,36 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // user lifecycle: per-user span days, distinct active days, and the
+    // activity ratio in exact ppm — the DAU/retention base cut. One
+    // user-keyed aggregate (count-distinct rewrites as a two-level
+    // agg, no Expand); integer epoch-day math
+    "q_ts_lifecycle" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("user_id"), expr("event_epoch_time DIV 86400").as("day"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("day").as("active_days"),
+          (max("day") - min("day") + 1).as("span_days"))
+        .withColumn("activity_ppm",
+          expr("active_days * 1000000 DIV greatest(span_days, 1)"))
+        .orderBy("user_id")),
+
+    // power-user skew: top-20 users by event count with their exact
+    // corpus share — the salting-decision audit (is one key hot enough
+    // to skew a user-keyed shuffle). Partial-agg count + k-bounded
+    // ranking + 1-row total broadcast
+    "q_ts_power_users" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val total = e.agg(count(lit(1)).as("tot"))
+      e.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
+        .crossJoin(broadcast(total))
+        .withColumn("share_ppm", expr("n * 1000000 DIV tot"))
+        .select("user_id", "n", "share_ppm")
+        .orderBy(col("n").desc, col("user_id"))
+    }),
+
     // first/last-touch attribution: per user the first and last event
     // type (struct-argmin/argmax on the unique (ts, event_id) order),
     // rolled up to (first, last) path counts — the marketing
@@ -1033,6 +1063,30 @@ object TimeSeries {
         |    AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_lifecycle" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(count(DISTINCT day) * 1000000
+        |    // greatest(max(day) - min(day) + 1, 1) AS BIGINT)
+        |    AS activity_ppm
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_power_users" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id
+        |  ORDER BY n DESC, user_id LIMIT 20),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM events)
+        |SELECT user_id, n,
+        |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, user_id""".stripMargin,
 
     "q_ts_attribution" ->
       """WITH o AS (
