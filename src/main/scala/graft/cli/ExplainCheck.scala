@@ -433,6 +433,10 @@ object ExplainCheck {
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // stitch pairs: equi-join on the trigram key only
     "q_doc_stitch_pairs" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
+    // cos calibration: the LSH bucket equi-join + one 1-row percentile
+    // reduce — never a product, never a window
+    "q_emb_cos_calibration" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;

@@ -920,6 +920,26 @@ object CorpusOps {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
+    // threshold calibration: the cos distribution over the sign-LSH
+    // CANDIDATE pairs (threshold open) — where to put the near-dup
+    // cutoff is read off these quantiles, in-engine, instead of guessed.
+    // Candidates are the screen's own bucket-bounded output; one 1-row
+    // exact-percentile reduce on top
+    "q_emb_cos_calibration" -> ((s, dir) => {
+      val pairs = VectorOps.signLshNearDupPairs(
+        wide(s, t(s, dir, "embeddings")), -1.0)
+      pairs
+        .select(round(col("cos"), 6).as("cos"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(cos, array(0.1,0.25,0.5,0.75,0.9))").as("qs"))
+        .select(col("n_pairs"),
+          round(col("qs")(0), 6).as("p10"),
+          round(col("qs")(1), 6).as("p25"),
+          round(col("qs")(2), 6).as("p50"),
+          round(col("qs")(3), 6).as("p75"),
+          round(col("qs")(4), 6).as("p90"))
+    }),
+
     // vector analytics: per-label centroid stats in fixed-point integer
     // sums (order-free → bit-exact under any partitioning; the mean is one
     // double division of exact integers). Map-side partials bound the
@@ -1465,6 +1485,29 @@ object CorpusOps {
   // otherwise produce inf/nan)
   private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / nullif(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
+
+  /** Shared sign-LSH bucket CTEs (v → plane sums → 8-bit bucket) — the
+    * DuckDB replica of [[graft.ops.VectorOps.signLshNearDupPairs]]'s
+    * blocking, used by both the near-dup gate and the cos-calibration
+    * gate.
+    */
+  private val signBucketCtes: String = {
+    val sumCols = (0 until 8).map { j =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [ev[d+1] * (CASE WHEN (($j * 2654435761 + d * 40503) % 97) % 2 = 0
+         |                  THEN 1.0 ELSE -1.0 END)
+         |       for d in generate_series(0, len(ev)-1)]),
+         |      (a, b) -> a + b) AS s$j""".stripMargin
+    }.mkString(",\n    ")
+    val bucket = (0 until 8)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |s AS (SELECT vec_id, ev,
+       |    $sumCols
+       |  FROM v),
+       |b AS (SELECT vec_id, ev, $bucket AS bucket FROM s)""".stripMargin
+  }
 
   /** Brute-force all-pairs mirror of [[Dedup.simhashBands]]: identical
     * integer math (md5 hex nibbles → 64 per-bit sums → majority bands →
@@ -2476,28 +2519,30 @@ object CorpusOps {
     // plane parity, identical sequential left-fold (list_reduce, matching
     // Spark's aggregate() order — list_sum could reorder the additions and
     // flip a near-zero sign)
-    "q_emb_lsh_neardup" -> {
-      val sumCols = (0 until 8).map { j =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      [ev[d+1] * (CASE WHEN (($j * 2654435761 + d * 40503) % 97) % 2 = 0
-           |                  THEN 1.0 ELSE -1.0 END)
-           |       for d in generate_series(0, len(ev)-1)]),
-           |      (a, b) -> a + b) AS s$j""".stripMargin
-      }.mkString(",\n    ")
-      val bucket = (0 until 8)
-        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         |s AS (SELECT vec_id, ev,
-         |    $sumCols
-         |  FROM v),
-         |b AS (SELECT vec_id, ev, $bucket AS bucket FROM s)
+    "q_emb_lsh_neardup" ->
+      s"""WITH $signBucketCtes
          |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket AS bucket,
          |  round(${cosSql("a.ev", "b2.ev")}, 6) AS cos
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE ${cosSql("a.ev", "b2.ev")} >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // same sign buckets, threshold open (≥ −1): the candidate-cos
+    // distribution that calibrates the near-dup threshold
+    "q_emb_cos_calibration" ->
+      s"""WITH $signBucketCtes,
+         |p AS (
+         |  SELECT round(${cosSql("a.ev", "b2.ev")}, 6) AS cos
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket
+         |    AND a.vec_id < b2.vec_id
+         |  WHERE ${cosSql("a.ev", "b2.ev")} >= -1.0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(quantile_cont(cos, 0.1), 6) AS p10,
+         |  round(quantile_cont(cos, 0.25), 6) AS p25,
+         |  round(quantile_cont(cos, 0.5), 6) AS p50,
+         |  round(quantile_cont(cos, 0.75), 6) AS p75,
+         |  round(quantile_cont(cos, 0.9), 6) AS p90
+         |FROM p""".stripMargin,
 
     // fixed-point quantization replay (same floor(x·1e6 + 0.5) as the
     // kmeans/PQ oracles); HUGEINT sums cast back to BIGINT; the mean is the
