@@ -227,6 +227,39 @@ object TimeSeries {
         .orderBy("user_id", "event_type")
     }),
 
+    // per-series linear trend: least-squares slope of value-vs-time in
+    // EXACT integer sums (value in micro-units; time recentred to the
+    // group's min epoch — shift-invariant, and keeps x small enough that
+    // every per-row product fits a long), combined in decimal(38,0) with
+    // ONE final double division of exact integers → bit-equal across
+    // engines and partitionings (the q_ts_ewma fixed-point discipline
+    // applied to regression). Two linear aggs + one equi-join; never a
+    // window, never per-row doubles
+    "q_ts_trend" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("event_epoch_time").as("tsec"),
+        expr("CAST(round(value * 1e6, 0) AS BIGINT)").as("y"))
+      val x0 = e.groupBy("user_id", "event_type")
+        .agg(min(col("tsec")).as("x0"))
+      val dec = "decimal(38,0)"
+      e.join(x0, Seq("user_id", "event_type"))
+        .withColumn("x", col("tsec") - col("x0"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          round(
+            (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              nullif((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), lit(0.0)),
+            6).as("slope_upsec"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // telemetry downsampling: LAST value per (user, type, 6h bucket) —
     // the keep-latest-reading combiner (vs bucketize's mean/sum), as ONE
     // struct-max argmax aggregate with map-side partials; never a
@@ -839,6 +872,28 @@ object TimeSeries {
         |WHERE abs((e.value - m.med) / nullif(d.mad * 1.4826, 0)) > 3.5
         |GROUP BY e.user_id, e.event_type
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    // exact-integer replay: DuckDB's sum(BIGINT) widens to HUGEINT, so
+    // n*sxy - sx*sy equals Spark's decimal(38,0) combination exactly; the
+    // single double division of identical integers is bit-equal
+    "q_ts_trend" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(round(value * 1e6, 0) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT user_id, event_type, min(tsec) AS x0
+        |  FROM e GROUP BY user_id, event_type),
+        |s AS (SELECT e.user_id, e.event_type,
+        |    count(*) AS n, sum(tsec - x0) AS sx, sum(y) AS sy,
+        |    sum((tsec - x0) * y) AS sxy,
+        |    sum((tsec - x0) * (tsec - x0)) AS sxx
+        |  FROM e JOIN m USING (user_id, event_type)
+        |  GROUP BY e.user_id, e.event_type)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS slope_upsec
+        |FROM s ORDER BY user_id, event_type""".stripMargin,
 
     "q_ts_zscore" ->
       """WITH e AS (
