@@ -1,0 +1,57 @@
+package graft.io
+
+import java.io.File
+
+/** Content-addressed cache keys for persisted derived indexes (postings,
+  * IVF/PQ layouts). A derived index cached under a path keyed only by the
+  * SOURCE DIRECTORY NAME (`dir.hashCode`) goes silently stale when the table
+  * at that path is regenerated with different content — the serve query then
+  * answers from the old index. Keying by a fingerprint of the source files
+  * (relative path, length, mtime) makes any rewrite produce a NEW cache
+  * location, so the `_SUCCESS`-exists check naturally rebuilds.
+  *
+  * FNV-1a over the sorted listing: cheap (pure driver-side metadata walk, no
+  * data read), deterministic, and collision-irrelevant here (a collision
+  * only re-uses a cache dir; the build itself is bit-reproducible). At
+  * cluster scale the same discipline keys off the object-store listing
+  * (etag/length/mtime) — still metadata-only.
+  */
+object IndexCache {
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Hex content fingerprint of everything under `dir` (file relative path,
+    * length, mtime). Unsigned-hex so the key is filesystem-safe (the old
+    * `math.abs(hashCode)` idiom was negative for Int.MinValue).
+    */
+  def contentKey(dir: String): String = {
+    val root = new File(dir)
+    def walk(f: File): Seq[File] = {
+      val kids = Option(f.listFiles()).map(_.sortBy(_.getName).toSeq)
+        .getOrElse(Seq.empty)
+      if (f.isDirectory) kids.flatMap(walk) else Seq(f)
+    }
+    val files = if (root.isDirectory) walk(root)
+                else if (root.isFile) Seq(root) else Seq.empty
+    var h = FnvOffset
+    def mixBytes(bs: Array[Byte]): Unit = {
+      var i = 0
+      while (i < bs.length) { h ^= (bs(i) & 0xffL); h *= FnvPrime; i += 1 }
+    }
+    val rootPath = root.getAbsolutePath
+    files.foreach { f =>
+      val rel = f.getAbsolutePath.stripPrefix(rootPath)
+      mixBytes(s"$rel|${f.length}|${f.lastModified}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** Cache directory for a derived index: name the FAMILY (postings, serve)
+    * and version, key by source content. Same source bytes → same dir
+    * (reuse); any rewrite → fresh dir (rebuild).
+    */
+  def cacheDir(family: String, version: Int, sourceDir: String): String =
+    s"/tmp/graft_${family}_v${version}_${contentKey(sourceDir)}"
+}

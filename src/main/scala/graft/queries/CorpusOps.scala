@@ -879,24 +879,29 @@ object CorpusOps {
     // integers — dead dims (min == max), collapsed spread, off-center
     // means: the pre-index check that catches a broken encoder export.
     // spread_q = n·Σq² − (Σq)² — exact integer variance proxy, NO
-    // division, order-free; envelope n·maxq² < 2⁶³ holds to ~10⁷
-    // unit-norm vectors at 1e6 scale (beyond: per-shard spreads merge
-    // exactly from (n, Σq, Σq²) partials)
-    "q_emb_dim_stats" -> ((s, dir) =>
+    // division, order-free. Σq² and the n·Σq²−(Σq)² combination are
+    // carried in decimal(38,0) (the q_ts_trend idiom): for a
+    // concentrated dim (q ~ 1e6) n·Σq² passes 2⁶³ at only ~1e4–1e5
+    // vectors, where Long would wrap silently while DuckDB's HUGEINT
+    // errors — decimal keeps both engines exact to ~1e14 vectors
+    "q_emb_dim_stats" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
       wide(s, t(s, dir, "embeddings"))
         .select(posexplode(
           graft.ops.KMeans.quantize(col("embedding"), 1e6).cast("array<long>"))
           .as(Seq("pos", "q")))
         .groupBy("pos")
         .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
-          sum(col("q") * col("q")).as("ss_q"),
+          sum((col("q") * col("q")).cast(dec)).as("ss_q"),
           min("q").as("min_q"), max("q").as("max_q"))
         .select(col("pos"), col("n"), expr("sum_q DIV n").as("mean_q"),
-          (col("n") * col("ss_q") - col("sum_q") * col("sum_q"))
-            .as("spread_q"),
+          (col("n").cast(dec) * col("ss_q")
+            - col("sum_q").cast(dec) * col("sum_q").cast(dec))
+            .cast(dec).as("spread_q"),
           col("min_q"), col("max_q"),
           (col("min_q") === col("max_q")).as("dead"))
-        .orderBy("pos")),
+        .orderBy("pos")
+    }),
 
     // SemDeDup (Abbas et al. 2023): near-dup pairs within LEARNED blocks
     // (nearest-centroid cells) — the semantic-dedup composition of the
@@ -2489,8 +2494,7 @@ object CorpusOps {
         |  FROM embeddings)
         |SELECT CAST(pos1 - 1 AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
         |  CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_q,
-        |  CAST(count(*) * CAST(sum(q * q) AS BIGINT)
-        |    - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS BIGINT)
+        |  CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS DECIMAL(38,0))
         |    AS spread_q,
         |  CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q,
         |  min(q) = max(q) AS dead

@@ -98,9 +98,12 @@ object CurationQueries {
     // the same conjunctive search served from the PERSISTED postings
     // index: term-bucket partition filter prunes the scan to the query
     // terms' tb= directories (build once, serve every query after —
-    // the lexical analog of q_emb_ivfpq_serve)
+    // the lexical analog of q_emb_ivfpq_serve). Cache dir is CONTENT-keyed
+    // (file sizes/mtimes of the source table) so regenerating the table at
+    // the same path rebuilds the index instead of serving stale postings.
     "q_doc_search_serve" -> ((s, dir) => {
-      val base = s"/tmp/graft_postings_v1_${math.abs(dir.hashCode.toLong)}"
+      val base = graft.io.IndexCache.cacheDir("postings", 2,
+        s"$dir/documents.parquet")
       if (!new java.io.File(s"$base/_SUCCESS").exists) {
         graft.ops.Search.savePostings(base,
           graft.ops.Search.postings(wide(s, t(s, dir, "documents")),
@@ -243,8 +246,11 @@ object CurationQueries {
     // itself is load + probe + ADC scan only. This is the shape a real
     // deployment runs per query batch — the in-query-trainer gates measure
     // composition, this one isolates serving
+    // Cache dir content-keyed like q_doc_search_serve: a rewritten
+    // embeddings table gets a fresh index build, never a stale serve.
     "q_emb_ivfpq_serve" -> ((s, dir) => {
-      val base = s"/tmp/graft_serve_v1_${math.abs(dir.hashCode.toLong)}"
+      val base = graft.io.IndexCache.cacheDir("serve", 2,
+        s"$dir/embeddings.parquet")
       val emb = wide(s, t(s, dir, "embeddings"))
       if (!new java.io.File(s"$base/pq/codes/_SUCCESS").exists) {
         val centroids = emb.where(col("vec_id") < 8)

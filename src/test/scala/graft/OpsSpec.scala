@@ -1480,4 +1480,28 @@ class OpsSpec extends AnyFunSuite {
     val s0 = VectorOps.labelMargin(single).collect().head
     assert(s0.isNullAt(s0.fieldIndex("sum_other_d2")))
   }
+
+  test("index cache key tracks source content: mutate table → fresh dir") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_ic_test").toString
+    Files.write(Paths.get(dir, "part-0.parquet"), "aaaa".getBytes)
+    val k1 = graft.io.IndexCache.contentKey(dir)
+    // identical listing → identical key (cache HIT is possible at all)
+    assert(graft.io.IndexCache.contentKey(dir) == k1)
+    // same path, regenerated content (different length) → different key,
+    // so the _SUCCESS-exists probe misses and the index REBUILDS. This is
+    // the staleness hazard the old dir.hashCode keying could not see.
+    Files.write(Paths.get(dir, "part-0.parquet"), "aaaaaaaa".getBytes)
+    val k2 = graft.io.IndexCache.contentKey(dir)
+    assert(k2 != k1, "content change must produce a new cache key")
+    // same length, touched mtime → still a new key (metadata fingerprint)
+    val f = new java.io.File(dir, "part-0.parquet")
+    assert(f.setLastModified(f.lastModified + 10000))
+    assert(graft.io.IndexCache.contentKey(dir) != k2)
+    // keys are filesystem-safe unsigned hex (no '-' from Int.MinValue abs)
+    assert(k1.matches("[0-9a-f]+") && k2.matches("[0-9a-f]+"))
+    // cacheDir embeds family + version + key
+    val cd = graft.io.IndexCache.cacheDir("postings", 2, dir)
+    assert(cd.startsWith("/tmp/graft_postings_v2_"))
+  }
 }
