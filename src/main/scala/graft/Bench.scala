@@ -56,9 +56,10 @@ object Bench {
     // other expression-heavy generated classes: map-collect aggregate,
     // grid generate, fill windows) — on a half user-slice of real events
     def warmTimeSeries(): Unit = {
-      val e = spark.read.parquet(s"$sfDir/events.parquet")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val e = raw
         .where(pmod(col("user_id"), lit(2)) === 0)
-        .withColumn("event_epoch_time", expr("ts DIV 1000000000"))
+        .withColumn("event_epoch_time", graft.queries.epochSeconds(raw))
         .select(col("user_id").as("stay_id"), col("event_epoch_time"),
           col("event_type").as("feature_id"), col("value"))
       val idx = e.groupBy("stay_id")
@@ -192,12 +193,20 @@ object Bench {
         .foreach(_(spark, sfDir).count())
       spark.catalog.clearCache()
     }
-    try {
-      warmDedup()
-      warmTimeSeries()
-      warmRelational()
-      warmVectors()
-      warmSearch()
+    // each warm pass isolated: one family breaking must not un-warm the
+    // other four (r6: a warmTimeSeries analysis error silently skipped
+    // warmRelational/warmVectors/warmSearch and put first-compile JIT
+    // on-clock across half the sweep)
+    def warm(name: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup '$name' FAILED: $e")
+      }
+    warm("dedup")(warmDedup())
+    warm("timeseries")(warmTimeSeries())
+    warm("relational")(warmRelational())
+    warm("vectors")(warmVectors())
+    warm("search")(warmSearch())
+    warm("dedup-broadcast-off") {
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -208,7 +217,7 @@ object Bench {
         savedA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
           spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
       }
-    } catch { case _: Throwable => () }
+    }
 
     // a throwing query is REPORTED and fails the run — swallowing it would
     // make a broken query look like a fast one and *improve* the total

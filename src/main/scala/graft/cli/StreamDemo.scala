@@ -27,9 +27,10 @@ object StreamDemo {
     import spark.implicits._
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = raw
       .select(col("user_id").as("stay_id"),
-        timestamp_seconds(expr("ts DIV 1000000000")).as("event_time"),
+        timestamp_seconds(graft.queries.epochSeconds(raw)).as("event_time"),
         col("event_type").as("feature_id"), col("value"))
     val stayIndex = batch.groupBy("stay_id")
       .agg(min(unix_timestamp(col("event_time"))).as("intime"),

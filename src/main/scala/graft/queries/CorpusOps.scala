@@ -879,11 +879,14 @@ object CorpusOps {
     // integers — dead dims (min == max), collapsed spread, off-center
     // means: the pre-index check that catches a broken encoder export.
     // spread_q = n·Σq² − (Σq)² — exact integer variance proxy, NO
-    // division, order-free. Σq² and the n·Σq²−(Σq)² combination are
-    // carried in decimal(38,0) (the q_ts_trend idiom): for a
+    // division, order-free. q², Σq² and the n·Σq²−(Σq)² combination are
+    // all carried in decimal(38,0) (the q_ts_trend idiom): for a
     // concentrated dim (q ~ 1e6) n·Σq² passes 2⁶³ at only ~1e4–1e5
     // vectors, where Long would wrap silently while DuckDB's HUGEINT
-    // errors — decimal keeps both engines exact to ~1e14 vectors
+    // errors — decimal keeps both engines exact to ~1e14 vectors.
+    // spread_q ships as exact-digit STRING: both engines print a scale-0
+    // decimal as plain digits, sidestepping cross-engine DECIMAL
+    // canonicalization in the comparison layer
     "q_emb_dim_stats" -> ((s, dir) => {
       val dec = "decimal(38,0)"
       wide(s, t(s, dir, "embeddings"))
@@ -892,12 +895,12 @@ object CorpusOps {
           .as(Seq("pos", "q")))
         .groupBy("pos")
         .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
-          sum((col("q") * col("q")).cast(dec)).as("ss_q"),
+          sum(col("q").cast(dec) * col("q").cast(dec)).as("ss_q"),
           min("q").as("min_q"), max("q").as("max_q"))
         .select(col("pos"), col("n"), expr("sum_q DIV n").as("mean_q"),
-          (col("n").cast(dec) * col("ss_q")
+          (col("n").cast(dec) * col("ss_q").cast(dec)
             - col("sum_q").cast(dec) * col("sum_q").cast(dec))
-            .cast(dec).as("spread_q"),
+            .cast(dec).cast("string").as("spread_q"),
           col("min_q"), col("max_q"),
           (col("min_q") === col("max_q")).as("dead"))
         .orderBy("pos")
@@ -2494,8 +2497,8 @@ object CorpusOps {
         |  FROM embeddings)
         |SELECT CAST(pos1 - 1 AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
         |  CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_q,
-        |  CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS DECIMAL(38,0))
-        |    AS spread_q,
+        |  CAST(CAST(count(*) * sum(q * q) - sum(q) * sum(q)
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS spread_q,
         |  CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q,
         |  min(q) = max(q) AS dead
         |FROM e GROUP BY pos1 ORDER BY pos""".stripMargin,

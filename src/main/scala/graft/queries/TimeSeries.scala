@@ -21,13 +21,14 @@ object TimeSeries {
 
   private[queries] val Step = 3600L
 
-  /** events with epoch seconds. `ts` arrives as epoch-nanos LongType (see
-    * [[graft.queries.t]]); integer `DIV` floors toward -inf for positive
-    * epochs, same as the oracle's `floor(epoch(ts))`.
+  /** events with epoch seconds — `ts` encoding-adaptive (nanos-long or
+    * timestamp) via [[graft.queries.epochSeconds]]; both paths floor toward
+    * -inf, same as the oracle's `floor(epoch(ts))`.
     */
-  private[queries] def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("event_epoch_time", expr("ts DIV 1000000000"))
+  private[queries] def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.withColumn("event_epoch_time", epochSeconds(e))
+  }
 
   /** Per-user stay analog: intime = min epoch, outtime = max epoch,
     * `total_windows = floor((outtime-intime)/step)` (W2 semantics).

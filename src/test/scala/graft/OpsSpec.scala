@@ -1504,4 +1504,21 @@ class OpsSpec extends AnyFunSuite {
     val cd = graft.io.IndexCache.cacheDir("postings", 2, dir)
     assert(cd.startsWith("/tmp/graft_postings_v2_"))
   }
+
+  test("epochSeconds adapts to both ts encodings: nanos-long and timestamp") {
+    // the driver's events.parquet has shipped as TIMESTAMP(NANOS) (read as
+    // epoch-nanos LongType under nanosAsLong) AND as timestamp[us]
+    // (TIMESTAMP_NTZ); both must floor to identical epoch seconds
+    val secs = Seq(0L, 1L, 1700000000L, 1700003599L)
+    val asNanos = secs.map(s => Tuple1(s * 1000000000L + 999999999L))
+      .toDF("ts") // worst-case sub-second remainder: must floor, not round
+    val asTs = secs.map(s => Tuple1(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s, 999999000L))))
+      .toDF("ts")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(graft.queries.epochSeconds(df).as("e"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(run(asNanos) == secs)
+    assert(run(asTs) == secs)
+  }
 }
