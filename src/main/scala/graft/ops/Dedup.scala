@@ -527,7 +527,8 @@ object Dedup {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - winLen + 1, lit(stride)))
           .as("i"))
-      .select(col("doc_id"), expr(s"substring(t, i, $winLen)").as("win"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(t, i, $winLen)").as("win"))
   }
 
   /** Corpus-wide duplicated exact spans: windows appearing in >= minDocs
@@ -575,5 +576,67 @@ object Dedup {
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
         expr("(n_dup * 1000000L) div n_windows").as("dup_ppm"))
+  }
+
+  /** Exact-substring span REMOVAL (the rewrite half of ExactSubstr dedup,
+    * Lee et al. arXiv:2107.06499 §3.1): every duplicated window (normalized
+    * winLen-char text appearing in >= 2 distinct docs) keeps ONE canonical
+    * occurrence corpus-wide — all its occurrences in the min-doc_id holder —
+    * and is cut from every other doc. Per doc the removed windows merge
+    * into maximal intervals (overlapping OR adjacent), and the surviving
+    * segments are stitched back in order over the NORMALIZED text.
+    *
+    * Output: one row per input doc — `orig_len`, `clean_len`, `n_spans`
+    * (merged removed intervals), `removed_chars`, and `clean` (the
+    * rewritten text; hash it for compact gates). Docs with nothing removed
+    * pass through unchanged; a fully-covered doc rewrites to "".
+    *
+    * Scale shape: the window spread agg is one shuffle on bounded winLen
+    * keys (the dupSpans shape); the interval merge and segment stitch are
+    * per-row `aggregate()` folds over a per-doc array bounded by
+    * len/stride — in-row, codegen'd, no explode and no second pass over
+    * the corpus. No document pair ever meets a reducer.
+    */
+  def spanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 40, stride: Int = 10): DataFrame = {
+    val wins = spanWindows(docs, idCol, textCol, winLen, stride)
+    val spread = wins.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"))
+    val merged = wins.join(spread, Seq("win"))
+      .where(col("n_docs") >= 2 && col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id"), col("i").as("st"),
+        (col("i") + lit(winLen)).as("en")) // [st, en), 1-based
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("ints"))
+      // fold sorted intervals into maximal merged spans ('<=': adjacency
+      // merges too, matching a per-character replay's contiguous runs)
+      .select(col("doc_id"), expr(
+        """aggregate(ints, cast(array() as array<struct<st:int,en:int>>),
+          |  (acc, x) -> case
+          |    when size(acc) = 0 then array(x)
+          |    when x.st <= element_at(acc, -1).en then
+          |      concat(slice(acc, 1, size(acc) - 1),
+          |        array(named_struct('st', element_at(acc, -1).st,
+          |          'en', greatest(element_at(acc, -1).en, x.en))))
+          |    else concat(acc, array(x)) end)""".stripMargin).as("spans"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.normalize(col(textCol)).as("t"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), length(col("t")).as("orig_len"),
+        coalesce(size(col("spans")), lit(0)).as("n_spans"),
+        // stitch: carry (next-keep-pos, acc); each span appends the gap
+        // before it, the finish lambda appends the tail after the last
+        when(col("spans").isNull, col("t")).otherwise(expr(
+          """aggregate(spans, named_struct('pos', 1, 'acc', ''),
+            |  (a, x) -> named_struct('pos', x.en,
+            |    'acc', concat(a.acc, substring(t, a.pos, x.st - a.pos))),
+            |  a -> concat(a.acc, substring(t, a.pos,
+            |    length(t) - a.pos + 1)))""".stripMargin)).as("clean"))
+      .select(col("doc_id"), col("orig_len"), col("n_spans"),
+        length(col("clean")).as("clean_len"),
+        (col("orig_len") - length(col("clean"))).as("removed_chars"),
+        col("clean"))
   }
 }

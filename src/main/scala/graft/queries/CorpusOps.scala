@@ -438,6 +438,18 @@ object CorpusOps {
       Dedup.dupSpanCoverage(wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // the REWRITE half of the same pass: duplicated windows keep their
+    // min-doc_id canonical occurrence and are cut everywhere else; per-doc
+    // interval merge + segment stitch happen in-row (aggregate() folds, no
+    // explode). md5 of the rewritten text proves byte parity against the
+    // oracle's per-character replay of the identical removal decision
+    "q_doc_span_dedup" -> ((s, dir) =>
+      Dedup.spanRemoval(wide(s, t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("orig_len"), col("n_spans"),
+          col("clean_len"), col("removed_chars"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")),
+
     // the ExactSubstr DROP decision: keep docs whose duplicate-span
     // coverage is under 50% (exact integer ppm — no float boundary);
     // docs too short to window (no coverage row) are kept, since the
@@ -1994,6 +2006,61 @@ object CorpusOps {
            |FROM w JOIN s USING (win)
            |GROUP BY w.doc_id
            |ORDER BY w.doc_id""".stripMargin,
+
+    // span-removal replay: same removal decision (window in >= 2 docs,
+    // holder != min doc_id), then a per-CHARACTER keep/drop — contiguous
+    // dropped runs == the engine's merged intervals, and the ordered
+    // string_agg of kept chars == its stitched rewrite
+    "q_doc_span_dedup" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           |  FROM documents),
+           |ww AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(1, length(t) - 39, 10)) AS i
+           |  FROM n WHERE length(t) >= 40),
+           |wt AS (
+           |  SELECT ww.doc_id, ww.i, substr(n.t, ww.i, 40) AS win
+           |  FROM ww JOIN n USING (doc_id)),
+           |s AS (SELECT win, count(DISTINCT doc_id) AS nd,
+           |        min(doc_id) AS keep_doc
+           |      FROM wt GROUP BY win),
+           |rem AS (SELECT wt.doc_id, wt.i AS st, wt.i + 40 AS en
+           |        FROM wt JOIN s USING (win)
+           |        WHERE s.nd >= 2 AND wt.doc_id <> s.keep_doc),
+           |dropped AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(generate_series(st, en - 1)) AS p
+           |  FROM rem),
+           |pos AS (
+           |  SELECT doc_id, unnest(generate_series(1, length(t))) AS p
+           |  FROM n),
+           |mark AS (
+           |  SELECT m.doc_id, m.p, substr(n.t, m.p, 1) AS ch,
+           |    d.p IS NOT NULL AS dr
+           |  FROM pos m JOIN n USING (doc_id)
+           |  LEFT JOIN dropped d ON d.doc_id = m.doc_id AND d.p = m.p),
+           |runs AS (
+           |  SELECT doc_id, p, ch, dr,
+           |    CASE WHEN dr AND NOT coalesce(
+           |        lag(dr) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+           |      THEN 1 ELSE 0 END AS ss
+           |  FROM mark),
+           |agg AS (
+           |  SELECT doc_id,
+           |    coalesce(string_agg(ch, '' ORDER BY p)
+           |      FILTER (WHERE NOT dr), '') AS clean,
+           |    sum(ss) AS nspans
+           |  FROM runs GROUP BY doc_id)
+           |SELECT n.doc_id, CAST(length(n.t) AS INT) AS orig_len,
+           |  CAST(coalesce(a.nspans, 0) AS INT) AS n_spans,
+           |  CAST(length(coalesce(a.clean, n.t)) AS INT) AS clean_len,
+           |  CAST(length(n.t) - length(coalesce(a.clean, n.t)) AS INT)
+           |    AS removed_chars,
+           |  md5(coalesce(a.clean, n.t)) AS clean_fp
+           |FROM n LEFT JOIN agg a USING (doc_id)
+           |ORDER BY n.doc_id""".stripMargin,
 
     "q_doc_span_filter" ->
       raw"""WITH n AS (

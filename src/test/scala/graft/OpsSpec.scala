@@ -1505,6 +1505,45 @@ class OpsSpec extends AnyFunSuite {
     assert(cd.startsWith("/tmp/graft_postings_v2_"))
   }
 
+  test("spanRemoval: canonical doc keeps text, dup holders lose merged spans") {
+    // winLen=8, stride=4 windows over normalized text. Docs 10 and 20 share
+    // a 16-char prefix "aaaabbbbccccdddd"; doc 10 (min id) is canonical and
+    // keeps it; doc 20 loses the union of its duplicated windows. Doc 30 is
+    // unique -> unchanged. Doc 40 is an exact copy of 20 -> fully covered,
+    // rewritten to "". Doc 5 is shorter than winLen -> untouched.
+    val d = Seq(
+      (10L, "aaaabbbbccccdddd SOLO1 tail"),
+      (20L, "aaaabbbbccccdddd"),
+      (30L, "zzzzyyyyxxxxwwww unique"),
+      (40L, "aaaabbbbccccdddd"),
+      (5L, "tiny")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.spanRemoval(d, "doc_id", "text", 8, 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getString(5)))).toMap
+    // (orig_len, n_spans, clean_len, clean)
+    assert(r(5L) == ((4, 0, 4, "tiny")))
+    assert(r(30L) == ((23, 0, 23, "zzzzyyyyxxxxwwww unique")))
+    assert(r(10L)._2 == 0 && r(10L)._4.startsWith("aaaabbbbccccdddd"))
+    // docs 20/40: windows at 1,5,9 ([1,9) [5,13) [9,17)) all duplicated ->
+    // one merged span [1,17) covering the whole 16-char text
+    assert(r(20L) == ((16, 1, 0, "")))
+    assert(r(40L) == ((16, 1, 0, "")))
+  }
+
+  test("spanRemoval merges overlapping + disjoint spans and stitches gaps") {
+    // winLen=4, stride=2. Doc 2 contains two separated copies of doc 1's
+    // duplicated material -> two merged spans with the middle preserved.
+    val d = Seq(
+      (1L, "ABCDEF ...filler one... ABCDEF"),
+      (2L, "ABCDEF keepme ABCDEF")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.spanRemoval(d, "doc_id", "text", 4, 2)
+      .where(col("doc_id") === 2L).collect()(0)
+    assert(r.getInt(2) == 2, s"expected 2 merged spans, got $r") // n_spans
+    val clean = r.getString(5)
+    assert(clean.contains("keepme"))
+    assert(!clean.contains("abcdef")) // normalized text is lowercase
+  }
+
   test("epochSeconds adapts to both ts encodings: nanos-long and timestamp") {
     // the driver's events.parquet has shipped as TIMESTAMP(NANOS) (read as
     // epoch-nanos LongType under nanosAsLong) AND as timestamp[us]
