@@ -223,6 +223,121 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hash output: 64-bit aHash (8×8 average-pool
+    * threshold) + 64-bit dHash (wrap-adjacent cell gradient). Both are
+    * EXACT integer math — no float resize kernel — so a pixel-identical
+    * re-encode (PNG↔BMP) AND an exact nearest-neighbor upscale hash
+    * identically, which is the near-dup class the raw pixel fingerprint
+    * [[ImageFeatures.px_fp]] cannot see.
+    */
+  final case class PHashFeatures(
+      media_id: Long,
+      decoded: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      ahash: Option[Long],
+      dhash: Option[Long])
+
+  /** aHash/dHash over an 8×8 integer average-pool of luma = r+g+b.
+    *
+    * Cell (cx, cy) covers pixels [cx·w/8, (cx+1)·w/8) × [cy·h/8,
+    * (cy+1)·h/8) (floor boundaries; images narrower than 8 px yield empty
+    * cells whose bit is deterministically 0). Threshold comparisons are
+    * integer CROSS-MULTIPLICATIONS, never divisions:
+    *   aHash bit(cy,cx) = cellSum·(w·h)  >  totalSum·cellArea
+    *   dHash bit(cy,cx) = cellSum·nextArea > nextSum·cellArea  (x-wrap)
+    * so the bits are exact and identical for any image whose cell averages
+    * match — in particular an integer-factor nearest-neighbor upscale.
+    * Products stay below 2⁶³ for images up to ~10⁸ pixels (765·(w·h)²);
+    * guarded per image, oversize payloads quarantine like corrupt ones.
+    *
+    * Scale shape: one pass per pixel inside `mapPartitions` (the decode
+    * seam — same contract as [[decodeImages]]), emitting 2 longs per
+    * image; the downstream near-dup join works on the hashes alone.
+    */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[PHashFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth.toLong * img.getHeight > 100000000L)
+          PHashFeatures(m.media_id, decoded = false, None, None, None, None)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val cellSum = Array.ofDim[Long](8, 8)
+          val cellArea = Array.ofDim[Long](8, 8)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val luma =
+                (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
+              // y*8/h maps pixel y to its cell ⇔ cell cy spans
+              // [cy*h/8, (cy+1)*h/8) — the floor-boundary partition
+              cellSum(cy)(x * 8 / w) += luma
+              cellArea(cy)(x * 8 / w) += 1L
+              total += luma
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var a = 0L; var d = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              val s = cellSum(cy)(cx); val ar = cellArea(cy)(cx)
+              a = (a << 1) | (if (s * n > total * ar) 1L else 0L)
+              val nx = (cx + 1) % 8
+              val s2 = cellSum(cy)(nx); val ar2 = cellArea(cy)(nx)
+              d = (d << 1) | (if (s * ar2 > s2 * ar) 1L else 0L)
+              cx += 1
+            }
+            cy += 1
+          }
+          PHashFeatures(m.media_id, decoded = true, Some(w), Some(h),
+            Some(a), Some(d))
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs: hamming(ahash) <= maxDist via the 4×16-bit
+    * band join ([[Dedup.simhashPairs]]'s pigeonhole: <= 3 differing bits
+    * leave one band untouched, so the banded candidate set provably equals
+    * all-pairs). Emits (media_a, media_b, hamming, dhash_match) — the
+    * dHash agreement is the cheap second opinion that screens out
+    * brightness-threshold flips. No image pair ever meets a reducer except
+    * through a shared 16-bit band bucket.
+    */
+  def perceptualPairs(ph: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      "4x16-bit banding guarantees recall only for maxDist <= 3 (pigeonhole)")
+    val sig = ph.where(col("decoded"))
+      .select(col("media_id"), col("ahash"), col("dhash"))
+    val bands = (0 until 4).map(t =>
+      pmod(shiftright(col("ahash"), t * 16), lit(65536L)).as(s"band$t"))
+    val banded = sig.select(Seq(col("media_id"), col("ahash"), col("dhash"),
+      posexplode(array(bands: _*)).as(Seq("band", "chunk"))): _*)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
+          .cast("int").as("hamming"),
+        (col("a.dhash") === col("b.dhash")).as("dhash_match"))
+      .dropDuplicates("media_a", "media_b") // hamming functionally dependent
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Real audio RESAMPLE on the decode path: decode 16-bit LE PCM
     * ([[decodeWav]]'s codec), then nearest-neighbor pick `n` samples —
     * output sample i reads source sample (i·len div n), integer math, so

@@ -1234,6 +1234,48 @@ object CorpusOps {
         .orderBy("px_fp")
     }),
 
+    // multimodal: PERCEPTUAL near-dup (aHash/dHash 8×8 integer average
+    // pool) — even docs carry a 16×16 PNG, odd docs a 32×32 BMP that is a
+    // 2× nearest-neighbor RE-ENCODE+RESIZE of the same pattern: different
+    // bytes, different dims, different px_fp (the r6 visual fingerprint is
+    // blind here), SAME perceptual hash. Pairs via the 4×16-bit band join
+    // (pigeonhole-complete at hamming <= 3), aggregated per pattern group
+    "q_mm_perceptual_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = (0 until 8).map { k =>
+        lit(Multimodal.makePng(16, 16, mmPerceptualPixel(k)))
+      }
+      val bmps = (0 until 8).map { k =>
+        lit(Multimodal.makeBmp(32, 32,
+          (x, y) => mmPerceptualPixel(k)(x / 2, y / 2)))
+      }
+      val idx = pmod(col("doc_id"), lit(8)).cast("int") + 1
+      val payload = when(pmod(col("doc_id"), lit(2)) === 0,
+        element_at(array(pngs: _*), idx))
+        .otherwise(element_at(array(bmps: _*), idx))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          payload.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      val ph = Multimodal.perceptualHash(media).toDF()
+      val pairs = Multimodal.perceptualPairs(ph, 3)
+        .withColumn("grp", pmod(col("media_a"), lit(8)).cast("int"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(pmod(col("media_a"), lit(2)) =!= pmod(col("media_b"),
+            lit(2)), 1L).otherwise(0L)).as("n_cross_format"),
+          max("hamming").as("max_hamming"),
+          sum(when(col("dhash_match"), 1L).otherwise(0L))
+            .as("n_dhash_match"))
+      val hashes = ph
+        .withColumn("grp", pmod(col("media_id"), lit(8)).cast("int"))
+        .groupBy("grp")
+        .agg(countDistinct(col("ahash")).as("n_hashes"),
+          lpad(hex(min(col("ahash"))), 16, "0").as("ahash_hex"),
+          lpad(hex(min(col("dhash"))), 16, "0").as("dhash_hex"))
+      pairs.join(hashes, Seq("grp")).orderBy("grp")
+    }),
+
     // multimodal: REAL WAV PCM decode (javax.sound.sampled): canonical
     // 52-byte mono 16-bit files assembled IN-QUERY (header as q_mm_wav plus
     // a data chunk of 4 doc_id-derived samples), decoded back by the JDK's
@@ -1448,6 +1490,50 @@ object CorpusOps {
     * expected-sum computation (oracle side) — the single source of truth
     * that makes the decode gate an identity test.
     */
+  /** Pixel pattern family for the perceptual-hash gate: k-dependent block
+    * size + phase makes the 8 patterns' aHashes mutually far apart
+    * (min cross hamming 12 — verified; band-join candidates never bridge
+    * groups at maxDist 3), while staying EXACTLY 2×-upscale-invariant.
+    */
+  private[queries] def mmPerceptualPixel(k: Int)(x: Int, y: Int): Int = {
+    val bs = 2 + (k % 4)
+    val phase = (x / bs + y / bs + k / 4) % 2
+    val base = if (phase == 1) 230 else 20
+    val r = (base + x * 3 + k * 11) % 256
+    val g = (base + y * 5 + k * 7) % 256
+    val b = (base + (x ^ y) * 2 + k * 13) % 256
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Closed-form (aHash, dHash) for the 16×16 base pattern k — replicates
+    * [[graft.ops.Multimodal.perceptualHash]]'s integer pooling from the
+    * GENERATOR, not the codec under test; the 32×32 nearest-neighbor
+    * upscale hashes identically by the cross-multiplication invariance.
+    */
+  private def mmPhashExpected(k: Int): (Long, Long) = {
+    val w = 16; val h = 16
+    val cellSum = Array.ofDim[Long](8, 8)
+    val cellArea = Array.ofDim[Long](8, 8)
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = mmPerceptualPixel(k)(x, y)
+      val luma = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
+      cellSum(y * 8 / h)(x * 8 / w) += luma
+      cellArea(y * 8 / h)(x * 8 / w) += 1L
+      total += luma
+    }
+    val n = w.toLong * h
+    var a = 0L; var d = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val s = cellSum(cy)(cx); val ar = cellArea(cy)(cx)
+      a = (a << 1) | (if (s * n > total * ar) 1L else 0L)
+      val nx = (cx + 1) % 8
+      d = (d << 1) |
+        (if (s * cellArea(cy)(nx) > cellSum(cy)(nx) * ar) 1L else 0L)
+    }
+    (a, d)
+  }
+
   private[queries] def mmPngPixel(k: Int)(x: Int, y: Int): Int = {
     val r = (x * 37 + y * 11 + k * 5) % 256
     val g = (x * 17 + y * 29 + k * 3) % 256
@@ -3009,6 +3095,30 @@ object CorpusOps {
         |SELECT e.fp AS px_fp, g.n, g.min_id, g.n_formats
         |FROM g JOIN e USING (k)
         |ORDER BY px_fp""".stripMargin
+    },
+
+    // perceptual dedup in closed form: every doc of pattern group k hashes
+    // to the generator-derived (aHash, dHash) regardless of container or
+    // 2× scale, so pairs = C(n_k,2), cross-format pairs = evens×odds,
+    // hamming 0 throughout; hash VALUES come from the generator replica
+    "q_mm_perceptual_dedup" -> {
+      val rows = (0 until 8).map { k =>
+        val (a, d) = mmPhashExpected(k)
+        f"($k, '$a%016X', '$d%016X')"
+      }.mkString(",\n        |    ")
+      s"""WITH e(grp, ahash_hex, dhash_hex) AS (VALUES
+        |    $rows),
+        |g AS (SELECT CAST(doc_id % 8 AS INT) AS grp, count(*) AS n,
+        |        count(*) FILTER (WHERE doc_id % 2 = 0) AS ne,
+        |        count(*) FILTER (WHERE doc_id % 2 = 1) AS no
+        |      FROM documents GROUP BY 1)
+        |SELECT g.grp, CAST(g.n * (g.n - 1) // 2 AS BIGINT) AS n_pairs,
+        |  CAST(g.ne * g.no AS BIGINT) AS n_cross_format,
+        |  CAST(0 AS INT) AS max_hamming,
+        |  CAST(g.n * (g.n - 1) // 2 AS BIGINT) AS n_dhash_match,
+        |  CAST(1 AS BIGINT) AS n_hashes, e.ahash_hex, e.dhash_hex
+        |FROM g JOIN e USING (grp)
+        |ORDER BY g.grp""".stripMargin
     },
 
     // new-batch dedup verdicts in closed form: grid j < 8 collides with

@@ -1544,6 +1544,48 @@ class OpsSpec extends AnyFunSuite {
     assert(!clean.contains("abcdef")) // normalized text is lowercase
   }
 
+  test("perceptualHash: re-encode + 2x upscale hash identically, px_fp differs") {
+    import graft.ops.Multimodal
+    def pix(x: Int, y: Int): Int = {
+      val ph = (x / 2 + y / 2) % 2
+      val base = if (ph == 1) 230 else 20
+      ((base + x) << 16) | ((base + y) << 8) | ((base + (x ^ y)) % 256)
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.makePng(16, 16, pix), "s"),
+      // same pattern, other container AND 2x nearest-neighbor upscale
+      Multimodal.MediaRecord(2L, "image",
+        Multimodal.makeBmp(32, 32, (x, y) => pix(x / 2, y / 2)), "s"),
+      // genuinely different content
+      Multimodal.MediaRecord(3L, "image",
+        Multimodal.makePng(16, 16, (x, y) => if (x < 8) 0xFFFFFF else 0), "s"),
+      Multimodal.MediaRecord(4L, "image", "junk".getBytes("UTF-8"), "s")
+    ).toDS()
+    val ph = Multimodal.perceptualHash(media).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(!ph(4L).decoded) // quarantine, not crash
+    assert(ph(1L).ahash == ph(2L).ahash && ph(1L).dhash == ph(2L).dhash)
+    assert(ph(1L).ahash != ph(3L).ahash)
+    // the pixel fingerprint CANNOT see this pair (different pixel grids)
+    val fp = Multimodal.decodeImages(media).collect()
+      .map(p => p.media_id -> p.px_fp).toMap
+    assert(fp(1L) != fp(2L))
+    // banded pair join finds exactly the perceptual pair
+    val pairs = Multimodal.perceptualPairs(
+      Multimodal.perceptualHash(media).toDF(), 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getInt(2) == 0 && pairs(0).getBoolean(3))
+  }
+
+  test("perceptualHash: images narrower than the 8x8 pool do not crash") {
+    import graft.ops.Multimodal
+    val m = Seq(Multimodal.MediaRecord(1L, "image",
+      Multimodal.makePng(3, 2, (x, y) => (x * 40 << 16) | (y * 90)), "s")).toDS()
+    val p = Multimodal.perceptualHash(m).collect()(0)
+    assert(p.decoded && p.width.contains(3) && p.height.contains(2))
+  }
+
   test("epochSeconds adapts to both ts encodings: nanos-long and timestamp") {
     // the driver's events.parquet has shipped as TIMESTAMP(NANOS) (read as
     // epoch-nanos LongType under nanosAsLong) AND as timestamp[us]
