@@ -184,4 +184,53 @@ object TextOps {
       .select(col("grp"), col("n_tokens"), col("n_oov"),
         expr("(n_oov * 1000000L) div n_tokens").as("oov_ppm"))
   }
+
+  /** LEARNED quality classifier, trainer half (the CCNet/fastText role:
+    * a classifier fit on labeled clean-vs-junk docs, replacing the fixed
+    * [[qualityScore]] heuristic with corpus-derived evidence). Count-space
+    * naive Bayes with add-one smoothing, kept ENTIRELY in integers so
+    * training is bit-reproducible on any engine/partitioning: each token's
+    * score is its smoothed posterior P(clean | token) in ppm,
+    *   score_ppm = (n_clean + 1) · 10⁶ div (n_clean + n_junk + 2)
+    * — the monotone integer stand-in for the float log-ratio (same ranking,
+    * no cross-engine float drift). `labelCol` must be 1 (clean) / 0 (junk).
+    *
+    * The vocabulary is capped at `maxVocab` by (total count desc, token
+    * asc) — a deterministic total order — so the model stays broadcastable
+    * at any corpus size (the [[oovRate]] discipline). One token explode +
+    * one groupBy(token): linear, no doc pairs.
+    */
+  def nbTrain(docs: DataFrame, textCol: String, labelCol: String,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    require(maxVocab >= 1, "maxVocab must be positive")
+    docs
+      .select(explode(tokens(col(textCol))).as("tok"),
+        col(labelCol).cast("long").as("lab"))
+      .groupBy("tok")
+      .agg(sum(when(col("lab") === 1L, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("lab") === 1L, 0L).otherwise(1L)).as("n_junk"))
+      .orderBy((col("n_clean") + col("n_junk")).desc, col("tok").asc)
+      .limit(maxVocab)
+      .select(col("tok"), col("n_clean"), col("n_junk"),
+        expr("((n_clean + 1) * 1000000L) div (n_clean + n_junk + 2)")
+          .as("score_ppm"))
+  }
+
+  /** Scorer half: per-doc mean token posterior (integer div), unseen
+    * tokens neutral at 500000 ppm. The model joins as a BROADCAST integer
+    * score table — the token stream never shuffles, the score agg is the
+    * only wide op, keyed on the doc id. Output: (id, n_tokens, score_ppm);
+    * classify clean at score_ppm > 500000.
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(model.select(col("tok"), col("score_ppm"))),
+        Seq("tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("score_ppm"), lit(500000L))).as("s"))
+      .select(col("id"), col("n_tokens"),
+        expr("s div n_tokens").as("score_ppm"))
 }

@@ -36,6 +36,33 @@ object CorpusOps {
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // LEARNED quality classifier (CCNet/fastText role): labels are
+    // synthesized by construction — even docs keep their text (clean=1),
+    // odd docs get vowel-stripped gibberish (junk=0). The NB trainer fits
+    // integer token posteriors on the doc_id%4<2 half, the broadcast score
+    // table scores ALL docs (held-out generalization), and per-class
+    // aggregates prove separation: junk predicts junk, clean predicts
+    // clean, on training AND held-out slices
+    "q_doc_quality_clf" -> ((s, dir) => {
+      val lab = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(regexp_replace(lower(col("text")), "[aeiou]", ""))
+            .as("text"),
+          (lit(1L) - pmod(col("doc_id"), lit(2))).as("label"))
+      val model = TextOps.nbTrain(
+        lab.where(pmod(col("doc_id"), lit(4)) < 2), "text", "label")
+      TextOps.nbScore(lab, "doc_id", "text", model)
+        .join(lab.select(col("doc_id").as("id"), col("label"),
+          (pmod(col("doc_id"), lit(4)) < 2).as("in_train")), Seq("id"))
+        .groupBy("label", "in_train")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_ppm) div count(1)").as("mean_score_ppm"),
+          sum(when(col("score_ppm") > 500000, 1L).otherwise(0L))
+            .as("n_clean_pred"))
+        .orderBy("label", "in_train")
+    }),
+
     // tokenizer fertility by language: BPE-unit tokens per whitespace
     // word (micro-units) — the corpus-mix diagnostic for whether one
     // tokenizer taxes some languages with longer sequences than others.
@@ -1787,6 +1814,45 @@ object CorpusOps {
          |    + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
          |    + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // NB replay: same synthesized labels, same smoothed integer posterior
+    // per token on the doc_id%4<2 training half, same per-doc mean with
+    // unseen tokens neutral at 500000 ppm, same per-class aggregates
+    "q_doc_quality_clf" ->
+      raw"""WITH lab AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN text
+           |      ELSE regexp_replace(lower(text), '[aeiou]', '', 'g') END
+           |      AS text,
+           |    CAST(1 - doc_id % 2 AS BIGINT) AS label,
+           |    doc_id % 4 < 2 AS in_train
+           |  FROM documents),
+           |ttok AS (
+           |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           |    label
+           |  FROM lab WHERE in_train),
+           |model AS (
+           |  SELECT tok,
+           |    (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) * 1000000
+           |      // (count(*) + 2) AS score_ppm
+           |  FROM ttok GROUP BY tok),
+           |stok AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |  FROM lab),
+           |sc AS (
+           |  SELECT s.doc_id, count(*) AS n_tokens,
+           |    sum(coalesce(m.score_ppm, 500000)) // count(*) AS score_ppm
+           |  FROM stok s LEFT JOIN model m USING (tok)
+           |  GROUP BY s.doc_id)
+           |SELECT l.label, l.in_train, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(sc.score_ppm) // count(*) AS BIGINT)
+           |    AS mean_score_ppm,
+           |  CAST(sum(CASE WHEN sc.score_ppm > 500000 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_clean_pred
+           |FROM sc JOIN lab l ON l.doc_id = sc.doc_id
+           |GROUP BY l.label, l.in_train
+           |ORDER BY l.label, l.in_train""".stripMargin,
 
     "q_doc_fertility" ->
       s"""WITH d AS (

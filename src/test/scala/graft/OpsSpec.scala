@@ -1586,6 +1586,36 @@ class OpsSpec extends AnyFunSuite {
     assert(p.decoded && p.width.contains(3) && p.height.contains(2))
   }
 
+  test("nbTrain/nbScore: learned scores separate junk from clean held-out") {
+    val train = Seq(
+      ("the quick brown fox jumps over the dog", 1L),
+      ("a clean sentence with common words here", 1L),
+      ("xq zzk vrb qqq xq zzk nnnp qqq", 0L),
+      ("vrb vrb xq nnnp zzk qqq xq xq", 0L)).toDF("text", "label")
+    val model = graft.ops.TextOps.nbTrain(train, "text", "label")
+    val m = model.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // clean-only token: (1+1)*1e6 div (1+2); junk-only: (0+1)*1e6 div (1+2)
+    assert(m("fox") == 666666L && m("vrb") < 300000L)
+    val heldOut = Seq(
+      (10L, "the quick fox jumps again"), // clean-ish vocab
+      (11L, "zzk xq qqq nnnp"), // junk vocab
+      (12L, "totally unseen vocabulary only")) // all-neutral -> exactly 500000
+      .toDF("doc_id", "text")
+    val s = graft.ops.TextOps.nbScore(heldOut, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(10L) > 500000L, s"clean held-out not separated: $s")
+    assert(s(11L) < 500000L, s"junk held-out not separated: $s")
+    assert(s(12L) == 500000L)
+  }
+
+  test("nbTrain vocab cap keeps the top tokens deterministically") {
+    val train = Seq(("aa aa aa bb bb cc", 1L), ("dd dd dd dd", 0L))
+      .toDF("text", "label")
+    val m = graft.ops.TextOps.nbTrain(train, "text", "label", maxVocab = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(m == Set("dd", "aa")) // counts 4 and 3; bb/cc cut
+  }
+
   test("epochSeconds adapts to both ts encodings: nanos-long and timestamp") {
     // the driver's events.parquet has shipped as TIMESTAMP(NANOS) (read as
     // epoch-nanos LongType under nanosAsLong) AND as timestamp[us]
