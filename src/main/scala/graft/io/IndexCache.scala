@@ -24,6 +24,14 @@ object IndexCache {
   /** Hex content fingerprint of everything under `dir` (file relative path,
     * length, mtime). Unsigned-hex so the key is filesystem-safe (the old
     * `math.abs(hashCode)` idiom was negative for Int.MinValue).
+    *
+    * A missing or empty source THROWS instead of hashing zero entries:
+    * every absent path would otherwise alias to the constant FNV offset
+    * basis, and a typo'd source could silently serve an index built for a
+    * different table. Caveat (by design, metadata-only): a same-length
+    * in-place rewrite within the filesystem's mtime resolution keeps the
+    * old key — regenerate into a fresh directory (the testdata driver's
+    * own discipline) when that matters.
     */
   def contentKey(dir: String): String = {
     val root = new File(dir)
@@ -34,6 +42,9 @@ object IndexCache {
     }
     val files = if (root.isDirectory) walk(root)
                 else if (root.isFile) Seq(root) else Seq.empty
+    require(files.nonEmpty,
+      s"IndexCache source '$dir' is missing or empty — refusing to key " +
+        "an index off nothing (all such paths would share one cache dir)")
     var h = FnvOffset
     def mixBytes(bs: Array[Byte]): Unit = {
       var i = 0
@@ -54,4 +65,29 @@ object IndexCache {
     */
   def cacheDir(family: String, version: Int, sourceDir: String): String =
     s"/tmp/graft_${family}_v${version}_${contentKey(sourceDir)}"
+
+  /** Build-if-absent with ATOMIC publication: `build` writes into a private
+    * temp dir which is renamed into `base` only when complete, so a
+    * concurrent or crashed builder can never be observed half-written past
+    * the `probe` (`_SUCCESS`-style) check. Losing a concurrent race is
+    * fine — the winner's index is bit-identical (builds here are
+    * deterministic), so the loser just discards its copy.
+    */
+  def ensureBuilt(base: String, probe: String)(build: String => Unit): Unit = {
+    if (!new File(probe).exists) {
+      val tmp = new File(
+        base + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      build(tmp.getAbsolutePath)
+      if (!tmp.renameTo(new File(base))) {
+        def rmRf(f: File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+        }
+        rmRf(tmp)
+        if (!new File(probe).exists)
+          throw new IllegalStateException(
+            s"could not publish index build into '$base' and no complete " +
+              "index is present — remove the stale directory and retry")
+      }
+    }
+  }
 }

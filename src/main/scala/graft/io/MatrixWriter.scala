@@ -69,7 +69,7 @@ object MatrixWriter {
     val i = path.indexOf(':')
     if (i >= 2 && path(0).isLetter &&
         path.substring(1, i).forall(c => c.isLetterOrDigit || "+.-".contains(c)))
-      Some(path.substring(0, i).toLowerCase)
+      Some(path.substring(0, i).toLowerCase(java.util.Locale.ROOT))
     else None
   }
 

@@ -41,6 +41,13 @@ object Graph {
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
       dampingPct: Int = 85): DataFrame = {
+    // Overflow envelope (fixed-point Long): the per-edge product is
+    // r · dampingPct · w, with r bounded by the total injected mass
+    // ≈ n_nodes · 1e6 micro-units in the absorbing worst case. It stays
+    // below 2⁶³ while n_nodes · max(w) < ~1.08e11 (e.g. 1e9 nodes with
+    // weights ≤ 100) — beyond that, pre-scale the weights or rescale the
+    // rank unit before calling; the div applies AFTER the product, so the
+    // product is the binding term, not the rank itself.
     require(iters >= 1 && iters <= 50,
       "iters must be in [1, 50] — beyond that, checkpoint between calls")
     require(dampingPct >= 0 && dampingPct <= 100,

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import java.util.Locale
+
 /** Inverted-index retrieval primitives: posting lists and conjunctive
   * term queries — the exact-match complement to the similarity-search
   * operators (a corpus pipeline greps as often as it embeds).
@@ -25,8 +27,10 @@ object Search {
     */
   private[graft] def termBucket(term: String, buckets: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    // Locale.ROOT: %x under an exotic default locale can emit non-ASCII
+    // digits, which would bucket terms differently from the in-plan hash
     val hex = md.digest(term.getBytes("UTF-8")).take(2)
-      .map("%02x".format(_)).mkString
+      .map(String.format(Locale.ROOT, "%02x", _)).mkString
     Integer.parseInt(hex, 16) % buckets
   }
 
@@ -57,7 +61,7 @@ object Search {
   def matchAllIndexed(postings: DataFrame, terms: Seq[String],
       buckets: Int = 64): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
-    val ts = terms.map(_.toLowerCase).distinct
+    val ts = terms.map(_.toLowerCase(Locale.ROOT)).distinct
     val tbs = ts.map(termBucket(_, buckets)).distinct
     postings
       .where(col("tb").isin(tbs: _*) && col("term").isin(ts: _*))
@@ -78,7 +82,7 @@ object Search {
     // duplicated input term (e.g. "spark" and "Spark") can match at most
     // once — comparing n_matched against the raw length would silently
     // return zero docs
-    val ts = terms.map(_.toLowerCase).distinct
+    val ts = terms.map(_.toLowerCase(Locale.ROOT)).distinct
     postings
       .where(col("term").isin(ts: _*))
       .groupBy("doc_id")
@@ -113,7 +117,7 @@ object Search {
   def rankedSearch(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
-    val ts = terms.map(_.toLowerCase).distinct
+    val ts = terms.map(_.toLowerCase(Locale.ROOT)).distinct
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.normTokens(col(textCol))).as("term"))

@@ -104,8 +104,8 @@ object CurationQueries {
     "q_doc_search_serve" -> ((s, dir) => {
       val base = graft.io.IndexCache.cacheDir("postings", 2,
         s"$dir/documents.parquet")
-      if (!new java.io.File(s"$base/_SUCCESS").exists) {
-        graft.ops.Search.savePostings(base,
+      graft.io.IndexCache.ensureBuilt(base, s"$base/_SUCCESS") { tmp =>
+        graft.ops.Search.savePostings(tmp,
           graft.ops.Search.postings(wide(s, t(s, dir, "documents")),
             "doc_id", "text"), buckets = 16)
       }
@@ -252,15 +252,16 @@ object CurationQueries {
       val base = graft.io.IndexCache.cacheDir("serve", 2,
         s"$dir/embeddings.parquet")
       val emb = wide(s, t(s, dir, "embeddings"))
-      if (!new java.io.File(s"$base/pq/codes/_SUCCESS").exists) {
-        val centroids = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("centroid_id"),
-            col("embedding").as("centroid_vec"))
-        val cells = graft.ops.VectorOps.assignCells(emb, centroids)
-        graft.ops.VectorOps.saveIvfIndex(s"$base/ivf", centroids, cells)
-        val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id",
-          "embedding", m = 2, k = 8, iters = 2)
-        graft.ops.KMeans.savePqModel(s"$base/pq", model)
+      graft.io.IndexCache.ensureBuilt(base, s"$base/pq/codes/_SUCCESS") {
+        tmp =>
+          val centroids = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("centroid_id"),
+              col("embedding").as("centroid_vec"))
+          val cells = graft.ops.VectorOps.assignCells(emb, centroids)
+          graft.ops.VectorOps.saveIvfIndex(s"$tmp/ivf", centroids, cells)
+          val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id",
+            "embedding", m = 2, k = 8, iters = 2)
+          graft.ops.KMeans.savePqModel(s"$tmp/pq", model)
       }
       val (cen, cells) = graft.ops.VectorOps.loadIvfIndex(s, s"$base/ivf")
       val model = graft.ops.KMeans.loadPqModel(s, s"$base/pq")

@@ -91,7 +91,10 @@ object StreamingBursts {
             }
             if (hours.nonEmpty) {
               state.update(HourCounts(counts))
-              state.setTimeoutTimestamp((lastEpoch + horizonSeconds) * 1000)
+              // clamp to just past the watermark: a key lagging the watermark
+              // by > horizon would otherwise throw and kill the query
+              state.setTimeoutTimestamp(math.max((lastEpoch + horizonSeconds) * 1000,
+                state.getCurrentWatermarkMs + 1))
             }
             out.result().iterator
           }

@@ -72,7 +72,10 @@ object StreamingChangePoints {
             }
             if (rows.nonEmpty) {
               state.update(LastValue(last.get, lastSeen))
-              state.setTimeoutTimestamp((lastSeen + horizonSeconds) * 1000)
+              // clamp to just past the watermark: a key lagging the watermark
+              // by > horizon would otherwise throw and kill the query
+              state.setTimeoutTimestamp(math.max((lastSeen + horizonSeconds) * 1000,
+                state.getCurrentWatermarkMs + 1))
             }
             out.result().iterator
           }

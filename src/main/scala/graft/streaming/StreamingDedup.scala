@@ -66,7 +66,10 @@ object StreamingDedup {
             val seen = FpSeen(math.max(state.getOption.map(_.lastSeen)
               .getOrElse(Long.MinValue), latest))
             state.update(seen)
-            state.setTimeoutTimestamp((seen.lastSeen + horizonSeconds) * 1000)
+            // clamp to just past the watermark: a key lagging the watermark
+            // by > horizon would otherwise throw and kill the query
+            state.setTimeoutTimestamp(math.max((seen.lastSeen + horizonSeconds) * 1000,
+              state.getCurrentWatermarkMs + 1))
             out
           }
       }

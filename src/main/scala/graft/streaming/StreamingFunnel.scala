@@ -74,7 +74,10 @@ object StreamingFunnel {
             }
             if (rows.nonEmpty) {
               state.update(st)
-              state.setTimeoutTimestamp((lastSeen + horizonSeconds) * 1000)
+              // clamp to just past the watermark: a key lagging the watermark
+              // by > horizon would otherwise throw and kill the query
+              state.setTimeoutTimestamp(math.max((lastSeen + horizonSeconds) * 1000,
+                state.getCurrentWatermarkMs + 1))
             }
             out.result().iterator
           }

@@ -117,7 +117,10 @@ object StreamingNearDup {
                 a.hashes.distinct) :: docs
             }
             state.update(BucketDocs(docs))
-            state.setTimeoutTimestamp((latest + horizonSeconds) * 1000)
+            // clamp to just past the watermark: a key lagging the watermark
+            // by > horizon would otherwise throw and kill the query
+            state.setTimeoutTimestamp(math.max((latest + horizonSeconds) * 1000,
+              state.getCurrentWatermarkMs + 1))
             out.result().iterator
           }
       }

@@ -62,7 +62,10 @@ object StreamingSessionizer {
             cur.foreach { s =>
               state.update(s)
               // close via timeout when the watermark passes last + gap
-              state.setTimeoutTimestamp((s.last + gap) * 1000)
+              // clamp to just past the watermark: a key lagging the watermark
+              // by > horizon would otherwise throw and kill the query
+              state.setTimeoutTimestamp(math.max((s.last + gap) * 1000,
+                state.getCurrentWatermarkMs + 1))
             }
           }
           out.iterator

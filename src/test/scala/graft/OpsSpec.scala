@@ -1503,6 +1503,43 @@ class OpsSpec extends AnyFunSuite {
     // cacheDir embeds family + version + key
     val cd = graft.io.IndexCache.cacheDir("postings", 2, dir)
     assert(cd.startsWith("/tmp/graft_postings_v2_"))
+    // a missing or empty source FAILS FAST instead of aliasing every such
+    // path onto the constant offset-basis key
+    intercept[IllegalArgumentException] {
+      graft.io.IndexCache.contentKey("/tmp/graft_no_such_path_xyz")
+    }
+    val empty = Files.createTempDirectory("graft_ic_empty").toString
+    intercept[IllegalArgumentException] {
+      graft.io.IndexCache.contentKey(empty)
+    }
+  }
+
+  test("ensureBuilt publishes atomically and never rebuilds a complete index") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ab_test").toString
+    val base = s"$root/idx"
+    var builds = 0
+    def build(tmp: String): Unit = {
+      builds += 1
+      Files.createDirectories(Paths.get(tmp))
+      Files.write(Paths.get(tmp, "data"), "payload".getBytes)
+      Files.write(Paths.get(tmp, "_SUCCESS"), Array.empty[Byte])
+    }
+    graft.io.IndexCache.ensureBuilt(base, s"$base/_SUCCESS")(build)
+    assert(builds == 1)
+    assert(new java.io.File(s"$base/_SUCCESS").exists)
+    // no half-written temp dir left behind
+    assert(new java.io.File(root).listFiles.map(_.getName).toSet == Set("idx"))
+    // probe satisfied -> second call never builds
+    graft.io.IndexCache.ensureBuilt(base, s"$base/_SUCCESS")(build)
+    assert(builds == 1)
+    // a stale PARTIAL dir at base (crashed legacy build: exists but no
+    // probe) can never be served: publication fails loudly, temp cleaned
+    Files.delete(Paths.get(base, "_SUCCESS"))
+    intercept[IllegalStateException] {
+      graft.io.IndexCache.ensureBuilt(base, s"$base/_SUCCESS")(build)
+    }
+    assert(new java.io.File(root).listFiles.map(_.getName).toSet == Set("idx"))
   }
 
   test("spanRemoval: canonical doc keeps text, dup holders lose merged spans") {
