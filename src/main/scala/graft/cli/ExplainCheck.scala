@@ -437,7 +437,162 @@ object ExplainCheck {
     // cos calibration: the LSH bucket equi-join + one 1-row percentile
     // reduce — never a product, never a window
     "q_emb_cos_calibration" -> (Seq("ObjectHashAggregate"),
-      Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")))
+      Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
+
+    // ---- bulk audit extension (r7): every remaining registered query,
+    // expectations derived from the reviewed sf0.001 plans (PlanSurvey).
+    // must = the load-bearing nodes observed (broadcast dims, generates,
+    // partial aggs, batched scans, pushed filters); mustNot = the
+    // pathological shapes absent from the reviewed plan (products,
+    // big-big sort-merge, nested-loop, accidental global windows)
+    "q_approx_sketch" -> (Seq("HashAggregate", "ObjectHashAggregate", "SortAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_case_bucket" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_cube_agg" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_distinct" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_bloom_decontaminate" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_bpe_pack" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_cardinality" -> (Seq("Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_contrastive" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "Window")),
+    "q_doc_dedup_clusters" -> (Seq(),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_dedup_exact" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_edit_distance" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_hash_split" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_incremental_dedup" -> (Seq(),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_jaccard_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_langid" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_mask" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_quality" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_quality_clf" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "TakeOrderedAndProject", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_rolling_fp" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_search" -> (Seq("Generate", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_search_serve" -> (Seq("HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_shingle_stats" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_simhash_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_span_dedup" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_span_filter" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_tfidf" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    "q_doc_token_count" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_weighted_sample" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_emb_dedup_clusters" -> (Seq(),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_emb_ivf_assign" -> (Seq("HashAggregate", "SortAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    "q_emb_kmeans" -> (Seq(),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_emb_neardup" -> (Seq("BroadcastHashJoin", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_emb_pq" -> (Seq(),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+    "q_isin_filter" -> (Seq("HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_join_anti" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_decode" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_decode_png" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_decode_wav" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_frames" -> (Seq("Generate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_headers" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_incremental_dedup" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_perceptual_dedup" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_pipeline" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_resample_wav" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_resize" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_resize_nn" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_mm_wav" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_percentile" -> (Seq("HashAggregate", "ObjectHashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_pivot_agg" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_rollup_agg" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_scalar_datetime" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_scalar_string" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_set_except" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_set_intersect" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_set_union" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_skew_salted_agg" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_sql_api" -> (Seq("HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_stats_agg" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_combine_mean" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_combine_median" -> (Seq("BroadcastHashJoin", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_combine_sum" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_ffill" -> (Seq("BroadcastHashJoin", "Window", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    "q_ts_interpolate" -> (Seq("BroadcastHashJoin", "Window", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    "q_ts_interval_expand" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_json_extract" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_robust_z" -> (Seq("BroadcastHashJoin", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_rolling" -> (Seq("Window", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    "q_ts_rolling_range" -> (Seq("Window", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    "q_ts_sessionize" -> (Seq("Window", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    "q_ts_trend" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_window_tumbling" -> (Seq("HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_ts_zscore" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_window_rank" -> (Seq("Window", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    "q_window_running" -> (Seq("Window", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")))
 
   /** Audits `names` (default: all expectation keys) against `sfDir`;
     * returns failure descriptions (empty = all plans as expected).
