@@ -50,6 +50,18 @@ object Bench {
       comp.df.count()
       comp.release(); lsh.release()
       graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", 3).count()
+      // perceptual-hash path: a handful of in-memory images compiles the
+      // decode + band-join generated classes (r7: 2.9 s on-clock unwarmed)
+      locally {
+        import spark.implicits._
+        val media = (0 until 4).map { k =>
+          graft.ops.Multimodal.MediaRecord(k.toLong, "image",
+            graft.ops.Multimodal.makePng(16, 16,
+              (x, y) => ((x * 40 + k) << 16) | (y * 90)), "warm")
+        }.toDS()
+        graft.ops.Multimodal.perceptualPairs(
+          graft.ops.Multimodal.perceptualHash(media).toDF(), 3).count()
+      }
       spark.catalog.clearCache()
     }
     // same idea for the bucketize → combine → densify/fill family (the
