@@ -317,16 +317,30 @@ object Multimodal {
     * dHash agreement is the cheap second opinion that screens out
     * brightness-threshold flips. No image pair ever meets a reducer except
     * through a shared 16-bit band bucket.
+    *
+    * `bucketCap` is the banded joins' standard heavy-hitter guard (the
+    * MinHash `capBuckets` discipline): a viral image repeated millions of
+    * times would otherwise put O(df²) candidate pairs through one bucket —
+    * buckets above the cap are dropped whole (their images are by
+    * definition heavily duplicated; route them to exact px_fp dedup
+    * instead, which is linear).
     */
-  def perceptualPairs(ph: DataFrame, maxDist: Int): DataFrame = {
+  def perceptualPairs(ph: DataFrame, maxDist: Int,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(maxDist <= 3,
       "4x16-bit banding guarantees recall only for maxDist <= 3 (pigeonhole)")
     val sig = ph.where(col("decoded"))
       .select(col("media_id"), col("ahash"), col("dhash"))
     val bands = (0 until 4).map(t =>
       pmod(shiftright(col("ahash"), t * 16), lit(65536L)).as(s"band$t"))
-    val banded = sig.select(Seq(col("media_id"), col("ahash"), col("dhash"),
+    val banded0 = sig.select(Seq(col("media_id"), col("ahash"), col("dhash"),
       posexplode(array(bands: _*)).as(Seq("band", "chunk"))): _*)
+    val banded =
+      if (bucketCap == Int.MaxValue) banded0
+      else banded0.join(
+        banded0.groupBy("band", "chunk").agg(count(lit(1)).as("c"))
+          .where(col("c") <= bucketCap).select("band", "chunk"),
+        Seq("band", "chunk"), "left_semi")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))

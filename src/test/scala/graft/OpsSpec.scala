@@ -1615,6 +1615,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(0).getInt(2) == 0 && pairs(0).getBoolean(3))
   }
 
+  test("perceptualPairs bucketCap drops viral-image hot buckets whole") {
+    import graft.ops.Multimodal
+    def pix(x: Int, y: Int): Int = (if ((x / 2 + y / 2) % 2 == 0) 230 else 20) * 0x010101
+    val viral = (1L to 5L).map(i => Multimodal.MediaRecord(i, "image",
+      Multimodal.makePng(16, 16, pix), "s")) // 5 identical -> hot buckets
+    val pair = Seq(6L, 7L).map(i => Multimodal.MediaRecord(i, "image",
+      Multimodal.makePng(16, 16, (x, y) => pix(x, y) ^ (i.toInt << 16)), "s"))
+    val ph = Multimodal.perceptualHash((viral ++ pair).toDS()).toDF()
+    val uncapped = Multimodal.perceptualPairs(ph, 3).count()
+    val capped = Multimodal.perceptualPairs(ph, 3, bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped >= 10) // the 5 virals alone contribute C(5,2)
+    // viral buckets (5 members) exceed the cap and are dropped whole;
+    // the small pair's buckets (2 members) survive
+    assert(capped.forall { case (a, b) => a >= 6L && b >= 6L })
+  }
+
   test("perceptualHash: images narrower than the 8x8 pool do not crash") {
     import graft.ops.Multimodal
     val m = Seq(Multimodal.MediaRecord(1L, "image",
