@@ -503,6 +503,10 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_emb_dedup_clusters" -> (Seq(),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // JL knn: projection is in-row (no shuffle before the broadcast
+    // cross of 3 queries); ranking is the bounded TopKAgg, never a window
+    "q_emb_jl_knn" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_ivf_assign" -> (Seq("HashAggregate", "SortAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_kmeans" -> (Seq(),

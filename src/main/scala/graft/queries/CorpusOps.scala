@@ -677,6 +677,23 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // JL sign projection + search IN THE REDUCED SPACE: embeddings cut to
+    // 16 dims by the deterministic ±1 plane family (Achlioptas), float-
+    // quantized (both engines round-to-nearest), then the standard brute
+    // top-k runs on vectors 4x smaller — the pre-ANN reduction step of a
+    // 100 TB embedding pipeline, end-to-end replayed by the oracle
+    "q_emb_jl_knn" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 16)
+        .select(col("vec_id"), col("jl").cast("array<float>").as("embedding"))
+      val queries = proj.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      VectorOps.bruteTopK(proj, queries, 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // hard-negative mining: nearest neighbors UNDER a 0.95 rounded-cos
     // ceiling — close enough to be hard, excluded if near-duplicate
     // (those would be label noise in the contrastive batch)
@@ -2350,6 +2367,35 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // JL replay: identical plane parity, identical sequential left-fold
+    // per component, REAL cast matching Spark's array<float> quantization,
+    // then the knn_brute cosine/rank replay over the projected vectors
+    "q_emb_jl_knn" -> {
+      val sumCols = (0 until 16).map { j =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      [ev[d+1] * (CASE WHEN (($j * 2654435761 + d * 40503) % 97) % 2 = 0
+           |                  THEN 1.0 ELSE -1.0 END)
+           |       for d in generate_series(0, len(ev)-1)]),
+           |      (a, b) -> a + b) AS p$j""".stripMargin
+      }.mkString(",\n         |    ")
+      val arr = (0 until 16).map(j => s"CAST(p$j AS REAL)").mkString(", ")
+      s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+         |  FROM embeddings),
+         |p AS (SELECT vec_id,
+         |    $sumCols
+         |  FROM v0),
+         |pv AS (SELECT vec_id, [$arr]::DOUBLE[] AS ev FROM p),
+         |q AS (SELECT vec_id AS query_id, ev AS qv FROM pv
+         |  WHERE vec_id < 3),
+         |sc AS (SELECT q.query_id, c.vec_id, ${cosSql("c.ev", "q.qv")} AS cos
+         |  FROM pv c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM sc)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_emb_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
