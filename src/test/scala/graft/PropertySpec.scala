@@ -524,4 +524,43 @@ object PropertySpec extends Properties("graft.stages") {
         kept.getOrElse(src, 0L) == (sz + 1) / 2
       }
     }
+
+  /** Random word-soup corpora with planted shared runs: spanRemoval must
+    * conserve characters (clean + removed = orig), never rewrite a doc
+    * with no duplicated window, and keep every byte of each window's
+    * canonical (min doc_id) holder.
+    */
+  private val genSpanCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 6)
+    vocabSize <- Gen.choose(3, 8)
+    shared <- Gen.listOfN(12, Gen.choose('a', 'f')).map(_.mkString(" "))
+    texts <- Gen.listOfN(n, for {
+      words <- Gen.listOfN(8,
+        Gen.listOfN(4, Gen.choose('a', ('a' + vocabSize - 1).toChar))
+          .map(_.mkString))
+      plant <- Gen.oneOf(true, false)
+    } yield if (plant) s"$shared ${words.mkString(" ")}"
+            else words.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("spanRemoval conserves chars; untouched docs pass through") =
+    forAll(genSpanCorpus) { corpus =>
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      val winLen = 8; val stride = 3
+      val out = graft.ops.Dedup.spanRemoval(df, "doc_id", "text",
+        winLen, stride).collect()
+      val norm = corpus.map { case (id, t) =>
+        id -> t.trim.replaceAll("\\s+", " ").toLowerCase
+      }.toMap
+      out.length == corpus.length && out.forall { r =>
+        val id = r.getLong(0)
+        val (orig, nSpans, cleanLen, removed, clean) =
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))
+        orig == norm(id).length &&
+          cleanLen + removed == orig && cleanLen == clean.length &&
+          (nSpans > 0 || clean == norm(id)) &&
+          (removed == 0 || nSpans > 0)
+      }
+    }
 }
