@@ -507,6 +507,10 @@ object ExplainCheck {
     // cross of 3 queries); ranking is the bounded TopKAgg, never a window
     "q_emb_jl_knn" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // JL distortion: pair sample via the vec_id-bounded self-join (25-row
+    // broadcast side), percentile reduce -- no window, no big-big join
+    "q_emb_jl_distortion" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_ivf_assign" -> (Seq("HashAggregate", "SortAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_kmeans" -> (Seq(),

@@ -275,22 +275,46 @@ object VectorOps {
       d => element_at(emb, d + lit(1)).cast("double") * planeSign(j, d)),
     lit(0.0), (acc, x) => acc + x)
 
-  /** Johnson-Lindenstrauss SIGN projection: reduce `embCol` to `outDims`
-    * components y_j = Σ_d sign(j,d)·x_d over the same deterministic ±1
-    * pseudo-plane family as [[signLshNearDupPairs]] (RNG-free, engine-
-    * portable — the Achlioptas 2003 ±1 construction, which preserves
-    * pairwise distances to (1±ε) at outDims = O(log n / ε²)). The
-    * standard pre-ANN step at 100 TB: cut 768-dim embeddings to 16-64
-    * dims once, then run every downstream IVF/PQ/brute pass on vectors
-    * 12-48× smaller. Zero shuffle — a pure in-row projection the scan
-    * pipeline absorbs.
+  /** splitmix64 finalizer — a full-avalanche integer mix, evaluated
+    * DRIVER-SIDE only (the ±1 entries it derives are embedded as plan
+    * literals, so nothing engine-specific ever executes per row).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 JL matrix entry for (component j, dimension d).
+    * splitmix64 parity — full avalanche, so rows are effectively
+    * independent (the [[planeSign]] mod-97 parity family is fine for
+    * coarse sign BUCKETS but its rows correlate up to perfect
+    * anti-correlation, which collapses a PROJECTION's rank).
+    */
+  private[graft] def jlSign(j: Int, d: Int): Double =
+    if ((splitmix64(j * 1009L + d) & 1L) == 0L) 1.0 else -1.0
+
+  /** Johnson-Lindenstrauss SIGN projection: reduce `embCol` (exactly
+    * `inDims` wide) to `outDims` components y_j = Σ_d sign(j,d)·x_d —
+    * the Achlioptas 2003 ±1 construction, which preserves pairwise
+    * distances to (1±ε) at outDims = O(log n / ε²). The sign matrix is
+    * derived driver-side (splitmix64 parity — RNG-free, reproducible on
+    * any engine) and embedded as plan LITERALS: each component is a flat
+    * left-associated multiply-add chain, fully codegen'd, zero shuffle —
+    * the pure in-row reduction a 100 TB pipeline runs once before every
+    * downstream IVF/PQ/brute pass shrinks 12-48×.
     */
   def jlProject(corpus: DataFrame, idCol: String, embCol: String,
-      outDims: Int): DataFrame = {
+      inDims: Int, outDims: Int): DataFrame = {
     require(outDims >= 1 && outDims <= 64, "outDims must be in [1, 64]")
+    require(inDims >= 1, "inDims must be positive")
     corpus.select(col(idCol),
-      array((0 until outDims).map(j => planeSum(j, col(embCol))): _*)
-        .as("jl"))
+      array((0 until outDims).map { j =>
+        (0 until inDims).map(d =>
+          element_at(col(embCol), d + 1).cast("double") * lit(jlSign(j, d)))
+          .reduce(_ + _) // left fold: same order as the oracle's + chain
+      }: _*).as("jl"))
   }
 
   def signLshNearDupPairs(corpus: DataFrame, threshold: Double,

@@ -684,7 +684,7 @@ object CorpusOps {
     // 100 TB embedding pipeline, end-to-end replayed by the oracle
     "q_emb_jl_knn" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
-      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 16)
+      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 64, 16)
         .select(col("vec_id"), col("jl").cast("array<float>").as("embedding"))
       val queries = proj.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"),
@@ -890,6 +890,39 @@ object CorpusOps {
         VectorOps.bruteTopK(emb, queries, 5),
         VectorOps.ivfTopK(emb, centroids, queries, k = 5, nprobe = 2))
         .orderBy("query_id")
+    }),
+
+    // JL quality dial: distance-DISTORTION quantiles over a deterministic
+    // pair sample — JL's guarantee is (1±ε) pairwise distances, not top-k
+    // rank (on near-random synthetic vectors rank order is chaotic under
+    // ANY projection; distances are what concentrate). ratio = scaled
+    // ‖Δy‖²/‖Δx‖²: its p05/p50/p95 measure ε in-engine before a corpus
+    // commits to an outDims
+    "q_emb_jl_distortion" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"), col("jl").cast("array<float>").as("pv"))
+      val j = emb.select(col("vec_id"), col("embedding")).join(proj, "vec_id")
+        .where(col("vec_id") < 25)
+      def d2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+        val diff = zip_with(x.cast("array<double>"), y.cast("array<double>"),
+          (a, b) => a - b)
+        VectorOps.dotHof(diff, diff)
+      }
+      val a = j.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("pv").as("pa"))
+      val b = j.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("pv").as("pb"))
+      // bounded pair sample: broadcast nested-loop over the 25-row side
+      // (the knn_brute shape), never an unhinted cartesian
+      a.crossJoin(broadcast(b)).where(col("va") < col("vb"))
+        .select(round(d2(col("pa"), col("pb")) /
+          nullif(lit(16.0) * d2(col("ea"), col("eb")), lit(0.0)), 6)
+          .as("ratio"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(ratio, 0.05)"), 6).as("p05"),
+          round(expr("percentile(ratio, 0.5)"), 6).as("p50"),
+          round(expr("percentile(ratio, 0.95)"), 6).as("p95"))
     }),
 
     // dedup: embedding-cosine near-dup pairs blocked by label
@@ -1636,6 +1669,16 @@ object CorpusOps {
   private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / nullif(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
 
+  /** JL component j as a flat left-associated multiply-add chain over the
+    * SAME driver-side ±1 matrix the engine embeds as literals
+    * ([[graft.ops.VectorOps.jlSign]]) — identical fold order, identical
+    * constants, so the projected doubles match bit-for-bit.
+    */
+  private def jlChainSql(j: Int, dims: Int = 64, ev: String = "ev"): String =
+    (0 until dims)
+      .map(d => s"$ev[${d + 1}] * ${graft.ops.VectorOps.jlSign(j, d)}")
+      .mkString(" + ")
+
   /** Shared sign-LSH bucket CTEs (v → plane sums → 8-bit bucket) — the
     * DuckDB replica of [[graft.ops.VectorOps.signLshNearDupPairs]]'s
     * blocking, used by both the near-dup gate and the cos-calibration
@@ -2368,17 +2411,13 @@ object CorpusOps {
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // JL replay: identical plane parity, identical sequential left-fold
-    // per component, REAL cast matching Spark's array<float> quantization,
+    // JL replay: the IDENTICAL ±1 literal matrix (generated from the same
+    // driver-side jlSign), identical left-associated + chain per
+    // component, REAL cast matching Spark's array<float> quantization,
     // then the knn_brute cosine/rank replay over the projected vectors
     "q_emb_jl_knn" -> {
-      val sumCols = (0 until 16).map { j =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      [ev[d+1] * (CASE WHEN (($j * 2654435761 + d * 40503) % 97) % 2 = 0
-           |                  THEN 1.0 ELSE -1.0 END)
-           |       for d in generate_series(0, len(ev)-1)]),
-           |      (a, b) -> a + b) AS p$j""".stripMargin
-      }.mkString(",\n         |    ")
+      val sumCols = (0 until 16).map(j => s"${jlChainSql(j)} AS p$j")
+        .mkString(",\n         |    ")
       val arr = (0 until 16).map(j => s"CAST(p$j AS REAL)").mkString(", ")
       s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev
          |  FROM embeddings),
@@ -2707,6 +2746,38 @@ object CorpusOps {
          |FROM truth t LEFT JOIN approx a
          |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+    // JL distortion replay: same literal matrix + REAL quantization, then
+    // squared-diff folds (0.0-seeded, mirroring dotHof) over both spaces,
+    // rounded ratio quantiles via quantile_cont (the cos-calibration form)
+    "q_emb_jl_distortion" -> {
+      val sumCols = (0 until 16).map(j => s"${jlChainSql(j)} AS p$j")
+        .mkString(",\n         |    ")
+      val arr = (0 until 16).map(j => s"CAST(p$j AS REAL)").mkString(", ")
+      def d2(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      [($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1])
+           |       for d in generate_series(0, len($a)-1)]),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+         |  FROM embeddings WHERE vec_id < 25),
+         |p AS (SELECT vec_id,
+         |    $sumCols
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+         |        WHERE vec_id < 25)),
+         |pv AS (SELECT vec_id, [$arr]::DOUBLE[] AS ev FROM p),
+         |pr AS (
+         |  SELECT round(${d2("pa.ev", "pb.ev")}
+         |    / nullif(16.0 * ${d2("ca.ev", "cb.ev")}, 0.0), 6) AS ratio
+         |  FROM c ca JOIN c cb ON ca.vec_id < cb.vec_id
+         |  JOIN pv pa ON pa.vec_id = ca.vec_id
+         |  JOIN pv pb ON pb.vec_id = cb.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(quantile_cont(ratio, 0.05), 6) AS p05,
+         |  round(quantile_cont(ratio, 0.5), 6) AS p50,
+         |  round(quantile_cont(ratio, 0.95), 6) AS p95
+         |FROM pr""".stripMargin
+    },
 
     "q_emb_semdedup" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv

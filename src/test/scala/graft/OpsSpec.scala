@@ -1675,7 +1675,7 @@ class OpsSpec extends AnyFunSuite {
       (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
       (2L, Array(2.0f, 4.0f, 6.0f, 8.0f)), // exactly 2x of vec 1
       (3L, Array(-1.0f, 0.5f, 0.0f, 7.5f))).toDF("vec_id", "embedding")
-    val p = graft.ops.VectorOps.jlProject(vs, "vec_id", "embedding", 8)
+    val p = graft.ops.VectorOps.jlProject(vs, "vec_id", "embedding", 4, 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(p(1L).length == 8)
     // doubling every input doubles every component EXACTLY (mult by 2 is
@@ -1683,7 +1683,7 @@ class OpsSpec extends AnyFunSuite {
     // of a vector with its scale-up is exactly 1
     assert(p(2L) == p(1L).map(_ * 2.0))
     // rerun -> identical (no RNG anywhere)
-    val p2 = graft.ops.VectorOps.jlProject(vs, "vec_id", "embedding", 8)
+    val p2 = graft.ops.VectorOps.jlProject(vs, "vec_id", "embedding", 4, 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(p2 == p)
   }
