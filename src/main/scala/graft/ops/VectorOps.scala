@@ -231,15 +231,6 @@ object VectorOps {
       .partitionBy("cell").parquet(s"$path/cells")
   }
 
-  /** Deterministic ±1 pseudo-hyperplane entry for (plane j, dimension d):
-    * parity of a multiplicative mix modulo a prime — engine-portable
-    * integer math (no RNG), mirrored verbatim in the DuckDB oracle so both
-    * engines compute the IDENTICAL sign signature.
-    */
-  private def planeSign(j: Int, d: Column): Column =
-    when(((lit(j.toLong) * lit(2654435761L) + d * lit(40503L)) % 97) % 2 === 0,
-      lit(1.0)).otherwise(lit(-1.0))
-
   /** Random-hyperplane (SimHash-for-vectors) near-dup blocking — the scale
     * path for [[nearDupPairs]] when no natural block key exists: vectors
     * hash to a `nPlanes`-bit sign bucket (bit j = sign of the projection
@@ -266,14 +257,15 @@ object VectorOps {
         .where(col("c") <= cap).select(keyCol),
       Seq(keyCol), "left_semi")
 
-  /** Signed projection of `emb` onto pseudo-plane j: the sequential
-    * left-fold Σ_d sign(j,d)·x_d — in-row, deterministic order, so the
-    * DuckDB `list_reduce` replay reproduces the double bit-for-bit.
+  /** Signed projection of `emb` (statically `dims` wide) onto plane j of
+    * the shared splitmix64 ±1 family ([[jlSign]]): a flat left-associated
+    * multiply-add chain over literal signs — codegen'd, and replayed by
+    * the oracle as the identical `+` chain, bit-for-bit.
     */
-  private def planeSum(j: Int, emb: Column): Column = aggregate(
-    transform(sequence(lit(0), size(emb) - 1),
-      d => element_at(emb, d + lit(1)).cast("double") * planeSign(j, d)),
-    lit(0.0), (acc, x) => acc + x)
+  private def planeSumLit(j: Int, emb: Column, dims: Int): Column =
+    (0 until dims).map(d =>
+      element_at(emb, d + 1).cast("double") * lit(jlSign(j, d)))
+      .reduce(_ + _)
 
   /** splitmix64 finalizer — a full-avalanche integer mix, evaluated
     * DRIVER-SIDE only (the ±1 entries it derives are embedded as plan
@@ -288,9 +280,10 @@ object VectorOps {
 
   /** Deterministic ±1 JL matrix entry for (component j, dimension d).
     * splitmix64 parity — full avalanche, so rows are effectively
-    * independent (the [[planeSign]] mod-97 parity family is fine for
-    * coarse sign BUCKETS but its rows correlate up to perfect
-    * anti-correlation, which collapses a PROJECTION's rank).
+    * independent — the r1-r6 mod-97 parity family correlated across rows
+    * (up to perfect anti-correlation), which both collapsed a
+    * projection's rank AND concentrated the sign buckets onto ~half the
+    * keyspace (measured: 120 of 256 buckets, 6x the candidate pairs).
     */
   private[graft] def jlSign(j: Int, d: Int): Double =
     if ((splitmix64(j * 1009L + d) & 1L) == 0L) 1.0 else -1.0
@@ -324,8 +317,13 @@ object VectorOps {
     // bucket fold over the scalar sums — conditionals wrapping higher-order
     // expressions defeat codegen collapse (measured 20x on the shingle
     // pipelines)
+    // dims probed from ONE row (O(1) metadata-cost action, not a scan);
+    // uniform-dim vectors are already the contract of every dot product
+    val dims = corpus.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(1)
     val sums = corpus.select(Seq(col("vec_id"), col("embedding")) ++
-      (0 until nPlanes).map(j => planeSum(j, col("embedding")).as(s"s$j")): _*)
+      (0 until nPlanes)
+        .map(j => planeSumLit(j, col("embedding"), dims).as(s"s$j")): _*)
     val v = capBlocks(
       sums.select(col("vec_id"), col("embedding"),
         (0 until nPlanes)

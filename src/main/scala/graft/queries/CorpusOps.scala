@@ -1685,13 +1685,9 @@ object CorpusOps {
     * gate.
     */
   private val signBucketCtes: String = {
-    val sumCols = (0 until 8).map { j =>
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      [ev[d+1] * (CASE WHEN (($j * 2654435761 + d * 40503) % 97) % 2 = 0
-         |                  THEN 1.0 ELSE -1.0 END)
-         |       for d in generate_series(0, len(ev)-1)]),
-         |      (a, b) -> a + b) AS s$j""".stripMargin
-    }.mkString(",\n    ")
+    // same literal ±1 matrix as the engine (jlSign), same left-assoc chain
+    val sumCols = (0 until 8).map(j => s"${jlChainSql(j)} AS s$j")
+      .mkString(",\n    ")
     val bucket = (0 until 8)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
@@ -2859,9 +2855,8 @@ object CorpusOps {
         |GROUP BY a.label ORDER BY a.label""".stripMargin,
 
     // sign-bucket mirror of VectorOps.signLshNearDupPairs: identical ±1
-    // plane parity, identical sequential left-fold (list_reduce, matching
-    // Spark's aggregate() order — list_sum could reorder the additions and
-    // flip a near-zero sign)
+    // literal plane matrix (jlSign), identical left-associated + chain —
+    // list_sum could reorder the additions and flip a near-zero sign
     "q_emb_lsh_neardup" ->
       s"""WITH $signBucketCtes
          |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket AS bucket,
