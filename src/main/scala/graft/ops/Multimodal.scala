@@ -255,56 +255,68 @@ object Multimodal {
     * seam — same contract as [[decodeImages]]), emitting 2 longs per
     * image; the downstream near-dup join works on the hashes alone.
     */
+  /** Decode one payload and pool it into (width, height, aHash, dHash) —
+    * the shared executor-side core of [[perceptualHash]] and the
+    * streaming visual-dedup tracker. None = quarantine (unreadable, no
+    * registered codec, or past the product-overflow pixel envelope).
+    */
+  private[graft] def hashImage(
+      payload: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-JVM, idempotent
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth.toLong * img.getHeight > 100000000L) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = Array.ofDim[Long](8, 8)
+      val cellArea = Array.ofDim[Long](8, 8)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val luma =
+            (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
+          // y*8/h maps pixel y to its cell ⇔ cell cy spans
+          // [cy*h/8, (cy+1)*h/8) — the floor-boundary partition
+          cellSum(cy)(x * 8 / w) += luma
+          cellArea(cy)(x * 8 / w) += 1L
+          total += luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var a = 0L; var d = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val s = cellSum(cy)(cx); val ar = cellArea(cy)(cx)
+          a = (a << 1) | (if (s * n > total * ar) 1L else 0L)
+          val nx = (cx + 1) % 8
+          val s2 = cellSum(cy)(nx); val ar2 = cellArea(cy)(nx)
+          d = (d << 1) | (if (s * ar2 > s2 * ar) 1L else 0L)
+          cx += 1
+        }
+        cy += 1
+      }
+      Some((w, h, a, d))
+    }
+  }
+
   def perceptualHash(media: Dataset[MediaRecord]): Dataset[PHashFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: Exception => null }
-        if (img == null || img.getWidth.toLong * img.getHeight > 100000000L)
-          PHashFeatures(m.media_id, decoded = false, None, None, None, None)
-        else {
-          val w = img.getWidth; val h = img.getHeight
-          val cellSum = Array.ofDim[Long](8, 8)
-          val cellArea = Array.ofDim[Long](8, 8)
-          var total = 0L
-          var y = 0
-          while (y < h) {
-            val cy = y * 8 / h
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              val luma =
-                (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
-              // y*8/h maps pixel y to its cell ⇔ cell cy spans
-              // [cy*h/8, (cy+1)*h/8) — the floor-boundary partition
-              cellSum(cy)(x * 8 / w) += luma
-              cellArea(cy)(x * 8 / w) += 1L
-              total += luma
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          var a = 0L; var d = 0L
-          var cy = 0
-          while (cy < 8) {
-            var cx = 0
-            while (cx < 8) {
-              val s = cellSum(cy)(cx); val ar = cellArea(cy)(cx)
-              a = (a << 1) | (if (s * n > total * ar) 1L else 0L)
-              val nx = (cx + 1) % 8
-              val s2 = cellSum(cy)(nx); val ar2 = cellArea(cy)(nx)
-              d = (d << 1) | (if (s * ar2 > s2 * ar) 1L else 0L)
-              cx += 1
-            }
-            cy += 1
-          }
-          PHashFeatures(m.media_id, decoded = true, Some(w), Some(h),
-            Some(a), Some(d))
+        hashImage(m.payload) match {
+          case None => PHashFeatures(m.media_id, decoded = false,
+            None, None, None, None)
+          case Some((w, h, a, d)) => PHashFeatures(m.media_id,
+            decoded = true, Some(w), Some(h), Some(a), Some(d))
         }
       }
     }

@@ -710,4 +710,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch((1L, 0)) == ((3L, 0L, 0L, true))) // silent stream flagged
     assert(!batch.keySet.exists(_._1 == 2L)) // junk quarantines to no rows
   }
+
+  test("streaming visual dedup matches batch perceptualPairs bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    import graft.streaming.StreamingVisualDedup
+    def pix(x: Int, y: Int): Int = {
+      val ph = (x / 2 + y / 2) % 2
+      val base = if (ph == 1) 230 else 20
+      ((base + x) << 16) | ((base + y) << 8) | ((base + (x ^ y)) % 256)
+    }
+    // 1: 16x16 PNG; 2: its 2x BMP re-encode (perceptual dup, px-distinct);
+    // 3: different content; 4: undecodable junk (quarantines)
+    val payloads = Map[Long, Array[Byte]](
+      1L -> Multimodal.makePng(16, 16, pix),
+      2L -> Multimodal.makeBmp(32, 32, (x, y) => pix(x / 2, y / 2)),
+      3L -> Multimodal.makePng(16, 16, (x, y) => if (x < 8) 0xFFFFFF else 0),
+      4L -> "junk".getBytes("UTF-8"))
+    val source = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val hits = StreamingVisualDedup.hits(
+      source.toDF().toDF("media_id", "event_time", "payload"),
+      maxDist = 3, horizonSeconds = 86400, watermarkDelay = "0 seconds")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("svd_out").start()
+    try {
+      // the dup pair spans MICRO-BATCHES: 1 arrives first, 2 later
+      source.addData((1L, ts("2020-01-01 00:00:00"), payloads(1L)),
+        (3L, ts("2020-01-01 00:05:00"), payloads(3L)))
+      q.processAllAvailable()
+      source.addData((2L, ts("2020-01-01 00:10:00"), payloads(2L)),
+        (4L, ts("2020-01-01 00:15:00"), payloads(4L)))
+      q.processAllAvailable()
+      val streamed = spark.table("svd_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        .toSet // multi-band duplicates collapse in the set
+      val media = payloads.toSeq.map { case (id, p) =>
+        Multimodal.MediaRecord(id, "image", p, "s")
+      }.toDS()
+      val batch = Multimodal.perceptualPairs(
+        Multimodal.perceptualHash(media).toDF(), 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed == Set((1L, 2L, 0, true)))
+    } finally q.stop()
+  }
 }
