@@ -258,14 +258,19 @@ object VectorOps {
       Seq(keyCol), "left_semi")
 
   /** Signed projection of `emb` (statically `dims` wide) onto plane j of
-    * the shared splitmix64 ±1 family ([[jlSign]]): a flat left-associated
-    * multiply-add chain over literal signs — codegen'd, and replayed by
-    * the oracle as the identical `+` chain, bit-for-bit.
+    * the shared splitmix64 ±1 family ([[jlSign]]): one ARRAY-LITERAL sign
+    * row zipped and left-folded (0.0-seeded, the dotHof shape) — a
+    * compact 3-node expression where a flat 64-term multiply-add chain
+    * bloats the generated code ~1 s of Janino per plane set (measured:
+    * q_emb_lsh_neardup 0.57→1.61 s on the chain form). The oracle replays
+    * the identical 0.0-seeded left fold.
     */
   private def planeSumLit(j: Int, emb: Column, dims: Int): Column =
-    (0 until dims).map(d =>
-      element_at(emb, d + 1).cast("double") * lit(jlSign(j, d)))
-      .reduce(_ + _)
+    aggregate(
+      zip_with(emb.cast("array<double>"),
+        lit((0 until dims).map(d => jlSign(j, d)).toArray),
+        (x, s) => x * s),
+      lit(0.0), (acc, x) => acc + x)
 
   /** splitmix64 finalizer — a full-avalanche integer mix, evaluated
     * DRIVER-SIDE only (the ±1 entries it derives are embedded as plan
@@ -293,8 +298,8 @@ object VectorOps {
     * the Achlioptas 2003 ±1 construction, which preserves pairwise
     * distances to (1±ε) at outDims = O(log n / ε²). The sign matrix is
     * derived driver-side (splitmix64 parity — RNG-free, reproducible on
-    * any engine) and embedded as plan LITERALS: each component is a flat
-    * left-associated multiply-add chain, fully codegen'd, zero shuffle —
+    * any engine) and embedded as ARRAY LITERALS: each component is one
+    * zip-and-fold over its sign row ([[planeSumLit]]), zero shuffle —
     * the pure in-row reduction a 100 TB pipeline runs once before every
     * downstream IVF/PQ/brute pass shrinks 12-48×.
     */
@@ -303,11 +308,8 @@ object VectorOps {
     require(outDims >= 1 && outDims <= 64, "outDims must be in [1, 64]")
     require(inDims >= 1, "inDims must be positive")
     corpus.select(col(idCol),
-      array((0 until outDims).map { j =>
-        (0 until inDims).map(d =>
-          element_at(col(embCol), d + 1).cast("double") * lit(jlSign(j, d)))
-          .reduce(_ + _) // left fold: same order as the oracle's + chain
-      }: _*).as("jl"))
+      array((0 until outDims)
+        .map(j => planeSumLit(j, col(embCol), inDims)): _*).as("jl"))
   }
 
   def signLshNearDupPairs(corpus: DataFrame, threshold: Double,

@@ -1669,15 +1669,18 @@ object CorpusOps {
   private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / nullif(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
 
-  /** JL component j as a flat left-associated multiply-add chain over the
-    * SAME driver-side ±1 matrix the engine embeds as literals
+  /** JL component j as the 0.0-seeded left fold over the SAME driver-side
+    * ±1 matrix the engine embeds as an array literal
     * ([[graft.ops.VectorOps.jlSign]]) — identical fold order, identical
     * constants, so the projected doubles match bit-for-bit.
     */
-  private def jlChainSql(j: Int, dims: Int = 64, ev: String = "ev"): String =
-    (0 until dims)
+  private def jlChainSql(j: Int, dims: Int = 64, ev: String = "ev"): String = {
+    val terms = (0 until dims)
       .map(d => s"$ev[${d + 1}] * ${graft.ops.VectorOps.jlSign(j, d)}")
-      .mkString(" + ")
+      .mkString(", ")
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [$terms]), (a, b) -> a + b)""".stripMargin
+  }
 
   /** Shared sign-LSH bucket CTEs (v → plane sums → 8-bit bucket) — the
     * DuckDB replica of [[graft.ops.VectorOps.signLshNearDupPairs]]'s
