@@ -511,6 +511,11 @@ object ExplainCheck {
     // broadcast side), percentile reduce -- no window, no big-big join
     "q_emb_jl_distortion" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // JL x IVF: reduced-space assignment/probe/scan -- argmax is the
+    // partially-aggregated struct-max (SortAggregate), ranking the bounded
+    // TopKAgg; no window over the scored corpus, no product
+    "q_emb_jl_ivf" -> (Seq("ObjectHashAggregate", "SortAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_ivf_assign" -> (Seq("HashAggregate", "SortAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_kmeans" -> (Seq(),

@@ -1009,6 +1009,26 @@ object CorpusOps {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // JL × IVF composition: the full reduced-space serving shape — project
+    // once, then centroid assignment, probe selection, and the cell scan
+    // ALL run on 16-dim vectors (the pipeline the jlProject docs claim;
+    // this gate pins that the composition actually plans and answers)
+    "q_emb_jl_ivf" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"), col("jl").cast("array<float>").as("embedding"),
+          lit(null).cast("string").as("label"))
+      val centroids = proj.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val queries = proj.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      VectorOps.ivfTopK(proj, centroids, queries, k = 5, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // dedup, scale path: near-dup pairs blocked by an 8-bit random-
     // hyperplane sign bucket (no natural block key needed); the ±1 planes
     // are portable integer math, so DuckDB recomputes identical buckets
@@ -2776,6 +2796,45 @@ object CorpusOps {
          |  round(quantile_cont(ratio, 0.5), 6) AS p50,
          |  round(quantile_cont(ratio, 0.95), 6) AS p95
          |FROM pr""".stripMargin
+    },
+
+    // JL × IVF replay: project (literal-matrix fold + REAL quantization),
+    // then the recall_ivf assignment/probe/scan CTEs over projected rows
+    "q_emb_jl_ivf" -> {
+      val sumCols = (0 until 16).map(j => s"${jlChainSql(j)} AS p$j")
+        .mkString(",\n         |    ")
+      val arr = (0 until 16).map(j => s"CAST(p$j AS REAL)").mkString(", ")
+      s"""WITH p AS (SELECT vec_id,
+         |    $sumCols
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)),
+         |pv AS (SELECT vec_id, [$arr]::DOUBLE[] AS ev FROM p),
+         |cent AS (SELECT vec_id AS centroid_id, ev AS cv FROM pv
+         |  WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS query_id, ev AS qv FROM pv
+         |  WHERE vec_id < 3),
+         |cells AS (
+         |  SELECT vec_id, centroid_id AS cell, ev FROM (
+         |    SELECT pv.vec_id, cent.centroid_id, pv.ev,
+         |      row_number() OVER (PARTITION BY pv.vec_id
+         |        ORDER BY ${cosSql("pv.ev", "cent.cv")} DESC,
+         |          cent.centroid_id) AS rn
+         |    FROM pv CROSS JOIN cent) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, cent.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q.qv", "cent.cv")} DESC,
+         |          cent.centroid_id) AS rn
+         |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+         |asq AS (SELECT p2.query_id, cl.vec_id,
+         |    ${cosSql("cl.ev", "p2.qv")} AS cos
+         |  FROM cells cl JOIN probes p2 USING (cell)
+         |  WHERE cl.vec_id != p2.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM asq)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
     "q_emb_semdedup" ->
