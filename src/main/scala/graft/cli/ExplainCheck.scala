@@ -495,6 +495,10 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_span_filter" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // boundary-exact variant: same linear explode + window-keyed agg shape
+    // as span_dedup, only the window grid densifies (stride 1)
+    "q_doc_span_exact" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_tfidf" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_doc_token_count" -> (Seq("Batched: true"),

@@ -59,12 +59,29 @@ object IndexCache {
     java.lang.Long.toHexString(h)
   }
 
+  /** Per-user cache root: a shared world-writable /tmp prefix let any local
+    * user pre-create a predictable path and feed a poisoned index to
+    * another user's query (and two users' builds collided). Namespacing by
+    * `user.name` under the platform tmpdir keeps each user's indexes in a
+    * directory only they write. On a cluster the same discipline is a
+    * per-tenant object-store prefix.
+    */
+  private[graft] def cacheRoot: String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      .stripSuffix(File.separator)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9_.-]", "_")
+    val root = new File(s"$tmp${File.separator}graft-$user")
+    root.mkdirs()
+    root.getAbsolutePath
+  }
+
   /** Cache directory for a derived index: name the FAMILY (postings, serve)
     * and version, key by source content. Same source bytes → same dir
     * (reuse); any rewrite → fresh dir (rebuild).
     */
   def cacheDir(family: String, version: Int, sourceDir: String): String =
-    s"/tmp/graft_${family}_v${version}_${contentKey(sourceDir)}"
+    s"$cacheRoot${File.separator}${family}_v${version}_${contentKey(sourceDir)}"
 
   /** Build-if-absent with ATOMIC publication: `build` writes into a private
     * temp dir which is renamed into `base` only when complete, so a
@@ -77,17 +94,24 @@ object IndexCache {
     if (!new File(probe).exists) {
       val tmp = new File(
         base + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-      build(tmp.getAbsolutePath)
-      if (!tmp.renameTo(new File(base))) {
-        def rmRf(f: File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
-        }
-        rmRf(tmp)
-        if (!new File(probe).exists)
-          throw new IllegalStateException(
-            s"could not publish index build into '$base' and no complete " +
-              "index is present — remove the stale directory and retry")
+      def rmRf(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
       }
+      // a failed or interrupted build must not orphan its private temp dir
+      // next to the cache — remove it on ANY non-published exit
+      val published =
+        try {
+          build(tmp.getAbsolutePath)
+          tmp.renameTo(new File(base))
+        } finally {
+          // after a successful rename tmp no longer exists; anything left
+          // is a failed build or a lost publish race — sweep it
+          if (tmp.exists) rmRf(tmp)
+        }
+      if (!published && !new File(probe).exists)
+        throw new IllegalStateException(
+          s"could not publish index build into '$base' and no complete " +
+            "index is present — remove the stale directory and retry")
     }
   }
 }

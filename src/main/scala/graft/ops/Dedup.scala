@@ -639,4 +639,37 @@ object Dedup {
         (col("orig_len") - length(col("clean"))).as("removed_chars"),
         col("clean"))
   }
+
+  /** BOUNDARY-EXACT exact-substring span removal (Lee et al.
+    * arXiv:2107.06499 §3.1 semantics, `minLen` as the only knob): a
+    * character of doc d is removed iff it lies inside SOME length-`minLen`
+    * substring of d that also appears in another document, and d is not
+    * that window's canonical (min-doc_id) holder. Unlike [[spanRemoval]],
+    * whose winLen=40/stride=10 grid misses duplicated runs shorter than
+    * winLen and quantizes boundaries to stride marks, this variant is
+    * exact: it is [[spanRemoval]] at stride=1 with winLen=`minLen`, and
+    * stride-1 makes the window union ALIGN with the true duplicated runs —
+    * a maximal shared run [a, a+R), R >= minLen, is covered by exactly the
+    * duplicated windows starting at a .. a+R-minLen, whose union is
+    * [a, a+R) with no quantization at either edge; a run shorter than
+    * minLen contains no full window and is (by the minimum-length
+    * definition) untouched. The suffix-array machinery of the paper is an
+    * ALGORITHMIC device for single-node efficiency; the fixed-point of the
+    * pass — which characters go — is this per-window definition, which
+    * distributes as one linear explode + one window-keyed aggregate.
+    *
+    * Cost vs the strided screen: stride× more window rows (one per char
+    * position), same linear shape — the shuffle payload is `minLen` chars
+    * per position. At petabyte scale run [[dupSpanCoverage]]'s strided
+    * screen first and rewrite only the docs it flags (the two-pass
+    * ExactSubstr deployment); or key the spread agg on a 128-bit window
+    * hash to shrink shuffle bytes when a ~2^-64 false-merge is acceptable.
+    * Here the window text itself is the key so the result is bit-exact
+    * against a per-character replay.
+    */
+  def spanRemovalExact(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    spanRemoval(docs, idCol, textCol, winLen = minLen, stride = 1)
+  }
 }

@@ -221,16 +221,25 @@ object TextOps {
     * score table — the token stream never shuffles, the score agg is the
     * only wide op, keyed on the doc id. Output: (id, n_tokens, score_ppm);
     * classify clean at score_ppm > 500000.
+    *
+    * Zero-token docs are KEPT (`explode_outer`, not `explode`): a doc the
+    * tokenizer empties out scores neutral (n_tokens=0, 500000 ppm) rather
+    * than silently vanishing from the output — same single pass, no extra
+    * join. The null placeholder row never matches the model (null join
+    * key) and contributes nothing to either aggregate.
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame =
     docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("id"),
+        explode_outer(tokens(col(textCol))).as("tok"))
       .join(broadcast(model.select(col("tok"), col("score_ppm"))),
         Seq("tok"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("score_ppm"), lit(500000L))).as("s"))
+      .agg(count(col("tok")).as("n_tokens"),
+        sum(when(col("tok").isNull, lit(0L))
+          .otherwise(coalesce(col("score_ppm"), lit(500000L)))).as("s"))
       .select(col("id"), col("n_tokens"),
-        expr("s div n_tokens").as("score_ppm"))
+        when(col("n_tokens") === 0L, lit(500000L))
+          .otherwise(expr("s div n_tokens")).as("score_ppm"))
 }

@@ -307,25 +307,44 @@ object VectorOps {
       inDims: Int, outDims: Int): DataFrame = {
     require(outDims >= 1 && outDims <= 64, "outDims must be in [1, 64]")
     require(inDims >= 1, "inDims must be positive")
-    corpus.select(col(idCol),
-      array((0 until outDims)
-        .map(j => planeSumLit(j, col(embCol), inDims)): _*).as("jl"))
+    // guard in its own select (not inlined into the 16 plane folds):
+    // CollapseProject keeps a multiply-referenced non-trivial alias
+    // un-substituted, so the width CASE evaluates once per row
+    corpus.select(col(idCol), assertWidth(col(embCol), inDims).as(embCol))
+      .select(col(idCol),
+        array((0 until outDims)
+          .map(j => planeSumLit(j, col(embCol), inDims)): _*).as("jl"))
   }
 
+  /** Row-level width contract for the literal-matrix projections: a vector
+    * that is not exactly `dims` wide raises instead of silently zip-padding
+    * (pad → null plane sum → sign bit falls to 0 and the row lands in a
+    * wrong bucket). Codegen-friendly (`CASE WHEN … ELSE raise_error`), zero
+    * cost on conforming rows.
+    */
+  private def assertWidth(emb: Column, dims: Int): Column =
+    when(size(emb) === dims, emb).otherwise(raise_error(concat(
+      lit(s"embedding width != $dims (found "),
+      size(emb).cast("string"), lit(")"))))
+
   def signLshNearDupPairs(corpus: DataFrame, threshold: Double,
-      nPlanes: Int = 8, blockCap: Int = Int.MaxValue): DataFrame = {
+      inDims: Int, nPlanes: Int = 8, blockCap: Int = Int.MaxValue): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 30, "nPlanes must be in [1, 30]")
+    require(inDims >= 1, "inDims must be positive")
     // two selects: projections first (plain HOF columns), THEN the CASE
     // bucket fold over the scalar sums — conditionals wrapping higher-order
     // expressions defeat codegen collapse (measured 20x on the shingle
     // pipelines)
-    // dims probed from ONE row (O(1) metadata-cost action, not a scan);
-    // uniform-dim vectors are already the contract of every dot product
-    val dims = corpus.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(1)
-    val sums = corpus.select(Seq(col("vec_id"), col("embedding")) ++
+    // inDims is EXPLICIT (the jlProject contract): a probed width ran a
+    // Spark job at query-construction time and silently zip-padded ragged
+    // vectors (pad → null plane sum → sign bit 0). A row narrower than
+    // inDims now yields a null bucket, which the equi-join drops — and the
+    // width guard below turns a wrong-width corpus into a loud error
+    val guarded = corpus.select(col("vec_id"),
+      assertWidth(col("embedding"), inDims).as("embedding"))
+    val sums = guarded.select(Seq(col("vec_id"), col("embedding")) ++
       (0 until nPlanes)
-        .map(j => planeSumLit(j, col("embedding"), dims).as(s"s$j")): _*)
+        .map(j => planeSumLit(j, col("embedding"), inDims).as(s"s$j")): _*)
     val v = capBlocks(
       sums.select(col("vec_id"), col("embedding"),
         (0 until nPlanes)

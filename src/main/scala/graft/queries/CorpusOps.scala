@@ -477,6 +477,18 @@ object CorpusOps {
           md5(col("clean")).as("clean_fp"))
         .orderBy("doc_id")),
 
+    // BOUNDARY-EXACT ExactSubstr rewrite: stride-1 windows at minLen=25,
+    // so duplicated runs shorter than the strided pass's winLen=40 are
+    // found and every removed boundary is the true run edge (no stride
+    // quantization). Oracle is the same per-character replay at stride 1
+    "q_doc_span_exact" -> ((s, dir) =>
+      Dedup.spanRemovalExact(wide(s, t(s, dir, "documents")), "doc_id",
+          "text", minLen = 25)
+        .select(col("doc_id"), col("orig_len"), col("n_spans"),
+          col("clean_len"), col("removed_chars"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")),
+
     // the ExactSubstr DROP decision: keep docs whose duplicate-span
     // coverage is under 50% (exact integer ppm — no float boundary);
     // docs too short to window (no coverage row) are kept, since the
@@ -684,7 +696,7 @@ object CorpusOps {
     // 100 TB embedding pipeline, end-to-end replayed by the oracle
     "q_emb_jl_knn" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
-      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 64, 16)
+      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", embDims, 16)
         .select(col("vec_id"), col("jl").cast("array<float>").as("embedding"))
       val queries = proj.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"),
@@ -900,7 +912,7 @@ object CorpusOps {
     // commits to an outDims
     "q_emb_jl_distortion" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
-      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 64, 16)
+      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", embDims, 16)
         .select(col("vec_id"), col("jl").cast("array<float>").as("pv"))
       val j = emb.select(col("vec_id"), col("embedding")).join(proj, "vec_id")
         .where(col("vec_id") < 25)
@@ -955,12 +967,19 @@ object CorpusOps {
           emb.where(pmod(col("vec_id"), lit(2)) === m), "label", "embedding")
         .select(col("label"), col("pos"),
           expr("sum_q DIV n").as(s"m$m"), col("n").as(s"n$m"))
+      // squared diffs widen to decimal(38,0) BEFORE the per-row product
+      // (the q_emb_dim_stats discipline): Long would wrap silently at
+      // |m0-m1| > ~3e9 where DuckDB's HUGEINT raises. The final value is
+      // re-narrowed to BIGINT to keep the gate schema — on true overflow
+      // Spark nulls and DuckDB raises, both loud at the compare layer
+      val dec = "decimal(38,0)"
       half(0).join(half(1), Seq("label", "pos"))
         .groupBy("label")
         .agg(first(col("n0")).as("n_a"), first(col("n1")).as("n_b"),
           count(lit(1)).as("dims"),
-          sum((col("m0") - col("m1")) * (col("m0") - col("m1")))
-            .as("drift2_q"))
+          sum((col("m0") - col("m1")).cast(dec)
+            * (col("m0") - col("m1")).cast(dec))
+            .cast("long").as("drift2_q"))
         .orderBy("label")
     }),
 
@@ -1015,7 +1034,7 @@ object CorpusOps {
     // this gate pins that the composition actually plans and answers)
     "q_emb_jl_ivf" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
-      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", 64, 16)
+      val proj = VectorOps.jlProject(emb, "vec_id", "embedding", embDims, 16)
         .select(col("vec_id"), col("jl").cast("array<float>").as("embedding"),
           lit(null).cast("string").as("label"))
       val centroids = proj.where(col("vec_id") < 8)
@@ -1033,7 +1052,8 @@ object CorpusOps {
     // hyperplane sign bucket (no natural block key needed); the ±1 planes
     // are portable integer math, so DuckDB recomputes identical buckets
     "q_emb_lsh_neardup" -> ((s, dir) =>
-      VectorOps.signLshNearDupPairs(wide(s, t(s, dir, "embeddings")), 0.4)
+      VectorOps.signLshNearDupPairs(wide(s, t(s, dir, "embeddings")), 0.4,
+          inDims = embDims)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
@@ -1044,7 +1064,7 @@ object CorpusOps {
     // exact-percentile reduce on top
     "q_emb_cos_calibration" -> ((s, dir) => {
       val pairs = VectorOps.signLshNearDupPairs(
-        wide(s, t(s, dir, "embeddings")), -1.0)
+        wide(s, t(s, dir, "embeddings")), -1.0, inDims = embDims)
       pairs
         .select(round(col("cos"), 6).as("cos"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -1316,7 +1336,12 @@ object CorpusOps {
         val (w, h) = mmPngDims(k)
         lit(Multimodal.makeBmp(w, h, mmPngPixel(k)))
       }
-      val idx = pmod(col("doc_id"), lit(8)).cast("int") + 1
+      // pattern index from doc_id DIV 2 (not doc_id % 8): with %8 every
+      // pixel group had a single parity — all-PNG or all-BMP — and
+      // n_formats was identically 1, making the cross-format headline
+      // vacuous. DIV 2 pairs consecutive docs (2m PNG, 2m+1 BMP) onto the
+      // same grid, so n_formats = 2 is a REAL cross-container assertion
+      val idx = pmod(expr("doc_id DIV 2"), lit(8)).cast("int") + 1
       val payload = when(pmod(col("doc_id"), lit(2)) === 0,
         element_at(array(pngs: _*), idx))
         .otherwise(element_at(array(bmps: _*), idx))
@@ -1346,7 +1371,11 @@ object CorpusOps {
         lit(Multimodal.makeBmp(32, 32,
           (x, y) => mmPerceptualPixel(k)(x / 2, y / 2)))
       }
-      val idx = pmod(col("doc_id"), lit(8)).cast("int") + 1
+      // pattern from doc_id DIV 2 (see q_mm_visual_dedup): (doc_id%8)%2 ==
+      // doc_id%2 made every group single-format and n_cross_format
+      // identically zero — the PNG-vs-BMP pairing claim passed vacuously.
+      // Now group k holds evens (16×16 PNG) and odds (32×32 BMP re-encode)
+      val idx = pmod(expr("doc_id DIV 2"), lit(8)).cast("int") + 1
       val payload = when(pmod(col("doc_id"), lit(2)) === 0,
         element_at(array(pngs: _*), idx))
         .otherwise(element_at(array(bmps: _*), idx))
@@ -1356,7 +1385,7 @@ object CorpusOps {
         .as[Multimodal.MediaRecord]
       val ph = Multimodal.perceptualHash(media).toDF()
       val pairs = Multimodal.perceptualPairs(ph, 3)
-        .withColumn("grp", pmod(col("media_a"), lit(8)).cast("int"))
+        .withColumn("grp", pmod(expr("media_a DIV 2"), lit(8)).cast("int"))
         .groupBy("grp")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(pmod(col("media_a"), lit(2)) =!= pmod(col("media_b"),
@@ -1365,7 +1394,7 @@ object CorpusOps {
           sum(when(col("dhash_match"), 1L).otherwise(0L))
             .as("n_dhash_match"))
       val hashes = ph
-        .withColumn("grp", pmod(col("media_id"), lit(8)).cast("int"))
+        .withColumn("grp", pmod(expr("media_id DIV 2"), lit(8)).cast("int"))
         .groupBy("grp")
         .agg(countDistinct(col("ahash")).as("n_hashes"),
           lpad(hex(min(col("ahash"))), 16, "0").as("ahash_hex"),
@@ -1673,6 +1702,24 @@ object CorpusOps {
     (sr, sg, sb)
   }
 
+  /** Width of the testdata `embeddings.embedding` column. Single source of
+    * truth for every literal-matrix projection (engine side) and its DuckDB
+    * replay (oracle side): both embed a `dims`-wide ±1 matrix, so a corpus
+    * shipping a different width must fail LOUDLY on both sides — the engine
+    * raises via [[graft.ops.VectorOps.jlProject]]'s width guard, the oracle
+    * via [[evGuardSql]] — instead of null-padding plane sums.
+    */
+  private[queries] val embDims = 64
+
+  /** DuckDB-side mirror of the engine's width guard: selects the embedding
+    * as DOUBLE[] when exactly [[embDims]] wide, else raises through
+    * `error()` — a WHERE filter would pass vacuously on a wrong-width
+    * corpus, which is precisely the silent mismatch this prevents.
+    */
+  private def evGuardSql: String =
+    s"CASE WHEN len(embedding) = $embDims THEN embedding::DOUBLE[] " +
+      s"ELSE error('embeddings width <> $embDims') END"
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private[queries] val shinglesSql =
     """(SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
@@ -1689,12 +1736,70 @@ object CorpusOps {
   private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / nullif(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
 
+  /** Per-character replay of [[graft.ops.Dedup.spanRemoval]] for any
+    * (winLen, stride): mark every character covered by a duplicated
+    * non-canonical window, stitch the survivors, count contiguous dropped
+    * runs. stride=1 replays the boundary-exact [[graft.ops.Dedup
+    * .spanRemovalExact]] — same SQL, denser window grid.
+    */
+  private def spanReplaySql(winLen: Int, stride: Int): String =
+    raw"""WITH n AS (
+         |  SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+         |  FROM documents),
+         |ww AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, length(t) - ${winLen - 1}, $stride)) AS i
+         |  FROM n WHERE length(t) >= $winLen),
+         |wt AS (
+         |  SELECT ww.doc_id, ww.i, substr(n.t, ww.i, $winLen) AS win
+         |  FROM ww JOIN n USING (doc_id)),
+         |s AS (SELECT win, count(DISTINCT doc_id) AS nd,
+         |        min(doc_id) AS keep_doc
+         |      FROM wt GROUP BY win),
+         |rem AS (SELECT wt.doc_id, wt.i AS st, wt.i + $winLen AS en
+         |        FROM wt JOIN s USING (win)
+         |        WHERE s.nd >= 2 AND wt.doc_id <> s.keep_doc),
+         |dropped AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(generate_series(st, en - 1)) AS p
+         |  FROM rem),
+         |pos AS (
+         |  SELECT doc_id, unnest(generate_series(1, length(t))) AS p
+         |  FROM n),
+         |mark AS (
+         |  SELECT m.doc_id, m.p, substr(n.t, m.p, 1) AS ch,
+         |    d.p IS NOT NULL AS dr
+         |  FROM pos m JOIN n USING (doc_id)
+         |  LEFT JOIN dropped d ON d.doc_id = m.doc_id AND d.p = m.p),
+         |runs AS (
+         |  SELECT doc_id, p, ch, dr,
+         |    CASE WHEN dr AND NOT coalesce(
+         |        lag(dr) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+         |      THEN 1 ELSE 0 END AS ss
+         |  FROM mark),
+         |agg AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(ch, '' ORDER BY p)
+         |      FILTER (WHERE NOT dr), '') AS clean,
+         |    sum(ss) AS nspans
+         |  FROM runs GROUP BY doc_id)
+         |SELECT n.doc_id, CAST(length(n.t) AS INT) AS orig_len,
+         |  CAST(coalesce(a.nspans, 0) AS INT) AS n_spans,
+         |  CAST(length(coalesce(a.clean, n.t)) AS INT) AS clean_len,
+         |  CAST(length(n.t) - length(coalesce(a.clean, n.t)) AS INT)
+         |    AS removed_chars,
+         |  md5(coalesce(a.clean, n.t)) AS clean_fp
+         |FROM n LEFT JOIN agg a USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin
+
   /** JL component j as the 0.0-seeded left fold over the SAME driver-side
     * ±1 matrix the engine embeds as an array literal
     * ([[graft.ops.VectorOps.jlSign]]) — identical fold order, identical
     * constants, so the projected doubles match bit-for-bit.
     */
-  private def jlChainSql(j: Int, dims: Int = 64, ev: String = "ev"): String = {
+  private def jlChainSql(j: Int, dims: Int = embDims,
+      ev: String = "ev"): String = {
     val terms = (0 until dims)
       .map(d => s"$ev[${d + 1}] * ${graft.ops.VectorOps.jlSign(j, d)}")
       .mkString(", ")
@@ -1714,7 +1819,7 @@ object CorpusOps {
     val bucket = (0 until 8)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    s"""v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
        |s AS (SELECT vec_id, ev,
        |    $sumCols
        |  FROM v),
@@ -2242,56 +2347,11 @@ object CorpusOps {
     // holder != min doc_id), then a per-CHARACTER keep/drop — contiguous
     // dropped runs == the engine's merged intervals, and the ordered
     // string_agg of kept chars == its stitched rewrite
-    "q_doc_span_dedup" ->
-      raw"""WITH n AS (
-           |  SELECT doc_id,
-           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-           |  FROM documents),
-           |ww AS (
-           |  SELECT doc_id,
-           |    unnest(generate_series(1, length(t) - 39, 10)) AS i
-           |  FROM n WHERE length(t) >= 40),
-           |wt AS (
-           |  SELECT ww.doc_id, ww.i, substr(n.t, ww.i, 40) AS win
-           |  FROM ww JOIN n USING (doc_id)),
-           |s AS (SELECT win, count(DISTINCT doc_id) AS nd,
-           |        min(doc_id) AS keep_doc
-           |      FROM wt GROUP BY win),
-           |rem AS (SELECT wt.doc_id, wt.i AS st, wt.i + 40 AS en
-           |        FROM wt JOIN s USING (win)
-           |        WHERE s.nd >= 2 AND wt.doc_id <> s.keep_doc),
-           |dropped AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest(generate_series(st, en - 1)) AS p
-           |  FROM rem),
-           |pos AS (
-           |  SELECT doc_id, unnest(generate_series(1, length(t))) AS p
-           |  FROM n),
-           |mark AS (
-           |  SELECT m.doc_id, m.p, substr(n.t, m.p, 1) AS ch,
-           |    d.p IS NOT NULL AS dr
-           |  FROM pos m JOIN n USING (doc_id)
-           |  LEFT JOIN dropped d ON d.doc_id = m.doc_id AND d.p = m.p),
-           |runs AS (
-           |  SELECT doc_id, p, ch, dr,
-           |    CASE WHEN dr AND NOT coalesce(
-           |        lag(dr) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
-           |      THEN 1 ELSE 0 END AS ss
-           |  FROM mark),
-           |agg AS (
-           |  SELECT doc_id,
-           |    coalesce(string_agg(ch, '' ORDER BY p)
-           |      FILTER (WHERE NOT dr), '') AS clean,
-           |    sum(ss) AS nspans
-           |  FROM runs GROUP BY doc_id)
-           |SELECT n.doc_id, CAST(length(n.t) AS INT) AS orig_len,
-           |  CAST(coalesce(a.nspans, 0) AS INT) AS n_spans,
-           |  CAST(length(coalesce(a.clean, n.t)) AS INT) AS clean_len,
-           |  CAST(length(n.t) - length(coalesce(a.clean, n.t)) AS INT)
-           |    AS removed_chars,
-           |  md5(coalesce(a.clean, n.t)) AS clean_fp
-           |FROM n LEFT JOIN agg a USING (doc_id)
-           |ORDER BY n.doc_id""".stripMargin,
+    "q_doc_span_dedup" -> spanReplaySql(40, 10),
+
+    // identical per-character replay at stride 1 / minLen 25 — the
+    // boundary-exact variant differs ONLY in the window grid
+    "q_doc_span_exact" -> spanReplaySql(25, 1),
 
     "q_doc_span_filter" ->
       raw"""WITH n AS (
@@ -2438,7 +2498,7 @@ object CorpusOps {
       val sumCols = (0 until 16).map(j => s"${jlChainSql(j)} AS p$j")
         .mkString(",\n         |    ")
       val arr = (0 until 16).map(j => s"CAST(p$j AS REAL)").mkString(", ")
-      s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+      s"""WITH v0 AS (SELECT vec_id, $evGuardSql AS ev
          |  FROM embeddings),
          |p AS (SELECT vec_id,
          |    $sumCols
@@ -2782,7 +2842,7 @@ object CorpusOps {
          |  FROM embeddings WHERE vec_id < 25),
          |p AS (SELECT vec_id,
          |    $sumCols
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+         |  FROM (SELECT vec_id, $evGuardSql AS ev FROM embeddings
          |        WHERE vec_id < 25)),
          |pv AS (SELECT vec_id, [$arr]::DOUBLE[] AS ev FROM p),
          |pr AS (
@@ -2806,7 +2866,7 @@ object CorpusOps {
       val arr = (0 until 16).map(j => s"CAST(p$j AS REAL)").mkString(", ")
       s"""WITH p AS (SELECT vec_id,
          |    $sumCols
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)),
+         |  FROM (SELECT vec_id, $evGuardSql AS ev FROM embeddings)),
          |pv AS (SELECT vec_id, [$arr]::DOUBLE[] AS ev FROM p),
          |cent AS (SELECT vec_id AS centroid_id, ev AS cv FROM pv
          |  WHERE vec_id < 8),
@@ -3328,7 +3388,7 @@ object CorpusOps {
       }.mkString(",\n        |    ")
       s"""WITH e(k, fp) AS (VALUES
         |    $rows),
-        |g AS (SELECT CAST(doc_id % 8 AS INT) AS k,
+        |g AS (SELECT CAST((doc_id // 2) % 8 AS INT) AS k,
         |        CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id,
         |        CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_formats
         |      FROM documents GROUP BY 1)
@@ -3348,7 +3408,7 @@ object CorpusOps {
       }.mkString(",\n        |    ")
       s"""WITH e(grp, ahash_hex, dhash_hex) AS (VALUES
         |    $rows),
-        |g AS (SELECT CAST(doc_id % 8 AS INT) AS grp, count(*) AS n,
+        |g AS (SELECT CAST((doc_id // 2) % 8 AS INT) AS grp, count(*) AS n,
         |        count(*) FILTER (WHERE doc_id % 2 = 0) AS ne,
         |        count(*) FILTER (WHERE doc_id % 2 = 1) AS no
         |      FROM documents GROUP BY 1)

@@ -392,7 +392,7 @@ class OpsSpec extends AnyFunSuite {
     assert(selfCos(0L).isEmpty && selfCos(1L).nonEmpty)
     // sign-LSH over a corpus containing the zero vector: no crash, the
     // identical pair is found, the zero vector's null cosine is filtered
-    val pairs = VectorOps.signLshNearDupPairs(vecs, 0.99)
+    val pairs = VectorOps.signLshNearDupPairs(vecs, 0.99, inDims = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
     // algebraic Pearson r on a zero-variance group → null (corr() throws)
@@ -716,7 +716,7 @@ class OpsSpec extends AnyFunSuite {
       (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)), // identical → same bucket, cos 1
       (2L, Array(-4.0f, 3.0f, -2.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val pairs = VectorOps.signLshNearDupPairs(vecs, 0.99)
+    val pairs = VectorOps.signLshNearDupPairs(vecs, 0.99, inDims = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
@@ -848,7 +848,8 @@ class OpsSpec extends AnyFunSuite {
     // the sign-LSH variant caps its hash buckets the same way: 5 identical
     // vectors share a bucket, so cap=3 leaves only the cold pair (cold
     // vectors hash to a different bucket than the hot ones here)
-    val lshCapped = VectorOps.signLshNearDupPairs(vecs, 0.9, blockCap = 3)
+    val lshCapped = VectorOps.signLshNearDupPairs(vecs, 0.9, inDims = 2,
+      blockCap = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshCapped == Set((10L, 11L)))
   }
@@ -1500,9 +1501,14 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.io.IndexCache.contentKey(dir) != k2)
     // keys are filesystem-safe unsigned hex (no '-' from Int.MinValue abs)
     assert(k1.matches("[0-9a-f]+") && k2.matches("[0-9a-f]+"))
-    // cacheDir embeds family + version + key
+    // cacheDir embeds family + version + key under a PER-USER root (a
+    // shared world-writable /tmp prefix was pre-creatable by any local
+    // user — index poisoning + cross-user build collisions)
     val cd = graft.io.IndexCache.cacheDir("postings", 2, dir)
-    assert(cd.startsWith("/tmp/graft_postings_v2_"))
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9_.-]", "_")
+    assert(cd.contains(s"graft-$user"))
+    assert(new java.io.File(cd).getName.startsWith("postings_v2_"))
     // a missing or empty source FAILS FAST instead of aliasing every such
     // path onto the constant offset-basis key
     intercept[IllegalArgumentException] {
@@ -1542,6 +1548,22 @@ class OpsSpec extends AnyFunSuite {
     assert(new java.io.File(root).listFiles.map(_.getName).toSet == Set("idx"))
   }
 
+  test("ensureBuilt sweeps its temp dir when the build throws") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_fb_test").toString
+    val base = s"$root/idx"
+    intercept[RuntimeException] {
+      graft.io.IndexCache.ensureBuilt(base, s"$base/_SUCCESS") { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.write(Paths.get(tmp, "partial"), "half".getBytes)
+        throw new RuntimeException("executor lost")
+      }
+    }
+    // no orphan .build-XXXX directory accumulates next to the cache dir
+    assert(new java.io.File(root).listFiles.isEmpty,
+      "failed build must not leak its private temp directory")
+  }
+
   test("spanRemoval: canonical doc keeps text, dup holders lose merged spans") {
     // winLen=8, stride=4 windows over normalized text. Docs 10 and 20 share
     // a 16-char prefix "aaaabbbbccccdddd"; doc 10 (min id) is canonical and
@@ -1579,6 +1601,35 @@ class OpsSpec extends AnyFunSuite {
     val clean = r.getString(5)
     assert(clean.contains("keepme"))
     assert(!clean.contains("abcdef")) // normalized text is lowercase
+  }
+
+  test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
+    // normalized texts share exactly " sharedruntext " (15 chars, spaces
+    // included) at offsets no stride grid hits cleanly
+    val d = Seq(
+      (1L, "xxxxx sharedruntext yyyyy"),
+      (2L, "qqq sharedruntext zzz")).toDF("doc_id", "text")
+    // the strided default (winLen=40) cannot see a 15-char dup at all
+    val strided = graft.ops.Dedup.spanRemoval(d, "doc_id", "text")
+      .where(col("doc_id") === 2L).collect()(0)
+    assert(strided.getInt(2) == 0 && strided.getString(5) ==
+      "qqq sharedruntext zzz")
+    // strided at winLen=8/stride=3: the shared run starts at offset 6 in
+    // doc 1 but 4 in doc 2 — the two grids sample DIFFERENT 8-char strings
+    // out of the same run (6 ≢ 4 mod 3), so no window matches and the dup
+    // is completely invisible. Grid alignment, not just length, is what
+    // stride quantization loses; stride=1 makes every offset a grid point
+    val s83 = graft.ops.Dedup.spanRemoval(d, "doc_id", "text", 8, 3)
+      .where(col("doc_id") === 2L).collect()(0)
+    assert(s83.getInt(2) == 0 && s83.getString(5) == "qqq sharedruntext zzz",
+      s"got $s83")
+    // exact at minLen=8: the full maximal run [4,19) goes, boundaries on
+    // the true run edges; the canonical holder (doc 1) keeps every byte
+    val ex = graft.ops.Dedup.spanRemovalExact(d, "doc_id", "text", 8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(2), x.getInt(4), x.getString(5)))).toMap
+    assert(ex(2L) == ((1, 15, "qqqzzz")), s"got $ex")
+    assert(ex(1L) == ((0, 0, "xxxxx sharedruntext yyyyy")))
   }
 
   test("perceptualHash: re-encode + 2x upscale hash identically, px_fp differs") {
@@ -1653,13 +1704,26 @@ class OpsSpec extends AnyFunSuite {
     val heldOut = Seq(
       (10L, "the quick fox jumps again"), // clean-ish vocab
       (11L, "zzk xq qqq nnnp"), // junk vocab
-      (12L, "totally unseen vocabulary only")) // all-neutral -> exactly 500000
+      (12L, "totally unseen vocabulary only"), // all-neutral -> exactly 500000
+      (13L, "")) // split("") = [""] (DuckDB unnest parity): 1 token, neutral
       .toDF("doc_id", "text")
-    val s = graft.ops.TextOps.nbScore(heldOut, "doc_id", "text", model)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // NULL text: split(null) = null — explode DROPPED the doc from the
+      // scorer's output entirely; explode_outer keeps it at n_tokens=0
+      .union(Seq(14L).toDF("doc_id")
+        .select(col("doc_id"), lit(null).cast("string").as("text")))
+    val rows = graft.ops.TextOps.nbScore(heldOut, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val s = rows.view.mapValues(_._2).toMap
     assert(s(10L) > 500000L, s"clean held-out not separated: $s")
     assert(s(11L) < 500000L, s"junk held-out not separated: $s")
     assert(s(12L) == 500000L)
+    // zero-token (null-text) docs do NOT vanish: n_tokens=0, neutral score
+    assert(rows(14L) == ((0L, 500000L)),
+      s"null-text doc must be kept with a neutral score, got $rows")
+    // empty STRING keeps oracle parity: one '' token, unseen -> neutral
+    assert(rows(13L) == ((1L, 500000L)))
+    // and token-bearing docs report their true token count
+    assert(rows(11L)._1 == 4L)
   }
 
   test("nbTrain vocab cap keeps the top tokens deterministically") {

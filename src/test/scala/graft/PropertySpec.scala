@@ -563,4 +563,45 @@ object PropertySpec extends Properties("graft.stages") {
           (removed == 0 || nSpans > 0)
       }
     }
+
+  /** Same conservation contract for the boundary-exact variant, plus its
+    * defining guarantee against a brute-force per-character replay: a char
+    * is removed iff it lies in some duplicated non-canonical minLen-window
+    * — computed here with plain string scans, no Spark.
+    */
+  property("spanRemovalExact conserves chars and matches per-char replay") =
+    forAll(genSpanCorpus) { corpus =>
+      import spark.implicits._
+      val minLen = 8
+      val norm = corpus.map { case (id, t) =>
+        id -> t.trim.replaceAll("\\s+", " ").toLowerCase
+      }
+      // brute-force replay: window -> (distinct docs, min holder)
+      val occ = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Set[Long]]
+      norm.foreach { case (id, t) =>
+        (0 to t.length - minLen).foreach { i =>
+          occ.getOrElseUpdate(t.substring(i, i + minLen),
+            scala.collection.mutable.Set.empty) += id
+        }
+      }
+      val expect = norm.map { case (id, t) =>
+        val drop = Array.fill(t.length)(false)
+        (0 to t.length - minLen).foreach { i =>
+          val w = t.substring(i, i + minLen)
+          val docs = occ(w)
+          if (docs.size >= 2 && id != docs.min)
+            (i until i + minLen).foreach(drop(_) = true)
+        }
+        id -> t.zipWithIndex.collect { case (c, i) if !drop(i) => c }.mkString
+      }.toMap
+      val out = graft.ops.Dedup.spanRemovalExact(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", minLen).collect()
+      out.length == corpus.length && out.forall { r =>
+        val id = r.getLong(0)
+        val (orig, cleanLen, removed, clean) =
+          (r.getInt(1), r.getInt(3), r.getInt(4), r.getString(5))
+        cleanLen + removed == orig && clean == expect(id)
+      }
+    }
 }
