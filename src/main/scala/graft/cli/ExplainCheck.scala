@@ -489,6 +489,20 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_shingle_stats" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // within-doc line dedup: pure in-row Column algebra — scan + project
+    // only, no join and no aggregate anywhere in the plan
+    "q_doc_selfrep_dedup" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // URL canonicalization: zero-shuffle regex/HOF projection
+    "q_doc_url_canon" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // host stats: one linear aggregate keyed by registered domain (the
+    // two countDistincts plan as Expand + partial aggregates), no join
+    "q_doc_host_dedup" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window")),
     "q_doc_simhash_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_span_dedup" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),

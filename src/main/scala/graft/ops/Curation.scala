@@ -126,6 +126,42 @@ object Curation {
           .as("top_ratio"))
   }
 
+  /** Within-document repetition REWRITE (the fix half of the Gopher
+    * repetition filter, whose signals [[repetitionProfile]] reports):
+    * dedupe repeated segments — lines by default, paragraphs with
+    * sep="\n\n" — inside each document, keeping the FIRST occurrence of
+    * each segment in order and stitching the survivors back with the same
+    * separator. The most common crawl-junk shape after cross-doc dup:
+    * boilerplate nav lines, repeated headers, copy-pasted paragraphs.
+    *
+    * Returns one row per doc: `n_segs`, `n_uniq`, `n_dup_segs`,
+    * `orig_len`, `clean_len`, `removed_chars`, `clean`. A doc with no
+    * repeated segment passes through byte-identical.
+    *
+    * Scale shape: ZERO shuffle — `split` → `array_distinct` (documented
+    * to keep first occurrences in input order; pinned by spec) →
+    * `array_join`, all in-row codegen'd Column algebra. Linear in corpus
+    * bytes, embarrassingly parallel, composes with any scan.
+    */
+  def selfRepDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"), segs.as("segs"))
+      .select(col("doc_id"), col("t"), col("segs"),
+        array_distinct(col("segs")).as("uniq"))
+      .select(col("doc_id"),
+        size(col("segs")).as("n_segs"),
+        size(col("uniq")).as("n_uniq"),
+        (size(col("segs")) - size(col("uniq"))).as("n_dup_segs"),
+        length(col("t")).as("orig_len"),
+        length(array_join(col("uniq"), sep)).as("clean_len"),
+        (length(col("t")) - length(array_join(col("uniq"), sep)))
+          .as("removed_chars"),
+        array_join(col("uniq"), sep).as("clean"))
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its content-hash
     * bucket (out of `buckets`) falls below the stratum's keep count —
     * `rates` maps stratum value → kept buckets (a missing stratum keeps

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and host-level grouping — the FIRST blocking key
+  * every crawl pipeline applies before any content hash: two fetches of the
+  * same page routinely differ only in scheme case, a `www.` prefix, an
+  * explicit default port, tracking parameters, or a fragment, and
+  * host-level dup statistics (mirrors, boilerplate farms) need a
+  * registered-domain key, not the raw hostname.
+  *
+  * Everything here is pure in-row Column algebra (regexp extract/replace +
+  * array HOFs, all codegen'd): canonicalization is ZERO shuffle and
+  * embarrassingly parallel; only the host-stats aggregate shuffles, keyed
+  * by registered domain — linear, with map-side partials.
+  */
+object UrlOps {
+
+  /** Query parameters stripped by [[canonicalizeUrl]]: the ubiquitous
+    * click/campaign trackers that vary per-visit without changing content.
+    */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+  private def extract(url: Column, re: String) = regexp_extract(url, re, 1)
+
+  /** Canonical form of an absolute http(s) URL, as one deterministic
+    * composable expression. Rules (each independently replayable in SQL):
+    *   - scheme and host lowercase; a leading `www.` is dropped
+    *   - an explicit default port (`:80` for http, `:443` for https) is
+    *     dropped; any other port is kept
+    *   - tracking parameters ([[TrackingParamRe]]) are removed from the
+    *     query; remaining params keep their original order; an emptied
+    *     query drops its `?`
+    *   - the fragment is dropped (never sent to the server)
+    *   - an empty path becomes `/` (so `http://x.com` == `http://x.com/`);
+    *     non-root paths are byte-preserved (path case is significant)
+    * A value that does not parse as `scheme://host...` is passed through
+    * unchanged (canonicalization must never destroy a weird-but-keyed URL).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://"))
+    val hostRaw = lower(extract(url, "^[^:]+://([^/:?#]+)"))
+    val host = regexp_replace(hostRaw, "^www\\.", "")
+    val port = extract(url, "^[^:]+://[^/:?#]+:(\\d+)")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = extract(url, "^[^:]+://[^/?#]+([^?#]*)")
+    val query = extract(url, "\\?([^#]*)")
+    val cleanQuery = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike(TrackingParamRe) && p =!= ""), "&")
+    val canon = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(cleanQuery =!= "", concat(lit("?"), cleanQuery)).otherwise(lit("")))
+    when(scheme =!= "" && host =!= "", canon).otherwise(url)
+  }
+
+  /** Heuristic registered domain (the host-dedup blocking key): the last
+    * two host labels, or the last THREE when the second-to-last label is a
+    * common second-level suffix (`co`/`com`/`org`/`net`/`ac`/`gov`/`edu`)
+    * under a two-letter country TLD — `a.b.co.uk` → `b.co.uk`,
+    * `sub.example.com` → `example.com`. The full public-suffix list is a
+    * data file, not logic; at deployment broadcast it as a (suffix) table
+    * and left-join — same shape, exact PSL semantics. Hosts with a single
+    * label (localhost, intranet names) pass through.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last = element_at(labels, -1)
+    val second = element_at(labels, -2)
+    val sld = second.isin("co", "com", "org", "net", "ac", "gov", "edu")
+    val take3 = n >= 3 && sld && length(last) === 2
+    when(n <= 1, host)
+      .when(take3, concat_ws(".", element_at(labels, n - 2), second, last))
+      .otherwise(concat_ws(".", second, last))
+  }
+
+  /** Host-level duplication statistics over canonicalized URLs: per
+    * registered domain, the URL count, distinct canonical URLs, distinct
+    * content fingerprints, and the integer-ppm content-dup ratio
+    * (1 - distinct/urls). The crawl-triage view: a domain with thousands
+    * of URLs but a handful of fingerprints is a mirror or a template farm
+    * and gets blocked/downweighted before any pairwise dedup spends on it.
+    * One linear aggregate keyed by registered domain.
+    */
+  def hostDupStats(docs: DataFrame, urlCol: String,
+      contentFp: Column): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    val host = regexp_extract(canon, "^[^:]+://([^/:?#]+)", 1)
+    docs
+      .select(registeredDomain(host).as("domain"), canon.as("canon"),
+        contentFp.as("fp"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canon"),
+        countDistinct(col("fp")).as("n_content"))
+      .select(col("domain"), col("n_urls"), col("n_canon"), col("n_content"),
+        expr("(n_urls - n_content) * 1000000L div n_urls").as("dup_ppm"))
+  }
+}

@@ -12,6 +12,95 @@ object CurationQueries {
 
   private val rates = Map("en" -> 40, "de" -> 75, "fr" -> 100)
 
+  /** Deterministic messy URL per doc for the url-canon gates: every
+    * canonicalization rule is exercised by some residue class of doc_id.
+    * Mirrored 1:1 by [[synthUrlSql]] on the oracle side.
+    */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    def m(k: Int) = pmod(col("doc_id"), lit(k))
+    val scheme = when(m(2) === 0, lit("HTTP")).otherwise(lit("https"))
+    val www = when(m(3) === 0, lit("WWW.")).otherwise(lit(""))
+    val host = when(m(2) === 0,
+        concat(lit("Host"), m(7).cast("string"),
+          lit(".Example"), m(4).cast("string"), lit(".COM")))
+      .otherwise(concat(lit("Host"), m(7).cast("string"),
+        lit(".Blog"), m(3).cast("string"), lit(".Co.UK")))
+    val port = when(m(4) === 0,
+        when(m(2) === 0, lit(":80")).otherwise(lit(":443")))
+      .when(m(4) === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = when(m(5) === 0, lit(""))
+      .otherwise(concat(lit("/Page/"), m(5).cast("string")))
+    val query = concat(lit("?utm_source=feed&id="), m(4).cast("string"),
+      when(m(3) === 1, lit("&fbclid=ZZZ&x=1")).otherwise(lit("&ref=tw")))
+    val frag = when(m(3) === 2, lit("#Sec2")).otherwise(lit(""))
+    concat(scheme, lit("://"), www, host, port, path, query, frag)
+  }
+
+  /** DuckDB replica of [[synthUrl]] — same residue classes, same bytes. */
+  private val synthUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+      | CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      | CASE WHEN doc_id % 2 = 0
+      |   THEN 'Host' || (doc_id % 7) || '.Example' || (doc_id % 4) || '.COM'
+      |   ELSE 'Host' || (doc_id % 7) || '.Blog' || (doc_id % 3) || '.Co.UK'
+      | END ||
+      | CASE WHEN doc_id % 4 = 0 THEN
+      |     (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+      |   WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Page/' || (doc_id % 5) END ||
+      | '?utm_source=feed&id=' || (doc_id % 4) ||
+      | CASE WHEN doc_id % 3 = 1 THEN '&fbclid=ZZZ&x=1' ELSE '&ref=tw' END ||
+      | CASE WHEN doc_id % 3 = 2 THEN '#Sec2' ELSE '' END)"""
+      .stripMargin.replace("\n", "")
+
+  /** Generic canonicalization replay (CTE fragment producing doc_id, url,
+    * canon, host): the same rule pipeline as
+    * [[graft.ops.UrlOps.canonicalizeUrl]] in DuckDB SQL.
+    */
+  private val urlCanonCtes: String =
+    raw"""u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+         |px AS (SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         |      AS scheme,
+         |    regexp_replace(
+         |      lower(regexp_extract(url, '^[^:]+://([^/:?#]+)', 1)),
+         |      '^www\.', '') AS host,
+         |    regexp_extract(url, '^[^:]+://[^/:?#]+:(\d+)', 1) AS port,
+         |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS pth,
+         |    regexp_extract(url, '\?([^#]*)', 1) AS qry
+         |  FROM u),
+         |cq AS (SELECT doc_id, url, scheme, host, port, pth,
+         |    array_to_string(list_filter(string_split(qry, '&'),
+         |      p -> NOT regexp_matches(p,
+         |             '^(utm_[^=]*|fbclid|gclid|msclkid|ref)=')
+         |        AND p <> ''), '&') AS q2
+         |  FROM px),
+         |c AS (SELECT doc_id, url, host,
+         |    CASE WHEN scheme <> '' AND host <> '' THEN
+         |      scheme || '://' || host ||
+         |      CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+         |             AND NOT (scheme = 'https' AND port = '443')
+         |        THEN ':' || port ELSE '' END ||
+         |      CASE WHEN pth = '' THEN '/' ELSE pth END ||
+         |      CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+         |    ELSE url END AS canon
+         |  FROM cq),
+         |rd AS (SELECT doc_id, url, canon,
+         |    string_split(regexp_extract(canon, '^[^:]+://([^/:?#]+)', 1),
+         |      '.') AS ls
+         |  FROM c),
+         |dom AS (SELECT doc_id, url, canon,
+         |    CASE WHEN len(ls) <= 1 THEN array_to_string(ls, '.')
+         |         WHEN len(ls) >= 3
+         |              AND ls[len(ls) - 1] IN
+         |                ('co', 'com', 'org', 'net', 'ac', 'gov', 'edu')
+         |              AND length(ls[len(ls)]) = 2
+         |           THEN array_to_string(ls[len(ls) - 2:len(ls)], '.')
+         |         ELSE array_to_string(ls[len(ls) - 1:len(ls)], '.')
+         |         END AS domain
+         |  FROM rd)""".stripMargin
+
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
   val defs: Map[String, QueryFn] = Map(
@@ -62,6 +151,58 @@ object CurationQueries {
       Curation.repetitionProfile(wide(s, t(s, dir, "documents")),
         "doc_id", "text")
         .orderBy("doc_id")),
+
+    // URL canonicalization: no URL column in the testdata, so messy URLs
+    // are synthesized from doc_id (the q_mm_* discipline), covering every
+    // canon rule: scheme/host case, www prefix, default vs explicit port,
+    // tracking params mixed into real ones, fragments, empty paths, and
+    // both .com and .co.uk registered-domain shapes. The oracle replays
+    // the GENERIC rule pipeline (regex extracts + param filter), not the
+    // construction — it validates the operator
+    "q_doc_url_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = synthUrl
+      val canon = graft.ops.UrlOps.canonicalizeUrl(url)
+      docs.select(col("doc_id"), url.as("url"), canon.as("canon"),
+          graft.ops.UrlOps.registeredDomain(
+            regexp_extract(canon, "^[^:]+://([^/:?#]+)", 1)).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // host-level dup triage: canonical-URL and content-fingerprint
+    // distincts per registered domain (fingerprints synthesized with
+    // planted collisions — doc_id mod 50 — so dup_ppm is a real assertion)
+    "q_doc_host_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"))
+      graft.ops.UrlOps.hostDupStats(docs, "url",
+          md5(pmod(col("doc_id"), lit(50)).cast("string")))
+        .orderBy("domain")
+    }),
+
+    // within-doc repetition REWRITE: the testdata docs are single-line,
+    // so line structure is synthesized IN-QUERY from real text (the
+    // q_mm_* discipline): three 3-token lines a/b/c per doc, repeated in
+    // a doc_id-dependent pattern — a third of docs each exercise heavy
+    // repetition, no repetition, and leading repetition. The operator
+    // keeps each line's FIRST occurrence in order; md5(clean) is
+    // byte-identical against the DuckDB first-occurrence replay
+    "q_doc_selfrep_dedup" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def line(from: Int) = array_join(slice(toks, from, 3), " ")
+      val (a, b, c) = (line(1), line(4), line(7))
+      val lines = when(pmod(col("doc_id"), lit(3)) === 0,
+          array(a, b, a, c, b, a))
+        .when(pmod(col("doc_id"), lit(3)) === 1, array(a, b, c))
+        .otherwise(array(a, a, b, a, c))
+      val multi = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(lines, "\n").as("text"))
+      Curation.selfRepDedup(wide(s, multi), "doc_id", "text")
+        .select(col("doc_id"), col("n_segs"), col("n_uniq"),
+          col("n_dup_segs"), col("orig_len"), col("clean_len"),
+          col("removed_chars"), md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
 
     // deterministic stratified downsampling: keep 40% of en, 75% of de,
     // all fr (and everything in strata without a rate) by content-hash
@@ -1052,6 +1193,73 @@ object CurationQueries {
            |    AS dup_ratio,
            |  CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_ratio
            |FROM a ORDER BY doc_id""".stripMargin,
+
+    // canonicalization replay: the generic rule pipeline over the same
+    // synthesized messy URLs — every byte of url/canon/domain compared
+    "q_doc_url_canon" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, url, canon, domain FROM dom
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_host_dedup" ->
+      s"""WITH $urlCanonCtes,
+         |f AS (SELECT doc_id, canon, domain,
+         |    md5(CAST(doc_id % 50 AS VARCHAR)) AS fp
+         |  FROM dom)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_content,
+         |  CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
+         |    AS BIGINT) AS dup_ppm
+         |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // first-occurrence line dedup replay: same synthesized a/b/a/c/b/a
+    // line pattern, keep rows whose position equals their line's first
+    // position, stitch in order — byte-identical md5
+    "q_doc_selfrep_dedup" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           |  FROM documents),
+           |abc AS (
+           |  SELECT doc_id,
+           |    array_to_string(t[1:3], ' ') AS a,
+           |    array_to_string(t[4:6], ' ') AS b,
+           |    array_to_string(t[7:9], ' ') AS c
+           |  FROM tk),
+           |d AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 3 AS INT)
+           |      WHEN 0 THEN [a, b, a, c, b, a]
+           |      WHEN 1 THEN [a, b, c]
+           |      ELSE [a, a, b, a, c] END AS lines
+           |  FROM abc),
+           |l AS (
+           |  SELECT doc_id, unnest(lines) AS seg,
+           |    generate_subscripts(lines, 1) AS i
+           |  FROM d),
+           |fo AS (
+           |  SELECT doc_id, seg, i,
+           |    min(i) OVER (PARTITION BY doc_id, seg) AS fi
+           |  FROM l),
+           |cl AS (
+           |  SELECT doc_id,
+           |    string_agg(seg, chr(10) ORDER BY i)
+           |      FILTER (WHERE i = fi) AS clean,
+           |    CAST(count(*) AS INT) AS n_segs,
+           |    CAST(count(*) FILTER (WHERE i = fi) AS INT) AS n_uniq
+           |  FROM fo GROUP BY doc_id),
+           |orig AS (
+           |  SELECT doc_id,
+           |    CAST(length(array_to_string(lines, chr(10))) AS INT)
+           |      AS orig_len
+           |  FROM d)
+           |SELECT cl.doc_id, cl.n_segs, cl.n_uniq,
+           |  cl.n_segs - cl.n_uniq AS n_dup_segs, orig.orig_len,
+           |  CAST(length(cl.clean) AS INT) AS clean_len,
+           |  orig.orig_len - CAST(length(cl.clean) AS INT) AS removed_chars,
+           |  md5(cl.clean) AS clean_fp
+           |FROM cl JOIN orig USING (doc_id)
+           |ORDER BY cl.doc_id""".stripMargin,
 
     "q_doc_stratified_sample" ->
       s"""WITH n AS (

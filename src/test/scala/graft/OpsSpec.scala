@@ -1603,6 +1603,87 @@ class OpsSpec extends AnyFunSuite {
     assert(!clean.contains("abcdef")) // normalized text is lowercase
   }
 
+  test("urlOps: canonicalization rules, tracking params, ports, domains") {
+    import graft.ops.UrlOps
+    val cases = Seq(
+      // scheme/host case + www + default port + fragment all normalize
+      (1L, "HTTP://WWW.Example.COM:80/Page/1?id=3#frag",
+        "http://example.com/Page/1?id=3"),
+      // https default port dropped; explicit non-default port kept
+      (2L, "HTTPS://a.B.co.UK:443/x", "https://a.b.co.uk/x"),
+      (3L, "http://h.net:8080/x", "http://h.net:8080/x"),
+      // tracking params stripped wherever they sit; real params keep order
+      (4L, "https://h.org/p?utm_source=f&b=2&fbclid=z&a=1&gclid=q",
+        "https://h.org/p?b=2&a=1"),
+      // a query emptied by stripping drops its '?'
+      (5L, "https://h.org/p?utm_campaign=x&ref=tw", "https://h.org/p"),
+      // empty path becomes '/' (http://x.com == http://x.com/)
+      (6L, "http://x.com?a=1", "http://x.com/?a=1"),
+      (7L, "http://x.com", "http://x.com/"),
+      // path case and trailing slash are byte-preserved (significant)
+      (8L, "http://x.com/CaseD/", "http://x.com/CaseD/"),
+      // unparseable input passes through untouched
+      (9L, "not a url", "not a url"),
+      // IDN punycode host is just a lowercase label — no special case
+      (10L, "http://XN--BCHER-KVA.example:80/b",
+        "http://xn--bcher-kva.example/b"))
+    val got = cases.toDF("id", "url", "want")
+      .select(col("id"), UrlOps.canonicalizeUrl(col("url")).as("got"),
+        col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"case ${r.getLong(0)}: got ${r.getString(1)}"))
+    // registered domain: plain TLD, second-level suffix, single label
+    val doms = Seq("sub.deep.example.com", "a.b.co.uk", "example.org",
+      "co.uk", "localhost").toDF("h")
+      .select(UrlOps.registeredDomain(col("h"))).collect().map(_.getString(0))
+    assert(doms.toSeq == Seq("example.com", "b.co.uk", "example.org",
+      "co.uk", "localhost"))
+    // host stats: mirror domain with 3 urls but 1 content fp
+    val docs = Seq(
+      (1L, "HTTP://mirror.com:80/1"), (2L, "http://b.mirror.com/2"),
+      (3L, "http://WWW.mirror.com/1"), (4L, "http://solo.net/1"))
+      .toDF("doc_id", "url")
+    val st = UrlOps.hostDupStats(docs, "url",
+        when(col("doc_id") < 4, lit("same")).otherwise(lit("other")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // urls 1 and 3 canonicalize identically (scheme case + default port
+    // vs www prefix) -> n_canon 2 under the same registered domain
+    assert(st("mirror.com") == ((3L, 2L, 1L, 666666L)), s"got $st")
+    assert(st("solo.net") == ((1L, 1L, 1L, 0L)))
+  }
+
+  test("selfRepDedup: keep-first line dedup, pass-through, paragraph sep") {
+    import graft.ops.Curation
+    val d = Seq(
+      (1L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+      (2L, "clean doc\nno repeats here"),
+      (3L, "x\nx\nx"),
+      (4L, "p1 text\n\np2 text\n\np1 text")).toDF("doc_id", "text")
+    val r = Curation.selfRepDedup(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getString(7)))).toMap
+    // (n_segs, n_uniq, n_dup_segs, clean)
+    assert(r(1L) == ((5, 3, 2,
+      "nav bar\nreal content one\nreal content two")))
+    // keep-first ORDER is the contract (pins array_distinct's behavior):
+    // survivors appear in first-occurrence order, not sorted
+    assert(r(1L)._4.indexOf("one") < r(1L)._4.indexOf("two"))
+    // no repetition -> byte-identical pass-through
+    assert(r(2L) == ((2, 2, 0, "clean doc\nno repeats here")))
+    assert(r(3L) == ((3, 1, 2, "x")))
+    // paragraph mode: sep is literal (regex-quoted), "\n\n" segments
+    val p = Curation.selfRepDedup(d.where(col("doc_id") === 4L),
+      "doc_id", "text", sep = "\n\n").collect()(0)
+    assert(p.getInt(1) == 3 && p.getInt(2) == 2 &&
+      p.getString(7) == "p1 text\n\np2 text")
+    // conservation on every row
+    Curation.selfRepDedup(d, "doc_id", "text").collect().foreach { x =>
+      assert(x.getInt(5) + x.getInt(6) == x.getInt(4))
+    }
+  }
+
   test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
     // normalized texts share exactly " sharedruntext " (15 chars, spaces
     // included) at offsets no stride grid hits cleanly
