@@ -1,0 +1,155 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Restart-recovery contract for the stateful trackers: a query killed
+  * between micro-batches and restarted FROM ITS CHECKPOINT (same source,
+  * same pipeline, same checkpoint dir) must resume with its state intact —
+  * pairs/sessions/alerts that straddle the restart boundary still fire,
+  * nothing already emitted is emitted again, and the combined output is
+  * the batch-parity set. This is Spark's own StopStream/StartStream-
+  * from-checkpoint discipline: the foreachBatch sink is the
+  * fault-tolerant deployment sink, and the HDFS-backed state store +
+  * commit log carry the tracker state and watermark across the restart.
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Runs `mkQuery` twice against the same checkpoint dir — add `first`
+    * batches, stop (the mid-stream kill), restart, add `second` — and
+    * returns every row the two incarnations emitted, tagged by phase.
+    */
+  private def runWithRestart[A](
+      mkQuery: () => Dataset[_],
+      addFirst: () => Unit, addSecond: () => Unit): (Seq[Row], Seq[Row]) = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = {
+      val sink: (Dataset[Row], Long) => Unit =
+        (b, _) => b.collect().foreach(buf.add)
+      mkQuery().toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink).start()
+    }
+    val q1 = start()
+    try { addFirst(); q1.processAllAvailable() } finally q1.stop()
+    val phase1 = buf.toArray(Array.empty[Row]).toSeq
+    val q2 = start()
+    try { addSecond(); q2.processAllAvailable() } finally q2.stop()
+    val all = buf.toArray(Array.empty[Row]).toSeq
+    (phase1, all.drop(phase1.size))
+  }
+
+  test("near-dup LSH survives restart: cross-boundary pairs, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingNearDup
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over the lazy cat",
+      2L -> "completely different words entirely unrelated text here",
+      3L -> "THE  Quick   Brown fox jumps over the lazy dog")
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val (p1, p2) = runWithRestart(
+      () => StreamingNearDup.hits(
+        source.toDF().toDF("doc_id", "event_time", "text"),
+        k = 3, nHashes = 64, bands = 32, threshold = 0.5,
+        horizonSeconds = 86400, watermarkDelay = "0 seconds"),
+      () => source.addData(
+        (0L, ts("2020-01-01 00:00:00"), texts(0)._2),
+        (1L, ts("2020-01-01 00:10:00"), texts(1)._2)),
+      () => source.addData(
+        (2L, ts("2020-01-01 00:20:00"), texts(2)._2),
+        (3L, ts("2020-01-01 00:30:00"), texts(3)._2)))
+    def pairs(rs: Seq[Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 arrived AFTER the restart; its pairs with pre-restart docs 0
+    // and 1 prove the LSH corpus state was reloaded, not rebuilt empty
+    assert(pairs(p2).contains((0L, 3L)) && pairs(p2).contains((1L, 3L)),
+      s"cross-restart pairs missing: ${pairs(p2)}")
+    // nothing re-emitted, and the union is the batch-parity set
+    assert(pairs(p1).intersect(pairs(p2)).isEmpty)
+    val batch = graft.ops.Dedup.minhashLshPairs(
+      texts.toDF("doc_id", "text"), "doc_id", "text", 3, 64, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(p1) ++ pairs(p2) == batch,
+      s"stream ${pairs(p1) ++ pairs(p2)} vs batch $batch")
+  }
+
+  test("visual dedup survives restart: re-encode arriving after resume hits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    import graft.streaming.StreamingVisualDedup
+    def pix(x: Int, y: Int): Int = {
+      val ph = (x / 2 + y / 2) % 2
+      val base = if (ph == 1) 230 else 20
+      ((base + x) << 16) | ((base + y) << 8) | ((base + (x ^ y)) % 256)
+    }
+    val source = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val (p1, p2) = runWithRestart(
+      () => StreamingVisualDedup.hits(
+        source.toDF().toDF("media_id", "event_time", "payload"),
+        maxDist = 3, horizonSeconds = 86400, watermarkDelay = "0 seconds"),
+      () => source.addData(
+        (1L, ts("2020-01-01 00:00:00"), Multimodal.makePng(16, 16, pix)),
+        (3L, ts("2020-01-01 00:05:00"),
+          Multimodal.makePng(16, 16, (x, y) => if (x < 8) 0xFFFFFF else 0))),
+      () => source.addData(
+        (2L, ts("2020-01-01 00:10:00"),
+          Multimodal.makeBmp(32, 32, (x, y) => pix(x / 2, y / 2)))))
+    // the 2x BMP re-encode of pre-restart image 1 arrives after resume:
+    // the hit requires image 1's perceptual hash from recovered state
+    assert(p1.isEmpty)
+    assert(p2.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      Set((1L, 2L, 0)), s"got ${p2.mkString(",")}")
+  }
+
+  test("burst detector survives restart: trailing-rate evidence persists") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingBursts
+    val source = MemoryStream[(String, Timestamp)]
+    val baseline = (0 to 6).map(h => ("api", ts(f"2020-01-01 $h%02d:15:00")))
+    val spike = (0 until 10).map(m => ("api", ts(f"2020-01-01 07:${m * 5}%02d:00")))
+    val (p1, p2) = runWithRestart(
+      () => StreamingBursts.detect(
+        source.toDF().toDF("event_type", "event_time"),
+        horizonSeconds = 86400, watermarkDelay = "0 seconds"),
+      () => source.addData(baseline ++ spike: _*),
+      () => source.addData(("api", ts("2020-01-01 08:01:00"))))
+    // the hour-8 event closes spike hour 7 AFTER the restart; the alert's
+    // 7-hour trailing evidence only exists in the recovered state
+    assert(p1.isEmpty, s"no closed hour had full evidence pre-restart: $p1")
+    val hr7 = ts("2020-01-01 07:00:00").getTime / 1000 / 3600
+    assert(p2.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet == Set(("api", hr7, 10L, 7L, 7L)),
+      s"got ${p2.mkString(",")}")
+  }
+
+  test("sessionizer survives restart: open session closes with pre-kill sums") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SessionEvent, StreamingSessionizer}
+    val source = MemoryStream[SessionEvent]
+    val (p1, p2) = runWithRestart(
+      () => StreamingSessionizer.sessionize(
+        source.toDS(), gapSeconds = 1800, watermarkDelay = "0 seconds"),
+      () => source.addData(
+        SessionEvent(1L, ts("2020-01-01 00:00:00"), 1.0),
+        SessionEvent(1L, ts("2020-01-01 00:10:00"), 2.0)),
+      () => source.addData(SessionEvent(2L, ts("2020-01-02 00:00:00"), 8.0)))
+    // user 1's session was OPEN at the kill; the post-restart watermark
+    // advance must close it with the pre-kill (n=2, sum=3.0) aggregates
+    assert(p1.isEmpty)
+    val closed = p2.map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(closed.contains((1L, 2L, 3.0)),
+      s"recovered session state lost: $closed")
+  }
+}
