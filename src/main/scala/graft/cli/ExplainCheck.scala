@@ -19,7 +19,7 @@ object ExplainCheck {
   // NOTE: with AQE the pre-execution formatted plan has no WholeStageCodegen
   // annotations (isFinalPlan=false), so codegen coverage is not grep-able
   // here; Batched scans + HashAggregate/BroadcastHashJoin nodes are.
-  private val expectations: Map[String, (Seq[String], Seq[String])] = Map(
+  private[graft] val expectations: Map[String, (Seq[String], Seq[String])] = Map(
     "q_filter_project" -> (Seq("PushedFilters: [IsNotNull", "Batched: true"),
       Seq("CartesianProduct")),
     "q_agg_pricing" -> (Seq("PushedFilters", "HashAggregate", "Batched: true"),
@@ -503,6 +503,33 @@ object ExplainCheck {
     "q_doc_host_dedup" -> (Seq("HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window")),
+    // cross-doc segment dedup: posexplode + segment-keyed argmin agg +
+    // join back + doc-keyed stitch — linear; the back-join may legally be
+    // a shuffle join at scale (canon is corpus-sized), so only products
+    // and windows are forbidden
+    "q_doc_crossdoc_dedup" -> (Seq("Generate", "HashAggregate",
+        "ObjectHashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+    // C4 line rewrite: pure in-row Column algebra like selfrep — scan +
+    // project only, no join/agg/window anywhere
+    "q_doc_line_filter" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // DSIR: two linear explode+agg passes build the bucket-bounded ratio
+    // table (broadcast, incl. the 1-row totals as BNLJ); the corpus pass
+    // is explode + broadcast join + doc-keyed agg — no SMJ, no window
+    "q_doc_dsir" -> (Seq("Generate", "HashAggregate", "BroadcastHashJoin",
+        "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // blocklist: ONE broadcast left-anti join, corpus never shuffles
+    "q_doc_domain_block" -> (Seq("BroadcastHashJoin", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate")),
+    // epoch order: the per-shard row_number window is the operator's one
+    // wide op (shard-bounded sort, the tokenBudget discipline); no joins
+    "q_doc_epoch_order" -> (Seq("Window", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin")),
     "q_doc_simhash_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_span_dedup" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),

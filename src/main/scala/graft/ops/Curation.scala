@@ -162,6 +162,115 @@ object Curation {
         array_join(col("uniq"), sep).as("clean"))
   }
 
+  /** C4-style line-level quality REWRITE (Raffel et al. 2020 §2.2, the
+    * cleaning pass behind the C4 corpus): each line of a document is kept
+    * iff it (a) ends in a terminal punctuation mark (`.` `!` `?` or a
+    * closing quote — C4's sentence heuristic), (b) has at least `minWords`
+    * words, and (c) contains no marker phrase (C4 drops lines mentioning
+    * javascript; cookie/lorem-ipsum notices are the same boilerplate
+    * class). Survivors are stitched back in order. Doc-level C4 signals
+    * ride along: `has_brace` (code, not prose — C4 drops the doc),
+    * `has_lorem`, and `doc_ok` = both false AND ≥ `minLines` kept lines
+    * (C4's ≥-3-sentences rule, counted over kept lines since a kept line
+    * ends in terminal punctuation). The rewrite half emits `clean`
+    * unconditionally — filtering on `doc_ok` is the caller's policy knob.
+    *
+    * Scale shape: ZERO shuffle — split → `filter` HOF → `array_join`, all
+    * in-row codegen'd Column algebra, linear in corpus bytes. Markers are
+    * literals in the predicate (a handful of phrases, not a table); a
+    * large blocklist would broadcast-join per line instead.
+    */
+  def lineQualityRewrite(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minLines: Int = 3,
+      markers: Seq[String] = Seq("javascript", "lorem ipsum", "cookie"))
+      : DataFrame = {
+    require(minWords >= 1 && minLines >= 0, "minWords >= 1, minLines >= 0")
+    require(markers.forall(m => m.nonEmpty && m == m.toLowerCase),
+      "markers must be non-empty lowercase phrases")
+    val lines = split(col(textCol), "\n", -1)
+    def keepLine(l: Column): Column = {
+      val lw = lower(l)
+      val terminal = l.rlike("[.!?\"]\\s*$")
+      val words = size(split(trim(l), "\\s+")) >= minWords
+      val noMarker = markers.map(m => !lw.contains(m)).reduce(_ && _)
+      terminal && (trim(l) =!= "") && words && noMarker
+    }
+    val kept = filter(lines, l => keepLine(l))
+    val clean = array_join(kept, "\n")
+    val hasBrace = col(textCol).contains("{")
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    docs.select(col(idCol).as("doc_id"),
+      size(lines).as("n_lines"), size(kept).as("n_kept"),
+      length(col(textCol)).as("orig_len"), length(clean).as("clean_len"),
+      hasBrace.as("has_brace"), hasLorem.as("has_lorem"),
+      (!hasBrace && !hasLorem && size(kept) >= minLines).as("doc_ok"),
+      clean.as("clean"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw document
+    * by how much more likely its hashed-bigram features are under a small
+    * TARGET corpus (the high-quality domain you want more of) than under
+    * the raw corpus itself. Per hash bucket b, with add-one smoothing over
+    * `buckets` cells, the importance ratio is
+    *   p_target(b) / p_raw(b)
+    *     = (n_t(b)+1)·(N_raw+B) / ((n_r(b)+1)·(N_tgt+B))
+    * kept as EXACT integer ppm (decimal(38,0) products, one floor
+    * division — the paper's log-weight sum is replaced by the mean bucket
+    * ratio, the same monotone count-space stand-in as [[TextOps.nbTrain]]:
+    * identical ranking, no cross-engine float drift). A doc's weight is
+    * the floor-mean ratio over its bigram features; docs with no bigram
+    * score neutral (1000000 ppm). Compose with [[weightedSample]]
+    * (rate = ppm-derived) for the paper's resampling step — membership
+    * then stays content-hash deterministic.
+    *
+    * Scale shape: feature space is CLOSED at `buckets` cells (hashing is
+    * the paper's own trick), so both count tables and the ratio table are
+    * bucket-bounded and broadcastable at any corpus size; the corpus
+    * itself takes one explode + one broadcast join + one doc-keyed agg —
+    * linear, map-side combined, no vocabulary blowup.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, "buckets in [2, 65536]")
+    def bucketCounts(df: DataFrame) = df
+      .select(explode(TextOps.wordBigrams(col(textCol))).as("g"))
+      .select(Sampling.hashBucket(col("g"), buckets).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n"))
+    val rawC = bucketCounts(docs)
+    val tgtC = bucketCounts(target)
+    val totals = rawC.agg(sum(col("n")).as("n_raw")).crossJoin(
+      tgtC.agg(sum(col("n")).as("n_tgt")))
+    // ratio table over the FULL bucket domain (unseen buckets still get
+    // the smoothed prior), built from one B-row sequence — bucket-bounded
+    val table = docs.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(buckets - 1))).as("bk"))
+      .join(broadcast(rawC.select(col("bk"), col("n").as("n_r"))), Seq("bk"), "left")
+      .join(broadcast(tgtC.select(col("bk"), col("n").as("n_t"))), Seq("bk"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bk"), expr(
+        s"""CAST((CAST(coalesce(n_t, 0) + 1 AS DECIMAL(38,0))
+           |  * CAST(coalesce(n_raw, 0) + $buckets AS DECIMAL(38,0))
+           |  * 1000000)
+           | DIV (CAST(coalesce(n_r, 0) + 1 AS DECIMAL(38,0))
+           |  * CAST(coalesce(n_tgt, 0) + $buckets AS DECIMAL(38,0)))
+           |AS BIGINT)""".stripMargin.replace("\n", " ")).as("ratio_ppm"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(TextOps.wordBigrams(col(textCol))).as("g"))
+      .select(col("doc_id"),
+        when(col("g").isNotNull, Sampling.hashBucket(col("g"), buckets))
+          .as("bk"))
+      .join(broadcast(table), Seq("bk"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("bk")).as("n_feats"),
+        sum(when(col("bk").isNull, lit(0L)).otherwise(col("ratio_ppm")))
+          .as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        when(col("n_feats") === 0L, lit(1000000L))
+          .otherwise(expr("s div n_feats")).as("dsir_ppm"))
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its content-hash
     * bucket (out of `buckets`) falls below the stratum's keep count —
     * `rates` maps stratum value → kept buckets (a missing stratum keeps

@@ -640,6 +640,57 @@ object Dedup {
         col("clean"))
   }
 
+  /** CROSS-document segment dedup — the MassiveText/Gopher line- and
+    * paragraph-level pass (Rae et al. 2021 arXiv:2112.11446 §A.2.3): a
+    * segment (line by default; paragraphs with sep="\n\n") survives only
+    * in its CANONICAL occurrence — the (min doc_id, min position) holder
+    * over every occurrence of the exact segment bytes in the corpus — and
+    * is removed everywhere else. The within-doc keep-first pass
+    * ([[graft.ops.Curation.selfRepDedup]]) falls out as a special case;
+    * this is the across-doc shape that kills site-wide boilerplate (nav
+    * bars, footers, cookie banners repeated on every page of a host).
+    * Empty segments are segments too (a corpus-wide blank line keeps one
+    * canonical holder) — pre-filter or post-process blank lines if a
+    * different policy is wanted; the rule here is uniform and total.
+    *
+    * Returns per doc: n_segs, n_kept, n_dropped, orig_len, clean_len,
+    * clean (survivors stitched with `sep` in original order).
+    *
+    * Scale shape: one posexplode (linear in corpus segments), ONE
+    * segment-keyed argmin aggregate whose shuffle carries one row per
+    * DISTINCT segment (map-side combined), one join back, one doc-keyed
+    * stitch aggregate. No document pair ever meets a reducer — the
+    * [[spanRemoval]] discipline at segment granularity. At petabyte scale
+    * key the argmin on a 128-bit segment hash instead of the bytes to
+    * shrink shuffle payloads (documented trade: ~2^-64 false merge).
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val segs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        length(col(textCol)).as("orig_len"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("pos", "seg")))
+    val canon = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    segs.join(canon, Seq("seg"))
+      .select(col("doc_id"), col("orig_len"), col("pos"), col("seg"),
+        (col("doc_id") === col("c.doc_id") && col("pos") === col("c.pos"))
+          .as("keep"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        max(col("orig_len")).as("orig_len"),
+        array_join(transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), sep).as("clean"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"), col("orig_len"),
+        length(col("clean")).as("clean_len"), col("clean"))
+  }
+
   /** BOUNDARY-EXACT exact-substring span removal (Lee et al.
     * arXiv:2107.06499 §3.1 semantics, `minLen` as the only knob): a
     * character of doc d is removed iff it lies inside SOME length-`minLen`

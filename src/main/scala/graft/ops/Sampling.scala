@@ -73,6 +73,38 @@ object Sampling {
         col("e.id").as(idCol))
   }
 
+  /** Deterministic epoch shuffle order — the training dataloader's
+    * per-epoch permutation, materialized as data: each row gets a shard in
+    * [0, shards) and a position within its shard, both pure functions of
+    * (epoch, content key), so epoch N's global read order
+    * (shard, pos) is identical on every run, partitioning, and engine —
+    * resumable mid-epoch by (shard, pos) watermark — and different epochs
+    * give unrelated permutations (the epoch is hashed INTO the key, not
+    * used as a seed offset). Returns (shard, pos, id).
+    *
+    * Scale shape: the per-shard `row_number` is the only wide op and each
+    * sort is shard-bounded (corpus/shards rows) — the [[graft.ops
+    * .Curation.tokenBudget]] discipline; there is never a global sort.
+    * Writing the result `partitionBy(shard)` gives the fixed-fan-in shard
+    * files a loader consumes ([[graft.io.CorpusLayout]] `writeShards` is
+    * the unordered single-epoch special case).
+    */
+  def epochOrder(df: org.apache.spark.sql.DataFrame, idCol: String,
+      key: Column, epoch: Int, shards: Int): org.apache.spark.sql.DataFrame = {
+    require(shards >= 1 && shards <= 65536, "shards in [1, 65536]")
+    require(epoch >= 0, "epoch must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws("|", lit(epoch), key))
+    val shard = conv(substring(h, 1, 4), 16, 10).cast("int") % shards
+    val order = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), shard.as("__shard"), order.as("__h"))
+      .select(col("__shard").as("shard"),
+        row_number().over(w).cast("long").as("pos"), col(idCol))
+      .select(col("shard"), col("pos"), col(idCol))
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor gets `k` pseudo-random partner ids, chosen by md5 of
     * (anchor, slot) — reproducible on every run, partitioning, and engine

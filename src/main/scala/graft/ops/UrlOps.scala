@@ -80,6 +80,29 @@ object UrlOps {
       .otherwise(concat_ws(".", second, last))
   }
 
+  /** Domain blocklist filter — the standard crawl-hygiene step (UT1-style
+    * category blocklists, spam/host reputation lists): drop every document
+    * whose REGISTERED domain appears in `blocked` (a one-column `domain`
+    * DataFrame). Keyed on the registered domain, not the raw host, so
+    * `a.evil.com` and `www.evil.com:8080/...` both match a blocked
+    * `evil.com` — the same canonicalization + domain pipeline as
+    * [[hostDupStats]], applied before membership.
+    *
+    * Scale shape: one broadcast LEFT ANTI join — real blocklists are
+    * O(10⁶) short strings (a few tens of MB), exactly the broadcast-dim
+    * case; the corpus is scanned once and never shuffled. The canon +
+    * domain key is in-row Column algebra, so the anti-join is the only
+    * wide op and its build side is the blocklist, never the corpus.
+    */
+  def blockByDomain(docs: DataFrame, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    val host = regexp_extract(canonicalizeUrl(col(urlCol)),
+      "^[^:]+://([^/:?#]+)", 1)
+    docs.join(
+      broadcast(blocked.select(lower(col("domain")).as("__blocked"))),
+      registeredDomain(host) === col("__blocked"), "left_anti")
+  }
+
   /** Host-level duplication statistics over canonicalized URLs: per
     * registered domain, the URL count, distinct canonical URLs, distinct
     * content fingerprints, and the integer-ppm content-dup ratio

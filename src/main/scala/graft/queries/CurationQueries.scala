@@ -204,6 +204,103 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // C4-style line-level quality rewrite: line structure synthesized
+    // from real text (the q_doc_selfrep discipline) so every rule fires —
+    // terminal-punctuation misses, short lines, marker lines (javascript /
+    // lorem ipsum), brace docs. The oracle replays the GENERIC keep rule
+    // (regex + word count + marker containment) per line; md5(clean) is
+    // byte-identical
+    "q_doc_line_filter" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int) = array_join(slice(toks, from, 3), " ")
+      val (a, b, c) = (seg(1), seg(4), seg(7))
+      val l1 = concat(a, lit("."))
+      val l2 = concat(lit("see "), b, lit("?"))
+      val l3 = c // no terminal punctuation
+      val l4 = lit("ok.") // too short
+      val l5 = concat(lit("enable javascript "), a, lit(".")) // marker
+      val l6 = lit("{ code }") // brace doc signal
+      val l7 = lit("filler lorem ipsum text.") // doc-level marker
+      val base = when(pmod(col("doc_id"), lit(4)) === 0, array(l1, l3, l2))
+        .when(pmod(col("doc_id"), lit(4)) === 1, array(l1, l4, l5, l2, l3))
+        .when(pmod(col("doc_id"), lit(4)) === 2, array(l2))
+        .otherwise(array(l1, l2, l6))
+      val lines = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(base, array(l7))).otherwise(base)
+      val multi = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(lines, "\n").as("text"))
+      Curation.lineQualityRewrite(wide(s, multi), "doc_id", "text",
+          minWords = 3, minLines = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("orig_len"), col("clean_len"), col("has_brace"),
+          col("has_lorem"), col("doc_ok"), md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): target = the corpus's
+    // own 'en' slice, raw = everything; hashed-bigram bucket ratios in
+    // exact integer ppm (decimal products, one floor division) — the
+    // oracle replays bucketing, smoothing, and the per-doc floor-mean
+    // bit-for-bit (HUGEINT on the DuckDB side)
+    "q_doc_dsir" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      Curation.dsirWeights(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
+    // domain blocklist: registered-domain anti-join over canonicalized
+    // synth URLs — evens carry example{0-3}.com domains, odds
+    // blog{0-2}.co.uk; blocking one of each plus a never-present domain
+    // drops exactly the matching residue classes (even ids only hit
+    // example{0,2}.com since doc_id%4 is even there; odd ids hit all
+    // blog{0-2}.co.uk residues)
+    "q_doc_domain_block" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"))
+      val blocked = Seq("example2.com", "blog2.co.uk", "unused.org")
+        .toDF("domain")
+      graft.ops.UrlOps.blockByDomain(docs, "url", blocked)
+        .select(col("doc_id"),
+          graft.ops.UrlOps.registeredDomain(
+            regexp_extract(graft.ops.UrlOps.canonicalizeUrl(col("url")),
+              "^[^:]+://([^/:?#]+)", 1)).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic epoch-2 shuffle order over 8 shards: (shard, pos)
+    // replayed with the same md5 math + row_number in DuckDB — the
+    // dataloader permutation as data
+    "q_doc_epoch_order" -> ((s, dir) =>
+      graft.ops.Sampling.epochOrder(t(s, dir, "documents"), "doc_id",
+          TextOps.normalize(col("text")), epoch = 2, shards = 8)
+        .orderBy("shard", "pos")),
+
+    // CROSS-doc segment dedup: shared boilerplate lines (nav/footer
+    // literals planted across residue classes, incl. a within-doc repeat)
+    // survive only at their global (min doc_id, min pos) canonical
+    // occurrence; md5(clean) byte-identical vs the row_number replay
+    "q_doc_crossdoc_dedup" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int) = array_join(slice(toks, from, 3), " ")
+      val (a, b) = (seg(1), seg(4))
+      val nav = lit("shared nav bar")
+      val foot = lit("shared footer line")
+      val lines = when(pmod(col("doc_id"), lit(4)) === 0,
+          array(nav, a, foot, b))
+        .when(pmod(col("doc_id"), lit(4)) === 1, array(a, nav, b))
+        .when(pmod(col("doc_id"), lit(4)) === 2, array(nav, nav, a, b))
+        .otherwise(array(a, b, foot))
+      val multi = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(lines, "\n").as("text"))
+      graft.ops.Dedup.segmentDedup(wide(s, multi), "doc_id", "text")
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          col("n_dropped"), col("orig_len"), col("clean_len"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified downsampling: keep 40% of en, 75% of de,
     // all fr (and everything in strata without a rate) by content-hash
     // bucket — rebalancing an over-represented language, stable across
@@ -1259,6 +1356,168 @@ object CurationQueries {
            |  orig.orig_len - CAST(length(cl.clean) AS INT) AS removed_chars,
            |  md5(cl.clean) AS clean_fp
            |FROM cl JOIN orig USING (doc_id)
+           |ORDER BY cl.doc_id""".stripMargin,
+
+    // C4 line-filter replay: same synthesized lines, generic keep rule
+    // (terminal punct regex + word count + marker containment) per line
+    "q_doc_line_filter" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           |  FROM documents),
+           |seg AS (
+           |  SELECT doc_id,
+           |    array_to_string(t[1:3], ' ') AS a,
+           |    array_to_string(t[4:6], ' ') AS b,
+           |    array_to_string(t[7:9], ' ') AS c
+           |  FROM tk),
+           |d AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN [a || '.', c, 'see ' || b || '?']
+           |      WHEN 1 THEN [a || '.', 'ok.',
+           |                   'enable javascript ' || a || '.',
+           |                   'see ' || b || '?', c]
+           |      WHEN 2 THEN ['see ' || b || '?']
+           |      ELSE [a || '.', 'see ' || b || '?', '{ code }'] END AS base
+           |  FROM seg),
+           |d2 AS (
+           |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+           |      THEN list_append(base, 'filler lorem ipsum text.')
+           |      ELSE base END AS lines
+           |  FROM d),
+           |x AS (
+           |  SELECT doc_id, lines, array_to_string(lines, chr(10)) AS text,
+           |    list_filter(lines, l ->
+           |      regexp_matches(l, '[.!?"]\s*$$') AND trim(l) <> ''
+           |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+           |      AND NOT contains(lower(l), 'javascript')
+           |      AND NOT contains(lower(l), 'lorem ipsum')
+           |      AND NOT contains(lower(l), 'cookie')) AS kept
+           |  FROM d2)
+           |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+           |  CAST(len(kept) AS INT) AS n_kept,
+           |  CAST(length(text) AS INT) AS orig_len,
+           |  CAST(length(array_to_string(kept, chr(10))) AS INT) AS clean_len,
+           |  contains(text, '{') AS has_brace,
+           |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+           |  (NOT contains(text, '{') AND NOT contains(lower(text),
+           |    'lorem ipsum') AND len(kept) >= 2) AS doc_ok,
+           |  md5(array_to_string(kept, chr(10))) AS clean_fp
+           |FROM x ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: hashed-bigram buckets (same md5-nibble math), add-one
+    // smoothing over the 1024-cell domain, HUGEINT products, floor mean
+    "q_doc_dsir" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, lang,
+           |    regexp_split_to_array(
+           |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+           |      AS ws
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+           |  FROM tk, LATERAL (
+           |    SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+           |gb AS (SELECT doc_id, lang, md5(g) AS h FROM g),
+           |bks AS (SELECT doc_id, lang, ${bucketSql(1024)} AS bk FROM gb),
+           |rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_r
+           |  FROM bks GROUP BY bk),
+           |tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_t
+           |  FROM bks WHERE lang = 'en' GROUP BY bk),
+           |tot AS (SELECT (SELECT count(*) FROM bks) AS n_raw,
+           |               (SELECT count(*) FROM bks WHERE lang = 'en')
+           |                 AS n_tgt),
+           |tab AS (
+           |  SELECT s.bk,
+           |    CAST((CAST(coalesce(tc.n_t, 0) + 1 AS HUGEINT)
+           |          * (tot.n_raw + 1024) * 1000000)
+           |      // (CAST(coalesce(rc.n_r, 0) + 1 AS HUGEINT)
+           |          * (tot.n_tgt + 1024)) AS BIGINT) AS ratio_ppm
+           |  FROM generate_series(0, 1023) AS s(bk)
+           |  LEFT JOIN rc ON rc.bk = s.bk
+           |  LEFT JOIN tc ON tc.bk = s.bk
+           |  CROSS JOIN tot),
+           |sc AS (
+           |  SELECT bks.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           |    CAST(sum(tab.ratio_ppm) AS BIGINT) AS s
+           |  FROM bks JOIN tab ON tab.bk = bks.bk
+           |  GROUP BY bks.doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(sc.n_feats, 0) AS n_feats,
+           |  CAST(CASE WHEN sc.n_feats IS NULL THEN 1000000
+           |       ELSE sc.s // sc.n_feats END AS BIGINT) AS dsir_ppm
+           |FROM documents d LEFT JOIN sc USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+
+    // blocklist replay: canon + registered domain, NOT IN the blocked set
+    "q_doc_domain_block" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, domain FROM dom
+         |WHERE domain NOT IN ('example2.com', 'blog2.co.uk', 'unused.org')
+         |ORDER BY doc_id""".stripMargin,
+
+    // epoch-order replay: same md5('2|' || normalized) shard + h32 sort
+    "q_doc_epoch_order" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    md5('2|' ||
+           |      lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(h, 1, 4))::BIGINT % 8 AS INT) AS shard,
+           |    ('0x' || substr(h, 1, 8))::BIGINT AS h32
+           |  FROM n)
+           |SELECT shard,
+           |  CAST(row_number() OVER (PARTITION BY shard
+           |    ORDER BY h32, doc_id) AS BIGINT) AS pos,
+           |  doc_id
+           |FROM b ORDER BY shard, pos""".stripMargin,
+
+    // cross-doc segment dedup replay: same planted lines; an occurrence
+    // survives iff its (doc_id, pos) row_number within its segment is 1
+    "q_doc_crossdoc_dedup" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           |  FROM documents),
+           |sg AS (
+           |  SELECT doc_id,
+           |    array_to_string(t[1:3], ' ') AS a,
+           |    array_to_string(t[4:6], ' ') AS b
+           |  FROM tk),
+           |d AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN ['shared nav bar', a, 'shared footer line', b]
+           |      WHEN 1 THEN [a, 'shared nav bar', b]
+           |      WHEN 2 THEN ['shared nav bar', 'shared nav bar', a, b]
+           |      ELSE [a, b, 'shared footer line'] END AS lines
+           |  FROM sg),
+           |l AS (
+           |  SELECT doc_id, unnest(lines) AS seg,
+           |    generate_subscripts(lines, 1) AS i
+           |  FROM d),
+           |r AS (
+           |  SELECT doc_id, seg, i,
+           |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+           |  FROM l),
+           |cl AS (
+           |  SELECT doc_id,
+           |    CAST(count(*) AS INT) AS n_segs,
+           |    CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+           |    coalesce(string_agg(seg, chr(10) ORDER BY i)
+           |      FILTER (WHERE rn = 1), '') AS clean
+           |  FROM r GROUP BY doc_id),
+           |o AS (
+           |  SELECT doc_id,
+           |    CAST(length(array_to_string(lines, chr(10))) AS INT)
+           |      AS orig_len
+           |  FROM d)
+           |SELECT cl.doc_id, cl.n_segs, cl.n_kept,
+           |  cl.n_segs - cl.n_kept AS n_dropped, o.orig_len,
+           |  CAST(length(cl.clean) AS INT) AS clean_len,
+           |  md5(cl.clean) AS clean_fp
+           |FROM cl JOIN o USING (doc_id)
            |ORDER BY cl.doc_id""".stripMargin,
 
     "q_doc_stratified_sample" ->

@@ -1849,4 +1849,129 @@ class OpsSpec extends AnyFunSuite {
     assert(run(asNanos) == secs)
     assert(run(asTs) == secs)
   }
+
+  test("segmentDedup: canonical occurrence survives, every other drops") {
+    val d = Seq(
+      (1L, "nav\nunique one\nfoot"),
+      (2L, "nav\nunique two\nnav"),
+      (3L, "unique three\nfoot\nnav")).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getString(6)))).toMap
+    // doc 1 is the (min doc, min pos) holder for nav AND foot
+    assert(r(1L) == ((3, 3, 0, "nav\nunique one\nfoot")))
+    // doc 2: both nav occurrences drop (incl. the within-doc repeat)
+    assert(r(2L) == ((3, 1, 2, "unique two")))
+    assert(r(3L) == ((3, 1, 2, "unique three")))
+    // deterministic under repartition (canonicality is a data function)
+    val r2 = Dedup.segmentDedup(d.repartition(5), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(6)).toMap
+    assert(r2 == r.view.mapValues(_._4).toMap)
+    // paragraph mode: "\n\n" separators, single-\n lines stay intact
+    val p = Seq(
+      (1L, "para one\n\nshared para"),
+      (2L, "shared para\n\npara two")).toDF("doc_id", "text")
+    val pr = Dedup.segmentDedup(p, "doc_id", "text", sep = "\n\n")
+      .collect().map(x => x.getLong(0) -> x.getString(6)).toMap
+    assert(pr(1L) == "para one\n\nshared para" && pr(2L) == "para two")
+  }
+
+  test("lineQualityRewrite: C4 rules — terminal punct, min words, markers") {
+    import graft.ops.Curation
+    val d = Seq(
+      (1L, "this line is fine.\nno terminal punct\nshort.\n" +
+        "please enable javascript now.\nanother good line here!"),
+      (2L, "good first sentence.\nis this a question?\nthird one stands."),
+      (3L, "var x = { a: 1 };\nreal prose sentence here."),
+      (4L, "lorem ipsum dolor sit amet.\nok line that would pass."),
+      (5L, "accept our cookie policy.\nreal content line here.")
+    ).toDF("doc_id", "text")
+    val r = Curation.lineQualityRewrite(d, "doc_id", "text",
+        minWords = 3, minLines = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getBoolean(5), x.getBoolean(6),
+          x.getBoolean(7), x.getString(8)))).toMap
+    // doc 1: 5 lines; kept = the two prose lines (no-punct, short, and
+    // javascript-marker lines all drop)
+    assert(r(1L) == ((5, 2, false, false, true,
+      "this line is fine.\nanother good line here!")))
+    // doc 2: all three survive
+    assert(r(2L)._2 == 3 && r(2L)._5)
+    // doc 3: brace doc — the `;`-terminated code line also fails the
+    // terminal-punct rule; clean still emitted, doc_ok false
+    assert(r(3L) == ((2, 1, true, false, false,
+      "real prose sentence here.")))
+    // doc 4: lorem line dropped by marker AND doc flagged; 1 kept < 2
+    assert(r(4L) == ((2, 1, false, true, false,
+      "ok line that would pass.")))
+    // doc 5: cookie marker drops the notice line only
+    assert(r(5L) == ((2, 1, false, false, false,
+      "real content line here.")))
+  }
+
+  test("dsirWeights: target-like docs outscore junk; empty doc neutral") {
+    import graft.ops.Curation
+    // target distribution: docs made of "good clean text" bigrams; raw
+    // corpus adds junk docs over a disjoint bigram set
+    val tgt = (0 until 8).map(i => (100L + i, "good clean text good clean"))
+      .toDF("doc_id", "text")
+    val raw = ((0 until 8).map(i => (i.toLong, "good clean text good clean"))
+      ++ (8 until 16).map(i => (i.toLong, "zz qq vv zz qq")))
+      .toDF("doc_id", "text")
+    val r = Curation.dsirWeights(raw, tgt, "doc_id", "text", buckets = 256)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val (likeTgt, junk) = r.partition(_._1 < 8)
+    // every target-like doc strictly outscores every junk doc, and sits
+    // above neutral while junk sits below (its buckets are raw-only)
+    assert(likeTgt.map(_._3).min > junk.map(_._3).max)
+    assert(likeTgt.forall(_._3 > 1000000L) && junk.forall(_._3 < 1000000L))
+    // empty doc: no bigrams -> neutral 1e6, n_feats 0
+    val e = Curation.dsirWeights(
+      raw.union(Seq((99L, "one")).toDF("doc_id", "text")), tgt,
+      "doc_id", "text", buckets = 256)
+      .where(col("doc_id") === 99L).collect()(0)
+    assert(e.getLong(1) == 0L && e.getLong(2) == 1000000L)
+    // partition-invariant (content-hash bucketing, no rand)
+    val r2 = Curation.dsirWeights(raw.repartition(7), tgt, "doc_id", "text",
+      buckets = 256).collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    assert(r2 == r.map(x => (x._1, x._3)).toSet)
+  }
+
+  test("blockByDomain: registered-domain match catches subdomains + ports") {
+    import graft.ops.UrlOps
+    val docs = Seq(
+      (1L, "https://evil.com/a"),
+      (2L, "http://WWW.Evil.COM:8080/b?x=1"), // same registered domain
+      (3L, "https://deep.sub.evil.com/c"),
+      (4L, "https://notevil.com/d"), // different domain, shared suffix text
+      (5L, "https://good.org/e"),
+      (6L, "not a url")).toDF("doc_id", "url")
+    val blocked = Seq("evil.com").toDF("domain")
+    val kept = UrlOps.blockByDomain(docs, "url", blocked)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 6L))
+  }
+
+  test("epochOrder: total per-shard order, epoch changes the permutation") {
+    import graft.ops.Sampling
+    val d = (0 until 200).map(i => (i.toLong, s"doc number $i payload"))
+      .toDF("doc_id", "text")
+    val key = TextOps.normalize(col("text"))
+    val e1 = Sampling.epochOrder(d, "doc_id", key, epoch = 1, shards = 4)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    // every doc exactly once; positions within a shard are 1..n dense
+    assert(e1.map(_._3).toSet == (0L until 200L).toSet)
+    e1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic under repartition
+    val e1b = Sampling.epochOrder(d.repartition(7), "doc_id", key, 1, 4)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+    assert(e1b == e1.toSet)
+    // a different epoch is a different permutation (shard or pos moves
+    // for the overwhelming majority of docs)
+    val e2 = Sampling.epochOrder(d, "doc_id", key, epoch = 2, shards = 4)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+    assert(e2 != e1.toSet)
+  }
 }

@@ -18,6 +18,15 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  test("pin coverage is total: every gate query audited, no stale pins") {
+    val qs = graft.SparkEntry.queries.keySet
+    val pins = graft.cli.ExplainCheck.expectations.keySet
+    assert((qs -- pins).isEmpty,
+      s"gates without a plan pin: ${(qs -- pins).toSeq.sorted.mkString(", ")}")
+    assert((pins -- qs).isEmpty,
+      s"pins without a gate: ${(pins -- qs).toSeq.sorted.mkString(", ")}")
+  }
+
   test("cartesian guard refuses unhinted products; whole engine is guard-clean") {
     import org.apache.spark.sql.functions.broadcast
     SparkTest.session // ensure the shared context exists first
