@@ -583,6 +583,10 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_mm_headers" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // JPEG SOF walk: a bounded per-row fold — still a pure projection
+    "q_mm_jpeg" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     "q_mm_incremental_dedup" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_mm_perceptual_dedup" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true"),

@@ -660,6 +660,61 @@ object Multimodal {
       when(isWav, le(35, 2).cast("int")).as("bits_per_sample"))
   }
 
+  /** JPEG SOF header sniff — the VARIABLE-OFFSET case ([[pngHeader]] was
+    * fixed-offset big-endian, [[wavHeader]] fixed-offset little-endian):
+    * JPEG dimensions live in a Start-Of-Frame segment whose position
+    * depends on every APPn/COM segment before it, so the parser must WALK
+    * the marker chain — `FFD8`, then per segment `FF``marker` + big-endian
+    * u16 length (self-inclusive) — until it hits SOF0/1/2 (`C0`/`C1`/`C2`:
+    * baseline/extended/progressive). The walk is a bounded `aggregate()`
+    * fold over `maxSegs` steps carrying (offset, state) — per-row Column
+    * algebra on the hex string, zero shuffle, no codec; real JPEGs put SOF
+    * within a handful of segments (EXIF/JFIF/COM), and a blob whose chain
+    * breaks (non-marker byte, truncated length, SOF not found in
+    * `maxSegs`) yields null fields rather than a misparse.
+    *
+    * Fields on success: sof_marker ("C0"/"C1"/"C2"), height, width,
+    * precision (bits/sample), n_components (1 gray / 3 YCbCr / 4 CMYK).
+    */
+  def jpegHeader(payload: org.apache.spark.sql.Column,
+      maxSegs: Int = 8): org.apache.spark.sql.Column = {
+    require(maxSegs >= 1 && maxSegs <= 64, "maxSegs in [1, 64]")
+    val hx = hex(payload) // uppercase, 2 hex chars per byte, 0-based bytes
+    def byteHex(off: org.apache.spark.sql.Column) =
+      hx.substr(off * 2 + 1, lit(2))
+    def be16(off: org.apache.spark.sql.Column) =
+      conv(hx.substr(off * 2 + 1, lit(4)), 16, 10).cast("int")
+    val isJpeg = substring(hx, 1, 4) === "FFD8"
+    // fold state: sof = -1 walking, -2 chain broken, >= 0 SOF seg offset
+    val init = struct(lit(2).as("off"), lit(-1).as("sof"))
+    val walked = aggregate(sequence(lit(1), lit(maxSegs)), init, (acc, _) => {
+      val off = acc.getField("off")
+      val sof = acc.getField("sof")
+      val marker = byteHex(off + 1)
+      val ok = byteHex(off) === "FF" && marker =!= ""
+      val isSof = marker.isin("C0", "C1", "C2")
+      val segLen = be16(off + 2)
+      val walking = sof === -1
+      val nextSof = when(!walking, sof)
+        .when(!ok || segLen.isNull || segLen < lit(2), lit(-2))
+        .when(isSof, off)
+        .otherwise(lit(-1))
+      val nextOff = when(!walking, off)
+        .otherwise(off + 2 + coalesce(segLen, lit(0)))
+      struct(nextOff.as("off"), nextSof.as("sof"))
+    })
+    val so = walked.getField("sof")
+    val found = isJpeg && so >= 0
+    struct(
+      isJpeg.as("is_jpeg"),
+      when(found, byteHex(so + 1)).as("sof_marker"),
+      when(found, be16(so + 5)).as("height"),
+      when(found, be16(so + 7)).as("width"),
+      when(found, conv(byteHex(so + 4), 16, 10).cast("int")).as("precision"),
+      when(found, conv(byteHex(so + 9), 16, 10).cast("int"))
+        .as("n_components"))
+  }
+
   /** End-to-end media feature pipeline over a text table. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

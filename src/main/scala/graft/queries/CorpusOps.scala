@@ -1270,6 +1270,43 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // JPEG SOF sniff — the VARIABLE-offset walk: payloads assembled as
+    // marker chains whose APP0 length varies by doc_id (and every third
+    // doc carries an extra COM segment), so SOF sits at a different byte
+    // offset per residue class; baseline C0 vs progressive C2 alternate.
+    // Every 7th-residue-3 doc gets a PNG magic (is_jpeg=false). The
+    // oracle states the expected OUTPUT in closed form from the
+    // generator — assembly∘walk must be the identity, so an offset,
+    // length-arithmetic, or marker bug on either side breaks the gate
+    "q_mm_jpeg" -> ((s, dir) => {
+      def be16(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+      val zeros = lit("0" * 64)
+      val h = col("doc_id") % 50 + 100
+      val w = col("doc_id") % 40 + 80
+      val app0Len = pmod(col("doc_id"), lit(4)) + 16
+      val app0 = concat(lit("FFE0"), be16(app0Len),
+        zeros.substr(lit(1), (app0Len - 2) * 2))
+      val comLen = lit(5) + pmod(col("doc_id"), lit(2))
+      val com = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("FFFE"), be16(comLen),
+          zeros.substr(lit(1), (comLen - 2) * 2))).otherwise(lit(""))
+      val sofM = when(pmod(col("doc_id"), lit(2)) === 0, lit("FFC0"))
+        .otherwise(lit("FFC2"))
+      val sof = concat(sofM, lit("000B"), lit("08"), be16(h), be16(w),
+        lit("01"), lit("110011"))
+      val jpeg = concat(lit("FFD8"), app0, com, sof, lit("FFDA"))
+      val pl = when(pmod(col("doc_id"), lit(7)) === 3,
+        unhex(lit("89504E470D0A1A0A"))).otherwise(unhex(jpeg))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.Multimodal.jpegHeader(pl).as("j"))
+        .select(col("doc_id"), col("j.is_jpeg").as("is_jpeg"),
+          col("j.sof_marker").as("sof_marker"),
+          col("j.height").as("height"), col("j.width").as("width"),
+          col("j.precision").as("precision"),
+          col("j.n_components").as("n_components"))
+        .orderBy("doc_id")
+    }),
+
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.featurePipeline(s, wide(s, t(s, dir, "documents")))
         .withColumn("mean_channel", round(col("mean_channel"), 6))
@@ -3234,6 +3271,20 @@ object CorpusOps {
         |    CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 + 1 AS INT)]
         |      AS BIGINT) END AS sample_rate,
         |  CASE WHEN doc_id % 5 <> 0 THEN 16 END AS bits_per_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_jpeg" ->
+      """SELECT doc_id,
+        |  (doc_id % 7 <> 3) AS is_jpeg,
+        |  CASE WHEN doc_id % 7 <> 3 THEN
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'C0' ELSE 'C2' END)
+        |  END AS sof_marker,
+        |  CASE WHEN doc_id % 7 <> 3
+        |    THEN CAST(doc_id % 50 + 100 AS INT) END AS height,
+        |  CASE WHEN doc_id % 7 <> 3
+        |    THEN CAST(doc_id % 40 + 80 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 <> 3 THEN 8 END AS precision,
+        |  CASE WHEN doc_id % 7 <> 3 THEN 1 END AS n_components
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_headers" ->

@@ -1850,6 +1850,37 @@ class OpsSpec extends AnyFunSuite {
     assert(run(asTs) == secs)
   }
 
+  test("jpegHeader: variable-offset marker walk, safe on broken chains") {
+    def hx(s: String) = s.replaceAll("\\s", "")
+    // canonical JFIF: SOI + 16-byte APP0 + SOF0, 3 components, 1024x768
+    val good = hx("""FFD8
+      FFE0 0010 4A46494600 0101 00 0048 0048 00 00
+      FFC0 0011 08 0300 0400 03 011100 021101 031101""")
+    val cases = Seq(
+      (1L, good),
+      (2L, hx("FFD8 FFC2 000B 08 0064 0050 01 110011")), // SOF first, C2
+      (3L, "89504E470D0A1A0A"), // PNG magic
+      (4L, hx("FFD8 FFE0 0004 0000 00C0")), // next byte not a marker
+      (5L, "FFD8"), // truncated after SOI
+      (6L, hx("FFD8 FFE1 8000 00"))) // segment longer than the blob
+    val r = cases.toDF("id", "h")
+      .select(col("id"),
+        Multimodal.jpegHeader(unhex(col("h"))).as("j"))
+      .select(col("id"), col("j.*"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val g = r(1L)
+    assert(g.getBoolean(1) && g.getString(2) == "C0" && g.getInt(3) == 768 &&
+      g.getInt(4) == 1024 && g.getInt(5) == 8 && g.getInt(6) == 3)
+    val p = r(2L)
+    assert(p.getString(2) == "C2" && p.getInt(3) == 100 &&
+      p.getInt(4) == 80 && p.getInt(6) == 1)
+    // non-JPEG and every broken chain: flagged, never misparsed
+    assert(!r(3L).getBoolean(1) && r(3L).isNullAt(3))
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(r(id).getBoolean(1) && r(id).isNullAt(2) && r(id).isNullAt(3))
+    }
+  }
+
   test("segmentDedup: canonical occurrence survives, every other drops") {
     val d = Seq(
       (1L, "nav\nunique one\nfoot"),
