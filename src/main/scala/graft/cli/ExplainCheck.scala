@@ -525,6 +525,11 @@ object ExplainCheck {
     "q_doc_domain_block" -> (Seq("BroadcastHashJoin", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate")),
+    // token mixture: strata-bounded token sums broadcast back (1-row
+    // total rides a BNLJ), then ONE per-stratum window cumsum
+    "q_doc_token_mixture" -> (Seq("Window", "HashAggregate",
+        "BroadcastHashJoin", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin")),
     // epoch order: the per-shard row_number window is the operator's one
     // wide op (shard-bounded sort, the tokenBudget discipline); no joins
     "q_doc_epoch_order" -> (Seq("Window", "Batched: true"),

@@ -365,6 +365,60 @@ object Curation {
       .drop("__stratum", "__thr")
   }
 
+  /** TOKEN-proportional mixture: downsample strata so the kept corpus hits
+    * target shares measured in TOKENS — the unit a pre-training mixture is
+    * actually budgeted in ("30% of the tokens from web, 20% from code"),
+    * where [[mixtureSample]] targets row shares (a stratum of long docs
+    * would be over-represented by tokens at the "right" row count). The
+    * largest feasible token total under weights w_i is
+    * T = min_i(tok_i / w_i) (the binding stratum keeps all its tokens);
+    * stratum i then keeps docs in content-hash order until its running
+    * token total would exceed b_i = floor(w_i · T) — the [[tokenBudget]]
+    * cut rule with a per-stratum derived budget. Deterministic end to end:
+    * exact integer token sums, one fixed IEEE division chain both engines
+    * evaluate identically (the [[mixtureSample]] precedent), content-hash
+    * ordering; kept set is identical on every run/partitioning/engine
+    * (approximate only at the one boundary doc per stratum).
+    *
+    * Returns (stratum, id, n_tokens, cum_tokens) for kept docs.
+    *
+    * Scale shape: one token-sum aggregate (strata-bounded), a 1-row min,
+    * budgets broadcast back, then ONE per-stratum window cumsum — the
+    * [[tokenBudget]] discipline (shard-bounded sorts at 100 TB, bucket
+    * prefix sums to reconcile an exact global budget).
+    */
+  def tokenMixture(docs: DataFrame, strataCol: String, keyCol: Column,
+      idCol: String, sizeCol: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("__stratum", "__w")
+    val sized = docs.select(col(strataCol), col(idCol),
+      sizeCol.cast("long").as("n_tokens"), keyCol.as("__key"))
+    val counts = sized.groupBy(col(strataCol))
+      .agg(sum(col("n_tokens")).as("__tok"))
+      .join(broadcast(w), col(strataCol) === col("__stratum"))
+    val total = counts.agg(min(col("__tok") / col("__w")).as("__t"))
+    val budgets = counts.crossJoin(broadcast(total))
+      .select(col("__stratum"),
+        floor(col("__w") * col("__t")).cast("long").as("__b"))
+    val h32 = conv(substring(md5(col("__key")), 1, 8), 16, 10).cast("long")
+    val win = Window.partitionBy(strataCol).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .join(broadcast(budgets), col(strataCol) === col("__stratum"))
+      .select(col(strataCol), col(idCol), col("n_tokens"), col("__b"),
+        h32.as("__h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .where(col("cum_tokens") <= col("__b"))
+      .drop("__stratum", "__b", "__h")
+  }
+
   /** Per-row weighted sampling: keep a row with probability ~`rate` (a
     * Column in [0, 1], e.g. a quality score) by content-hash bucket —
     * quality-PROPORTIONAL downsampling (keep most good docs, few bad ones)

@@ -587,6 +587,20 @@ object CurationQueries {
           max("doc_id").as("max_id"))
         .orderBy("lang")),
 
+    // TOKEN-proportional mixture: budgets in tokens (the unit mixtures
+    // are specified in), not rows — binding stratum keeps all tokens,
+    // others cut at their derived token budget in content-hash order;
+    // kept_tokens makes membership an exact assertion
+    "q_doc_token_mixture" -> ((s, dir) =>
+      Curation.tokenMixture(t(s, dir, "documents"), "lang",
+        TextOps.normalize(col("text")), "doc_id",
+        TextOps.tokenCount(col("text")),
+        Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_tokens").as("kept_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")),
+
     // temperature mixture (α = 1/2): shares ∝ √n_lang, derived from the
     // corpus itself — integer isqrt + pinned floor-division chain, so the
     // rebalanced kept set replays exactly; every lang keeps some mass
@@ -1160,6 +1174,38 @@ object CurationQueries {
            |SELECT source, doc_id, n_tokens, cum_tokens FROM c
            |WHERE cum_tokens <= 600
            |ORDER BY source, cum_tokens""".stripMargin,
+
+    // token-mixture replay: token sums, min-feasible total, floor budgets,
+    // per-stratum cumsum cut — same IEEE division chain as q_doc_mixture
+    "q_doc_token_mixture" ->
+      raw"""WITH w(stratum, wt) AS (VALUES
+           |  ('en', 0.4::DOUBLE), ('de', 0.2::DOUBLE),
+           |  ('fr', 0.2::DOUBLE), ('es', 0.2::DOUBLE)),
+           |n AS (SELECT doc_id, lang,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |      AS n_tokens,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM documents),
+           |c AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok
+           |  FROM n GROUP BY lang),
+           |cw AS (SELECT lang, tok, wt FROM c JOIN w ON lang = stratum),
+           |t AS (SELECT min(tok / wt) AS tt FROM cw),
+           |b AS (SELECT lang, CAST(floor(wt * tt) AS BIGINT) AS bud
+           |  FROM cw CROSS JOIN t),
+           |r AS (SELECT n.doc_id, n.lang, n.n_tokens, b.bud,
+           |    ('0x' || substr(n.h, 1, 8))::BIGINT AS h32
+           |  FROM n JOIN b ON n.lang = b.lang),
+           |cum AS (SELECT doc_id, lang, n_tokens, bud,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+           |      ORDER BY h32, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tokens
+           |  FROM r)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM cum WHERE cum_tokens <= bud
+           |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_doc_group_sample" ->
       raw"""WITH n AS (SELECT doc_id, lang,

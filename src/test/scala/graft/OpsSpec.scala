@@ -1850,6 +1850,30 @@ class OpsSpec extends AnyFunSuite {
     assert(run(asTs) == secs)
   }
 
+  test("tokenMixture: binding stratum keeps all tokens, others cut to budget") {
+    import graft.ops.Curation
+    // en: 30 docs x 10 tokens = 300; de: 10 x 10 = 100. At 50/50 weights
+    // T = min(300/.5, 100/.5) = 200 -> budgets 100/100: de binding (keeps
+    // everything), en cut to <= 100 tokens; zh has no weight -> dropped
+    def mk(lang: String, n: Int, off: Int) = (0 until n).map(i =>
+      (lang, (off + i).toLong, s"tok a b c d e f g h ${lang}$i"))
+    val d = (mk("en", 30, 0) ++ mk("de", 10, 100) ++ mk("zh", 5, 200))
+      .toDF("lang", "doc_id", "text")
+    val key = TextOps.normalize(col("text"))
+    val r = Curation.tokenMixture(d, "lang", key, "doc_id",
+      TextOps.tokenCount(col("text")), Seq("en" -> 0.5, "de" -> 0.5))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val byLang = r.groupBy(_._1)
+    assert(byLang("de").length == 10) // binding stratum: all kept
+    assert(byLang("en").map(_._3).sum == 100L) // exactly the token budget
+    assert(!byLang.contains("zh")) // unweighted stratum dropped
+    // repartition-stable membership
+    val r2 = Curation.tokenMixture(d.repartition(7), "lang", key, "doc_id",
+      TextOps.tokenCount(col("text")), Seq("en" -> 0.5, "de" -> 0.5))
+      .collect().map(x => x.getLong(1)).toSet
+    assert(r2 == r.map(_._2).toSet)
+  }
+
   test("jpegHeader: variable-offset marker walk, safe on broken chains") {
     def hx(s: String) = s.replaceAll("\\s", "")
     // canonical JFIF: SOI + 16-byte APP0 + SOF0, 3 components, 1024x768
