@@ -503,6 +503,11 @@ object ExplainCheck {
     "q_doc_host_dedup" -> (Seq("HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window")),
+    // char n-gram repetition: in-row gram transform + two partial aggs
+    "q_doc_char_ngrams" -> (Seq("Generate", "HashAggregate",
+        "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "BroadcastHashJoin")),
     // cross-doc segment dedup: posexplode + segment-keyed argmin agg +
     // join back + doc-keyed stitch — linear; the back-join may legally be
     // a shuffle join at scale (canon is corpus-sized), so only products

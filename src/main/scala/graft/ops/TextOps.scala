@@ -185,6 +185,75 @@ object TextOps {
         expr("(n_oov * 1000000L) div n_tokens").as("oov_ppm"))
   }
 
+  /** Character n-gram repetition profile — the OTHER half of the Gopher
+    * repetition battery (Rae et al. 2021 Table A1: "fraction of characters
+    * in the most common n-gram"; [[graft.ops.Curation.repetitionProfile]]
+    * covers the word-level half): per document, the total char n-gram
+    * count, the top n-gram's count, and the top fraction in exact integer
+    * ppm (floor div — engine-portable, no float drift). High top_ppm =
+    * keyboard-mash/template junk that word-level signals miss ("ababab…",
+    * repeated punctuation runs, single-char floods). Docs shorter than
+    * `n` chars have no n-gram and drop out (callers outer-join for the
+    * distinction — the typicalityProfile convention).
+    *
+    * Scale shape: the n-gram extraction is an in-row `transform` over a
+    * position sequence (linear in chars, no O(L²) in-row counting); the
+    * counts are two partially-aggregated shuffles keyed (doc, gram) then
+    * doc — the repetitionProfile/TF-IDF shape, linear in corpus chars.
+    */
+  def charNgramProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2 && n <= 16, "n in [2, 16]")
+    val len = length(col(textCol))
+    val grams = when(len >= n,
+      transform(sequence(lit(1), len - (n - 1)),
+        i => col(textCol).substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        max(col("c")).cast("long").as("top_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("top_cnt"),
+        expr("(top_cnt * 1000000L) div n_grams").as("top_ppm"))
+  }
+
+  /** Deflate compression ratio — the entropy-proxy quality signal (a
+    * document that compresses far below typical prose is repetition junk;
+    * one that refuses to compress is noise/base64): compressed size over
+    * original UTF-8 bytes in integer ppm, via the JDK's zlib Deflater at
+    * a FIXED level (deterministic for fixed input + level + strategy).
+    * Runs at the codec seam — compression is not a Catalyst expression,
+    * so this is the one `mapPartitions` hop (the [[graft.ops.Multimodal]]
+    * decode discipline), with one Deflater reused per partition. Zero
+    * shuffle, linear in corpus bytes; spec-covered (no SQL oracle — zlib
+    * is not replayable in DuckDB; parity is pinned against a driver-side
+    * replica instead).
+    */
+  def compressionStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](16384)
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(bytes); d.finish()
+          var comp = 0L
+          while (!d.finished()) comp += d.deflate(buf)
+          d.end()
+          val ratio =
+            if (bytes.length > 0) comp * 1000000L / bytes.length
+            else 1000000L
+          (id, bytes.length.toLong, comp, ratio)
+        }
+      }
+      .toDF(idCol, "orig_bytes", "comp_bytes", "ratio_ppm")
+  }
+
   /** LEARNED quality classifier, trainer half (the CCNet/fastText role:
     * a classifier fit on labeled clean-vs-junk docs, replacing the fixed
     * [[qualityScore]] heuristic with corpus-derived evidence). Count-space

@@ -152,6 +152,13 @@ object CurationQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // char 3-gram repetition (the Gopher char-level half): top-gram
+    // fraction in exact integer ppm over the raw text bytes
+    "q_doc_char_ngrams" -> ((s, dir) =>
+      TextOps.charNgramProfile(wide(s, t(s, dir, "documents")),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
     // URL canonicalization: no URL column in the testdata, so messy URLs
     // are synthesized from doc_id (the q_mm_* discipline), covering every
     // canon rule: scheme/host case, www prefix, default vs explicit port,
@@ -1336,6 +1343,18 @@ object CurationQueries {
            |    AS dup_ratio,
            |  CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_ratio
            |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_doc_char_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+        |  FROM documents, LATERAL (
+        |    SELECT unnest(generate_series(1, length(text) - 2)) AS i)
+        |  WHERE length(text) >= 3),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(max(c) AS BIGINT) AS top_cnt,
+        |  CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_ppm
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // canonicalization replay: the generic rule pipeline over the same
     // synthesized messy URLs — every byte of url/canon/domain compared

@@ -1850,6 +1850,52 @@ class OpsSpec extends AnyFunSuite {
     assert(run(asTs) == secs)
   }
 
+  test("charNgramProfile: exact top-gram fraction; short docs drop out") {
+    val d = Seq((1L, "ababab"), (2L, "abcdef"), (3L, "ab"), (4L, "zzzzzz"))
+      .toDF("doc_id", "text")
+    val r = TextOps.charNgramProfile(d, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // "ababab": grams ab,ba,ab,ba,ab -> top "ab" 3/5
+    assert(r(1L) == ((5L, 3L, 600000L)))
+    assert(r(2L) == ((5L, 1L, 200000L))) // all distinct
+    assert(r(4L) == ((5L, 5L, 1000000L))) // single-char flood saturates
+    assert(r(3L) == ((1L, 1L, 1000000L))) // len 2, n=2: exactly one gram
+    // n=3: the 2-char doc has no gram and drops out
+    val r3 = TextOps.charNgramProfile(d, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(r3 == Set(1L, 2L, 4L))
+  }
+
+  test("compressionStats: repetition compresses, noise doesn't; replica parity") {
+    val rep = "spam and eggs " * 200
+    val noise = (0 until 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString(" ")
+    val d = Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.compressionStats(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L)._3 < 100000L) // heavy repetition: < 10% of original
+    assert(r(2L)._3 > 500000L) // hex noise barely compresses
+    assert(r(3L) == ((0L, r(3L)._2, 1000000L))) // empty doc neutral ratio
+    // driver-side replica parity: the op's number IS plain zlib level 6
+    def zlib(s: String): Long = {
+      val in = s.getBytes("UTF-8")
+      val dfl = new java.util.zip.Deflater(6)
+      dfl.setInput(in); dfl.finish()
+      val buf = new Array[Byte](16384); var n = 0L
+      while (!dfl.finished()) n += dfl.deflate(buf)
+      dfl.end(); n
+    }
+    assert(r(1L)._2 == zlib(rep) && r(2L)._2 == zlib(noise))
+    // partition-invariant
+    val r2 = TextOps.compressionStats(d.repartition(5), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r2 == r.view.mapValues(_._2).toMap)
+  }
+
   test("tokenMixture: binding stratum keeps all tokens, others cut to budget") {
     import graft.ops.Curation
     // en: 30 docs x 10 tokens = 300; de: 10 x 10 = 100. At 50/50 weights
