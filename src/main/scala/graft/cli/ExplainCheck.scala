@@ -526,6 +526,12 @@ object ExplainCheck {
     "q_doc_dsir" -> (Seq("Generate", "HashAggregate", "BroadcastHashJoin",
         "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // DSIR resampling composition: the weight chain + score join-back +
+    // hash-bucket filter + lang rollup; scores join corpus-sized at
+    // 100 TB, so a shuffle join there is legal
+    "q_doc_dsir_sample" -> (Seq("Generate", "HashAggregate",
+        "BroadcastHashJoin", "Batched: true"),
+      Seq("CartesianProduct", "Window")),
     // blocklist: ONE broadcast left-anti join, corpus never shuffles
     "q_doc_domain_block" -> (Seq("BroadcastHashJoin", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

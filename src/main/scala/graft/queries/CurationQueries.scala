@@ -103,6 +103,53 @@ object CurationQueries {
 
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DSIR weight replay (CTE fragment ending in `dsir(doc_id, n_feats,
+    * dsir_ppm)`): hashed-bigram buckets, add-one smoothing over the
+    * 1024-cell domain, HUGEINT products, per-doc floor mean — shared by
+    * the score gate and the resampling gate.
+    */
+  private val dsirCtes: String =
+    raw"""tk AS (
+         |  SELECT doc_id, lang,
+         |    regexp_split_to_array(
+         |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+         |      AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+         |  FROM tk, LATERAL (
+         |    SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+         |gb AS (SELECT doc_id, lang, md5(g) AS h FROM g),
+         |bks AS (SELECT doc_id, lang, ${bucketSql(1024)} AS bk FROM gb),
+         |rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_r
+         |  FROM bks GROUP BY bk),
+         |tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_t
+         |  FROM bks WHERE lang = 'en' GROUP BY bk),
+         |tot AS (SELECT (SELECT count(*) FROM bks) AS n_raw,
+         |               (SELECT count(*) FROM bks WHERE lang = 'en')
+         |                 AS n_tgt),
+         |tab AS (
+         |  SELECT s.bk,
+         |    CAST((CAST(coalesce(tc.n_t, 0) + 1 AS HUGEINT)
+         |          * (tot.n_raw + 1024) * 1000000)
+         |      // (CAST(coalesce(rc.n_r, 0) + 1 AS HUGEINT)
+         |          * (tot.n_tgt + 1024)) AS BIGINT) AS ratio_ppm
+         |  FROM generate_series(0, 1023) AS s(bk)
+         |  LEFT JOIN rc ON rc.bk = s.bk
+         |  LEFT JOIN tc ON tc.bk = s.bk
+         |  CROSS JOIN tot),
+         |sc AS (
+         |  SELECT bks.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(tab.ratio_ppm) AS BIGINT) AS s
+         |  FROM bks JOIN tab ON tab.bk = bks.bk
+         |  GROUP BY bks.doc_id),
+         |dsir AS (
+         |  SELECT d.doc_id,
+         |    coalesce(sc.n_feats, 0) AS n_feats,
+         |    CAST(CASE WHEN sc.n_feats IS NULL THEN 1000000
+         |         ELSE sc.s // sc.n_feats END AS BIGINT) AS dsir_ppm
+         |  FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
 
     // benchmark decontamination: train docs sharing any word 3-shingle
@@ -254,6 +301,23 @@ object CurationQueries {
       Curation.dsirWeights(docs, docs.where(col("lang") === "en"),
           "doc_id", "text", buckets = 1024)
         .orderBy("doc_id")
+    }),
+
+    // DSIR resampling (the paper's selection half): keep probability
+    // proportional to the importance weight, decided by content hash —
+    // weightedSample over rate = min(ppm/2e6, 1), so the kept set is
+    // deterministic and the per-lang rollup asserts exact membership
+    "q_doc_dsir_sample" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val scores = Curation.dsirWeights(docs,
+        docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+      val scored = docs.join(scores, Seq("doc_id"))
+      val rate = least(col("dsir_ppm").cast("double") / 2000000.0, lit(1.0))
+      Curation.weightedSample(scored, TextOps.normalize(col("text")), rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("dsir_ppm").as("sum_ppm"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
     }),
 
     // domain blocklist: registered-domain anti-join over canonicalized
@@ -1473,46 +1537,27 @@ object CurationQueries {
     // DSIR replay: hashed-bigram buckets (same md5-nibble math), add-one
     // smoothing over the 1024-cell domain, HUGEINT products, floor mean
     "q_doc_dsir" ->
-      raw"""WITH tk AS (
-           |  SELECT doc_id, lang,
-           |    regexp_split_to_array(
-           |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
-           |      AS ws
-           |  FROM documents),
-           |g AS (
-           |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
-           |  FROM tk, LATERAL (
-           |    SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
-           |gb AS (SELECT doc_id, lang, md5(g) AS h FROM g),
-           |bks AS (SELECT doc_id, lang, ${bucketSql(1024)} AS bk FROM gb),
-           |rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_r
-           |  FROM bks GROUP BY bk),
-           |tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_t
-           |  FROM bks WHERE lang = 'en' GROUP BY bk),
-           |tot AS (SELECT (SELECT count(*) FROM bks) AS n_raw,
-           |               (SELECT count(*) FROM bks WHERE lang = 'en')
-           |                 AS n_tgt),
-           |tab AS (
-           |  SELECT s.bk,
-           |    CAST((CAST(coalesce(tc.n_t, 0) + 1 AS HUGEINT)
-           |          * (tot.n_raw + 1024) * 1000000)
-           |      // (CAST(coalesce(rc.n_r, 0) + 1 AS HUGEINT)
-           |          * (tot.n_tgt + 1024)) AS BIGINT) AS ratio_ppm
-           |  FROM generate_series(0, 1023) AS s(bk)
-           |  LEFT JOIN rc ON rc.bk = s.bk
-           |  LEFT JOIN tc ON tc.bk = s.bk
-           |  CROSS JOIN tot),
-           |sc AS (
-           |  SELECT bks.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-           |    CAST(sum(tab.ratio_ppm) AS BIGINT) AS s
-           |  FROM bks JOIN tab ON tab.bk = bks.bk
-           |  GROUP BY bks.doc_id)
-           |SELECT d.doc_id,
-           |  coalesce(sc.n_feats, 0) AS n_feats,
-           |  CAST(CASE WHEN sc.n_feats IS NULL THEN 1000000
-           |       ELSE sc.s // sc.n_feats END AS BIGINT) AS dsir_ppm
-           |FROM documents d LEFT JOIN sc USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_feats, dsir_ppm FROM dsir
+         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR resampling replay: same weight chain, then the hash-bucket
+    // keep rule bucket < least(ppm/2e6, 1)*100 and the per-lang rollup
+    "q_doc_dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |k AS (SELECT d.doc_id, d.lang, dsir.dsir_ppm,
+         |    md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+         |      AS h
+         |  FROM documents d JOIN dsir USING (doc_id)),
+         |kb AS (SELECT doc_id, lang, dsir_ppm, ${bucketSql(100)} AS bk
+         |  FROM k)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dsir_ppm) AS BIGINT) AS sum_ppm,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM kb
+         |WHERE CAST(bk AS DOUBLE) <
+         |  least(CAST(dsir_ppm AS DOUBLE) / 2000000.0, 1.0) * 100
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // blocklist replay: canon + registered domain, NOT IN the blocked set
     "q_doc_domain_block" ->
