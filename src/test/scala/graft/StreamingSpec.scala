@@ -214,6 +214,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming segment dedup: batch parity in arrival order, horizon re-admit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSegmentDedup
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val kept = StreamingSegmentDedup.keptSegments(
+      source.toDF().toDF("doc_id", "event_time", "text"),
+      sep = "\n", horizonSeconds = 3600, watermarkDelay = "0 seconds")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("segdedup_out").start()
+    try {
+      // batch 1: nav repeats across docs 1/2 AND within doc 2
+      source.addData(
+        (1L, ts("2020-01-01 00:01:00"), "nav\nalpha one\nfoot"),
+        (2L, ts("2020-01-01 00:02:00"), "nav\nbeta two\nnav"))
+      q.processAllAvailable()
+      // batch 2: doc 3 re-sights foot and nav inside the horizon
+      source.addData((3L, ts("2020-01-01 00:03:00"), "gamma three\nfoot\nnav"))
+      q.processAllAvailable()
+      // advance watermark past lastSeen(nav)=00:03 + 1h, expiring state
+      source.addData((8L, ts("2020-01-01 02:00:00"), "unrelated text here"))
+      q.processAllAvailable()
+      source.addData((9L, ts("2020-01-01 03:00:00"), "more unrelated"))
+      q.processAllAvailable()
+      // nav returns AFTER the horizon -> re-admitted
+      source.addData((11L, ts("2020-01-01 03:10:00"), "nav"))
+      q.processAllAvailable()
+      source.addData((12L, ts("2020-01-02 00:00:00"), "watermark pusher"))
+      q.processAllAvailable()
+
+      val got = spark.table("segdedup_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // batch parity: arrival order == id order, so first-seen-wins must
+      // reproduce the batch operator's (min doc, min pos) canonical set
+      val batchDocs = Seq(
+        (1L, "nav\nalpha one\nfoot"), (2L, "nav\nbeta two\nnav"),
+        (3L, "gamma three\nfoot\nnav")).toDF("doc_id", "text")
+      val clean = graft.ops.Dedup.segmentDedup(batchDocs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+      val stitched = got.filter(_._1 <= 3L).groupBy(_._1)
+        .view.mapValues(s => s.toSeq.sortBy(_._2).map(_._3).mkString("\n"))
+        .toMap
+      Seq(1L, 2L, 3L).foreach { id =>
+        assert(stitched.getOrElse(id, "") == clean(id),
+          s"doc $id: ${stitched.get(id)} vs batch ${clean(id)}")
+      }
+      assert(got.contains((11L, 0, "nav")),
+        s"post-horizon segment must re-admit: $got")
+      assert(!got.exists(k => k._1 == 3L && k._3 == "nav"))
+    } finally q.stop()
+  }
+
   test("foreachBatch matrix sink produces byte-identical files to the batch sink") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
