@@ -240,7 +240,7 @@ object Curation {
     val rawC = bucketCounts(docs)
     val tgtC = bucketCounts(target)
     val totals = rawC.agg(sum(col("n")).as("n_raw")).crossJoin(
-      tgtC.agg(sum(col("n")).as("n_tgt")))
+      broadcast(tgtC.agg(sum(col("n")).as("n_tgt"))))
     // ratio table over the FULL bucket domain (unseen buckets still get
     // the smoothed prior), built from one B-row sequence — bucket-bounded
     val table = docs.sparkSession.range(1)
