@@ -207,6 +207,51 @@ object Curation {
       clean.as("clean"))
   }
 
+  /** HTML → text extraction REWRITE (the trafilatura/jusText role, rule
+    * half): the step every web-crawl pipeline runs before ANY text-quality
+    * operator can fire — quality ratios, langid, and dedup shingles are
+    * all garbage over raw markup. Removes script/style blocks WITH their
+    * payload (code is not prose), comments, then tags; block-level closers
+    * and `<br>` become newlines first so paragraph structure survives for
+    * the downstream line-level ops ([[lineQualityRewrite]],
+    * [[selfRepDedup]]); the common entities decode (`&amp;` LAST, per the
+    * HTML spec, so `&amp;lt;` yields the literal `&lt;`); whitespace then
+    * normalizes (runs collapse, newline runs collapse, edges trim).
+    * Every rule is in the portable regex subset shared by Java regex and
+    * RE2 (inline `(?is)` flags, non-greedy, no lookarounds, no
+    * backreferences) so an external engine replays the rewrite
+    * byte-for-byte. Markup-free text passes through unchanged (modulo
+    * whitespace normalization). Audit counts ride along: `n_tags` and
+    * `n_ents` over the RAW text.
+    *
+    * Scale shape: ZERO shuffle — one fixed chain of regexp_replace /
+    * replace Column ops, all in-row codegen'd, linear in corpus bytes,
+    * embarrassingly parallel.
+    */
+  def htmlStrip(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val nTags = size(regexp_extract_all(raw, lit("<[^>]*>"), lit(0)))
+    val nEnts = size(regexp_extract_all(raw,
+      lit("&(lt|gt|quot|amp|nbsp|apos|#39);"), lit(0)))
+    val s1 = regexp_replace(raw, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val s2 = regexp_replace(s1, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
+    val s4 = regexp_replace(s3,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol)[^>]*>", "\n")
+    val s5 = regexp_replace(s4, "<[^>]*>", " ")
+    val s6 = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(s5) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val s7 = regexp_replace(s6, "[ \\t\\r]+", " ")
+    val s8 = regexp_replace(s7, " *\\n *", "\n")
+    val s9 = regexp_replace(s8, "\\n+", "\n")
+    val clean = regexp_replace(s9, "^\\s+|\\s+$", "")
+    docs.select(col(idCol).as("doc_id"),
+      nTags.as("n_tags"), nEnts.as("n_ents"),
+      length(raw).as("orig_len"), length(clean).as("clean_len"),
+      clean.as("clean"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each raw document
     * by how much more likely its hashed-bigram features are under a small

@@ -291,6 +291,38 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML strip rewrite: markup synthesized from real text (the
+    // q_doc_selfrep discipline) so every rule fires — script payload
+    // with a bare '<' inside, style payload, a comment, block closers
+    // and <br> becoming newlines, every entity incl. the &amp;-last
+    // decode order, and a markup-free pass-through residue. The oracle
+    // replays the GENERIC rule chain; md5(clean) is byte-identical
+    "q_doc_html_strip" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int) = array_join(slice(toks, from, 3), " ")
+      val (a, b, c) = (seg(1), seg(4), seg(7))
+      val html = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("<html><head><title>t</title>" +
+              "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+              "<style>.c{color:red}</style></head><body><p>"),
+            a, lit(".</p><p>"), b, lit(" &amp; "), c,
+            lit("</p></body></html>")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(a, lit(" &lt;b&gt; &quot;"), b, lit("&quot; &#39;"), c,
+            lit("&#39; x&nbsp;y")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("<!-- hidden "), a, lit(" --><div>"), b,
+            lit("<br>"), c, lit("</div><ul><li>"), a, lit("</li></ul>")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), html.as("text"))
+      Curation.htmlStrip(wide(s, docs), "doc_id", "text")
+        .select(col("doc_id"), col("n_tags"), col("n_ents"),
+          col("orig_len"), col("clean_len"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): target = the corpus's
     // own 'en' slice, raw = everything; hashed-bigram bucket ratios in
     // exact integer ppm (decimal products, one floor division) — the
@@ -1533,6 +1565,69 @@ object CurationQueries {
            |    'lorem ipsum') AND len(kept) >= 2) AS doc_ok,
            |  md5(array_to_string(kept, chr(10))) AS clean_fp
            |FROM x ORDER BY doc_id""".stripMargin,
+
+    // HTML-strip replay: same synthesized markup, generic rule chain —
+    // script/style/comment blocks out, block closers → newline, tags →
+    // space, entity decode (&amp; last), whitespace normalization
+    "q_doc_html_strip" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, text,
+           |    regexp_split_to_array(trim(text), '\s+') AS t
+           |  FROM documents),
+           |seg AS (
+           |  SELECT doc_id, text,
+           |    array_to_string(t[1:3], ' ') AS a,
+           |    array_to_string(t[4:6], ' ') AS b,
+           |    array_to_string(t[7:9], ' ') AS c
+           |  FROM tk),
+           |h AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN '<html><head><title>t</title>' ||
+           |        '<script type="text/javascript">var x = 1 < 2;</script>' ||
+           |        '<style>.c{color:red}</style></head><body><p>' ||
+           |        a || '.</p><p>' || b || ' &amp; ' || c ||
+           |        '</p></body></html>'
+           |      WHEN 1 THEN a || ' &lt;b&gt; &quot;' || b ||
+           |        '&quot; &#39;' || c || '&#39; x&nbsp;y'
+           |      WHEN 2 THEN '<!-- hidden ' || a || ' --><div>' || b ||
+           |        '<br>' || c || '</div><ul><li>' || a || '</li></ul>'
+           |      ELSE text END AS html
+           |  FROM seg),
+           |x AS (SELECT doc_id, html,
+           |    regexp_replace(regexp_replace(regexp_replace(html,
+           |      '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+           |      '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+           |      '(?s)<!--.*?-->', ' ', 'g') AS s3
+           |  FROM h),
+           |y AS (SELECT doc_id, html,
+           |    regexp_replace(regexp_replace(s3,
+           |      '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol)[^>]*>',
+           |      chr(10), 'g'),
+           |      '<[^>]*>', ' ', 'g') AS s5
+           |  FROM x),
+           |z AS (SELECT doc_id, html,
+           |    replace(replace(replace(replace(replace(replace(replace(s5,
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |      '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+           |      '&amp;', '&') AS s6
+           |  FROM y),
+           |w AS (SELECT doc_id, html,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      s6, '[ \t\r]+', ' ', 'g'),
+           |      ' *\n *', chr(10), 'g'),
+           |      '\n+', chr(10), 'g'),
+           |      '^\s+|\s+$$', '', 'g') AS clean
+           |  FROM z)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT)
+           |    AS n_tags,
+           |  CAST(len(regexp_extract_all(html,
+           |    '&(lt|gt|quot|amp|nbsp|apos|#39);')) AS INT) AS n_ents,
+           |  CAST(length(html) AS INT) AS orig_len,
+           |  CAST(length(clean) AS INT) AS clean_len,
+           |  md5(clean) AS clean_fp
+           |FROM w ORDER BY doc_id""".stripMargin,
 
     // DSIR replay: hashed-bigram buckets (same md5-nibble math), add-one
     // smoothing over the 1024-cell domain, HUGEINT products, floor mean

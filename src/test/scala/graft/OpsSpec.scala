@@ -1684,6 +1684,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlStrip: script/style payload, entities amp-last, structure") {
+    import graft.ops.Curation
+    val d = Seq(
+      (1L, "<html><body><script>var a = 1 < 2;</script><p>Hello &amp; " +
+        "hi.</p><p>Bye.</p></body></html>"),
+      (2L, "Tom &amp;lt; Jerry"),
+      (3L, "a<br>b<!-- secret -->c"),
+      (4L, "just plain  text"),
+      (5L, "<style>.x{}</style>ok &nbsp; fine &#39;q&#39;"))
+      .toDF("doc_id", "text")
+    val r = Curation.htmlStrip(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getString(5)))).toMap
+    // script payload (incl. its bare '<') removed, </p> -> newline,
+    // &amp; decoded, edges trimmed
+    assert(r(1L) == ((10, 1, "Hello & hi.\nBye.")), s"got ${r(1L)}")
+    // &amp; decodes LAST (HTML spec): &amp;lt; is the literal "&lt;"
+    assert(r(2L) == ((0, 1, "Tom &lt; Jerry")))
+    // comment payload removed, <br> -> newline
+    assert(r(3L) == ((2, 0, "a\nb c")))
+    // markup-free text passes through modulo whitespace normalization
+    assert(r(4L) == ((0, 0, "just plain text")))
+    // style payload removed, &nbsp; collapses, &#39; decodes
+    assert(r(5L) == ((2, 3, "ok fine 'q'")))
+    // stripping never grows the text
+    Curation.htmlStrip(d, "doc_id", "text").collect().foreach { x =>
+      assert(x.getInt(4) <= x.getInt(3))
+    }
+  }
+
   test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
     // normalized texts share exactly " sharedruntext " (15 chars, spaces
     // included) at offsets no stride grid hits cleanly
