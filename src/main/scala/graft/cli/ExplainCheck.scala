@@ -525,6 +525,11 @@ object ExplainCheck {
     "q_doc_html_strip" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // encoding-noise profile: codepoint-class counts, pure in-row
+    // projection — no join/agg/window anywhere
+    "q_doc_mojibake" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // DSIR: two linear explode+agg passes build the bucket-bounded ratio
     // table (broadcast, incl. the 1-row totals as BNLJ); the corpus pass
     // is explode + broadcast join + doc-keyed agg — no SMJ, no window

@@ -118,6 +118,44 @@ object TextOps {
     round((lenScore + wordLenScore + stopScore) / lit(3.0), 6)
   }
 
+  /** Encoding-noise profile — the mojibake/transcoding-damage detector
+    * every crawl pipeline runs before trusting a document's bytes (a doc
+    * that went UTF-8 → Latin-1 → UTF-8 is unrecoverable junk for
+    * tokenizers and dedup alike). Exact integer counts per doc:
+    *   - `n_chars`   codepoints
+    *   - `n_nonascii` codepoints above U+007F (volume dial, not a defect)
+    *   - `n_repl`    U+FFFD replacement chars (a decoder already gave up)
+    *   - `n_ctrl`    control chars other than tab/newline/CR (binary
+    *                 spill into text)
+    *   - `n_moji`    classic double-encode signatures: Â/Ã followed by a
+    *                 codepoint in the continuation range U+0080–U+00BF
+    *                 (UTF-8 lead+continuation bytes re-decoded as
+    *                 Latin-1), plus the Windows-1252 smart-quote shape
+    *                 â+U+20AC (â€™ â€œ …)
+    *   - `noise_ppm` (n_repl + n_ctrl + n_moji) per million chars
+    * Patterns use `\x{...}` codepoint classes — the syntax shared by
+    * Java regex and RE2, so external engines replay the counts exactly.
+    * Pure Column algebra: zero shuffle, in-row codegen, linear in bytes.
+    */
+  def encodingProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    def hits(pat: String) =
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        length(text).cast("long").as("n_chars"),
+        hits("[^\\x{0000}-\\x{007F}]").as("n_nonascii"),
+        hits("\\x{FFFD}").as("n_repl"),
+        hits("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}" +
+          "\\x{000E}-\\x{001F}\\x{007F}]").as("n_ctrl"),
+        hits("[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]" +
+          "|\\x{00E2}\\x{20AC}").as("n_moji"))
+      .select(col("doc_id"), col("n_chars"), col("n_nonascii"),
+        col("n_repl"), col("n_ctrl"), col("n_moji"),
+        expr("(n_repl + n_ctrl + n_moji) * 1000000" +
+          " div greatest(n_chars, 1)").as("noise_ppm"))
+  }
+
   /** Stopword-marker hit counts for a language. */
   def langHits(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))

@@ -323,6 +323,27 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // encoding-noise profile: mojibake/replacement/control damage
+    // synthesized onto real text per residue class — residue 1 appends
+    // the classic double-encode bytes (Ã© Â· â€™), residue 2 U+FFFD
+    // replacement chars, residue 3 control chars, residue 0 clean. The
+    // oracle replays the generic codepoint-class counts; ppm is exact
+    // integer division
+    "q_doc_mojibake" -> ((s, dir) => {
+      val noisy = when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"),
+            lit(" \u00C3\u00A9\u00C2\u00B7\u00E2\u20AC\u2019x")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), lit("\uFFFD\uFFFD")))
+        .when(pmod(col("doc_id"), lit(4)) === 3,
+          concat(col("text"), lit("\u0007\u0001end")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), noisy.as("text"))
+      TextOps.encodingProfile(wide(s, docs), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): target = the corpus's
     // own 'en' slice, raw = everything; hashed-bigram bucket ratios in
     // exact integer ppm (decimal products, one floor division) — the
@@ -1628,6 +1649,39 @@ object CurationQueries {
            |  CAST(length(clean) AS INT) AS clean_len,
            |  md5(clean) AS clean_fp
            |FROM w ORDER BY doc_id""".stripMargin,
+
+    // encoding-noise replay: same synthesized damage (chr() codepoints),
+    // same \x{...} codepoint-class patterns — the syntax Java regex and
+    // RE2 share — and exact integer-division ppm
+    "q_doc_mojibake" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 1 THEN text || ' ' || chr(195) || chr(169) ||
+           |        chr(194) || chr(183) || chr(226) || chr(8364) ||
+           |        chr(8217) || 'x'
+           |      WHEN 2 THEN text || chr(65533) || chr(65533)
+           |      WHEN 3 THEN text || chr(7) || chr(1) || 'end'
+           |      ELSE text END AS t
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    CAST(length(t) AS BIGINT) AS n_chars,
+           |    CAST(len(regexp_extract_all(t,
+           |      '[^\x{0000}-\x{007F}]')) AS BIGINT) AS n_nonascii,
+           |    CAST(len(regexp_extract_all(t,
+           |      '\x{FFFD}')) AS BIGINT) AS n_repl,
+           |    CAST(len(regexp_extract_all(t,
+           |      '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]'
+           |      )) AS BIGINT) AS n_ctrl,
+           |    CAST(len(regexp_extract_all(t,
+           |      '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}'
+           |      )) AS BIGINT) AS n_moji
+           |  FROM n)
+           |SELECT doc_id, n_chars, n_nonascii, n_repl, n_ctrl, n_moji,
+           |  CAST((n_repl + n_ctrl + n_moji) * 1000000
+           |    // greatest(n_chars, 1) AS BIGINT) AS noise_ppm
+           |FROM c ORDER BY doc_id""".stripMargin,
 
     // DSIR replay: hashed-bigram buckets (same md5-nibble math), add-one
     // smoothing over the 1024-cell domain, HUGEINT products, floor mean

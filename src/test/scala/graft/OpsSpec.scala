@@ -1714,6 +1714,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("encodingProfile: mojibake, replacement, control codepoint counts") {
+    import graft.ops.TextOps
+    val d = Seq(
+      (1L, "clean ascii text"),
+      // "café and “quote”" after a UTF-8→Latin-1 round trip: Ã© plus two
+      // â€-led smart quotes
+      (2L, "cafÃ© and â€œquoteâ€"),
+      (3L, "bad�charhere"),
+      // genuinely accented text is NOT mojibake: nonascii but zero noise
+      (4L, "na\u00EFve caf\u00E9")).toDF("doc_id", "text")
+    val r = TextOps.encodingProfile(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    assert(r(1L) == ((16L, 0L, 0L, 0L, 0L, 0L)))
+    assert(r(2L) == ((21L, 8L, 0L, 0L, 3L, 142857L)), s"got ${r(2L)}")
+    assert(r(3L) == ((13L, 1L, 1L, 1L, 0L, 153846L)))
+    assert(r(4L) == ((10L, 2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
     // normalized texts share exactly " sharedruntext " (15 chars, spaces
     // included) at offsets no stride grid hits cleanly
