@@ -530,6 +530,10 @@ object ExplainCheck {
     "q_doc_mojibake" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // Gopher rule battery: token/line HOF folds, pure in-row projection
+    "q_doc_gopher_rules" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // DSIR: two linear explode+agg passes build the bucket-bounded ratio
     // table (broadcast, incl. the 1-row totals as BNLJ); the corpus pass
     // is explode + broadcast join + doc-keyed agg — no SMJ, no window

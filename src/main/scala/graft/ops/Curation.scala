@@ -252,6 +252,74 @@ object Curation {
       clean.as("clean"))
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
+    * document-level filter set MassiveText shipped and most later
+    * curation stacks inherit). Each rule is an EXACT integer predicate
+    * (cross-multiplied thresholds, no float division anywhere) with its
+    * raw counts alongside, so a user can re-threshold without a second
+    * corpus pass:
+    *   - `r_words`  word count in [minWords, maxWords]
+    *   - `r_mwl`    mean word length in [3, 10] (3n ≤ Σlen ≤ 10n)
+    *   - `r_sym`    symbol-to-word ratio ≤ 0.1 (`#` chars + ellipses)
+    *   - `r_bullet` ≤ 90% of lines start with a bullet mark
+    *   - `r_ell`    ≤ 30% of lines end with an ellipsis
+    *   - `r_alpha`  ≥ 80% of words contain an alphabetic character
+    *   - `r_stop`   ≥ 2 distinct stopwords present
+    * `gopher_ok` is the conjunction. An empty doc fails `r_words` (and
+    * therefore the verdict); its other rules read vacuously true.
+    *
+    * Scale shape: ZERO shuffle — token/line HOF folds, all in-row
+    * codegen'd Column algebra, linear in corpus bytes.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "bad word bounds")
+    require(stopwords.nonEmpty && stopwords.forall(w => w == w.toLowerCase),
+      "stopwords must be lowercase")
+    val text = col(textCol)
+    val toks = TextOps.tokens(text)
+    val nWords = when(trim(text) === "", lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)), lit(0L))
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.rlike("^\\s*([-*\\x{2022}]|[0-9]+[.)])\\s"))).cast("long")
+    val nEllEnd = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|\\x{2026})\\s*$"))).cast("long")
+    val nSym = (length(text) - length(replace(text, lit("#"), lit(""))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\.|\\x{2026}"), lit(0))))
+      .cast("long")
+    val toksLower = transform(toks, t => lower(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(array(stopwords.map(lit): _*),
+      sw => array_contains(toksLower, sw))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"), sumLen.as("sum_word_len"),
+        nLines.as("n_lines"), nBullet.as("n_bullet"),
+        nEllEnd.as("n_ell_end"), nSym.as("n_sym"),
+        nAlpha.as("n_alpha"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+        col("n_lines"), col("n_bullet"), col("n_ell_end"), col("n_sym"),
+        col("n_alpha"), col("n_stop"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_words"),
+        (col("sum_word_len") >= col("n_words") * 3 &&
+          col("sum_word_len") <= col("n_words") * 10).as("r_mwl"),
+        (col("n_sym") * 10 <= col("n_words")).as("r_sym"),
+        (col("n_bullet") * 10 <= col("n_lines") * 9).as("r_bullet"),
+        (col("n_ell_end") * 10 <= col("n_lines") * 3).as("r_ell"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .withColumn("gopher_ok",
+        col("r_words") && col("r_mwl") && col("r_sym") && col("r_bullet") &&
+          col("r_ell") && col("r_alpha") && col("r_stop"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each raw document
     * by how much more likely its hashed-bigram features are under a small

@@ -344,6 +344,31 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher rule battery: residue 0 applies the rules to REAL text
+    // (word-count/mean-word-length/stopword thresholds straddle on real
+    // docs), residues 1-3 synthesize the structural failure shapes —
+    // all-bullet lines, ellipsis-ended lines, symbol spam — so the
+    // bullet/ellipsis/symbol rules are real assertions, not vacuous
+    "q_doc_gopher_rules" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int) = array_join(slice(toks, from, 3), " ")
+      val (a, b, c) = (seg(1), seg(4), seg(7))
+      val synth = when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("- "), a, lit("\n- "), b, lit("\n- "), c))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(a, lit("...\n"), b, lit("\u2026\n"), c))
+        .when(pmod(col("doc_id"), lit(4)) === 3,
+          concat(a, lit(" ### # "), b))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      // stopword set adapted to the synthetic corpus vocabulary so the
+      // r_stop rule (and thus gopher_ok) genuinely varies across docs
+      Curation.gopherRules(wide(s, docs), "doc_id", "text",
+          stopwords = Seq("the", "a", "and", "of"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): target = the corpus's
     // own 'en' slice, raw = everything; hashed-bigram bucket ratios in
     // exact integer ppm (decimal products, one floor division) — the
@@ -1682,6 +1707,77 @@ object CurationQueries {
            |  CAST((n_repl + n_ctrl + n_moji) * 1000000
            |    // greatest(n_chars, 1) AS BIGINT) AS noise_ppm
            |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Gopher-rule replay: same synthesized structures, generic counts
+    // (token/line list folds) and the same cross-multiplied integer
+    // thresholds — no float division on either side
+    "q_doc_gopher_rules" ->
+      raw"""WITH tk0 AS (
+           |  SELECT doc_id, text,
+           |    regexp_split_to_array(trim(text), '\s+') AS t0
+           |  FROM documents),
+           |abc AS (SELECT doc_id, text,
+           |    array_to_string(t0[1:3], ' ') AS a,
+           |    array_to_string(t0[4:6], ' ') AS b,
+           |    array_to_string(t0[7:9], ' ') AS c
+           |  FROM tk0),
+           |d AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 1 THEN '- ' || a || chr(10) || '- ' || b ||
+           |        chr(10) || '- ' || c
+           |      WHEN 2 THEN a || '...' || chr(10) || b || chr(8230) ||
+           |        chr(10) || c
+           |      WHEN 3 THEN a || ' ### # ' || b
+           |      ELSE text END AS t
+           |  FROM abc),
+           |m AS (SELECT doc_id, t,
+           |    CASE WHEN trim(t) = '' THEN 0
+           |      ELSE len(regexp_split_to_array(trim(t), '\s+')) END
+           |      AS n_words,
+           |    coalesce(list_sum(list_transform(
+           |      regexp_split_to_array(trim(t), '\s+'),
+           |      x -> length(x))), 0) AS sum_word_len,
+           |    string_split(t, chr(10)) AS lines,
+           |    regexp_split_to_array(trim(t), '\s+') AS toks
+           |  FROM d),
+           |cnt AS (SELECT doc_id,
+           |    CAST(n_words AS BIGINT) AS n_words,
+           |    CAST(sum_word_len AS BIGINT) AS sum_word_len,
+           |    CAST(len(lines) AS BIGINT) AS n_lines,
+           |    CAST(len(list_filter(lines, l -> regexp_matches(l,
+           |      '^\s*([-*\x{2022}]|[0-9]+[.)])\s'))) AS BIGINT)
+           |      AS n_bullet,
+           |    CAST(len(list_filter(lines, l -> regexp_matches(l,
+           |      '(\.\.\.|\x{2026})\s*$$'))) AS BIGINT) AS n_ell_end,
+           |    CAST(length(t) - length(replace(t, '#', '')) +
+           |      len(regexp_extract_all(t, '\.\.\.|\x{2026}'))
+           |      AS BIGINT) AS n_sym,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x,
+           |      '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           |    CAST(len(list_filter(
+           |      ['the','a','and','of'],
+           |      sw -> list_contains(list_transform(toks, x -> lower(x)),
+           |        sw))) AS BIGINT) AS n_stop
+           |  FROM m)
+           |SELECT doc_id, n_words, sum_word_len, n_lines, n_bullet,
+           |  n_ell_end, n_sym, n_alpha, n_stop,
+           |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+           |  (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10)
+           |    AS r_mwl,
+           |  (n_sym * 10 <= n_words) AS r_sym,
+           |  (n_bullet * 10 <= n_lines * 9) AS r_bullet,
+           |  (n_ell_end * 10 <= n_lines * 3) AS r_ell,
+           |  (n_alpha * 5 >= n_words * 4) AS r_alpha,
+           |  (n_stop >= 2) AS r_stop,
+           |  ((n_words >= 50 AND n_words <= 100000)
+           |    AND sum_word_len >= n_words * 3
+           |    AND sum_word_len <= n_words * 10
+           |    AND n_sym * 10 <= n_words
+           |    AND n_bullet * 10 <= n_lines * 9
+           |    AND n_ell_end * 10 <= n_lines * 3
+           |    AND n_alpha * 5 >= n_words * 4
+           |    AND n_stop >= 2) AS gopher_ok
+           |FROM cnt ORDER BY doc_id""".stripMargin,
 
     // DSIR replay: hashed-bigram buckets (same md5-nibble math), add-one
     // smoothing over the 1024-cell domain, HUGEINT products, floor mean

@@ -1733,6 +1733,39 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4L) == ((10L, 2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("gopherRules: each rule trips on its failure shape only") {
+    import graft.ops.Curation
+    val goodText = ("the quick brown fox jumps over a lazy dog and " +
+      "that dog will not have been amused by any of this at all ") * 3
+    val d = Seq(
+      (1L, goodText),
+      (2L, "- one two\n- three four\n- five six"),
+      (3L, "one...\ntwo\u2026\nthree"),
+      (4L, "alpha # beta ## gamma"),
+      (5L, "12 34 56 78 90"),
+      (6L, "1. first item\n2) second item"),
+      (7L, "")).toDF("doc_id", "text")
+    val rows = Curation.gopherRules(d, "doc_id", "text",
+      minWords = 10).collect().map(x => x.getLong(0) -> x).toMap
+    def rules(id: Long) = (9 to 16).map(rows(id).getBoolean)
+    // good text passes every rule
+    assert(rules(1L).forall(identity), s"got ${rules(1L)}")
+    // all-bullet lines: only the bullet rule (and stopword, word rules
+    // from the synthetic shortness) can fail — bullet MUST fail
+    assert(!rows(2L).getBoolean(12) && rows(2L).getLong(4) == 3L)
+    // 2 of 3 lines ellipsis-ended > 30%
+    assert(!rows(3L).getBoolean(13) && rows(3L).getLong(5) == 2L)
+    // symbol spam: 3 hashes over 5 words > 0.1
+    assert(!rows(4L).getBoolean(11) && rows(4L).getLong(6) == 3L)
+    // digit-only words fail the 80%-alpha rule
+    assert(!rows(5L).getBoolean(14) && rows(5L).getLong(7) == 0L)
+    // numbered-list markers count as bullets (2 of 2 lines > 90%)
+    assert(!rows(6L).getBoolean(12) && rows(6L).getLong(4) == 2L)
+    // empty doc fails the word-count rule and the verdict
+    assert(!rows(7L).getBoolean(9) && !rows(7L).getBoolean(16) &&
+      rows(7L).getLong(1) == 0L)
+  }
+
   test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
     // normalized texts share exactly " sharedruntext " (15 chars, spaces
     // included) at offsets no stride grid hits cleanly
