@@ -534,6 +534,11 @@ object ExplainCheck {
     "q_doc_gopher_rules" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // per-domain cap: the domain-partitioned row_number Window is the
+    // ONE wide op (the epochOrder discipline) — no joins, no products
+    "q_doc_domain_cap" -> (Seq("Window", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin")),
     // DSIR: two linear explode+agg passes build the bucket-bounded ratio
     // table (broadcast, incl. the 1-row totals as BNLJ); the corpus pass
     // is explode + broadcast join + doc-keyed agg — no SMJ, no window

@@ -111,6 +111,38 @@ object UrlOps {
     * and gets blocked/downweighted before any pairwise dedup spends on it.
     * One linear aggregate keyed by registered domain.
     */
+  /** Per-domain document cap (the RefinedWeb/C4 domain-balancing step):
+    * keep at most `k` documents per registered domain, selected in
+    * CONTENT-HASH order (md5 of the caller's content key, doc id as the
+    * total-order tiebreak) — so membership is deterministic under
+    * re-partitioning, re-runs, and engines, and a re-crawl that adds
+    * pages does not silently swap earlier survivors (their hash rank is
+    * unchanged unless new docs hash lower). Emits the survivors with
+    * `domain` and 1-based `domain_rank` so the caller can audit the cut.
+    *
+    * Scale shape: the per-domain row_number is the ONLY wide op — a
+    * Window partitioned by registered domain, never a global sort. Rank
+    * buffers are domain-bounded; a pathological mega-domain (half the
+    * crawl on one host) is exactly the domain the cap exists to cut, and
+    * the [[hostDupStats]] triage runs first to surface it. The filter on
+    * rank ≤ k drops rows before anything downstream shuffles again.
+    */
+  def domainCap(docs: DataFrame, urlCol: String, idCol: String,
+      contentKey: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val host = regexp_extract(canonicalizeUrl(col(urlCol)),
+      "^[^:]+://([^/:?#]+)", 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("domain", registeredDomain(host))
+      .withColumn("__h", md5(contentKey))
+      .withColumn("domain_rank", row_number().over(w))
+      .where(col("domain_rank") <= k)
+      .drop("__h")
+  }
+
   def hostDupStats(docs: DataFrame, urlCol: String,
       contentFp: Column): DataFrame = {
     val canon = canonicalizeUrl(col(urlCol))

@@ -234,6 +234,18 @@ object CurationQueries {
         .orderBy("domain")
     }),
 
+    // per-domain cap: keep ≤10 docs per registered domain of the synth
+    // URLs, selected in content-hash order with doc_id tiebreak — the
+    // oracle replays the same md5 rank; survivors + rank compared exactly
+    "q_doc_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), synthUrl.as("url"))
+      graft.ops.UrlOps.domainCap(docs, "url", "doc_id",
+          TextOps.normalize(col("text")), k = 10)
+        .select(col("doc_id"), col("domain"), col("domain_rank"))
+        .orderBy("doc_id")
+    }),
+
     // within-doc repetition REWRITE: the testdata docs are single-line,
     // so line structure is synthesized IN-QUERY from real text (the
     // q_mm_* discipline): three 3-token lines a/b/c per doc, repeated in
@@ -1516,6 +1528,18 @@ object CurationQueries {
          |  CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
          |    AS BIGINT) AS dup_ppm
          |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // domain-cap replay: same canon + registered-domain chain, same
+    // md5-of-normalized-text rank with doc_id tiebreak, same k=10 cut
+    "q_doc_domain_cap" ->
+      s"""WITH $urlCanonCtes,
+         |r AS (SELECT d.doc_id, dom.domain,
+         |    row_number() OVER (PARTITION BY dom.domain
+         |      ORDER BY md5(lower(trim(regexp_replace(d.text,
+         |        '\\s+', ' ', 'g')))), d.doc_id) AS domain_rank
+         |  FROM documents d JOIN dom ON d.doc_id = dom.doc_id)
+         |SELECT doc_id, domain, CAST(domain_rank AS INT) AS domain_rank
+         |FROM r WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin,
 
     // first-occurrence line dedup replay: same synthesized a/b/a/c/b/a
     // line pattern, keep rows whose position equals their line's first

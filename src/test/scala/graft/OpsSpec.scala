@@ -1766,6 +1766,36 @@ class OpsSpec extends AnyFunSuite {
       rows(7L).getLong(1) == 0L)
   }
 
+  test("domainCap: per-domain keep-k in content-hash order, stable") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (1L, "http://mirror.com/a", "alpha"),
+      (2L, "https://WWW.Mirror.COM:443/b", "beta"),
+      (3L, "http://sub.mirror.com:8080/c", "gamma"),
+      (4L, "http://mirror.com/d", "delta"),
+      (5L, "http://solo.net/x", "solo")).toDF("doc_id", "url", "text")
+    val r = UrlOps.domainCap(d, "url", "doc_id", col("text"), k = 2)
+      .select("doc_id", "domain", "domain_rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSet
+    // subdomain/port/www variants all collapse into mirror.com: 4 docs,
+    // cap 2 -> the two lowest md5(text) survive; solo.net keeps its one
+    val kept = r.filter(_._2 == "mirror.com")
+    assert(kept.size == 2 && r.exists(_._2 == "solo.net"), s"got $r")
+    // md5 order: alpha < gamma < delta < beta (md5 hex of these strings)
+    val hash = Seq("alpha", "beta", "gamma", "delta")
+      .map(t => t -> java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .toMap
+    val expect = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma",
+      4L -> "delta").sortBy(p => hash(p._2)).take(2).map(_._1).toSet
+    assert(kept.map(_._1) == expect, s"kept $kept expect $expect")
+    // deterministic under re-partitioning
+    val r2 = UrlOps.domainCap(d.repartition(7), "url", "doc_id",
+      col("text"), k = 2).select("doc_id", "domain", "domain_rank")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSet
+    assert(r2 == r)
+  }
+
   test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
     // normalized texts share exactly " sharedruntext " (15 chars, spaces
     // included) at offsets no stride grid hits cleanly
