@@ -539,6 +539,12 @@ object ExplainCheck {
     "q_doc_domain_cap" -> (Seq("Window", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "BroadcastHashJoin")),
+    // segment near-dup: distinct-seg agg + simhash Aggregator + banded
+    // self-join — the simhash_pairs shapes, re-keyed on segments
+    "q_doc_seg_neardup" -> (Seq("BroadcastHashJoin", "Generate",
+        "HashAggregate", "ObjectHashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window")),
     // DSIR: two linear explode+agg passes build the bucket-bounded ratio
     // table (broadcast, incl. the 1-row totals as BNLJ); the corpus pass
     // is explode + broadcast join + doc-keyed agg — no SMJ, no window

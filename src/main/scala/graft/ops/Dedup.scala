@@ -691,6 +691,65 @@ object Dedup {
         length(col("clean")).as("clean_len"), col("clean"))
   }
 
+  /** Cross-doc NEAR-dup segment detection — the fuzzy complement of
+    * [[segmentDedup]] (which only collapses byte-identical segments): the
+    * boilerplate that varies by a date, a counter, or one templated token
+    * ("...your inbox every single day" vs "...every single morning")
+    * survives exact segment dedup and needs a similarity screen. Segments
+    * (normalized, ≥ `minTokens` tokens) first collapse to DISTINCT texts
+    * with doc-spread/occurrence counts — the crucial scale move: the
+    * pairwise stage runs over distinct segment TEXTS (bounded by template
+    * diversity), never over occurrences (corpus-sized). Each distinct
+    * segment gets the 64-bit token SimHash ([[simhashBands]] math,
+    * identical aggregator), and pairs within hamming ≤ `maxDist` surface
+    * via the same 4×16-bit band join — pigeonhole-complete at maxDist ≤ 3,
+    * so the banded result provably equals all-pairs (the DuckDB oracle).
+    *
+    * Scale shape: explode → distinct-seg agg (shuffle carries one row per
+    * distinct segment) → token agg over distinct segs → band self-join on
+    * (band, chunk). No doc pair ever meets a reducer; candidate volume is
+    * banded over template space, not corpus space.
+    */
+  def segmentNearDup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDist: Int = 3, minTokens: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      "4x16-bit banding guarantees recall only for maxDist <= 3 (pigeonhole)")
+    require(minTokens >= 1, "minTokens must be positive")
+    val segs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as("seg0"))
+      .select(col("doc_id"), TextOps.normalize(col("seg0")).as("seg"))
+      .where(size(split(col("seg"), " ")) >= minTokens)
+    val dseg = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .select(md5(col("seg")).as("fp"), col("seg"), col("n_docs"),
+        col("n_occ"))
+    val bands = dseg
+      .select(col("fp"), explode(split(col("seg"), " ")).as("tk"))
+      .select(col("fp"), md5(col("tk")).as("hx"))
+      .groupBy("fp")
+      .agg(graft.functions.SigAggregators.simhash_combine(col("hx"))
+        .as("bands"))
+      .select(col("fp") +: (0 until 4).map(t =>
+        element_at(col("bands"), t + 1).as(s"band$t")): _*)
+    val sig = dseg.drop("seg").join(bands, Seq("fp"))
+    val bandCols = (0 until 4).map(t => col(s"band$t"))
+    val banded = sig.select(Seq(col("fp"), col("n_docs")) ++ bandCols ++
+      Seq(posexplode(array(bandCols: _*)).as(Seq("band", "chunk"))): _*)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"),
+        (0 until 4).map(t =>
+            bit_count(col(s"a.band$t").bitwiseXOR(col(s"b.band$t"))))
+          .reduce(_ + _).cast("int").as("hamming"),
+        col("a.n_docs").as("docs_a"), col("b.n_docs").as("docs_b"))
+      .dropDuplicates("fp_a", "fp_b") // hamming/counts functionally dependent
+      .where(col("hamming") <= maxDist)
+  }
+
   /** BOUNDARY-EXACT exact-substring span removal (Lee et al.
     * arXiv:2107.06499 §3.1 semantics, `minLen` as the only knob): a
     * character of doc d is removed iff it lies inside SOME length-`minLen`

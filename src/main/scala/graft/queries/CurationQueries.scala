@@ -103,6 +103,76 @@ object CurationQueries {
 
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Planted boilerplate pair for the segment near-dup gate: two 20-token
+    * newsletter lines differing only in the final token, chosen so their
+    * 64-bit token SimHashes sit at hamming distance 3 (verified offline
+    * with the same md5-majority math) — inside the banded screen's
+    * pigeonhole-complete radius.
+    */
+  private val bpA = "sign up for our weekly newsletter and get the best " +
+    "stories delivered right to your inbox every single day now"
+  private val bpB = "sign up for our weekly newsletter and get the best " +
+    "stories delivered right to your inbox every single day instant"
+
+  /** Brute-force segment-level SimHash near-dup replay: the
+    * [[CorpusOps]] simhash mirror (md5 hex nibbles → 64 bit-sums →
+    * majority bands → bit_count(xor)) re-keyed on DISTINCT normalized
+    * segments of the synthesized two-line docs.
+    */
+  private val segNearDupSql: String = {
+    val nibCols = (0 until 16).map(p =>
+      s"instr('0123456789abcdef', substr(hx, ${p + 1}, 1)) - 1 AS nib$p")
+      .mkString(",\n    ")
+    val sumCols = (0 until 64).map(j =>
+      s"sum((nib${j / 4} // ${1 << (j % 4)}) % 2) AS s$j").mkString(",\n    ")
+    val bandCols = (0 until 4).map { t =>
+      (0 until 16).map { k =>
+        val j = 16 * t + k
+        s"(CASE WHEN 2*s$j > ntok THEN ${1 << k} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS band$t")
+    }.mkString(",\n    ")
+    val ham = (0 until 4).map(t => s"bit_count(xor(a.band$t, b.band$t))")
+      .mkString(" + ")
+    raw"""WITH tk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+         |  FROM documents),
+         |d AS (SELECT doc_id,
+         |    array_to_string(t[1:9], ' ') || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN '$bpA' ELSE '$bpB' END AS txt
+         |  FROM tk),
+         |seg0 AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS sr
+         |  FROM d),
+         |segn AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(sr, '\s+', ' ', 'g'))) AS seg
+         |  FROM seg0),
+         |segf AS (SELECT doc_id, seg FROM segn
+         |  WHERE len(string_split(seg, ' ')) >= 3),
+         |dseg AS (SELECT seg, md5(seg) AS fp,
+         |    count(DISTINCT doc_id) AS n_docs
+         |  FROM segf GROUP BY seg),
+         |toks AS (SELECT fp, unnest(string_split(seg, ' ')) AS tk2
+         |  FROM dseg),
+         |h AS (SELECT fp, md5(tk2) AS hx FROM toks),
+         |nib AS (SELECT fp,
+         |    $nibCols
+         |  FROM h),
+         |s AS (SELECT fp,
+         |    $sumCols,
+         |    count(*) AS ntok
+         |  FROM nib GROUP BY fp),
+         |bands AS (SELECT fp,
+         |    $bandCols
+         |  FROM s),
+         |bc AS (SELECT bands.*, dseg.n_docs FROM bands
+         |  JOIN dseg ON bands.fp = dseg.fp)
+         |SELECT a.fp AS fp_a, b.fp AS fp_b, CAST($ham AS INT) AS hamming,
+         |  CAST(a.n_docs AS BIGINT) AS docs_a,
+         |  CAST(b.n_docs AS BIGINT) AS docs_b
+         |FROM bc a JOIN bc b ON a.fp < b.fp
+         |WHERE $ham <= 3
+         |ORDER BY fp_a, fp_b""".stripMargin
+  }
+
   /** DSIR weight replay (CTE fragment ending in `dsir(doc_id, n_feats,
     * dsir_ppm)`): hashed-bigram buckets, add-one smoothing over the
     * 1024-cell domain, HUGEINT products, per-doc floor mean — shared by
@@ -232,6 +302,21 @@ object CurationQueries {
       graft.ops.UrlOps.hostDupStats(docs, "url",
           md5(pmod(col("doc_id"), lit(50)).cast("string")))
         .orderBy("domain")
+    }),
+
+    // cross-doc NEAR-dup segments: every doc carries a unique 9-token
+    // head line plus one of two planted boilerplate variants (final
+    // token differs; simhash hamming exactly 3) — exact segment dedup is
+    // blind to the variant pair, the near-dup screen must surface it.
+    // The oracle is the brute-force all-pairs simhash replay over
+    // distinct segments (pigeonhole equality at maxDist <= 3)
+    "q_doc_seg_neardup" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val txt = concat(array_join(slice(toks, 1, 9), " "), lit("\n"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(bpA)).otherwise(lit(bpB)))
+      val docs = t(s, dir, "documents").select(col("doc_id"), txt.as("text"))
+      graft.ops.Dedup.segmentNearDup(wide(s, docs), "doc_id", "text")
+        .orderBy("fp_a", "fp_b")
     }),
 
     // per-domain cap: keep ≤10 docs per registered domain of the synth
@@ -1528,6 +1613,11 @@ object CurationQueries {
          |  CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
          |    AS BIGINT) AS dup_ppm
          |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // segment near-dup replay: distinct normalized segments of the
+    // synthesized two-line docs, brute-force all-pairs simhash (the
+    // CorpusOps nib/sum/band mirror re-keyed on segment fp)
+    "q_doc_seg_neardup" -> segNearDupSql,
 
     // domain-cap replay: same canon + registered-domain chain, same
     // md5-of-normalized-text rank with doc_id tiebreak, same k=10 cut

@@ -1796,6 +1796,36 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("segmentNearDup: variant boilerplate surfaces, exact dups collapse") {
+    import graft.ops.Dedup
+    val bpA = "sign up for our weekly newsletter and get the best " +
+      "stories delivered right to your inbox every single day now"
+    val bpB = "sign up for our weekly newsletter and get the best " +
+      "stories delivered right to your inbox every single day instant"
+    val d = Seq(
+      (1L, "alpha beta gamma\n" + bpA + "\nhi"),
+      (2L, "delta epsilon zeta\n" + bpA),
+      (3L, "eta theta iota\n" + bpB)).toDF("doc_id", "text")
+    val r = Dedup.segmentNearDup(d, "doc_id", "text").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2),
+        x.getLong(3), x.getLong(4)))
+    def fp(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (fa, fb) = (fp(bpA), fp(bpB))
+    val planted = r.filter(p => Set(p._1, p._2) == Set(fa, fb))
+    // the planted variant pair: hamming exactly 3 (pinned offline), the
+    // exact-dup bpA collapsed into ONE distinct segment spanning 2 docs
+    assert(planted.length == 1, s"got ${r.toSeq}")
+    assert(planted.head._3 == 3)
+    val (da, db) = if (planted.head._1 == fa)
+      (planted.head._4, planted.head._5) else (planted.head._5, planted.head._4)
+    assert(da == 2L && db == 1L)
+    // ordering + radius contracts hold everywhere
+    r.foreach { p => assert(p._1 < p._2 && p._3 <= 3) }
+    // the sub-minTokens segment ("hi") never appears
+    assert(!r.exists(p => p._1 == fp("hi") || p._2 == fp("hi")))
+  }
+
   test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
     // normalized texts share exactly " sharedruntext " (15 chars, spaces
     // included) at offsets no stride grid hits cleanly
