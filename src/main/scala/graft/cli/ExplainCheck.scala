@@ -186,6 +186,9 @@ object ExplainCheck {
     // pipeline — no join, no agg, no window before the gate sort
     "q_mm_audio_energy" -> (Seq("MapPartitions"),
       Seq("Window", "CartesianProduct", "HashAggregate", "SortMergeJoin")),
+    // audio quality: same codec-seam shape plus the in-row verdict algebra
+    "q_mm_audio_quality" -> (Seq("MapPartitions"),
+      Seq("Window", "CartesianProduct", "HashAggregate", "SortMergeJoin")),
     // recall eval: both searchers keep their bounded TopKAgg shape and the
     // truth/approx join is equi on (query, vec) — never a product/window
     "q_emb_recall_ivf" -> (Seq("ObjectHashAggregate"),

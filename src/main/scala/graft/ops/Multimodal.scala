@@ -433,6 +433,86 @@ object Multimodal {
       peak_abs: Long,
       silent: Boolean)
 
+  final case class WavQualityCounts(
+      media_id: Long,
+      decoded: Boolean,
+      n: Option[Long],
+      n_silence: Option[Long],
+      n_clip: Option[Long],
+      energy: Option[Long],
+      peak_abs: Option[Long])
+
+  /** Audio quality verdict over 16-bit LE PCM — the audio analog of the
+    * text quality batteries: a clip that is mostly silence wastes
+    * transcription/training budget, a clipped recording poisons any
+    * loudness-normalized pipeline. Per file, exact integer counts —
+    * samples, near-silent samples (|s| ≤ `silenceThresh`), clipped
+    * samples (|s| ≥ `clipThresh`), sum-of-squares energy, peak — then
+    * integer-ppm ratios and the verdict: `too_silent` (majority silent,
+    * 2·n_silence ≥ n), `clipped` (≥ 1%, 100·n_clip ≥ n), `audio_ok` =
+    * decoded ∧ ¬too_silent ∧ ¬clipped (false, never null, for
+    * undecodable payloads — they fail quality by definition).
+    *
+    * Scale shape: one typed mapPartitions at the codec seam (the
+    * [[decodeWav]] discipline), then in-row Column algebra for the
+    * ratios/verdicts — no shuffle anywhere, linear in corpus bytes.
+    */
+  def wavQuality(media: Dataset[MediaRecord], silenceThresh: Int = 100,
+      clipThresh: Int = 32000): DataFrame = {
+    require(silenceThresh >= 0 && clipThresh > silenceThresh,
+      "need 0 <= silenceThresh < clipThresh")
+    import media.sparkSession.implicits._
+    val counts = media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val f = in.getFormat
+            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+              f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcm16le)
+              WavQualityCounts(m.media_id, decoded = false,
+                None, None, None, None, None)
+            else {
+              val bytes = in.readAllBytes()
+              var i = 0; var n = 0L; var sil = 0L; var clip = 0L
+              var energy = 0L; var peak = 0L
+              while (i + 1 < bytes.length) {
+                val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8))
+                  .toShort.toLong
+                val a = math.abs(s)
+                n += 1; energy += s * s
+                if (a <= silenceThresh) sil += 1
+                if (a >= clipThresh) clip += 1
+                if (a > peak) peak = a
+                i += 2
+              }
+              WavQualityCounts(m.media_id, decoded = true, Some(n),
+                Some(sil), Some(clip), Some(energy), Some(peak))
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception =>
+            WavQualityCounts(m.media_id, decoded = false,
+              None, None, None, None, None)
+        }
+      }
+    }
+    counts.toDF()
+      .withColumn("silence_ppm",
+        expr("CASE WHEN n > 0 THEN n_silence * 1000000 div n " +
+          "WHEN n = 0 THEN 0 END"))
+      .withColumn("clip_ppm",
+        expr("CASE WHEN n > 0 THEN n_clip * 1000000 div n " +
+          "WHEN n = 0 THEN 0 END"))
+      .withColumn("too_silent", expr("n_silence * 2 >= n"))
+      .withColumn("clipped", expr("n_clip * 100 >= n"))
+      .withColumn("audio_ok", coalesce(
+        col("decoded") && !col("too_silent") && !col("clipped"), lit(false)))
+  }
+
   /** Per-window energy profile of 16-bit LE PCM audio — the VAD /
     * silence-trim primitive of audio curation (silent or near-silent
     * windows are dropped or split on before training). Sum-of-squares

@@ -1479,6 +1479,19 @@ object CorpusOps {
         .orderBy("media_id", "win_idx")
     }),
 
+    // audio quality verdict: majority-silence planted on doc%3==0,
+    // clipping on doc%4==0, quarantine on doc%5==0 (decoded=false rows
+    // must fail audio_ok as false, not null) — closed-form oracle from
+    // the generator formula
+    "q_mm_audio_quality" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          mmWavPayloadQuality.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.wavQuality(media).orderBy("media_id")
+    }),
+
     // multimodal: incremental dedup — only the NEW batch (odd docs) is
     // decoded and checked against the standing corpus's fingerprints
     // (even docs): j = (doc_id div 2) mod 16 picks a known grid, j < 8
@@ -1644,6 +1657,41 @@ object CorpusOps {
       le32(lit(16000L)), le16(lit(2L)), le16(lit(16L)),
       lit("64617461"), le32(lit(24L)),
       concat((0 until 12).map(i => le16(samp(i))): _*)))
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      encode(lit("not audio"), "UTF-8")).otherwise(wav)
+  }
+
+  /** 16-sample variant for the audio-quality gate: first half all-zero
+    * for doc ≡ 0 (mod 3) — a majority-silent recording; samples 12-15
+    * pinned at 32767 for doc ≡ 0 (mod 4) — a clipped recording; all
+    * other samples follow the mmWavPayload formula (range < 30000, so
+    * they can never trip the 32000 clip threshold by accident). Fixed
+    * 8000 Hz mono; same every-5th-doc quarantine payload.
+    */
+  private[queries] def mmWavPayloadQuality: org.apache.spark.sql.Column = {
+    def le32(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le16(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def samp(i: Int): org.apache.spark.sql.Column = {
+      val base = (col("doc_id") * 7 + lit(i * 1231)) % 30000
+      if (i < 8)
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(0L)).otherwise(base)
+      else if (i >= 12)
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(32767L)).otherwise(base)
+      else base
+    }
+    val wav = unhex(concat(
+      lit("52494646"), le32(lit(68L)), lit("57415645"), lit("666D7420"),
+      le32(lit(16L)), le16(lit(1L)), le16(lit(1L)), le32(lit(8000L)),
+      le32(lit(16000L)), le16(lit(2L)), le16(lit(16L)),
+      lit("64617461"), le32(lit(32L)),
+      concat((0 until 16).map(i => le16(samp(i))): _*)))
     when(pmod(col("doc_id"), lit(5)) === 0,
       encode(lit("not audio"), "UTF-8")).otherwise(wav)
   }
@@ -3535,6 +3583,48 @@ object CorpusOps {
     // identity oracle: replay the windowed sample math of the assembly —
     // window w of doc d is zeroed iff (d+w) % 3 = 0, else samples follow
     // the decode_wav formula; quarantined docs (d % 5 = 0) emit no windows
+    // audio-quality replay: same sample formula in closed form; the
+    // quarantined rows carry NULL counts but a FALSE audio_ok
+    "q_mm_audio_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i < 8 AND doc_id % 3 = 0 THEN 0
+        |          WHEN i >= 12 AND doc_id % 4 = 0 THEN 32767
+        |          ELSE (doc_id*7 + i*1231) % 30000 END
+        |     for i in generate_series(0, 15)] AS s
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(16 AS BIGINT) AS n,
+        |    CAST(len(list_filter(s, x -> abs(x) <= 100)) AS BIGINT)
+        |      AS n_silence,
+        |    CAST(len(list_filter(s, x -> abs(x) >= 32000)) AS BIGINT)
+        |      AS n_clip,
+        |    CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT)
+        |      AS energy,
+        |    CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+        |      AS peak_abs
+        |  FROM base)
+        |SELECT doc_id AS media_id,
+        |  (doc_id % 5 <> 0) AS decoded,
+        |  CASE WHEN doc_id % 5 <> 0 THEN n END AS n,
+        |  CASE WHEN doc_id % 5 <> 0 THEN n_silence END AS n_silence,
+        |  CASE WHEN doc_id % 5 <> 0 THEN n_clip END AS n_clip,
+        |  CASE WHEN doc_id % 5 <> 0 THEN energy END AS energy,
+        |  CASE WHEN doc_id % 5 <> 0 THEN peak_abs END AS peak_abs,
+        |  CASE WHEN doc_id % 5 <> 0
+        |    THEN CAST(n_silence * 1000000 // n AS BIGINT) END
+        |    AS silence_ppm,
+        |  CASE WHEN doc_id % 5 <> 0
+        |    THEN CAST(n_clip * 1000000 // n AS BIGINT) END AS clip_ppm,
+        |  CASE WHEN doc_id % 5 <> 0 THEN n_silence * 2 >= n END
+        |    AS too_silent,
+        |  CASE WHEN doc_id % 5 <> 0 THEN n_clip * 100 >= n END AS clipped,
+        |  CASE WHEN doc_id % 5 <> 0
+        |    THEN (n_silence * 2 < n AND n_clip * 100 < n)
+        |    ELSE false END AS audio_ok
+        |FROM c ORDER BY media_id""".stripMargin,
+
     "q_mm_audio_energy" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(generate_series(0, 2)) AS w

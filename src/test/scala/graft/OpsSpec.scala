@@ -1826,6 +1826,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!r.exists(p => p._1 == fp("hi") || p._2 == fp("hi")))
   }
 
+  test("wavQuality: silence/clipping verdicts, quarantine fails closed") {
+    import graft.ops.Multimodal
+    val sp = spark
+    import sp.implicits._
+    val silent = Multimodal.makeWav(8000,
+      Seq.fill(9)(0) ++ Seq.fill(7)(5000))
+    val clipped = Multimodal.makeWav(8000,
+      Seq(32767, -32768) ++ Seq.fill(14)(1000))
+    val clean = Multimodal.makeWav(8000, Seq.tabulate(16)(i => 1000 + i * 100))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", silent, "t"),
+      Multimodal.MediaRecord(2L, "audio", clipped, "t"),
+      Multimodal.MediaRecord(3L, "audio", clean, "t"),
+      Multimodal.MediaRecord(4L, "audio", "nope".getBytes("UTF-8"), "t"))
+      .toDS()
+    val r = Multimodal.wavQuality(media).collect()
+      .map(x => x.getLong(x.fieldIndex("media_id")) -> x).toMap
+    def b(id: Long, f: String) = r(id).getBoolean(r(id).fieldIndex(f))
+    def l(id: Long, f: String) = r(id).getLong(r(id).fieldIndex(f))
+    // 9 of 16 samples silent -> majority-silent verdict
+    assert(b(1L, "too_silent") && !b(1L, "audio_ok") &&
+      l(1L, "n_silence") == 9L)
+    // both clip polarities count; peak is the NEGATIVE rail's magnitude
+    assert(b(2L, "clipped") && l(2L, "n_clip") == 2L &&
+      l(2L, "peak_abs") == 32768L && !b(2L, "audio_ok"))
+    assert(b(3L, "audio_ok") && !b(3L, "too_silent") && !b(3L, "clipped"))
+    // undecodable: null counts but a FALSE verdict, never null
+    assert(!b(4L, "decoded") && r(4L).isNullAt(r(4L).fieldIndex("n")) &&
+      !b(4L, "audio_ok"))
+  }
+
   test("spanRemovalExact: sub-winLen dups found, boundaries exact") {
     // normalized texts share exactly " sharedruntext " (15 chars, spaces
     // included) at offsets no stride grid hits cleanly
