@@ -38,7 +38,8 @@ object Bench {
     // the real documents/events tables compiles the same generated stages
     // off-clock while keeping warmup bounded; the broadcast-off second pass
     // covers the join variants the slice's smaller stats might skip.
-    import org.apache.spark.sql.functions.{col, expr, floor, lit, min, max, pmod}
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, encode,
+      expr, floor, least, lit, min, max, pmod}
     def warmDedup(): Unit = {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .where(pmod(col("doc_id"), lit(2)) === 0)
@@ -243,6 +244,41 @@ object Bench {
         .foreach(_(spark, sfDir).count())
       spark.catalog.clearCache()
     }
+    // round-8 curation/url/segment shapes none of the passes above
+    // compile: the URL-canon regex chain + domain-partitioned window
+    // (q_doc_domain_cap read 4.3 s first-run vs 0.8 s steady), the DSIR
+    // bucket-ratio chain and its resampling composition, distinct-segment
+    // simhash banding, and the PCM quality seam's typed encoders.
+    def warmCuration(): Unit = {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .repartition(cpus.toInt)
+      val urls = docs.select(col("doc_id"), col("text"),
+        concat(lit("HTTP://WWW.Example"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".COM:80/p?utm_source=x&id=1")).as("url"))
+      graft.ops.UrlOps.domainCap(urls, "url", "doc_id",
+        graft.ops.TextOps.normalize(col("text")), 10).count()
+      val w = graft.ops.Curation.dsirWeights(docs,
+        docs.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+        1024)
+      val scored = docs.join(w, Seq("doc_id"))
+      graft.ops.Curation.weightedSample(scored,
+        graft.ops.TextOps.normalize(col("text")),
+        least(col("dsir_ppm").cast("double") / 2000000.0, lit(1.0))).count()
+      graft.ops.Dedup.segmentNearDup(
+        docs.select(col("doc_id"),
+          concat_ws("\n", col("text"), col("text")).as("text")),
+        "doc_id", "text").count()
+      val m = docs.limit(64).select(col("doc_id").as("media_id"),
+        lit("audio").as("modality"),
+        encode(lit("not audio"), "UTF-8").as("payload"),
+        lit("warm").as("source"))
+        .as[graft.ops.Multimodal.MediaRecord]
+      graft.ops.Multimodal.wavQuality(m).count()
+      spark.catalog.clearCache()
+    }
     // each warm pass isolated: one family breaking must not un-warm the
     // other four (r6: a warmTimeSeries analysis error silently skipped
     // warmRelational/warmVectors/warmSearch and put first-compile JIT
@@ -267,6 +303,7 @@ object Bench {
     warm("vectors")(warmVectors())
     warm("search")(warmSearch())
     warm("compositions")(warmCompositions())
+    warm("curation")(warmCuration())
     warm("dedup-broadcast-off") {
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
