@@ -533,6 +533,10 @@ object ExplainCheck {
     "q_doc_mojibake" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // readability: vowel-run/terminal-run counts, pure in-row projection
+    "q_doc_readability" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // Gopher rule battery: token/line HOF folds, pure in-row projection
     "q_doc_gopher_rules" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

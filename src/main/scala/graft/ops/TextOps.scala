@@ -156,6 +156,43 @@ object TextOps {
           " div greatest(n_chars, 1)").as("noise_ppm"))
   }
 
+  /** Readability profile (Flesch reading-ease, exact integer milli-units
+    * — the classic prose-complexity dial, used as a quality band filter:
+    * both unreadably dense text AND degenerate telegraphic fragments fall
+    * outside the mid band). Counts are engine-portable primitives:
+    * sentences = runs of terminal punctuation `[.!?]+` (floored at 1 so a
+    * punctuation-free doc reads as one sentence rather than dividing by
+    * zero), syllables = vowel-group runs `[aeiouy]+` of the lowercased
+    * text (the standard codeless proxy), words = whitespace tokens. The
+    * score is the Flesch formula with every division an explicit integer
+    * `div` in milli-units —
+    *   flesch_milli = 206835 − 1015·(words div-scaled per sentence)
+    *                         − 84600·(syllables div-scaled per word)
+    * — so external engines replay it bit-for-bit (no float drift), at
+    * the cost of the floor in each term (documented, deterministic).
+    * Zero shuffle; pure in-row Column algebra.
+    */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nSents = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val nWords = when(trim(text) === "", lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+    val nSyll = size(regexp_extract_all(lower(text), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    docs.select(col(idCol).as("doc_id"), nSents.as("n_sents"),
+        nWords.as("n_words"), nSyll.as("n_syll"))
+      .select(col("doc_id"), col("n_sents"), col("n_words"), col("n_syll"),
+        expr("n_words * 1000 div n_sents").as("wps_milli"),
+        expr("CASE WHEN n_words > 0 THEN n_syll * 1000 div n_words " +
+          "ELSE 0 END").as("spw_milli"),
+        expr("206835 - (1015 * n_words div n_sents)" +
+          " - (CASE WHEN n_words > 0 THEN 84600 * n_syll div n_words" +
+          " ELSE 0 END)").as("flesch_milli"))
+  }
+
   /** Stopword-marker hit counts for a language. */
   def langHits(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))

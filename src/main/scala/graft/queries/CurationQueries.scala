@@ -441,6 +441,27 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // readability: sentence structure synthesized per residue (the raw
+    // corpus has no terminal punctuation, so n_sents would floor at 1
+    // everywhere) — telegraphic 3-token sentences, one long sentence,
+    // mixed !? runs, and the punctuation-free floor case all appear
+    "q_doc_readability" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int) = array_join(slice(toks, from, 3), " ")
+      val (a, b, c) = (seg(1), seg(4), seg(7))
+      val synth = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(a, lit(". "), b, lit(". "), c, lit(".")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(a, lit(" "), b, lit(" "), c, lit(".")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(a, lit("?! "), b, lit("... "), c, lit("!")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      TextOps.readability(wide(s, docs), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher rule battery: residue 0 applies the rules to REAL text
     // (word-count/mean-word-length/stopword thresholds straddle on real
     // docs), residues 1-3 synthesize the structural failure shapes —
@@ -1821,6 +1842,43 @@ object CurationQueries {
            |  CAST((n_repl + n_ctrl + n_moji) * 1000000
            |    // greatest(n_chars, 1) AS BIGINT) AS noise_ppm
            |FROM c ORDER BY doc_id""".stripMargin,
+
+    // readability replay: same synthesized sentence structures, same
+    // terminal-run/vowel-run counts and explicit integer-div milli terms
+    "q_doc_readability" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, text,
+           |    regexp_split_to_array(trim(text), '\s+') AS t
+           |  FROM documents),
+           |abc AS (SELECT doc_id, text,
+           |    array_to_string(t[1:3], ' ') AS a,
+           |    array_to_string(t[4:6], ' ') AS b,
+           |    array_to_string(t[7:9], ' ') AS c
+           |  FROM tk),
+           |d AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN a || '. ' || b || '. ' || c || '.'
+           |      WHEN 1 THEN a || ' ' || b || ' ' || c || '.'
+           |      WHEN 2 THEN a || '?! ' || b || '... ' || c || '!'
+           |      ELSE text END AS tx
+           |  FROM abc),
+           |m AS (SELECT doc_id,
+           |    CAST(greatest(len(regexp_extract_all(tx, '[.!?]+')), 1)
+           |      AS BIGINT) AS n_sents,
+           |    CAST(CASE WHEN trim(tx) = '' THEN 0
+           |      ELSE len(regexp_split_to_array(trim(tx), '\s+')) END
+           |      AS BIGINT) AS n_words,
+           |    CAST(len(regexp_extract_all(lower(tx), '[aeiouy]+'))
+           |      AS BIGINT) AS n_syll
+           |  FROM d)
+           |SELECT doc_id, n_sents, n_words, n_syll,
+           |  CAST(n_words * 1000 // n_sents AS BIGINT) AS wps_milli,
+           |  CAST(CASE WHEN n_words > 0 THEN n_syll * 1000 // n_words
+           |    ELSE 0 END AS BIGINT) AS spw_milli,
+           |  CAST(206835 - (1015 * n_words // n_sents)
+           |    - (CASE WHEN n_words > 0 THEN 84600 * n_syll // n_words
+           |       ELSE 0 END) AS BIGINT) AS flesch_milli
+           |FROM m ORDER BY doc_id""".stripMargin,
 
     // Gopher-rule replay: same synthesized structures, generic counts
     // (token/line list folds) and the same cross-multiplied integer

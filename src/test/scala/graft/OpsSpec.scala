@@ -1733,6 +1733,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4L) == ((10L, 2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("readability: exact sentence/syllable counts and milli score") {
+    import graft.ops.TextOps
+    val d = Seq(
+      (1L, "the cat sat. it ran far! did it fly?"),
+      (2L, "no punctuation here"),
+      (3L, ""),
+      (4L, "hmm pfft brr.")).toDF("doc_id", "text")
+    val r = TextOps.readability(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    // 3 sentences, 9 words, 9 vowel runs:
+    // 206835 - 1015*9 div 3 - 84600*9 div 9 = 119190
+    assert(r(1L) == ((3L, 9L, 9L, 3000L, 1000L, 119190L)), s"got ${r(1L)}")
+    // punctuation-free doc floors at one sentence
+    assert(r(2L) == ((1L, 3L, 6L, 3000L, 2000L, 34590L)))
+    // empty doc: zero words, score collapses to the constant
+    assert(r(3L) == ((1L, 0L, 0L, 0L, 0L, 206835L)))
+    // vowel-free prose: zero syllables, no crash
+    assert(r(4L) == ((1L, 3L, 0L, 3000L, 0L, 203790L)))
+  }
+
   test("gopherRules: each rule trips on its failure shape only") {
     import graft.ops.Curation
     val goodText = ("the quick brown fox jumps over a lazy dog and " +
