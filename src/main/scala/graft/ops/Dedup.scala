@@ -691,6 +691,41 @@ object Dedup {
         length(col("clean")).as("clean_len"), col("clean"))
   }
 
+  /** Scalar 64-bit token SimHash of an already-normalized token list —
+    * the IDENTICAL math as [[graft.functions.SigAggregators.simhash_combine]]
+    * (md5-hex nibbles, per-bit majority with ties → 0, bit j lives in
+    * band j/16 at position j%16), packaged for row-local callers: the
+    * streaming trackers hash each segment statelessly with this core so
+    * stream and batch signatures agree bit-for-bit (the
+    * `Multimodal.hashImage` discipline). Parity with the aggregator is
+    * pinned by spec.
+    */
+  private[graft] def simhashOf(tokens: Seq[String]): Long = {
+    val sums = new Array[Int](64)
+    var n = 0
+    tokens.foreach { tk =>
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      var p = 0
+      while (p < 16) {
+        val c = hx.charAt(p)
+        val nib = if (c <= '9') c - '0' else c - 'a' + 10
+        var b = 0
+        while (b < 4) { sums(4 * p + b) += (nib >>> b) & 1; b += 1 }
+        p += 1
+      }
+      n += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (2 * sums(j) > n) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** Cross-doc NEAR-dup segment detection — the fuzzy complement of
     * [[segmentDedup]] (which only collapses byte-identical segments): the
     * boilerplate that varies by a date, a counter, or one templated token

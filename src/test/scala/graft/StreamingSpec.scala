@@ -762,6 +762,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(!batch.keySet.exists(_._1 == 2L)) // junk quarantines to no rows
   }
 
+  test("streaming segment near-dup matches batch segmentNearDup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    import graft.streaming.StreamingSegmentNearDup
+    val bpA = "sign up for our weekly newsletter and get the best " +
+      "stories delivered right to your inbox every single day now"
+    val bpB = "sign up for our weekly newsletter and get the best " +
+      "stories delivered right to your inbox every single day instant"
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val hits = StreamingSegmentNearDup.hits(
+      source.toDF().toDF("doc_id", "event_time", "text"),
+      sep = "\n", maxDist = 3, minTokens = 3, horizonSeconds = 86400,
+      watermarkDelay = "0 seconds")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("ssnd_out").start()
+    try {
+      // variant pair spans micro-batches; the exact repeat of bpA in
+      // batch two must refresh state, not re-emit
+      source.addData((1L, ts("2020-01-01 00:00:00"),
+        "alpha beta gamma\n" + bpA))
+      q.processAllAvailable()
+      source.addData(
+        (2L, ts("2020-01-01 00:10:00"), "delta epsilon zeta\n" + bpA),
+        (3L, ts("2020-01-01 00:20:00"), "eta theta iota\n" + bpB))
+      q.processAllAvailable()
+      val streamed = spark.table("ssnd_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val batch = Dedup.segmentNearDup(Seq(
+          (1L, "alpha beta gamma\n" + bpA),
+          (2L, "delta epsilon zeta\n" + bpA),
+          (3L, "eta theta iota\n" + bpB)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.size == 1 && streamed.head._3 == 3)
+    } finally q.stop()
+  }
+
   test("streaming visual dedup matches batch perceptualPairs bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Multimodal
