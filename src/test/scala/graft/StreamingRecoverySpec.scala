@@ -134,6 +134,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"got ${p2.mkString(",")}")
   }
 
+  test("segment dedup survives restart: first-seen state persists") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSegmentDedup
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val (p1, p2) = runWithRestart(
+      () => StreamingSegmentDedup.keptSegments(
+        source.toDF().toDF("doc_id", "event_time", "text"),
+        sep = "\n", horizonSeconds = 86400, watermarkDelay = "0 seconds"),
+      () => source.addData(
+        (1L, ts("2020-01-01 00:00:00"), "nav bar\nreal one")),
+      () => source.addData(
+        (2L, ts("2020-01-01 00:10:00"), "nav bar\nreal two")))
+    def kept(rs: Seq[Row]) = rs.map(r => (r.getLong(0), r.getString(2))).toSet
+    // doc 2's "nav bar" arrived after the restart; the reloaded state
+    // must drop it (first-seen was doc 1), keeping only the fresh line
+    assert(kept(p1) == Set((1L, "nav bar"), (1L, "real one")))
+    assert(kept(p2) == Set((2L, "real two")),
+      s"state lost across restart: ${kept(p2)}")
+  }
+
+  test("segment near-dup survives restart: variant arriving after resume hits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSegmentNearDup
+    val bpA = "sign up for our weekly newsletter and get the best " +
+      "stories delivered right to your inbox every single day now"
+    val bpB = "sign up for our weekly newsletter and get the best " +
+      "stories delivered right to your inbox every single day instant"
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val (p1, p2) = runWithRestart(
+      () => StreamingSegmentNearDup.hits(
+        source.toDF().toDF("doc_id", "event_time", "text"),
+        sep = "\n", maxDist = 3, minTokens = 3, horizonSeconds = 86400,
+        watermarkDelay = "0 seconds"),
+      () => source.addData(
+        (1L, ts("2020-01-01 00:00:00"), "alpha beta gamma\n" + bpA)),
+      () => source.addData(
+        (2L, ts("2020-01-01 00:10:00"), "eta theta iota\n" + bpB)))
+    // bpA lives only in pre-restart state; bpB arriving after resume must
+    // still pair with it at hamming 3
+    assert(p1.isEmpty)
+    val hits = p2.map(r => r.getInt(2)).toSet
+    assert(p2.size >= 1 && hits == Set(3),
+      s"cross-restart near-dup lost: ${p2}")
+  }
+
   test("sessionizer survives restart: open session closes with pre-kill sums") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{SessionEvent, StreamingSessionizer}
