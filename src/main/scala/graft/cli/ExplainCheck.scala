@@ -476,6 +476,11 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_jaccard_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // containment: shingle-keyed self-join over the df-capped universe +
+    // pair-count agg (the decontaminate shape turned self-join)
+    "q_doc_containment" -> (Seq("Generate", "HashAggregate",
+        "Batched: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_langid" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_mask" -> (Seq("Batched: true"),

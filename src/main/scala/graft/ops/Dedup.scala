@@ -691,6 +691,50 @@ object Dedup {
         length(col("clean")).as("clean_len"), col("clean"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — the doc-inside-doc axis symmetric
+    * Jaccard is blind to: a short document fully embedded in a long one
+    * (quote farms, aggregator pages, eval-prompt-inside-completion leaks)
+    * has near-zero Jaccard against its container but containment ≈ 1 on
+    * the small side, so a Jaccard-thresholded dedup pass keeps both.
+    * Candidates come from shared df-capped shingles (the decontaminate
+    * screen — the cap bounds the df² candidate term and is mirrored in
+    * the oracle); containment is EXACT integer ppm per side
+    * (common·10⁶ div |side|, both directions emitted); a pair is kept
+    * when EITHER side's containment reaches `minContainPpm`.
+    *
+    * Scale shape: one shingle-keyed equi-join over the capped universe +
+    * one pair-keyed count agg — the q_doc_decontaminate shape turned
+    * self-join; no window, no product, sizes join back on doc keys.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minContainPpm: Long, dfCap: Int = Int.MaxValue): DataFrame = {
+    require(minContainPpm >= 1 && minContainPpm <= 1000000L,
+      "minContainPpm in [1, 1e6]")
+    val raw = shingleRows(docs, idCol, textCol, k)
+    val capped =
+      if (dfCap == Int.MaxValue) raw
+      else raw.join(
+        raw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).select("sh"),
+        Seq("sh"), "left_semi")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = capped.as("a").join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),
+        col("n_b"),
+        expr("common * 1000000 div n_a").as("contain_a_ppm"),
+        expr("common * 1000000 div n_b").as("contain_b_ppm"))
+      .where(greatest(col("contain_a_ppm"), col("contain_b_ppm"))
+        >= minContainPpm)
+  }
+
   /** Scalar 64-bit token SimHash of an already-normalized token list —
     * the IDENTICAL math as [[graft.functions.SigAggregators.simhash_combine]]
     * (md5-hex nibbles, per-bit majority with ties → 0, bit j lives in

@@ -385,6 +385,22 @@ object CorpusOps {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // asymmetric containment: every 5th doc's 9-token HEAD is planted as
+    // a separate mini-doc (id + 1e6) — fully contained in its source,
+    // near-zero Jaccard against it (the case symmetric dedup keeps both
+    // of); df-cap 50 mirrored in the oracle
+    "q_doc_containment" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val sub = base.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 9), " ")
+            .as("text"))
+      val docs = base.select(col("doc_id"), col("text")).unionByName(sub)
+      Dedup.containmentPairs(wide(s, docs), "doc_id", "text", 3,
+          minContainPpm = 800000L, dfCap = 50)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // near-dup: MinHash + banded LSH candidates, exact-Jaccard verified
     "q_doc_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(wide(s, t(s, dir, "documents")), "doc_id", "text",
@@ -2363,6 +2379,44 @@ object CorpusOps {
     "q_doc_jaccard_pairs" -> jaccardPairsSqlFor(Some(100)),
 
     "q_doc_dedup_clusters" -> dedupClustersSql,
+
+    // containment replay: union the planted heads, shingle, df-cap 50,
+    // shared-shingle pair counts, exact integer-div ppm both directions
+    "q_doc_containment" ->
+      raw"""WITH d0 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    array_to_string(
+           |      regexp_split_to_array(trim(text), '\s+')[1:9], ' ')
+           |      AS text
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+           |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |          for i in generate_series(1, len(t) - 2)]
+           |    ELSE [] END) AS s
+           |  FROM (SELECT doc_id,
+           |      regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |    FROM d0)),
+           |e0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |okg AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 50),
+           |e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN okg USING (g)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+           |cand AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    count(*) AS common
+           |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           |  CAST(common * 1000000 // sa.n AS BIGINT) AS contain_a_ppm,
+           |  CAST(common * 1000000 // sb.n AS BIGINT) AS contain_b_ppm
+           |FROM cand
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |WHERE greatest(common * 1000000 // sa.n,
+           |  common * 1000000 // sb.n) >= 800000
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_doc_simhash_pairs" -> simhashPairsSql,
 

@@ -1817,6 +1817,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("containmentPairs: embedded doc found where Jaccard is blind") {
+    import graft.ops.Dedup
+    val container = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val embedded = "delta epsilon zeta eta theta iota" // 6-token slice
+    val d = Seq(
+      (1L, container),
+      (2L, embedded),
+      (3L, "totally different words with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d, "doc_id", "text", 3, 800000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))
+    // the embedded doc's 4 shingles all live in the container (20
+    // shingles): containment 1e6 on the b side, 200000 on the a side
+    assert(r.toSeq == Seq((1L, 2L, 4L, 20L, 4L, 200000L, 1000000L)),
+      s"got ${r.toSeq}")
+    // symmetric Jaccard at the same 0.8 bar keeps BOTH copies (blind)
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8).count() == 0L)
+  }
+
   test("simhashOf: scalar core matches the batch aggregator bit-for-bit") {
     import graft.ops.Dedup
     val texts = Seq((1L, "The quick brown fox"),
