@@ -557,6 +557,12 @@ object ExplainCheck {
         "HashAggregate", "ObjectHashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window")),
+    // domain boilerplate: (domain, segment) distinct-count agg + a
+    // broadcast join of the domain-bounded totals — no SMJ/product/window
+    "q_doc_domain_boilerplate" -> (Seq("Generate", "HashAggregate",
+        "BroadcastHashJoin", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window")),
     // DSIR: two linear explode+agg passes build the bucket-bounded ratio
     // table (broadcast, incl. the 1-row totals as BNLJ); the corpus pass
     // is explode + broadcast join + doc-keyed agg — no SMJ, no window

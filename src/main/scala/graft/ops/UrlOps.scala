@@ -111,6 +111,53 @@ object UrlOps {
     * and gets blocked/downweighted before any pairwise dedup spends on it.
     * One linear aggregate keyed by registered domain.
     */
+  /** Per-domain boilerplate profile — the SITE-template detector
+    * (trafilatura's site-level pass, the step between X153's within-doc
+    * and X160's global segment dedup): a segment appearing in a high
+    * fraction of ONE domain's documents is that site's chrome
+    * (nav/footer/cookie banner) even if it is globally rare, so a
+    * global-frequency screen misses it. Per (registered domain, distinct
+    * normalized segment ≥ minTokens tokens): the distinct-doc count, the
+    * domain's doc total, and the EXACT integer-ppm share; rows at
+    * share ≥ `minSharePpm` are the domain's template segments — feed
+    * them to a removal join, or audit them as-is.
+    *
+    * Scale shape: one (domain, segment)-keyed distinct-count agg over the
+    * exploded segments + a broadcast join of the domain-bounded doc
+    * totals — linear, no pairwise anything, no window.
+    */
+  def domainBoilerplate(docs: DataFrame, urlCol: String, idCol: String,
+      textCol: String, sep: String = "\n", minTokens: Int = 3,
+      minSharePpm: Long = 500000L, minDomainDocs: Int = 2): DataFrame = {
+    require(minSharePpm >= 1 && minSharePpm <= 1000000L,
+      "minSharePpm in [1, 1e6]")
+    require(minTokens >= 1, "minTokens must be positive")
+    // a share over one document is vacuously 100%: template detection
+    // needs corroboration across pages, so tiny domains are excluded
+    require(minDomainDocs >= 1, "minDomainDocs must be positive")
+    val host = regexp_extract(canonicalizeUrl(col(urlCol)),
+      "^[^:]+://([^/:?#]+)", 1)
+    val base = docs.select(registeredDomain(host).as("domain"),
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val domDocs = base.groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("domain_docs"))
+      .where(col("domain_docs") >= minDomainDocs)
+    val segs = base
+      .select(col("domain"), col("doc_id"),
+        explode(split(col("text"),
+          java.util.regex.Pattern.quote(sep), -1)).as("seg0"))
+      .select(col("domain"), col("doc_id"),
+        TextOps.normalize(col("seg0")).as("seg"))
+      .where(size(split(col("seg"), " ")) >= minTokens)
+    segs.groupBy("domain", "seg")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .join(broadcast(domDocs), Seq("domain"))
+      .select(col("domain"), md5(col("seg")).as("seg_fp"), col("seg"),
+        col("n_docs"), col("domain_docs"),
+        expr("n_docs * 1000000 div domain_docs").as("share_ppm"))
+      .where(col("share_ppm") >= minSharePpm)
+  }
+
   /** Per-domain document cap (the RefinedWeb/C4 domain-balancing step):
     * keep at most `k` documents per registered domain, selected in
     * CONTENT-HASH order (md5 of the caller's content key, doc id as the

@@ -304,6 +304,25 @@ object CurationQueries {
         .orderBy("domain")
     }),
 
+    // per-domain boilerplate profile: every doc gets a unique head line,
+    // a parity-keyed footer (present in 100% of each domain's docs —
+    // synthUrl picks the domain family by the same parity), and a promo
+    // line on half the ids (~50% share). Threshold 400000 keeps footer +
+    // promo, drops every unique head; shares replay as exact integer ppm
+    "q_doc_domain_boilerplate" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val txt = concat(array_join(slice(toks, 1, 9), " "), lit("\n"),
+        lit("footer notice number "), pmod(col("doc_id"), lit(2)), lit("."),
+        when(pmod(col("doc_id"), lit(10)) < 5,
+          concat(lit("\n"), lit("promo banner text today")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"), txt.as("text"))
+      graft.ops.UrlOps.domainBoilerplate(wide(s, docs), "url", "doc_id",
+          "text", minSharePpm = 400000L)
+        .orderBy("domain", "seg_fp")
+    }),
+
     // cross-doc NEAR-dup segments: every doc carries a unique 9-token
     // head line plus one of two planted boilerplate variants (final
     // token differs; simhash hamming exactly 3) — exact segment dedup is
@@ -1634,6 +1653,43 @@ object CurationQueries {
          |  CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
          |    AS BIGINT) AS dup_ppm
          |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // domain-boilerplate replay: same canon/domain chain, same line
+    // synthesis, (domain, segment) distinct-doc counts, integer-ppm share
+    "q_doc_domain_boilerplate" ->
+      s"""WITH $urlCanonCtes,
+         |tk AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |ln AS (SELECT tk.doc_id,
+         |    array_to_string(t[1:9], ' ') || chr(10) ||
+         |    'footer notice number ' || (tk.doc_id % 2) || '.' ||
+         |    CASE WHEN tk.doc_id % 10 < 5
+         |      THEN chr(10) || 'promo banner text today' ELSE '' END
+         |      AS txt
+         |  FROM tk),
+         |base AS (SELECT dom.domain, ln.doc_id, ln.txt
+         |  FROM ln JOIN dom ON ln.doc_id = dom.doc_id),
+         |dd AS (SELECT domain, count(DISTINCT doc_id) AS domain_docs
+         |  FROM base GROUP BY domain),
+         |seg0 AS (SELECT domain, doc_id,
+         |    unnest(string_split(txt, chr(10))) AS sr
+         |  FROM base),
+         |segn AS (SELECT domain, doc_id,
+         |    lower(trim(regexp_replace(sr, '\\s+', ' ', 'g'))) AS seg
+         |  FROM seg0),
+         |segf AS (SELECT * FROM segn
+         |  WHERE len(string_split(seg, ' ')) >= 3),
+         |bp AS (SELECT domain, seg, count(DISTINCT doc_id) AS n_docs
+         |  FROM segf GROUP BY 1, 2)
+         |SELECT bp.domain, md5(seg) AS seg_fp, seg,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(domain_docs AS BIGINT) AS domain_docs,
+         |  CAST(n_docs * 1000000 // domain_docs AS BIGINT) AS share_ppm
+         |FROM bp JOIN dd ON bp.domain = dd.domain
+         |WHERE domain_docs >= 2
+         |  AND n_docs * 1000000 // domain_docs >= 400000
+         |ORDER BY bp.domain, seg_fp""".stripMargin,
 
     // segment near-dup replay: distinct normalized segments of the
     // synthesized two-line docs, brute-force all-pairs simhash (the
