@@ -563,6 +563,12 @@ object ExplainCheck {
         "BroadcastHashJoin", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window")),
+    // domain clean: the profile chain + broadcast template probe + one
+    // doc-keyed stitch agg (ObjectHashAggregate for the collect_list)
+    "q_doc_domain_clean" -> (Seq("Generate", "HashAggregate",
+        "ObjectHashAggregate", "BroadcastHashJoin", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window")),
     // DSIR: two linear explode+agg passes build the bucket-bounded ratio
     // table (broadcast, incl. the 1-row totals as BNLJ); the corpus pass
     // is explode + broadcast join + doc-keyed agg — no SMJ, no window

@@ -158,6 +158,52 @@ object UrlOps {
       .where(col("share_ppm") >= minSharePpm)
   }
 
+  /** Domain boilerplate REMOVAL — the apply half of
+    * [[domainBoilerplate]]: each document loses the segments that are
+    * template chrome FOR ITS OWN DOMAIN (a nav line legitimate on one
+    * site may be real content quoted on another — the per-domain key is
+    * the point), survivors stitch back in position order, audit counts
+    * ride along and docs whose every segment was chrome survive with an
+    * empty `clean` rather than vanishing.
+    *
+    * Scale shape: the template set is domain-bounded (segments at ≥
+    * `minSharePpm` share of a domain) and broadcasts; the corpus takes
+    * one posexplode + one broadcast left join + one doc-keyed stitch agg
+    * — linear, the segmentDedup shuffle shape with a broadcast probe
+    * instead of a segment-keyed canonical agg.
+    */
+  def domainClean(docs: DataFrame, urlCol: String, idCol: String,
+      textCol: String, sep: String = "\n", minTokens: Int = 3,
+      minSharePpm: Long = 500000L, minDomainDocs: Int = 2): DataFrame = {
+    val host = regexp_extract(canonicalizeUrl(col(urlCol)),
+      "^[^:]+://([^/:?#]+)", 1)
+    val templates = domainBoilerplate(docs, urlCol, idCol, textCol, sep,
+        minTokens, minSharePpm, minDomainDocs)
+      .select(col("domain"), col("seg").as("segn"), lit(true).as("__tpl"))
+    val q = java.util.regex.Pattern.quote(sep)
+    val segs = docs
+      .select(registeredDomain(host).as("domain"),
+        col(idCol).cast("long").as("doc_id"),
+        length(col(textCol)).as("orig_len"),
+        size(split(col(textCol), q, -1)).as("n_segs"),
+        posexplode(split(col(textCol), q, -1)).as(Seq("pos", "seg0")))
+      .withColumn("segn", TextOps.normalize(col("seg0")))
+    segs.join(broadcast(templates), Seq("domain", "segn"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("domain")).as("domain"),
+        max(col("n_segs")).as("n_segs"),
+        sum(when(col("__tpl").isNull, 1).otherwise(0)).cast("int")
+          .as("n_kept"),
+        max(col("orig_len")).as("orig_len"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__tpl").isNull,
+            struct(col("pos"), col("seg0"))))),
+          x => x.getField("seg0")), sep).as("clean"))
+      .select(col("doc_id"), col("domain"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_removed"), col("orig_len"),
+        length(col("clean")).as("clean_len"), col("clean"))
+  }
+
   /** Per-domain document cap (the RefinedWeb/C4 domain-balancing step):
     * keep at most `k` documents per registered domain, selected in
     * CONTENT-HASH order (md5 of the caller's content key, doc id as the

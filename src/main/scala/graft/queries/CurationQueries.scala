@@ -323,6 +323,27 @@ object CurationQueries {
         .orderBy("domain", "seg_fp")
     }),
 
+    // domain boilerplate REMOVAL (the apply half): same synthesis as the
+    // profile gate; footer + (where present) promo vanish from every
+    // doc, unique heads survive, md5(clean) byte-identical to the
+    // position-ordered stitch replay
+    "q_doc_domain_clean" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val txt = concat(array_join(slice(toks, 1, 9), " "), lit("\n"),
+        lit("footer notice number "), pmod(col("doc_id"), lit(2)), lit("."),
+        when(pmod(col("doc_id"), lit(10)) < 5,
+          concat(lit("\n"), lit("promo banner text today")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"), txt.as("text"))
+      graft.ops.UrlOps.domainClean(wide(s, docs), "url", "doc_id", "text",
+          minSharePpm = 400000L)
+        .select(col("doc_id"), col("domain"), col("n_segs"), col("n_kept"),
+          col("n_removed"), col("orig_len"), col("clean_len"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // cross-doc NEAR-dup segments: every doc carries a unique 9-token
     // head line plus one of two planted boilerplate variants (final
     // token differs; simhash hamming exactly 3) — exact segment dedup is
@@ -1690,6 +1711,61 @@ object CurationQueries {
          |WHERE domain_docs >= 2
          |  AND n_docs * 1000000 // domain_docs >= 400000
          |ORDER BY bp.domain, seg_fp""".stripMargin,
+
+    // domain-clean replay: the boilerplate chain feeding a left join —
+    // lines whose normalized form is their domain's template drop,
+    // survivors stitch in position order
+    "q_doc_domain_clean" ->
+      s"""WITH $urlCanonCtes,
+         |tk AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |ln AS (SELECT tk.doc_id,
+         |    array_to_string(t[1:9], ' ') || chr(10) ||
+         |    'footer notice number ' || (tk.doc_id % 2) || '.' ||
+         |    CASE WHEN tk.doc_id % 10 < 5
+         |      THEN chr(10) || 'promo banner text today' ELSE '' END
+         |      AS txt
+         |  FROM tk),
+         |base AS (SELECT dom.domain, ln.doc_id, ln.txt
+         |  FROM ln JOIN dom ON ln.doc_id = dom.doc_id),
+         |dd AS (SELECT domain, count(DISTINCT doc_id) AS domain_docs
+         |  FROM base GROUP BY domain),
+         |lines AS (SELECT domain, doc_id,
+         |    unnest(string_split(txt, chr(10))) AS sr,
+         |    generate_subscripts(string_split(txt, chr(10)), 1) AS pos
+         |  FROM base),
+         |norm AS (SELECT domain, doc_id, pos, sr,
+         |    lower(trim(regexp_replace(sr, '\\s+', ' ', 'g'))) AS segn
+         |  FROM lines),
+         |segf AS (SELECT domain, doc_id, segn FROM norm
+         |  WHERE len(string_split(segn, ' ')) >= 3),
+         |bp AS (SELECT domain, segn AS seg, count(DISTINCT doc_id)
+         |    AS n_docs
+         |  FROM segf GROUP BY 1, 2),
+         |tpl AS (SELECT bp.domain, seg FROM bp
+         |  JOIN dd ON bp.domain = dd.domain
+         |  WHERE domain_docs >= 2
+         |    AND n_docs * 1000000 // domain_docs >= 400000),
+         |keep AS (SELECT n.domain, n.doc_id, n.pos, n.sr,
+         |    (t.seg IS NULL) AS k
+         |  FROM norm n LEFT JOIN tpl t
+         |    ON t.domain = n.domain AND t.seg = n.segn),
+         |agg AS (SELECT doc_id, any_value(domain) AS domain,
+         |    count(*) AS n_segs,
+         |    count(*) FILTER (WHERE k) AS n_kept,
+         |    coalesce(string_agg(sr, chr(10) ORDER BY pos)
+         |      FILTER (WHERE k), '') AS clean
+         |  FROM keep GROUP BY doc_id),
+         |orig AS (SELECT doc_id, length(txt) AS orig_len FROM base)
+         |SELECT agg.doc_id, domain, CAST(n_segs AS INT) AS n_segs,
+         |  CAST(n_kept AS INT) AS n_kept,
+         |  CAST(n_segs - n_kept AS INT) AS n_removed,
+         |  CAST(orig_len AS INT) AS orig_len,
+         |  CAST(length(clean) AS INT) AS clean_len,
+         |  md5(clean) AS clean_fp
+         |FROM agg JOIN orig ON agg.doc_id = orig.doc_id
+         |ORDER BY agg.doc_id""".stripMargin,
 
     // segment near-dup replay: distinct normalized segments of the
     // synthesized two-line docs, brute-force all-pairs simhash (the

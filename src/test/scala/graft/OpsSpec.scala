@@ -1809,6 +1809,38 @@ class OpsSpec extends AnyFunSuite {
       ("site.com", "shared footer line", 3L, 3L, 1000000L)), s"got $r")
   }
 
+  test("domainClean: own-domain chrome drops, quoted elsewhere survives") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (1L, "http://site.com/a", "unique article one\nshared footer line"),
+      (2L, "http://www.site.com/b",
+        "different article two\nshared footer line"),
+      // other.org QUOTES site.com's footer once — it is content there,
+      // not chrome, and must survive
+      (3L, "http://other.org/x", "quoting shared footer line here\n" +
+        "shared footer line"),
+      (4L, "http://other.org/y", "normal other page text"))
+      .toDF("doc_id", "url", "text")
+    val r = UrlOps.domainClean(d, "url", "doc_id", "text",
+        minSharePpm = 600000L).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(2), x.getInt(3), x.getInt(4),
+        x.getString(7)))).toMap
+    assert(r(1L) == ((2, 1, 1, "unique article one")), s"got ${r(1L)}")
+    assert(r(2L) == ((2, 1, 1, "different article two")))
+    // the quoted footer stays: other.org's template share is 1/2 < 60%
+    assert(r(3L) == ((2, 2, 0,
+      "quoting shared footer line here\nshared footer line")))
+    assert(r(4L) == ((1, 1, 0, "normal other page text")))
+    // a doc that is ALL chrome survives with empty clean
+    val all = Seq(
+      (1L, "http://s.com/a", "only footer here"),
+      (2L, "http://s.com/b", "only footer here"))
+      .toDF("doc_id", "url", "text")
+    val e = UrlOps.domainClean(all, "url", "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(7)).toMap
+    assert(e(1L) == "" && e(2L) == "")
+  }
+
   test("domainCap: per-domain keep-k in content-hash order, stable") {
     import graft.ops.UrlOps
     val d = Seq(
