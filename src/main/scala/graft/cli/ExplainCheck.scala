@@ -652,6 +652,28 @@ object ExplainCheck {
     "q_mm_jpeg" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // MP4 box walk: bounded per-row fold + one nested probe — projection
+    "q_mm_mp4" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // Luhn scan: regex extract + integer fold + replace fold, in-row
+    "q_doc_luhn_scrub" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // script profile: codepoint-class counts, pure in-row projection
+    "q_doc_script_mix" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // token-loop profile: slice-equality folds, pure in-row projection
+    "q_doc_token_loops" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // phrase query: containment screen + slice verify — scan + filter +
+    // project only (the indexed screen variant is pinned by
+    // q_doc_search_serve); no join/agg/window anywhere
+    "q_doc_phrase_search" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     "q_mm_incremental_dedup" -> (Seq("BroadcastHashJoin", "HashAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_mm_perceptual_dedup" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true"),

@@ -795,6 +795,80 @@ object Multimodal {
         .as("n_components"))
   }
 
+  /** MP4 / ISO-BMFF container sniff — the NESTED-structure case
+    * ([[pngHeader]] fixed-offset, [[wavHeader]] little-endian,
+    * [[jpegHeader]] variable-offset chain; an MP4 is a TREE of
+    * length-prefixed boxes, so the parser walks the top level AND
+    * descends one level into `moov` for the movie header). Box layout:
+    * big-endian u32 size (self-inclusive) + 4-byte ASCII type; a valid
+    * file leads with `ftyp` (major brand = the next 4 bytes). The walk
+    * is a bounded `aggregate()` fold over `maxBoxes` top-level steps
+    * carrying (offset, moov offset, box count, broken flag); a chain
+    * that breaks (size < 8, or a box overrunning the payload) fails
+    * CLOSED — null movie fields, `ok` false — rather than misparse.
+    * Inside `moov`, the first child is checked for `mvhd` version 0
+    * (version 1 uses 64-bit times — out of scope, null fields):
+    * timescale at child+20, duration at child+24, both big-endian u32;
+    * `duration_ms` = duration · 1000 div timescale (floor-exact).
+    * Pure Column algebra on the hex string — zero shuffle, no codec,
+    * codegen'd; the real-crawl role is routing/quarantine before any
+    * expensive frame decode is paid for.
+    */
+  def mp4Header(payload: org.apache.spark.sql.Column,
+      maxBoxes: Int = 8): org.apache.spark.sql.Column = {
+    require(maxBoxes >= 1 && maxBoxes <= 64, "maxBoxes in [1, 64]")
+    val hx = hex(payload) // 2 uppercase hex chars per byte, 0-based below
+    val total = length(payload)
+    def be32(off: org.apache.spark.sql.Column) =
+      conv(hx.substr(off * 2 + 1, lit(8)), 16, 10).cast("long")
+    def typeHex(off: org.apache.spark.sql.Column) =
+      hx.substr(off * 2 + 1, lit(8))
+    val isMp4 = substring(hx, 9, 8) === lit("66747970") // "ftyp" @ byte 4
+    val brand = when(isMp4, decode(substring(payload, 9, 4), "UTF-8"))
+    // fold state: off = next box offset, moov = -1 not seen / >= 0 offset,
+    // nbox = boxes consumed, bad = chain broke
+    val init = struct(lit(0L).as("off"), lit(-1L).as("moov"),
+      lit(0).as("nbox"), lit(false).as("bad"))
+    val walked = aggregate(sequence(lit(1), lit(maxBoxes)), init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val moov = acc.getField("moov")
+        val nbox = acc.getField("nbox")
+        val bad = acc.getField("bad")
+        val done = bad || off >= total
+        val sz = be32(off)
+        val broken = sz.isNull || sz < 8L || off + sz > total
+        val isMoov = typeHex(off + 4) === "6D6F6F76"
+        struct(
+          when(done || broken, off).otherwise(off + sz).as("off"),
+          when(done || broken, moov)
+            .when(isMoov, off).otherwise(moov).as("moov"),
+          when(done || broken, nbox).otherwise(nbox + 1).as("nbox"),
+          when(done, bad).otherwise(broken).as("bad"))
+      })
+    val moovOff = walked.getField("moov")
+    val child = moovOff + 8
+    val haveMvhd = isMp4 && !walked.getField("bad") && moovOff >= 0 &&
+      typeHex(child + 4) === "6D766864" &&
+      hx.substr(child * 2 + 17, lit(2)) === "00" // version byte @ child+8
+    val timescale = when(haveMvhd, be32(child + 20))
+    val duration = when(haveMvhd, be32(child + 24))
+    struct(
+      isMp4.as("is_mp4"),
+      brand.as("brand"),
+      when(isMp4, walked.getField("nbox")).as("n_boxes"),
+      (isMp4 && !walked.getField("bad")).as("ok"),
+      timescale.as("timescale"),
+      duration.as("duration"),
+      // IEEE double division then truncation is exact floor here: both
+      // operands are positive u32-sized ints (< 2^53), and when timescale
+      // divides duration·1000 exactly the correctly-rounded quotient is
+      // that integer — no boundary-crossing rounding is possible
+      when(haveMvhd && timescale > 0,
+        (duration * lit(1000L) / timescale).cast("long"))
+        .as("duration_ms"))
+  }
+
   /** End-to-end media feature pipeline over a text table. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

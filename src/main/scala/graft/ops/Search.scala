@@ -214,4 +214,44 @@ object Search {
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(kFinal)
   }
+
+  /** Positional PHRASE query — the adjacency-exact retrieval mode the
+    * boolean/ranked modes cannot express ([[matchAll]] finds docs with
+    * all of "new", "york", "times" ANYWHERE; a phrase query requires
+    * them adjacent and in order). Classic screen + verify shape:
+    *   1. screen — conjunctive containment over the normalized token
+    *      array (the same ALL-terms semantics as [[matchAll]]; at
+    *      serving scale this stage is [[matchAllIndexed]] against the
+    *      `tb=`-partitioned postings and only candidates reach step 2);
+    *   2. verify — slide a |phrase|-wide slice over the token array and
+    *      array-compare against the literal phrase (branch-free: flags
+    *      over all positions, sliced to the valid window — the
+    *      [[TextOps.wordShingles]] idiom), keeping true matches with
+    *      their count and first 1-based position.
+    * Both stages are per-row Column algebra — zero shuffle, codegen'd,
+    * linear in corpus tokens; the phrase is a literal array (broadcast
+    * by constant folding, not a join). Returns (doc_id, n_hits,
+    * first_pos) for matching docs only.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    val ts = phrase.map(_.toLowerCase(Locale.ROOT))
+    val k = ts.length
+    val litArr = array(ts.map(lit): _*)
+    val toks = TextOps.normTokens(col(textCol))
+    val screened = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .where(ts.distinct.map(t => array_contains(col("__toks"), t))
+        .reduce(_ && _))
+    val tk = col("__toks")
+    val flags = transform(sequence(lit(1), size(tk)),
+      i => slice(tk, i, lit(k)) === litArr)
+    val window = slice(flags, lit(1), greatest(size(tk) - (k - 1), lit(0)))
+    screened
+      .select(col("doc_id"),
+        size(filter(window, b => b)).cast("long").as("n_hits"),
+        array_position(window, true).as("first_pos"))
+      .where(col("n_hits") > 0)
+  }
 }

@@ -386,4 +386,146 @@ object TextOps {
       .select(col("id"), col("n_tokens"),
         when(col("n_tokens") === 0L, lit(500000L))
           .otherwise(expr("s div n_tokens")).as("score_ppm"))
+
+  /** Candidate payment-card digit runs: 13–19 digits, optionally
+    * separated by single spaces or dashes (the PAN formats that appear in
+    * leaked text). Portable regex subset (no lookarounds) — Java regex
+    * and RE2 both produce the same leftmost-greedy non-overlapping match
+    * list, so external engines replay the candidate set exactly.
+    */
+  private val cardRunPattern = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn mod-10 checksum over a candidate run (separators stripped):
+    * from the RIGHTMOST digit, double every second digit, subtract 9 when
+    * the double exceeds 9, sum, valid iff ≡ 0 (mod 10). A pure integer
+    * `aggregate()` fold over the digit positions — codegen'd, engine-
+    * replayable (no float, no library call).
+    */
+  private[ops] def luhnValid(run: Column): Column = {
+    val ds = regexp_replace(run, "[ -]", "")
+    val n = length(ds)
+    val s = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = ds.substr(n - i + 1, lit(1)).cast("int")
+      val dbl = d * 2
+      acc + when(i % 2 === 1, d)
+        .otherwise(when(dbl > 9, dbl - 9).otherwise(dbl))
+    })
+    s % 10 === 0
+  }
+
+  /** Checksum-validated card-number detection — the high-precision PII
+    * pass the regex-only [[scrub]] rules cannot express: a bare 13-19
+    * digit run is usually an order id / timestamp / serial, so masking
+    * every run destroys data and flagging every run drowns the audit in
+    * false positives. Here a run is redacted ONLY when its Luhn mod-10
+    * checksum validates (the check every real PAN passes by construction
+    * and ~90% of arbitrary digit runs fail).
+    *
+    * Per doc: `n_runs` candidate digit runs, `n_valid` Luhn-validated,
+    * `clean` = text with each validated run replaced by `<CARD>` (literal
+    * `replace` fold over the validated list — deterministic, all
+    * occurrences). Pure Column algebra: extract + integer fold + literal
+    * replace, zero shuffle, linear in corpus bytes.
+    */
+  def luhnScan(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    val runs = regexp_extract_all(text, lit(cardRunPattern), lit(0))
+    val valid = filter(runs, luhnValid(_))
+    docs.select(col(idCol).as("doc_id"), text.as("__t"),
+        runs.as("__runs"), valid.as("__valid"))
+      .select(col("doc_id"),
+        size(col("__runs")).as("n_runs"),
+        size(col("__valid")).as("n_valid"),
+        aggregate(col("__valid"), col("__t"),
+          (acc, r) => replace(acc, r, lit("<CARD>"))).as("clean"))
+  }
+
+  /** Unicode-script families for [[scriptProfile]]: (name, codepoint
+    * class) in PRIORITY order (dominance ties break toward the earlier
+    * entry, like [[LangMarkers]]). Classes use the `\x{...}` syntax Java
+    * regex and RE2 share; Latin includes the supplement/extended blocks
+    * so accented European text counts as Latin, CJK spans the unified
+    * ideographs plus kana.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]")
+
+  /** Unicode-script distribution per document — the routing step BEFORE
+    * language ID in a multilingual pipeline ([[langId]]'s stopword
+    * lexicons only make sense once the script is known), and the
+    * mixed-script detector (a Latin page with a 30% Cyrillic block is
+    * spam/injection shaped; one transliterated name is not). Exact
+    * integer counts per script family, dominant script as a
+    * deterministic first-max CASE chain over [[ScriptClasses]] order
+    * ("none" when no letter matches any family), and `n_major` = number
+    * of families holding ≥ 20% of the script-letter mass
+    * (cross-multiplied integer compare, no division) — `mixed` when ≥ 2.
+    * Pure Column algebra: zero shuffle, codegen'd, linear in bytes.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    def hits(pat: String) =
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    val counted = docs.select(col(idCol).as("doc_id") +:
+      ScriptClasses.map { case (nm, pat) => hits(pat).as(s"n_$nm") }: _*)
+    val names = ScriptClasses.map(_._1)
+    val total = names.map(nm => col(s"n_$nm")).reduce(_ + _)
+    val best = greatest(names.map(nm => col(s"n_$nm")): _*)
+    val dominant = names.foldRight(lit("none"): Column) { case (nm, els) =>
+      when(best > 0 && col(s"n_$nm") === best, lit(nm)).otherwise(els)
+    }
+    val nMajor = names.map(nm =>
+      when(col(s"n_$nm") * 5 >= total && col(s"n_$nm") > 0, lit(1L))
+        .otherwise(lit(0L))).reduce(_ + _)
+    counted.select(col("doc_id") +:
+      names.map(nm => col(s"n_$nm")) :+
+      total.as("n_letters") :+
+      dominant.as("dominant") :+
+      nMajor.as("n_major") :+
+      (nMajor >= 2).as("mixed"): _*)
+  }
+
+  /** Consecutive n-gram repetition profile — the degenerate-loop detector
+    * for model-generated and scraper-glitch text ("the cat sat the cat
+    * sat the cat sat …"), the CONSECUTIVE complement of
+    * [[charNgramProfile]]/Gopher top-gram mass (which flag a frequent
+    * gram anywhere; a chorus legitimately repeats across a document —
+    * only immediate repetition is the junk signature). For n ∈ {1,2,3}:
+    * `rep_n` = positions i where tokens[i..i+n) == tokens[i+n..i+2n)
+    * (array-equality compare of two slices). Branch-free like
+    * [[wordShingles]]: flags computed over ALL positions, then sliced to
+    * the valid window — no CASE around the higher-order expression.
+    * `max_rep_ppm` = max_n (rep_n · n · 1e6 div n_tokens) — the fraction
+    * of the token stream inside an immediately-repeated gram, floor-div
+    * exact; `loop_flag` at ≥ 200000 ppm. Zero shuffle, in-row codegen.
+    */
+  def repeatProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = normTokens(col(textCol))
+    val sz = size(toks)
+    def repN(n: Int): Column = {
+      val flags = transform(sequence(lit(1), sz),
+        i => slice(toks, i, lit(n)) === slice(toks, i + n, lit(n)))
+      size(filter(slice(flags, lit(1), greatest(sz - (2 * n - 1), lit(0))),
+        b => b)).cast("long")
+    }
+    val base = docs.select(col(idCol).as("doc_id"), sz.cast("long")
+        .as("n_tokens"),
+      repN(1).as("rep1"), repN(2).as("rep2"), repN(3).as("rep3"))
+    base.select(col("doc_id"), col("n_tokens"), col("rep1"), col("rep2"),
+      col("rep3"),
+      expr("greatest(rep1 * 1000000, rep2 * 2 * 1000000," +
+        " rep3 * 3 * 1000000) div greatest(n_tokens, 1)")
+        .as("max_rep_ppm"))
+      .withColumn("loop_flag", col("max_rep_ppm") >= 200000L)
+  }
 }

@@ -903,6 +903,31 @@ object CorpusOps {
         kCand = 20, c = 60, kFinal = 10)
     }),
 
+    // positional phrase query (screen + verify): residue 1 plants the
+    // 3-token phrase once mid-doc, residue 3 twice at the head, residue
+    // 2 plants all three WORDS scattered (non-adjacent) — the conjunctive
+    // screen passes but the positional verify rejects, the assertion
+    // separating a phrase query from matchAll; residues 0/4 untouched
+    "q_doc_phrase_search" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int, n: Int) = array_join(slice(toks, from, n), " ")
+      val m5 = pmod(col("doc_id"), lit(5))
+      val synth = when(m5 === 1,
+          concat(seg(1, 3), lit(" zephyr quill orchid "), seg(4, 3)))
+        .when(m5 === 2,
+          concat(lit("zephyr "), seg(1, 3), lit(" quill "), seg(4, 3),
+            lit(" orchid")))
+        .when(m5 === 3,
+          concat(lit("zephyr quill orchid zephyr quill orchid "),
+            seg(1, 3)))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      graft.ops.Search.phraseSearch(wide(s, docs), "doc_id", "text",
+          Seq("zephyr", "quill", "orchid"))
+        .orderBy("doc_id")
+    }),
+
     // evaluation harness: recall@5 of the IVF searcher vs brute-force
     // ground truth, per query, in integer micro-units — the in-engine
     // quality dial for the nprobe trade (at nprobe=2 of 8 cells recall
@@ -1320,6 +1345,45 @@ object CorpusOps {
           col("j.height").as("height"), col("j.width").as("width"),
           col("j.precision").as("precision"),
           col("j.n_components").as("n_components"))
+        .orderBy("doc_id")
+    }),
+
+    // MP4/ISO-BMFF sniff — the NESTED-box case next to q_mm_jpeg's flat
+    // chain: payloads assemble ftyp + a variable-length free box (+ every
+    // third doc a skip box) + moov[mvhd], so the moov offset varies per
+    // residue; every 7th-residue-3 doc gets a PNG magic (is_mp4 false)
+    // and every 5th-residue-4 a box declaring a size past the payload end
+    // (walk breaks → ok false, null movie fields). The oracle states the
+    // expected OUTPUT closed-form from the generator — assembly ∘ walk
+    // must be the identity on sizes, offsets, and mvhd field positions
+    "q_mm_mp4" -> ((s, dir) => {
+      def be32(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+      val zeros = lit("0" * 240)
+      val ts = (pmod(col("doc_id"), lit(3)) + 1) * 1000
+      val dur = col("doc_id") % 5000 + 600
+      val freeLen = pmod(col("doc_id"), lit(4)) * 4 + 8
+      val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000200")
+      val free = concat(be32(freeLen), lit("66726565"),
+        zeros.substr(lit(1), (freeLen - 8) * 2))
+      val skip = when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("0000000C" + "736B6970" + "00000000")).otherwise(lit(""))
+      val mvhd = concat(be32(lit(108)), lit("6D766864"), lit("00000000"),
+        be32(lit(0)), be32(lit(0)), be32(ts), be32(dur),
+        zeros.substr(lit(1), lit(160)))
+      val moov = concat(be32(lit(116)), lit("6D6F6F76"), mvhd)
+      val good = concat(ftyp, free, skip, moov)
+      val pl = when(pmod(col("doc_id"), lit(7)) === 3,
+          unhex(lit("89504E470D0A1A0A")))
+        .when(pmod(col("doc_id"), lit(5)) === 4,
+          unhex(concat(ftyp, be32(lit(4096)), lit("66726565"))))
+        .otherwise(unhex(good))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.Multimodal.mp4Header(pl).as("h"))
+        .select(col("doc_id"), col("h.is_mp4").as("is_mp4"),
+          col("h.brand").as("brand"), col("h.n_boxes").as("n_boxes"),
+          col("h.ok").as("ok"), col("h.timescale").as("timescale"),
+          col("h.duration").as("duration"),
+          col("h.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
     }),
 
@@ -2924,6 +2988,40 @@ object CorpusOps {
          |SELECT doc_id, lex_rank, dense_rank, rrf_micro
          |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
+    // phrase replay: same synthesized plants, conjunctive screen via
+    // list_contains, adjacency verify via list-slice equality over the
+    // normalized token array, 1-based first position
+    "q_doc_phrase_search" ->
+      raw"""WITH tk0 AS (SELECT doc_id, text,
+           |    regexp_split_to_array(trim(text), '\s+') AS tt
+           |  FROM documents),
+           |d AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 5 AS INT)
+           |      WHEN 1 THEN array_to_string(tt[1:3], ' ') ||
+           |        ' zephyr quill orchid ' || array_to_string(tt[4:6], ' ')
+           |      WHEN 2 THEN 'zephyr ' || array_to_string(tt[1:3], ' ') ||
+           |        ' quill ' || array_to_string(tt[4:6], ' ') || ' orchid'
+           |      WHEN 3 THEN 'zephyr quill orchid zephyr quill orchid ' ||
+           |        array_to_string(tt[1:3], ' ')
+           |      ELSE text END AS tx
+           |  FROM tk0),
+           |nt AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(lower(tx)), '\s+') AS t
+           |  FROM d
+           |  WHERE list_contains(
+           |      regexp_split_to_array(trim(lower(tx)), '\s+'), 'zephyr')
+           |    AND list_contains(
+           |      regexp_split_to_array(trim(lower(tx)), '\s+'), 'quill')
+           |    AND list_contains(
+           |      regexp_split_to_array(trim(lower(tx)), '\s+'), 'orchid')),
+           |f AS (SELECT doc_id,
+           |    [i for i in generate_series(1, greatest(len(t) - 2, 0))
+           |      if t[i:i+2] = ['zephyr', 'quill', 'orchid']] AS hits
+           |  FROM nt)
+           |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+           |  CAST(hits[1] AS BIGINT) AS first_pos
+           |FROM f WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
     // composed replay: the brute oracle's top-5 as truth, the IVF oracle's
     // probed top-5 as approx, recall in floor-div micro-units
     "q_emb_recall_ivf" ->
@@ -3387,6 +3485,26 @@ object CorpusOps {
         |    THEN CAST(doc_id % 40 + 80 AS INT) END AS width,
         |  CASE WHEN doc_id % 7 <> 3 THEN 8 END AS precision,
         |  CASE WHEN doc_id % 7 <> 3 THEN 1 END AS n_components
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form from the generator: residue precedence (PNG magic
+    // beats the overrun-box class), box count by which optional boxes
+    // the residues add, mvhd fields straight from the residue formulas
+    "q_mm_mp4" ->
+      """SELECT doc_id,
+        |  (doc_id % 7 <> 3) AS is_mp4,
+        |  CASE WHEN doc_id % 7 <> 3 THEN 'isom' END AS brand,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 5 = 4 THEN 1
+        |       WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS n_boxes,
+        |  (doc_id % 7 <> 3 AND doc_id % 5 <> 4) AS ok,
+        |  CASE WHEN doc_id % 7 <> 3 AND doc_id % 5 <> 4
+        |    THEN CAST((doc_id % 3 + 1) * 1000 AS BIGINT) END AS timescale,
+        |  CASE WHEN doc_id % 7 <> 3 AND doc_id % 5 <> 4
+        |    THEN CAST(doc_id % 5000 + 600 AS BIGINT) END AS duration,
+        |  CASE WHEN doc_id % 7 <> 3 AND doc_id % 5 <> 4
+        |    THEN CAST((doc_id % 5000 + 600) * 1000
+        |      // ((doc_id % 3 + 1) * 1000) AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_headers" ->

@@ -103,6 +103,21 @@ object CurationQueries {
 
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Non-ASCII fixtures for the script-profile gate, shared between the
+    * Spark synth (as literals) and the DuckDB oracle (as `chr()` chains
+    * via [[sqlStr]] — codepoints, not raw bytes, so the oracle text
+    * survives any JSON/transport encoding untouched).
+    */
+  private object ScriptFixtures {
+    // escaped, not literal: RTL/CJK literals garble source-file review
+    val cyr = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"     // privet mir
+    val cjk = "\u4f60\u597d\u4e16\u754c\u4f60\u597d\u4e16\u754c \u3053\u3093\u306b\u3061\u306f"     // nihao shijie x2 + konnichiwa
+    val ara = "\u0645\u0631\u062d\u0628\u0627 \u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645"     // marhaban x2 bialealam
+    /** A DuckDB expression producing exactly `s`, codepoint by codepoint. */
+    def sqlStr(s: String): String =
+      s.map(c => s"chr(${c.toInt})").mkString("(", " || ", ")")
+  }
+
   /** Planted boilerplate pair for the segment near-dup gate: two 20-token
     * newsletter lines differing only in the final token, chosen so their
     * 64-bit token SimHashes sit at hamming distance 3 (verified offline
@@ -969,6 +984,78 @@ object CurationQueries {
       val materialized = out.localCheckpoint() // release the quantized cache
       r.release()
       materialized
+    }),
+
+    // Luhn-validated card redaction: residue 1 plants a checksum-valid
+    // Visa test PAN, residue 2 the same digits with a failing check
+    // digit (candidate but NOT masked — the precision claim), residue 3
+    // a sub-13-digit run (not even a candidate), residue 4 a valid
+    // dash-separated 15-digit Amex; residue 0 stays raw. The oracle
+    // replays the candidate regex, the mod-10 fold, and the literal
+    // replace fold — md5(clean) must agree byte-for-byte
+    "q_doc_luhn_scrub" -> ((s, dir) => {
+      val m5 = pmod(col("doc_id"), lit(5))
+      val synth = when(m5 === 1,
+          concat(col("text"), lit(" pay 4111 1111 1111 1111 now")))
+        .when(m5 === 2,
+          concat(col("text"), lit(" card 4111 1111 1111 1112 held")))
+        .when(m5 === 3, concat(col("text"), lit(" ref 123456789 ok")))
+        .when(m5 === 4,
+          concat(col("text"), lit(" acct 3782-822463-10005 sent")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      TextOps.luhnScan(wide(s, docs), "doc_id", "text")
+        .select(col("doc_id"), col("n_runs"), col("n_valid"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode-script profile: residue 1 appends Cyrillic to Latin text
+    // (Latin-dominant, mixed), residue 2 one Latin word + a longer
+    // CJK+kana run (CJK-dominant, mixed), residue 3 replaces the text
+    // with Arabic only (Arabic-dominant, NOT mixed — single family),
+    // residue 0 raw Latin. The oracle replays the same codepoint-class
+    // counts, first-max dominance chain, and ≥20% major-family rule
+    "q_doc_script_mix" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int, n: Int) = array_join(slice(toks, from, n), " ")
+      val m4 = pmod(col("doc_id"), lit(4))
+      val synth = when(m4 === 1,
+          concat(seg(1, 3), lit(" " + ScriptFixtures.cyr)))
+        .when(m4 === 2,
+          concat(seg(1, 1), lit(" " + ScriptFixtures.cjk)))
+        .when(m4 === 3, lit(ScriptFixtures.ara))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      TextOps.scriptProfile(wide(s, docs), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // consecutive n-gram loop detection: residue 1 repeats a corpus
+    // trigram 6x (rep3 trips), residue 2 stutters one token 8x (rep1),
+    // residue 3 loops a bigram 5x (rep2), residue 0 stays raw (real text
+    // has near-zero immediate repetition — the flag is a real verdict).
+    // The oracle replays the slice-equality position counts and the
+    // floor-div ppm exactly
+    "q_doc_token_loops" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int, n: Int) = array_join(slice(toks, from, n), " ")
+      val m4 = pmod(col("doc_id"), lit(4))
+      val synth = when(m4 === 1,
+          concat(seg(1, 3), lit(" "),
+            repeat(concat(seg(4, 3), lit(" ")), 6), seg(7, 3)))
+        .when(m4 === 2,
+          concat(seg(1, 2), lit(" "),
+            repeat(concat(seg(4, 1), lit(" ")), 8), seg(5, 3)))
+        .when(m4 === 3,
+          concat(repeat(concat(seg(1, 2), lit(" ")), 5), seg(3, 3)))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      TextOps.repeatProfile(wide(s, docs), "doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   /** DuckDB bucket of the md5-of-normalized-text, mirroring
@@ -2211,5 +2298,122 @@ object CurationQueries {
            |         ELSE tk.n_tokens END AS fill
            |  FROM tk JOIN p ON tk.lang = p.lang AND tk.rn = p.rn + 1)
            |SELECT lang, doc_id, n_tokens, bin
-           |FROM p ORDER BY lang, doc_id""".stripMargin)
+           |FROM p ORDER BY lang, doc_id""".stripMargin,
+
+    // Luhn replay: same candidate regex (leftmost-greedy, RE2 ≡ Java
+    // here), same right-to-left mod-10 fold (reverse + parity), same
+    // literal-replace fold seeded with the document text
+    "q_doc_luhn_scrub" -> {
+      val ds = "replace(replace(c, ' ', ''), '-', '')"
+      val dig = s"CAST(substr(reverse($ds), i, 1) AS INT)"
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 5 AS INT)
+           |      WHEN 1 THEN text || ' pay 4111 1111 1111 1111 now'
+           |      WHEN 2 THEN text || ' card 4111 1111 1111 1112 held'
+           |      WHEN 3 THEN text || ' ref 123456789 ok'
+           |      WHEN 4 THEN text || ' acct 3782-822463-10005 sent'
+           |      ELSE text END AS t
+           |  FROM documents),
+           |r AS (SELECT doc_id, t,
+           |    regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}') AS runs
+           |  FROM n),
+           |v AS (SELECT doc_id, t, runs,
+           |    [c for c in runs if
+           |      list_sum([CASE WHEN i % 2 = 1 THEN $dig
+           |          ELSE CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9
+           |               ELSE 2 * $dig END END
+           |        for i in generate_series(1, length($ds))]) % 10 = 0]
+           |      AS valids
+           |  FROM r)
+           |SELECT doc_id, CAST(len(runs) AS INT) AS n_runs,
+           |  CAST(len(valids) AS INT) AS n_valid,
+           |  md5(list_reduce(list_prepend(t, valids),
+           |    (acc, x) -> replace(acc, x, '<CARD>'))) AS clean_fp
+           |FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    // script-profile replay: identical codepoint classes (taken from the
+    // SAME ScriptClasses constant), first-max dominance chain in the same
+    // priority order, cross-multiplied >= 20% major rule
+    "q_doc_script_mix" -> {
+      val names = TextOps.ScriptClasses.map(_._1)
+      val counts = TextOps.ScriptClasses.map { case (nm, pat) =>
+        s"    CAST(len(regexp_extract_all(tx, '$pat')) AS BIGINT) AS n_$nm"
+      }.mkString(",\n")
+      val totalExpr = names.map(nm => s"n_$nm").mkString(" + ")
+      val bestExpr = s"greatest(${names.map(nm => s"n_$nm").mkString(", ")})"
+      val domChain = names.map(nm =>
+        s"       WHEN n_$nm = best THEN '$nm'").mkString("\n")
+      val majorExpr = names.map(nm =>
+        s"(CASE WHEN n_$nm * 5 >= n_letters AND n_$nm > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      import ScriptFixtures.sqlStr
+      s"""WITH tk AS (SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tt
+         |  FROM documents),
+         |d AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 1 THEN array_to_string(tt[1:3], ' ') || ' ' ||
+         |        ${sqlStr(ScriptFixtures.cyr)}
+         |      WHEN 2 THEN array_to_string(tt[1:1], ' ') || ' ' ||
+         |        ${sqlStr(ScriptFixtures.cjk)}
+         |      WHEN 3 THEN ${sqlStr(ScriptFixtures.ara)}
+         |      ELSE text END AS tx
+         |  FROM tk),
+         |c AS (SELECT doc_id,
+         |$counts
+         |  FROM d),
+         |tot AS (SELECT *, $totalExpr AS n_letters, $bestExpr AS best
+         |  FROM c)
+         |SELECT doc_id, ${names.map(nm => s"n_$nm").mkString(", ")},
+         |  n_letters,
+         |  CASE WHEN best = 0 THEN 'none'
+         |$domChain
+         |       ELSE 'none' END AS dominant,
+         |  CAST($majorExpr AS BIGINT) AS n_major,
+         |  ($majorExpr) >= 2 AS mixed
+         |FROM tot ORDER BY doc_id""".stripMargin
+    },
+
+    // token-loop replay: same synthesized loop shapes, same slice-equality
+    // position counts over the normalized token array, same floor-div ppm
+    "q_doc_token_loops" ->
+      raw"""WITH tk AS (SELECT doc_id, text,
+           |    regexp_split_to_array(trim(text), '\s+') AS tt
+           |  FROM documents),
+           |d AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 1 THEN array_to_string(tt[1:3], ' ') || ' ' ||
+           |        repeat(array_to_string(tt[4:6], ' ') || ' ', 6) ||
+           |        array_to_string(tt[7:9], ' ')
+           |      WHEN 2 THEN array_to_string(tt[1:2], ' ') || ' ' ||
+           |        repeat(array_to_string(tt[4:4], ' ') || ' ', 8) ||
+           |        array_to_string(tt[5:7], ' ')
+           |      WHEN 3 THEN repeat(array_to_string(tt[1:2], ' ') || ' ', 5)
+           |        || array_to_string(tt[3:5], ' ')
+           |      ELSE text END AS tx
+           |  FROM tk),
+           |nt AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(lower(tx)), '\s+') AS t
+           |  FROM d),
+           |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |    CAST(len([i for i in generate_series(1,
+           |      greatest(len(t) - 1, 0)) if t[i:i] = t[i+1:i+1]])
+           |      AS BIGINT) AS rep1,
+           |    CAST(len([i for i in generate_series(1,
+           |      greatest(len(t) - 3, 0)) if t[i:i+1] = t[i+2:i+3]])
+           |      AS BIGINT) AS rep2,
+           |    CAST(len([i for i in generate_series(1,
+           |      greatest(len(t) - 5, 0)) if t[i:i+2] = t[i+3:i+5]])
+           |      AS BIGINT) AS rep3
+           |  FROM nt)
+           |SELECT doc_id, n_tokens, rep1, rep2, rep3,
+           |  CAST(greatest(rep1 * 1000000, rep2 * 2 * 1000000,
+           |    rep3 * 3 * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+           |    AS max_rep_ppm,
+           |  (greatest(rep1 * 1000000, rep2 * 2 * 1000000,
+           |    rep3 * 3 * 1000000) // greatest(n_tokens, 1)) >= 200000
+           |    AS loop_flag
+           |FROM c ORDER BY doc_id""".stripMargin)
 }

@@ -2358,4 +2358,119 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
     assert(e2 != e1.toSet)
   }
+
+  test("luhn scan validates check digits, masks only validated runs") {
+    val d = Seq(
+      (0L, "pay 4111 1111 1111 1111 today"), // valid Visa (spaces)
+      (1L, "card 4111 1111 1111 1112 held"), // candidate, checksum fails
+      (2L, "ref 123456789 and 12-34 ok"), // runs too short — no candidate
+      (3L, "a 4111-1111-1111-1111 b 378282246310005 c"), // two valid
+      (4L, ""),
+      (5L, "order 00000000000000000000 zero")) // 19-digit zeros: Luhn 0 ✓
+      .toDF("doc_id", "text")
+    val r = TextOps.luhnScan(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_runs"), x.getAs[Int]("n_valid"),
+          x.getAs[String]("clean")))).toMap
+    assert(r(0L) == ((1, 1, "pay <CARD> today")))
+    assert(r(1L) == ((1, 0, "card 4111 1111 1111 1112 held"))) // precision
+    assert(r(2L) == ((0, 0, "ref 123456789 and 12-34 ok")))
+    assert(r(3L) == ((2, 2, "a <CARD> b <CARD> c")))
+    assert(r(4L) == ((0, 0, "")))
+    // 20 zeros: leftmost-greedy candidate is the first 19 digits
+    assert(r(5L)._2 == 1)
+  }
+
+  test("script profile: dominance, mixed flag, none on scriptless text") {
+    val cyr = "привет" // 6 Cyrillic letters
+    val d = Seq(
+      (0L, "plain latin words only here"),
+      (1L, s"latin $cyr $cyr $cyr half"), // 14 latin vs 18 cyr letters
+      (2L, s"$cyr $cyr $cyr $cyr"), // cyrillic only
+      (3L, "12345 !!! ..."), // digits/punct — no script letters
+      (4L, s"many latin words beside one $cyr word")) // cyr < 20%
+      .toDF("doc_id", "text")
+    val r = TextOps.scriptProfile(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("dominant"), x.getAs[Long]("n_major"),
+          x.getAs[Boolean]("mixed")))).toMap
+    assert(r(0L) == (("latin", 1L, false)))
+    assert(r(1L) == (("cyrillic", 2L, true)))
+    assert(r(2L) == (("cyrillic", 1L, false)))
+    assert(r(3L) == (("none", 0L, false)))
+    assert(r(4L)._1 == "latin")
+    assert(!r(4L)._3) // one transliterated word must NOT flag
+  }
+
+  test("repeat profile counts immediate n-gram repeats only") {
+    val d = Seq(
+      (0L, "a a a a"), // rep1=3, rep2=1 (aa|aa), rep3=0
+      (1L, "a b a b a b"), // rep2=3, rep1=0 — alternation, not stutter
+      (2L, "x y z x y z x y z end"), // trigram loop: rep3 at i=1..4
+      (3L, "the chorus repeats far from the chorus again"), // no immediate
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextOps.repeatProfile(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("rep1"), x.getAs[Long]("rep2"),
+          x.getAs[Long]("rep3"), x.getAs[Long]("max_rep_ppm"),
+          x.getAs[Boolean]("loop_flag")))).toMap
+    assert(r(0L) == ((3L, 1L, 0L, 750000L, true)))
+    assert(r(1L) == ((0L, 3L, 0L, 1000000L, true)))
+    assert(r(2L)._3 == 4L) // i=1..4 all repeat the trigram
+    assert(r(2L)._5)
+    assert(r(3L) == ((0L, 0L, 0L, 0L, false))) // distant repeat ≠ loop
+    assert(r(4L) == ((0L, 0L, 0L, 0L, false)))
+  }
+
+  test("phrase search: adjacency beats containment, counts + position") {
+    import graft.ops.Search
+    val d = Seq(
+      (0L, "intro new york times report"), // once at pos 2
+      (1L, "york new times new york appears: New York"), // case + repeat
+      (2L, "new words then york then times"), // all terms, never adjacent
+      (3L, "nothing relevant"),
+      (4L, "new york new york times")) // overlapping windows
+      .toDF("doc_id", "text")
+    val r = Search.phraseSearch(d, "doc_id", "text",
+        Seq("New", "York", "Times")).collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("n_hits"), x.getAs[Long]("first_pos"))).toList.sorted
+    // doc 1: normalized "york new times new york appears: new york" has no
+    // adjacent triple (the colon token breaks it) — screen passes only if
+    // all three tokens appear; "appears:" is one token, so "times" matches
+    // at position 3, "new york" at 7-8 — no adjacency
+    assert(r == List((0L, 1L, 2L), (4L, 1L, 3L)))
+  }
+
+  test("mp4 sniff: variable offset, fail-closed walk, v1 mvhd skipped") {
+    def be32(v: Long) = f"$v%08X"
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
+    def mvhd(ver: Int, ts: Long, dur: Long) =
+      be32(108) + "6D766864" + f"$ver%02X" + "000000" +
+        be32(0) + be32(0) + be32(ts) + be32(dur) + ("00" * 80)
+    def moov(body: String) = be32(8 + body.length / 2) + "6D6F6F76" + body
+    val free = be32(12) + "66726565" + "00000000"
+    val good = ftyp + free + moov(mvhd(0, 1000, 7500))
+    val v1 = ftyp + moov(mvhd(1, 1000, 7500))
+    val overrun = ftyp + be32(4096) + "66726565"
+    val noMoov = ftyp + free
+    val d = Seq((0L, good), (1L, v1), (2L, overrun), (3L, noMoov),
+      (4L, "89504E470D0A1A0A")).toDF("doc_id", "hx")
+    val r = d.select(col("doc_id"),
+        graft.ops.Multimodal.mp4Header(unhex(col("hx"))).as("h"))
+      .select(col("doc_id"), col("h.*")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("is_mp4"), x.getAs[Boolean]("ok"),
+          Option(x.getAs[java.lang.Integer]("n_boxes")),
+          Option(x.getAs[java.lang.Long]("timescale")),
+          Option(x.getAs[java.lang.Long]("duration_ms"))))).toMap
+    assert(r(0L) == ((true, true, Some(3), Some(1000L), Some(7500L))))
+    // v1 mvhd: container walks clean but 64-bit fields are not parsed
+    assert(r(1L) == ((true, true, Some(2), None, None)))
+    assert(r(2L) == ((true, false, Some(1), None, None))) // overrun break
+    assert(r(3L) == ((true, true, Some(2), None, None))) // no moov at all
+    assert(r(4L)._1 == false) // PNG magic
+    assert(r(4L)._3.isEmpty)
+  }
 }
