@@ -474,6 +474,19 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_incremental_dedup" -> (Seq(),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // fuzzy cross-corpus decontamination: localCheckpoint boundary like
+    // q_emb_kmeans (the Scoped cache is released inside the gate); the
+    // underlying chain is pinned by its OpsSpec + the in-corpus LSH gates
+    "q_doc_fuzzy_decontaminate" -> (Seq(),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // winnowing: in-row hash/select projection, then the fp-keyed pair
+    // join (equi-join + two aggs — never a product); df-cap semi-join
+    "q_doc_winnow_pairs" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+    // CDC chunking: in-row boundary scan + chunk explode, then the
+    // fp-spread agg and doc rollup (the TF-IDF two-shuffle shape)
+    "q_doc_cdc_chunks" -> (Seq("Generate", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_jaccard_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     // containment: shingle-keyed self-join over the df-capped universe +

@@ -202,6 +202,61 @@ object Dedup {
       k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame =
     minhashLshPairsScoped(docs, idCol, textCol, k, nHashes, bands, threshold).df
 
+  /** FUZZY cross-corpus decontamination — the near-dup complement of
+    * [[graft.ops.Curation.contaminationScan]]'s exact n-gram overlap: a
+    * benchmark item that was paraphrased, re-wrapped, or lightly edited
+    * before landing in the crawl shares few exact 13-gram windows but
+    * keeps high shingle Jaccard, so the exact scan misses what this
+    * catches. Same MinHash+LSH machinery as the in-corpus pair screen,
+    * re-keyed ACROSS two tables: band keys on both sides, candidates
+    * only where an (band, bucket) matches, exact-Jaccard verification of
+    * candidates only. Output (train_id, eval_id, jaccard_ppm) — the
+    * train docs to quarantine — with the Jaccard in floor-div integer
+    * ppm (engine-exact; a double j and literal threshold can disagree
+    * with an external replay in the last ulp).
+    *
+    * Scale shape: the EVAL side is benchmark-sized (thousands of docs,
+    * not billions) — its banded rows and shingle arrays broadcast
+    * (hinted; post-aggregation frames under-estimate), so the train
+    * corpus streams through one linear scan + its signature aggregation
+    * and NEVER shuffles against eval. `bucketCap` bounds viral-bucket
+    * fan-in on the train side exactly as in-corpus LSH does.
+    */
+  def crossNearDupScoped(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int, nHashes: Int, bands: Int,
+      thresholdPpm: Long, bucketCap: Int = Int.MaxValue): Scoped = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    require(nHashes <= 64,
+      "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      "thresholdPpm is parts-per-million of Jaccard")
+    val r = nHashes / bands
+    val et = shingleRows(train, idCol, textCol, k).persist()
+    val ee = shingleRows(evalDocs, idCol, textCol, k).persist()
+    val bt = capBuckets(
+      bandedRows(minhashSignatures(et, nHashes), bands, r), bucketCap)
+    val be = bandedRows(minhashSignatures(ee, nHashes), bands, r)
+    val cand = bt.as("a").join(broadcast(be.as("b")),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id"))
+      .dropDuplicates("train_id", "eval_id")
+    val at = et.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("sht"), count(lit(1)).as("nt"))
+    val ae = ee.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("she"), count(lit(1)).as("ne"))
+    val out = cand
+      .join(at.select(col("doc_id").as("train_id"), col("sht"), col("nt")),
+        Seq("train_id"))
+      .join(broadcast(ae.select(col("doc_id").as("eval_id"), col("she"),
+        col("ne"))), Seq("eval_id"))
+      .withColumn("common",
+        size(array_intersect(col("sht"), col("she"))).cast("long"))
+      .select(col("train_id"), col("eval_id"),
+        expr("common * 1000000 div (nt + ne - common)").as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= thresholdPpm)
+    Scoped(out, () => { et.unpersist(); ee.unpersist(); () })
+  }
+
   /** One row per (doc_id, band, bucket): fixed-width band keys from the
     * banded minhash signature — the SHARED key derivation for the in-batch
     * pair join and the persistable index.
@@ -860,5 +915,148 @@ object Dedup {
       minLen: Int = 40): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     spanRemoval(docs, idCol, textCol, winLen = minLen, stride = 1)
+  }
+
+  /** md5-derived integer hash of the k-char gram of `nm` starting at
+    * 1-based position `i` — the engine-replayable hash shared by the
+    * winnowing and content-defined-chunking fingerprints (xxhash64 is
+    * faster but has no external replica; these two operators exist to be
+    * audited against an external engine, the [[simhashPairs]] discipline).
+    */
+  private def kgramHash(nm: Column, i: Column, k: Int): Column =
+    conv(substring(md5(nm.substr(i, lit(k))), 1, 8), 16, 10).cast("long")
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): per document, hash every k-char gram of the
+    * normalized text, slide a w-gram window, and keep each window's
+    * MINIMUM hash (rightmost occurrence on ties — the winnowing tie rule,
+    * which makes consecutive windows reuse the same selection and bounds
+    * the density at ~2/(w+1)). The guarantee the strided screens lack:
+    * any shared substring of length >= k + w - 1 yields at least one
+    * IDENTICAL selected fingerprint in both documents REGARDLESS of its
+    * offset in either — local, position-robust plagiarism/overlap
+    * detection. Returns (doc_id, pos, fp) rows, selections deduplicated
+    * in-row. Pure Column algebra (hash transform + bounded fold per
+    * window), zero shuffle, linear in corpus chars.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
+    val nmc = TextOps.normalize(col(textCol))
+    val nGrams = length(nmc) - (k - 1)
+    // hashes of all k-grams, branch-free short-doc handling (slice to the
+    // true count; the wordShingles idiom)
+    val hs = slice(
+      transform(sequence(lit(1), greatest(nGrams, lit(1))),
+        i => kgramHash(nmc, i, k)),
+      lit(1), greatest(nGrams, lit(0)))
+    val withHs = docs.select(col(idCol).as("doc_id"), hs.as("hs"))
+    val h = col("hs")
+    val nWin = size(h) - (w - 1)
+    val starts = slice(sequence(lit(1), greatest(nWin, lit(1))),
+      lit(1), greatest(nWin, lit(0)))
+    val sel = transform(starts, j =>
+      aggregate(sequence(lit(1), lit(w - 1)),
+        struct(element_at(h, j).as("fp"), j.as("pos")),
+        (acc, o) => {
+          val p = j + o
+          val hp = element_at(h, p)
+          // <=, not <: the RIGHTMOST minimum wins a tie
+          when(hp <= acc.getField("fp"),
+            struct(hp.as("fp"), p.as("pos"))).otherwise(acc)
+        }))
+    withHs
+      .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** Shared-fingerprint document pairs over [[winnowFingerprints]] output:
+    * pairs sharing >= `minShared` distinct selected fingerprints, with the
+    * count — the MOSS report. The join is keyed on the fingerprint VALUE
+    * (only docs selecting the same fingerprint meet a reducer — linear in
+    * fingerprint occurrences, never all-pairs), `dfCap` bounds viral
+    * fingerprints exactly like the shingle df-cap.
+    */
+  def winnowPairs(fps: DataFrame, minShared: Long,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val f = fps.select("doc_id", "fp").distinct()
+    val capped =
+      if (dfCap == Int.MaxValue) f
+      else f.join(
+        f.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).select("fp"),
+        Seq("fp"), "left_semi")
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Content-defined chunking (the rsync/LBFS/storage-dedup primitive):
+    * chunk boundaries fall where the rolling k-gram hash ENDING at a
+    * position is ≡ 0 (mod `mask`+1) — a property of the CONTENT, not the
+    * offset, so inserting or deleting bytes early in a document shifts
+    * only the chunks it touches and every later chunk re-aligns
+    * bit-identically (a fixed-grid chunker re-cuts everything after the
+    * edit). Expected chunk length ≈ mask+1 chars. Returns one row per
+    * chunk: (doc_id, chunk_idx, start, len, chunk_fp = md5 of the chunk
+    * text); the final partial chunk is always emitted. Pure Column
+    * algebra — boundary scan + slice per row, zero shuffle.
+    */
+  def contentChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, mask: Int = 63): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    require(mask >= 1 && (mask & (mask + 1)) == 0,
+      "mask must be 2^b - 1 (the boundary test is h mod (mask+1) == 0)")
+    val nmc = TextOps.normalize(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), nmc.as("nm"))
+    val nm = col("nm")
+    val len = length(nm)
+    // candidate boundary positions: the k-gram ENDING at i (i in k..L)
+    val bounds = filter(sequence(lit(k), greatest(len, lit(k))),
+      i => i <= len && kgramHash(nm, i - (k - 1), k) % (mask + 1) === 0)
+    // the document end is always a boundary (emit the final partial
+    // chunk); try_element_at — plain element_at(-1) THROWS on an empty
+    // bounds array under ANSI mode
+    val b2 = when(coalesce(try_element_at(bounds, lit(-1)) === len,
+      lit(false)), bounds).otherwise(concat(bounds, array(len)))
+    val chunks = transform(sequence(lit(1), size(col("b2"))), idx => {
+      val prev = when(idx === 1, lit(0))
+        .otherwise(element_at(col("b2"), idx - 1))
+      val cur = element_at(col("b2"), idx)
+      struct((idx - 1).as("chunk_idx"), (prev + 1).as("start"),
+        (cur - prev).as("len"))
+    })
+    base.select(col("doc_id"), nm, b2.as("b2"))
+      .select(col("doc_id"), nm, explode(chunks).as("c"))
+      .where(col("c.len") > 0)
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        md5(nm.substr(col("c.start"), col("c.len"))).as("chunk_fp"))
+  }
+
+  /** Per-document storage-dedup report over [[contentChunks]] output:
+    * how much of each document's normalized bytes live in chunks that
+    * also appear in ANOTHER document (`fp_docs > 1` — cross-doc sharing,
+    * not within-doc repeats). Two linear shuffles (chunk-fp spread, then
+    * the doc rollup) — the TF-IDF shape; `shared_ppm` is floor-div exact.
+    */
+  def chunkDedupStats(chunks: DataFrame): DataFrame = {
+    val fpc = chunks.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("fp_docs"))
+    chunks.join(fpc, Seq("chunk_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).cast("long").as("total_len"),
+        sum(when(col("fp_docs") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_shared"),
+        sum(when(col("fp_docs") > 1, col("len").cast("long"))
+          .otherwise(lit(0L))).as("shared_len"))
+      .select(col("doc_id"), col("n_chunks"), col("total_len"),
+        col("n_shared"), col("shared_len"),
+        expr("shared_len * 1000000 div greatest(total_len, 1)")
+          .as("shared_ppm"))
   }
 }

@@ -928,6 +928,78 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination: the eval set is every 20th doc with its
+    // LAST token dropped (high-Jaccard near-dup of its source — invisible
+    // to the exact 13-gram scan's superset logic as a whole-doc match);
+    // MinHash band keys cross-join eval→train, exact-Jaccard verify in
+    // integer ppm. Oracle = brute-force shingle-join Jaccard (recall of
+    // the 32x2 band screen at j >= 0.86 is 1 - ~4e-19 — identical sets)
+    "q_doc_fuzzy_decontaminate" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val evalD = base.where(pmod(col("doc_id"), lit(20)) === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks, lit(1), greatest(size(toks) - 1, lit(1))),
+            " ").as("text"))
+      val sc = graft.ops.Dedup.crossNearDupScoped(wide(s, base), evalD,
+        "doc_id", "text", k = 3, nHashes = 64, bands = 32,
+        thresholdPpm = 800000L)
+      val out = sc.df.orderBy("train_id", "eval_id").localCheckpoint()
+      sc.release()
+      out
+    }),
+
+    // winnowing (MOSS) fingerprint pairs: docs 10g+2 and 10g+5 share a
+    // ~60-char group-unique marker (md5-hex content — every 8-gram
+    // inside it is group-specific, so the df-cap cannot eat the planted
+    // evidence); winnowing guarantees >= ceil(windows/w) distinct
+    // selections inside the shared region regardless of its OFFSET in
+    // either doc — the position-robustness the strided screens lack
+    "q_doc_winnow_pairs" -> ((s, dir) => {
+      val grp = expr("doc_id DIV 10").cast("string")
+      val marker = concat(lit(" wm "),
+        substring(md5(concat(lit("wm"), grp)), 1, 24), lit(" "),
+        substring(md5(concat(lit("wm2"), grp)), 1, 24), lit(" "),
+        substring(md5(concat(lit("wm3"), grp)), 1, 24))
+      val m10 = pmod(col("doc_id"), lit(10))
+      val synth = when(m10 === 2 || m10 === 5, concat(col("text"), marker))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      val fps = graft.ops.Dedup.winnowFingerprints(wide(s, docs),
+        "doc_id", "text", k = 8, w = 4)
+      // the ~79-char marker spans 69 windows -> >= ceil(69/4) = 18
+      // distinct selections shared by the pair, a GUARANTEE (not a hash
+      // accident); 14 sits under it with margin while cutting the
+      // incidental same-vocabulary overlap mass ~40x
+      graft.ops.Dedup.winnowPairs(fps, minShared = 14, dfCap = 32)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // content-defined chunking: docs 14g+2 and 14g+9 carry a variable-
+    // length junk PREFIX (doc_id-dependent shift) plus a group-shared
+    // ~130-char paragraph — CDC boundaries are content-determined, so
+    // the chunks inside the shared region re-align bit-identically
+    // despite the shifted offsets (a fixed-grid chunker would share 0)
+    "q_doc_cdc_chunks" -> ((s, dir) => {
+      val grp = expr("doc_id DIV 14").cast("string")
+      val para = concat(lit(" cdc shared "),
+        substring(md5(concat(lit("cdc"), grp)), 1, 28), lit(" "),
+        substring(md5(concat(lit("cdc2"), grp)), 1, 28), lit(" "),
+        substring(md5(concat(lit("cdc3"), grp)), 1, 28), lit(" "),
+        substring(md5(concat(lit("cdc4"), grp)), 1, 28))
+      val junk = repeat(lit("j"), (pmod(col("doc_id"), lit(19)) + 1)
+        .cast("int"))
+      val synth = when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(junk, lit(" "), col("text"), para))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      val chunks = graft.ops.Dedup.contentChunks(wide(s, docs),
+        "doc_id", "text", k = 8, mask = 63)
+      graft.ops.Dedup.chunkDedupStats(chunks).orderBy("doc_id")
+    }),
+
     // evaluation harness: recall@5 of the IVF searcher vs brute-force
     // ground truth, per query, in integer micro-units — the in-engine
     // quality dial for the nprobe trade (at nprobe=2 of 8 cells recall
@@ -3021,6 +3093,136 @@ object CorpusOps {
            |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
            |  CAST(hits[1] AS BIGINT) AS first_pos
            |FROM f WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // brute-force cross-corpus Jaccard: shingle join between the
+    // synthesized eval set and the full corpus, integer-ppm verify —
+    // the LSH screen's recall at the planted similarities is 1 to ~1e-19
+    "q_doc_fuzzy_decontaminate" ->
+      raw"""WITH ev0 AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    array_to_string(tt[1:greatest(len(tt) - 1, 1)], ' ') AS text
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\s+') AS tt
+           |        FROM documents WHERE doc_id % 20 = 7)),
+           |tsh AS (SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN len(t) >= 3
+           |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |            for i in generate_series(1, len(t) - 2)]
+           |      ELSE [] END)) AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |        FROM documents)),
+           |esh AS (SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN len(t) >= 3
+           |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |            for i in generate_series(1, len(t) - 2)]
+           |      ELSE [] END)) AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |        FROM ev0)),
+           |tn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM tsh GROUP BY doc_id),
+           |en AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM esh GROUP BY doc_id),
+           |com AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+           |    CAST(count(*) AS BIGINT) AS common
+           |  FROM tsh a JOIN esh b ON a.sh = b.sh GROUP BY 1, 2)
+           |SELECT train_id, eval_id,
+           |  CAST(common * 1000000 // (tn.n + en.n - common) AS BIGINT)
+           |    AS jaccard_ppm
+           |FROM com JOIN tn ON tn.doc_id = com.train_id
+           |  JOIN en ON en.doc_id = com.eval_id
+           |WHERE common * 1000000 // (tn.n + en.n - common) >= 800000
+           |ORDER BY train_id, eval_id""".stripMargin,
+
+    // winnowing replay: same k-gram md5 hashes, per-window minimum
+    // (values only — the rightmost tie rule moves positions, never the
+    // selected VALUE), distinct per doc, df-capped pair join
+    "q_doc_winnow_pairs" ->
+      raw"""WITH syn AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 10 IN (2, 5) THEN text ||
+           |      ' wm ' || substr(md5('wm' || (doc_id // 10)), 1, 24) ||
+           |      ' ' || substr(md5('wm2' || (doc_id // 10)), 1, 24) ||
+           |      ' ' || substr(md5('wm3' || (doc_id // 10)), 1, 24)
+           |    ELSE text END AS tx
+           |  FROM documents),
+           |nmt AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(tx, '\s+', ' ', 'g'))) AS nm
+           |  FROM syn),
+           |h AS (SELECT doc_id,
+           |    [('0x' || substr(md5(substr(nm, i, 8)), 1, 8))::BIGINT
+           |     for i in generate_series(1, greatest(length(nm) - 7, 0))]
+           |      AS hs
+           |  FROM nmt),
+           |sel AS (SELECT doc_id, list_distinct(
+           |    [list_min(hs[j:j+3])
+           |     for j in generate_series(1, greatest(len(hs) - 3, 0))])
+           |      AS fps
+           |  FROM h),
+           |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+           |cap AS (SELECT fp FROM
+           |    (SELECT fp, count(*) AS df FROM f GROUP BY fp)
+           |  WHERE df <= 32),
+           |fc AS (SELECT f.doc_id, f.fp FROM f JOIN cap USING (fp)),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, n_shared FROM p
+           |WHERE n_shared >= 14 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // CDC replay: same boundary predicate (md5 k-gram ending at i,
+    // mod 64), same end-boundary append, same chunk md5s, same
+    // fp-spread -> doc rollup with floor-div shared ppm
+    "q_doc_cdc_chunks" ->
+      raw"""WITH syn AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 2 THEN
+           |      repeat('j', CAST(doc_id % 19 + 1 AS INT)) || ' ' || text
+           |      || ' cdc shared '
+           |      || substr(md5('cdc' || (doc_id // 14)), 1, 28) || ' '
+           |      || substr(md5('cdc2' || (doc_id // 14)), 1, 28) || ' '
+           |      || substr(md5('cdc3' || (doc_id // 14)), 1, 28) || ' '
+           |      || substr(md5('cdc4' || (doc_id // 14)), 1, 28)
+           |    ELSE text END AS tx
+           |  FROM documents),
+           |nmt AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(tx, '\s+', ' ', 'g'))) AS nm
+           |  FROM syn),
+           |b AS (SELECT doc_id, nm,
+           |    [i for i in generate_series(8, length(nm))
+           |     if ('0x' || substr(md5(substr(nm, i - 7, 8)), 1, 8))::BIGINT
+           |        % 64 = 0] AS bounds
+           |  FROM nmt),
+           |b2 AS (SELECT doc_id, nm,
+           |    CASE WHEN len(bounds) > 0 AND bounds[-1] = length(nm)
+           |      THEN bounds ELSE list_append(bounds, length(nm)) END AS bb
+           |  FROM b),
+           |ch AS (SELECT doc_id,
+           |    md5(substr(nm,
+           |      CASE WHEN idx = 1 THEN 1 ELSE bb[idx - 1] + 1 END,
+           |      bb[idx] - CASE WHEN idx = 1 THEN 0 ELSE bb[idx - 1] END))
+           |      AS chunk_fp,
+           |    bb[idx] - CASE WHEN idx = 1 THEN 0 ELSE bb[idx - 1] END
+           |      AS len
+           |  FROM (SELECT doc_id, nm, bb,
+           |          unnest(generate_series(1, len(bb))) AS idx
+           |        FROM b2)
+           |  WHERE bb[idx] - CASE WHEN idx = 1 THEN 0 ELSE bb[idx - 1] END
+           |        > 0),
+           |fpc AS (SELECT chunk_fp, count(DISTINCT doc_id) AS fp_docs
+           |  FROM ch GROUP BY 1),
+           |agg AS (SELECT ch.doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_chunks,
+           |    CAST(sum(ch.len) AS BIGINT) AS total_len,
+           |    CAST(sum(CASE WHEN fpc.fp_docs > 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_shared,
+           |    CAST(sum(CASE WHEN fpc.fp_docs > 1 THEN ch.len ELSE 0 END)
+           |      AS BIGINT) AS shared_len
+           |  FROM ch JOIN fpc USING (chunk_fp) GROUP BY ch.doc_id)
+           |SELECT doc_id, n_chunks, total_len, n_shared, shared_len,
+           |  CAST(shared_len * 1000000 // greatest(total_len, 1) AS BIGINT)
+           |    AS shared_ppm
+           |FROM agg ORDER BY doc_id""".stripMargin,
 
     // composed replay: the brute oracle's top-5 as truth, the IVF oracle's
     // probed top-5 as approx, recall in floor-div micro-units

@@ -2443,6 +2443,99 @@ class OpsSpec extends AnyFunSuite {
     assert(r == List((0L, 1L, 2L), (4L, 1L, 3L)))
   }
 
+  test("cross-corpus near-dup decontamination finds the edited eval doc") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog extra words here today"),
+      (1L, "completely unrelated training material with other content entirely"))
+      .toDF("doc_id", "text")
+    val evalD = Seq(
+      // doc 0 minus its last token — 10 of its 11 3-shingles survive
+      (100L, "the quick brown fox jumps over the lazy dog extra words here"),
+      (101L, "benchmark question about something never seen in training data"))
+      .toDF("doc_id", "text")
+    val sc = Dedup.crossNearDupScoped(train, evalD, "doc_id", "text",
+      k = 3, nHashes = 64, bands = 32, thresholdPpm = 800000L)
+    val r = sc.df.collect()
+      .map(x => (x.getAs[Long]("train_id"), x.getAs[Long]("eval_id"),
+        x.getAs[Long]("jaccard_ppm")))
+    sc.release()
+    // common 10, union 11 → floor(10e6 / 11) = 909090 ppm; nothing else
+    assert(r.toSeq == Seq((0L, 100L, 909090L)))
+  }
+
+  test("winnowing: offset-robust shared fingerprints, density bounds") {
+    val shared = "winnow shared overlap block example text"
+    val d = Seq(
+      (0L, s"xx yy $shared"),
+      (1L, s"a very different and much longer prefix here $shared"),
+      (2L, "jk qv xz bw mp ld fh rn ts gy cu nn")) // no 8-char overlap
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", k = 8, w = 4)
+    // any shared substring >= k + w - 1 chars guarantees a shared
+    // selected fingerprint in both docs, wherever it sits
+    val pairs = Dedup.winnowPairs(fps, minShared = 1).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+    // density: selections per doc within [ceil(windows/w), windows]
+    val byDoc = fps.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("pos"))).groupBy(_._1)
+    for ((id, rows) <- byDoc) {
+      val n = d.where(col("doc_id") === id)
+        .select(length(TextOps.normalize(col("text")))).head().getInt(0)
+      val windows = n - 8 + 1 - 3
+      assert(rows.length <= windows)
+      assert(rows.length >= math.ceil(windows / 4.0).toInt)
+      assert(rows.map(_._2).forall(p => p >= 1 && p <= n - 7))
+    }
+    // identical content → identical fingerprint sets (determinism)
+    val fps2 = Dedup.winnowFingerprints(d.repartition(3), "doc_id", "text",
+      k = 8, w = 4)
+    assert(fps2.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2))).toSet ==
+      fps.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2))).toSet)
+  }
+
+  test("content-defined chunks tile the text and realign after shifts") {
+    val shared = "the winnowing and chunking shared paragraph text block " * 6
+    val d = Seq(
+      (0L, "zz " + shared),
+      (1L, "a much longer and entirely different prefix junk here " + shared),
+      (2L, "tiny"))
+      .toDF("doc_id", "text")
+    val ch = Dedup.contentChunks(d, "doc_id", "text", k = 8, mask = 63)
+      .collect()
+    // chunks tile the normalized text exactly: contiguous starts, lens
+    // sum to the doc length, indices dense from 0
+    for ((id, rows0) <- ch.groupBy(_.getAs[Long]("doc_id"))) {
+      val rows = rows0.sortBy(_.getAs[Int]("chunk_idx"))
+      val n = d.where(col("doc_id") === id)
+        .select(length(TextOps.normalize(col("text")))).head().getInt(0)
+      assert(rows.map(_.getAs[Int]("chunk_idx")).toSeq ==
+        rows.indices.toSeq)
+      var next = 1
+      for (r <- rows) {
+        assert(r.getAs[Int]("start") == next)
+        next += r.getAs[Int]("len")
+      }
+      assert(next - 1 == n)
+    }
+    // the shared paragraph yields identical chunk fingerprints in both
+    // docs even though its OFFSET differs (verified offline: 2 shared) —
+    // a fixed-grid chunker shares zero
+    val fp = (id: Long) => ch.filter(_.getAs[Long]("doc_id") == id)
+      .map(_.getAs[String]("chunk_fp")).toSet
+    assert((fp(0L) & fp(1L)).size == 2)
+    // n_shared counts OCCURRENCES (the periodic paragraph repeats its
+    // 55-char chunk 4x per doc + the 49-char tail = 5) — byte-weighted
+    // dedup potential, not distinct-fp count
+    val stats = Dedup.chunkDedupStats(
+        Dedup.contentChunks(d, "doc_id", "text", k = 8, mask = 63))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(stats(0L) == 5L && stats(1L) == 5L && stats(2L) == 0L)
+  }
+
   test("mp4 sniff: variable offset, fail-closed walk, v1 mvhd skipped") {
     def be32(v: Long) = f"$v%08X"
     val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
