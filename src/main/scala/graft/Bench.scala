@@ -297,6 +297,28 @@ object Bench {
         }
       warmups(name) = ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // round-8b fingerprint shapes none of the passes above compile: the
+    // per-char md5 HOF projections (winnowing selection fold, CDC
+    // boundary scan + chunk explode), the fp-keyed pair join, and the
+    // cross-corpus broadcast band join.
+    def warmFingerprints(): Unit = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(4)) === 0)
+        .repartition(cpus.toInt)
+      graft.ops.Dedup.winnowPairs(
+        graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text"),
+        minShared = 14, dfCap = 32).count()
+      graft.ops.Dedup.chunkDedupStats(
+        graft.ops.Dedup.contentChunks(docs, "doc_id", "text")).count()
+      val sc = graft.ops.Dedup.crossNearDupScoped(docs,
+        docs.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        "doc_id", "text", k = 3, nHashes = 64, bands = 32,
+        thresholdPpm = 800000L)
+      sc.df.count()
+      sc.release()
+      spark.catalog.clearCache()
+    }
     warm("dedup")(warmDedup())
     warm("timeseries")(warmTimeSeries())
     warm("relational")(warmRelational())
@@ -304,6 +326,7 @@ object Bench {
     warm("search")(warmSearch())
     warm("compositions")(warmCompositions())
     warm("curation")(warmCuration())
+    warm("fingerprints")(warmFingerprints())
     warm("dedup-broadcast-off") {
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -643,6 +643,10 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_kmeans" -> (Seq(),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // power iteration: localCheckpoint boundary like q_emb_kmeans; the
+    // per-round shape (posexplode + dim-keyed agg) is the kmeans one
+    "q_emb_top_component" -> (Seq(),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_emb_neardup" -> (Seq("BroadcastHashJoin", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_emb_pq" -> (Seq(),
@@ -669,6 +673,12 @@ object ExplainCheck {
     "q_mm_mp4" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // source divergence: one linear token-count shuffle + k-bounded
+    // vocab + metadata-sized broadcast grid/pair joins (the hinted
+    // cross product over groups x vocab is catalog-bounded BNLJ)
+    "q_doc_source_divergence" -> (Seq("HashAggregate",
+        "BroadcastHashJoin", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
     // Luhn scan: regex extract + integer fold + replace fold, in-row
     "q_doc_luhn_scrub" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

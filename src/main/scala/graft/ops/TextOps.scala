@@ -494,6 +494,53 @@ object TextOps {
       (nMajor >= 2).as("mixed"): _*)
   }
 
+  /** Pairwise unigram-distribution divergence between corpus groups
+    * (sources, languages, snapshots) — the corpus-mix audit run before
+    * setting mixture weights: two sources whose token distributions have
+    * drifted apart (different registers, a scraper gone wrong, one source
+    * flooded with boilerplate) need different treatment, and the mixture
+    * dashboards want ONE number per pair. Distance is L1 between the
+    * groups' token-share vectors over a deterministic top-`vocabSize`
+    * corpus vocabulary (count desc, term asc — the [[oovRate]] vocab
+    * rule), shares in floor-div integer ppm so the whole computation is
+    * engine-exact; `l1_ppm` ∈ [0, 2e6] (0 identical, 2e6 disjoint).
+    * `n_both` = vocab terms present in both groups rides along.
+    *
+    * Scale shape: one (group, term) count shuffle — linear in corpus
+    * tokens; the vocabulary is a k-bounded TakeOrdered; groups are
+    * catalog-bounded BY CONTRACT (sources/langs, not doc ids), so the
+    * share grid (groups × vocab) and the pair join are metadata-sized
+    * and broadcast. Nothing pairwise ever touches corpus-sized data.
+    */
+  def sourceDivergence(docs: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 65536,
+      "vocabSize in [1, 65536]")
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(normTokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val vocab = counts.groupBy("tok").agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select("tok")
+    val inVocab = counts.join(broadcast(vocab), Seq("tok"))
+    val totals = inVocab.groupBy("grp").agg(sum(col("c")).as("n_g"))
+    val shares = inVocab.join(broadcast(totals), Seq("grp"))
+      .select(col("grp"), col("tok"),
+        expr("c * 1000000 div n_g").as("ppm"))
+    // dense grid over (group, vocab term) so absent terms contribute
+    // their full share to the other side's L1 mass
+    val grid = totals.select("grp").crossJoin(broadcast(vocab))
+      .join(shares, Seq("grp", "tok"), "left")
+      .select(col("grp"), col("tok"),
+        coalesce(col("ppm"), lit(0L)).as("ppm"))
+    grid.as("a").join(broadcast(grid.as("b")),
+        col("a.tok") === col("b.tok") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(sum(abs(col("a.ppm") - col("b.ppm"))).as("l1_ppm"),
+        sum(when(col("a.ppm") > 0 && col("b.ppm") > 0, lit(1L))
+          .otherwise(lit(0L))).as("n_both"))
+  }
+
   /** Consecutive n-gram repetition profile — the degenerate-loop detector
     * for model-generated and scraper-glitch text ("the cat sat the cat
     * sat the cat sat …"), the CONSECUTIVE complement of

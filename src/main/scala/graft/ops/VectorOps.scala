@@ -487,4 +487,87 @@ object VectorOps {
         round(col("sum_other_d2").cast("double")
           / greatest(col("sum_own_d2"), lit(1L)).cast("double"), 6))
   }
+  /** Top principal component by fixed-point POWER ITERATION over the
+    * mean-centered quantized embeddings — the "all-but-the-top" (Mu &
+    * Viswanath, ICLR'18) post-processing step: embedding matrices carry a
+    * large common component that dominates every cosine; measuring it
+    * (and projecting it out downstream) sharpens similarity search and
+    * near-dup screens alike.
+    *
+    * Reproducibility follows the [[graft.ops.KMeans.fit]] discipline:
+    * vectors quantize once to milli-unit longs, every round is exact
+    * integer math in a pinned order (dot per vector → per-dim weighted
+    * sum → driver-side rescale by max|w| → isqrt normalize back to a
+    * ~1000-norm vector), truncating division throughout — bit-identical
+    * under any partitioning, replayable in DuckDB (HUGEINT covers the
+    * one intermediate, w·1000, that exceeds Long; the Scala driver uses
+    * BigInt for exactly that step).
+    *
+    * Overflow audit (all exact): |c| <= ~2·scale·max|x|; dot <=
+    * dims·|c|·1500; |w_d| <= n·|c|·dot. At scale = 1e3, dims <= 512,
+    * |x| <= 16, n <= `maxRows` = 1e8: w <= ~8e17 < 2^63. The per-round
+    * driver traffic is dims longs — dimension-bounded like the k-means
+    * centroid collect.
+    *
+    * Scale shape per round: ONE map-side-combined (dim)-keyed aggregate
+    * over the posexploded centered vectors (shuffle = partitions·dims
+    * partials), no lineage between rounds (literal v vector each round).
+    * Returns per-vector milli-quantized projections onto the component,
+    * the component itself, and the per-dim mean.
+    */
+  final case class TopComponent(projections: DataFrame,
+      component: Seq[Long], mean: Seq[Long], release: () => Unit)
+
+  def powerIteration(vectors: DataFrame, idCol: String, vecCol: String,
+      rounds: Int, maxRows: Long = 100L * 1000 * 1000): TopComponent = {
+    require(rounds >= 1 && rounds <= 16, "rounds in [1, 16]")
+    val scale = 1e3
+    val dims = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dims >= 1 && dims <= 512, "dims in [1, 512]")
+    val q = vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        graft.ops.KMeans.quantize(col(vecCol), scale).as("qv"))
+      .persist()
+    val n = q.count()
+    require(n >= 1 && n <= maxRows,
+      s"powerIteration over $n rows exceeds maxRows=$maxRows — the " +
+        "integer overflow audit is sized for 1e8 rows at milli scale; " +
+        "shard the corpus or raise the bound deliberately")
+    // per-dim truncating mean (exact; matches DuckDB sum(v) // n)
+    val mu: Seq[Long] = q
+      .select(posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy("d").agg(sum(col("v")).as("s"))
+      .collect().sortBy(_.getInt(0)).map(r => r.getLong(1) / n).toSeq
+    def centered: Column =
+      zip_with(col("qv"), array(mu.map(lit): _*), (x, m) => x - m)
+    def isqrt(x: Long): Long = {
+      // floor(IEEE sqrt) is exact below 2^52 (correctly rounded, and
+      // adjacent roots are farther apart than one ulp there)
+      require(x >= 0 && x < (1L << 52), "isqrt domain")
+      math.floor(math.sqrt(x.toDouble)).toLong
+    }
+    var v: Seq[Long] = Seq.fill(dims)(1000L)
+    for (_ <- 1 to rounds) {
+      val litV = array(v.map(lit): _*)
+      val dot = aggregate(zip_with(centered, litV, (x, y) => x * y),
+        lit(0L), _ + _)
+      val w: Seq[Long] = q
+        .select(dot.as("dt"), posexplode(centered).as(Seq("d", "cv")))
+        .groupBy("d").agg(sum(col("cv") * col("dt")).as("w"))
+        .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+      val s = math.max(w.map(math.abs).max, 1L)
+      // w·1000 can pass 2^63 — BigInt replays DuckDB's HUGEINT exactly
+      // (both truncate toward zero)
+      val wp = w.map(x => (BigInt(x) * 1000 / BigInt(s)).toLong)
+      val nv = math.max(isqrt(wp.map(x => x * x).sum), 1L)
+      v = wp.map(x => x * 1000 / nv)
+    }
+    val projDf = q
+      .select(col("vec_id"),
+        aggregate(zip_with(centered, array(v.map(lit): _*),
+          (x, y) => x * y), lit(0L), _ + _).as("dt"))
+      .select(col("vec_id"), expr("dt div 1000").as("proj_milli"))
+    TopComponent(projDf, v, mu, () => { q.unpersist(); () })
+  }
+
 }

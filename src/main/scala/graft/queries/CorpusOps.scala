@@ -1449,8 +1449,16 @@ object CorpusOps {
         .when(pmod(col("doc_id"), lit(5)) === 4,
           unhex(concat(ftyp, be32(lit(4096)), lit("66726565"))))
         .otherwise(unhex(good))
+      // materialize the payload into a COLUMN first: the box walk
+      // references hex(payload) ~8x per fold step, and an inline payload
+      // EXPRESSION would be re-synthesized on every reference (measured
+      // 7.9 s steady inline vs 1.2 s with the split at sf0.1 — Catalyst
+      // keeps the boundary because the payload is non-cheap and multiply
+      // referenced, so CollapseProject does not re-inline it)
       t(s, dir, "documents")
-        .select(col("doc_id"), graft.ops.Multimodal.mp4Header(pl).as("h"))
+        .select(col("doc_id"), pl.as("pl"))
+        .select(col("doc_id"),
+          graft.ops.Multimodal.mp4Header(col("pl")).as("h"))
         .select(col("doc_id"), col("h.is_mp4").as("is_mp4"),
           col("h.brand").as("brand"), col("h.n_boxes").as("n_boxes"),
           col("h.ok").as("ok"), col("h.timescale").as("timescale"),

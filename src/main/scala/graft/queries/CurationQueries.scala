@@ -977,6 +977,21 @@ object CurationQueries {
     // IVF centroid training: 3 Lloyd's rounds, k=4, fixed-point integer
     // arithmetic throughout — bit-reproducible under any partitioning, so
     // the oracle replays the identical rounds with unrolled CTEs
+    // top principal component by fixed-point power iteration (the
+    // "all-but-the-top" measurement pass): 3 exact integer rounds over
+    // the mean-centered milli-quantized embeddings; the oracle unrolls
+    // the identical rounds (HUGEINT covers the one w*1000 intermediate
+    // the Scala driver does in BigInt) — bit-reproducible like q_emb_kmeans
+    "q_emb_top_component" -> ((s, dir) => {
+      val r = graft.ops.VectorOps.powerIteration(
+        wide(s, t(s, dir, "embeddings")), "vec_id", "embedding",
+        rounds = 3)
+      val out = r.projections.orderBy("vec_id")
+      val materialized = out.localCheckpoint()
+      r.release()
+      materialized
+    }),
+
     "q_emb_kmeans" -> ((s, dir) => {
       val r = graft.ops.KMeans.fit(wide(s, t(s, dir, "embeddings")),
         "vec_id", "embedding", k = 4, iters = 3)
@@ -1031,6 +1046,23 @@ object CurationQueries {
         .select(col("doc_id"), synth.as("text"))
       TextOps.scriptProfile(wide(s, docs), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // corpus-mix divergence: src0/src1 get distinct skew tokens appended
+    // (4 resp. 2 per doc) so their unigram distributions genuinely pull
+    // away from the other 18 sources — src0-pairs and src1-pairs carry
+    // the largest L1, and n_both drops by the skew terms absent elsewhere
+    "q_doc_source_divergence" -> ((s, dir) => {
+      val synth = when(col("source") === "src0",
+          concat(col("text"),
+            lit(" skewzero skewzero skewzero skewzero")))
+        .when(col("source") === "src1",
+          concat(col("text"), lit(" skewone skewone")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("source"), synth.as("text"))
+      TextOps.sourceDivergence(wide(s, docs), "source", "text", 256)
+        .orderBy("grp_a", "grp_b")
     }),
 
     // consecutive n-gram loop detection: residue 1 repeats a corpus
@@ -1298,7 +1330,59 @@ object CurationQueries {
          |FROM sh JOIN shared USING (doc_id)
          |ORDER BY doc_id""".stripMargin
 
+  /** Unrolled fixed-point power-iteration replay (the kmeansCtes idiom):
+    * quantize → truncating per-dim mean → centered vectors → per round
+    * (dot per vector, per-dim weighted sum, max-rescale, isqrt
+    * normalize) → final milli projections. DuckDB's HUGEINT covers the
+    * w·1000 intermediate the Scala driver does in BigInt; `//` and
+    * BigInt division both truncate toward zero.
+    */
+  private def powerIterSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""dot$r AS (SELECT c.vec_id, c.cv,
+         |    CAST(list_sum([c.cv[i] * v$r.v[i]
+         |      for i in generate_series(1, len(c.cv))]) AS BIGINT) AS dt
+         |  FROM c, v$r),
+         |w$r AS (SELECT d, CAST(sum(cv * dt) AS BIGINT) AS w
+         |  FROM (SELECT generate_subscripts(cv, 1) AS d, unnest(cv) AS cv,
+         |          dt FROM dot$r)
+         |  GROUP BY d),
+         |s$r AS (SELECT greatest(max(abs(w)), 1) AS s FROM w$r),
+         |wp$r AS (SELECT d, CAST((w * 1000) // s AS BIGINT) AS wp
+         |  FROM w$r, s$r),
+         |n$r AS (SELECT greatest(CAST(floor(sqrt(CAST(sum(wp * wp)
+         |    AS DOUBLE))) AS BIGINT), 1) AS nv FROM wp$r),
+         |v${r + 1} AS (SELECT list(CAST(wp * 1000 // nv AS BIGINT)
+         |    ORDER BY d) AS v FROM wp$r, n$r GROUP BY nv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id,
+       |    [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+       |     for x in embedding::DOUBLE[]] AS qv
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |mu AS (SELECT list(CAST(s // (SELECT n FROM nn) AS BIGINT)
+       |    ORDER BY d) AS ml
+       |  FROM (SELECT d, sum(v) AS s
+       |        FROM (SELECT generate_subscripts(qv, 1) AS d,
+       |                unnest(qv) AS v FROM q)
+       |        GROUP BY d)),
+       |c AS (SELECT vec_id,
+       |    [qv[i] - ml[i] for i in generate_series(1, len(qv))] AS cv
+       |  FROM q, mu),
+       |v1 AS (SELECT [CAST(1000 AS BIGINT)
+       |    for i in generate_series(1, (SELECT min(len(qv)) FROM q))]
+       |    AS v),
+       |$roundCtes
+       |SELECT c.vec_id,
+       |  CAST(CAST(list_sum([c.cv[i] * vf.v[i]
+       |    for i in generate_series(1, len(c.cv))]) AS BIGINT) // 1000
+       |    AS BIGINT) AS proj_milli
+       |FROM c, v${rounds + 1} vf ORDER BY c.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_emb_top_component" -> powerIterSql(3),
 
     "q_emb_ivfpq_search" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
       topK = 5, nprobe = 2, nCoarse = 8),
@@ -2375,6 +2459,37 @@ object CurationQueries {
          |  ($majorExpr) >= 2 AS mixed
          |FROM tot ORDER BY doc_id""".stripMargin
     },
+
+    // divergence replay: same skew synthesis, same deterministic vocab
+    // (count desc, term asc, limit), same floor-div shares and L1 sum
+    "q_doc_source_divergence" ->
+      raw"""WITH syn AS (SELECT source,
+           |    CASE WHEN source = 'src0'
+           |      THEN text || ' skewzero skewzero skewzero skewzero'
+           |      WHEN source = 'src1' THEN text || ' skewone skewone'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |tk AS (SELECT source AS grp,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+           |      AS tok
+           |  FROM syn),
+           |c AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+           |  FROM tk GROUP BY 1, 2),
+           |v AS (SELECT tok FROM (SELECT tok, sum(c) AS n FROM c
+           |  GROUP BY tok ORDER BY n DESC, tok LIMIT 256)),
+           |iv AS (SELECT c.grp, c.tok, c.c FROM c JOIN v USING (tok)),
+           |tot AS (SELECT grp, sum(c) AS n_g FROM iv GROUP BY grp),
+           |sh AS (SELECT iv.grp, iv.tok, iv.c * 1000000 // tot.n_g AS ppm
+           |  FROM iv JOIN tot USING (grp)),
+           |grid AS (SELECT g.grp, v.tok, coalesce(sh.ppm, 0) AS ppm
+           |  FROM (SELECT grp FROM tot) g CROSS JOIN v
+           |  LEFT JOIN sh ON sh.grp = g.grp AND sh.tok = v.tok)
+           |SELECT a.grp AS grp_a, b.grp AS grp_b,
+           |  CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS l1_ppm,
+           |  CAST(sum(CASE WHEN a.ppm > 0 AND b.ppm > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_both
+           |FROM grid a JOIN grid b ON a.tok = b.tok AND a.grp < b.grp
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // token-loop replay: same synthesized loop shapes, same slice-equality
     // position counts over the normalized token array, same floor-div ppm

@@ -2443,6 +2443,59 @@ class OpsSpec extends AnyFunSuite {
     assert(r == List((0L, 1L, 2L), (4L, 1L, 3L)))
   }
 
+  test("power iteration finds the dominant direction, centered + exact") {
+    // exact quarters: representable in float, and x + 5 stays exact, so
+    // the mean-invariance check is bit-clean through quantization
+    val d = Seq(
+      (0L, Seq(10.0f, 0.25f)), (1L, Seq(8.0f, -0.25f)),
+      (2L, Seq(-9.0f, 0.25f)), (3L, Seq(0.5f, 0.25f)),
+      (4L, Seq(0.75f, -0.25f))).toDF("vec_id", "embedding")
+    val r = VectorOps.powerIteration(d, "vec_id", "embedding", rounds = 4)
+    // variance is overwhelmingly along dim 0 → the component aligns there
+    assert(math.abs(r.component.head) > 900L)
+    assert(math.abs(r.component(1)) < 200L)
+    val proj = r.projections.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.release()
+    // opposite extremes project with opposite signs, magnitudes ordered
+    assert(proj(0L).sign != proj(2L).sign)
+    assert(math.abs(proj(0L)) > math.abs(proj(3L)))
+    // mean invariance: a constant offset on every vector changes nothing
+    // (the component is over CENTERED data)
+    val shifted = d.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+    val r2 = VectorOps.powerIteration(shifted, "vec_id", "embedding", 4)
+    val proj2 = r2.projections.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2.component == r.component)
+    r2.release()
+    assert(proj2 == proj)
+    // determinism under repartition (fixed-point arithmetic is order-free)
+    val r3 = VectorOps.powerIteration(d.repartition(5), "vec_id",
+      "embedding", 4)
+    assert(r3.component == r.component)
+    r3.release()
+  }
+
+  test("source divergence: exact L1 shares, vocab cap binds") {
+    val d = Seq(("A", "a a b"), ("B", "a b b"), ("C", "a a a"))
+      .toDF("source", "text")
+    val r = TextOps.sourceDivergence(d, "source", "text", vocabSize = 256)
+      .collect().map(x => (x.getAs[String]("grp_a"),
+        x.getAs[String]("grp_b")) ->
+        ((x.getAs[Long]("l1_ppm"), x.getAs[Long]("n_both")))).toMap
+    // A: a 666666, b 333333; B: a 333333, b 666666; C: a 1000000, b 0
+    assert(r(("A", "B")) == ((666666L, 2L)))
+    assert(r(("A", "C")) == ((666667L, 1L)))
+    assert(r(("B", "C")) == ((1333333L, 1L)))
+    // vocabSize = 1 keeps only 'a' (global count 6 vs 3): every group's
+    // in-vocab distribution collapses to {a: 1e6} → all distances 0
+    val capped = TextOps.sourceDivergence(d, "source", "text", 1)
+      .collect().map(x => (x.getAs[Long]("l1_ppm"),
+        x.getAs[Long]("n_both")))
+    assert(capped.length == 3 && capped.forall(_ == ((0L, 1L))))
+  }
+
   test("cross-corpus near-dup decontamination finds the edited eval doc") {
     val train = Seq(
       (0L, "the quick brown fox jumps over the lazy dog extra words here today"),
