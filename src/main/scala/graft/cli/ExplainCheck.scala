@@ -647,6 +647,14 @@ object ExplainCheck {
     // per-round shape (posexplode + dim-keyed agg) is the kmeans one
     "q_emb_top_component" -> (Seq(),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // all-but-the-top knn: localCheckpoint boundary (trainer + search
+    // composed in-gate; the serving shape is pinned by q_emb_knn_brute)
+    "q_emb_abtt_knn" -> (Seq(),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // log2 histogram: one linear hash aggregate, no join/window
+    "q_ts_exp_histogram" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "BroadcastHashJoin")),
     "q_emb_neardup" -> (Seq("BroadcastHashJoin", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_emb_pq" -> (Seq(),

@@ -518,6 +518,36 @@ object VectorOps {
   final case class TopComponent(projections: DataFrame,
       component: Seq[Long], mean: Seq[Long], release: () => Unit)
 
+  /** "All-but-the-top" APPLY half: residual embeddings with the
+    * [[powerIteration]] component projected out, division-free —
+    * r' = vv·c − (c·v)·v where vv = ‖v‖² (the vv scaling is
+    * cosine-invariant, so downstream similarity search is unchanged
+    * while every value stays an EXACT integer; a division would
+    * re-introduce per-element truncation choices). Every element is
+    * bounded by ~4e11 ≪ 2^53, so the residuals cast to double exactly
+    * and external engines replay the whole chain bit-for-bit. Returns
+    * (vec_id, residual: array<long>) plus the release handle.
+    */
+  def abttResiduals(vectors: DataFrame, idCol: String, vecCol: String,
+      rounds: Int): (DataFrame, () => Unit) = {
+    val tc = powerIteration(vectors, idCol, vecCol, rounds)
+    val litV = array(tc.component.map(lit): _*)
+    val litMu = array(tc.mean.map(lit): _*)
+    val vv = tc.component.map(x => x * x).sum
+    val q = vectors.select(col(idCol).cast("long").as("vec_id"),
+      graft.ops.KMeans.quantize(col(vecCol), 1e3).as("qv"))
+    val out = q
+      .select(col("vec_id"),
+        zip_with(col("qv"), litMu, (x, m) => x - m).as("cv"))
+      .select(col("vec_id"), col("cv"),
+        aggregate(zip_with(col("cv"), litV, (x, y) => x * y), lit(0L),
+          _ + _).as("dt"))
+      .select(col("vec_id"),
+        zip_with(col("cv"), litV,
+          (x, vd) => lit(vv) * x - col("dt") * vd).as("residual"))
+    (out, tc.release)
+  }
+
   def powerIteration(vectors: DataFrame, idCol: String, vecCol: String,
       rounds: Int, maxRows: Long = 100L * 1000 * 1000): TopComponent = {
     require(rounds >= 1 && rounds <= 16, "rounds in [1, 16]")

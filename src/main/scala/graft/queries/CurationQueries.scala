@@ -992,6 +992,28 @@ object CurationQueries {
       materialized
     }),
 
+    // all-but-the-top APPLY: knn in the residual space after the power-
+    // iteration component is projected out (division-free r' = vv·c −
+    // dt·v, cosine-invariant) — the end-to-end post-processed serving
+    // pipeline, replayed CTE-for-CTE including the residual algebra
+    "q_emb_abtt_knn" -> ((s, dir) => {
+      val (res, release) = graft.ops.VectorOps.abttResiduals(
+        wide(s, t(s, dir, "embeddings")), "vec_id", "embedding",
+        rounds = 3)
+      // array<float>: bruteTopK's codegen'd dot is float-typed (the
+      // jl_knn discipline — the oracle replays the REAL quantization)
+      val emb = res.select(col("vec_id"),
+        col("residual").cast("array<float>").as("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val out = graft.ops.VectorOps.bruteTopK(emb, queries, 10)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank").localCheckpoint()
+      release()
+      out
+    }),
+
     "q_emb_kmeans" -> ((s, dir) => {
       val r = graft.ops.KMeans.fit(wide(s, t(s, dir, "embeddings")),
         "vec_id", "embedding", k = 4, iters = 3)
@@ -1337,7 +1359,7 @@ object CurationQueries {
     * w·1000 intermediate the Scala driver does in BigInt; `//` and
     * BigInt division both truncate toward zero.
     */
-  private def powerIterSql(rounds: Int): String = {
+  private def powerIterCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""dot$r AS (SELECT c.vec_id, c.cv,
          |    CAST(list_sum([c.cv[i] * v$r.v[i]
@@ -1355,7 +1377,7 @@ object CurationQueries {
          |v${r + 1} AS (SELECT list(CAST(wp * 1000 // nv AS BIGINT)
          |    ORDER BY d) AS v FROM wp$r, n$r GROUP BY nv)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
        |    [CAST(floor(x * 1000 + 0.5) AS BIGINT)
        |     for x in embedding::DOUBLE[]] AS qv
        |  FROM embeddings),
@@ -1372,17 +1394,52 @@ object CurationQueries {
        |v1 AS (SELECT [CAST(1000 AS BIGINT)
        |    for i in generate_series(1, (SELECT min(len(qv)) FROM q))]
        |    AS v),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def powerIterSql(rounds: Int): String =
+    s"""WITH ${powerIterCtes(rounds)}
        |SELECT c.vec_id,
        |  CAST(CAST(list_sum([c.cv[i] * vf.v[i]
        |    for i in generate_series(1, len(c.cv))]) AS BIGINT) // 1000
        |    AS BIGINT) AS proj_milli
        |FROM c, v${rounds + 1} vf ORDER BY c.vec_id""".stripMargin
+
+  /** [[powerIterCtes]] + the division-free residual (r' = vv·c − dt·v,
+    * cosine-invariant) + the standard brute-knn cosine/rank replay over
+    * the residual space.
+    */
+  private def abttKnnSql(rounds: Int, k: Int): String = {
+    val vf = s"v${rounds + 1}"
+    s"""WITH ${powerIterCtes(rounds)},
+       |vvv AS (SELECT CAST(list_sum([v[i] * v[i]
+       |    for i in generate_series(1, len(v))]) AS BIGINT) AS vv
+       |  FROM $vf),
+       |dtf AS (SELECT c.vec_id, c.cv,
+       |    CAST(list_sum([c.cv[i] * vf.v[i]
+       |      for i in generate_series(1, len(c.cv))]) AS BIGINT) AS dt
+       |  FROM c, $vf vf),
+       |res AS (SELECT vec_id,
+       |    [CAST(CAST(vvv.vv * cv[i] - dt * vf.v[i] AS REAL) AS DOUBLE)
+       |     for i in generate_series(1, len(cv))] AS ev
+       |  FROM dtf, $vf vf, vvv),
+       |qq AS (SELECT vec_id AS query_id, ev AS qv FROM res
+       |  WHERE vec_id < 3),
+       |sc AS (SELECT qq.query_id, c2.vec_id,
+       |    ${CorpusOps.cosSql("c2.ev", "qq.qv")} AS cos
+       |  FROM res c2 CROSS JOIN qq WHERE c2.vec_id != qq.query_id),
+       |rr AS (SELECT query_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM sc)
+       |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
 
     "q_emb_top_component" -> powerIterSql(3),
+
+    "q_emb_abtt_knn" -> abttKnnSql(3, 10),
 
     "q_emb_ivfpq_search" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
       topK = 5, nprobe = 2, nCoarse = 8),

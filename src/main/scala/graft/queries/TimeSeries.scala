@@ -329,6 +329,32 @@ object TimeSeries {
           round(expr("percentile(value, 0.95)"), 6).as("p95"))
         .orderBy("event_type", "week")),
 
+    // power-of-two value histogram (the DDSketch-flavored heavy-tail
+    // profile, exact where a float log would drift): cents rounded
+    // half-up, bucket = sign · length(bin(|cents|)) — floor(log2)+1 via
+    // STRING length of the binary form, no libm anywhere; zero keeps its
+    // own bucket. Every 5th user's values negated and every 11th zeroed
+    // so the sign and zero branches are real verdicts. One linear agg,
+    // output bounded by types × 64 buckets
+    "q_ts_exp_histogram" -> ((s, dir) => {
+      val signed = when(pmod(col("user_id"), lit(11)) === 0, lit(0.0))
+        .when(pmod(col("user_id"), lit(5)) === 0, -col("value"))
+        .otherwise(col("value"))
+      ev(s, dir)
+        .select(col("event_type"), signed.as("v"))
+        .select(col("event_type"),
+          expr("CAST(floor(v * 100 + 0.5) AS BIGINT)").as("c"))
+        .select(col("event_type"),
+          when(col("c") === 0, lit(0))
+            .when(col("c") > 0, length(bin(col("c"))))
+            .otherwise(-length(bin(-col("c")))).as("bucket"),
+          col("c"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min("c").as("min_cents"),
+          max("c").as("max_cents"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // consecutive-duplicate compression: drop events repeating the
     // previous value per (user, type) stream — the sensor/log dedup that
     // shrinks hold-steady telemetry to its change points. One lag per
@@ -937,6 +963,23 @@ object TimeSeries {
         |    AS BIGINT)) AS BIGINT) AS sum_clipped_micro
         |FROM e JOIN c USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_ts_exp_histogram" ->
+      """WITH s AS (SELECT event_type,
+        |    CASE WHEN user_id % 11 = 0 THEN 0.0
+        |         WHEN user_id % 5 = 0 THEN -value
+        |         ELSE value END AS v
+        |  FROM events),
+        |e AS (SELECT event_type,
+        |    CAST(floor(v * 100 + 0.5) AS BIGINT) AS c FROM s),
+        |b AS (SELECT event_type, c,
+        |    CASE WHEN c = 0 THEN 0
+        |         WHEN c > 0 THEN CAST(length(bin(c)) AS INT)
+        |         ELSE -CAST(length(bin(-c)) AS INT) END AS bucket
+        |  FROM e)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(c) AS min_cents, max(c) AS max_cents
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ts_gaps" ->
       """WITH e AS (

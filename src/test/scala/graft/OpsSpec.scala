@@ -2477,6 +2477,25 @@ class OpsSpec extends AnyFunSuite {
     r3.release()
   }
 
+  test("abtt residuals are EXACTLY orthogonal to the component") {
+    val d = Seq(
+      (0L, Seq(10.0f, 0.25f)), (1L, Seq(8.0f, -0.25f)),
+      (2L, Seq(-9.0f, 0.25f)), (3L, Seq(0.5f, 0.25f)),
+      (4L, Seq(0.75f, -0.25f))).toDF("vec_id", "embedding")
+    val tc = VectorOps.powerIteration(d, "vec_id", "embedding", rounds = 4)
+    val litV = array(tc.component.map(lit): _*)
+    tc.release()
+    val (res, release) = VectorOps.abttResiduals(d, "vec_id", "embedding",
+      rounds = 4)
+    // r' = vv·c − (c·v)·v ⇒ r'·v = vv(c·v) − (c·v)vv = 0, an IDENTITY
+    // of the division-free form — exact for every row, not approximate
+    val dots = res.select(
+      aggregate(zip_with(col("residual"), litV, (x, y) => x * y),
+        lit(0L), _ + _).as("d")).collect().map(_.getLong(0))
+    release()
+    assert(dots.length == 5 && dots.forall(_ == 0L))
+  }
+
   test("source divergence: exact L1 shares, vocab cap binds") {
     val d = Seq(("A", "a a b"), ("B", "a b b"), ("C", "a a a"))
       .toDF("source", "text")
