@@ -196,6 +196,11 @@ object ExplainCheck {
     // pagerank: every round is equi-join + partial-aggregated groupBy on
     // node keys; no product, no window, no nested loop anywhere in the
     // iteration chain
+    // triangles: degree agg + oriented wedge equi-join + closing
+    // left-semi — node-keyed shuffles only, no product; the wedge
+    // self-join may legally shuffle (SMJ) on a corpus-scale graph
+    "q_graph_triangles" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
     "q_graph_pagerank" -> (Seq("HashAggregate"),
       Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
     // hybrid retrieval: the dense stage must broadcast the k-bounded
@@ -687,6 +692,10 @@ object ExplainCheck {
     "q_doc_source_divergence" -> (Seq("HashAggregate",
         "BroadcastHashJoin", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // IBAN scan: token filter + mod-97 fold + replace fold, in-row
+    "q_doc_iban_scrub" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // Luhn scan: regex extract + integer fold + replace fold, in-row
     "q_doc_luhn_scrub" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

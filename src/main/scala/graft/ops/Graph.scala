@@ -67,4 +67,54 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle enumeration by DEGREE ORIENTATION — the O(m^{3/2})
+    * algorithm every distributed triangle counter uses (a naive wedge
+    * join pays Σ deg² and melts on hub nodes; orienting each undirected
+    * edge from its lower-(degree, id) endpoint to the higher bounds
+    * every out-degree by O(√m) regardless of skew, and counts each
+    * triangle exactly once, at its lowest-ranked corner). Triangle
+    * link-structure is a standard crawl-quality input next to
+    * [[pageRank]]: spam farms and link rings are triangle-dense, genuine
+    * editorial graphs are triangle-sparse.
+    *
+    * Input: `edges` with columns (a, b) — any direction, self-loops and
+    * duplicates tolerated (canonicalized + dropped). Returns one row per
+    * triangle (x, y, z) in orientation order (x the lowest-ranked
+    * corner).
+    *
+    * Scale shape: degree agg (linear) → two equi-joins on node keys —
+    * the wedge join fans out ≤ outdeg² per node, bounded by the
+    * orientation; the closing join is an equi-semi on the oriented edge
+    * key. No product anywhere; every shuffle is node-keyed.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    // orient low-(deg, id) → high-(deg, id); carry the dst rank key for
+    // the wedge ordering below
+    val or = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("s"), col("b").as("t"),
+          struct(col("db").as("d"), col("b").as("n")).as("tr")))
+        .otherwise(
+          struct(col("b").as("s"), col("a").as("t"),
+            struct(col("da").as("d"), col("a").as("n")).as("tr"))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"),
+        col("e.tr").as("dr"))
+    val wedges = or.as("e1").join(or.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dr") < col("e2.dr"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    wedges.join(or.select(col("src").as("y"), col("dst").as("z")),
+      Seq("y", "z"), "left_semi")
+  }
 }

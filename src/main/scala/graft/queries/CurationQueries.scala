@@ -1048,6 +1048,30 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // mod-97-validated IBAN redaction (the luhn gate's banking sibling):
+    // residue 1 plants a valid GB test IBAN, residue 2 the same with a
+    // failing check digit (candidate, NOT masked), residue 3 a valid
+    // 27-char French IBAN (letters inside the BBAN exercise the *100
+    // branch), residue 4 an IBAN-shaped-but-too-short token (not a
+    // candidate); md5(clean) must agree byte-for-byte
+    "q_doc_iban_scrub" -> ((s, dir) => {
+      val m5 = pmod(col("doc_id"), lit(5))
+      val synth = when(m5 === 1,
+          concat(col("text"), lit(" pay GB82WEST12345698765432 now")))
+        .when(m5 === 2,
+          concat(col("text"), lit(" acct GB82WEST12345698765433 held")))
+        .when(m5 === 3,
+          concat(col("text"), lit(" ref FR1420041010050500013M02606 ok")))
+        .when(m5 === 4, concat(col("text"), lit(" code DE8937040 short")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      TextOps.ibanScan(wide(s, docs), "doc_id", "text")
+        .select(col("doc_id"), col("n_cands"), col("n_valid"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode-script profile: residue 1 appends Cyrillic to Latin text
     // (Latin-dominant, mixed), residue 2 one Latin word + a longer
     // CJK+kana run (CJK-dominant, mixed), residue 3 replaces the text
@@ -2471,6 +2495,41 @@ object CurationQueries {
            |  CAST(len(valids) AS INT) AS n_valid,
            |  md5(list_reduce(list_prepend(t, valids),
            |    (acc, x) -> replace(acc, x, '<CARD>'))) AS clean_fp
+           |FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    // IBAN replay: whole-token shape match, the same rearrange + mod-97
+    // incremental fold (list_reduce seeded by a prepended 0), same
+    // literal-replace fold over validated tokens only
+    "q_doc_iban_scrub" -> {
+      val re = "substr(c, 5) || substr(c, 1, 4)"
+      raw"""WITH n AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 5 AS INT)
+           |      WHEN 1 THEN text || ' pay GB82WEST12345698765432 now'
+           |      WHEN 2 THEN text || ' acct GB82WEST12345698765433 held'
+           |      WHEN 3 THEN text || ' ref FR1420041010050500013M02606 ok'
+           |      WHEN 4 THEN text || ' code DE8937040 short'
+           |      ELSE text END AS t
+           |  FROM documents),
+           |tk AS (SELECT doc_id, t,
+           |    list_filter(regexp_split_to_array(trim(t), '\s+'),
+           |      x -> regexp_full_match(x,
+           |        '[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}')) AS cands
+           |  FROM n),
+           |v AS (SELECT doc_id, t, cands,
+           |    [c for c in cands if
+           |      list_reduce(list_prepend(0,
+           |        [ascii(substr($re, i, 1))
+           |         for i in generate_series(1, length(c))]),
+           |        (acc, a) -> CASE WHEN a <= 57
+           |          THEN (acc * 10 + (a - 48)) % 97
+           |          ELSE (acc * 100 + (a - 55)) % 97 END) = 1] AS valids
+           |  FROM tk)
+           |SELECT doc_id, CAST(len(cands) AS INT) AS n_cands,
+           |  CAST(len(valids) AS INT) AS n_valid,
+           |  md5(list_reduce(list_prepend(t, valids),
+           |    (acc, x) -> replace(acc, x, '<IBAN>'))) AS clean_fp
            |FROM v ORDER BY doc_id""".stripMargin
     },
 

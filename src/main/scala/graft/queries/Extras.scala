@@ -50,6 +50,26 @@ object Extras {
       graft.ops.Graph.pageRank(edges, nodes, 3).orderBy("node")
     }),
 
+    // triangle counting by degree orientation over the same nation trade
+    // graph: per-node triangle participation (each triangle credited to
+    // all three corners); the oriented wedge join + closing semi is the
+    // O(m^1.5) shape — no Σdeg² hub blowup, no product
+    "q_graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+      val tri = graft.ops.Graph.triangles(edges)
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
+    }),
+
     // data-quality profiler: per-column n/null/distinct/min/max in ONE
     // melted aggregate (ingest's first look at an unknown table)
     "q_profile" -> ((s, dir) =>
@@ -223,6 +243,41 @@ object Extras {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> graft.ops.Profiler.profileSql("lineitem", ProfileCols),
+
+    // orientation replay: canonical undirected edges, (deg, id) rank
+    // compare spelled as the OR-chain, wedge join ordered on the dst
+    // rank, EXISTS as the closing semi, triangles exploded to corners
+    "q_graph_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT c_nationkey AS a0, s_nationkey AS b0
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey),
+        |und AS (SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+        |  FROM e0 WHERE a0 <> b0),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY n),
+        |wd AS (SELECT und.a, und.b, x.d AS da, y.d AS db
+        |  FROM und JOIN deg x ON x.n = und.a JOIN deg y ON y.n = und.b),
+        |o AS (SELECT
+        |    CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END
+        |      AS src,
+        |    CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END
+        |      AS dst,
+        |    CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END
+        |      AS dd
+        |  FROM wd),
+        |w AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |    AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+        |tri AS (SELECT w.x, w.y, w.z FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o
+        |    WHERE o.src = w.y AND o.dst = w.z))
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     // exact replay of the fixed-point rounds: every division is an integer
     // floor on non-negative operands, so the chained CTEs reproduce the

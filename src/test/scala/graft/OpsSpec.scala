@@ -2477,6 +2477,45 @@ class OpsSpec extends AnyFunSuite {
     r3.release()
   }
 
+  test("iban scan validates mod-97, masks only validated tokens") {
+    val d = Seq(
+      (0L, "pay GB82WEST12345698765432 now"), // valid GB test IBAN
+      (1L, "acct GB82WEST12345698765433 held"), // check digit off by one
+      (2L, "ref FR1420041010050500013M02606 ok"), // valid, letter in BBAN
+      (3L, "code DE8937040 short"), // IBAN-shaped prefix, too short
+      (4L, "a GB82WEST12345698765432 b DE89370400440532013000 c"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextOps.ibanScan(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_cands"), x.getAs[Int]("n_valid"),
+          x.getAs[String]("clean")))).toMap
+    assert(r(0L) == ((1, 1, "pay <IBAN> now")))
+    assert(r(1L) == ((1, 0, "acct GB82WEST12345698765433 held")))
+    assert(r(2L) == ((1, 1, "ref <IBAN> ok")))
+    assert(r(3L) == ((0, 0, "code DE8937040 short")))
+    assert(r(4L) == ((2, 2, "a <IBAN> b <IBAN> c")))
+    assert(r(5L) == ((0, 0, "")))
+  }
+
+  test("triangles: K4 complete, path-free, degree orientation") {
+    import graft.ops.Graph
+    // K4 (every pair) with noise: a reversed duplicate, a self-loop, and
+    // a pendant path 4-5-6 that closes nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 1L), (3L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val tri = Graph.triangles(edges).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.length == 4) // C(4,3), each counted exactly once
+    assert(tri.toSet == Set(Set(1L, 2L, 3L), Set(1L, 2L, 4L),
+      Set(1L, 3L, 4L), Set(2L, 3L, 4L)))
+    // a pure path has no triangles
+    val none = Graph.triangles(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")).count()
+    assert(none == 0L)
+  }
+
   test("abtt residuals are EXACTLY orthogonal to the component") {
     val d = Seq(
       (0L, Seq(10.0f, 0.25f)), (1L, Seq(8.0f, -0.25f)),
