@@ -917,14 +917,50 @@ object Dedup {
     spanRemoval(docs, idCol, textCol, winLen = minLen, stride = 1)
   }
 
-  /** md5-derived integer hash of the k-char gram of `nm` starting at
-    * 1-based position `i` — the engine-replayable hash shared by the
-    * winnowing and content-defined-chunking fingerprints (xxhash64 is
-    * faster but has no external replica; these two operators exist to be
-    * audited against an external engine, the [[simhashPairs]] discipline).
+  /** Polynomial 31-bit hash of the k-char gram at 1-based position `i`
+    * of a pre-split CODEPOINT ARRAY: fold acc = (acc·131 + cp) mod
+    * 2³¹−1, unrolled over the k characters with O(1) `element_at`
+    * lookups — the engine-replayable hash shared by the winnowing and
+    * content-defined-chunking fingerprints. Deliberately NOT md5 (a
+    * per-gram md5 pays a block hash + hex string + base conversion at
+    * every char position) and NOT per-position `substr` (UTF8 substr
+    * re-scans from the string head — O(L²) per document, measured 15×
+    * slower than this form end-to-end) and NOT xxhash64 (no external
+    * replica; these operators exist to be audited against an external
+    * engine, the [[simhashPairs]] discipline). The 31-bit range means
+    * ~n²/2³² chance collisions across distinct grams — they only add
+    * the odd spurious shared fingerprint / chunk boundary, identically
+    * in both engines (the comparison stays bit-exact).
     */
-  private def kgramHash(nm: Column, i: Column, k: Int): Column =
-    conv(substring(md5(nm.substr(i, lit(k))), 1, 8), 16, 10).cast("long")
+  private[ops] val KgramMod = 2147483647L
+
+  /** Codepoint array of `nm`, sliced to exactly length(nm) elements
+    * (regex-split implementations disagree on trailing empties; the
+    * slice pins the contract).
+    */
+  private def codepoints(nm: Column): Column =
+    slice(transform(split(nm, ""), c => ascii(c).cast("long")),
+      lit(1), greatest(length(nm), lit(0)))
+
+  /** ALL k-gram polynomial hashes of a codepoint array in one pass:
+    * element i = fold over the gram starting at i of
+    * acc = (acc·131 + cp) mod 2³¹−1 — computed as a chain of k−1
+    * `zip_with`s against progressively shifted copies of the array
+    * (vectorized array-at-a-time codegen; the per-position
+    * `element_at`-fold form ran interpreted per lookup and the
+    * per-position `substr` form re-scanned the string head — both
+    * measured several times slower end-to-end). Positions past
+    * L−k+1 come out NULL (zip_with pads the shorter side) and are
+    * sliced away by callers.
+    */
+  private def kgramHashes(cps: Column, k: Int): Column = {
+    val first = transform(cps, c => c % KgramMod)
+    (1 until k).foldLeft(first) { (acc, j) =>
+      zip_with(acc,
+        slice(cps, lit(j + 1), greatest(size(cps) - j, lit(0))),
+        (a, c) => (a * 131L + c) % KgramMod)
+    }
+  }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): per document, hash every k-char gram of the
@@ -942,29 +978,34 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
-    val nmc = TextOps.normalize(col(textCol))
-    val nGrams = length(nmc) - (k - 1)
-    // hashes of all k-grams, branch-free short-doc handling (slice to the
-    // true count; the wordShingles idiom)
-    val hs = slice(
-      transform(sequence(lit(1), greatest(nGrams, lit(1))),
-        i => kgramHash(nmc, i, k)),
-      lit(1), greatest(nGrams, lit(0)))
-    val withHs = docs.select(col(idCol).as("doc_id"), hs.as("hs"))
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.normalize(col(textCol)).as("nm"))
+      .select(col("doc_id"), codepoints(col("nm")).as("cps"))
+    val cps = col("cps")
+    val nGrams = size(cps) - (k - 1)
+    // all gram hashes in one vectorized pass, sliced to the true count
+    // (branch-free short-doc handling; the wordShingles idiom)
+    val hs = slice(kgramHashes(cps, k), lit(1), greatest(nGrams, lit(0)))
+    val withHs = base.select(col("doc_id"), hs.as("hs"))
     val h = col("hs")
     val nWin = size(h) - (w - 1)
-    val starts = slice(sequence(lit(1), greatest(nWin, lit(1))),
-      lit(1), greatest(nWin, lit(0)))
-    val sel = transform(starts, j =>
-      aggregate(sequence(lit(1), lit(w - 1)),
-        struct(element_at(h, j).as("fp"), j.as("pos")),
-        (acc, o) => {
-          val p = j + o
-          val hp = element_at(h, p)
-          // <=, not <: the RIGHTMOST minimum wins a tie
-          when(hp <= acc.getField("fp"),
-            struct(hp.as("fp"), p.as("pos"))).otherwise(acc)
-        }))
+    // per-window rightmost-minimum, vectorized: fold w−1 zip_withs of
+    // the (fp, pos) array against its own shifted copies — the LATER
+    // candidate wins on <= (the winnowing tie rule), and incomplete
+    // tail windows are sliced away (zip_with's null padding loses every
+    // `when` and the slice drops them). Array-at-a-time codegen; the
+    // per-window element_at fold this replaces ran interpreted per
+    // lookup (measured ~2× the whole gate).
+    val withPos = transform(h, (hp, idx) =>
+      struct(hp.as("fp"), (idx + 1).as("pos")))
+    val selArr = (1 until w).foldLeft(withPos) { (acc, o) =>
+      zip_with(acc, slice(withPos, lit(o + 1), greatest(size(h) - o,
+        lit(0))),
+        (a, b) => when(b.getField("fp") <= a.getField("fp"), b)
+          .otherwise(a))
+    }
+    val sel = slice(selArr, lit(1), greatest(nWin, lit(0)))
     withHs
       .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
@@ -977,22 +1018,34 @@ object Dedup {
     * fingerprint occurrences, never all-pairs), `dfCap` bounds viral
     * fingerprints exactly like the shingle df-cap.
     */
-  def winnowPairs(fps: DataFrame, minShared: Long,
-      dfCap: Int = Int.MaxValue): DataFrame = {
+  def winnowPairsScoped(fps: DataFrame, minShared: Long,
+      dfCap: Int = Int.MaxValue): Scoped = {
     require(minShared >= 1, "minShared must be >= 1")
-    val f = fps.select("doc_id", "fp").distinct()
+    // persist: the fingerprint derivation (per-char hashing + window
+    // selection) feeds the df aggregate, the cap semi-join, and BOTH
+    // sides of the pair join — unpersisted it re-runs ~4×, measured 3×
+    // the whole gate
+    val f = fps.select("doc_id", "fp").distinct().persist()
     val capped =
       if (dfCap == Int.MaxValue) f
       else f.join(
         f.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).select("fp"),
         Seq("fp"), "left_semi")
-    capped.as("a").join(capped.as("b"),
+    val out = capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    Scoped(out, () => { f.unpersist(); () })
   }
+
+  /** [[winnowPairsScoped]] without the handle — callers owning the
+    * session lifecycle (or clearing the cache themselves) can ignore it.
+    */
+  def winnowPairs(fps: DataFrame, minShared: Long,
+      dfCap: Int = Int.MaxValue): DataFrame =
+    winnowPairsScoped(fps, minShared, dfCap).df
 
   /** Content-defined chunking (the rsync/LBFS/storage-dedup primitive):
     * chunk boundaries fall where the rolling k-gram hash ENDING at a
@@ -1010,13 +1063,19 @@ object Dedup {
     require(k >= 2, "need k >= 2")
     require(mask >= 1 && (mask & (mask + 1)) == 0,
       "mask must be 2^b - 1 (the boundary test is h mod (mask+1) == 0)")
-    val nmc = TextOps.normalize(col(textCol))
-    val base = docs.select(col(idCol).as("doc_id"), nmc.as("nm"))
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.normalize(col(textCol)).as("nm"))
+      .select(col("doc_id"), col("nm"), codepoints(col("nm")).as("cps"))
+      .select(col("doc_id"), col("nm"),
+        kgramHashes(col("cps"), k).as("ghs"))
     val nm = col("nm")
     val len = length(nm)
-    // candidate boundary positions: the k-gram ENDING at i (i in k..L)
+    // candidate boundary positions: the k-gram ENDING at i (i in k..L) —
+    // its hash sits at ghs[i−k+1]; try_element_at nulls (not throws) on
+    // the empty-doc probe and filter drops the null
     val bounds = filter(sequence(lit(k), greatest(len, lit(k))),
-      i => i <= len && kgramHash(nm, i - (k - 1), k) % (mask + 1) === 0)
+      i => try_element_at(col("ghs"), i - (k - 1)) % (mask + 1) === 0)
     // the document end is always a boundary (emit the final partial
     // chunk); try_element_at — plain element_at(-1) THROWS on an empty
     // bounds array under ANSI mode

@@ -970,9 +970,12 @@ object CorpusOps {
         "doc_id", "text", k = 8, w = 4)
       // the ~79-char marker spans 69 windows -> >= ceil(69/4) = 18
       // distinct selections shared by the pair, a GUARANTEE (not a hash
-      // accident); 14 sits under it with margin while cutting the
-      // incidental same-vocabulary overlap mass ~40x
-      graft.ops.Dedup.winnowPairs(fps, minShared = 14, dfCap = 32)
+      // accident); 14 sits under it with margin. dfCap 8: the planted
+      // group-unique fingerprints have df = 2, while the synthetic
+      // corpus's 31-word vocabulary makes generic 8-gram fingerprints
+      // viral — at cap 32 the pair join carried ~15M candidate rows of
+      // pure same-vocabulary noise (measured ~5 s of the gate)
+      graft.ops.Dedup.winnowPairs(fps, minShared = 14, dfCap = 8)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -3158,7 +3161,7 @@ object CorpusOps {
            |    lower(trim(regexp_replace(tx, '\s+', ' ', 'g'))) AS nm
            |  FROM syn),
            |h AS (SELECT doc_id,
-           |    [('0x' || substr(md5(substr(nm, i, 8)), 1, 8))::BIGINT
+           |    [((((((((((((((((CAST(0 AS BIGINT) * 131 + ascii(substr(nm, i, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 1, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 2, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 3, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 4, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 5, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 6, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 7, 1))) % 2147483647)
            |     for i in generate_series(1, greatest(length(nm) - 7, 0))]
            |      AS hs
            |  FROM nmt),
@@ -3170,7 +3173,7 @@ object CorpusOps {
            |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
            |cap AS (SELECT fp FROM
            |    (SELECT fp, count(*) AS df FROM f GROUP BY fp)
-           |  WHERE df <= 32),
+           |  WHERE df <= 8),
            |fc AS (SELECT f.doc_id, f.fp FROM f JOIN cap USING (fp)),
            |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |    CAST(count(*) AS BIGINT) AS n_shared
@@ -3198,7 +3201,7 @@ object CorpusOps {
            |  FROM syn),
            |b AS (SELECT doc_id, nm,
            |    [i for i in generate_series(8, length(nm))
-           |     if ('0x' || substr(md5(substr(nm, i - 7, 8)), 1, 8))::BIGINT
+           |     if ((((((((((((((((CAST(0 AS BIGINT) * 131 + ascii(substr(nm, i - 7, 1))) % 2147483647) * 131 + ascii(substr(nm, i - 7 + 1, 1))) % 2147483647) * 131 + ascii(substr(nm, i - 7 + 2, 1))) % 2147483647) * 131 + ascii(substr(nm, i - 7 + 3, 1))) % 2147483647) * 131 + ascii(substr(nm, i - 7 + 4, 1))) % 2147483647) * 131 + ascii(substr(nm, i - 7 + 5, 1))) % 2147483647) * 131 + ascii(substr(nm, i - 7 + 6, 1))) % 2147483647) * 131 + ascii(substr(nm, i - 7 + 7, 1))) % 2147483647)
            |        % 64 = 0] AS bounds
            |  FROM nmt),
            |b2 AS (SELECT doc_id, nm,

@@ -2632,19 +2632,19 @@ class OpsSpec extends AnyFunSuite {
       assert(next - 1 == n)
     }
     // the shared paragraph yields identical chunk fingerprints in both
-    // docs even though its OFFSET differs (verified offline: 2 shared) —
-    // a fixed-grid chunker shares zero
+    // docs even though its OFFSET differs (poly-hash replica verified
+    // offline: 3 distinct shared) — a fixed-grid chunker shares zero
     val fp = (id: Long) => ch.filter(_.getAs[Long]("doc_id") == id)
       .map(_.getAs[String]("chunk_fp")).toSet
-    assert((fp(0L) & fp(1L)).size == 2)
+    assert((fp(0L) & fp(1L)).size == 3)
     // n_shared counts OCCURRENCES (the periodic paragraph repeats its
-    // 55-char chunk 4x per doc + the 49-char tail = 5) — byte-weighted
-    // dedup potential, not distinct-fp count
+    // shared chunks — 12 of each doc's 13/14 chunks land in the other) —
+    // byte-weighted dedup potential, not distinct-fp count
     val stats = Dedup.chunkDedupStats(
         Dedup.contentChunks(d, "doc_id", "text", k = 8, mask = 63))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Long]("n_shared")).toMap
-    assert(stats(0L) == 5L && stats(1L) == 5L && stats(2L) == 0L)
+    assert(stats(0L) == 12L && stats(1L) == 12L && stats(2L) == 0L)
   }
 
   test("mp4 sniff: variable offset, fail-closed walk, v1 mvhd skipped") {
