@@ -761,23 +761,28 @@ object Dedup {
     * one pair-keyed count agg — the q_doc_decontaminate shape turned
     * self-join; no window, no product, sizes join back on doc keys.
     */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minContainPpm: Long, dfCap: Int = Int.MaxValue): DataFrame = {
+  def containmentPairsScoped(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minContainPpm: Long,
+      dfCap: Int = Int.MaxValue): Scoped = {
     require(minContainPpm >= 1 && minContainPpm <= 1000000L,
       "minContainPpm in [1, 1e6]")
-    val raw = shingleRows(docs, idCol, textCol, k)
+    // persist: the capped shingle universe feeds the size aggregate and
+    // BOTH pair-join sides (and the raw rows feed the df screen twice) —
+    // unpersisted, the shingle Generate re-ran ~5× (measured over half
+    // the gate at sf0.1)
+    val raw = shingleRows(docs, idCol, textCol, k).persist()
     val capped =
-      if (dfCap == Int.MaxValue) raw
+      (if (dfCap == Int.MaxValue) raw
       else raw.join(
         raw.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).select("sh"),
-        Seq("sh"), "left_semi")
+        Seq("sh"), "left_semi")).persist()
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = capped.as("a").join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val out = common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
@@ -788,7 +793,16 @@ object Dedup {
         expr("common * 1000000 div n_b").as("contain_b_ppm"))
       .where(greatest(col("contain_a_ppm"), col("contain_b_ppm"))
         >= minContainPpm)
+    Scoped(out, () => { raw.unpersist(); capped.unpersist(); () })
   }
+
+  /** [[containmentPairsScoped]] without the handle — callers owning the
+    * session lifecycle (or clearing the cache themselves) can ignore it.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minContainPpm: Long, dfCap: Int = Int.MaxValue): DataFrame =
+    containmentPairsScoped(docs, idCol, textCol, k, minContainPpm,
+      dfCap).df
 
   /** Scalar 64-bit token SimHash of an already-normalized token list —
     * the IDENTICAL math as [[graft.functions.SigAggregators.simhash_combine]]
