@@ -492,6 +492,11 @@ object ExplainCheck {
     // fp-spread agg and doc rollup (the TF-IDF two-shuffle shape)
     "q_doc_cdc_chunks" -> (Seq("Generate", "HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+    // chunk-store serve: manifest ⋈ chunks equi-join + one doc-keyed
+    // ordered-stitch aggregate (ObjectHashAggregate collect_list) over
+    // the persisted layout — no product, no window
+    "q_doc_chunk_serve" -> (Seq("ObjectHashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_jaccard_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     // containment: shingle-keyed self-join over the df-capped universe +

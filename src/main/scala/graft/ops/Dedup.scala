@@ -1107,6 +1107,7 @@ object Dedup {
       .where(col("c.len") > 0)
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.start").as("start"), col("c.len").as("len"),
+        nm.substr(col("c.start"), col("c.len")).as("chunk"),
         md5(nm.substr(col("c.start"), col("c.len"))).as("chunk_fp"))
   }
 

@@ -675,6 +675,26 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // content-addressed chunk store round-trip: chunk every document,
+    // persist distinct payloads once (cb=-bucketed) + the manifest,
+    // reconstruct from the STORE — reconstruct ∘ chunk must equal
+    // normalize byte-for-byte (the oracle computes md5(normalized)
+    // directly plus the chunk count from the boundary replay)
+    "q_doc_chunk_serve" -> ((s, dir) => {
+      val base = graft.io.IndexCache.cacheDir("chunkstore", 1,
+        s"$dir/documents.parquet")
+      graft.io.IndexCache.ensureBuilt(base,
+        s"$base/manifest/_SUCCESS") { tmp =>
+        graft.io.ChunkStore.save(tmp,
+          graft.ops.Dedup.contentChunks(wide(s, t(s, dir, "documents")),
+            "doc_id", "text"), buckets = 16)
+      }
+      graft.io.ChunkStore.reconstruct(s, base)
+        .select(col("doc_id"), col("n_chunks"),
+          md5(col("text")).as("text_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ranked retrieval: top-10 docs by tf·idf over an OR term set —
     // micro-unit integer score sums (order-free), TakeOrderedAndProject
     "q_doc_rank_search" -> ((s, dir) =>
@@ -1826,6 +1846,30 @@ object CurationQueries {
     // identical result contract: the index is a layout, not a semantic —
     // serving from tb= partitions must return exactly the direct scan
     "q_doc_search_serve" -> matchAllSql,
+
+    // chunk-store round-trip contract: the reconstruction must hash to
+    // md5 of the DIRECTLY-normalized text (identity proof), with the
+    // chunk count from the polynomial boundary replay
+    "q_doc_chunk_serve" -> {
+      val poly = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        val pos = if (j == 0) "i - 7" else s"i - 7 + $j"
+        s"(($acc * 131 + ascii(substr(nm, $pos, 1))) % 2147483647)"
+      }
+      raw"""WITH nmt AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nm
+           |  FROM documents),
+           |b AS (SELECT doc_id, nm,
+           |    [i for i in generate_series(8, length(nm))
+           |     if $poly % 64 = 0] AS bounds
+           |  FROM nmt),
+           |b2 AS (SELECT doc_id, nm,
+           |    CASE WHEN len(bounds) > 0 AND bounds[-1] = length(nm)
+           |      THEN bounds ELSE list_append(bounds, length(nm)) END AS bb
+           |  FROM b)
+           |SELECT doc_id, CAST(len(bb) AS BIGINT) AS n_chunks,
+           |  md5(nm) AS text_fp
+           |FROM b2 ORDER BY doc_id""".stripMargin
+    },
 
     "q_doc_weighted_sample" ->
       s"""WITH b AS (

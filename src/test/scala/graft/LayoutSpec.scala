@@ -247,4 +247,50 @@ class LayoutSpec extends AnyFunSuite {
     val served = key(VectorOps.ivfTopKIndexed(cells2, cen2, queries, k = 3, nprobe = 2))
     assert(served == oneShot)
   }
+
+  test("chunk store: byte-exact round-trip, dedup storage, delta append") {
+    import graft.io.ChunkStore
+    import graft.ops.{Dedup, TextOps}
+    val dir = java.nio.file.Files.createTempDirectory("chunkstore").toString
+    val para = "the quarterly report shows steady growth across " +
+      "all regions with particular strength in the northern market " * 4
+    val day0 = Seq(
+      (0L, s"intro for doc zero $para"),
+      (1L, s"a different opening line here $para"),
+      (2L, "an entirely unrelated short document"))
+      .toDF("doc_id", "text")
+    val chunks0 = Dedup.contentChunks(day0, "doc_id", "text")
+    ChunkStore.save(dir, chunks0, buckets = 4)
+    // round-trip: reconstruct ∘ chunk ≡ normalize, byte-for-byte
+    val rebuilt = ChunkStore.reconstruct(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val want = day0.select(col("doc_id"),
+        TextOps.normalize(col("text")).as("nm")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == want)
+    // storage dedup: the shared paragraph's chunks are written once
+    val stored0 = spark.read.parquet(s"$dir/chunks").count()
+    assert(stored0 < chunks0.count())
+    assert(stored0 == chunks0.select("chunk_fp").distinct().count())
+    // delta append: an UNCHANGED re-crawl adds zero chunk payloads; an
+    // edited doc adds only the chunks its edit touched
+    val recrawl = Seq((3L, s"intro for doc zero $para"))
+      .toDF("doc_id", "text") // doc 0's exact text under a new id
+    ChunkStore.append(spark, dir, Dedup.contentChunks(recrawl,
+      "doc_id", "text"), buckets = 4)
+    assert(spark.read.parquet(s"$dir/chunks").count() == stored0)
+    val edited = Seq((4L, s"intro for doc zero EDITED $para"))
+      .toDF("doc_id", "text")
+    ChunkStore.append(spark, dir, Dedup.contentChunks(edited,
+      "doc_id", "text"), buckets = 4)
+    val stored1 = spark.read.parquet(s"$dir/chunks").count()
+    assert(stored1 > stored0) // the edited head chunk(s) are new...
+    assert(stored1 - stored0 < chunks0.where(col("doc_id") === 0).count())
+    // ...and the appended docs reconstruct byte-exactly too
+    val all = ChunkStore.reconstruct(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(all(3L) == want(0L))
+    assert(all(4L) == s"intro for doc zero EDITED $para".trim
+      .replaceAll("\\s+", " ").toLowerCase) // the normalize contract
+  }
 }
