@@ -697,6 +697,10 @@ object ExplainCheck {
     "q_doc_source_divergence" -> (Seq("HashAggregate",
         "BroadcastHashJoin", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // pad-waste: two group-partitioned rank windows + bounded aggs +
+    // a groups-sized join — no product, no global sort
+    "q_doc_pad_waste" -> (Seq("Window", "HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // IBAN scan: token filter + mod-97 fold + replace fold, in-row
     "q_doc_iban_scrub" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

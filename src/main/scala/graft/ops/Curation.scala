@@ -731,4 +731,47 @@ object Curation {
         concat_ws(" ", col("chunk_toks")).as("chunk_text"),
         size(col("chunk_toks")).as("n_tokens"))
   }
+
+  /** Padding-efficiency audit for fixed-size training batches: per
+    * group (language / source shard — the unit real loaders batch
+    * within), compare the padded-slot waste of LENGTH-SORTED batching
+    * (sorted-bucket batching, the standard padding optimization)
+    * against content-hash-shuffled order (what a naive loader pays).
+    * Docs rank within their group by (token count desc, content-hash
+    * tiebreak) resp. by content hash alone, batch = rank div `batch`,
+    * each batch pads every member to its max length; waste_ppm =
+    * (slots − tokens)·1e6 div slots, all exact integers. The delta IS
+    * the decision number: whether length-bucketing the loader is worth
+    * its shuffle at this corpus.
+    *
+    * Scale shape: two group-partitioned rank windows over (group)-keyed
+    * partitions (the per-shard batching a real pipeline does anyway —
+    * never a global sort), then two bounded aggregates; output is one
+    * row per group.
+    */
+  def padWaste(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, batch: Int): DataFrame = {
+    require(batch >= 1, "batch must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(groupCol).as("grp"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n"),
+      md5(concat_ws("|", col(idCol), col(textCol))).as("h"))
+    def waste(order: Seq[Column], name: String): DataFrame =
+      base
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("grp").orderBy(order: _*)))
+        .withColumn("b", expr(s"(rk - 1) div $batch"))
+        .groupBy("grp", "b")
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("sm"),
+          count(lit(1)).as("c"))
+        .groupBy("grp")
+        .agg(sum(expr("mx * c")).as("slots"), sum(col("sm")).as("tok"),
+          sum(col("c")).as("n_docs"))
+        .select(col("grp"), col("n_docs"),
+          col("tok").as("total_tokens"),
+          expr("(slots - tok) * 1000000 div slots").as(name))
+    waste(Seq(col("n").desc, col("h")), "sorted_waste_ppm")
+      .join(waste(Seq(col("h")), "shuffled_waste_ppm")
+        .select(col("grp"), col("shuffled_waste_ppm")), Seq("grp"))
+  }
 }

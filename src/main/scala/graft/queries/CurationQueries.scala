@@ -1068,6 +1068,14 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // padding-efficiency audit: per language, padded-slot waste of
+    // length-sorted batches (batch 8) vs content-hash-shuffled order —
+    // the loader-design decision number; all-integer window + agg replay
+    "q_doc_pad_waste" -> ((s, dir) =>
+      Curation.padWaste(t(s, dir, "documents"), "lang", "doc_id", "text",
+          batch = 8)
+        .orderBy("grp")),
+
     // mod-97-validated IBAN redaction (the luhn gate's banking sibling):
     // residue 1 plants a valid GB test IBAN, residue 2 the same with a
     // failing check digit (candidate, NOT masked), residue 3 a valid
@@ -2541,6 +2549,39 @@ object CurationQueries {
            |    (acc, x) -> replace(acc, x, '<CARD>'))) AS clean_fp
            |FROM v ORDER BY doc_id""".stripMargin
     },
+
+    // pad-waste replay: same rank windows (n desc + hash tiebreak vs
+    // hash alone), same div-8 batches, same exact slot/waste integers
+    "q_doc_pad_waste" ->
+      raw"""WITH base AS (SELECT lang AS grp,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+           |      AS BIGINT) AS n,
+           |    md5(doc_id || '|' || text) AS h
+           |  FROM documents),
+           |s1 AS (SELECT grp, n, CAST(row_number() OVER (
+           |    PARTITION BY grp ORDER BY n DESC, h) AS BIGINT) AS rk
+           |  FROM base),
+           |b1 AS (SELECT grp, (rk - 1) // 8 AS b, max(n) AS mx,
+           |    sum(n) AS sm, count(*) AS c
+           |  FROM s1 GROUP BY 1, 2),
+           |g1 AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_docs,
+           |    CAST(sum(sm) AS BIGINT) AS total_tokens,
+           |    CAST((sum(mx * c) - sum(sm)) * 1000000 // sum(mx * c)
+           |      AS BIGINT) AS sorted_waste_ppm
+           |  FROM b1 GROUP BY grp),
+           |s2 AS (SELECT grp, n, CAST(row_number() OVER (
+           |    PARTITION BY grp ORDER BY h) AS BIGINT) AS rk
+           |  FROM base),
+           |b2 AS (SELECT grp, (rk - 1) // 8 AS b, max(n) AS mx,
+           |    sum(n) AS sm, count(*) AS c
+           |  FROM s2 GROUP BY 1, 2),
+           |g2 AS (SELECT grp,
+           |    CAST((sum(mx * c) - sum(sm)) * 1000000 // sum(mx * c)
+           |      AS BIGINT) AS shuffled_waste_ppm
+           |  FROM b2 GROUP BY grp)
+           |SELECT g1.grp, g1.n_docs, g1.total_tokens,
+           |  g1.sorted_waste_ppm, g2.shuffled_waste_ppm
+           |FROM g1 JOIN g2 USING (grp) ORDER BY g1.grp""".stripMargin,
 
     // IBAN replay: whole-token shape match, the same rearrange + mod-97
     // incremental fold (list_reduce seeded by a prepended 0), same

@@ -2477,6 +2477,25 @@ class OpsSpec extends AnyFunSuite {
     r3.release()
   }
 
+  test("pad waste: sorted batching eliminates waste on the bimodal mix") {
+    import graft.ops.Curation
+    // group g: two long docs (4 tokens) + two short (1) — batch 2 sorted
+    // pairs like with like (slots 8 + 2 = 10 = tokens → waste 0); any
+    // order mixing a long with a short pads the short to 4
+    val d = Seq(
+      (0L, "g", "a b c d"), (1L, "g", "e f g h"),
+      (2L, "g", "x"), (3L, "g", "y"))
+      .toDF("doc_id", "lang", "text")
+    val r = Curation.padWaste(d, "lang", "doc_id", "text", batch = 2)
+      .collect().map(x => (x.getAs[Long]("n_docs"),
+        x.getAs[Long]("total_tokens"), x.getAs[Long]("sorted_waste_ppm"),
+        x.getAs[Long]("shuffled_waste_ppm")))
+    assert(r.length == 1)
+    assert(r(0)._1 == 4L && r(0)._2 == 10L)
+    assert(r(0)._3 == 0L)
+    assert(r(0)._4 >= r(0)._3) // shuffled can never beat sorted here
+  }
+
   test("iban scan validates mod-97, masks only validated tokens") {
     val d = Seq(
       (0L, "pay GB82WEST12345698765432 now"), // valid GB test IBAN
