@@ -167,7 +167,8 @@ object Bench {
       // pair/scan shapes: label-blocked self-join pair scoring, sign-LSH
       // bucket fold, coarse argmax assignment + IVF probe search
       graft.ops.VectorOps.nearDupPairs(emb, 0.4).count()
-      graft.ops.VectorOps.signLshNearDupPairs(emb, 0.4, inDims = 64).count()
+      graft.ops.VectorOps.signLshNearDupPairs(emb, 0.4,
+        inDims = graft.queries.CorpusOps.embDims).count()
       val centroids = emb.where(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("centroid_vec"))

@@ -33,10 +33,14 @@ object PerfProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    // a throwing query must be VISIBLE in the artifact — Bench's rule: a
+    // crash recorded as a fast time would read as a healthy gate
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try graft.SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[probe] $name FAILED: $e")
       }
       finally spark.catalog.clearCache()
@@ -53,9 +57,12 @@ object PerfProbe {
       val rows = names.map { n =>
         val steady = math.min(s1(n), s2(n))
         val ratio = if (steady > 0) cold(n) / steady else 0.0
-        f""""$n":{"cold":${cold(n)}%.3f,"steady":$steady%.3f,"ratio":$ratio%.2f}"""
+        val fl = if (failed.contains(n)) ""","failed":true""" else ""
+        f""""$n":{"cold":${cold(n)}%.3f,"steady":$steady%.3f,"ratio":$ratio%.2f$fl}"""
       }
       val json = rows.mkString("{", ",", "}")
+      if (failed.nonEmpty)
+        System.err.println(s"[probe] FAILED gates: ${failed.mkString(", ")}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/perf_probe.json"),
         (json + "\n").getBytes("UTF-8"))

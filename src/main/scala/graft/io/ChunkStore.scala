@@ -40,22 +40,34 @@ object ChunkStore {
       .write.mode("overwrite").parquet(s"$path/manifest")
   }
 
-  /** Append a new batch: only fingerprints the store has never seen
-    * write payloads (left-anti against the existing fingerprint
-    * column); the batch's manifest rows always append. An unchanged
-    * re-crawled document adds ZERO chunk bytes.
+  /** Append a new batch, IDEMPOTENT per doc_id (first write wins — the
+    * segmentDedup first-seen discipline): doc_ids already in the
+    * manifest are dropped whole (an operational retry or a re-crawl
+    * under the same id must not duplicate manifest rows — duplicated
+    * rows would stitch every chunk twice on reconstruct), and only
+    * fingerprints the store has never seen write payloads (left-anti on
+    * the fingerprint column of the surviving rows). An unchanged
+    * re-crawl therefore adds ZERO bytes on either side; a
+    * version-REPLACING update is a partition-overwrite upsert, out of
+    * this method's scope.
     */
   def append(spark: SparkSession, path: String, chunks: DataFrame,
       buckets: Int = 64): Unit = {
     require(buckets >= 1 && buckets <= 65536, "buckets in [1, 65536]")
+    val existingDocs = spark.read.parquet(s"$path/manifest")
+      .select("doc_id").distinct()
+    val fresh = chunks.join(existingDocs, Seq("doc_id"), "left_anti")
+      .persist()
     val existing = spark.read.parquet(s"$path/chunks").select("chunk_fp")
-    chunks.select(col("chunk_fp"), col("chunk"))
+    fresh.select(col("chunk_fp"), col("chunk"))
       .groupBy("chunk_fp").agg(first(col("chunk")).as("chunk"))
       .join(existing, Seq("chunk_fp"), "left_anti")
       .withColumn("cb", Sampling.hashBucket(col("chunk_fp"), buckets))
       .write.mode("append").partitionBy("cb").parquet(s"$path/chunks")
-    chunks.select("doc_id", "chunk_idx", "chunk_fp")
+    fresh.select("doc_id", "chunk_idx", "chunk_fp")
       .write.mode("append").parquet(s"$path/manifest")
+    fresh.unpersist()
+    ()
   }
 
   /** Rebuild every document's normalized text from the store:

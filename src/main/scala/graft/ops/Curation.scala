@@ -753,9 +753,12 @@ object Curation {
       textCol: String, batch: Int): DataFrame = {
     require(batch >= 1, "batch must be positive")
     import org.apache.spark.sql.expressions.Window
+    // persist: both orderings consume the identical projection — an
+    // unpersisted base would scan + tokenize + hash the corpus twice
     val base = docs.select(col(groupCol).as("grp"),
       TextOps.tokenCount(col(textCol)).cast("long").as("n"),
       md5(concat_ws("|", col(idCol), col(textCol))).as("h"))
+      .persist()
     def waste(order: Seq[Column], name: String): DataFrame =
       base
         .withColumn("rk",

@@ -1104,7 +1104,10 @@ object Dedup {
     })
     base.select(col("doc_id"), nm, b2.as("b2"))
       .select(col("doc_id"), nm, explode(chunks).as("c"))
-      .where(col("c.len") > 0)
+      // an empty-normalized doc keeps its single zero-length chunk — it
+      // must survive the store round-trip (and the oracle's per-doc
+      // row), not silently vanish
+      .where(col("c.len") > 0 || length(nm) === 0)
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.start").as("start"), col("c.len").as("len"),
         nm.substr(col("c.start"), col("c.len")).as("chunk"),

@@ -40,9 +40,14 @@ object UrlOps {
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://"))
-    val hostRaw = lower(extract(url, "^[^:]+://([^/:?#]+)"))
+    // authority may carry userinfo (user:pass@host) — the optional
+    // non-capturing prefix skips it, so the HOST is keyed, not the
+    // username (a blocklist bypassed by "http://x@evil.com/" otherwise);
+    // the userinfo cannot leak past the authority because [^/?#]* stops
+    // at the first path/query/fragment delimiter
+    val hostRaw = lower(extract(url, "^[^:]+://(?:[^/?#]*@)?([^/:?#]+)"))
     val host = regexp_replace(hostRaw, "^www\\.", "")
-    val port = extract(url, "^[^:]+://[^/:?#]+:(\\d+)")
+    val port = extract(url, "^[^:]+://(?:[^/?#]*@)?[^/:?#]+:(\\d+)")
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")

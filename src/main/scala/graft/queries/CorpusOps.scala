@@ -1957,7 +1957,7 @@ object CorpusOps {
     * raises via [[graft.ops.VectorOps.jlProject]]'s width guard, the oracle
     * via [[evGuardSql]] — instead of null-padding plane sums.
     */
-  private[queries] val embDims = 64
+  private[graft] val embDims = 64
 
   /** DuckDB-side mirror of the engine's width guard: selects the embedding
     * as DOUBLE[] when exactly [[embDims]] wide, else raises through
@@ -3219,7 +3219,7 @@ object CorpusOps {
            |          unnest(generate_series(1, len(bb))) AS idx
            |        FROM b2)
            |  WHERE bb[idx] - CASE WHEN idx = 1 THEN 0 ELSE bb[idx - 1] END
-           |        > 0),
+           |        > 0 OR length(nm) = 0),
            |fpc AS (SELECT chunk_fp, count(DISTINCT doc_id) AS fp_docs
            |  FROM ch GROUP BY 1),
            |agg AS (SELECT ch.doc_id,

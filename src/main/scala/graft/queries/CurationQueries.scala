@@ -19,6 +19,7 @@ object CurationQueries {
   private def synthUrl: org.apache.spark.sql.Column = {
     def m(k: Int) = pmod(col("doc_id"), lit(k))
     val scheme = when(m(2) === 0, lit("HTTP")).otherwise(lit("https"))
+    val userinfo = when(m(7) === 6, lit("User:Pw@")).otherwise(lit(""))
     val www = when(m(3) === 0, lit("WWW.")).otherwise(lit(""))
     val host = when(m(2) === 0,
         concat(lit("Host"), m(7).cast("string"),
@@ -34,12 +35,14 @@ object CurationQueries {
     val query = concat(lit("?utm_source=feed&id="), m(4).cast("string"),
       when(m(3) === 1, lit("&fbclid=ZZZ&x=1")).otherwise(lit("&ref=tw")))
     val frag = when(m(3) === 2, lit("#Sec2")).otherwise(lit(""))
-    concat(scheme, lit("://"), www, host, port, path, query, frag)
+    concat(scheme, lit("://"), userinfo, www, host, port, path, query,
+      frag)
   }
 
   /** DuckDB replica of [[synthUrl]] — same residue classes, same bytes. */
   private val synthUrlSql: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+      | CASE WHEN doc_id % 7 = 6 THEN 'User:Pw@' ELSE '' END ||
       | CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
       | CASE WHEN doc_id % 2 = 0
       |   THEN 'Host' || (doc_id % 7) || '.Example' || (doc_id % 4) || '.COM'
@@ -64,9 +67,11 @@ object CurationQueries {
          |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
          |      AS scheme,
          |    regexp_replace(
-         |      lower(regexp_extract(url, '^[^:]+://([^/:?#]+)', 1)),
+         |      lower(regexp_extract(url,
+         |        '^[^:]+://(?:[^/?#]*@)?([^/:?#]+)', 1)),
          |      '^www\.', '') AS host,
-         |    regexp_extract(url, '^[^:]+://[^/:?#]+:(\d+)', 1) AS port,
+         |    regexp_extract(url,
+         |      '^[^:]+://(?:[^/?#]*@)?[^/:?#]+:(\d+)', 1) AS port,
          |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS pth,
          |    regexp_extract(url, '\?([^#]*)', 1) AS qry
          |  FROM u),

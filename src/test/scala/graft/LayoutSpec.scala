@@ -279,6 +279,13 @@ class LayoutSpec extends AnyFunSuite {
     ChunkStore.append(spark, dir, Dedup.contentChunks(recrawl,
       "doc_id", "text"), buckets = 4)
     assert(spark.read.parquet(s"$dir/chunks").count() == stored0)
+    // RETRY safety: appending the same batch again is a no-op on BOTH
+    // sides — duplicated manifest rows would stitch every chunk twice
+    val manifest0 = spark.read.parquet(s"$dir/manifest").count()
+    ChunkStore.append(spark, dir, Dedup.contentChunks(recrawl,
+      "doc_id", "text"), buckets = 4)
+    assert(spark.read.parquet(s"$dir/chunks").count() == stored0)
+    assert(spark.read.parquet(s"$dir/manifest").count() == manifest0)
     val edited = Seq((4L, s"intro for doc zero EDITED $para"))
       .toDF("doc_id", "text")
     ChunkStore.append(spark, dir, Dedup.contentChunks(edited,
