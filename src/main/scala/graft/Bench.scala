@@ -272,6 +272,13 @@ object Bench {
         docs.select(col("doc_id"),
           concat_ws("\n", col("text"), col("text")).as("text")),
         "doc_id", "text").count()
+      // domain boilerplate profile + removal chain (canon → segment agg →
+      // broadcast probe → stitch): its generated classes are compiled by
+      // no other pass — 18 s first-run vs 3.8 s steady measured when the
+      // userinfo regex change invalidated the old class
+      val segDocs = urls.select(col("doc_id"), col("url"),
+        concat_ws("\n", col("text"), lit("warm footer line")).as("text"))
+      graft.ops.UrlOps.domainClean(segDocs, "url", "doc_id", "text").count()
       val m = docs.limit(64).select(col("doc_id").as("media_id"),
         lit("audio").as("modality"),
         encode(lit("not audio"), "UTF-8").as("payload"),
