@@ -1073,16 +1073,20 @@ object Dedup {
     * algebra — boundary scan + slice per row, zero shuffle.
     */
   def contentChunks(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, mask: Int = 63): DataFrame = {
+      k: Int = 8, mask: Int = 63, keep: Seq[String] = Nil): DataFrame = {
     require(k >= 2, "need k >= 2")
     require(mask >= 1 && (mask & (mask + 1)) == 0,
       "mask must be 2^b - 1 (the boundary test is h mod (mask+1) == 0)")
+    // `keep`: extra input columns carried through unchanged (the
+    // streaming tracker threads event_time this way)
+    val kc = keep.map(col)
     val base = docs
-      .select(col(idCol).as("doc_id"),
-        TextOps.normalize(col(textCol)).as("nm"))
-      .select(col("doc_id"), col("nm"), codepoints(col("nm")).as("cps"))
-      .select(col("doc_id"), col("nm"),
-        kgramHashes(col("cps"), k).as("ghs"))
+      .select(col(idCol).as("doc_id") +:
+        TextOps.normalize(col(textCol)).as("nm") +: kc: _*)
+      .select(col("doc_id") +: col("nm") +:
+        codepoints(col("nm")).as("cps") +: kc: _*)
+      .select(col("doc_id") +: col("nm") +:
+        kgramHashes(col("cps"), k).as("ghs") +: kc: _*)
     val nm = col("nm")
     val len = length(nm)
     // candidate boundary positions: the k-gram ENDING at i (i in k..L) —
@@ -1102,16 +1106,17 @@ object Dedup {
       struct((idx - 1).as("chunk_idx"), (prev + 1).as("start"),
         (cur - prev).as("len"))
     })
-    base.select(col("doc_id"), nm, b2.as("b2"))
-      .select(col("doc_id"), nm, explode(chunks).as("c"))
+    base.select(col("doc_id") +: nm +: b2.as("b2") +: kc: _*)
+      .select(col("doc_id") +: nm +: explode(chunks).as("c") +: kc: _*)
       // an empty-normalized doc keeps its single zero-length chunk — it
       // must survive the store round-trip (and the oracle's per-doc
       // row), not silently vanish
       .where(col("c.len") > 0 || length(nm) === 0)
-      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-        col("c.start").as("start"), col("c.len").as("len"),
-        nm.substr(col("c.start"), col("c.len")).as("chunk"),
-        md5(nm.substr(col("c.start"), col("c.len"))).as("chunk_fp"))
+      .select(col("doc_id") +: col("c.chunk_idx").as("chunk_idx") +:
+        col("c.start").as("start") +: col("c.len").as("len") +:
+        nm.substr(col("c.start"), col("c.len")).as("chunk") +:
+        md5(nm.substr(col("c.start"), col("c.len"))).as("chunk_fp") +:
+        kc: _*)
   }
 
   /** Per-document storage-dedup report over [[contentChunks]] output:

@@ -154,6 +154,31 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"state lost across restart: ${kept(p2)}")
   }
 
+  test("chunk dedup survives restart: stored fingerprints stay deduped") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingChunkDedup
+    val para = "the quarterly report shows steady growth across " +
+      "all regions with particular strength in the northern market " * 4
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val (p1, p2) = runWithRestart(
+      () => StreamingChunkDedup.newChunks(
+        source.toDF().toDF("doc_id", "event_time", "text"),
+        horizonSeconds = 86400, watermarkDelay = "0 seconds").toDF(),
+      () => source.addData(
+        (1L, ts("2020-01-01 00:00:00"), s"intro for doc one $para")),
+      () => source.addData(
+        (2L, ts("2020-01-01 00:10:00"), s"different head here $para")))
+    // doc 2 arrives after the restart: its paragraph chunks were stored
+    // pre-kill, so only the chunks its distinct head produces are new
+    assert(p1.nonEmpty)
+    val pre = p1.map(_.getString(0)).toSet
+    val post = p2.map(_.getString(0)).toSet
+    assert(p2.nonEmpty && (pre & post).isEmpty,
+      s"restart re-emitted stored fingerprints: ${pre & post}")
+    assert(post.size < pre.size,
+      s"shared paragraph must dedup across the restart: ${post.size}")
+  }
+
   test("segment near-dup survives restart: variant arriving after resume hits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingSegmentNearDup

@@ -265,6 +265,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk dedup: batch fp parity, cross-batch no re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingChunkDedup
+    val para = "the quarterly report shows steady growth across " +
+      "all regions with particular strength in the northern market " * 4
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val fresh = StreamingChunkDedup.newChunks(
+      source.toDF().toDF("doc_id", "event_time", "text"),
+      horizonSeconds = 3600, watermarkDelay = "0 seconds")
+    val q = fresh.writeStream.outputMode("append")
+      .format("memory").queryName("chunkdedup_out").start()
+    try {
+      // batch 1: two docs sharing the paragraph at different offsets
+      source.addData(
+        (1L, ts("2020-01-01 00:01:00"), s"intro for doc one $para"),
+        (2L, ts("2020-01-01 00:02:00"),
+          s"a different opening line here $para"))
+      q.processAllAvailable()
+      // batch 2: a re-crawl (doc 1's exact text) inside the horizon —
+      // EVERY chunk is already stored, zero new payloads
+      val afterB1 = spark.table("chunkdedup_out").count()
+      source.addData((3L, ts("2020-01-01 00:10:00"),
+        s"intro for doc one $para"))
+      q.processAllAvailable()
+      assert(spark.table("chunkdedup_out").count() == afterB1,
+        "an unchanged re-crawl must emit no new chunk payloads")
+      // batch 3: an edited head — only the touched chunk(s) are new
+      source.addData((4L, ts("2020-01-01 00:20:00"),
+        s"intro for doc one EDITED $para"))
+      q.processAllAvailable()
+      val got = spark.table("chunkdedup_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // parity: the emitted distinct-fp set == the batch chunker's
+      // distinct fps over everything that arrived
+      val batchDocs = Seq(
+        (1L, s"intro for doc one $para"),
+        (2L, s"a different opening line here $para"),
+        (3L, s"intro for doc one $para"),
+        (4L, s"intro for doc one EDITED $para")).toDF("doc_id", "text")
+      val want = graft.ops.Dedup.contentChunks(batchDocs, "doc_id", "text")
+        .select("chunk_fp", "chunk").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == want, s"stream fps ${got.size} vs batch ${want.size}")
+      // each fingerprint emitted exactly once
+      val all = spark.table("chunkdedup_out").collect().map(_.getString(0))
+      assert(all.length == all.distinct.length)
+    } finally q.stop()
+  }
+
   test("foreachBatch matrix sink produces byte-identical files to the batch sink") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
