@@ -687,6 +687,11 @@ object ExplainCheck {
     "q_mm_jpeg" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // ViT patch features: decode + tile at the codec seam (typed
+    // flatMap) — no join/agg/window anywhere
+    "q_mm_patches" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // MP4 box walk: bounded per-row fold + one nested probe — projection
     "q_mm_mp4" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

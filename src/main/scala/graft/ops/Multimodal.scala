@@ -869,6 +869,56 @@ object Multimodal {
         .as("duration_ms"))
   }
 
+  /** Exact per-patch channel features for one decoded image patch. */
+  final case class PatchFeatures(media_id: Long, py: Int, px: Int,
+      n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** ViT-style PATCH feature extraction at the codec seam — the step
+    * between raw image bytes and a patch-embedding model: decode once,
+    * tile the pixel grid into `patch`×`patch` cells (edge cells keep
+    * their true partial size, like the audio windows' partial tail),
+    * and emit EXACT integer per-cell channel sums — the deterministic
+    * stand-in for learned patch embeddings, with the same shape
+    * (media_id, patch row/col, features). Undecodable payloads emit no
+    * rows (route them through [[decodeImages]]'s quarantine flag first,
+    * the established discipline). mapPartitions only because a codec is
+    * not a Catalyst expression; the output is plain columns, linear,
+    * shuffle-free.
+    */
+  def imagePatches(media: Dataset[MediaRecord],
+      patch: Int): Dataset[PatchFeatures] = {
+    require(patch >= 1 && patch <= 1024, "patch in [1, 1024]")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img == null) Iterator.empty
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        for {
+          py <- (0 until (h + patch - 1) / patch).iterator
+          px <- (0 until (w + patch - 1) / patch).iterator
+        } yield {
+          var sr = 0L; var sg = 0L; var sb = 0L; var n = 0
+          var y = py * patch
+          while (y < math.min((py + 1) * patch, h)) {
+            var x = px * patch
+            while (x < math.min((px + 1) * patch, w)) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          PatchFeatures(m.media_id, py, px, n, sr, sg, sb)
+        }
+      }
+    }
+  }
+
   /** End-to-end media feature pipeline over a text table. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -1508,6 +1508,22 @@ object CorpusOps {
       Multimodal.decodeImages(media).toDF().orderBy("media_id")
     }),
 
+    // multimodal: ViT-style patch features after a REAL decode — 2×2
+    // cells over the known-pixel PNG grids (edge cells genuinely
+    // partial at the odd widths/heights), exact integer channel sums
+    // per cell; junk payloads (residues 8/9) emit no patch rows. The
+    // oracle states every (residue, cell) row closed-form from the
+    // generator — decode ∘ tile must be the identity
+    "q_mm_patches" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          mmPngJunkPayload.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.imagePatches(media, patch = 2).toDF()
+        .orderBy("media_id", "py", "px")
+    }),
+
     // multimodal: REAL resize on the decode path — nearest-neighbor
     // downsample to 4×3 after an ImageIO decode (integer source mapping,
     // so the resized channel sums are closed-form stateable); junk
@@ -3842,6 +3858,35 @@ object CorpusOps {
         |FROM documents d
         |LEFT JOIN e ON CAST(d.doc_id % 10 AS INT) = e.k
         |ORDER BY media_id""".stripMargin
+    },
+
+    // per-(residue, cell) patch sums stated closed-form from the SAME
+    // pixel generator — junk residues 8/9 contribute no rows (inner join)
+    "q_mm_patches" -> {
+      val rows = (for {
+        k <- 0 until 8
+        (w, h) = mmPngDims(k)
+        py <- 0 until (h + 1) / 2
+        px <- 0 until (w + 1) / 2
+      } yield {
+        var sr = 0L; var sg = 0L; var sb = 0L; var n = 0
+        for (y <- py * 2 until math.min(py * 2 + 2, h);
+             x <- px * 2 until math.min(px * 2 + 2, w)) {
+          val p = mmPngPixel(k)(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          n += 1
+        }
+        s"($k, $py, $px, $n, $sr, $sg, $sb)"
+      }).mkString(",\n        |    ")
+      s"""WITH e(k, py, px, n, sr, sg, sb) AS (VALUES
+        |    $rows)
+        |SELECT d.doc_id AS media_id, CAST(e.py AS INT) AS py,
+        |  CAST(e.px AS INT) AS px, CAST(e.n AS INT) AS n_px,
+        |  CAST(e.sr AS BIGINT) AS sum_r, CAST(e.sg AS BIGINT) AS sum_g,
+        |  CAST(e.sb AS BIGINT) AS sum_b
+        |FROM documents d
+        |JOIN e ON CAST(d.doc_id % 10 AS INT) = e.k
+        |ORDER BY media_id, py, px""".stripMargin
     },
 
     // nearest-neighbor resized sums stated from the generator via the

@@ -2678,6 +2678,30 @@ class OpsSpec extends AnyFunSuite {
       empty(0).getAs[String]("chunk") == "")
   }
 
+  test("image patches tile exactly: conservation, partial edges, junk") {
+    import graft.ops.Multimodal
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "image",
+        Multimodal.makePng(5, 3, (x, y) => ((x * 40) << 16) | (y * 90)),
+        "t"),
+      Multimodal.MediaRecord(1L, "image", "junk".getBytes, "t")).toDS()
+    val patches = Multimodal.imagePatches(media, patch = 2).collect()
+    assert(!patches.exists(_.media_id == 1L)) // undecodable → no rows
+    val p0 = patches.filter(_.media_id == 0L)
+    // 5×3 at patch 2 → 3×2 grid; right column width 1, bottom row height 1
+    assert(p0.length == 6)
+    val byCell = p0.map(p => (p.py, p.px) -> p.n_px).toMap
+    assert(byCell == Map((0, 0) -> 4, (0, 1) -> 4, (0, 2) -> 2,
+      (1, 0) -> 2, (1, 1) -> 2, (1, 2) -> 1))
+    // conservation: patch sums tile the whole-image sums exactly
+    val whole = Multimodal.decodeImages(media).collect()
+      .find(_.media_id == 0L).get
+    assert(p0.map(_.sum_r).sum == whole.sum_r.get)
+    assert(p0.map(_.sum_g).sum == whole.sum_g.get)
+    assert(p0.map(_.sum_b).sum == whole.sum_b.get)
+    assert(p0.map(_.n_px.toLong).sum == whole.n_pixels.get)
+  }
+
   test("mp4 sniff: variable offset, fail-closed walk, v1 mvhd skipped") {
     def be32(v: Long) = f"$v%08X"
     val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
