@@ -692,6 +692,10 @@ object ExplainCheck {
     "q_mm_patches" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // GIF sniff: fixed-offset LE parse, pure projection
+    "q_mm_gif" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // MP4 box walk: bounded per-row fold + one nested probe — projection
     "q_mm_mp4" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

@@ -740,6 +740,38 @@ object Multimodal {
       when(isWav, le(35, 2).cast("int")).as("bits_per_sample"))
   }
 
+  /** GIF header sniff — completes the fixed-offset family beside
+    * [[pngHeader]] (BE) and [[wavHeader]] (LE): `GIF87a`/`GIF89a` magic,
+    * then the little-endian logical-screen descriptor — width u16 @7,
+    * height u16 @9, packed flags @11 (bit 7 = global color table
+    * present, bits 2-0 = its size exponent: 2^(n+1) entries). Pure
+    * codegen'd projection, zero shuffle; non-GIF payloads yield
+    * is_gif=false with null fields.
+    */
+  def gifHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def leHex(off: Int, len: Int) = {
+      val be = hex(substring(payload, off, len))
+      concat((len to 1 by -1).map(i => substring(be, i * 2 - 1, 2)): _*)
+    }
+    def le(off: Int, len: Int) = conv(leHex(off, len), 16, 10).cast("long")
+    val magic = hex(substring(payload, 1, 6))
+    val isGif = magic === lit("474946383761") || // "GIF87a"
+      magic === lit("474946383961") // "GIF89a"
+    val version = decode(substring(payload, 4, 3), "UTF-8")
+    val packed = conv(hex(substring(payload, 11, 1)), 16, 10).cast("int")
+    struct(
+      isGif.as("is_gif"),
+      when(isGif, version).as("version"),
+      when(isGif, le(7, 2).cast("int")).as("width"),
+      when(isGif, le(9, 2).cast("int")).as("height"),
+      when(isGif, (packed >= 128)).as("has_color_table"),
+      // 2^(n+1) for n <= 7: IEEE pow is exact at these magnitudes and
+      // both engines compute the same small integer
+      when(isGif && packed >= 128,
+        (lit(2) * pow(lit(2.0), (packed % 8).cast("double")))
+          .cast("int")).as("table_colors"))
+  }
+
   /** JPEG SOF header sniff — the VARIABLE-OFFSET case ([[pngHeader]] was
     * fixed-offset big-endian, [[wavHeader]] fixed-offset little-endian):
     * JPEG dimensions live in a Start-Of-Frame segment whose position

@@ -1423,6 +1423,38 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // GIF sniff — the remaining fixed-offset family member: LE logical
+    // screen, version split 87a/89a, packed color-table flag with the
+    // 2^(n+1) size decode; every 7th-residue-3 doc gets a PNG magic.
+    // The oracle states the output closed-form from the residues
+    "q_mm_gif" -> ((s, dir) => {
+      def le16(v: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(v), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val w = col("doc_id") % 300 + 10
+      val h = col("doc_id") % 200 + 10
+      val ver = when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("474946383961")).otherwise(lit("474946383761"))
+      val packed = when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(128) + pmod(col("doc_id"), lit(8)))
+        .otherwise(pmod(col("doc_id"), lit(64)))
+      val gif = concat(ver, le16(w), le16(h), lpad(hex(packed), 2, "0"),
+        lit("0000"))
+      val pl = when(pmod(col("doc_id"), lit(7)) === 3,
+          unhex(lit("89504E470D0A1A0A"))).otherwise(unhex(gif))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pl.as("pl"))
+        .select(col("doc_id"),
+          graft.ops.Multimodal.gifHeader(col("pl")).as("g"))
+        .select(col("doc_id"), col("g.is_gif").as("is_gif"),
+          col("g.version").as("version"), col("g.width").as("width"),
+          col("g.height").as("height"),
+          col("g.has_color_table").as("has_color_table"),
+          col("g.table_colors").as("table_colors"))
+        .orderBy("doc_id")
+    }),
+
     // MP4/ISO-BMFF sniff — the NESTED-box case next to q_mm_jpeg's flat
     // chain: payloads assemble ftyp + a variable-length free box (+ every
     // third doc a skip box) + moov[mvhd], so the moov offset varies per
@@ -3714,6 +3746,25 @@ object CorpusOps {
         |    THEN CAST(doc_id % 40 + 80 AS INT) END AS width,
         |  CASE WHEN doc_id % 7 <> 3 THEN 8 END AS precision,
         |  CASE WHEN doc_id % 7 <> 3 THEN 1 END AS n_components
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form GIF replay from the residues; table_colors = 2^(n+1)
+    // via an integer shift, matching the engine's shiftleft
+    "q_mm_gif" ->
+      """SELECT doc_id,
+        |  (doc_id % 7 <> 3) AS is_gif,
+        |  CASE WHEN doc_id % 7 <> 3 THEN
+        |    (CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END)
+        |  END AS version,
+        |  CASE WHEN doc_id % 7 <> 3
+        |    THEN CAST(doc_id % 300 + 10 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 <> 3
+        |    THEN CAST(doc_id % 200 + 10 AS INT) END AS height,
+        |  CASE WHEN doc_id % 7 <> 3 THEN (doc_id % 3 = 0)
+        |  END AS has_color_table,
+        |  CASE WHEN doc_id % 7 <> 3 AND doc_id % 3 = 0
+        |    THEN CAST(2 << CAST(doc_id % 8 AS INT) AS INT)
+        |  END AS table_colors
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // closed-form from the generator: residue precedence (PNG magic

@@ -2702,6 +2702,26 @@ class OpsSpec extends AnyFunSuite {
     assert(p0.map(_.n_px.toLong).sum == whole.n_pixels.get)
   }
 
+  test("gif sniff: LE screen descriptor, color-table decode, non-gif") {
+    // GIF89a, 320x200, packed 0x91 (table present, size exp 1 -> 4)
+    val g89 = "474946383961" + "4001" + "C800" + "91" + "0000"
+    // GIF87a, 16x16, packed 0x00 (no table)
+    val g87 = "474946383761" + "1000" + "1000" + "00" + "0000"
+    val d = Seq((0L, g89), (1L, g87), (2L, "89504E470D0A1A0A"))
+      .toDF("doc_id", "hx")
+    val r = d.select(col("doc_id"),
+        graft.ops.Multimodal.gifHeader(unhex(col("hx"))).as("g"))
+      .select(col("doc_id"), col("g.*")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("is_gif"), x.getAs[String]("version"),
+          Option(x.getAs[java.lang.Integer]("width")),
+          Option(x.getAs[java.lang.Boolean]("has_color_table")),
+          Option(x.getAs[java.lang.Integer]("table_colors"))))).toMap
+    assert(r(0L) == ((true, "89a", Some(320), Some(true), Some(4))))
+    assert(r(1L) == ((true, "87a", Some(16), Some(false), None)))
+    assert(r(2L)._1 == false && r(2L)._3.isEmpty)
+  }
+
   test("mp4 sniff: variable offset, fail-closed walk, v1 mvhd skipped") {
     def be32(v: Long) = f"$v%08X"
     val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
