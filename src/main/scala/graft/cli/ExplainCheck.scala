@@ -104,6 +104,7 @@ object ExplainCheck {
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // SQ8 search: bounded TopKAgg ranking like the float/PQ paths
     "q_emb_sq8_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    "q_emb_bq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * becomes an exact INTEGER dot product (64 dims × 127² < 2²⁰ per term,
   * order-free long sums) rescaled by two doubles. The third compression
   * point on the accuracy/size curve next to PQ ([[KMeans.pqEncode]], 32×,
-  * coarser) and raw float scan ([[VectorOps.bruteTopK]], exact.)
+  * coarser) and raw float scan ([[VectorOps.bruteTopK]], exact.) Binary
+  * quantization ([[bqEncode]], 32× at 64 dims) is the fourth: sign bits +
+  * Hamming prefilter + exact rerank ([[bqSearchTopK]]).
   *
   * Determinism, like the PQ/k-means trainers: quantization is
   * `floor(x/scale + 0.5)` in doubles (identical IEEE ops in any engine),
@@ -41,6 +43,78 @@ object ScalarQuant {
   /** Exact integer dot of two code arrays. */
   private def idot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Bits packed per binary-quantization word: 63, NOT 64 — setting bit 63
+    * means left-shifting into the sign bit, which ANSI engines treat as
+    * overflow (DuckDB raises `Out of Range: Overflow in left shift`; Spark
+    * silently wraps). Staying at 63 keeps every word arithmetic-safe and
+    * every engine bit-identical.
+    */
+  val BqWordBits = 63
+
+  /** Binary quantization: each dimension collapses to its sign bit
+    * (x > 0 → 1), packed [[BqWordBits]] per long — 32× smaller than
+    * float32, the coarsest point on the compression curve after PQ (8×
+    * here at 64 dims) and SQ8 (4×). Returns (vec_id, bq_words:
+    * array<long>); word j holds dims [63j, 63j+63) at bit positions
+    * 0..62. Ties (x == 0, NaN-free corpora) pin to 0 in both engines.
+    */
+  def bqEncode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("bq_words", expr(
+        s"""transform(sequence(0, int((size(_v) - 1) div $BqWordBits)), j ->
+           |  aggregate(zip_with(
+           |      slice(_v, j * $BqWordBits + 1, $BqWordBits),
+           |      sequence(0, ${BqWordBits - 1}),
+           |      (x, i) -> if(x > 0.0D, shiftleft(1L, i), 0L)),
+           |    0L, (a, b) -> a + b))""".stripMargin))
+      .drop("_v")
+
+  /** Hamming distance between two packed signatures: Σ popcount(xor) over
+    * words — integer, exact, codegen'd (`bit_count` + `^` are built-ins).
+    */
+  def bqHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Two-stage binary-quantized search — the 100 TB memory path: stage 1
+    * scans only the packed sign bits (32× smaller than the float corpus)
+    * and keeps each query's `rerank` smallest-Hamming candidates under the
+    * bounded [[graft.functions.TopKAgg]] (never a window); stage 2 joins
+    * just those k-bounded candidates back to the float corpus (broadcast —
+    * nq·rerank rows) for exact cosine, ranked (cos desc, vec_id asc).
+    * Hamming ties at the candidate boundary break on vec_id asc in both
+    * engines. Returns (query_id, rank, vec_id, ham, cos).
+    */
+  def bqSearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    val enc = bqEncode(corpus, idCol, vecCol)
+    val qenc = bqEncode(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("query_id"), col("bq_words").as("q_words"))
+    val topH = graft.functions.TopKAgg.smallest_k_long(rerank)
+    val cands = enc.crossJoin(broadcast(qenc))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bqHamming(col("bq_words"), col("q_words")).as("ham"))
+      .groupBy("query_id")
+      .agg(topH(col("ham"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"), col("e.key").as("ham"))
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("_cv"))
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(queryVecCol).as("_qv"))
+    val scored = c.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", VectorOps.cosine(col("_cv"), col("_qv")))
+    VectorOps.topKPerQuery(scored, k)
+      .join(broadcast(cands), Seq("query_id", "vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("ham"),
+        col("cos"))
+  }
 
   /** Top-k search over SQ8 codes: both sides quantized (symmetric), score
     * = idot · scale_a · scale_q. Queries must be small (broadcast); the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, TextOps, VectorOps}
+import graft.ops.{Dedup, Multimodal, ScalarQuant, TextOps, VectorOps}
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
   * search, multimodal) over the `documents` and `embeddings` tables — every
@@ -1274,6 +1274,21 @@ object CorpusOps {
       graft.ops.ScalarQuant.sq8SearchTopK(emb, "vec_id", "embedding",
           queries, "query_id", "query_vec", k = 5)
         .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // compression point 4: 1-bit binary quantization — Hamming prefilter
+    // over 32×-compressed sign signatures (63 bits/word; bit 63 is
+    // shift-overflow UB territory in ANSI engines), then exact-cosine
+    // rerank of each query's 20-candidate pool; TopKAgg both stages,
+    // never a window
+    "q_emb_bq_search" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.ops.ScalarQuant.bqSearchTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "query_vec", k = 5, rerank = 20)
+        .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
 
@@ -3670,6 +3685,46 @@ object CorpusOps {
         |      ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
         |SELECT query_id, rank, vec_id, round(score, 6) AS score
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // BQ replay: identical 63-bit sign packing (never bit 63 — DuckDB
+    // raises on `1::BIGINT << 63`, Spark wraps; both sides stay at 62),
+    // Hamming = Σ bit_count(xor) per word, candidate boundary tie on
+    // vec_id, exact-cosine rerank of the 20-pool
+    "q_emb_bq_search" -> {
+      val nw = (embDims + ScalarQuant.BqWordBits - 1) / ScalarQuant.BqWordBits
+      val words = (0 until nw).map { j =>
+        val hi = math.min(ScalarQuant.BqWordBits - 1,
+          embDims - j * ScalarQuant.BqWordBits - 1)
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    [CASE WHEN ev[${j * ScalarQuant.BqWordBits} + i + 1] > 0
+           |          THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END
+           |     for i in generate_series(0, $hi)]), (a, b) -> a + b) AS w$j"""
+          .stripMargin
+      }.mkString(",\n    ")
+      val qw = (0 until nw).map(j => s"w$j AS qw$j").mkString(", ")
+      val ham = (0 until nw)
+        .map(j => s"CAST(bit_count(xor(w.w$j, q.qw$j)) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |w AS (SELECT vec_id, ev,
+         |    $words
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, ev AS qv, $qw
+         |  FROM w WHERE vec_id < 3),
+         |h AS (SELECT q.query_id, w.vec_id, $ham AS ham, w.ev, q.qv
+         |  FROM w CROSS JOIN q WHERE w.vec_id != q.query_id),
+         |cand AS (SELECT query_id, vec_id, ham, ev, qv,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ham, vec_id) AS rn FROM h),
+         |sc AS (SELECT query_id, vec_id, ham, ${cosSql("ev", "qv")} AS cos
+         |  FROM cand WHERE rn <= 20),
+         |r AS (SELECT query_id, vec_id, ham, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM sc WHERE cos IS NOT NULL)
+         |SELECT query_id, rank, vec_id, ham, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_doc_lm_score" ->
       raw"""WITH w AS (

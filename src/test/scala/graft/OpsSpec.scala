@@ -1086,6 +1086,35 @@ class OpsSpec extends AnyFunSuite {
     assert(top.last == 2L)   // opposite direction last
   }
 
+  test("BQ: 63-bit packing, word boundary, Hamming prefilter semantics") {
+    import graft.ops.ScalarQuant
+    // 65 dims exercises the word boundary: dims 0..62 → word 0 bits 0..62,
+    // dims 63..64 → word 1 bits 0..1 (bit 63 never set — shift-overflow UB)
+    val v = Array.fill(65)(0.0f)
+    v(0) = 1.0f; v(62) = -2.0f; v(63) = 3.0f; v(64) = 0.5f
+    val one = Seq((7L, v)).toDF("vec_id", "embedding")
+    val words = ScalarQuant.bqEncode(one, "vec_id", "embedding")
+      .collect().head.getSeq[Long](1)
+    assert(words == Seq(1L, 3L)) // dim0 → w0 bit0; dims 63,64 → w1 bits 0,1
+    // prefilter semantics: vec 2 has the best cosine but the WORST Hamming
+    // — with rerank=1 only the sign-nearest candidate (vec 1) survives to
+    // the exact stage, so the approximation (not brute force) is observable
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(1.0f, -3.0f, 1.0f, 1.0f)),   // hamming 1, cos = 0
+      (2L, Array(-0.1f, -0.1f, 5.0f, 5.0f)))  // hamming 2, cos ≈ 0.69
+      .toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val narrow = ScalarQuant.bqSearchTopK(corpus, "vec_id", "embedding",
+      q, "query_id", "query_vec", k = 1, rerank = 1).collect()
+    assert(narrow.map(_.getLong(2)).toSeq == Seq(1L)) // pool excluded vec 2
+    assert(narrow.head.getLong(3) == 1L)              // its hamming carried
+    val wide = ScalarQuant.bqSearchTopK(corpus, "vec_id", "embedding",
+      q, "query_id", "query_vec", k = 2, rerank = 2).collect()
+    assert(wide.map(_.getLong(2)).toSeq == Seq(2L, 1L)) // cos(2) > cos(1)
+  }
+
   test("BPE corpus encode: distributed pieces replay the driver encoder") {
     import graft.ops.Bpe
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
