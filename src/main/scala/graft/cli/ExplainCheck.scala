@@ -105,6 +105,7 @@ object ExplainCheck {
     // SQ8 search: bounded TopKAgg ranking like the float/PQ paths
     "q_emb_sq8_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_emb_bq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    "q_doc_bpe_roundtrip" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

@@ -124,4 +124,26 @@ object Bpe {
     toks.join(vocab, Seq("term"))
       .select(col("doc_id"), col("pos"), col("term"), col("pieces"))
   }
+
+  /** Inverse of [[encodeCorpus]]: concatenate each token's pieces and
+    * stitch the tokens back in position order — one grouped aggregation,
+    * corpus-linear. BPE merges only ever glue adjacent symbols of the
+    * same word, so `concat(pieces) == term` is an invariant of a correct
+    * encoder and `decode(encode(corpus)) == normalized corpus` byte-exact;
+    * the round-trip gate states that identity against the ORIGINAL text
+    * (the oracle never sees the pieces), so a dropped token, a corrupted
+    * merge, or a lossy piece join all break the hash. Returns
+    * (doc_id, n_tokens, decoded).
+    */
+  def decodeCorpus(encoded: DataFrame): DataFrame =
+    encoded
+      .select(col("doc_id"), col("pos"),
+        concat_ws("", col("pieces")).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")),
+          " ").as("decoded"))
 }

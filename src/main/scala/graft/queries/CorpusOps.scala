@@ -625,6 +625,19 @@ object CorpusOps {
           posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
         .orderBy("doc_id", "pos", "piece_idx")),
 
+    // tokenizer round-trip audit: decode(encode(corpus)) must equal the
+    // normalized corpus BYTE-EXACTLY — the oracle never sees the pieces,
+    // it states the identity from the original text, so any encoder loss
+    // (dropped token, corrupted merge, lossy piece join) breaks the md5
+    "q_doc_bpe_roundtrip" -> ((s, dir) => {
+      val enc = graft.ops.Bpe.encodeCorpus(t(s, dir, "documents"),
+        "doc_id", "text", bpeGateMerges)
+      graft.ops.Bpe.decodeCorpus(enc)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("decoded")).as("rt_fp"))
+        .orderBy("doc_id")
+    }),
+
     // bounded-memory cardinality: per-lang distinct-vocabulary sketch —
     // a fixed 4096-bit bitmap per group (512 bytes of state regardless of
     // vocabulary size, OR-mergeable partials) vs the exact count that
@@ -3922,6 +3935,19 @@ object CorpusOps {
         |  CAST(pi - 1 AS INT) AS piece_idx, pieces[pi] AS piece
         |FROM enc, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS pi)
         |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+
+    // round-trip identity stated from the ORIGINAL text: normalize,
+    // split, rejoin — never the pieces; Spark must reconstruct this
+    // byte-exactly from the encoded stream alone
+    "q_doc_bpe_roundtrip" ->
+      raw"""WITH n AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(t, '\s+')) AS BIGINT)
+           |    AS n_tokens,
+           |  md5(t) AS rt_fp
+           |FROM n ORDER BY doc_id""".stripMargin,
 
     // the bpe replay chained into the recursive greedy-pack CTE (the
     // q_doc_pack idiom, sized by pieces instead of whitespace tokens)

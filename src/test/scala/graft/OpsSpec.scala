@@ -1137,6 +1137,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE round-trip: decode(encode(docs)) equals normalized text") {
+    import graft.ops.Bpe
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(40)
+    // plus a messy synthetic doc: mixed case, tabs, runs of spaces — the
+    // round trip must land on the NORMALIZED form of it
+    val docs = real.union(
+      Seq((-1L, "  MiXeD   Case\t\ttabs  and CRs ")).toDF("doc_id", "text"))
+    val merges = Bpe.train(Seq("case" -> 5L, "mixed" -> 3L), 8)
+    val dec = Bpe.decodeCorpus(
+      Bpe.encodeCorpus(docs, "doc_id", "text", merges))
+    val back = dec.join(docs, Seq("doc_id"))
+      .select(col("decoded"),
+        graft.ops.TextOps.normalize(col("text")).as("norm"))
+      .collect()
+    assert(back.nonEmpty)
+    back.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("bitmap distinct sketch: exact under no collision, <= exact always") {
     import graft.functions.SigAggregators
     // buckets chosen directly: 5 distinct buckets, one repeated → 5
