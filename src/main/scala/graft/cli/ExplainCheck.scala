@@ -106,6 +106,8 @@ object ExplainCheck {
     "q_emb_sq8_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_emb_bq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_doc_bpe_roundtrip" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    "q_emb_margin_pairs" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      Seq("Window")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

@@ -424,6 +424,49 @@ object VectorOps {
     * rows regardless of corpus size — the n·dims exploded rows never cross
     * the wire. Output is dimension-bounded (labels × dims rows).
     */
+  /** Margin-based pair mining (the CCMatrix/LASER bitext criterion,
+    * Artetxe & Schwenk ratio margin): a cross-corpus pair (x, y) scores
+    * `cos(x,y) / ((avg cos of x's k fwd neighbors + avg cos of y's k bwd
+    * neighbors) / 2)` — a raw-cosine threshold over-selects hubs (vectors
+    * near everything); dividing by each side's neighborhood density
+    * cancels the hubness. Takes the two PRECOMPUTED kNN tables
+    * ((query_id, rank, vec_id, cos) — [[bruteTopK]] here, the IVF/PQ/BQ
+    * serving layouts at corpus scale; the margin is backend-agnostic
+    * post-processing), so this adds k-bounded aggregates + two key joins,
+    * never a new all-pairs pass.
+    *
+    * Determinism: cosines round to 6dp micro-units FIRST, then every
+    * average/margin is exact integer math — the per-side sums are
+    * order-free longs, and `margin_ppm = cos·2·cntF·cntB·10⁶ div
+    * (sumF·cntB + sumB·cntF)` (≤ 1.3e14, long-safe) truncates toward zero
+    * identically in both engines. Pairs whose combined denominator is ≤ 0
+    * (hostile neighborhoods, all-negative cosines) are dropped — a ratio
+    * against a negative density is meaningless for mining. Candidate set
+    * = union of both directions' top-k, deduplicated (cos(x,y) bits match
+    * across directions: same fold order, commutative per-term products).
+    * Returns (src_id, tgt_id, cos_x1m, margin_ppm).
+    */
+  def marginPairs(fwdKnn: DataFrame, bwdKnn: DataFrame): DataFrame = {
+    def micro(c: Column): Column = round(c * lit(1e6)).cast("long")
+    val f = fwdKnn.select(col("query_id").as("src_id"),
+      col("vec_id").as("tgt_id"), micro(col("cos")).as("cos_x1m"))
+    val b = bwdKnn.select(col("vec_id").as("src_id"),
+      col("query_id").as("tgt_id"), micro(col("cos")).as("cos_x1m"))
+    val denomF = f.groupBy("src_id")
+      .agg(sum("cos_x1m").as("sum_f"), count(lit(1)).as("cnt_f"))
+    val denomB = b.groupBy("tgt_id")
+      .agg(sum("cos_x1m").as("sum_b"), count(lit(1)).as("cnt_b"))
+    f.union(b).distinct()
+      .join(denomF, Seq("src_id"))
+      .join(denomB, Seq("tgt_id"))
+      .withColumn("den",
+        col("sum_f") * col("cnt_b") + col("sum_b") * col("cnt_f"))
+      .where(col("den") > 0)
+      .select(col("src_id"), col("tgt_id"), col("cos_x1m"),
+        expr("(cos_x1m * 2 * cnt_f * cnt_b * 1000000L) div den")
+          .as("margin_ppm"))
+  }
+
   def labelCentroids(corpus: DataFrame, labelCol: String, vecCol: String,
       scale: Double = 1e6): DataFrame =
     corpus

@@ -718,6 +718,25 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // bitext-style pair mining (ratio margin): even vec_ids play the
+    // "source" corpus, odd the "target"; each pair's cosine divides by
+    // its two neighborhoods' mean density — a raw-cos threshold
+    // over-selects hubs. kNN both directions via bruteTopK (the corpus
+    // here is small); at scale marginPairs post-processes the IVF/PQ/BQ
+    // serving layouts unchanged
+    "q_emb_margin_pairs" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val fwd = VectorOps.bruteTopK(tgt, qside(src), k = 4)
+      val bwd = VectorOps.bruteTopK(src, qside(tgt), k = 4)
+      VectorOps.marginPairs(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
     // JL sign projection + search IN THE REDUCED SPACE: embeddings cut to
     // 16 dims by the deterministic ±1 plane family (Achlioptas), float-
     // quantized (both engines round-to-nearest), then the standard brute
@@ -2851,6 +2870,43 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // margin replay: identical even/odd split, both directions' top-4 by
+    // (cos desc, id), 6dp micro-rounding BEFORE the averages, then the
+    // exact integer ratio margin (same div-truncation toward zero)
+    "q_emb_margin_pairs" ->
+      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |so AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |tg AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |f0 AS (SELECT so.vec_id AS src_id, tg.vec_id AS tgt_id,
+         |    ${cosSql("so.ev", "tg.ev")} AS cos
+         |  FROM so CROSS JOIN tg),
+         |fr AS (SELECT src_id, tgt_id, cos, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
+         |  FROM f0 WHERE cos IS NOT NULL),
+         |fwd AS (SELECT src_id, tgt_id,
+         |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
+         |  FROM fr WHERE rn <= 4),
+         |br AS (SELECT src_id, tgt_id, cos, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rn
+         |  FROM f0 WHERE cos IS NOT NULL),
+         |bwd AS (SELECT src_id, tgt_id,
+         |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
+         |  FROM br WHERE rn <= 4),
+         |df AS (SELECT src_id, sum(cos_x1m) AS sum_f,
+         |    CAST(count(*) AS BIGINT) AS cnt_f FROM fwd GROUP BY src_id),
+         |db AS (SELECT tgt_id, sum(cos_x1m) AS sum_b,
+         |    CAST(count(*) AS BIGINT) AS cnt_b FROM bwd GROUP BY tgt_id),
+         |u AS (SELECT DISTINCT src_id, tgt_id, cos_x1m FROM (
+         |    SELECT * FROM fwd UNION ALL SELECT * FROM bwd) z),
+         |m AS (SELECT u.src_id, u.tgt_id, u.cos_x1m,
+         |    df.sum_f * db.cnt_b + db.sum_b * df.cnt_f AS den,
+         |    df.cnt_f, db.cnt_b
+         |  FROM u JOIN df USING (src_id) JOIN db USING (tgt_id))
+         |SELECT src_id, tgt_id, cos_x1m,
+         |  (cos_x1m * 2 * cnt_f * cnt_b * 1000000) // den AS margin_ppm
+         |FROM m WHERE den > 0
+         |ORDER BY margin_ppm DESC, src_id, tgt_id LIMIT 20""".stripMargin,
 
     // JL replay: the IDENTICAL ±1 literal matrix (generated from the same
     // driver-side jlSign), identical left-associated + chain per

@@ -1137,6 +1137,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("margin pairs: exact ratio margins, hub demotion, union of directions") {
+    // src (even): axis vectors; tgt (odd): their aligned twins plus a hub
+    // at (0.6, 0.8) that is near BOTH src vectors — the ratio margin must
+    // demote hub pairs relative to isolated aligned pairs
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)),
+      (5L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val src = corpus.where(pmod(col("vec_id"), lit(2)) === 0)
+    val tgt = corpus.where(pmod(col("vec_id"), lit(2)) === 1)
+    def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val m = VectorOps.marginPairs(
+        VectorOps.bruteTopK(tgt, qside(src), k = 2),
+        VectorOps.bruteTopK(src, qside(tgt), k = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // hand-exact: avgF(0)=(1+0.6)/2, avgF(2)=(1+0.8)/2, avgB(1)=avgB(3)=0.5,
+    // avgB(5)=0.7; margin = cos·2·cntF·cntB·1e6 div (sumF·cntB + sumB·cntF)
+    assert(m((0L, 1L)) == 1538461L) // 8e12 / 5.2e6
+    assert(m((2L, 3L)) == 1428571L) // 8e12 / 5.6e6
+    assert(m((2L, 5L)) == 1000000L) // hub: cos .8 but margin only 1.0
+    assert(m((0L, 5L)) == 800000L)
+    assert(m((0L, 3L)) == 0L && m((2L, 1L)) == 0L) // bwd-only, cos 0
+    assert(m.size == 6)
+    // hub demotion: aligned pair with the LOWER raw cos outranks the hub
+    assert(m((2L, 3L)) > m((2L, 5L)))
+  }
+
   test("BPE round-trip: decode(encode(docs)) equals normalized text") {
     import graft.ops.Bpe
     val real = spark.read
