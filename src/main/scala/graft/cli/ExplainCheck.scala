@@ -108,6 +108,7 @@ object ExplainCheck {
     "q_doc_bpe_roundtrip" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_emb_margin_pairs" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("Window")),
+    "q_doc_backoff_lm" -> (Seq("BroadcastHashJoin"), Seq("Window", "SortMergeJoin")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

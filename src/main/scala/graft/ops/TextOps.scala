@@ -387,6 +387,66 @@ object TextOps {
         when(col("n_tokens") === 0L, lit(500000L))
           .otherwise(expr("s div n_tokens")).as("score_ppm"))
 
+  /** Stupid Backoff LM scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the web-scale count LM that skips
+    * normalization entirely): each token scores by its bigram relative
+    * frequency when the reference corpus has seen the bigram, else backs
+    * off to α·unigram, else to α²·uniform(1/V), with α = 0.4 = 2/5 kept
+    * as an EXACT rational. All arithmetic is integer ppm with `div`
+    * truncation in a pinned order (truncate the unigram ppm FIRST, then
+    * apply 2x div 5 — the oracle replays the same order), so scores are
+    * bit-identical across engines and partitionings where a float
+    * log-prob chain never is.
+    *
+    * Scale shape: the reference counts are vocab-bounded (V and V² rows,
+    * Zipf-truncated in practice) → both lookups broadcast; the corpus
+    * token stream is built array-at-a-time (no per-doc window for the
+    * predecessor — the (pos, w, prev) triple explodes straight off the
+    * token array) and shuffles exactly once, for the per-doc aggregate.
+    * Output: (doc_id, n_tokens, n_backoff, n_oov, score_ppm = mean token
+    * score). Low score_ppm = atypical under the reference LM — the CCNet
+    * bucket criterion in count space.
+    */
+  def backoffLmScore(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    def toks(d: DataFrame, id: Column, t: Column): DataFrame =
+      d.select(id.cast("long").as("doc_id"), normTokens(t).as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) - 1), i -> struct(
+            |  i AS pos, element_at(ws, i + 1) AS w,
+            |  if(i > 0, element_at(ws, i), CAST(null AS STRING)) AS prev))"""
+            .stripMargin)).as("e"))
+        .select(col("doc_id"), col("e.pos"), col("e.w"), col("e.prev"))
+    val refToks = toks(ref, col(idCol), col(refTextCol))
+    val c1 = refToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = refToks.where(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+    val tot = c1.agg(sum("c1").as("n_ref"), count(lit(1)).as("v"))
+    val scored = toks(docs, col(idCol), col(textCol))
+      .join(broadcast(c2), Seq("prev", "w"), "left")
+      .join(broadcast(c1), Seq("w"), "left")
+      .join(broadcast(c1.select(col("w").as("prev"), col("c1").as("pc"))),
+        Seq("prev"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("uni_ppm", expr("c1 * 1000000L div n_ref"))
+      .withColumn("score_ppm", expr(
+        """CASE
+          |  WHEN pos = 0 THEN
+          |    coalesce(uni_ppm, 2000000L div (5L * v))
+          |  WHEN c2 IS NOT NULL THEN c2 * 1000000L div pc
+          |  WHEN uni_ppm IS NOT NULL THEN (2L * uni_ppm) div 5L
+          |  ELSE 4000000L div (25L * v)
+          |END""".stripMargin))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("pos") > 0 && col("c2").isNull, 1L).otherwise(0L))
+          .as("n_backoff"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum("score_ppm").as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+        col("n_oov"), expr("s div n_tokens").as("score_ppm"))
+  }
+
   /** Candidate payment-card digit runs: 13–19 digits, optionally
     * separated by single spaces or dashes (the PAN formats that appear in
     * leaked text). Portable regex subset (no lookarounds) — Java regex

@@ -1332,6 +1332,18 @@ object CorpusOps {
         wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Stupid Backoff LM (Brants et al.): bigram relfreq → α·unigram →
+    // α²·uniform, α = 2/5 exact, all integer ppm — the web-scale count
+    // LM. Reference slice doc_id%50=0 (~1/50 of the corpus) keeps every
+    // backoff level exercised (measured: ~12k bigram hits, ~15k backoffs,
+    // 26 OOV at sf0.01)
+    "q_doc_backoff_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextOps.backoffLmScore(wide(s, docs), "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(50)) === 0), "text")
+        .orderBy("doc_id")
+    }),
+
     // filter-bias audit: Pearson components between token count and the
     // quality score, as EXACT integer sums (the q_ts_autocorr idiom) —
     // if r ≈ 1 the "quality" filter is just a length filter (the known
@@ -3794,6 +3806,49 @@ object CorpusOps {
          |SELECT query_id, rank, vec_id, ham, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // backoff replay: same token/prev triples off the token array, same
+    // count tables from the doc_id%50 reference slice, same pinned
+    // truncation order (unigram ppm first, then 2x // 5)
+    "q_doc_backoff_lm" ->
+      raw"""WITH n AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           |  FROM documents),
+           |tok AS (SELECT doc_id, i AS pos,
+           |    regexp_split_to_array(t, '\s+')[i + 1] AS w,
+           |    CASE WHEN i > 0 THEN regexp_split_to_array(t, '\s+')[i]
+           |    END AS prev
+           |  FROM n, LATERAL (SELECT unnest(generate_series(0,
+           |    len(regexp_split_to_array(t, '\s+')) - 1)) AS i)),
+           |ref AS (SELECT * FROM tok WHERE doc_id % 50 = 0),
+           |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM ref
+           |  GROUP BY w),
+           |c2 AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2 FROM ref
+           |  WHERE prev IS NOT NULL GROUP BY prev, w),
+           |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_ref,
+           |    CAST(count(*) AS BIGINT) AS v FROM c1),
+           |sc AS (SELECT t.doc_id, t.pos, c2.c2, c1.c1,
+           |    c1.c1 * 1000000 // tot.n_ref AS uni_ppm,
+           |    CASE
+           |      WHEN t.pos = 0 THEN coalesce(c1.c1 * 1000000 // tot.n_ref,
+           |        2000000 // (5 * tot.v))
+           |      WHEN c2.c2 IS NOT NULL THEN c2.c2 * 1000000 // pc.c1
+           |      WHEN c1.c1 IS NOT NULL THEN
+           |        (2 * (c1.c1 * 1000000 // tot.n_ref)) // 5
+           |      ELSE 4000000 // (25 * tot.v)
+           |    END AS score_ppm
+           |  FROM tok t
+           |  LEFT JOIN c2 ON t.prev = c2.prev AND t.w = c2.w
+           |  LEFT JOIN c1 ON t.w = c1.w
+           |  LEFT JOIN c1 pc ON t.prev = pc.w
+           |  CROSS JOIN tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN pos > 0 AND c2 IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_backoff,
+           |  CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_oov,
+           |  CAST(sum(score_ppm) AS BIGINT) // count(*) AS score_ppm
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_doc_lm_score" ->
       raw"""WITH w AS (

@@ -1137,6 +1137,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stupid backoff LM: exact ppm at every backoff level") {
+    // ref "a b a b c": c1(a)=2 c1(b)=2 c1(c)=1, N=5, V=3;
+    // c2(a,b)=2 c2(b,a)=1 c2(b,c)=1
+    val ref = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c d"), (2L, "c a")).toDF("doc_id", "text")
+    val got = TextOps.backoffLmScore(docs, "doc_id", "text", ref, "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: 400000 (uni a) + 1000000 (c2 a,b) + 500000 (c2 b,c)
+    //        + 53333 (α²·uniform for unseen d) = 1953333 → mean 488333
+    assert(got(1L) == ((4L, 1L, 1L, 488333L)))
+    // doc 2: 200000 (uni c) + 160000 (α·uni(a): 2·400000 div 5) → 180000
+    assert(got(2L) == ((2L, 1L, 0L, 180000L)))
+  }
+
   test("margin pairs: exact ratio margins, hub demotion, union of directions") {
     // src (even): axis vectors; tgt (odd): their aligned twins plus a hub
     // at (0.6, 0.8) that is near BOTH src vectors — the ratio margin must
