@@ -109,6 +109,7 @@ object ExplainCheck {
     "q_emb_margin_pairs" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("Window")),
     "q_doc_backoff_lm" -> (Seq("BroadcastHashJoin"), Seq("Window", "SortMergeJoin")),
+    "q_graph_kcore" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

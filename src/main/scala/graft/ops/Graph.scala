@@ -117,4 +117,51 @@ object Graph {
     wedges.join(or.select(col("src").as("y"), col("dst").as("z")),
       Seq("y", "z"), "left_semi")
   }
+
+  /** Bounded k-core peel — the degeneracy screen behind link-farm /
+    * engagement-ring detection: iteratively remove nodes of degree < k;
+    * what survives `rounds` removals is the (bounded) k-core. The true
+    * core fixpoint can need up to n rounds on a path; a FIXED round
+    * count keeps the plan finite and the SQL oracle replayable, and is a
+    * documented over-approximation (nodes alive after `rounds` may yet
+    * peel — raise `rounds` or re-call on the survivor subgraph to
+    * tighten). Input (a, b) edge pairs; self-loops dropped, both
+    * orientations deduped. Returns EVERY original node:
+    * (node, core_deg, in_core) with core_deg its degree inside the
+    * surviving set (0 outside).
+    *
+    * Scale shape: each round is two node-keyed equi-joins of the edge
+    * list against the (shrinking) alive set plus one degree aggregate —
+    * linear in edges, shuffles on node keys only, and the edge subtree
+    * is identical across rounds so ReusedExchange serves rounds 2..r
+    * from round 1's shuffle files (the [[pageRank]] discipline; for
+    * long peels, checkpoint survivors every ~20 rounds).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1 && rounds <= 30,
+      "rounds must be in [1, 30] — beyond that, re-call on the survivors")
+    val und = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val all = sym.select(col("a").as("node")).distinct()
+    var alive = all
+    for (_ <- 1 to rounds) {
+      alive = sym
+        .join(alive.select(col("node").as("a")), Seq("a"))
+        .join(alive.select(col("node").as("b")), Seq("b"))
+        .groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("a").as("node"))
+    }
+    val coreDeg = sym
+      .join(alive.select(col("node").as("a")), Seq("a"))
+      .join(alive.select(col("node").as("b")), Seq("b"))
+      .groupBy("a").agg(count(lit(1)).as("core_deg"))
+      .select(col("a").as("node"), col("core_deg"))
+    all.join(coreDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        col("core_deg").isNotNull.as("in_core"))
+  }
 }

@@ -1137,6 +1137,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core: cascade peel, bounded-round over-approximation, degrees") {
+    import graft.ops.Graph
+    // triangle {1,2,3} with a tail 3-4-5: k=2 peels 5, then 4 (cascade);
+    // the triangle survives with in-core degree 2 everywhere
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val full = Graph.kCore(edges, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(full(1L) == ((2L, true)) && full(2L) == ((2L, true)) &&
+      full(3L) == ((2L, true)))
+    assert(full(4L) == ((0L, false)) && full(5L) == ((0L, false)))
+    // bounded peel: after ONE round only 5 has peeled — 4 still alive
+    // (its pre-peel degree was 2); the fixpoint needs the second round
+    val one = Graph.kCore(edges, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(one(4L) && !one(5L))
+    // duplicate orientations and self-loops are cleaned before peeling
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L))
+      .toDF("a", "b")
+    val tri = Graph.kCore(dirty, k = 2, rounds = 2).collect()
+    assert(tri.forall(_.getBoolean(2)) && tri.forall(_.getLong(1) == 2L))
+  }
+
   test("stupid backoff LM: exact ppm at every backoff level") {
     // ref "a b a b c": c1(a)=2 c1(b)=2 c1(c)=1, N=5, V=3;
     // c2(a,b)=2 c2(b,a)=1 c2(b,c)=1
