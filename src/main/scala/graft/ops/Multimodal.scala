@@ -628,6 +628,128 @@ object Multimodal {
     docs.select(col(idCol).as("media_id"), lit("image").as("modality"),
       encode(col(textCol), "UTF-8").as("payload"), col(sourceCol).as("source"))
 
+  final case class WavSampleArr(
+      media_id: Long, decoded: Boolean, samples: Seq[Long])
+
+  /** Codec seam for sample-level audio ops: the first `maxN` PCM16LE
+    * samples, zero-padded to exactly `maxN` (fixed frames downstream).
+    * Undecodable / non-PCM16LE payloads come back decoded=false with an
+    * empty array — fail-closed, never null samples. Everything AFTER this
+    * seam ([[wavWhtFp]]) is pure Column algebra; the decoder touches each
+    * payload once per partition iterator, like [[decodeWav]].
+    */
+  def wavSamples(media: Dataset[MediaRecord], maxN: Int): Dataset[WavSampleArr] = {
+    require(maxN >= 1, "maxN must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val f = in.getFormat
+            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+              f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcm16le) WavSampleArr(m.media_id, decoded = false, Nil)
+            else {
+              val bytes = in.readAllBytes()
+              val out = new Array[Long](maxN)
+              val n = math.min(bytes.length / 2, maxN)
+              var i = 0
+              while (i < n) {
+                out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8))
+                  .toShort.toLong
+                i += 1
+              }
+              WavSampleArr(m.media_id, decoded = true, out.toSeq)
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception => WavSampleArr(m.media_id, decoded = false, Nil)
+        }
+      }
+    }
+  }
+
+  /** One fast-WHT butterfly stage over a length-`n` long array: blocks of
+    * 2h fold to (x+y, x−y) halves — array-at-a-time (`slice`+`zip_with`),
+    * never per-position element_at chains.
+    */
+  private def whtStageSql(l: String, h: Int, n: Int): String =
+    s"""flatten(transform(sequence(0, ${n / (2 * h) - 1}), b ->
+       |  concat(
+       |    zip_with(slice($l, b * ${2 * h} + 1, $h),
+       |      slice($l, b * ${2 * h} + ${h + 1}, $h), (x, y) -> x + y),
+       |    zip_with(slice($l, b * ${2 * h} + 1, $h),
+       |      slice($l, b * ${2 * h} + ${h + 1}, $h), (x, y) -> x - y))))"""
+      .stripMargin
+
+  /** Walsh–Hadamard spectral fingerprint — the audio analog of the
+    * perceptual image hashes: each 64-sample frame transforms with the
+    * EXACT integer fast WHT (6 butterfly stages, values bounded by
+    * 64·32767 < 2²², no float FFT anywhere — bit-identical on any
+    * engine), and the signs of AC coefficients 1..16 pack into a 16-bit
+    * frame signature; `nFrames` frames concatenate into one 64-bit
+    * fingerprint. The WHT is LINEAR, so any positive amplitude rescale
+    * (volume normalization, the most common audio re-encode) preserves
+    * every sign — rescaled copies collide at Hamming 0 while different
+    * material diverges across ~half the bits.
+    *
+    * Each butterfly stage materializes as its own column: the zip_with
+    * pair references its input twice, and an inlined non-cheap HOF
+    * re-evaluates per reference (the q_mm_mp4 lesson — CollapseProject
+    * keeps the boundary only when the expr is a named column).
+    * Returns (media_id, band0..band{nFrames−1}, fp); undecodable media
+    * are excluded (fail-closed).
+    */
+  def wavWhtFp(media: Dataset[MediaRecord], nFrames: Int = 4): DataFrame = {
+    require(nFrames >= 1 && nFrames <= 4, "fp packs 16 bits per frame")
+    val frameLen = 64
+    val framed = wavSamples(media, frameLen * nFrames).toDF()
+      .where(col("decoded"))
+      .select(col("media_id"), posexplode(expr(
+        s"transform(sequence(0, ${nFrames - 1}), f -> " +
+          s"slice(samples, f * $frameLen + 1, $frameLen))"))
+        .as(Seq("frame_idx", "c0")))
+    val transformed = (0 until 6).foldLeft(framed) { (d, s) =>
+      d.withColumn(s"c${s + 1}", expr(whtStageSql(s"c$s", 1 << s, frameLen)))
+    }
+    val sig = transformed.select(col("media_id"), col("frame_idx"),
+      expr("""aggregate(zip_with(slice(c6, 2, 16), sequence(0, 15),
+             |  (x, i) -> if(x > 0L, shiftleft(1L, i), 0L)),
+             |  0L, (a, b) -> a + b)""".stripMargin).as("sig"))
+    sig.groupBy("media_id")
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("sig"))))
+        .as("fs"))
+      .select(Seq(col("media_id")) ++ (0 until nFrames).map(f =>
+        expr(s"fs[$f].sig").as(s"band$f")) :+
+        expr((0 until nFrames).map(f => s"shiftleft(fs[$f].sig, ${16 * f})")
+          .mkString("(", " + ", ")")).as("fp"): _*)
+  }
+
+  /** Banded near-dup pairs over [[wavWhtFp]] signatures: exact-match on
+    * any 16-bit frame band (pigeonhole-complete for maxDist ≤ 3 over 4
+    * bands), then the true 64-bit Hamming filter — the
+    * [[perceptualPairs]] shape on the audio fingerprint.
+    */
+  def whtFpPairs(fps: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      "4x16-bit banding guarantees recall only for maxDist <= 3")
+    val bandCols = (0 until 4).map(t => col(s"band$t"))
+    val banded = fps.select(col("media_id") +: bandCols :+
+      posexplode(array(bandCols: _*)).as(Seq("band", "chunk")): _*)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        (0 until 4).map(t =>
+            bit_count(col(s"a.band$t").bitwiseXOR(col(s"b.band$t"))))
+          .reduce(_ + _).cast("int").as("hamming"))
+      .dropDuplicates("media_a", "media_b")
+      .where(col("hamming") <= maxDist)
+  }
+
   /** STUB DECODER — deterministic fake, for modalities with no JDK codec
     * (see [[decodeImages]]/[[decodeWav]] for the REAL image/audio paths;
     * one codec instance per partition, amortized over the iterator — the

@@ -1749,6 +1749,32 @@ object CorpusOps {
         .orderBy("media_id", "win_idx")
     }),
 
+    // audio spectral fingerprint: REAL 256-sample decode → exact integer
+    // Walsh–Hadamard per 64-sample frame → sign signature → banded pairs.
+    // Amplitude-rescaled odd docs (3× volume) must collide with their
+    // even twins at Hamming 0 (WHT linearity); junk docs (%29==11) fail
+    // closed out of the pair set; cross-group pairs must be zero
+    "q_mm_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          mmWavPayloadWht.as("payload"), lit("synth").as("source"))
+        .as[Multimodal.MediaRecord]
+      val pairs = Multimodal.whtFpPairs(Multimodal.wavWhtFp(media), 3)
+      pairs
+        .withColumn("grp", pmod(expr("media_a DIV 2"), lit(8)).cast("int"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(pmod(col("media_a"), lit(2)) =!=
+            pmod(col("media_b"), lit(2)), 1L).otherwise(0L))
+            .as("n_amp_pairs"),
+          max("hamming").as("max_hamming"),
+          sum(when(pmod(expr("media_a DIV 2"), lit(8)) =!=
+            pmod(expr("media_b DIV 2"), lit(8)), 1L).otherwise(0L))
+            .as("n_cross_grp"))
+        .orderBy("grp")
+    }),
+
     // audio quality verdict: majority-silence planted on doc%3==0,
     // clipping on doc%4==0, quarantine on doc%5==0 (decoded=false rows
     // must fail audio_ok as false, not null) — closed-form oracle from
@@ -1900,6 +1926,41 @@ object CorpusOps {
       concat((0 until 4).map(i => le16(samp(i))): _*)))
     when(pmod(col("doc_id"), lit(5)) === 0,
       encode(lit("not audio"), "UTF-8")).otherwise(wav)
+  }
+
+  /** 256-sample variant for the WHT fingerprint gate: pattern group
+    * g = (doc_id div 2) mod 8 picks a deterministic ±amp waveform (sign
+    * of sample i from a quadratic hash mod 97 — NOT a plain parity, which
+    * would degenerate to one alternating wave for every group), parity
+    * picks the amplitude (1000 even / 3000 odd — the WHT-linearity probe:
+    * rescaled copies must collide at Hamming 0). doc_id % 29 == 11 docs
+    * carry junk (decode must fail closed and exclude them from pairing).
+    */
+  private[queries] def mmWavPayloadWht: org.apache.spark.sql.Column = {
+    def le32(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le16(v: org.apache.spark.sql.Column) = {
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val g = pmod(expr("doc_id DIV 2"), lit(8))
+    val amp = when(pmod(col("doc_id"), lit(2)) === 0, lit(1000L))
+      .otherwise(lit(3000L))
+    def samp(i: Int) = {
+      val c = i.toLong * i + i + 41
+      when(pmod((g + 1) * lit(c), lit(97)) < 48, amp).otherwise(-amp)
+    }
+    val wav = unhex(concat(
+      lit("52494646"), le32(lit(548L)), lit("57415645"), lit("666D7420"),
+      le32(lit(16L)), le16(lit(1L)), le16(lit(1L)), le32(lit(8000L)),
+      le32(lit(16000L)), le16(lit(2L)), le16(lit(16L)),
+      lit("64617461"), le32(lit(512L)),
+      concat((0 until 256).map(i => le16(pmod(samp(i), lit(65536L)))): _*)))
+    when(pmod(col("doc_id"), lit(29)) === 11,
+      encode(lit("junk"), "UTF-8")).otherwise(wav)
   }
 
   /** 12-sample variant for the energy-window gate: three 4-sample windows,
@@ -4252,6 +4313,25 @@ object CorpusOps {
         |    (doc_id * 7 + 2462) % 30000, (doc_id * 7 + 3693) % 30000)
         |    AS BIGINT) END AS peak_abs
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // WHT-fp closed-form oracle: the generator plants IDENTICAL sign
+    // patterns inside a group (amplitude differs only) and independent
+    // quadratic-hash patterns across groups, so the expected pair set is
+    // pure combinatorics on group sizes — every within-group pair at
+    // Hamming 0 (WHT linearity), zero cross-group pairs, junk docs
+    // excluded. Any engine deviation (lossy decode, a sign flip, a
+    // banding miss, a cross-group collision) breaks a count
+    "q_mm_audio_fp" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 2) % 8 AS g, doc_id % 2 AS par
+        |  FROM documents WHERE doc_id % 29 <> 11),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+        |    CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS no
+        |  FROM d GROUP BY g)
+        |SELECT CAST(g AS INT) AS grp, n * (n - 1) // 2 AS n_pairs,
+        |  ne * no AS n_amp_pairs, CAST(0 AS INT) AS max_hamming,
+        |  CAST(0 AS BIGINT) AS n_cross_grp
+        |FROM s ORDER BY grp""".stripMargin,
 
     // identity oracle: replay the windowed sample math of the assembly —
     // window w of doc d is zeroed iff (d+w) % 3 = 0, else samples follow

@@ -1137,6 +1137,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WHT audio fp: exact signs via Walsh basis, scale invariance, pairs") {
+    import graft.ops.Multimodal
+    // build signals as explicit Walsh-basis sums: coefficient r of the
+    // 64-point WHT is then EXACTLY 64·s_r (orthogonality), so the sign
+    // signature is controlled bit-for-bit
+    def walsh(r: Int, i: Int) = if (Integer.bitCount(r & i) % 2 == 0) 1 else -1
+    val signs = (1 to 16).map(r => if (r % 3 == 0) -1 else 1)
+    val signsB = signs.updated(4, -signs(4)) // flip coefficient r=5
+    def frame(ss: Seq[Int], amp: Int) = (0 until 64).map(i =>
+      (1 to 16).map(r => ss(r - 1) * amp * walsh(r, i)).sum)
+    val fa = frame(signs, 100)
+    val a = fa ++ fa ++ fa ++ fa
+    val b = frame(signsB, 100) ++ fa ++ fa ++ fa // 1-bit diff, frame 0 only
+    val a3x = (1 to 4).flatMap(_ => frame(signs, 300)) // 3x volume
+    val media = Seq(
+      (0L, Multimodal.makeWav(8000, a)),
+      (1L, Multimodal.makeWav(8000, a3x)),
+      (2L, Multimodal.makeWav(8000, b)),
+      (3L, "junk".getBytes))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio").as("modality"), col("payload"),
+        lit("t").as("source"))
+      .as[Multimodal.MediaRecord]
+    val fps = Multimodal.wavWhtFp(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    val expSig = (1 to 16)
+      .map(r => if (signs(r - 1) > 0) 1L << (r - 1) else 0L).sum
+    assert(fps(0L)._1 == expSig) // band 0 = the planted sign pattern
+    assert(fps(0L) == fps(1L))   // WHT linearity: 3x volume, identical fp
+    assert(!fps.contains(3L))    // junk fails closed out of the fp set
+    val pairs = Multimodal.whtFpPairs(Multimodal.wavWhtFp(media), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((0L, 2L)) == 1 && pairs((1L, 2L)) == 1)
+  }
+
   test("k-core: cascade peel, bounded-round over-approximation, degrees") {
     import graft.ops.Graph
     // triangle {1,2,3} with a tail 3-4-5: k=2 peels 5, then 4 (cascade);
