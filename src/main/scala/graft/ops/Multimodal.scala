@@ -638,38 +638,81 @@ object Multimodal {
     * seam ([[wavWhtFp]]) is pure Column algebra; the decoder touches each
     * payload once per partition iterator, like [[decodeWav]].
     */
+  /** Shared PCM16LE extraction (the single decode truth for [[wavSamples]]
+    * and the streaming audio tracker): first `maxN` samples zero-padded to
+    * `maxN`; None for undecodable / non-PCM16LE payloads.
+    */
+  private[graft] def decodePcm16le(payload: Array[Byte],
+      maxN: Int): Option[Array[Long]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!pcm16le) None
+        else {
+          val bytes = in.readAllBytes()
+          val out = new Array[Long](maxN)
+          val n = math.min(bytes.length / 2, maxN)
+          var i = 0
+          while (i < n) {
+            out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8))
+              .toShort.toLong
+            i += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   def wavSamples(media: Dataset[MediaRecord], maxN: Int): Dataset[WavSampleArr] = {
     require(maxN >= 1, "maxN must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          try {
-            val f = in.getFormat
-            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
-              f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcm16le) WavSampleArr(m.media_id, decoded = false, Nil)
-            else {
-              val bytes = in.readAllBytes()
-              val out = new Array[Long](maxN)
-              val n = math.min(bytes.length / 2, maxN)
-              var i = 0
-              while (i < n) {
-                out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8))
-                  .toShort.toLong
-                i += 1
-              }
-              WavSampleArr(m.media_id, decoded = true, out.toSeq)
-            }
-          } finally in.close()
-        } catch {
-          case _: Exception => WavSampleArr(m.media_id, decoded = false, Nil)
+        decodePcm16le(m.payload, maxN) match {
+          case Some(s) => WavSampleArr(m.media_id, decoded = true, s.toSeq)
+          case None    => WavSampleArr(m.media_id, decoded = false, Nil)
         }
       }
     }
+  }
+
+  /** Driver/executor-side replica of one frame's WHT sign signature —
+    * the SAME butterfly order and sign pin (> 0) as the [[wavWhtFp]]
+    * staged columns, in plain integer Scala: the streaming tracker hashes
+    * with this and a spec asserts batch parity bit-for-bit.
+    */
+  private[graft] def whtFrameSig(frame: Array[Long]): Long = {
+    require(frame.length == 64, "frame must be 64 samples")
+    var cur = frame
+    var h = 1
+    while (h < 64) {
+      val next = new Array[Long](64)
+      var b = 0
+      while (b < 64) {
+        var j = 0
+        while (j < h) {
+          val x = cur(b + j); val y = cur(b + h + j)
+          next(b + j) = x + y
+          next(b + h + j) = x - y
+          j += 1
+        }
+        b += 2 * h
+      }
+      cur = next
+      h <<= 1
+    }
+    var sig = 0L
+    var i = 1
+    while (i <= 16) {
+      if (cur(i) > 0L) sig |= 1L << (i - 1)
+      i += 1
+    }
+    sig
   }
 
   /** One fast-WHT butterfly stage over a length-`n` long array: blocks of

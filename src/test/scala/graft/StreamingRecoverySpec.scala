@@ -204,6 +204,31 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"cross-restart near-dup lost: ${p2}")
   }
 
+  test("audio dedup survives restart: volume re-encode after resume hits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    import graft.streaming.StreamingAudioDedup
+    def wave(g: Int, amp: Int): Seq[Int] = (0 until 256).map { i =>
+      val k = i % 64
+      if ((g + 1) * (k * k + k + 41) % 97 < 48) amp else -amp
+    }
+    val source = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val (p1, p2) = runWithRestart(
+      () => StreamingAudioDedup.hits(
+        source.toDF().toDF("media_id", "event_time", "payload"),
+        maxDist = 3, horizonSeconds = 86400, watermarkDelay = "0 seconds"),
+      () => source.addData(
+        (1L, ts("2020-01-01 00:00:00"), Multimodal.makeWav(8000, wave(0, 1000))),
+        (3L, ts("2020-01-01 00:05:00"), Multimodal.makeWav(8000, wave(5, 1000)))),
+      () => source.addData(
+        (2L, ts("2020-01-01 00:10:00"), Multimodal.makeWav(8000, wave(0, 3000)))))
+    // the 3x-volume re-encode of pre-restart clip 1 arrives after resume:
+    // the reloaded band state must pair them at hamming 0
+    assert(p1.isEmpty)
+    val hits = p2.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hits == Set((1L, 2L, 0)), s"cross-restart audio dup lost: $hits")
+  }
+
   test("sessionizer survives restart: open session closes with pre-kill sums") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{SessionEvent, StreamingSessionizer}

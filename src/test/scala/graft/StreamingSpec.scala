@@ -895,4 +895,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == Set((1L, 2L, 0, true)))
     } finally q.stop()
   }
+
+  test("streaming audio dedup matches batch whtFpPairs bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    import graft.streaming.StreamingAudioDedup
+    def wave(g: Int, amp: Int): Seq[Int] = (0 until 256).map { i =>
+      val k = i % 64
+      if ((g + 1) * (k * k + k + 41) % 97 < 48) amp else -amp
+    }
+    // 1: base clip; 2: its 3x volume re-encode (WHT-sign dup); 3: other
+    // material; 4: undecodable junk (quarantines before banding)
+    val payloads = Map[Long, Array[Byte]](
+      1L -> Multimodal.makeWav(8000, wave(0, 1000)),
+      2L -> Multimodal.makeWav(8000, wave(0, 3000)),
+      3L -> Multimodal.makeWav(8000, wave(5, 1000)),
+      4L -> "junk".getBytes("UTF-8"))
+    val source = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val hits = StreamingAudioDedup.hits(
+      source.toDF().toDF("media_id", "event_time", "payload"),
+      maxDist = 3, horizonSeconds = 86400, watermarkDelay = "0 seconds")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("sad_out").start()
+    try {
+      // the dup pair spans MICRO-BATCHES: 1 arrives first, 2 later
+      source.addData((1L, ts("2020-01-01 00:00:00"), payloads(1L)),
+        (3L, ts("2020-01-01 00:05:00"), payloads(3L)))
+      q.processAllAvailable()
+      source.addData((2L, ts("2020-01-01 00:10:00"), payloads(2L)),
+        (4L, ts("2020-01-01 00:15:00"), payloads(4L)))
+      q.processAllAvailable()
+      val streamed = spark.table("sad_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val media = payloads.toSeq.map { case (id, p) =>
+        Multimodal.MediaRecord(id, "audio", p, "s")
+      }.toDS()
+      val batch = Multimodal.whtFpPairs(Multimodal.wavWhtFp(media), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed == Set((1L, 2L, 0)))
+    } finally q.stop()
+  }
 }
