@@ -625,6 +625,21 @@ object CorpusOps {
           posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
         .orderBy("doc_id", "pos", "piece_idx")),
 
+    // SentencePiece-style unigram Viterbi segmentation: min-total-cost
+    // pieces under a BPE-bootstrapped integer-cost vocab (floor-log2
+    // costs, +500/piece fragmentation penalty, longest-piece tie pin) —
+    // the OTHER subword tokenizer family, fully DP-replayed by the oracle
+    "q_doc_unigram_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ops.Unigram.vocabFromBpe(docs, "doc_id", "text",
+        bpeGateMerges, maxPieceLen = 8)
+      graft.ops.Unigram.segmentCorpus(docs, "doc_id", "text", vocab,
+          maxPieceLen = 8)
+        .select(col("doc_id"), col("pos"), col("term"), col("cost_milli"),
+          posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
+        .orderBy("doc_id", "pos", "piece_idx")
+    }),
+
     // tokenizer round-trip audit: decode(encode(corpus)) must equal the
     // normalized corpus BYTE-EXACTLY — the oracle never sees the pieces,
     // it states the identity from the original text, so any encoder loss
@@ -4107,6 +4122,99 @@ object CorpusOps {
         |  CAST(pi - 1 AS INT) AS piece_idx, pieces[pi] AS piece
         |FROM enc, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS pi)
         |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+
+    // unigram Viterbi replay: vocab (BPE pieces + chars, floor-log2
+    // costs via unpadded bin()), then the DP UNROLLED — dp0..dp12 CTEs
+    // (corpus max word length is 8 at every SF; 12 is headroom, and a
+    // longer word would fail the gate loudly, not silently), a dpall
+    // union for runtime-j lookups, and 12 backtrack steps re-deriving
+    // the longest-piece tie pin from dp costs exactly like the engine
+    "q_doc_unigram_segment" -> {
+      val U = 12
+      val P = 8
+      val dpDefs = (1 to U).map { j =>
+        val branches = (1 to math.min(j, P)).map { l =>
+          if (l == 1)
+            s"""SELECT d.term, d.c + coalesce(v.cost, 20000) AS cand
+               |    FROM dp${j - 1} d LEFT JOIN voc v
+               |      ON v.piece = substring(d.term, $j, 1)
+               |    WHERE length(d.term) >= $j""".stripMargin
+          else
+            s"""SELECT d.term, d.c + v.cost AS cand
+               |    FROM dp${j - l} d JOIN voc v
+               |      ON v.piece = substring(d.term, ${j - l + 1}, $l)
+               |    WHERE length(d.term) >= $j""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        s"dp$j AS MATERIALIZED (SELECT term, min(cand) AS c FROM (\n    $branches) z$j" +
+          " GROUP BY term)"
+      }
+      val dpAll = (0 to U)
+        .map(j => s"SELECT term, $j AS j, c FROM dp$j")
+        .mkString("\n  UNION ALL ")
+      val btDefs = (0 until U).flatMap { s =>
+        val candBranches = (1 to P).map { l =>
+          val joinV =
+            if (l == 1)
+              s"LEFT JOIN voc v ON v.piece = substring(b.term, b.j, 1)"
+            else
+              s"JOIN voc v ON v.piece = substring(b.term, b.j - $l + 1, $l)"
+          val costExpr =
+            if (l == 1) "coalesce(v.cost, 20000)" else "v.cost"
+          s"""SELECT b.term, b.j, $l AS l,
+             |      substring(b.term, b.j - $l + 1, $l) AS piece
+             |    FROM bt$s b
+             |    JOIN dpall da ON da.term = b.term AND da.j = b.j
+             |    JOIN dpall db ON db.term = b.term AND db.j = b.j - $l
+             |    $joinV
+             |    WHERE b.j >= $l AND db.c + $costExpr = da.c""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        Seq(
+          s"""ch$s AS MATERIALIZED (SELECT term, j, l, piece,
+             |    row_number() OVER (PARTITION BY term ORDER BY l DESC)
+             |      AS rn
+             |  FROM (\n    $candBranches) c$s)""".stripMargin,
+          s"bt${s + 1} AS MATERIALIZED (SELECT term, j - l AS j FROM ch$s" +
+            " WHERE rn = 1 AND j - l > 0)")
+      }
+      val chUnion = (0 until U)
+        .map(s => s"SELECT term, piece, $s AS s FROM ch$s WHERE rn = 1")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $bpeEncCteSql,
+         |pc AS (SELECT p AS piece, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM enc, LATERAL (SELECT unnest(pieces) AS p) GROUP BY p),
+         |cc AS (SELECT substring(term, i, 1) AS piece,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok, LATERAL
+         |    (SELECT unnest(generate_series(1, length(term))) AS i)
+         |  GROUP BY 1),
+         |vc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT * FROM pc UNION ALL SELECT * FROM cc) u
+         |  WHERE length(piece) <= $P GROUP BY piece),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vc),
+         |voc AS MATERIALIZED (SELECT piece,
+         |    ((length(bin(tt.tot)) - 1) - (length(bin(cnt)) - 1)) * 1000
+         |      + 500 AS cost
+         |  FROM vc CROSS JOIN tt),
+         |words AS MATERIALIZED (SELECT DISTINCT term FROM tok WHERE length(term) >= 1),
+         |dp0 AS (SELECT term, CAST(0 AS BIGINT) AS c FROM words),
+         |${dpDefs.mkString(",\n")},
+         |dpall AS MATERIALIZED ($dpAll),
+         |bt0 AS MATERIALIZED (SELECT term, length(term) AS j FROM words),
+         |${btDefs.mkString(",\n")},
+         |pieces AS ($chUnion),
+         |np AS (SELECT term, CAST(count(*) AS BIGINT) AS total
+         |  FROM pieces GROUP BY term),
+         |wc AS (SELECT d.term, d.c AS cost_milli FROM dpall d
+         |  JOIN words w ON w.term = d.term AND d.j = length(w.term))
+         |SELECT t.doc_id, CAST(t.pos AS INT) AS pos, t.term,
+         |  wc.cost_milli,
+         |  CAST(np.total - 1 - p.s AS INT) AS piece_idx, p.piece
+         |FROM tok t
+         |JOIN pieces p ON p.term = t.term
+         |JOIN np ON np.term = t.term
+         |JOIN wc ON wc.term = t.term
+         |ORDER BY doc_id, pos, piece_idx""".stripMargin
+    },
 
     // round-trip identity stated from the ORIGINAL text: normalize,
     // split, rejoin — never the pieces; Spark must reconstruct this

@@ -1137,6 +1137,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram Viterbi: min-cost DP, longest-piece tie pin, UNK fallback") {
+    import graft.ops.Unigram
+    val vocab = Seq(("ab", 100L), ("abc", 150L), ("a", 800L), ("b", 700L),
+      ("c", 900L), ("xy", 500L), ("x", 200L), ("y", 300L))
+      .toDF("piece", "cost_milli")
+    val docs = Seq((0L, "abc abab xy qa")).toDF("doc_id", "text")
+    val segs = Unigram.segmentCorpus(docs, "doc_id", "text", vocab,
+        maxPieceLen = 3)
+      .collect().map(r => r.getString(2) ->
+        ((r.getSeq[String](3), r.getLong(4)))).toMap
+    assert(segs("abc") == ((Seq("abc"), 150L)))     // beats ab+c = 1000
+    assert(segs("abab") == ((Seq("ab", "ab"), 200L)))
+    // TIE: xy = 500 equals x+y = 500 → longest-piece backtrack pin
+    assert(segs("xy") == ((Seq("xy"), 500L)))
+    // 'q' is not in the vocab: UNK single-char fallback at 20000
+    assert(segs("qa") == ((Seq("q", "a"), 20800L)))
+    // bootstrapped vocab: every corpus char present, costs positive,
+    // frequent pieces cheaper than rare ones
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val wf = graft.ops.Bpe.wordFreq(real, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (w, f) => (-f, w) }.take(100)
+    val v2 = Unigram.vocabFromBpe(real, "doc_id", "text",
+      graft.ops.Bpe.train(wf, 10), maxPieceLen = 8).collect()
+    assert(v2.nonEmpty && v2.forall(_.getLong(2) > 0))
+    val costs = v2.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val cnts = v2.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (hi, lo) = (cnts.maxBy(_._2)._1, cnts.minBy(_._2)._1)
+    assert(costs(hi) <= costs(lo))
+  }
+
   test("WHT audio fp: exact signs via Walsh basis, scale invariance, pairs") {
     import graft.ops.Multimodal
     // build signals as explicit Walsh-basis sums: coefficient r of the
