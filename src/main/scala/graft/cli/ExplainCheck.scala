@@ -112,6 +112,7 @@ object ExplainCheck {
     "q_graph_kcore" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_mm_audio_fp" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_doc_unigram_segment" -> (Seq("Generate"), Seq("Window", "CartesianProduct")),
+    "q_doc_span_corrupt" -> (Seq("Project"), Seq("Window", "SortMergeJoin")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

@@ -143,6 +143,73 @@ object Curation {
     * `array_join`, all in-row codegen'd Column algebra. Linear in corpus
     * bytes, embarrassingly parallel, composes with any scan.
     */
+  /** T5/UL2-style span corruption (Raffel et al., arXiv:1910.10683 §3.1.4
+    * "i.i.d. denoising"): mask ~`startRatePct`% of token positions in
+    * spans of 1..`maxSpanLen` tokens, replace each masked RUN with one
+    * `<extra_id_K>` sentinel in the input and emit `<extra_id_K> tokens…`
+    * in the target — the pretraining objective's data shape.
+    *
+    * Noise is DETERMINISTIC (no rand(), which would break replay): span
+    * starts and lengths derive from `md5(doc_id:pos)`, and a position is
+    * masked iff SOME qualifying start within the previous `maxSpanLen−1`
+    * positions covers it — an independent per-position predicate
+    * (overlapping spans merge into one run), so the bitmap is pure
+    * Column algebra with no sequential sampling. Input/target strings
+    * assemble in ONE left fold over the (token, bit) array — per-doc
+    * arrays, no explode, no window; the per-doc shuffle payload is two
+    * md5 fingerprints, not the rewritten text. The oracle rebuilds the
+    * same strings via an INDEPENDENT window/string_agg formulation —
+    * agreement pins the semantics, not the implementation.
+    *
+    * Returns (doc_id, n_tokens, n_masked, n_spans, input_fp, target_fp).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      startRatePct: Int = 10, maxSpanLen: Int = 3): DataFrame = {
+    require(startRatePct >= 1 && startRatePct <= 100,
+      "startRatePct is a percentage")
+    require(maxSpanLen >= 1 && maxSpanLen <= 8, "maxSpanLen in [1, 8]")
+    val rate = (100 / startRatePct).toString // mask iff sel % rate == 0
+    val m = maxSpanLen.toString
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.normTokens(col(textCol)).as("ws"))
+      // per-position deterministic selector and mask bitmap
+      .withColumn("bits", expr(
+        s"""transform(sequence(0, size(ws) - 1), p ->
+           |  exists(sequence(greatest(p - ($m - 1), 0), p), s ->
+           |    CAST(conv(substring(md5(concat(doc_id, ':', s)), 1, 8),
+           |        16, 10) AS BIGINT) % $rate = 0
+           |      AND s + 1 + (CAST(conv(substring(md5(concat(doc_id, ':',
+           |        s)), 1, 8), 16, 10) AS BIGINT) div $rate) % $m > p))"""
+          .stripMargin))
+      .withColumn("acc", expr(
+        """aggregate(zip_with(ws, bits, (w, b) -> struct(w AS w, b AS b)),
+          |  named_struct('inp', '', 'tgt', '', 'k', 0, 'prev', false),
+          |  (acc, x) -> named_struct(
+          |    'inp', CASE
+          |      WHEN x.b AND NOT acc.prev THEN concat(acc.inp,
+          |        ' <extra_id_', CAST(acc.k AS STRING), '>')
+          |      WHEN x.b THEN acc.inp
+          |      ELSE concat(acc.inp, ' ', x.w) END,
+          |    'tgt', CASE
+          |      WHEN x.b AND NOT acc.prev THEN concat(acc.tgt,
+          |        ' <extra_id_', CAST(acc.k AS STRING), '> ', x.w)
+          |      WHEN x.b THEN concat(acc.tgt, ' ', x.w)
+          |      ELSE acc.tgt END,
+          |    'k', CASE WHEN x.b AND NOT acc.prev THEN acc.k + 1
+          |      ELSE acc.k END,
+          |    'prev', x.b),
+          |  acc -> named_struct('inp', trim(acc.inp), 'tgt', trim(acc.tgt),
+          |    'k', acc.k))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("aggregate(bits, 0L, (a, b) -> a + if(b, 1L, 0L))")
+          .as("n_masked"),
+        col("acc.k").cast("long").as("n_spans"),
+        md5(col("acc.inp")).as("input_fp"),
+        md5(col("acc.tgt")).as("target_fp"))
+  }
+
   def selfRepDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     require(sep.nonEmpty, "sep must be non-empty")

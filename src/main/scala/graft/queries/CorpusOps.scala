@@ -625,6 +625,15 @@ object CorpusOps {
           posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
         .orderBy("doc_id", "pos", "piece_idx")),
 
+    // T5-style span corruption: deterministic md5-selected mask spans,
+    // sentinel-rewritten input + target assembled in one array fold; the
+    // oracle rebuilds both strings via an INDEPENDENT window/string_agg
+    // formulation — byte-equal md5s pin the objective's data shape
+    "q_doc_span_corrupt" -> ((s, dir) =>
+      graft.ops.Curation.spanCorrupt(wide(s, t(s, dir, "documents")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // SentencePiece-style unigram Viterbi segmentation: min-total-cost
     // pieces under a BPE-bootstrapped integer-cost vocab (floor-log2
     // costs, +500/piece fragmentation penalty, longest-piece tie pin) —
@@ -4122,6 +4131,53 @@ object CorpusOps {
         |  CAST(pi - 1 AS INT) AS piece_idx, pieces[pi] AS piece
         |FROM enc, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS pi)
         |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+
+    // span-corruption replay, independent formulation: per-position mask
+    // bits from the same md5 selectors, then run indexing via window
+    // prefix sums and string_agg (ORDER BY p) instead of the engine's
+    // array fold — the strings must still agree byte-for-byte
+    "q_doc_span_corrupt" ->
+      raw"""WITH n AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           |  FROM documents),
+           |tok AS (SELECT doc_id, i - 1 AS p,
+           |    regexp_split_to_array(t, '\s+')[i] AS w,
+           |    len(regexp_split_to_array(t, '\s+')) AS n_tokens
+           |  FROM n, LATERAL (SELECT unnest(generate_series(1,
+           |    len(regexp_split_to_array(t, '\s+')))) AS i)),
+           |bit AS (SELECT doc_id, p, w, n_tokens,
+           |    len([s for s in generate_series(greatest(p - 2, 0), p)
+           |      if ('0x' || substr(md5(doc_id || ':' || s), 1, 8))::BIGINT
+           |           % 10 = 0
+           |        AND s + 1 + (('0x' || substr(md5(doc_id || ':' || s),
+           |          1, 8))::BIGINT // 10) % 3 > p]) > 0 AS m
+           |  FROM tok),
+           |r AS (SELECT *, CASE WHEN m AND NOT coalesce(
+           |      lag(m) OVER (PARTITION BY doc_id ORDER BY p), false)
+           |    THEN 1 ELSE 0 END AS rs FROM bit),
+           |rr AS (SELECT *, sum(rs) OVER (PARTITION BY doc_id ORDER BY p)
+           |    AS runidx FROM r),
+           |inp AS (SELECT doc_id, string_agg(
+           |    CASE WHEN NOT m THEN w
+           |      ELSE '<extra_id_' || (runidx - 1) || '>' END,
+           |    ' ' ORDER BY p) AS instr
+           |  FROM rr WHERE NOT m OR rs = 1 GROUP BY doc_id),
+           |tg AS (SELECT doc_id, string_agg(
+           |    CASE WHEN rs = 1
+           |      THEN '<extra_id_' || (runidx - 1) || '> ' || w
+           |      ELSE w END, ' ' ORDER BY p) AS tgstr
+           |  FROM rr WHERE m GROUP BY doc_id),
+           |agg AS (SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_masked,
+           |    CAST(sum(rs) AS BIGINT) AS n_spans
+           |  FROM rr GROUP BY doc_id)
+           |SELECT a.doc_id, a.n_tokens, a.n_masked, a.n_spans,
+           |  md5(coalesce(i.instr, '')) AS input_fp,
+           |  md5(coalesce(g.tgstr, '')) AS target_fp
+           |FROM agg a LEFT JOIN inp i USING (doc_id)
+           |LEFT JOIN tg g USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
     // unigram Viterbi replay: vocab (BPE pieces + chars, floor-log2
     // costs via unpadded bin()), then the DP UNROLLED — dp0..dp12 CTEs

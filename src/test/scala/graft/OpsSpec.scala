@@ -1137,6 +1137,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("span corruption: driver replica parity and structural invariants") {
+    import graft.ops.Curation
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(30)
+    val got = Curation.spanCorrupt(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    // independent driver replica of the deterministic noise + rewrite
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sel(d: Long, p: Int) =
+      java.lang.Long.parseLong(md5hex(s"$d:$p").take(8), 16)
+    docs.collect().foreach { r =>
+      val d = r.getLong(0)
+      val ws = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ", -1)
+      val bits = ws.indices.map { p =>
+        (math.max(p - 2, 0) to p).exists { s =>
+          sel(d, s) % 10 == 0 && s + 1 + (sel(d, s) / 10) % 3 > p
+        }
+      }
+      val inp = new StringBuilder; val tgt = new StringBuilder
+      var k = 0; var prev = false
+      ws.indices.foreach { p =>
+        if (bits(p) && !prev) {
+          inp.append(s" <extra_id_$k>"); tgt.append(s" <extra_id_$k> ${ws(p)}")
+          k += 1
+        } else if (bits(p)) tgt.append(" " + ws(p))
+        else inp.append(" " + ws(p))
+        prev = bits(p)
+      }
+      val exp = (ws.length.toLong, bits.count(identity).toLong, k.toLong,
+        md5hex(inp.toString.trim), md5hex(tgt.toString.trim))
+      assert(got(d) == exp, s"doc $d")
+      val (nt, nm, ns, _, _) = got(d)
+      // each emitted run covers >= 1 token; merged overlaps can exceed
+      // maxSpanLen, so there is no 3·ns upper bound
+      assert(ns <= nm && nm <= nt)
+    }
+  }
+
   test("unigram Viterbi: min-cost DP, longest-piece tie pin, UNK fallback") {
     import graft.ops.Unigram
     val vocab = Seq(("ab", 100L), ("abc", 150L), ("a", 800L), ("b", 700L),
