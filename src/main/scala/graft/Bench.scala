@@ -39,7 +39,7 @@ object Bench {
     // off-clock while keeping warmup bounded; the broadcast-off second pass
     // covers the join variants the slice's smaller stats might skip.
     import org.apache.spark.sql.functions.{col, concat, concat_ws, encode,
-      expr, floor, least, lit, min, max, pmod}
+      expr, floor, hex, least, lit, lpad, min, max, pmod, unhex}
     def warmDedup(): Unit = {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .where(pmod(col("doc_id"), lit(2)) === 0)
@@ -327,6 +327,51 @@ object Bench {
       sc.release()
       spark.catalog.clearCache()
     }
+    // round-8c shapes none of the passes above compile: the WHT butterfly
+    // column chain + audio band join, the span-corruption struct fold,
+    // the backoff-LM triple-left-join, the unigram Viterbi encode join,
+    // and the BQ sign-pack + Hamming TopKAgg.
+    def warmNewOps(): Unit = {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .repartition(cpus.toInt)
+      graft.ops.Curation.spanCorrupt(docs, "doc_id", "text").count()
+      graft.ops.TextOps.backoffLmScore(docs, "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(16)) === 0), "text").count()
+      val wf = graft.ops.Bpe.wordFreq(docs, "text").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+        .sortBy { case (w, f) => (-f, w) }.take(200)
+      val merges = graft.ops.Bpe.train(wf, 24)
+      val vocab = graft.ops.Unigram.vocabFromBpe(docs, "doc_id", "text",
+        merges, 8)
+      graft.ops.Unigram.segmentCorpus(docs, "doc_id", "text", vocab,
+        8).count()
+      graft.ops.Bpe.decodeCorpus(graft.ops.Bpe.encodeCorpus(docs,
+        "doc_id", "text", merges)).count()
+      val media = docs.limit(64).select(col("doc_id").as("media_id"),
+        lit("audio").as("modality"),
+        unhex(concat(lit("52494646"), lit("28000000"), lit("57415645"),
+          lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+          lit("401F0000"), lit("803E0000"), lit("0200"), lit("1000"),
+          lit("64617461"), lit("04000000"),
+          lpad(hex(pmod(col("doc_id") * 37, lit(65536L))), 4, "0"),
+          lit("E803"))).as("payload"),
+        lit("warm").as("source")).as[graft.ops.Multimodal.MediaRecord]
+      graft.ops.Multimodal.whtFpPairs(
+        graft.ops.Multimodal.wavWhtFp(media), 3).count()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(pmod(col("vec_id"), lit(2)) === 0)
+      val q = emb.where(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.ops.ScalarQuant.bqSearchTopK(emb, "vec_id", "embedding",
+        q, "query_id", "query_vec", 5, 20).count()
+      graft.ops.VectorOps.marginPairs(
+        graft.ops.VectorOps.bruteTopK(emb, q, 4),
+        graft.ops.VectorOps.bruteTopK(emb, q, 4)).count()
+      spark.catalog.clearCache()
+    }
     warm("dedup")(warmDedup())
     warm("timeseries")(warmTimeSeries())
     warm("relational")(warmRelational())
@@ -335,6 +380,7 @@ object Bench {
     warm("compositions")(warmCompositions())
     warm("curation")(warmCuration())
     warm("fingerprints")(warmFingerprints())
+    warm("newops")(warmNewOps())
     warm("dedup-broadcast-off") {
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -1961,28 +1961,26 @@ object CorpusOps {
     * carry junk (decode must fail closed and exclude them from pairing).
     */
   private[queries] def mmWavPayloadWht: org.apache.spark.sql.Column = {
-    def le32(v: org.apache.spark.sql.Column) = {
-      val be = lpad(hex(v), 8, "0")
-      concat(substring(be, 7, 2), substring(be, 5, 2),
-        substring(be, 3, 2), substring(be, 1, 2))
+    // only 16 distinct payloads exist ((group, parity) pairs), so they
+    // are built ONCE as driver-side hex literals and selected by index —
+    // the per-row 256-term hex-concat Column this replaces dominated the
+    // gate at 9 s (codegen of a ~2500-node expression), vs ~1 s now
+    def le32(v: Long) = f"$v%08x".grouped(2).toSeq.reverse.mkString
+    def le16(v: Long) = f"${v & 0xFFFF}%04x".grouped(2).toSeq.reverse.mkString
+    def wavHex(g: Int, amp: Long): String = {
+      val samples = (0 until 256).map { i =>
+        val c = i.toLong * i + i + 41
+        if ((g + 1) * c % 97 < 48) amp else -amp
+      }
+      "52494646" + le32(548L) + "57415645" + "666d7420" + le32(16L) +
+        le16(1L) + le16(1L) + le32(8000L) + le32(16000L) + le16(2L) +
+        le16(16L) + "64617461" + le32(512L) + samples.map(le16).mkString
     }
-    def le16(v: org.apache.spark.sql.Column) = {
-      val be = lpad(hex(v), 4, "0")
-      concat(substring(be, 3, 2), substring(be, 1, 2))
-    }
-    val g = pmod(expr("doc_id DIV 2"), lit(8))
-    val amp = when(pmod(col("doc_id"), lit(2)) === 0, lit(1000L))
-      .otherwise(lit(3000L))
-    def samp(i: Int) = {
-      val c = i.toLong * i + i + 41
-      when(pmod((g + 1) * lit(c), lit(97)) < 48, amp).otherwise(-amp)
-    }
-    val wav = unhex(concat(
-      lit("52494646"), le32(lit(548L)), lit("57415645"), lit("666D7420"),
-      le32(lit(16L)), le16(lit(1L)), le16(lit(1L)), le32(lit(8000L)),
-      le32(lit(16000L)), le16(lit(2L)), le16(lit(16L)),
-      lit("64617461"), le32(lit(512L)),
-      concat((0 until 256).map(i => le16(pmod(samp(i), lit(65536L)))): _*)))
+    val lits = for (g <- 0 until 8; amp <- Seq(1000L, 3000L))
+      yield lit(wavHex(g, amp))
+    val idx = (pmod(expr("doc_id DIV 2"), lit(8)) * 2 +
+      pmod(col("doc_id"), lit(2))).cast("int") + 1
+    val wav = unhex(element_at(array(lits: _*), idx))
     when(pmod(col("doc_id"), lit(29)) === 11,
       encode(lit("junk"), "UTF-8")).otherwise(wav)
   }
