@@ -369,6 +369,36 @@ object CorpusOps {
       Dedup.exactGroups(wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("fp")),
 
+    // curation-policy audit: duplication rate per quality decile — "are
+    // low-quality docs more duplicated?" is the first cross-signal check
+    // before choosing a dedup-vs-filter order. Corpus texts are unique by
+    // construction, so docs with doc_id%5==4 take their predecessor's
+    // text (planted exact dups across the whole quality spectrum); the
+    // profile joins exact-dup groups against integer quality deciles
+    "q_doc_quality_dup" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val dupSrc = docs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("prev_text"))
+      val planted = docs.join(dupSrc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 4 &&
+            col("prev_text").isNotNull, col("prev_text"))
+            .otherwise(col("text")).as("text"))
+      val scored = planted.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")) * lit(1e6), 0).cast("long")
+          .as("q_micro"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val groups = scored.groupBy("fp").agg(count(lit(1)).as("n"))
+      scored.join(groups, Seq("fp"))
+        .select(expr("least(9L, q_micro div 100000L)").as("bucket"),
+          when(col("n") > 1, 1L).otherwise(0L).as("is_dup"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"))
+        .select(col("bucket"), col("n_docs"), col("n_dup_docs"),
+          expr("n_dup_docs * 1000000L div n_docs").as("dup_ppm"))
+        .orderBy("bucket")
+    }),
+
     // shingling: distinct word-3-shingles per doc
     "q_doc_shingle_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2703,6 +2733,44 @@ object CorpusOps {
            |SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs
            |FROM n GROUP BY prefix_fp HAVING count(*) >= 2
            |ORDER BY n_docs DESC, prefix_fp""".stripMargin,
+
+    // quality-decile dup profile replay: same planted predecessor-text
+    // dups, same quality formula (the q_doc_quality m CTE), integer
+    // deciles and ppm rates
+    "q_doc_quality_dup" ->
+      raw"""WITH pl AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN d.doc_id % 5 = 4 AND p.text IS NOT NULL
+           |      THEN p.text ELSE d.text END AS text
+           |  FROM documents d
+           |  LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+           |b AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\s+') AS toks, text
+           |  FROM pl),
+           |m AS (SELECT doc_id,
+           |    CAST(len(list_filter(toks, x -> x IN ($stopList)))
+           |      AS DOUBLE) / greatest(len(toks), 1) AS sraw,
+           |    CAST(length(trim(text)) AS DOUBLE)
+           |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl,
+           |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           |      AS fp
+           |  FROM b),
+           |q AS (SELECT doc_id, fp,
+           |    CAST(round(round((lens
+           |      + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25
+           |         END)
+           |      + least(sraw * 5.0, 1.0)) / 3.0, 6) * 1000000, 0)
+           |      AS BIGINT) AS q_micro
+           |  FROM m),
+           |g AS (SELECT fp, count(*) AS n FROM q GROUP BY fp),
+           |j AS (SELECT least(9, q_micro // 100000) AS bucket,
+           |    CASE WHEN g.n > 1 THEN 1 ELSE 0 END AS isd
+           |  FROM q JOIN g USING (fp))
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(isd) AS BIGINT) AS n_dup_docs,
+           |  CAST(sum(isd) AS BIGINT) * 1000000 // count(*) AS dup_ppm
+           |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_doc_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
