@@ -114,6 +114,7 @@ object ExplainCheck {
     "q_doc_unigram_segment" -> (Seq("Generate"), Seq("Window", "CartesianProduct")),
     "q_doc_span_corrupt" -> (Seq("Project"), Seq("Window", "SortMergeJoin")),
     "q_doc_quality_dup" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
+    "q_doc_tokenizer_compare" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

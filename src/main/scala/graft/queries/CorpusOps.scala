@@ -655,6 +655,30 @@ object CorpusOps {
           posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
         .orderBy("doc_id", "pos", "piece_idx")),
 
+    // tokenizer-efficiency audit: BPE vs unigram piece counts per doc
+    // over the SAME corpus and the same bootstrapped vocab budget — the
+    // fertility comparison that decides which tokenizer family wastes
+    // fewer pieces on this data (Kudo 2018's evaluation, as a gate)
+    "q_doc_tokenizer_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enc = graft.ops.Bpe.encodeCorpus(docs, "doc_id", "text",
+        bpeGateMerges)
+      val bp = enc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(size(col("pieces"))).cast("long").as("bpe_pieces"))
+      val vocab = graft.ops.Unigram.vocabFromBpe(docs, "doc_id", "text",
+        bpeGateMerges, maxPieceLen = 8)
+      val seg = graft.ops.Unigram.segmentCorpus(docs, "doc_id", "text",
+        vocab, maxPieceLen = 8)
+      val up = seg.groupBy("doc_id")
+        .agg(sum(size(col("pieces"))).cast("long").as("uni_pieces"))
+      bp.join(up, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("bpe_pieces"),
+          col("uni_pieces"),
+          (col("uni_pieces") - col("bpe_pieces")).as("piece_delta"))
+        .orderBy("doc_id")
+    }),
+
     // T5-style span corruption: deterministic md5-selected mask spans,
     // sentinel-rewritten input + target assembled in one array fold; the
     // oracle rebuilds both strings via an INDEPENDENT window/string_agg
@@ -1918,6 +1942,90 @@ object CorpusOps {
     * (per-token BPE pieces via the chained-replace merge replay) — used
     * by both the encode gate and the bpe-sized packing gate.
     */
+  /** Shared unigram-DP oracle CTE stack (vocab, unrolled dp/backtrack,
+    * per-term pieces + counts + word costs) — used by the segmentation
+    * gate and the tokenizer-comparison gate.
+    */
+  private lazy val unigramCtesSql: String = {
+
+      val U = 12
+      val P = 8
+      val dpDefs = (1 to U).map { j =>
+        val branches = (1 to math.min(j, P)).map { l =>
+          if (l == 1)
+            s"""SELECT d.term, d.c + coalesce(v.cost, 20000) AS cand
+               |    FROM dp${j - 1} d LEFT JOIN voc v
+               |      ON v.piece = substring(d.term, $j, 1)
+               |    WHERE length(d.term) >= $j""".stripMargin
+          else
+            s"""SELECT d.term, d.c + v.cost AS cand
+               |    FROM dp${j - l} d JOIN voc v
+               |      ON v.piece = substring(d.term, ${j - l + 1}, $l)
+               |    WHERE length(d.term) >= $j""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        s"dp$j AS MATERIALIZED (SELECT term, min(cand) AS c FROM (\n    $branches) z$j" +
+          " GROUP BY term)"
+      }
+      val dpAll = (0 to U)
+        .map(j => s"SELECT term, $j AS j, c FROM dp$j")
+        .mkString("\n  UNION ALL ")
+      val btDefs = (0 until U).flatMap { s =>
+        val candBranches = (1 to P).map { l =>
+          val joinV =
+            if (l == 1)
+              s"LEFT JOIN voc v ON v.piece = substring(b.term, b.j, 1)"
+            else
+              s"JOIN voc v ON v.piece = substring(b.term, b.j - $l + 1, $l)"
+          val costExpr =
+            if (l == 1) "coalesce(v.cost, 20000)" else "v.cost"
+          s"""SELECT b.term, b.j, $l AS l,
+             |      substring(b.term, b.j - $l + 1, $l) AS piece
+             |    FROM bt$s b
+             |    JOIN dpall da ON da.term = b.term AND da.j = b.j
+             |    JOIN dpall db ON db.term = b.term AND db.j = b.j - $l
+             |    $joinV
+             |    WHERE b.j >= $l AND db.c + $costExpr = da.c""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        Seq(
+          s"""ch$s AS MATERIALIZED (SELECT term, j, l, piece,
+             |    row_number() OVER (PARTITION BY term ORDER BY l DESC)
+             |      AS rn
+             |  FROM (\n    $candBranches) c$s)""".stripMargin,
+          s"bt${s + 1} AS MATERIALIZED (SELECT term, j - l AS j FROM ch$s" +
+            " WHERE rn = 1 AND j - l > 0)")
+      }
+      val chUnion = (0 until U)
+        .map(s => s"SELECT term, piece, $s AS s FROM ch$s WHERE rn = 1")
+        .mkString("\n  UNION ALL ")
+      s"""$bpeEncCteSql,
+         |pc AS (SELECT p AS piece, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM enc, LATERAL (SELECT unnest(pieces) AS p) GROUP BY p),
+         |cc AS (SELECT substring(term, i, 1) AS piece,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok, LATERAL
+         |    (SELECT unnest(generate_series(1, length(term))) AS i)
+         |  GROUP BY 1),
+         |vc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT * FROM pc UNION ALL SELECT * FROM cc) u
+         |  WHERE length(piece) <= $P GROUP BY piece),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vc),
+         |voc AS MATERIALIZED (SELECT piece,
+         |    ((length(bin(tt.tot)) - 1) - (length(bin(cnt)) - 1)) * 1000
+         |      + 500 AS cost
+         |  FROM vc CROSS JOIN tt),
+         |words AS MATERIALIZED (SELECT DISTINCT term FROM tok WHERE length(term) >= 1),
+         |dp0 AS (SELECT term, CAST(0 AS BIGINT) AS c FROM words),
+         |${dpDefs.mkString(",\n")},
+         |dpall AS MATERIALIZED ($dpAll),
+         |bt0 AS MATERIALIZED (SELECT term, length(term) AS j FROM words),
+         |${btDefs.mkString(",\n")},
+         |pieces AS ($chUnion),
+         |np AS (SELECT term, CAST(count(*) AS BIGINT) AS total
+         |  FROM pieces GROUP BY term),
+         |wc AS (SELECT d.term, d.c AS cost_milli FROM dpall d
+         |  JOIN words w ON w.term = d.term AND d.j = length(w.term))""".stripMargin
+  }
+
   private lazy val bpeEncCteSql: String = {
     val init = "chr(1) || array_to_string([term[i] for i in " +
       "generate_series(1, length(term))], chr(1) || chr(1)) || chr(1)"
@@ -4251,83 +4359,24 @@ object CorpusOps {
     // longer word would fail the gate loudly, not silently), a dpall
     // union for runtime-j lookups, and 12 backtrack steps re-deriving
     // the longest-piece tie pin from dp costs exactly like the engine
-    "q_doc_unigram_segment" -> {
-      val U = 12
-      val P = 8
-      val dpDefs = (1 to U).map { j =>
-        val branches = (1 to math.min(j, P)).map { l =>
-          if (l == 1)
-            s"""SELECT d.term, d.c + coalesce(v.cost, 20000) AS cand
-               |    FROM dp${j - 1} d LEFT JOIN voc v
-               |      ON v.piece = substring(d.term, $j, 1)
-               |    WHERE length(d.term) >= $j""".stripMargin
-          else
-            s"""SELECT d.term, d.c + v.cost AS cand
-               |    FROM dp${j - l} d JOIN voc v
-               |      ON v.piece = substring(d.term, ${j - l + 1}, $l)
-               |    WHERE length(d.term) >= $j""".stripMargin
-        }.mkString("\n    UNION ALL\n    ")
-        s"dp$j AS MATERIALIZED (SELECT term, min(cand) AS c FROM (\n    $branches) z$j" +
-          " GROUP BY term)"
-      }
-      val dpAll = (0 to U)
-        .map(j => s"SELECT term, $j AS j, c FROM dp$j")
-        .mkString("\n  UNION ALL ")
-      val btDefs = (0 until U).flatMap { s =>
-        val candBranches = (1 to P).map { l =>
-          val joinV =
-            if (l == 1)
-              s"LEFT JOIN voc v ON v.piece = substring(b.term, b.j, 1)"
-            else
-              s"JOIN voc v ON v.piece = substring(b.term, b.j - $l + 1, $l)"
-          val costExpr =
-            if (l == 1) "coalesce(v.cost, 20000)" else "v.cost"
-          s"""SELECT b.term, b.j, $l AS l,
-             |      substring(b.term, b.j - $l + 1, $l) AS piece
-             |    FROM bt$s b
-             |    JOIN dpall da ON da.term = b.term AND da.j = b.j
-             |    JOIN dpall db ON db.term = b.term AND db.j = b.j - $l
-             |    $joinV
-             |    WHERE b.j >= $l AND db.c + $costExpr = da.c""".stripMargin
-        }.mkString("\n    UNION ALL\n    ")
-        Seq(
-          s"""ch$s AS MATERIALIZED (SELECT term, j, l, piece,
-             |    row_number() OVER (PARTITION BY term ORDER BY l DESC)
-             |      AS rn
-             |  FROM (\n    $candBranches) c$s)""".stripMargin,
-          s"bt${s + 1} AS MATERIALIZED (SELECT term, j - l AS j FROM ch$s" +
-            " WHERE rn = 1 AND j - l > 0)")
-      }
-      val chUnion = (0 until U)
-        .map(s => s"SELECT term, piece, $s AS s FROM ch$s WHERE rn = 1")
-        .mkString("\n  UNION ALL ")
-      s"""WITH $bpeEncCteSql,
-         |pc AS (SELECT p AS piece, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM enc, LATERAL (SELECT unnest(pieces) AS p) GROUP BY p),
-         |cc AS (SELECT substring(term, i, 1) AS piece,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM tok, LATERAL
-         |    (SELECT unnest(generate_series(1, length(term))) AS i)
-         |  GROUP BY 1),
-         |vc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
-         |  FROM (SELECT * FROM pc UNION ALL SELECT * FROM cc) u
-         |  WHERE length(piece) <= $P GROUP BY piece),
-         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vc),
-         |voc AS MATERIALIZED (SELECT piece,
-         |    ((length(bin(tt.tot)) - 1) - (length(bin(cnt)) - 1)) * 1000
-         |      + 500 AS cost
-         |  FROM vc CROSS JOIN tt),
-         |words AS MATERIALIZED (SELECT DISTINCT term FROM tok WHERE length(term) >= 1),
-         |dp0 AS (SELECT term, CAST(0 AS BIGINT) AS c FROM words),
-         |${dpDefs.mkString(",\n")},
-         |dpall AS MATERIALIZED ($dpAll),
-         |bt0 AS MATERIALIZED (SELECT term, length(term) AS j FROM words),
-         |${btDefs.mkString(",\n")},
-         |pieces AS ($chUnion),
-         |np AS (SELECT term, CAST(count(*) AS BIGINT) AS total
-         |  FROM pieces GROUP BY term),
-         |wc AS (SELECT d.term, d.c AS cost_milli FROM dpall d
-         |  JOIN words w ON w.term = d.term AND d.j = length(w.term))
+    // fertility-compare replay off the same shared CTE stack: BPE piece
+    // sums from enc, unigram sums from the per-term DP piece counts
+    // (LEFT JOIN keeps all-empty-token docs on both sides)
+    "q_doc_tokenizer_compare" ->
+      s"""WITH $unigramCtesSql,
+         |bp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(pieces)) AS BIGINT) AS bpe_pieces
+         |  FROM enc GROUP BY doc_id),
+         |up AS (SELECT t.doc_id,
+         |    CAST(sum(coalesce(np.total, 0)) AS BIGINT) AS uni_pieces
+         |  FROM tok t LEFT JOIN np ON np.term = t.term
+         |  GROUP BY t.doc_id)
+         |SELECT b.doc_id, b.n_tokens, b.bpe_pieces, u.uni_pieces,
+         |  u.uni_pieces - b.bpe_pieces AS piece_delta
+         |FROM bp b JOIN up u USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_unigram_segment" ->
+      s"""WITH $unigramCtesSql
          |SELECT t.doc_id, CAST(t.pos AS INT) AS pos, t.term,
          |  wc.cost_milli,
          |  CAST(np.total - 1 - p.s AS INT) AS piece_idx, p.piece
@@ -4335,9 +4384,7 @@ object CorpusOps {
          |JOIN pieces p ON p.term = t.term
          |JOIN np ON np.term = t.term
          |JOIN wc ON wc.term = t.term
-         |ORDER BY doc_id, pos, piece_idx""".stripMargin
-    },
-
+         |ORDER BY doc_id, pos, piece_idx""".stripMargin,
     // round-trip identity stated from the ORIGINAL text: normalize,
     // split, rejoin — never the pieces; Spark must reconstruct this
     // byte-exactly from the encoded stream alone
