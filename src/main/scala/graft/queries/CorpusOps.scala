@@ -815,6 +815,29 @@ object CorpusOps {
         .limit(20)
     }),
 
+    // the same margin mining on the IVF serving path — marginPairs is
+    // kNN-backend-agnostic, and THIS is the composition that runs at
+    // corpus scale: cell-probed candidate lists both directions, the
+    // margin post-processing unchanged (nprobe=2 makes it a real
+    // approximation, not a disguised brute force)
+    "q_emb_margin_ivf" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val fwd = VectorOps.ivfTopK(tgt, centroids, qside(src),
+        k = 4, nprobe = 2)
+      val bwd = VectorOps.ivfTopK(src, centroids, qside(tgt),
+        k = 4, nprobe = 2)
+      VectorOps.marginPairs(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
     // JL sign projection + search IN THE REDUCED SPACE: embeddings cut to
     // 16 dims by the deterministic ±1 plane family (Achlioptas), float-
     // quantized (both engines round-to-nearest), then the standard brute
@@ -2287,6 +2310,28 @@ object CorpusOps {
     */
   private[graft] val embDims = 64
 
+  /** Shared ratio-margin oracle tail over CTEs `fwd`/`bwd` with
+    * (src_id, tgt_id, cos_x1m): per-side sums, pair union, exact integer
+    * margin — identical for any kNN backend feeding it (brute or IVF),
+    * mirroring [[graft.ops.VectorOps.marginPairs]]'s backend-agnostic
+    * contract.
+    */
+  private def marginTailSql: String =
+    """df AS (SELECT src_id, sum(cos_x1m) AS sum_f,
+      |    CAST(count(*) AS BIGINT) AS cnt_f FROM fwd GROUP BY src_id),
+      |db AS (SELECT tgt_id, sum(cos_x1m) AS sum_b,
+      |    CAST(count(*) AS BIGINT) AS cnt_b FROM bwd GROUP BY tgt_id),
+      |u AS (SELECT DISTINCT src_id, tgt_id, cos_x1m FROM (
+      |    SELECT * FROM fwd UNION ALL SELECT * FROM bwd) z),
+      |m AS (SELECT u.src_id, u.tgt_id, u.cos_x1m,
+      |    df.sum_f * db.cnt_b + db.sum_b * df.cnt_f AS den,
+      |    df.cnt_f, db.cnt_b
+      |  FROM u JOIN df USING (src_id) JOIN db USING (tgt_id))
+      |SELECT src_id, tgt_id, cos_x1m,
+      |  (cos_x1m * 2 * cnt_f * cnt_b * 1000000) // den AS margin_ppm
+      |FROM m WHERE den > 0
+      |ORDER BY margin_ppm DESC, src_id, tgt_id LIMIT 20""".stripMargin
+
   /** DuckDB-side mirror of the engine's width guard: selects the embedding
     * as DOUBLE[] when exactly [[embDims]] wide, else raises through
     * `error()` — a WHERE filter would pass vacuously on a wrong-width
@@ -3164,20 +3209,50 @@ object CorpusOps {
          |bwd AS (SELECT src_id, tgt_id,
          |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
          |  FROM br WHERE rn <= 4),
-         |df AS (SELECT src_id, sum(cos_x1m) AS sum_f,
-         |    CAST(count(*) AS BIGINT) AS cnt_f FROM fwd GROUP BY src_id),
-         |db AS (SELECT tgt_id, sum(cos_x1m) AS sum_b,
-         |    CAST(count(*) AS BIGINT) AS cnt_b FROM bwd GROUP BY tgt_id),
-         |u AS (SELECT DISTINCT src_id, tgt_id, cos_x1m FROM (
-         |    SELECT * FROM fwd UNION ALL SELECT * FROM bwd) z),
-         |m AS (SELECT u.src_id, u.tgt_id, u.cos_x1m,
-         |    df.sum_f * db.cnt_b + db.sum_b * df.cnt_f AS den,
-         |    df.cnt_f, db.cnt_b
-         |  FROM u JOIN df USING (src_id) JOIN db USING (tgt_id))
-         |SELECT src_id, tgt_id, cos_x1m,
-         |  (cos_x1m * 2 * cnt_f * cnt_b * 1000000) // den AS margin_ppm
-         |FROM m WHERE den > 0
-         |ORDER BY margin_ppm DESC, src_id, tgt_id LIMIT 20""".stripMargin,
+         |$marginTailSql""".stripMargin,
+
+    // IVF-margin replay: the knn_ivf cell/probe CTEs in BOTH directions
+    // (assign tie → lowest centroid id; probe top-2; in-cell knn ties →
+    // lowest vec_id), then the IDENTICAL margin tail — proving the
+    // backend swap changes only the candidate CTEs
+    "q_emb_margin_ivf" -> {
+      def side(corpus: String, queries: String, cells: String,
+          probes: String, fwd: String, qcol: String, ccol: String) =
+        s"""$cells AS (SELECT vec_id, cell, ev FROM (
+           |    SELECT t.vec_id, cent.centroid_id AS cell, t.ev,
+           |      row_number() OVER (PARTITION BY t.vec_id
+           |        ORDER BY ${cosSql("t.ev", "cent.cv")} DESC,
+           |          cent.centroid_id) AS rn
+           |    FROM $corpus t CROSS JOIN cent) z WHERE rn = 1),
+           |$probes AS (SELECT query_id, qv, cell FROM (
+           |    SELECT s.vec_id AS query_id, s.ev AS qv,
+           |      cent.centroid_id AS cell,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${cosSql("s.ev", "cent.cv")} DESC,
+           |          cent.centroid_id) AS rn
+           |    FROM $queries s CROSS JOIN cent) z WHERE rn <= 2),
+           |$fwd AS (SELECT $qcol, $ccol,
+           |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
+           |  FROM (SELECT query_id, vec_id, cos,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, vec_id) AS rn
+           |    FROM (SELECT p.query_id, c.vec_id,
+           |        ${cosSql("c.ev", "p.qv")} AS cos
+           |      FROM $cells c JOIN $probes p USING (cell)
+           |      WHERE c.vec_id != p.query_id) z0
+           |    WHERE cos IS NOT NULL) z1
+           |  WHERE rn <= 4)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, ev AS cv FROM e
+         |  WHERE vec_id < 8),
+         |so AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |tg AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |${side("tg", "so", "cellsT", "probF", "fwd",
+             "query_id AS src_id", "vec_id AS tgt_id")},
+         |${side("so", "tg", "cellsS", "probB", "bwd",
+             "vec_id AS src_id", "query_id AS tgt_id")},
+         |$marginTailSql""".stripMargin
+    },
 
     // JL replay: the IDENTICAL ±1 literal matrix (generated from the same
     // driver-side jlSign), identical left-associated + chain per
