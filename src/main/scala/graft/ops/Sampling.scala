@@ -132,4 +132,29 @@ object Sampling {
           (col("h") + 1) % col("n_docs"))
           .otherwise(col("h")).as("neg_id"))
   }
+
+  /** Diversity cap: keep at most `cap` members per key, chosen by
+    * (md5(id) asc, id asc) — a deterministic pseudo-random pick with no
+    * rand(), the SemDeDup/DiverseEvol-style "spread the budget across
+    * semantic clusters" selection when the key is an [[graft.ops
+    * .VectorOps.assignCells]] cell (and the per-domain crawl cap when it
+    * is a registered domain). Unlike a row_number window (which sorts a
+    * key's ENTIRE membership on one task), the bounded TopKAgg carries at
+    * most ~4·cap entries per key through the shuffle. Returns one row per
+    * KEPT member: (key, n_members, id).
+    */
+  def diversityCap(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      idCol: String, cap: Int): org.apache.spark.sql.DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val topC = graft.functions.TopKAgg.smallest_k_long(cap)
+    df.select(col(keyCol).as("key"), col(idCol).cast("long").as("id"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT)"))
+      .groupBy("key")
+      .agg(topC(col("h"), col("id")).as("top"),
+        count(lit(1)).as("n_members"))
+      .select(col("key"), col("n_members"), explode(col("top")).as("e"))
+      .select(col("key"), col("n_members"), col("e.id").as("id"))
+  }
 }

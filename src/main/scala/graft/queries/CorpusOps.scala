@@ -815,6 +815,22 @@ object CorpusOps {
         .limit(20)
     }),
 
+    // semantic-diversity sampling: IVF cells as semantic clusters, at
+    // most 10 kept per cell by deterministic md5 pick — the "spread the
+    // budget across clusters" selection (DiverseEvol/SemDeDup-adjacent)
+    // with the bounded-TopK cap instead of a per-cell window sort
+    "q_emb_cluster_cap" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      graft.ops.Sampling.diversityCap(
+          VectorOps.assignCells(emb, centroids), "cell", "vec_id", 10)
+        .select(col("key").as("cell"), col("n_members"),
+          col("id").as("vec_id"))
+        .orderBy("cell", "vec_id")
+    }),
+
     // the same margin mining on the IVF serving path — marginPairs is
     // kNN-backend-agnostic, and THIS is the composition that runs at
     // corpus scale: cell-probed candidate lists both directions, the
@@ -3210,6 +3226,28 @@ object CorpusOps {
          |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
          |  FROM br WHERE rn <= 4),
          |$marginTailSql""".stripMargin,
+
+    // cluster-cap replay: the knn_ivf assignment CTE, md5 pick order
+    "q_emb_cluster_cap" ->
+      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, ev AS cv FROM e
+         |  WHERE vec_id < 8),
+         |cells AS (SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, cent.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("c.ev", "cent.cv")} DESC,
+         |          cent.centroid_id) AS rn
+         |    FROM e c CROSS JOIN cent) z WHERE rn = 1),
+         |h AS (SELECT cell, vec_id,
+         |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS hh
+         |  FROM cells),
+         |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM h GROUP BY cell),
+         |r AS (SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+         |    ORDER BY hh, vec_id) AS rn FROM h)
+         |SELECT r.cell, n.n_members, r.vec_id
+         |FROM r JOIN n USING (cell) WHERE rn <= 10
+         |ORDER BY cell, vec_id""".stripMargin,
 
     // IVF-margin replay: the knn_ivf cell/probe CTEs in BOTH directions
     // (assign tie → lowest centroid id; probe top-2; in-cell knn ties →
