@@ -1137,6 +1137,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("diversity cap: bound respected, deterministic md5 pick, counts") {
+    import graft.ops.Sampling
+    val rows = (0L until 40L).map(i => (i % 3, i)).toDF("cell", "vec_id")
+    val kept = Sampling.diversityCap(rows, "cell", "vec_id", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.groupBy(_._1).forall(_._2.length == 5)) // 3 cells × 5
+    // n_members reports the PRE-cap membership
+    assert(kept.forall { case (c, n, _) => n == (if (c == 0) 14 else 13) })
+    // the pick replays exactly (pure md5 order, no rand)
+    val again = Sampling.diversityCap(rows, "cell", "vec_id", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+    // cap above membership keeps everything
+    val all = Sampling.diversityCap(rows, "cell", "vec_id", 50).collect()
+    assert(all.length == 40)
+  }
+
   test("span corruption: driver replica parity and structural invariants") {
     import graft.ops.Curation
     val docs = spark.read
