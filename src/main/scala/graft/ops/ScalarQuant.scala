@@ -89,9 +89,31 @@ object ScalarQuant {
     */
   def bqSearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, rerank: Int): DataFrame = {
+      k: Int, rerank: Int): DataFrame =
+    bqSearchTopKIndexed(bqEncode(corpus, idCol, vecCol), corpus, idCol,
+      vecCol, queries, queryIdCol, queryVecCol, k, rerank)
+
+  /** Persist / load the packed-signature layout — the BQ serving index:
+    * 32× smaller than the float corpus, so the Hamming prefilter scan
+    * reads 1/32nd the bytes every query batch while the float vectors
+    * are touched only for the k-bounded rerank join.
+    */
+  def saveBqIndex(path: String, enc: DataFrame): Unit =
+    enc.write.mode("overwrite").parquet(s"$path/words")
+
+  def loadBqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/words")
+
+  /** [[bqSearchTopK]] over a PREBUILT signature table ([[bqEncode]]
+    * output, typically [[loadBqIndex]]) — the serving path: the corpus is
+    * packed once at index-build time; a query batch scans only
+    * signatures, then reranks its candidates against the float corpus.
+    */
+  def bqSearchTopKIndexed(enc: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
-    val enc = bqEncode(corpus, idCol, vecCol)
     val qenc = bqEncode(queries, queryIdCol, queryVecCol)
       .select(col("vec_id").as("query_id"), col("bq_words").as("q_words"))
     val topH = graft.functions.TopKAgg.smallest_k_long(rerank)

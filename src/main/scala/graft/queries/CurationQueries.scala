@@ -856,6 +856,30 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // BQ SERVING path: signatures packed once into the content-keyed
+    // cache (the ivfpq_serve discipline), queries scan the 32×-compressed
+    // words and rerank k-bounded candidates against the float corpus —
+    // identical ranking to q_emb_bq_search (same oracle), build isolated
+    "q_emb_bq_serve" -> ((s, dir) => {
+      val base = graft.io.IndexCache.cacheDir("bq", 1,
+        s"$dir/embeddings.parquet")
+      val emb = wide(s, t(s, dir, "embeddings"))
+      graft.io.IndexCache.ensureBuilt(base, s"$base/words/_SUCCESS") {
+        tmp =>
+          graft.ops.ScalarQuant.saveBqIndex(tmp,
+            graft.ops.ScalarQuant.bqEncode(emb, "vec_id", "embedding"))
+      }
+      val enc = graft.ops.ScalarQuant.loadBqIndex(s, base)
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.ops.ScalarQuant.bqSearchTopKIndexed(enc, emb, "vec_id",
+          "embedding", queries, "query_id", "query_vec", k = 5,
+          rerank = 20)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // END-TO-END curation pipeline in one plan: exact dedup (keep-min per
     // content fingerprint) → quality filter (threshold 0.5) → train/val/
     // test hash split → per-(split, lang) summary. Every stage is the
@@ -1497,6 +1521,10 @@ object CurationQueries {
     "q_emb_top_component" -> powerIterSql(3),
 
     "q_emb_abtt_knn" -> abttKnnSql(3, 10),
+
+    // serving gate ranks identically to the in-query-encode gate — the
+    // SAME replay is the oracle for both
+    "q_emb_bq_serve" -> CorpusOps.oracles("q_emb_bq_search"),
 
     "q_emb_ivfpq_search" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
       topK = 5, nprobe = 2, nCoarse = 8),
