@@ -688,6 +688,23 @@ object CorpusOps {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    // UL2 mixture-of-denoisers (Tay et al., arXiv:2205.05131): each doc's
+    // denoiser config is a deterministic doc_id%3 pick — R (10%, short
+    // spans), X (20%, longer spans), S (50%, token-level) — one union of
+    // three parameterized spanCorrupt branches, each replayed by its own
+    // parameterized oracle instance
+    "q_doc_ul2_mixture" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      def cfg(m: Int, rate: Int, len: Int, tag: String) =
+        graft.ops.Curation.spanCorrupt(
+            docs.where(pmod(col("doc_id"), lit(3)) === m),
+            "doc_id", "text", startRatePct = rate, maxSpanLen = len)
+          .withColumn("denoiser", lit(tag))
+      cfg(0, 10, 3, "r").unionAll(cfg(1, 20, 4, "x"))
+        .unionAll(cfg(2, 50, 1, "s"))
+        .orderBy("doc_id")
+    }),
+
     // SentencePiece-style unigram Viterbi segmentation: min-total-cost
     // pieces under a BPE-bootstrapped integer-cost vocab (floor-log2
     // costs, +500/piece fragmentation penalty, longest-piece tie pin) —
@@ -2325,6 +2342,63 @@ object CorpusOps {
     * via [[evGuardSql]] — instead of null-padding plane sums.
     */
   private[graft] val embDims = 64
+
+  /** Parameterized span-corruption replay (rate %, max span len, doc
+    * filter): the q_doc_span_corrupt formulation generalized so the UL2
+    * mixture gate can union three denoiser configs. `divisor` must be
+    * exact (100 / ratePct) — mirrors the engine's integer rate.
+    */
+  private def spanCorruptSql(ratePct: Int, maxLen: Int,
+      docFilter: String, denoiser: String): String = {
+    val d = 100 / ratePct
+    raw"""SELECT a.doc_id, a.n_tokens, a.n_masked, a.n_spans,
+         |  md5(coalesce(i.instr, '')) AS input_fp,
+         |  md5(coalesce(g.tgstr, '')) AS target_fp, '$denoiser' AS denoiser
+         |FROM (
+         |  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |    CAST(sum(rs) AS BIGINT) AS n_spans
+         |  FROM rr_$denoiser GROUP BY doc_id) a
+         |LEFT JOIN (SELECT doc_id, string_agg(
+         |    CASE WHEN NOT m THEN w
+         |      ELSE '<extra_id_' || (runidx - 1) || '>' END,
+         |    ' ' ORDER BY p) AS instr
+         |  FROM rr_$denoiser WHERE NOT m OR rs = 1 GROUP BY doc_id) i
+         |  USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, string_agg(
+         |    CASE WHEN rs = 1
+         |      THEN '<extra_id_' || (runidx - 1) || '> ' || w
+         |      ELSE w END, ' ' ORDER BY p) AS tgstr
+         |  FROM rr_$denoiser WHERE m GROUP BY doc_id) g USING (doc_id)"""
+      .stripMargin
+  }
+
+  /** The shared mask-bit CTE chain for one denoiser config. */
+  private def spanCorruptCtes(ratePct: Int, maxLen: Int,
+      docFilter: String, denoiser: String): String = {
+    val d = 100 / ratePct
+    raw"""n_$denoiser AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+         |  FROM documents WHERE $docFilter),
+         |tok_$denoiser AS (SELECT doc_id, i - 1 AS p,
+         |    regexp_split_to_array(t, '\s+')[i] AS w,
+         |    len(regexp_split_to_array(t, '\s+')) AS n_tokens
+         |  FROM n_$denoiser, LATERAL (SELECT unnest(generate_series(1,
+         |    len(regexp_split_to_array(t, '\s+')))) AS i)),
+         |bit_$denoiser AS (SELECT doc_id, p, w, n_tokens,
+         |    len([s for s in generate_series(greatest(p - ${maxLen - 1}, 0), p)
+         |      if ('0x' || substr(md5(doc_id || ':' || s), 1, 8))::BIGINT
+         |           % $d = 0
+         |        AND s + 1 + (('0x' || substr(md5(doc_id || ':' || s),
+         |          1, 8))::BIGINT // $d) % $maxLen > p]) > 0 AS m
+         |  FROM tok_$denoiser),
+         |r_$denoiser AS (SELECT *, CASE WHEN m AND NOT coalesce(
+         |      lag(m) OVER (PARTITION BY doc_id ORDER BY p), false)
+         |    THEN 1 ELSE 0 END AS rs FROM bit_$denoiser),
+         |rr_$denoiser AS (SELECT *, sum(rs) OVER (PARTITION BY doc_id
+         |    ORDER BY p) AS runidx FROM r_$denoiser)"""
+      .stripMargin
+  }
 
   /** Shared ratio-margin oracle tail over CTEs `fwd`/`bwd` with
     * (src_id, tgt_id, cos_x1m): per-side sums, pair union, exact integer
@@ -4423,48 +4497,29 @@ object CorpusOps {
     // bits from the same md5 selectors, then run indexing via window
     // prefix sums and string_agg (ORDER BY p) instead of the engine's
     // array fold — the strings must still agree byte-for-byte
+    // span-corruption replay, independent formulation: per-position mask
+    // bits from the same md5 selectors, then run indexing via window
+    // prefix sums and string_agg (ORDER BY p) instead of the engine's
+    // array fold — the strings must still agree byte-for-byte
     "q_doc_span_corrupt" ->
-      raw"""WITH n AS (SELECT doc_id,
-           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-           |  FROM documents),
-           |tok AS (SELECT doc_id, i - 1 AS p,
-           |    regexp_split_to_array(t, '\s+')[i] AS w,
-           |    len(regexp_split_to_array(t, '\s+')) AS n_tokens
-           |  FROM n, LATERAL (SELECT unnest(generate_series(1,
-           |    len(regexp_split_to_array(t, '\s+')))) AS i)),
-           |bit AS (SELECT doc_id, p, w, n_tokens,
-           |    len([s for s in generate_series(greatest(p - 2, 0), p)
-           |      if ('0x' || substr(md5(doc_id || ':' || s), 1, 8))::BIGINT
-           |           % 10 = 0
-           |        AND s + 1 + (('0x' || substr(md5(doc_id || ':' || s),
-           |          1, 8))::BIGINT // 10) % 3 > p]) > 0 AS m
-           |  FROM tok),
-           |r AS (SELECT *, CASE WHEN m AND NOT coalesce(
-           |      lag(m) OVER (PARTITION BY doc_id ORDER BY p), false)
-           |    THEN 1 ELSE 0 END AS rs FROM bit),
-           |rr AS (SELECT *, sum(rs) OVER (PARTITION BY doc_id ORDER BY p)
-           |    AS runidx FROM r),
-           |inp AS (SELECT doc_id, string_agg(
-           |    CASE WHEN NOT m THEN w
-           |      ELSE '<extra_id_' || (runidx - 1) || '>' END,
-           |    ' ' ORDER BY p) AS instr
-           |  FROM rr WHERE NOT m OR rs = 1 GROUP BY doc_id),
-           |tg AS (SELECT doc_id, string_agg(
-           |    CASE WHEN rs = 1
-           |      THEN '<extra_id_' || (runidx - 1) || '> ' || w
-           |      ELSE w END, ' ' ORDER BY p) AS tgstr
-           |  FROM rr WHERE m GROUP BY doc_id),
-           |agg AS (SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
-           |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_masked,
-           |    CAST(sum(rs) AS BIGINT) AS n_spans
-           |  FROM rr GROUP BY doc_id)
-           |SELECT a.doc_id, a.n_tokens, a.n_masked, a.n_spans,
-           |  md5(coalesce(i.instr, '')) AS input_fp,
-           |  md5(coalesce(g.tgstr, '')) AS target_fp
-           |FROM agg a LEFT JOIN inp i USING (doc_id)
-           |LEFT JOIN tg g USING (doc_id)
-           |ORDER BY doc_id""".stripMargin,
+      s"""WITH ${spanCorruptCtes(10, 3, "true", "r")}
+         |SELECT doc_id, n_tokens, n_masked, n_spans, input_fp, target_fp
+         |FROM (${spanCorruptSql(10, 3, "true", "r")}) z
+         |ORDER BY doc_id""".stripMargin,
+
+    // UL2 mixture replay: three denoiser configs, each the same replay
+    // with its own (rate, span) parameters over its doc_id%3 slice
+    "q_doc_ul2_mixture" ->
+      s"""WITH ${spanCorruptCtes(10, 3, "doc_id % 3 = 0", "r")},
+         |${spanCorruptCtes(20, 4, "doc_id % 3 = 1", "x")},
+         |${spanCorruptCtes(50, 1, "doc_id % 3 = 2", "s")}
+         |SELECT * FROM (
+         |${spanCorruptSql(10, 3, "doc_id % 3 = 0", "r")}
+         |UNION ALL
+         |${spanCorruptSql(20, 4, "doc_id % 3 = 1", "x")}
+         |UNION ALL
+         |${spanCorruptSql(50, 1, "doc_id % 3 = 2", "s")}) z
+         |ORDER BY doc_id""".stripMargin,
 
     // unigram Viterbi replay: vocab (BPE pieces + chars, floor-log2
     // costs via unpadded bin()), then the DP UNROLLED — dp0..dp12 CTEs
