@@ -119,6 +119,8 @@ object ExplainCheck {
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_doc_ul2_mixture" -> (Seq("Union"), Seq("Window", "SortMergeJoin")),
+    "q_doc_blocklist_scrub" -> (Seq("SerializeFromObject"),
+      Seq("Window", "CartesianProduct")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

@@ -679,4 +679,119 @@ object TextOps {
         .as("max_rep_ppm"))
       .withColumn("loop_flag", col("max_rep_ppm") >= 200000L)
   }
+
+  /** Aho–Corasick automaton over literal patterns — O(text) scanning
+    * regardless of pattern count, where a regex alternation of 10k
+    * blocklist terms is both slow and engine-limited. Built once on the
+    * driver, broadcast, shared per partition. Match semantics pinned to
+    * what an alternation SORTED LONGEST-FIRST with 'g' would do:
+    * leftmost start wins, longest pattern at that start wins,
+    * non-overlapping, scanning resumes after each match — so a small
+    * term list is exactly replayable by `regexp_replace` and the oracle
+    * can state byte parity.
+    */
+  private[graft] final class AcAutomaton(patterns: Seq[String])
+      extends Serializable {
+    import scala.collection.mutable
+    private val gotos = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
+    private val lens = mutable.ArrayBuffer(0)
+    for (p <- patterns if p.nonEmpty) {
+      var s = 0
+      for (c <- p) s = gotos(s).getOrElseUpdate(c, {
+        gotos += mutable.Map.empty[Char, Int]; lens += 0; gotos.size - 1
+      })
+      lens(s) = math.max(lens(s), p.length)
+    }
+    private val n = gotos.size
+    private val fail = new Array[Int](n)
+    // longest match ending at this node, fail-chain inclusive
+    private val out = lens.toArray
+    locally {
+      val q = mutable.Queue.empty[Int]
+      gotos(0).valuesIterator.foreach(q.enqueue)
+      while (q.nonEmpty) {
+        val s = q.dequeue()
+        gotos(s).foreach { case (c, t) =>
+          var f = fail(s)
+          while (f != 0 && !gotos(f).contains(c)) f = fail(f)
+          fail(t) = if (f != s && gotos(f).contains(c)) gotos(f)(c) else 0
+          // fail(t) computed BEFORE t is processed → out is propagated
+          out(t) = math.max(out(t), out(fail(t)))
+          q.enqueue(t)
+        }
+      }
+    }
+    /** All (start, longest-len) raw matches; shorter same-end overlaps
+      * with DIFFERENT starts are found via their own end positions.
+      */
+    private def rawMatches(text: String): mutable.ArrayBuffer[(Int, Int)] = {
+      val ms = mutable.ArrayBuffer.empty[(Int, Int)]
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !gotos(s).contains(c)) s = fail(s)
+        s = gotos(s).getOrElse(c, 0)
+        // `out` short-circuits the common no-match position; when a match
+        // ends here, walk the fail chain for EVERY distinct length
+        if (out(s) > 0) {
+          var t = s
+          while (t != 0) {
+            if (lens(t) > 0) ms += ((i - lens(t) + 1, lens(t)))
+            t = fail(t)
+          }
+        }
+        i += 1
+      }
+      ms
+    }
+    /** (cleaned text, hit count) under the pinned leftmost-longest
+      * non-overlapping semantics.
+      */
+    def scrub(text: String, replacement: String): (String, Int) = {
+      val picked = rawMatches(text).sortBy { case (st, ln) => (st, -ln) }
+      val sb = new StringBuilder
+      var pos = 0
+      var hits = 0
+      picked.foreach { case (st, ln) =>
+        if (st >= pos) {
+          sb.append(text.substring(pos, st)).append(replacement)
+          pos = st + ln
+          hits += 1
+        }
+      }
+      sb.append(text.substring(pos))
+      (sb.toString, hits)
+    }
+  }
+
+  /** Blocklist scrub at corpus scale: replace every occurrence of any of
+    * `terms` (literal strings, a broadcast-bounded table) with
+    * `replacement` in ONE text pass per document via Aho–Corasick.
+    * Returns (id, n_hits, clean). For term lists small enough to state
+    * as a regex, the result is byte-identical to a longest-first
+    * alternation `regexp_replace` — the oracle's replay.
+    */
+  def blocklistScrub(docs: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, termCol: String, replacement: String,
+      maxTerms: Int = 1000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = terms.select(col(termCol).cast("string"))
+      .limit(maxTerms + 1).as[String].collect()
+    require(pats.length <= maxTerms,
+      s"blocklist exceeds maxTerms=$maxTerms")
+    val bc = spark.sparkContext.broadcast(new AcAutomaton(pats.toSeq))
+    docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.map { case (id, t) =>
+          val (clean, hits) = ac.scrub(if (t == null) "" else t, replacement)
+          (id, hits.toLong, clean)
+        }
+      }
+      .toDF("id", "n_hits", "clean")
+  }
 }

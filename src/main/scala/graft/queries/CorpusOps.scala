@@ -369,6 +369,22 @@ object CorpusOps {
       Dedup.exactGroups(wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("fp")),
 
+    // blocklist scrub at scale: Aho–Corasick single-pass replacement of a
+    // term TABLE (here 4 literals incl. a phrase and a no-hit probe; in
+    // production 10k+ terms where regex alternation dies). Semantics
+    // pinned to longest-first alternation — the oracle replays exactly
+    // that and requires byte parity
+    "q_doc_blocklist_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("row fast", "spark", "table", "zz_absent")
+        .toDF("term")
+      graft.ops.TextOps.blocklistScrub(wide(s, t(s, dir, "documents")),
+          "doc_id", "text", terms, "term", "[TERM]")
+        .select(col("id").as("doc_id"), col("n_hits"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // curation-policy audit: duplication rate per quality decile — "are
     // low-quality docs more duplicated?" is the first cross-signal check
     // before choosing a dedup-vs-filter order. Corpus texts are unique by
@@ -2976,6 +2992,17 @@ object CorpusOps {
            |SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs
            |FROM n GROUP BY prefix_fp HAVING count(*) >= 2
            |ORDER BY n_docs DESC, prefix_fp""".stripMargin,
+
+    // AC-scrub replay: longest-first alternation (zz_absent 9 > row
+    // fast 8 > spark = table 5), global replace — RE2 alternation is
+    // leftmost-first-listed, so length-desc ordering IS leftmost-longest
+    "q_doc_blocklist_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(zz_absent|row fast|spark|table)')) AS BIGINT) AS n_hits,
+        |  md5(regexp_replace(text, '(zz_absent|row fast|spark|table)',
+        |    '[TERM]', 'g')) AS clean_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // quality-decile dup profile replay: same planted predecessor-text
     // dups, same quality formula (the q_doc_quality m CTE), integer

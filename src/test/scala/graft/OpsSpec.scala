@@ -1137,6 +1137,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Aho-Corasick scrub: leftmost-longest, overlaps, phrase terms") {
+    val ac = new TextOps.AcAutomaton(
+      Seq("zz_absent", "row fast", "spark", "table", "tab"))
+    // longest at same start wins: "table" over "tab"
+    assert(ac.scrub("a table here", "[X]") == (("a [X] here", 1)))
+    // phrase match + resume-after-match (non-overlapping)
+    assert(ac.scrub("row fast row fast", "[X]") == (("[X] [X]", 2)))
+    // leftmost wins across overlapping candidates: "tab" starts first
+    // but "table" at the same start is longer; a LATER longer match
+    // cannot steal an earlier position
+    assert(ac.scrub("tabspark", "[X]") == (("[X][X]", 2)))
+    // no match / empty text
+    assert(ac.scrub("nothing here", "[X]") == (("nothing here", 0)))
+    assert(ac.scrub("", "[X]") == (("", 0)))
+    // distributed op: parity with a longest-first regex alternation
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(30)
+    val terms = Seq("row fast", "spark", "table").toDF("term")
+    val got = TextOps.blocklistScrub(docs, "doc_id", "text", terms,
+      "term", "[TERM]").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val re = "(row fast|spark|table)".r
+    docs.collect().foreach { r =>
+      val t = r.getString(1)
+      val exp = re.replaceAllIn(t, "[TERM]")
+      val hits = re.findAllIn(t).length.toLong
+      assert(got(r.getLong(0)) == ((hits, exp)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("diversity cap: bound respected, deterministic md5 pick, counts") {
     import graft.ops.Sampling
     val rows = (0L until 40L).map(i => (i % 3, i)).toDF("cell", "vec_id")
