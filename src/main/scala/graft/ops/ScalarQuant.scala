@@ -105,6 +105,16 @@ object ScalarQuant {
       path: String): DataFrame =
     spark.read.parquet(s"$path/words")
 
+  /** Incremental maintenance: pack ONLY the new batch and append — the
+    * existing signatures are never re-read or rewritten (the daily
+    * embedding ingest; [[graft.ops.VectorOps.appendToIvfIndex]]'s BQ
+    * analog, drift-free here because sign packing has no trained state).
+    */
+  def appendToBqIndex(path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Unit =
+    bqEncode(newVecs, idCol, vecCol).write.mode("append")
+      .parquet(s"$path/words")
+
   /** [[bqSearchTopK]] over a PREBUILT signature table ([[bqEncode]]
     * output, typically [[loadBqIndex]]) — the serving path: the corpus is
     * packed once at index-build time; a query batch scans only

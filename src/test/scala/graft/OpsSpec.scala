@@ -1137,6 +1137,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BQ index append: new batch packed in place, search sees both") {
+    import graft.ops.ScalarQuant
+    val dir = java.nio.file.Files.createTempDirectory("bqidx").toString
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = base.where(col("vec_id") < 400)
+    val fresh = base.where(col("vec_id") >= 400 && col("vec_id") < 420)
+    ScalarQuant.saveBqIndex(dir,
+      ScalarQuant.bqEncode(old, "vec_id", "embedding"))
+    ScalarQuant.appendToBqIndex(dir, fresh, "vec_id", "embedding")
+    val enc = ScalarQuant.loadBqIndex(spark, dir)
+    assert(enc.count() == old.count() + 20)
+    // a query near an APPENDED vector must surface it through the
+    // persisted layout — identical to a full rebuild's result
+    val both = old.unionAll(fresh)
+    val q = base.where(col("vec_id") === 410)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val served = ScalarQuant.bqSearchTopKIndexed(enc, both, "vec_id",
+      "embedding", q, "query_id", "query_vec", 5, 20).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val rebuilt = ScalarQuant.bqSearchTopK(both, "vec_id", "embedding",
+      q, "query_id", "query_vec", 5, 20).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("Aho-Corasick scrub: leftmost-longest, overlaps, phrase terms") {
     val ac = new TextOps.AcAutomaton(
       Seq("zz_absent", "row fast", "spark", "table", "tab"))
