@@ -1906,7 +1906,11 @@ object CorpusOps {
     // closed out of the pair set; cross-group pairs must be zero
     "q_mm_audio_fp" -> ((s, dir) => {
       import s.implicits._
+      // doc_id < 2000 bounds the within-group identical-signature pair
+      // blowup (C(n_g,2) by construction); the quadratic banding stress
+      // is q_mm_perceptual_dedup's job — this gate proves decode + WHT
       val media = t(s, dir, "documents")
+        .where(col("doc_id") < 2000)
         .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
           mmWavPayloadWht.as("payload"), lit("synth").as("source"))
         .as[Multimodal.MediaRecord]
@@ -4795,7 +4799,7 @@ object CorpusOps {
     // banding miss, a cross-group collision) breaks a count
     "q_mm_audio_fp" ->
       """WITH d AS (SELECT doc_id, (doc_id // 2) % 8 AS g, doc_id % 2 AS par
-        |  FROM documents WHERE doc_id % 29 <> 11),
+        |  FROM documents WHERE doc_id % 29 <> 11 AND doc_id < 2000),
         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne,
         |    CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS no
