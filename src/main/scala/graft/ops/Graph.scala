@@ -145,7 +145,12 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    // the edge list feeds 2 joins per round plus the final degree pass —
+    // persist it once instead of re-deriving the (possibly join-heavy)
+    // upstream 2·rounds+3 times (the jaccardPairsScoped discipline; the
+    // caller's clearCache() bounds the pin, as everywhere else)
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .persist()
     val all = sym.select(col("a").as("node")).distinct()
     var alive = all
     for (_ <- 1 to rounds) {
