@@ -121,6 +121,8 @@ object ExplainCheck {
     "q_doc_ul2_mixture" -> (Seq("Union"), Seq("Window", "SortMergeJoin")),
     "q_doc_blocklist_scrub" -> (Seq("SerializeFromObject"),
       Seq("Window", "CartesianProduct")),
+    "q_doc_unicode_norm" -> (Seq("SerializeFromObject"),
+      Seq("Window", "CartesianProduct")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

@@ -765,6 +765,30 @@ object TextOps {
     }
   }
 
+  /** Unicode NFC normalization (UAX #15) — the i18n dedup seam: the same
+    * visible text can arrive precomposed (é) or decomposed (e + U+0301),
+    * and every downstream fingerprint/shingle/dedup treats them as
+    * DIFFERENT bytes unless canonicalized first. Spark has no built-in
+    * Unicode normalizer, so this is a `mapPartitions` seam on
+    * `java.text.Normalizer` (the same UAX #15 algorithm DuckDB's
+    * `nfc_normalize` implements — the oracle pins byte parity, including
+    * combining-mark reordering). Returns (id, changed, norm).
+    */
+  def nfcNormalize(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val s = if (t == null) "" else t
+        val n = java.text.Normalizer
+          .normalize(s, java.text.Normalizer.Form.NFC)
+        (id, n != s, n)
+      })
+      .toDF("id", "changed", "norm")
+  }
+
   /** Blocklist scrub at corpus scale: replace every occurrence of any of
     * `terms` (literal strings, a broadcast-bounded table) with
     * `replacement` in ONE text pass per document via Aho–Corasick.

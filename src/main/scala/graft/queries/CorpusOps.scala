@@ -369,6 +369,24 @@ object CorpusOps {
       Dedup.exactGroups(wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("fp")),
 
+    // Unicode NFC canonicalization audit: decomposed combining marks are
+    // planted on doc_id%7∈{3,5} (incl. the reorder case U+0041 U+0308
+    // U+0323 → U+1EA0 U+0308) — every fingerprint upstream of dedup is
+    // wrong bytes without this; oracle = DuckDB's nfc_normalize, byte
+    // parity via md5
+    "q_doc_unicode_norm" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(col("text"), lit(" cafe\u0301")))
+          .when(pmod(col("doc_id"), lit(7)) === 5,
+            concat(col("text"), lit(" A\u0308\u0323")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.TextOps.nfcNormalize(planted, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("changed"),
+          md5(col("norm")).as("norm_fp"))
+        .orderBy("doc_id")
+    }),
+
     // blocklist scrub at scale: Aho–Corasick single-pass replacement of a
     // term TABLE (here 4 literals incl. a phrase and a no-hit probe; in
     // production 10k+ terms where regex alternation dies). Semantics
@@ -2996,6 +3014,18 @@ object CorpusOps {
            |SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs
            |FROM n GROUP BY prefix_fp HAVING count(*) >= 2
            |ORDER BY n_docs DESC, prefix_fp""".stripMargin,
+
+    // NFC replay: same planted decompositions, DuckDB's UAX #15
+    "q_doc_unicode_norm" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' cafe' || chr(769)
+        |      WHEN doc_id % 7 = 5
+        |        THEN text || ' A' || chr(776) || chr(803)
+        |      ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) <> t AS changed,
+        |  md5(nfc_normalize(t)) AS norm_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // AC-scrub replay: longest-first alternation (zz_absent 9 > row
     // fast 8 > spark = table 5), global replace — RE2 alternation is
