@@ -123,6 +123,8 @@ object ExplainCheck {
       Seq("Window", "CartesianProduct")),
     "q_doc_unicode_norm" -> (Seq("SerializeFromObject"),
       Seq("Window", "CartesianProduct")),
+    "q_doc_url_rules" -> (Seq("BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // LM typicality: bigram-keyed count + doc-keyed rollup, both partially
     // aggregated; no window, no product join
     "q_doc_lm_score" -> (Seq("HashAggregate", "Generate"),

@@ -255,4 +255,37 @@ object UrlOps {
       .select(col("domain"), col("n_urls"), col("n_canon"), col("n_content"),
         expr("(n_urls - n_content) * 1000000L div n_urls").as("dup_ppm"))
   }
+
+  /** Robots-style path-rule filtering (RFC 9309 longest-match): each rule
+    * is a literal PATH PREFIX with an allow/deny verdict; the longest
+    * matching rule decides, an equal-length tie goes to allow (Google's
+    * documented tie-break), and a URL matching no rule is allowed (the
+    * crawl default). Compose downstream of [[canonicalizeUrl]] for messy
+    * inputs; `%`-wildcard rules are out of scope (literal prefixes are
+    * the overwhelmingly common case and keep both engines exact).
+    *
+    * Scale shape: the rule table broadcasts; each URL explodes into its
+    * path's character prefixes (bounded by path length) for an equi-join
+    * against the rules — no per-rule scan of the corpus, no regex. The
+    * verdict aggregate is one max(struct) per URL (map-side partial).
+    * Returns (id, path, matched_rule, allowed).
+    */
+  def pathRuleFilter(docs: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val path = regexp_extract(col(urlCol), "^[^:]+://[^/]*(/.*)?$", 1)
+    val d = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(path, lit("")).as("path"))
+    val pref = d.select(col("id"), explode(expr(
+      """transform(sequence(1, greatest(char_length(path), 1)),
+        |  i -> substring(path, 1, i))""".stripMargin)).as("prefix"))
+    val hit = pref
+      .join(broadcast(rules.select(col("prefix"), col("allow"))),
+        Seq("prefix"))
+      .groupBy("id")
+      .agg(max(struct(length(col("prefix")).as("l"), col("allow").as("a"),
+        col("prefix").as("p"))).as("b"))
+    d.join(hit, Seq("id"), "left")
+      .select(col("id"), col("path"), col("b.p").as("matched_rule"),
+        coalesce(col("b.a"), lit(true)).as("allowed"))
+  }
 }

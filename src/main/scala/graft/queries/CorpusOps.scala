@@ -369,6 +369,24 @@ object CorpusOps {
       Dedup.exactGroups(wide(s, t(s, dir, "documents")), "doc_id", "text")
         .orderBy("fp")),
 
+    // robots-style path rules (RFC 9309 longest-match): synthetic crawl
+    // URLs against a 4-rule table exercising longest-override (an allow
+    // deeper than its deny), mid-segment prefixes, and the no-match
+    // default-allow
+    "q_doc_url_rules" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/sec"), pmod(col("doc_id"), lit(4)),
+          lit("/page"), pmod(col("doc_id"), lit(3))).as("url"))
+      val rules = Seq(("/sec0", false), ("/sec0/page1", true),
+        ("/sec2", false), ("/sec3/page", false)).toDF("prefix", "allow")
+      graft.ops.UrlOps.pathRuleFilter(urls, "doc_id", "url", rules)
+        .select(col("id").as("doc_id"), col("path"), col("matched_rule"),
+          col("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode NFC canonicalization audit: decomposed combining marks are
     // planted on doc_id%7∈{3,5} (incl. the reorder case U+0041 U+0308
     // U+0323 → U+1EA0 U+0308) — every fingerprint upstream of dedup is
@@ -3014,6 +3032,24 @@ object CorpusOps {
            |SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs
            |FROM n GROUP BY prefix_fp HAVING count(*) >= 2
            |ORDER BY n_docs DESC, prefix_fp""".stripMargin,
+
+    // rules replay via DIRECT prefix compare (substr = rule), longest
+    // first, allow on ties, default-allow on no match — the engine's
+    // prefix-explosion join must agree
+    "q_doc_url_rules" ->
+      """WITH u AS (SELECT doc_id,
+        |    '/sec' || (doc_id % 4) || '/page' || (doc_id % 3) AS path
+        |  FROM documents),
+        |r(prefix, allow) AS (VALUES ('/sec0', false),
+        |  ('/sec0/page1', true), ('/sec2', false), ('/sec3/page', false)),
+        |m AS (SELECT doc_id, prefix, allow, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY length(prefix) DESC, allow DESC,
+        |      prefix DESC) AS rn
+        |  FROM u JOIN r ON substr(u.path, 1, length(r.prefix)) = r.prefix)
+        |SELECT u.doc_id, u.path, m.prefix AS matched_rule,
+        |  coalesce(m.allow, true) AS allowed
+        |FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // NFC replay: same planted decompositions, DuckDB's UAX #15
     "q_doc_unicode_norm" ->
