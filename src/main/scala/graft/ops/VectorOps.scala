@@ -445,6 +445,22 @@ object VectorOps {
     * = union of both directions' top-k, deduplicated (cos(x,y) bits match
     * across directions: same fold order, commutative per-term products).
     * Returns (src_id, tgt_id, cos_x1m, margin_ppm).
+    *
+    * Coverage precondition: the candidate union inner-joins both per-side
+    * denominator aggregates, so every candidate's src_id must appear as a
+    * query in `fwdKnn` AND its tgt_id as a query in `bwdKnn` — i.e. both
+    * kNN tables must cover all endpoint ids (true whenever both are built
+    * over the full respective corpora, as every composition here does). A
+    * pair whose endpoint has no neighborhood on one side has no density
+    * estimate and is dropped by the join — run the kNN over the full id
+    * sets if that silent drop is not acceptable.
+    *
+    * Portability note: the 6dp rounding here quantizes AFTER a float
+    * cosine — adequate for in-engine mining, but a last-ulp difference in
+    * another engine's dot/sqrt at a `.5` boundary can flip `cos_x1m` by 1.
+    * Cross-engine-exact pipelines (the correctness gates) use
+    * [[marginPairsExact]] over [[bruteTopKExact]]/[[ivfTopKExact]], which
+    * never materialize a float similarity.
     */
   def marginPairs(fwdKnn: DataFrame, bwdKnn: DataFrame): DataFrame = {
     def micro(c: Column): Column = round(c * lit(1e6)).cast("long")
