@@ -97,4 +97,9 @@ object GraftFunctions {
   def long_dist2(a: Column, b: Column): Column =
     ColumnBridge.column(
       LongVectorDist2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact integer dot over long-array columns via the codegen'd expression. */
+  def long_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -39,7 +39,10 @@ object GraftFunctionRegistry {
       (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))),
     ("long_dist2",
       new ExpressionInfo(classOf[LongVectorDist2].getName, "long_dist2"),
-      (exprs: Seq[Expression]) => LongVectorDist2(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => LongVectorDist2(exprs(0), exprs(1))),
+    ("long_dot",
+      new ExpressionInfo(classOf[LongVectorDot].getName, "long_dot"),
+      (exprs: Seq[Expression]) => LongVectorDot(exprs(0), exprs(1))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -464,10 +464,32 @@ object VectorOps {
     */
   def marginPairs(fwdKnn: DataFrame, bwdKnn: DataFrame): DataFrame = {
     def micro(c: Column): Column = round(c * lit(1e6)).cast("long")
-    val f = fwdKnn.select(col("query_id").as("src_id"),
-      col("vec_id").as("tgt_id"), micro(col("cos")).as("cos_x1m"))
-    val b = bwdKnn.select(col("vec_id").as("src_id"),
-      col("query_id").as("tgt_id"), micro(col("cos")).as("cos_x1m"))
+    marginTail(
+      fwdKnn.select(col("query_id").as("src_id"),
+        col("vec_id").as("tgt_id"), micro(col("cos")).as("cos_x1m")),
+      bwdKnn.select(col("vec_id").as("src_id"),
+        col("query_id").as("tgt_id"), micro(col("cos")).as("cos_x1m")))
+  }
+
+  /** [[marginPairs]] over kNN tables whose similarity column is ALREADY the
+    * exact integer `cos_x1m` ([[bruteTopKExact]]/[[ivfTopKExact]] output) —
+    * the cross-engine-exact form: no float similarity is materialized or
+    * rounded anywhere in the chain, so the whole composition (quantize →
+    * integer dot → isqrt cosine → integer ratio margin) reproduces
+    * bit-for-bit on any engine with 64-bit integer arithmetic.
+    */
+  def marginPairsExact(fwdKnn: DataFrame, bwdKnn: DataFrame): DataFrame =
+    marginTail(
+      fwdKnn.select(col("query_id").as("src_id"),
+        col("vec_id").as("tgt_id"), col("cos_x1m")),
+      bwdKnn.select(col("vec_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("cos_x1m")))
+
+  /** Shared ratio-margin tail over (src_id, tgt_id, cos_x1m) sides —
+    * backend-agnostic and integer-only past this point (see
+    * [[marginPairs]] for the formula and envelope).
+    */
+  private def marginTail(f: DataFrame, b: DataFrame): DataFrame = {
     val denomF = f.groupBy("src_id")
       .agg(sum("cos_x1m").as("sum_f"), count(lit(1)).as("cnt_f"))
     val denomB = b.groupBy("tgt_id")
@@ -481,6 +503,143 @@ object VectorOps {
       .select(col("src_id"), col("tgt_id"), col("cos_x1m"),
         expr("(cos_x1m * 2 * cnt_f * cnt_b * 1000000L) div den")
           .as("margin_ppm"))
+  }
+
+  // ------------------------------------------------------------------
+  // Integer-exact similarity chain: quantize FIRST, then integer-only
+  // math — the cross-engine-reproducible variants of bruteTopK / ivfTopK
+  // (KMeans.quantize discipline; no float dot, sqrt, or rounding of a
+  // float anywhere downstream of the quantization).
+  // ------------------------------------------------------------------
+
+  /** Exact integer square root (floor(√p)) of a non-negative long column.
+    * Seeded by the double sqrt — correctly within ±1 of the true root for
+    * p < 2^52 (the quantized-norm envelope: dims·(scale·max|x|)², ~2^40 at
+    * scale 1e5/dims 64) — then corrected by one exact integer step each
+    * way, so the result is the true floor regardless of the seed's last-ulp
+    * rounding. Both engines run the identical seed+correct, hence agree.
+    */
+  private[graft] def isqrt(p: Column): Column = {
+    val r0 = floor(sqrt(p.cast("double"))).cast("long")
+    val up = when((r0 + 1) * (r0 + 1) <= p, r0 + 1).otherwise(r0)
+    when(up * up > p, up - 1).otherwise(up)
+  }
+
+  /** Exact integer cosine in micro-units over pre-quantized long vectors:
+    * `cos_x1m = (dot·10⁶) div (isqrt(n2a)·isqrt(n2b))`, truncating toward
+    * zero in both engines; zero-norm → NULL (the [[over]] guard's integer
+    * twin). The denominator uses the PRODUCT OF PER-VECTOR integer roots
+    * (not isqrt(n2a·n2b), whose argument would overflow a long at ~1e11²):
+    * a deterministic, engine-exact definition that differs from the float
+    * cosine by < 2·10⁻⁴ relative (one isqrt truncation per side at norms
+    * ≥ scale/10) — ranking fidelity equal to the quantization itself.
+    *
+    * Envelope (documented, ANSI-checked): |dot| ≤ dims·(scale·max|x|)²
+    * must stay under 2^63/10⁶ ≈ 9.2e12 — at scale 1e5, dims 64, |x| ≤ 1.4
+    * the bound is ~1.25e12. Wider vectors or hotter scales: drop `scale`.
+    */
+  private def exactCosX1m(dotL: Column, ra: Column, rb: Column): Column =
+    call_function("div", dotL * lit(1000000L), nullif(ra * rb, lit(0L)))
+
+  /** Quantize an embedding column and pair it with its exact integer norm
+    * root: (qv = round-half-up(x·scale) per element, r = isqrt(qv·qv)). */
+  private def quantized(vec: Column, scale: Double): (Column, Column) = {
+    val qv = KMeans.quantize(vec, scale)
+    (qv, isqrt(graft.functions.GraftFunctions.long_dot(qv, qv)))
+  }
+
+  /** Per-query bounded top-k over integer-scored candidates — the
+    * [[topKPerQuery]] shape with EXACT long keys ([[graft.functions
+    * .TopKAgg.smallest_k_long]]): no double round-trip of the key, so
+    * ordering is exact for any 64-bit score. Ties (equal `cos_x1m`, far
+    * likelier than with float scores) break by vec_id ascending — pinned
+    * identically in the oracles.
+    */
+  private[ops] def topKPerQueryExact(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.functions.TopKAgg.smallest_k_long(k)
+    scored.where(col("cos_x1m").isNotNull)
+      .groupBy("query_id")
+      .agg(top(negate(col("cos_x1m")), col("vec_id").cast("long")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("vec_id"), negate(col("e.key")).as("cos_x1m"))
+  }
+
+  /** Integer-exact brute-force top-k: [[bruteTopK]]'s broadcast-scan shape
+    * with the quantize-first chain — embeddings fixed-point-quantized to
+    * `array<long>` ([[KMeans.quantize]], half-up), exact codegen'd integer
+    * dot ([[graft.functions.LongVectorDot]]), exact [[isqrt]] norms, and
+    * the [[exactCosX1m]] micro-unit cosine. Returns
+    * (query_id, rank, vec_id, cos_x1m: long) — bit-identical on any
+    * engine, at a similarity resolution set by `scale` (default 1e5:
+    * ~10⁻⁴ relative, inside the long envelope for dims ≤ 64, |x| ≤ 1.4;
+    * see [[exactCosX1m]]).
+    */
+  def bruteTopKExact(corpus: DataFrame, queries: DataFrame, k: Int,
+      scale: Double = 1e5): DataFrame = {
+    val (cq, cr) = quantized(col("embedding"), scale)
+    val (qq, qr) = quantized(col("query_vec"), scale)
+    val c = corpus.select(col("vec_id"), cq.as("qv"), cr.as("c_r"))
+    val q = queries.select(col("query_id"), qq.as("qq"), qr.as("q_r"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1m", exactCosX1m(
+        graft.functions.GraftFunctions.long_dot(col("qv"), col("qq")),
+        col("c_r"), col("q_r")))
+    topKPerQueryExact(scored, k)
+  }
+
+  /** Integer-exact IVF top-k: [[ivfTopK]]'s cell-probe shape with every
+    * similarity — cell assignment, probe ranking, in-cell scoring — on the
+    * [[exactCosX1m]] integer chain. Assignment argmax ties → lowest
+    * centroid id; probe and candidate ties → lowest id (both pinned in
+    * the oracles). Vectors/queries whose every centroid similarity is
+    * NULL (zero-norm) are dropped — no density, no neighborhood, same
+    * policy as [[topKPerQuery]]'s null exclusion.
+    */
+  def ivfTopKExact(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      scale: Double = 1e5): DataFrame = {
+    val (cv, cenR) = quantized(col("centroid_vec"), scale)
+    val cen = centroids.select(col("centroid_id"), cv.as("cv"),
+      cenR.as("cen_r"))
+    val (eq, er) = quantized(col("embedding"), scale)
+    val corp = corpus.select(col("vec_id"), eq.as("qv"), er.as("v_r"))
+    // cell assignment: argmax over exact cell cosines as a map-side
+    // combined aggregation (see assignCells for why not a window)
+    val cells = corp.crossJoin(broadcast(cen))
+      .withColumn("c_cos", exactCosX1m(
+        graft.functions.GraftFunctions.long_dot(col("qv"), col("cv")),
+        col("v_r"), col("cen_r")))
+      .where(col("c_cos").isNotNull)
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col("qv")).as("qv"), first(col("v_r")).as("v_r"))
+      .select(col("vec_id"), col("qv"), col("v_r"),
+        (-col("best.neg_id")).as("cell"))
+    val (qq, qr) = quantized(col("query_vec"), scale)
+    val topP = graft.functions.TopKAgg.smallest_k_long(nprobe)
+    val probes = queries
+      .select(col("query_id"), qq.as("qq"), qr.as("q_r"))
+      .crossJoin(broadcast(cen))
+      .withColumn("c_cos", exactCosX1m(
+        graft.functions.GraftFunctions.long_dot(col("qq"), col("cv")),
+        col("q_r"), col("cen_r")))
+      .where(col("c_cos").isNotNull)
+      .groupBy("query_id")
+      .agg(first(col("qq")).as("qq"), first(col("q_r")).as("q_r"),
+        topP(negate(col("c_cos")), col("centroid_id").cast("long")).as("top"))
+      .select(col("query_id"), col("qq"), col("q_r"),
+        explode(col("top")).as("e"))
+      .select(col("query_id"), col("qq"), col("q_r"),
+        col("e.id").as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1m", exactCosX1m(
+        graft.functions.GraftFunctions.long_dot(col("qv"), col("qq")),
+        col("v_r"), col("q_r")))
+    topKPerQueryExact(scored, k)
   }
 
   def labelCentroids(corpus: DataFrame, labelCol: String, vecCol: String,

@@ -868,18 +868,19 @@ object CorpusOps {
     // bitext-style pair mining (ratio margin): even vec_ids play the
     // "source" corpus, odd the "target"; each pair's cosine divides by
     // its two neighborhoods' mean density — a raw-cos threshold
-    // over-selects hubs. kNN both directions via bruteTopK (the corpus
-    // here is small); at scale marginPairs post-processes the IVF/PQ/BQ
-    // serving layouts unchanged
+    // over-selects hubs. kNN both directions via the INTEGER-EXACT brute
+    // chain (quantize-first, no float similarity anywhere — the
+    // cross-engine gate discipline); at scale marginPairsExact
+    // post-processes the IVF/PQ/BQ serving layouts unchanged
     "q_emb_margin_pairs" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
       val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       def qside(d: org.apache.spark.sql.DataFrame) = d.select(
         col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val fwd = VectorOps.bruteTopK(tgt, qside(src), k = 4)
-      val bwd = VectorOps.bruteTopK(src, qside(tgt), k = 4)
-      VectorOps.marginPairs(fwd, bwd)
+      val fwd = VectorOps.bruteTopKExact(tgt, qside(src), k = 4)
+      val bwd = VectorOps.bruteTopKExact(src, qside(tgt), k = 4)
+      VectorOps.marginPairsExact(fwd, bwd)
         .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
         .limit(20)
     }),
@@ -900,11 +901,12 @@ object CorpusOps {
         .orderBy("cell", "vec_id")
     }),
 
-    // the same margin mining on the IVF serving path — marginPairs is
-    // kNN-backend-agnostic, and THIS is the composition that runs at
+    // the same margin mining on the IVF serving path — marginPairsExact
+    // is kNN-backend-agnostic, and THIS is the composition that runs at
     // corpus scale: cell-probed candidate lists both directions, the
     // margin post-processing unchanged (nprobe=2 makes it a real
-    // approximation, not a disguised brute force)
+    // approximation, not a disguised brute force). Integer-exact chain
+    // end to end: assignment, probing, and scoring all on exactCosX1m
     "q_emb_margin_ivf" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
       val centroids = emb.where(col("vec_id") < 8)
@@ -914,11 +916,11 @@ object CorpusOps {
       val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       def qside(d: org.apache.spark.sql.DataFrame) = d.select(
         col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val fwd = VectorOps.ivfTopK(tgt, centroids, qside(src),
+      val fwd = VectorOps.ivfTopKExact(tgt, centroids, qside(src),
         k = 4, nprobe = 2)
-      val bwd = VectorOps.ivfTopK(src, centroids, qside(tgt),
+      val bwd = VectorOps.ivfTopKExact(src, centroids, qside(tgt),
         k = 4, nprobe = 2)
-      VectorOps.marginPairs(fwd, bwd)
+      VectorOps.marginPairsExact(fwd, bwd)
         .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
         .limit(20)
     }),
@@ -2503,6 +2505,41 @@ object CorpusOps {
   private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / nullif(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
 
+  /** Exact integer dot of two BIGINT-list expressions: per-element BIGINT
+    * products (overflow raises, mirroring the engine's ANSI
+    * [[graft.functions.LongVectorDot]]) summed to HUGEINT, cast back. */
+  private def idotSql(a: String, b: String): String =
+    s"CAST(list_sum([$a[i] * $b[i] " +
+      s"for i in generate_series(1, len($a))]) AS BIGINT)"
+
+  /** Exact micro-unit integer cosine over pre-quantized vectors + their
+    * integer norm roots — mirrors `VectorOps.exactCosX1m`: `(dot·10⁶) //
+    * (ra·rb)`, truncating toward zero (DuckDB `//` ≡ Spark `div` on
+    * BIGINT, verified incl. negatives), zero denominator → NULL. */
+  private def icosSql(aq: String, ar: String, bq: String, br: String): String =
+    s"(${idotSql(aq, bq)} * 1000000) // nullif($ar * $br, 0)"
+
+  /** Integer-exact embedding chain — CTEs `<out>0..<out>` over input CTE
+    * `src` (vec_id, ev DOUBLE[]): `qv` quantized half-up at scale 1e5
+    * (`KMeans.quantize` mirror) and `r` the EXACT integer norm root —
+    * double-sqrt seed corrected one exact integer step each way, the
+    * `VectorOps.isqrt` replay (exact for n2 < 2^52, so engine-agnostic). */
+  private def exactChainSql(src: String, out: String): String =
+    s"""${out}0 AS (SELECT vec_id,
+       |    [CAST(floor(x * 100000.0 + 0.5) AS BIGINT) for x in ev] AS qv
+       |  FROM $src),
+       |${out}1 AS (SELECT vec_id, qv, ${idotSql("qv", "qv")} AS n2
+       |  FROM ${out}0),
+       |${out}2 AS (SELECT vec_id, qv, n2,
+       |    CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS r0
+       |  FROM ${out}1),
+       |${out}3 AS (SELECT vec_id, qv, n2,
+       |    CASE WHEN (r0+1)*(r0+1) <= n2 THEN r0+1 ELSE r0 END AS r1
+       |  FROM ${out}2),
+       |$out AS (SELECT vec_id, qv,
+       |    CASE WHEN r1*r1 > n2 THEN r1-1 ELSE r1 END AS r
+       |  FROM ${out}3)""".stripMargin
+
   /** Per-character replay of [[graft.ops.Dedup.spanRemoval]] for any
     * (winLen, stride): mark every character covered by a duplicated
     * non-canonical window, stitch the survivors, count contiguous dropped
@@ -3374,28 +3411,27 @@ object CorpusOps {
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // margin replay: identical even/odd split, both directions' top-4 by
-    // (cos desc, id), 6dp micro-rounding BEFORE the averages, then the
-    // exact integer ratio margin (same div-truncation toward zero)
+    // margin replay, INTEGER-EXACT: identical even/odd split, the
+    // quantize-first chain (scale-1e5 qv + exact isqrt norm roots), both
+    // directions' top-4 by (cos_x1m desc, id), then the exact integer
+    // ratio margin — no float similarity anywhere, mirroring
+    // bruteTopKExact → marginPairsExact bit-for-bit
     "q_emb_margin_pairs" ->
       s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
-         |so AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-         |tg AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |${exactChainSql("e", "qe")},
+         |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
+         |tg AS (SELECT * FROM qe WHERE vec_id % 2 = 1),
          |f0 AS (SELECT so.vec_id AS src_id, tg.vec_id AS tgt_id,
-         |    ${cosSql("so.ev", "tg.ev")} AS cos
+         |    ${icosSql("so.qv", "so.r", "tg.qv", "tg.r")} AS cos_x1m
          |  FROM so CROSS JOIN tg),
-         |fr AS (SELECT src_id, tgt_id, cos, row_number() OVER (
-         |    PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
-         |  FROM f0 WHERE cos IS NOT NULL),
-         |fwd AS (SELECT src_id, tgt_id,
-         |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
-         |  FROM fr WHERE rn <= 4),
-         |br AS (SELECT src_id, tgt_id, cos, row_number() OVER (
-         |    PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rn
-         |  FROM f0 WHERE cos IS NOT NULL),
-         |bwd AS (SELECT src_id, tgt_id,
-         |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
-         |  FROM br WHERE rn <= 4),
+         |fr AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY cos_x1m DESC, tgt_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |fwd AS (SELECT src_id, tgt_id, cos_x1m FROM fr WHERE rn <= 4),
+         |br AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY cos_x1m DESC, src_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |bwd AS (SELECT src_id, tgt_id, cos_x1m FROM br WHERE rn <= 4),
          |$marginTailSql""".stripMargin,
 
     // cluster-cap replay: the knn_ivf assignment CTE, md5 pick order
@@ -3420,42 +3456,47 @@ object CorpusOps {
          |FROM r JOIN n USING (cell) WHERE rn <= 10
          |ORDER BY cell, vec_id""".stripMargin,
 
-    // IVF-margin replay: the knn_ivf cell/probe CTEs in BOTH directions
+    // IVF-margin replay, INTEGER-EXACT: the knn_ivf cell/probe CTEs in
+    // BOTH directions on the same quantize-first chain as the brute gate
     // (assign tie → lowest centroid id; probe top-2; in-cell knn ties →
-    // lowest vec_id), then the IDENTICAL margin tail — proving the
-    // backend swap changes only the candidate CTEs
+    // lowest vec_id; every similarity icosSql), then the IDENTICAL margin
+    // tail — proving the backend swap changes only the candidate CTEs
     "q_emb_margin_ivf" -> {
       def side(corpus: String, queries: String, cells: String,
           probes: String, fwd: String, qcol: String, ccol: String) =
-        s"""$cells AS (SELECT vec_id, cell, ev FROM (
-           |    SELECT t.vec_id, cent.centroid_id AS cell, t.ev,
+        s"""$cells AS (SELECT vec_id, cell, qv, r FROM (
+           |    SELECT t.vec_id, cent.centroid_id AS cell, t.qv, t.r,
+           |      ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")} AS ccos,
            |      row_number() OVER (PARTITION BY t.vec_id
-           |        ORDER BY ${cosSql("t.ev", "cent.cv")} DESC,
-           |          cent.centroid_id) AS rn
-           |    FROM $corpus t CROSS JOIN cent) z WHERE rn = 1),
-           |$probes AS (SELECT query_id, qv, cell FROM (
-           |    SELECT s.vec_id AS query_id, s.ev AS qv,
+           |        ORDER BY ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")}
+           |          DESC, cent.centroid_id) AS rn
+           |    FROM $corpus t CROSS JOIN cent) z
+           |  WHERE rn = 1 AND ccos IS NOT NULL),
+           |$probes AS (SELECT query_id, qv, r, cell FROM (
+           |    SELECT s.vec_id AS query_id, s.qv, s.r,
            |      cent.centroid_id AS cell,
+           |      ${icosSql("s.qv", "s.r", "cent.cv", "cent.cr")} AS ccos,
            |      row_number() OVER (PARTITION BY s.vec_id
-           |        ORDER BY ${cosSql("s.ev", "cent.cv")} DESC,
-           |          cent.centroid_id) AS rn
-           |    FROM $queries s CROSS JOIN cent) z WHERE rn <= 2),
-           |$fwd AS (SELECT $qcol, $ccol,
-           |    CAST(round(cos * 1000000) AS BIGINT) AS cos_x1m
-           |  FROM (SELECT query_id, vec_id, cos,
+           |        ORDER BY ${icosSql("s.qv", "s.r", "cent.cv", "cent.cr")}
+           |          DESC, cent.centroid_id) AS rn
+           |    FROM $queries s CROSS JOIN cent) z
+           |  WHERE rn <= 2 AND ccos IS NOT NULL),
+           |$fwd AS (SELECT $qcol, $ccol, cos_x1m
+           |  FROM (SELECT query_id, vec_id, cos_x1m,
            |      row_number() OVER (PARTITION BY query_id
-           |        ORDER BY cos DESC, vec_id) AS rn
+           |        ORDER BY cos_x1m DESC, vec_id) AS rn
            |    FROM (SELECT p.query_id, c.vec_id,
-           |        ${cosSql("c.ev", "p.qv")} AS cos
+           |        ${icosSql("c.qv", "c.r", "p.qv", "p.r")} AS cos_x1m
            |      FROM $cells c JOIN $probes p USING (cell)
            |      WHERE c.vec_id != p.query_id) z0
-           |    WHERE cos IS NOT NULL) z1
+           |    WHERE cos_x1m IS NOT NULL) z1
            |  WHERE rn <= 4)""".stripMargin
       s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, ev AS cv FROM e
+         |${exactChainSql("e", "qe")},
+         |cent AS (SELECT vec_id AS centroid_id, qv AS cv, r AS cr FROM qe
          |  WHERE vec_id < 8),
-         |so AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-         |tg AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
+         |tg AS (SELECT * FROM qe WHERE vec_id % 2 = 1),
          |${side("tg", "so", "cellsT", "probF", "fwd",
              "query_id AS src_id", "vec_id AS tgt_id")},
          |${side("so", "tg", "cellsS", "probB", "bwd",

@@ -1389,6 +1389,80 @@ class OpsSpec extends AnyFunSuite {
     assert(m((2L, 3L)) > m((2L, 5L)))
   }
 
+  test("integer-exact margin chain: same fixture, quantize-first values") {
+    // same fixture as the float margin test; at scale 1e5 every norm root
+    // is EXACTLY 100000 (isqrt(1e10)) so the hand-exact micro cosines and
+    // margins coincide with the float test's — but computed with no float
+    // similarity anywhere (the cross-engine gate discipline)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)),
+      (5L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val src = corpus.where(pmod(col("vec_id"), lit(2)) === 0)
+    val tgt = corpus.where(pmod(col("vec_id"), lit(2)) === 1)
+    def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val fwd = VectorOps.bruteTopKExact(tgt, qside(src), k = 2)
+    // cos_x1m itself is exact: (0,5) dot = 1e5·6e4 = 6e9 over 1e10 → 6e5
+    val fm = fwd.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(fm((0L, 1L)) == 1000000L && fm((0L, 5L)) == 600000L)
+    assert(fm((2L, 3L)) == 1000000L && fm((2L, 5L)) == 800000L)
+    val m = VectorOps.marginPairsExact(
+        fwd, VectorOps.bruteTopKExact(src, qside(tgt), k = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(m((0L, 1L)) == 1538461L)
+    assert(m((2L, 3L)) == 1428571L)
+    assert(m((2L, 5L)) == 1000000L)
+    assert(m((0L, 5L)) == 800000L)
+    assert(m((0L, 3L)) == 0L && m((2L, 1L)) == 0L)
+    assert(m.size == 6)
+  }
+
+  test("ivfTopKExact with full probe coverage equals bruteTopKExact") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // nprobe = K probes every cell → candidate set is the whole corpus,
+    // so the approximate searcher must reproduce brute EXACTLY (integer
+    // scores: no tolerance needed, set equality on all four columns)
+    val brute = VectorOps.bruteTopKExact(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ivf = VectorOps.ivfTopKExact(emb, centroids, queries,
+        k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ivf == brute && brute.size == 30)
+  }
+
+  test("isqrt: exact integer floor sqrt around perfect squares") {
+    // the double-sqrt seed is off-by-one-prone exactly at/near perfect
+    // squares and at the 2^52 precision edge — probe n²-1, n², n²+1 for
+    // norms spanning the quantized envelope, plus 0/1/2 and the envelope
+    // ceiling itself
+    val ns = Seq(0L, 1L, 2L, 3L, 99999L, 100000L, 3037000L, 67108864L)
+    val probes = ns.flatMap(n => Seq(n * n - 1, n * n, n * n + 1))
+      .filter(p => p >= 0 && p < (1L << 52))
+    val got = probes.toDF("p")
+      .select(col("p"), VectorOps.isqrt(col("p")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      val want = Math.sqrt(p.toDouble).toLong match {
+        case s if s * s > p => s - 1
+        case s if (s + 1) * (s + 1) <= p => s + 1
+        case s => s
+      }
+      assert(got(p) == want && want * want <= p
+        && (want + 1) * (want + 1) > p, s"isqrt($p)")
+    }
+  }
+
   test("BPE round-trip: decode(encode(docs)) equals normalized text") {
     import graft.ops.Bpe
     val real = spark.read
