@@ -63,18 +63,20 @@ object CurationQueries {
     */
   private val urlCanonCtes: String =
     raw"""u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+         |au AS (SELECT doc_id, url,
+         |    regexp_replace(
+         |      regexp_extract(url, '^[^:]+://([^/?#]*)', 1),
+         |      '^.*@', '') AS hp
+         |  FROM u),
          |px AS (SELECT doc_id, url,
          |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
          |      AS scheme,
-         |    regexp_replace(
-         |      lower(regexp_extract(url,
-         |        '^[^:]+://(?:[^/?#]*@)?([^/:?#]+)', 1)),
+         |    regexp_replace(lower(regexp_extract(hp, '^([^:]+)', 1)),
          |      '^www\.', '') AS host,
-         |    regexp_extract(url,
-         |      '^[^:]+://(?:[^/?#]*@)?[^/:?#]+:(\d+)', 1) AS port,
+         |    regexp_extract(hp, '^[^:]+:(\d+)$$', 1) AS port,
          |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS pth,
          |    regexp_extract(url, '\?([^#]*)', 1) AS qry
-         |  FROM u),
+         |  FROM au),
          |cq AS (SELECT doc_id, url, scheme, host, port, pth,
          |    array_to_string(list_filter(string_split(qry, '&'),
          |      p -> NOT regexp_matches(p,
