@@ -550,6 +550,11 @@ object ExplainCheck {
     "q_doc_url_canon" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // PSL registered domain: the rule table rides IN the expression —
+    // zero-shuffle in-row projection, no join against a suffix table
+    "q_doc_psl_domain" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // host stats: one linear aggregate keyed by registered domain (the
     // two countDistincts plan as Expand + partial aggregates), no join
     "q_doc_host_dedup" -> (Seq("HashAggregate", "Batched: true"),

@@ -102,4 +102,10 @@ object GraftFunctions {
   def long_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       LongVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PSL registered domain of a host column (rule table rides in the
+    * expression; see [[PslDomain]]). */
+  def psl_domain(host: Column,
+      rules: Seq[String] = graft.ops.PublicSuffixes.Default): Column =
+    ColumnBridge.column(PslDomain(ColumnBridge.expression(host), rules))
 }

@@ -42,7 +42,11 @@ object GraftFunctionRegistry {
       (exprs: Seq[Expression]) => LongVectorDist2(exprs(0), exprs(1))),
     ("long_dot",
       new ExpressionInfo(classOf[LongVectorDot].getName, "long_dot"),
-      (exprs: Seq[Expression]) => LongVectorDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => LongVectorDot(exprs(0), exprs(1))),
+    ("psl_domain",
+      new ExpressionInfo(classOf[PslDomain].getName, "psl_domain"),
+      (exprs: Seq[Expression]) =>
+        PslDomain(exprs.head, graft.ops.PublicSuffixes.Default)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -73,14 +73,32 @@ object UrlOps {
     when(scheme =!= "" && host =!= "", canon).otherwise(url)
   }
 
-  /** Heuristic registered domain (the host-dedup blocking key): the last
-    * two host labels, or the last THREE when the second-to-last label is a
-    * common second-level suffix (`co`/`com`/`org`/`net`/`ac`/`gov`/`edu`)
-    * under a two-letter country TLD — `a.b.co.uk` → `b.co.uk`,
-    * `sub.example.com` → `example.com`. The full public-suffix list is a
-    * data file, not logic; at deployment broadcast it as a (suffix) table
-    * and left-join — same shape, exact PSL semantics. Hosts with a single
-    * label (localhost, intranet names) pass through.
+  /** Public-Suffix-List registered domain — THE host blocking key every
+    * domain-keyed op here uses ([[blockByDomain]], [[domainCap]],
+    * [[domainBoilerplate]], [[domainClean]], [[hostDupStats]]): full
+    * longest-match rule/wildcard/exception semantics over a rule table
+    * that rides inside the codegen'd expression
+    * ([[graft.functions.PslDomain]]) — O(host labels) hash probes per
+    * row, zero shuffle, zero join, rule-count-independent. `gouv.fr`,
+    * `or.jp`, `com.br`, `github.io`, `*.ck`/`!www.ck` all key correctly,
+    * where the last-2/last-3 heuristic ([[registeredDomain]]) mis-keys
+    * them. Default rules are the curated [[PublicSuffixes.Default]]
+    * subset; pass the full live list's rules for exact deployment
+    * semantics (same cost). Single-label hosts and hosts that ARE a
+    * public suffix pass through unchanged (each keys its own bucket).
+    */
+  def registeredDomainPsl(host: Column,
+      rules: Seq[String] = PublicSuffixes.Default): Column =
+    graft.functions.GraftFunctions.psl_domain(host, rules)
+
+  /** Heuristic registered domain — the rule-table-free FALLBACK (the
+    * last two host labels, or the last THREE when the second-to-last is
+    * a common second-level suffix under a two-letter country TLD):
+    * `a.b.co.uk` → `b.co.uk`, `sub.example.com` → `example.com`. Keeps
+    * pipelines keyable where no PSL table is wanted, but mis-keys
+    * `gouv.fr`/`or.jp`/`github.io`-style suffixes — the domain-keyed ops
+    * all use [[registeredDomainPsl]]. Hosts with a single label
+    * (localhost, intranet names) pass through.
     */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
@@ -114,7 +132,7 @@ object UrlOps {
       "^[^:]+://([^/:?#]+)", 1)
     docs.join(
       broadcast(blocked.select(lower(col("domain")).as("__blocked"))),
-      registeredDomain(host) === col("__blocked"), "left_anti")
+      registeredDomainPsl(host) === col("__blocked"), "left_anti")
   }
 
   /** Host-level duplication statistics over canonicalized URLs: per
@@ -151,7 +169,7 @@ object UrlOps {
     require(minDomainDocs >= 1, "minDomainDocs must be positive")
     val host = regexp_extract(canonicalizeUrl(col(urlCol)),
       "^[^:]+://([^/:?#]+)", 1)
-    val base = docs.select(registeredDomain(host).as("domain"),
+    val base = docs.select(registeredDomainPsl(host).as("domain"),
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
     val domDocs = base.groupBy("domain")
       .agg(countDistinct(col("doc_id")).as("domain_docs"))
@@ -196,7 +214,7 @@ object UrlOps {
       .select(col("domain"), col("seg").as("segn"), lit(true).as("__tpl"))
     val q = java.util.regex.Pattern.quote(sep)
     val segs = docs
-      .select(registeredDomain(host).as("domain"),
+      .select(registeredDomainPsl(host).as("domain"),
         col(idCol).cast("long").as("doc_id"),
         length(col(textCol)).as("orig_len"),
         size(split(col(textCol), q, -1)).as("n_segs"),
@@ -243,7 +261,7 @@ object UrlOps {
       .partitionBy(col("domain"))
       .orderBy(col("__h"), col(idCol))
     docs
-      .withColumn("domain", registeredDomain(host))
+      .withColumn("domain", registeredDomainPsl(host))
       .withColumn("__h", md5(contentKey))
       .withColumn("domain_rank", row_number().over(w))
       .where(col("domain_rank") <= k)
@@ -255,7 +273,7 @@ object UrlOps {
     val canon = canonicalizeUrl(col(urlCol))
     val host = regexp_extract(canon, "^[^:]+://([^/:?#]+)", 1)
     docs
-      .select(registeredDomain(host).as("domain"), canon.as("canon"),
+      .select(registeredDomainPsl(host).as("domain"), canon.as("canon"),
         contentFp.as("fp"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_urls"),

@@ -315,6 +315,35 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // PSL registered-domain keying: hosts synthesized to hit every rule
+    // family — second-level suffixes (gouv.fr/com.br/co.uk/github.io,
+    // IDN punycode), wildcard (*.ck, *.kobe.jp), exception (!www.ck,
+    // !city.kobe.jp), bare public suffix, single label, and the implicit
+    // `*` rule (unknown TLD). The oracle replays the GENERIC longest-
+    // match algorithm over an inline rules relation — it validates the
+    // matcher, not the construction
+    "q_doc_psl_domain" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(12))
+      val host = when(m === 0, lit("sub.example.gouv.fr"))
+        .when(m === 1, lit("a.b.shop.com.br"))
+        .when(m === 2, concat(lit("user"),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit(".github.io")))
+        .when(m === 3, lit("deep.x.news.co.uk"))
+        .when(m === 4, lit("co.uk"))
+        .when(m === 5, lit("foo.bar.ck"))
+        .when(m === 6, lit("sub.www.ck"))
+        .when(m === 7, lit("localhost"))
+        .when(m === 8, concat(lit("cdn.media.example"),
+          pmod(col("doc_id"), lit(3)).cast("string"), lit(".zz")))
+        .when(m === 9, lit("a.shi.xn--55qx5d.cn"))
+        .when(m === 10, lit("x.y.pref.kobe.jp"))
+        .otherwise(lit("blog.city.kobe.jp"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"),
+          graft.ops.UrlOps.registeredDomainPsl(host).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // host-level dup triage: canonical-URL and content-fingerprint
     // distincts per registered domain (fingerprints synthesized with
     // planted collisions — doc_id mod 50 — so dup_ppm is a real assertion)
@@ -2001,6 +2030,56 @@ object CurationQueries {
       s"""WITH $urlCanonCtes
          |SELECT doc_id, url, canon, domain FROM dom
          |ORDER BY doc_id""".stripMargin,
+
+    // PSL replay: the generic longest-match (suffix/wildcard/exception)
+    // over an inline rules table — exception prevails, else longest
+    // match, else the implicit `*` rule; registrable = prevailing public
+    // suffix + one label; pass-through when the host IS a public suffix
+    "q_doc_psl_domain" ->
+      """WITH h AS (SELECT doc_id,
+        |    CASE doc_id % 12
+        |      WHEN 0 THEN 'sub.example.gouv.fr'
+        |      WHEN 1 THEN 'a.b.shop.com.br'
+        |      WHEN 2 THEN 'user' || (doc_id % 5) || '.github.io'
+        |      WHEN 3 THEN 'deep.x.news.co.uk'
+        |      WHEN 4 THEN 'co.uk'
+        |      WHEN 5 THEN 'foo.bar.ck'
+        |      WHEN 6 THEN 'sub.www.ck'
+        |      WHEN 7 THEN 'localhost'
+        |      WHEN 8 THEN 'cdn.media.example' || (doc_id % 3) || '.zz'
+        |      WHEN 9 THEN 'a.shi.xn--55qx5d.cn'
+        |      WHEN 10 THEN 'x.y.pref.kobe.jp'
+        |      ELSE 'blog.city.kobe.jp' END AS host
+        |  FROM documents),
+        |r(rule) AS (VALUES ('co.uk'), ('gouv.fr'), ('com.br'),
+        |  ('github.io'), ('*.ck'), ('!www.ck'), ('*.kobe.jp'),
+        |  ('!city.kobe.jp'), ('xn--55qx5d.cn'), ('or.jp'), ('com.au')),
+        |ls AS (SELECT doc_id, host, string_split(host, '.') AS l FROM h),
+        |ix AS (SELECT doc_id, host, l,
+        |    unnest(generate_series(1, len(l))) AS i FROM ls),
+        |sf AS (SELECT doc_id, host, len(l) AS n, i,
+        |    array_to_string(l[len(l)-i+1:len(l)], '.') AS sfx,
+        |    CASE WHEN i >= 2
+        |      THEN array_to_string(l[len(l)-i+2:len(l)], '.') END AS psfx
+        |  FROM ix),
+        |mt AS (SELECT doc_id, host, n, i, sfx,
+        |    EXISTS(SELECT 1 FROM r WHERE r.rule = sf.sfx
+        |      OR (sf.psfx IS NOT NULL AND r.rule = '*.' || sf.psfx))
+        |      AS is_m,
+        |    EXISTS(SELECT 1 FROM r WHERE r.rule = '!' || sf.sfx) AS is_exc
+        |  FROM sf),
+        |ag AS (SELECT doc_id, host, max(n) AS n,
+        |    coalesce(max(CASE WHEN is_m THEN i END), 1) AS mlen,
+        |    max(CASE WHEN is_exc THEN i END) AS elen
+        |  FROM mt GROUP BY doc_id, host)
+        |SELECT a.doc_id, a.host,
+        |  CASE WHEN a.elen IS NOT NULL THEN se.sfx
+        |       WHEN a.n > a.mlen THEN sm.sfx
+        |       ELSE a.host END AS domain
+        |FROM ag a
+        |LEFT JOIN sf se ON se.doc_id = a.doc_id AND se.i = a.elen
+        |LEFT JOIN sf sm ON sm.doc_id = a.doc_id AND sm.i = a.mlen + 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_doc_host_dedup" ->
       s"""WITH $urlCanonCtes,

@@ -2029,6 +2029,33 @@ class OpsSpec extends AnyFunSuite {
       .select(UrlOps.registeredDomain(col("h"))).collect().map(_.getString(0))
     assert(doms.toSeq == Seq("example.com", "b.co.uk", "example.org",
       "co.uk", "localhost"))
+    // PSL registered domain: every rule family, incl. the suffixes the
+    // heuristic mis-keys (gouv.fr, or.jp, com.br, github.io), wildcard +
+    // exception, bare public suffix, IDN punycode, implicit `*` rule
+    val pslCases = Seq(
+      ("impots.gouv.fr", "impots.gouv.fr"), // gouv.fr is the suffix
+      ("www2.impots.gouv.fr", "impots.gouv.fr"),
+      ("x.loja.com.br", "loja.com.br"),
+      ("pages.user1.github.io", "user1.github.io"),
+      ("a.b.site.or.jp", "site.or.jp"),
+      ("sub.deep.example.com", "example.com"), // implicit-adjacent: com
+      ("foo.bar.ck", "foo.bar.ck"), // *.ck: bar.ck is public
+      ("deep.foo.bar.ck", "foo.bar.ck"),
+      ("www.ck", "www.ck"), // !www.ck: exception IS registrable
+      ("sub.www.ck", "www.ck"),
+      ("blog.city.kobe.jp", "city.kobe.jp"), // !city.kobe.jp
+      ("x.y.pref.kobe.jp", "y.pref.kobe.jp"), // *.kobe.jp
+      ("co.uk", "co.uk"), // bare public suffix passes through
+      ("gouv.fr", "gouv.fr"),
+      ("localhost", "localhost"), // single label
+      ("a.shi.xn--55qx5d.cn", "shi.xn--55qx5d.cn"), // IDN punycode rule
+      ("cdn.site.zz", "site.zz")) // unknown TLD: implicit `*` rule
+    val pslGot = pslCases.map(_._1).toDF("h")
+      .select(col("h"), UrlOps.registeredDomainPsl(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    pslCases.foreach { case (h, want) =>
+      assert(pslGot(h) == want, s"psl($h): got ${pslGot(h)}, want $want")
+    }
     // host stats: mirror domain with 3 urls but 1 content fp
     val docs = Seq(
       (1L, "HTTP://mirror.com:80/1"), (2L, "http://b.mirror.com/2"),
