@@ -816,8 +816,8 @@ object Curation {
     * never a global sort), then two bounded aggregates; output is one
     * row per group.
     */
-  def padWaste(docs: DataFrame, groupCol: String, idCol: String,
-      textCol: String, batch: Int): DataFrame = {
+  def padWasteScoped(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, batch: Int): Dedup.Scoped = {
     require(batch >= 1, "batch must be positive")
     import org.apache.spark.sql.expressions.Window
     // persist: both orderings consume the identical projection — an
@@ -840,8 +840,17 @@ object Curation {
         .select(col("grp"), col("n_docs"),
           col("tok").as("total_tokens"),
           expr("(slots - tok) * 1000000 div slots").as(name))
-    waste(Seq(col("n").desc, col("h")), "sorted_waste_ppm")
+    val out = waste(Seq(col("n").desc, col("h")), "sorted_waste_ppm")
       .join(waste(Seq(col("h")), "shuffled_waste_ppm")
         .select(col("grp"), col("shuffled_waste_ppm")), Seq("grp"))
+    Dedup.Scoped(out, () => { base.unpersist(); () })
   }
+
+  /** [[padWasteScoped]] without the handle — callers owning the session
+    * lifecycle bound the pin with `clearCache()` (Verify / Bench);
+    * long-lived sessions should prefer the Scoped form.
+    */
+  def padWaste(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, batch: Int): DataFrame =
+    padWasteScoped(docs, groupCol, idCol, textCol, batch).df
 }

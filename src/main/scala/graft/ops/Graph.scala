@@ -134,39 +134,61 @@ object Graph {
     * list against the (shrinking) alive set plus one degree aggregate —
     * linear in edges, shuffles on node keys only, and the edge subtree
     * is identical across rounds so ReusedExchange serves rounds 2..r
-    * from round 1's shuffle files (the [[pageRank]] discipline; for
-    * long peels, checkpoint survivors every ~20 rounds).
+    * from round 1's shuffle files (the [[pageRank]] discipline).
+    * Survivors are `localCheckpoint`ed every `checkpointEvery` rounds
+    * AND after the last peel (the [[graft.ops.Dedup.componentsDetailed]]
+    * discipline, tighter interval): each round references the previous
+    * survivor set TWICE (once per endpoint join), so un-checkpointed
+    * lineage DOUBLES per round — a 30-round peel plans ~2³⁰ join nodes,
+    * not ~60 — and a lost executor replays the whole loop. With the
+    * every-4 checkpoint each compiled segment holds ≤ 2⁴ joins and the
+    * replay unit is one segment. The cached edge table is scoped to the
+    * returned handle ([[kCoreScoped]]).
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCoreScoped(edges: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 4): Dedup.Scoped = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1 && rounds <= 30,
       "rounds must be in [1, 30] — beyond that, re-call on the survivors")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val und = edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
     // the edge list feeds 2 joins per round plus the final degree pass —
     // persist it once instead of re-deriving the (possibly join-heavy)
-    // upstream 2·rounds+3 times (the jaccardPairsScoped discipline; the
-    // caller's clearCache() bounds the pin, as everywhere else)
+    // upstream 2·rounds+3 times (the jaccardPairsScoped discipline)
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
       .persist()
     val all = sym.select(col("a").as("node")).distinct()
     var alive = all
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       alive = sym
         .join(alive.select(col("node").as("a")), Seq("a"))
         .join(alive.select(col("node").as("b")), Seq("b"))
         .groupBy("a").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("a").as("node"))
+      // truncate lineage (eager localCheckpoint materializes the small,
+      // shrinking alive set); the final round checkpoints too — the
+      // degree pass below also references survivors twice
+      if (r % checkpointEvery == 0 || r == rounds)
+        alive = alive.localCheckpoint()
     }
     val coreDeg = sym
       .join(alive.select(col("node").as("a")), Seq("a"))
       .join(alive.select(col("node").as("b")), Seq("b"))
       .groupBy("a").agg(count(lit(1)).as("core_deg"))
       .select(col("a").as("node"), col("core_deg"))
-    all.join(coreDeg, Seq("node"), "left")
+    val out = all.join(coreDeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("core_deg"), lit(0L)).as("core_deg"),
         col("core_deg").isNotNull.as("in_core"))
+    Dedup.Scoped(out, () => { sym.unpersist(); () })
   }
+
+  /** [[kCoreScoped]] without the handle — callers owning the session
+    * lifecycle bound the edge-table pin with `clearCache()` (Verify /
+    * Bench), long-lived sessions should prefer the Scoped form.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreScoped(edges, k, rounds).df
 }

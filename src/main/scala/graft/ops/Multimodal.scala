@@ -772,21 +772,28 @@ object Multimodal {
   }
 
   /** Banded near-dup pairs over [[wavWhtFp]] signatures: exact-match on
-    * any 16-bit frame band (pigeonhole-complete for maxDist ≤ 3 over 4
-    * bands), then the true 64-bit Hamming filter — the
-    * [[perceptualPairs]] shape on the audio fingerprint.
+    * any 16-bit frame band (pigeonhole-complete for maxDist ≤ bands−1),
+    * then the true Hamming filter over all bands — the
+    * [[perceptualPairs]] shape on the audio fingerprint. The band count
+    * is read FROM THE INPUT SCHEMA (band0..band{n−1}, however many
+    * frames the fingerprints were built with), so fps from any
+    * `wavWhtFp(nFrames ∈ [1,4])` analyze correctly — a hard-coded
+    * band0..band3 failed at analysis for nFrames < 4.
     */
   def whtFpPairs(fps: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist <= 3,
-      "4x16-bit banding guarantees recall only for maxDist <= 3")
-    val bandCols = (0 until 4).map(t => col(s"band$t"))
+    val nBands = fps.columns.count(_.matches("band\\d+"))
+    require(nBands >= 1, "fps must carry band columns (wavWhtFp output)")
+    require(maxDist <= nBands - 1,
+      s"${nBands}x16-bit banding guarantees recall only for " +
+        s"maxDist <= ${nBands - 1}")
+    val bandCols = (0 until nBands).map(t => col(s"band$t"))
     val banded = fps.select(col("media_id") +: bandCols :+
       posexplode(array(bandCols: _*)).as(Seq("band", "chunk")): _*)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-        (0 until 4).map(t =>
+        (0 until nBands).map(t =>
             bit_count(col(s"a.band$t").bitwiseXOR(col(s"b.band$t"))))
           .reduce(_ + _).cast("int").as("hamming"))
       .dropDuplicates("media_a", "media_b")

@@ -1319,6 +1319,14 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((0L, 1L)) == 0)
     assert(pairs((0L, 2L)) == 1 && pairs((1L, 2L)) == 1)
+    // band arity follows the fingerprint schema: nFrames=2 fps (band0..1)
+    // must analyze and pair — and the pigeonhole bound tightens to 1
+    val fp2 = Multimodal.wavWhtFp(media, nFrames = 2)
+    val pairs2 = Multimodal.whtFpPairs(fp2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs2((0L, 1L)) == 0) // volume-invariance holds at 2 frames
+    assert(pairs2((0L, 2L)) == 1) // the frame-0 flip is inside 2 frames
+    intercept[IllegalArgumentException](Multimodal.whtFpPairs(fp2, 2))
   }
 
   test("k-core: cascade peel, bounded-round over-approximation, degrees") {

@@ -27,6 +27,32 @@ class PlanSpec extends AnyFunSuite {
       s"pins without a gate: ${(pins -- qs).toSeq.sorted.mkString(", ")}")
   }
 
+  test("kCore lineage is bounded by the checkpoint interval at rounds=30") {
+    val spark = SparkTest.session
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // a small cycle graph (everything survives a k=2 peel) — the point is
+    // the PLAN of the 30-round loop, not the data
+    val n = 12L
+    val edges = spark.range(n).select(
+      org.apache.spark.sql.functions.col("id").as("a"),
+      ((org.apache.spark.sql.functions.col("id") + 1) % n).as("b"))
+    val scoped = graft.ops.Graph.kCoreScoped(edges, k = 2, rounds = 30)
+    try {
+      val joins = scoped.df.queryExecution.optimizedPlan.collect {
+        case j: Join => j
+      }.length
+      // each peel round references survivors twice, so un-checkpointed
+      // lineage DOUBLES per round (~2^30 join nodes at rounds=30); with
+      // the final-round checkpoint the visible plan is just the degree +
+      // report joins over a materialized survivor RDD
+      assert(joins <= 8, s"kCore lineage not truncated: $joins joins")
+      // and the result is still the full 2-core
+      assert(scoped.df.where(org.apache.spark.sql.functions.col("in_core"))
+        .count() == n)
+    } finally scoped.release()
+  }
+
   test("cartesian guard refuses unhinted products; whole engine is guard-clean") {
     import org.apache.spark.sql.functions.broadcast
     SparkTest.session // ensure the shared context exists first
