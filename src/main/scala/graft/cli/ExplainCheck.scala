@@ -106,6 +106,11 @@ object ExplainCheck {
     "q_emb_sq8_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_emb_bq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_doc_bpe_roundtrip" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    // byte-level BPE: corpus side is Generate (pretoken explode) + joins
+    // back; the merge loop runs only on the distinct-pretoken side
+    "q_doc_bpe_bytes" -> (Seq("Generate"), Seq("Window", "CartesianProduct")),
+    "q_doc_bpe_bytes_roundtrip" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")),
     "q_emb_margin_pairs" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("Window")),
     "q_doc_backoff_lm" -> (Seq("BroadcastHashJoin"), Seq("Window", "SortMergeJoin")),

@@ -785,6 +785,32 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // byte-level BPE encode (the GPT-2/tiktoken family): regex pretokens
+    // over the RAW text (leading space and case preserved — " the" and
+    // "the" are distinct), merges over the byte alphabet through the
+    // GPT-2 byte↔unicode map. The oracle replays the same split, the
+    // byte map restricted to this corpus's alphabet (space is its only
+    // non-identity byte), and the chained-replace merge loop — bit-exact
+    "q_doc_bpe_bytes" -> ((s, dir) =>
+      graft.ops.Bpe.encodeCorpusBytes(t(s, dir, "documents"), "doc_id",
+          "text", bpeByteGateMerges)
+        .select(col("doc_id"), col("pos"), col("term"),
+          posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
+        .orderBy("doc_id", "pos", "piece_idx")),
+
+    // byte-level round trip: decode(encode(corpus)) equals the ORIGINAL
+    // text byte-exactly — not a normalized form; byte pretokens carry
+    // their own case and whitespace, so the identity is stronger than
+    // the word-BPE gate's. Decode never consults the carried term
+    "q_doc_bpe_bytes_roundtrip" -> ((s, dir) => {
+      val enc = graft.ops.Bpe.encodeCorpusBytes(t(s, dir, "documents"),
+        "doc_id", "text", bpeByteGateMerges)
+      graft.ops.Bpe.decodeCorpusBytes(enc)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("decoded")).as("rt_fp"))
+        .orderBy("doc_id")
+    }),
+
     // bounded-memory cardinality: per-lang distinct-vocabulary sketch —
     // a fixed 4096-bit bitmap per group (512 bytes of state regardless of
     // vocabulary size, OR-mergeable partials) vs the exact count that
@@ -2051,6 +2077,71 @@ object CorpusOps {
 
   private[queries] lazy val bpeGateMerges: Seq[(String, String)] =
     graft.ops.Bpe.train(bpeSeedFreq, 24)
+
+  /** Fixed seed vocabulary for the BYTE-level BPE gates (the
+    * [[bpeSeedFreq]] discipline): GPT-2-style space-prefixed words, so
+    * the trained merges include the `Ġx` fusions that make byte-level
+    * counts differ from word-level ones.
+    */
+  private[queries] val bpeByteSeedFreq: Seq[(String, Long)] = Seq(
+    " the" -> 120L, " of" -> 80L, " and" -> 75L, "ing" -> 60L,
+    " to" -> 55L, "tion" -> 50L, "er" -> 45L, " in" -> 40L, " a" -> 35L,
+    "at" -> 30L, "es" -> 25L, "en" -> 20L, "ed" -> 18L, " is" -> 15L,
+    "on" -> 12L, "re" -> 10L)
+
+  private[queries] lazy val bpeByteGateMerges: Seq[(String, String)] =
+    graft.ops.Bpe.trainBytes(bpeByteSeedFreq, 30)
+
+  /** [[graft.ops.Bpe.PreTokenRe]] as a DuckDB string literal. */
+  private lazy val preTokenReSql: String =
+    graft.ops.Bpe.PreTokenRe.replace("'", "''")
+
+  /** DuckDB expression producing exactly `s`: printable-ASCII runs as
+    * quoted literals, everything else (the GPT-2-mapped bytes, e.g. `Ġ`)
+    * as `chr(cp)` — merge symbols survive any source encoding.
+    */
+  private def duckStr(s: String): String = {
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    val run = new StringBuilder
+    def flush(): Unit =
+      if (run.nonEmpty) { parts += s"'${run.toString}'"; run.clear() }
+    s.foreach { c =>
+      if (c == '\'') run.append("''")
+      else if (c >= ' ' && c <= '~') run.append(c)
+      else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString("(", " || ", ")")
+  }
+
+  /** Byte-level oracle CTEs `btok`/`bmap`/`benc`: the engine's regex
+    * split (same pattern string — Java∩RE2 portable), the byte map
+    * restricted to this corpus's alphabet (lowercase ASCII + space;
+    * space → chr(288) `Ġ` is the only non-identity byte — the ENGINE
+    * runs the full 256-byte bijection), then the chained-replace merge
+    * replay over chr(1)-separated symbols.
+    */
+  private lazy val bpeByteEncCteSql: String = {
+    val init = "chr(1) || array_to_string([mt[i] for i in " +
+      "generate_series(1, length(mt))], chr(1) || chr(1)) || chr(1)"
+    val chain = bpeByteGateMerges.foldLeft(init) { case (acc, (a, b)) =>
+      s"replace($acc, chr(1)||${duckStr(a)}||chr(1)||chr(1)||" +
+        s"${duckStr(b)}||chr(1), chr(1)||${duckStr(a + b)}||chr(1))"
+    }
+    s"""btok AS (
+      |  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '$preTokenReSql')
+      |          AS toks
+      |        FROM documents),
+      |    LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+      |bmap AS (
+      |  SELECT doc_id, pos, term, replace(term, ' ', chr(288)) AS mt
+      |  FROM btok),
+      |benc AS (
+      |  SELECT doc_id, pos, term,
+      |    list_filter(string_split($chain, chr(1)), x -> x <> '') AS pieces
+      |  FROM bmap)""".stripMargin
+  }
 
   /** Shared oracle CTEs `tok` (token stream with positions) and `enc`
     * (per-token BPE pieces via the chained-replace merge replay) — used
@@ -4691,6 +4782,26 @@ object CorpusOps {
          |JOIN np ON np.term = t.term
          |JOIN wc ON wc.term = t.term
          |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+    // byte-level encode replay: same regex split, corpus-restricted byte
+    // map, chained-replace merge loop (see bpeByteEncCteSql)
+    "q_doc_bpe_bytes" ->
+      s"""WITH $bpeByteEncCteSql
+        |SELECT doc_id, CAST(pos AS INT) AS pos, term,
+        |  CAST(pi - 1 AS INT) AS piece_idx, pieces[pi] AS piece
+        |FROM benc, LATERAL
+        |  (SELECT unnest(generate_series(1, len(pieces))) AS pi)
+        |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+
+    // byte-level round trip stated from the ORIGINAL text alone: the
+    // raw md5 and the pretoken count — Spark must reconstruct the exact
+    // bytes (case, whitespace) from the encoded pieces
+    "q_doc_bpe_bytes_roundtrip" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$preTokenReSql')) AS BIGINT)
+         |    AS n_tokens,
+         |  md5(text) AS rt_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // round-trip identity stated from the ORIGINAL text: normalize,
     // split, rejoin — never the pieces; Spark must reconstruct this
     // byte-exactly from the encoded stream alone

@@ -1471,6 +1471,71 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level BPE: exact roundtrip incl. case/whitespace/UTF-8") {
+    import graft.ops.Bpe
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(40)
+    // messy synthetic docs: the byte-level contract is the ORIGINAL
+    // bytes back — mixed case, tab/newline runs, contractions, digits,
+    // punctuation, multi-byte UTF-8 (2- and 3-byte sequences)
+    val docs = real.union(Seq(
+      (-1L, "  MiXeD   Case\t\ttabs\nand CRs "),
+      (-2L, "don't we'll I'm 42 items, $3.50 -- été 中文!"))
+      .toDF("doc_id", "text"))
+    // train on the real corpus's pretoken table (data-dependent is fine
+    // in a spec; gates use the fixed seed)
+    val wf = Bpe.byteWordFreq(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = Bpe.trainBytes(wf, 50)
+    val enc = Bpe.encodeCorpusBytes(docs, "doc_id", "text", merges)
+    val back = Bpe.decodeCorpusBytes(enc)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("decoded"), col("text")).collect()
+    assert(back.length == docs.count())
+    back.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"byte roundtrip broke doc ${r.getLong(0)}"))
+    // base-alphabet sanity: with no merges a pretoken's pieces are its
+    // UTF-8 bytes — "été" is 5 bytes (2+1+2), "中" is 3
+    assert(Bpe.tokenizeBytes("été", Nil).size == 5)
+    assert(Bpe.tokenizeBytes("中", Nil).size == 3)
+    assert(Bpe.unmapBytes(Bpe.tokenizeBytes("中文",
+      merges).mkString) == "中文")
+  }
+
+  test("byte vs word BPE fertility: byte counts include the whitespace") {
+    import graft.ops.Bpe
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val nMerges = 40
+    val wf = Bpe.wordFreq(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val bf = Bpe.byteWordFreq(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val wordPieces = Bpe.encodeCorpus(docs, "doc_id", "text",
+        Bpe.train(wf, nMerges))
+      .agg(sum(size(col("pieces")))).head().getLong(0)
+    def bytePieces(m: Seq[(String, String)]) =
+      Bpe.encodeCorpusBytes(docs, "doc_id", "text", m)
+        .agg(sum(size(col("pieces")))).head().getLong(0)
+    val byteTrained = bytePieces(Bpe.trainBytes(bf, nMerges))
+    val byteRaw = bytePieces(Nil)
+    // merges only ever reduce the piece count, and at equal budget the
+    // trained byte tokenizer must beat the unmerged byte baseline
+    assert(byteTrained < byteRaw)
+    // the two tokenizers count DIFFERENT quantities: byte pretokens
+    // carry their leading space as a real symbol (" the" is 4 bytes),
+    // word-BPE normalizes it away — so an unmerged byte count exceeds
+    // the unmerged word count by roughly one per inter-word gap. This
+    // delta is exactly why mixture/packing budgets must consume
+    // byte-level counts: word counts misstate the modeled bytes
+    val wordRaw = Bpe.encodeCorpus(docs, "doc_id", "text", Nil)
+      .agg(sum(size(col("pieces")))).head().getLong(0)
+    assert(byteRaw > wordRaw)
+    assert(wordPieces > 0 && byteTrained > 0)
+  }
+
   test("BPE round-trip: decode(encode(docs)) equals normalized text") {
     import graft.ops.Bpe
     val real = spark.read
