@@ -18,10 +18,40 @@ import org.apache.spark.sql.functions._
   *    band-key join; common-shingle skew disappears.
   *  - SimHash: 64-bit signature, 4×16-bit band join for hamming-≤k pairs.
   *
-  * All hashing is xxhash64 (Spark-native, codegen'd, deterministic across
-  * runs/partitions — signatures are reproducible, unlike Random-seeded LSH).
+  * Key-width policy (the collision budget, per operator class):
+  *  - CANDIDATE hashing (minhash perms, LSH band keys, SimHash planes,
+  *    shingle prefix order) is xxhash64 — Spark-native, codegen'd,
+  *    deterministic across runs/partitions; a collision only ADDS a
+  *    candidate pair that downstream verification re-checks, so 64 bits
+  *    is a recall/cost dial, never a correctness key.
+  *  - IDENTITY keys (a fingerprint whose equality IS the dedup verdict:
+  *    segment canon keys, winnowing fingerprints, CDC chunk fps) are
+  *    md5-derived 120/128-bit ([[contentFp]], `md5`): at 10¹² keys the
+  *    birthday bound gives ~4e-13 false-merge probability, where a
+  *    64-bit key sits at ~0.03 (an expected silent merge of unrelated
+  *    content every few corpora) and a 31-bit one collides by n≈2¹⁶.
+  *    md5 over xxhash64 for these: externally replayable — an
+  *    independent engine can recompute the identical key (the
+  *    [[simhashPairs]] discipline).
   */
 object Dedup {
+
+  /** 120-bit content fingerprint as `struct<fp_hi: long, fp_lo: long>` —
+    * the two 60-bit halves (15 hex nibbles each; nibbles 16/32 dropped so
+    * the signed-long cast is ANSI-safe in EVERY engine — 16 nibbles can
+    * exceed 2⁶³ and throw) of the value's md5. The IDENTITY-key idiom
+    * (see the object scaladoc's key-width policy): 16-byte join/group
+    * keys instead of arbitrary-length content bytes or a birthday-prone
+    * 64-bit hash, replayable in SQL as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` (+ offset 17 for the low
+    * half).
+    */
+  def contentFp(c: Column): Column = {
+    val h = md5(c)
+    struct(
+      conv(substring(h, 1, 15), 16, 10).cast("long").as("fp_hi"),
+      conv(substring(h, 17, 15), 16, 10).cast("long").as("fp_lo"))
+  }
 
   /** Exact duplicate groups: fingerprint → (n_docs, keep = min id).
     * Input needs columns (idCol, textCol).
@@ -715,9 +745,14 @@ object Dedup {
     * segment-keyed argmin aggregate whose shuffle carries one row per
     * DISTINCT segment (map-side combined), one join back, one doc-keyed
     * stitch aggregate. No document pair ever meets a reducer — the
-    * [[spanRemoval]] discipline at segment granularity. At petabyte scale
-    * key the argmin on a 128-bit segment hash instead of the bytes to
-    * shrink shuffle payloads (documented trade: ~2^-64 false merge).
+    * [[spanRemoval]] discipline at segment granularity. The argmin and
+    * the join back are KEYED on the 120-bit [[contentFp]] of the
+    * segment, not the segment bytes: the canon shuffle carries 16-byte
+    * keys where segments are arbitrary-length (a KB-long boilerplate
+    * paragraph shuffled per occurrence is the 100 TB payload killer), at
+    * a ~n²/2¹²¹ false-merge budget (the object scaladoc's key-width
+    * policy) instead of byte-equality's certainty — negligible against
+    * the corpus sizes the payload saving matters for.
     */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
@@ -727,9 +762,10 @@ object Dedup {
         length(col(textCol)).as("orig_len"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep), -1)).as(Seq("pos", "seg")))
-    val canon = segs.groupBy("seg")
+      .withColumn("sfp", contentFp(col("seg")))
+    val canon = segs.groupBy("sfp")
       .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-    segs.join(canon, Seq("seg"))
+    segs.join(canon, Seq("sfp"))
       .select(col("doc_id"), col("orig_len"), col("pos"), col("seg"),
         (col("doc_id") === col("c.doc_id") && col("pos") === col("c.pos"))
           .as("keep"))
@@ -988,6 +1024,19 @@ object Dedup {
     * detection. Returns (doc_id, pos, fp) rows, selections deduplicated
     * in-row. Pure Column algebra (hash transform + bounded fold per
     * window), zero shuffle, linear in corpus chars.
+    *
+    * Two-tier hashing (the object scaladoc's key-width policy): window
+    * SELECTION runs on the cheap 31-bit rolling k-gram hash — a
+    * selection collision only changes WHICH position a window elects,
+    * harmlessly and identically in both engines — but the EMITTED
+    * fingerprint is the 120-bit [[contentFp]] of the selected gram's
+    * text, so fingerprint equality (the [[winnowPairsScoped]] match
+    * verdict) never rides a 31-bit value: at corpus scale 31-bit
+    * identities collide by ~2¹⁶ grams, manufacturing spurious shared
+    * fingerprints between unrelated documents. The md5 runs only at
+    * selected positions (density ~2/(w+1) per char), sliced from a
+    * per-doc char array — never a per-position substr (O(L²) UTF-8
+    * re-scan, the measured pitfall).
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
@@ -995,13 +1044,13 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("doc_id"),
         TextOps.normalize(col(textCol)).as("nm"))
-      .select(col("doc_id"), codepoints(col("nm")).as("cps"))
+      .select(col("doc_id"), col("nm"), codepoints(col("nm")).as("cps"))
     val cps = col("cps")
     val nGrams = size(cps) - (k - 1)
     // all gram hashes in one vectorized pass, sliced to the true count
     // (branch-free short-doc handling; the wordShingles idiom)
     val hs = slice(kgramHashes(cps, k), lit(1), greatest(nGrams, lit(0)))
-    val withHs = base.select(col("doc_id"), hs.as("hs"))
+    val withHs = base.select(col("doc_id"), col("nm"), hs.as("hs"))
     val h = col("hs")
     val nWin = size(h) - (w - 1)
     // per-window rightmost-minimum, vectorized: fold w−1 zip_withs of
@@ -1021,8 +1070,12 @@ object Dedup {
     }
     val sel = slice(selArr, lit(1), greatest(nWin, lit(0)))
     withHs
-      .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .select(col("doc_id"), split(col("nm"), "").as("chars"),
+        explode(array_distinct(sel)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"),
+        contentFp(
+          array_join(slice(col("chars"), col("s.pos"), lit(k)), ""))
+          .as("fp"))
   }
 
   /** Shared-fingerprint document pairs over [[winnowFingerprints]] output:
@@ -1071,6 +1124,13 @@ object Dedup {
     * chunk: (doc_id, chunk_idx, start, len, chunk_fp = md5 of the chunk
     * text); the final partial chunk is always emitted. Pure Column
     * algebra — boundary scan + slice per row, zero shuffle.
+    *
+    * Key-width note (object scaladoc policy): only the BOUNDARY test
+    * rides the 31-bit rolling hash — a collision there merely moves a
+    * cut point, identically in both engines. The chunk IDENTITY
+    * (`chunk_fp`, the dedup/store key in [[chunkDedupStats]] and
+    * [[graft.io.ChunkStore]]) is the full 128-bit md5 of the chunk
+    * text, so chunk equality never rides a birthday-prone 64-bit value.
     */
   def contentChunks(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, mask: Int = 63, keep: Seq[String] = Nil): DataFrame = {

@@ -3979,17 +3979,19 @@ object CorpusOps {
            |nmt AS (SELECT doc_id,
            |    lower(trim(regexp_replace(tx, '\s+', ' ', 'g'))) AS nm
            |  FROM syn),
-           |h AS (SELECT doc_id,
+           |h AS (SELECT doc_id, nm,
            |    [((((((((((((((((CAST(0 AS BIGINT) * 131 + ascii(substr(nm, i, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 1, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 2, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 3, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 4, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 5, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 6, 1))) % 2147483647) * 131 + ascii(substr(nm, i + 7, 1))) % 2147483647)
            |     for i in generate_series(1, greatest(length(nm) - 7, 0))]
            |      AS hs
            |  FROM nmt),
-           |sel AS (SELECT doc_id, list_distinct(
-           |    [list_min(hs[j:j+3])
+           |sel AS (SELECT doc_id, nm, list_distinct(
+           |    [j + 4 - list_position(list_reverse(hs[j:j+3]),
+           |                           list_min(hs[j:j+3]))
            |     for j in generate_series(1, greatest(len(hs) - 3, 0))])
-           |      AS fps
+           |      AS poss
            |  FROM h),
-           |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+           |f AS (SELECT DISTINCT doc_id, substr(nm, pos, 8) AS fp
+           |  FROM (SELECT doc_id, nm, unnest(poss) AS pos FROM sel) z),
            |cap AS (SELECT fp FROM
            |    (SELECT fp, count(*) AS df FROM f GROUP BY fp)
            |  WHERE df <= 8),

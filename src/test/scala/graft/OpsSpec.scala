@@ -3107,13 +3107,27 @@ class OpsSpec extends AnyFunSuite {
       assert(rows.length >= math.ceil(windows / 4.0).toInt)
       assert(rows.map(_._2).forall(p => p >= 1 && p <= n - 7))
     }
-    // identical content → identical fingerprint sets (determinism)
+    // identical content → identical fingerprint sets (determinism);
+    // fp is the 120-bit contentFp struct — compare both halves
+    def fpSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("pos"), col("fp.fp_hi"), col("fp.fp_lo"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
     val fps2 = Dedup.winnowFingerprints(d.repartition(3), "doc_id", "text",
       k = 8, w = 4)
-    assert(fps2.collect().map(r => (r.getLong(0), r.getInt(1),
-      r.getLong(2))).toSet ==
-      fps.collect().map(r => (r.getLong(0), r.getInt(1),
-        r.getLong(2))).toSet)
+    assert(fpSet(fps2) == fpSet(fps))
+    // and the emitted fp IS the md5 of the selected gram's text: no
+    // 31-bit identity survives into the match key
+    val one = fps.select(col("doc_id"), col("pos"), col("fp.fp_hi")).head()
+    val nmTxt = d.where(col("doc_id") === one.getLong(0))
+      .select(TextOps.normalize(col("text"))).head().getString(0)
+    val gram = nmTxt.substring(one.getInt(1) - 1, one.getInt(1) - 1 + 8)
+    val wantHi = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    assert(one.getLong(2) == wantHi)
   }
 
   test("content-defined chunks tile the text and realign after shifts") {
