@@ -555,6 +555,9 @@ object ExplainCheck {
     "q_doc_url_canon" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // chunk-store build: one grouped aggregate over the written layout
+    "q_doc_chunk_build" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // PSL registered domain: the rule table rides IN the expression —
     // zero-shuffle in-row projection, no join against a suffix table
     "q_doc_psl_domain" -> (Seq("Batched: true"),
