@@ -555,6 +555,10 @@ object ExplainCheck {
     "q_doc_url_canon" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // provenance audit: the pipeline's own keeper aggregate + one
+    // nested-CASE projection — no window, no product
+    "q_doc_pipeline_audit" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // chunk-store build: one grouped aggregate over the written layout
     "q_doc_chunk_build" -> (Seq("HashAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),

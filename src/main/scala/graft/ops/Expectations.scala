@@ -104,4 +104,39 @@ object Expectations {
     df.withColumn("failed_rule", firstFailed)
       .where(col("failed_rule").isNotNull)
   }
+
+  /** Per-row pipeline PROVENANCE: which stage dropped (or kept) each row,
+    * as data — the audit trail a composed curation pipeline otherwise
+    * loses ("this doc vanished; which filter ate it, and why?").
+    * `stages` are (name, drops-row predicate, reason expression) in
+    * PIPELINE ORDER; the FIRST stage whose predicate fires owns the row
+    * (matching what a sequential pipeline actually does — later filters
+    * never see a dropped row), survivors get (`keepStage`, "keep",
+    * `keepReason`). Every row is explained by exactly one stage, by
+    * construction.
+    *
+    * Cost shape: ONE nested-CASE projection appended to the caller's
+    * plan — zero extra corpus passes; the stage predicates reuse the
+    * very columns the pipeline already computes (the
+    * [[observed]]/CollectMetrics free-rider discipline, here with
+    * per-row rows instead of counters). A NULL predicate counts as a
+    * drop ([[check]]'s ternary-hostile rule).
+    */
+  def provenance(df: DataFrame, stages: Seq[(String, Column, Column)],
+      keepStage: String, keepReason: Column): DataFrame = {
+    require(stages.nonEmpty, "at least one stage required")
+    val assigned = stages.foldRight(
+      struct(lit(keepStage).as("stage"), lit("keep").as("action"),
+        keepReason.cast("string").as("reason"))) {
+      case ((name, drops, reason), tail) =>
+        when(coalesce(drops, lit(true)),
+          struct(lit(name).as("stage"), lit("drop").as("action"),
+            reason.cast("string").as("reason"))).otherwise(tail)
+    }
+    df.withColumn("__prov", assigned)
+      .withColumn("stage", col("__prov.stage"))
+      .withColumn("action", col("__prov.action"))
+      .withColumn("reason", col("__prov.reason"))
+      .drop("__prov")
+  }
 }

@@ -959,6 +959,33 @@ object CurationQueries {
         .orderBy("split", "lang")
     }),
 
+    // per-doc pipeline PROVENANCE: the q_doc_pipeline composition with
+    // every document explained — (stage, action, reason) rows via
+    // Expectations.provenance, a single nested-CASE projection on the
+    // pipeline's own columns (zero extra corpus passes). First-drop
+    // ownership: a doc that is both a dup and low-quality reads "dedup",
+    // matching what the sequential pipeline actually does
+    "q_doc_pipeline_audit" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val fp = docs.withColumn("fp", TextOps.fingerprint(col("text")))
+      val keep = fp.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+      val staged = fp.join(keep, Seq("fp"))
+        .withColumn("q_micro",
+          round(TextOps.qualityScore(col("text")) * 1e6, 0).cast("long"))
+        .withColumn("split",
+          Sampling.split(TextOps.normalize(col("text")),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      graft.ops.Expectations.provenance(staged,
+          Seq(
+            ("dedup", col("doc_id") =!= col("keeper_id"),
+              concat(lit("dup_of:"), col("keeper_id").cast("string"))),
+            ("quality", col("q_micro") < 500000L,
+              concat(lit("q_micro:"), col("q_micro").cast("string")))),
+          keepStage = "split", keepReason = col("split"))
+        .select(col("doc_id"), col("stage"), col("action"), col("reason"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup survivor selection: the dedup DROP decision — per LSH
     // cluster keep the best-QUALITY doc (micro-unit argmax, ties →
     // lowest id), not the arbitrary lowest id the exact-dup path uses.
@@ -1625,6 +1652,48 @@ object CurationQueries {
            |  CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
            |    AS q_micro
            |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    // CASE-replay of the provenance chain: same fp/keeper, same 6dp
+    // quality, same split buckets; the stage CASE re-derives first-drop
+    // ownership — every doc gets exactly one (stage, action, reason)
+    "q_doc_pipeline_audit" ->
+      raw"""WITH fps AS (SELECT doc_id, lang, text,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           |  FROM documents),
+           |keep AS (SELECT fp, min(doc_id) AS keeper_id FROM fps GROUP BY fp),
+           |kd AS (SELECT f.doc_id, f.text, k.keeper_id
+           |  FROM fps f JOIN keep k USING (fp)),
+           |b AS (SELECT doc_id, text, keeper_id,
+           |    regexp_split_to_array(trim(text), '\s+') AS toks FROM kd),
+           |m AS (SELECT doc_id, text, keeper_id,
+           |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+           |      / greatest(len(toks), 1) AS sraw,
+           |    CAST(length(trim(text)) AS DOUBLE)
+           |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS awl,
+           |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS lens
+           |  FROM b),
+           |q AS (SELECT doc_id, text, keeper_id,
+           |    CAST(round(round((lens
+           |      + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.25 END)
+           |      + least(sraw * 5.0, 1.0)) / 3.0, 6) * 1000000) AS BIGINT)
+           |      AS qm
+           |  FROM m),
+           |n AS (SELECT doc_id, keeper_id, qm,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           |  FROM q),
+           |s AS (SELECT doc_id, keeper_id, qm, ${bucketSql(100)} AS bk
+           |  FROM n)
+           |SELECT doc_id,
+           |  CASE WHEN doc_id <> keeper_id THEN 'dedup'
+           |       WHEN qm < 500000 THEN 'quality'
+           |       ELSE 'split' END AS stage,
+           |  CASE WHEN doc_id <> keeper_id OR qm < 500000
+           |    THEN 'drop' ELSE 'keep' END AS action,
+           |  CASE WHEN doc_id <> keeper_id THEN 'dup_of:' || keeper_id
+           |       WHEN qm < 500000 THEN 'q_micro:' || qm
+           |       WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+           |       ELSE 'test' END AS reason
+           |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_doc_drift" ->
       raw"""WITH o AS (SELECT * FROM documents WHERE doc_id % 2 = 0),

@@ -1471,6 +1471,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("provenance: first-drop ownership, null-as-drop, keep path") {
+    import graft.ops.Expectations
+    val d = Seq(
+      (1L, true, false),  // dropped by stage A
+      (2L, true, true),   // both fire -> stage A owns (pipeline order)
+      (3L, false, true),  // dropped by stage B
+      (4L, false, false)) // survivor
+      .toDF("id", "a_drops", "b_drops")
+    val out = Expectations.provenance(d,
+        Seq(("a", col("a_drops"), lit("ra")),
+          ("b", col("b_drops"), concat(lit("rb:"), col("id").cast("string")))),
+        keepStage = "done", keepReason = lit("ok"))
+      .select("id", "stage", "action", "reason").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3)))).toMap
+    assert(out(1L) == (("a", "drop", "ra")))
+    assert(out(2L) == (("a", "drop", "ra"))) // exactly one stage owns it
+    assert(out(3L) == (("b", "drop", "rb:3")))
+    assert(out(4L) == (("done", "keep", "ok")))
+    // ternary-hostile: a NULL predicate is a drop, like check()
+    val n = Expectations.provenance(
+        Seq((9L, Option.empty[Boolean])).toDF("id", "p"),
+        Seq(("g", col("p"), lit("null-pred"))), "done", lit("ok"))
+      .select("stage", "action").head()
+    assert(n.getString(0) == "g" && n.getString(1) == "drop")
+  }
+
   test("byte-level BPE: exact roundtrip incl. case/whitespace/UTF-8") {
     import graft.ops.Bpe
     val real = spark.read
