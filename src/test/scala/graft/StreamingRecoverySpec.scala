@@ -229,6 +229,123 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(hits == Set((1L, 2L, 0)), s"cross-restart audio dup lost: $hits")
   }
 
+  test("trending terms survive restart: open window closes with pre-kill counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingTrends
+    val source = MemoryStream[(Timestamp, String)]
+    val (p1, p2) = runWithRestart(
+      () => StreamingTrends.windowedTermCounts(
+        source.toDF().toDF("event_time", "text"),
+        windowDuration = "1 hour", watermarkDelay = "0 seconds"),
+      () => source.addData(
+        (ts("2020-01-01 00:05:00"), "alpha alpha beta"),
+        // window 1 partial BEFORE the kill; also closes window 0
+        (ts("2020-01-01 01:05:00"), "gamma beta")),
+      () => source.addData(
+        (ts("2020-01-01 01:10:00"), "gamma gamma delta"),
+        (ts("2020-01-01 02:05:00"), "omega"))) // closes window 1
+    def m(rs: Seq[Row]) = rs
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m(p1) == Map(
+      ("2020-01-01 00:00:00.0", "alpha") -> 2L,
+      ("2020-01-01 00:00:00.0", "beta") -> 1L), s"phase1: ${m(p1)}")
+    // window 1 closed AFTER the restart: its counts must merge the
+    // pre-kill partial (gamma 1, beta 1) with post-restart arrivals —
+    // recovered aggregation state, not a rebuilt-empty window
+    assert(m(p2) == Map(
+      ("2020-01-01 01:00:00.0", "gamma") -> 3L,
+      ("2020-01-01 01:00:00.0", "beta") -> 1L,
+      ("2020-01-01 01:00:00.0", "delta") -> 1L), s"phase2: ${m(p2)}")
+  }
+
+  test("stream-stream join survives restart: buffered left side still pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingJoin
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val (p1, p2) = runWithRestart(
+      () => StreamingJoin.withinTime(
+        imps.toDF().toDF("ad_id", "imp_time"),
+        clicks.toDF().toDF("ad_id", "click_time"),
+        "ad_id", "imp_time", "click_time",
+        maxDelay = "30 minutes", watermarkDelay = "0 seconds"),
+      // the impression arrives, no click yet: buffered as join state
+      () => imps.addData((7L, ts("2020-01-01 00:00:00"))),
+      // the click arrives only AFTER the restart — the pair requires the
+      // pre-kill impression from the recovered join buffer; the second
+      // click is outside the 30-minute bound and must not pair
+      () => clicks.addData(
+        (7L, ts("2020-01-01 00:10:00")),
+        (7L, ts("2020-01-01 00:45:00"))))
+    assert(p1.isEmpty)
+    val pairs = p2.map(r => (r.getLong(0), r.getTimestamp(1).toString,
+      r.getTimestamp(2).toString)).toSet
+    assert(pairs == Set(
+      (7L, "2020-01-01 00:00:00.0", "2020-01-01 00:10:00.0")),
+      s"got $pairs")
+  }
+
+  test("exact dedup survives restart: duplicate arriving after resume drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val (p1, p2) = runWithRestart(
+      () => StreamingDedup.firstSeen(
+        source.toDF().toDF("doc_id", "event_time", "text"),
+        horizonSeconds = 86400, watermarkDelay = "0 seconds"),
+      () => source.addData(
+        (1L, ts("2020-01-01 00:00:00"), "the quick brown fox"),
+        (2L, ts("2020-01-01 00:05:00"), "something else entirely")),
+      () => source.addData(
+        // same normalized fingerprint as doc 1 — only the RECOVERED
+        // seen-set can know to drop it
+        (3L, ts("2020-01-01 00:10:00"), "THE  Quick  Brown   Fox"),
+        (4L, ts("2020-01-01 00:15:00"), "a genuinely new document")))
+    def kept(rs: Seq[Row]) = rs.map(_.getLong(0)).toSet
+    assert(kept(p1) == Set(1L, 2L))
+    assert(kept(p2) == Set(4L),
+      s"duplicate re-admitted after restart: ${kept(p2)}")
+  }
+
+  test("CDC upsert survives restart: snapshot folds on, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingUpsert
+    val root = java.nio.file.Files.createTempDirectory("sur_root").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sur_ckpt").toString
+    val base = Seq((0L, 1, "a"), (1L, 1, "b")).toDF("doc_id", "version", "text")
+    StreamingUpsert.init(base, root)
+    val source = MemoryStream[(Long, Int, String, Boolean)]
+    def start() = StreamingUpsert.sink(
+      source.toDF().toDF("doc_id", "version", "text", "deleted"),
+      root, "doc_id", "version", ckpt).start()
+    def snap() = StreamingUpsert.current(spark, root)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    val q1 = start()
+    try {
+      source.addData((1L, 2, "b2", false)); q1.processAllAvailable()
+    } finally q1.stop()
+    val afterKill = snap()
+    assert(afterKill == Map(0L -> ((1, "a")), 1L -> ((2, "b2"))))
+    // restart from the same checkpoint: the next batch folds onto the
+    // pre-kill snapshot (no rebase to the init version, no double apply)
+    val q2 = start()
+    try {
+      source.addData((2L, 1, "c", false), (0L, 2, "", true))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = snap()
+    assert(fin == Map(1L -> ((2, "b2")), 2L -> ((1, "c"))), s"got $fin")
+    // at-least-once replay of an ALREADY-APPLIED batch id after the
+    // restart: the pointer guard makes it a no-op — same snapshot, same
+    // pointer, no crash loop from reading-while-overwriting
+    StreamingUpsert.applyBatch(
+      Seq((1L, 2, "b2", false)).toDF("doc_id", "version", "text", "deleted"),
+      batchId = 0L, root, "doc_id", "version")
+    assert(snap() == fin)
+  }
+
   test("sessionizer survives restart: open session closes with pre-kill sums") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{SessionEvent, StreamingSessionizer}
