@@ -4728,10 +4728,6 @@ object CorpusOps {
     // bits from the same md5 selectors, then run indexing via window
     // prefix sums and string_agg (ORDER BY p) instead of the engine's
     // array fold — the strings must still agree byte-for-byte
-    // span-corruption replay, independent formulation: per-position mask
-    // bits from the same md5 selectors, then run indexing via window
-    // prefix sums and string_agg (ORDER BY p) instead of the engine's
-    // array fold — the strings must still agree byte-for-byte
     "q_doc_span_corrupt" ->
       s"""WITH ${spanCorruptCtes(10, 3, "true", "r")}
          |SELECT doc_id, n_tokens, n_masked, n_spans, input_fp, target_fp
