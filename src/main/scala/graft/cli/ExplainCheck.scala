@@ -114,7 +114,10 @@ object ExplainCheck {
     "q_emb_margin_pairs" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("Window")),
     "q_doc_backoff_lm" -> (Seq("BroadcastHashJoin"), Seq("Window", "SortMergeJoin")),
-    "q_graph_kcore" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
+    // peel rounds are node-partitioned windowed degree counts (linear
+    // lineage); the forbidden list still rejects an accidental
+    // unpartitioned-window or cross-product drift
+    "q_graph_kcore" -> (Seq("HashAggregate", "Window"), Seq("CartesianProduct")),
     "q_mm_audio_fp" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_doc_unigram_segment" -> (Seq("Generate"), Seq("Window", "CartesianProduct")),
     "q_doc_span_corrupt" -> (Seq("Project"), Seq("Window", "SortMergeJoin")),

@@ -130,54 +130,60 @@ object Graph {
     * (node, core_deg, in_core) with core_deg its degree inside the
     * surviving set (0 outside).
     *
-    * Scale shape: each round is two node-keyed equi-joins of the edge
-    * list against the (shrinking) alive set plus one degree aggregate —
-    * linear in edges, shuffles on node keys only, and the edge subtree
-    * is identical across rounds so ReusedExchange serves rounds 2..r
-    * from round 1's shuffle files (the [[pageRank]] discipline).
-    * Survivors are `localCheckpoint`ed every `checkpointEvery` rounds
-    * AND after the last peel (the [[graft.ops.Dedup.componentsDetailed]]
-    * discipline, tighter interval): each round references the previous
-    * survivor set TWICE (once per endpoint join), so un-checkpointed
-    * lineage DOUBLES per round — a 30-round peel plans ~2³⁰ join nodes,
-    * not ~60 — and a lost executor replays the whole loop. With the
-    * every-4 checkpoint each compiled segment holds ≤ 2⁴ joins and the
-    * replay unit is one segment. The cached edge table is scoped to the
-    * returned handle ([[kCoreScoped]]).
+    * Scale shape — LINEAR lineage by construction. The iterated state is
+    * the SYMMETRIC surviving edge list itself (both orientations), and a
+    * peel round is two windowed counts over it — `count(*) over
+    * (partition by a)` is deg(a), the same over `b` is deg(b) — followed
+    * by the filter `deg(a) ≥ k AND deg(b) ≥ k` (an edge survives iff
+    * both endpoints survive; the condition is symmetric, so both
+    * orientations drop together and the state stays symmetric). Each
+    * round references the previous state exactly ONCE, so the logical
+    * plan grows linearly in `rounds`. The previous join formulation
+    * (alive-node set re-joined against the edge list per endpoint)
+    * referenced the prior state TWICE per round, DOUBLING the logical
+    * tree per round — Catalyst compile time went exponential (~8 s to
+    * plan 4 rounds, ~30 s for 6 at sf0.1, vs 0.1 s to execute) and the
+    * `localCheckpoint` calls that bounded it cost more than the whole
+    * peel. With linear lineage no mid-loop checkpoint is needed: each
+    * round is two node-keyed shuffles whose materialized shuffle files
+    * are the executor-loss replay bound, exactly like any deep
+    * multi-stage SQL plan.
+    *
+    * Skew note for power-law graphs: a windowed count has no map-side
+    * combine, so a celebrity node's edges sort in one task; the degree
+    * filter still only SHUFFLES the edge list (no blowup). If one node
+    * holds a meaningful fraction of all edges at cluster scale, peel on
+    * a degree-capped or salted projection first — the same discipline
+    * every node-keyed operator here uses ([[pageRank]] caps, Dedup block
+    * caps). The cached edge table is scoped to the returned handle
+    * ([[kCoreScoped]]).
     */
-  def kCoreScoped(edges: DataFrame, k: Int, rounds: Int,
-      checkpointEvery: Int = 4): Dedup.Scoped = {
+  def kCoreScoped(edges: DataFrame, k: Int, rounds: Int): Dedup.Scoped = {
     require(k >= 1, "k must be positive")
-    require(rounds >= 1 && rounds <= 30,
-      "rounds must be in [1, 30] — beyond that, re-call on the survivors")
-    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    require(rounds >= 1 && rounds <= 100,
+      "rounds must be in [1, 100] — beyond that, re-call on the survivors")
     val und = edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    // the edge list feeds 2 joins per round plus the final degree pass —
+    // the edge list seeds the peel AND the all-nodes report side —
     // persist it once instead of re-deriving the (possibly join-heavy)
-    // upstream 2·rounds+3 times (the jaccardPairsScoped discipline)
+    // upstream per consumer (the jaccardPairsScoped discipline)
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
       .persist()
     val all = sym.select(col("a").as("node")).distinct()
-    var alive = all
-    for (r <- 1 to rounds) {
-      alive = sym
-        .join(alive.select(col("node").as("a")), Seq("a"))
-        .join(alive.select(col("node").as("b")), Seq("b"))
-        .groupBy("a").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("a").as("node"))
-      // truncate lineage (eager localCheckpoint materializes the small,
-      // shrinking alive set); the final round checkpoints too — the
-      // degree pass below also references survivors twice
-      if (r % checkpointEvery == 0 || r == rounds)
-        alive = alive.localCheckpoint()
-    }
-    val coreDeg = sym
-      .join(alive.select(col("node").as("a")), Seq("a"))
-      .join(alive.select(col("node").as("b")), Seq("b"))
-      .groupBy("a").agg(count(lit(1)).as("core_deg"))
+    var state = sym.select("a", "b")
+    val byA = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    val byB = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    for (_ <- 1 to rounds)
+      state = state
+        .withColumn("da", count(lit(1)).over(byA))
+        .withColumn("db", count(lit(1)).over(byB))
+        .where(col("da") >= k && col("db") >= k)
+        .select("a", "b")
+    // final state is still symmetric, so core degree is a plain count of
+    // surviving rows per `a` — one aggregate, one state reference
+    val coreDeg = state.groupBy("a").agg(count(lit(1)).as("core_deg"))
       .select(col("a").as("node"), col("core_deg"))
     val out = all.join(coreDeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("core_deg"), lit(0L)).as("core_deg"),

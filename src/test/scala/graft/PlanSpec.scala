@@ -27,7 +27,7 @@ class PlanSpec extends AnyFunSuite {
       s"pins without a gate: ${(pins -- qs).toSeq.sorted.mkString(", ")}")
   }
 
-  test("kCore lineage is bounded by the checkpoint interval at rounds=30") {
+  test("kCore lineage stays linear at rounds=30") {
     val spark = SparkTest.session
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.Join
@@ -42,11 +42,11 @@ class PlanSpec extends AnyFunSuite {
       val joins = scoped.df.queryExecution.optimizedPlan.collect {
         case j: Join => j
       }.length
-      // each peel round references survivors twice, so un-checkpointed
-      // lineage DOUBLES per round (~2^30 join nodes at rounds=30); with
-      // the final-round checkpoint the visible plan is just the degree +
-      // report joins over a materialized survivor RDD
-      assert(joins <= 8, s"kCore lineage not truncated: $joins joins")
+      // the windowed peel references the previous state once per round,
+      // so a 30-round plan holds 60 window nodes and a CONSTANT number
+      // of joins (edge prep + final report) — the join formulation this
+      // replaced doubled the tree per round (~2^30 join nodes)
+      assert(joins <= 8, s"kCore lineage not linear: $joins joins")
       // and the result is still the full 2-core
       assert(scoped.df.where(org.apache.spark.sql.functions.col("in_core"))
         .count() == n)
