@@ -124,6 +124,10 @@ object ExplainCheck {
     "q_doc_quality_dup" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_doc_tokenizer_compare" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_margin_ivf" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
+    // bucket equi-join with the probe frame broadcast (corpus never
+    // shuffles); k-bounded TopKAgg selection, never a window sort
+    "q_emb_multiprobe" -> (Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_doc_ul2_mixture" -> (Seq("Union"), Seq("Window", "SortMergeJoin")),
@@ -500,6 +504,13 @@ object ExplainCheck {
       Seq("CartesianProduct", "Window")),
     "q_doc_dedup_clusters" -> (Seq(),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // soft dedup weighting: cluster-size agg + one corpus left join
+    // against the dup-bounded cluster map — never a window
+    "q_doc_dedup_weights" -> (Seq("HashAggregate"),
+      Seq("CartesianProduct", "Window")),
+    // BM25: linear token aggs, broadcast df/stats, k-bounded ranking
+    "q_doc_bm25" -> (Seq("HashAggregate", "TakeOrderedAndProject"),
+      Seq("Window", "SortMergeJoin")),
     "q_doc_dedup_exact" -> (Seq("HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_edit_distance" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
@@ -568,6 +579,11 @@ object ExplainCheck {
     // PSL registered domain: the rule table rides IN the expression —
     // zero-shuffle in-row projection, no join against a suffix table
     "q_doc_psl_domain" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // rendezvous routing: shards-many md5 probes folded in-row by
+    // greatest — zero shuffle, zero join, no per-doc weight explode
+    "q_doc_rendezvous_shard" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
     // host stats: one linear aggregate keyed by registered domain (the

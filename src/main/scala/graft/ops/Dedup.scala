@@ -526,6 +526,40 @@ object Dedup {
   def components(pairs: DataFrame, maxIters: Int): DataFrame =
     componentsScoped(pairs, maxIters).df
 
+  /** Soft dedup: keep EVERY document but down-weight near-dup clusters —
+    * each member of a cluster of n carries `weight_ppm = 10⁶ div n`, so a
+    * cluster contributes ~one document's worth of sampling mass instead
+    * of n (the "don't delete, re-weight" alternative to survivor
+    * selection: duplicates often correlate with quality, and hard
+    * dropping loses that signal; weighting feeds straight into
+    * [[graft.ops.Sampling]]'s weighted/token-proportional samplers).
+    * Docs in no pair are their own cluster (weight 10⁶). Integer floor
+    * division — bit-identical across engines, order-free.
+    *
+    * Scale shape: the components frame covers only docs that appear in a
+    * pair (dup-rate-bounded, far smaller than the corpus); cluster sizes
+    * are one aggregate over it, and the corpus touches exactly one left
+    * join against that small map — broadcastable at typical dup rates,
+    * AQE decides. Long-lived sessions: wrap the call site with
+    * [[componentsScoped]]'s release discipline ([[components]] relies on
+    * the session's `clearCache` bound, like every cluster consumer here).
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val comp = components(pairs, maxIters)
+    val sized = comp.join(
+      comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      Seq("cluster_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(sized.select("doc_id", "cluster_id", "cluster_size"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        call_function("div", lit(1000000L),
+          coalesce(col("cluster_size"), lit(1L))).as("weight_ppm"))
+  }
+
   /** Engine-portable 64-bit SimHash, banded as 4×16-bit chunks.
     *
     * The per-token hash is the first 16 hex nibbles of md5(token), chosen

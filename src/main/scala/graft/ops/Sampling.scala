@@ -105,6 +105,39 @@ object Sampling {
       .select(col("shard"), col("pos"), col(idCol))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: a key's shard
+    * is `argmax_s md5(key | s)` over shard ids `0..shards−1` — the
+    * classic minimal-movement router (Thaler & Ravishankar 1998; the
+    * scheme behind consistent object placement without a ring). Against
+    * [[hashBucket]]'s `h mod n`, which remaps ~HALF the corpus when n
+    * changes, growing n → n+1 here moves EXACTLY the keys whose new
+    * shard's weight wins — an expected 1/(n+1) of the corpus, every one
+    * of them onto the NEW shard (no shard-to-shard churn). That is the
+    * property a 100 TB layout needs when storage topology changes:
+    * resharding cost proportional to the data that actually has a new
+    * home.
+    *
+    * Pure in-row Column algebra — `shards` md5 probes per row folded by
+    * `greatest` over (weight, −shard) structs (ties, ~2⁻⁶⁰ likely, break
+    * to the LOWEST shard id) — zero shuffle, zero join; weights are
+    * 60-bit md5 prefixes (15 nibbles, the ANSI-safe [[graft.ops.Dedup]]
+    * identity-key width), engine-replayable as
+    * `('0x'||substr(md5(...),1,15))::BIGINT`. The per-row cost is
+    * `shards` md5 evaluations: right for routing onto tens-to-hundreds
+    * of storage shards, not for millions of buckets ([[hashBucket]]'s
+    * job) — the [1, 256] bound documents that intent.
+    */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 256, "shards must be in [1, 256]")
+    def w(s: Int): Column = struct(
+      conv(substring(md5(concat_ws("|", key.cast("string"), lit(s))),
+        1, 15), 16, 10).cast("long").as("w"),
+      lit(-s).as("neg_s"))
+    if (shards == 1) lit(0)
+    else (-greatest((0 until shards).map(w): _*).getField("neg_s"))
+      .cast("int")
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor gets `k` pseudo-random partner ids, chosen by md5 of
     * (anchor, slot) — reproducible on every run, partitioning, and engine

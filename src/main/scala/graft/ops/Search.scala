@@ -138,6 +138,70 @@ object Search {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones weighting with tf
+    * saturation and length normalization) — the standard lexical ranker
+    * [[rankedSearch]]'s undamped tf·idf approximates. Every rational in
+    * the formula is fixed-point integer with PINNED truncation so two
+    * engines replay the ranking bit-for-bit:
+    *
+    *   inner_m = 1000 − b_m + (b_m·dl·N) div TT          (dl/avgdl in milli)
+    *   K_m     = (k1_m · inner_m) div 1000
+    *   s_ppm   = (tf·1000·(k1_m + 1000)·1000) div (tf·1000 + K_m)
+    *   c_micro = (idf_micro · s_ppm) div 10⁶,  summed per doc
+    *
+    * with idf_micro = round(ln((N − df + ½)/(df + ½) + 1)·10⁶) — the one
+    * libm `ln` in the chain, the SAME documented portability caveat as
+    * [[rankedSearch]] (flip probability ~1e-10 per term; everything after
+    * the rounding is order-free integer math). Defaults k1 = 1.2,
+    * b = 0.75 (the classic Okapi operating point). Returns
+    * (doc_id, score_micro: long, n_terms), top `k` by
+    * (score_micro desc, doc_id) — deterministic at the boundary.
+    *
+    * Scale shape: two linear token aggregates (per-doc length, per-doc
+    * matched-term tf), a term-keyed broadcast of the df table, one-row
+    * corpus stats broadcast, and a k-bounded TakeOrderedAndProject —
+    * never a global sort, the corpus scanned once for lengths and once
+    * for matches (Catalyst collapses both over one shuffle-free scan
+    * pipeline each).
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      "k1Milli >= 0 and bMilli in [0, 1000]")
+    val ts = terms.map(_.toLowerCase(Locale.ROOT)).distinct
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.normTokens(col(textCol))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("term").isin(ts: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val stats = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(toks.agg(count(lit(1)).as("tt")))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        round(log((col("nd") - col("df_t") + lit(0.5))
+          / (col("df_t") + lit(0.5)) + lit(1.0)) * lit(1e6), 0)
+          .cast("long"))
+      .withColumn("inner_m", lit(1000L) - lit(bMilli)
+        + idiv(lit(bMilli) * col("dl") * col("nd"), col("tt")))
+      .withColumn("k_m", idiv(lit(k1Milli) * col("inner_m"), lit(1000L)))
+      .withColumn("s_ppm", idiv(
+        col("tf") * lit(1000L) * lit(k1Milli + 1000L) * lit(1000L),
+        col("tf") * lit(1000L) + col("k_m")))
+      .withColumn("c_micro",
+        idiv(col("idf_micro") * col("s_ppm"), lit(1000000L)))
+      .groupBy("doc_id")
+      .agg(sum(col("c_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hybrid retrieval: a lexical recall stage ([[rankedSearch]] top
     * `kLex`) re-ranked by embedding cosine against a one-row query
     * vector — the standard RAG retrieval shape (cheap sparse recall,

@@ -642,6 +642,73 @@ object VectorOps {
     topKPerQueryExact(scored, k)
   }
 
+  /** Multi-probe sign-LSH top-k ANN — the recall lever for bucketed sign
+    * projections WITHOUT more tables or a bigger join: a query probes its
+    * own `nPlanes`-bit sign bucket plus (at `probeHamming = 1`) the
+    * `nPlanes` buckets one bit-flip away — the buckets a near neighbor
+    * lands in when ONE plane sum sits on the other side of zero, which is
+    * exactly how sign-LSH misses (Lv et al., VLDB 2007 multi-probe
+    * argument). Recall rises toward brute while candidates stay
+    * bucket-bounded; single-probe (`probeHamming = 0`) is the classic
+    * one-bucket lookup for comparison.
+    *
+    * Everything is the quantize-first integer chain: plane sums are exact
+    * integer dots of the micro-quantized vector against the ±1 literal
+    * rows ([[jlSign]] — bit set iff the sum is strictly positive), and
+    * candidate scoring is [[exactCosX1m]] with k-bounded
+    * [[topKPerQueryExact]] selection — bit-identical on any engine, no
+    * float similarity anywhere.
+    *
+    * Scale shape: corpus signatures are a zero-shuffle in-row projection
+    * (computed once, cacheable next to the vectors); the probe frame is
+    * `|queries|·(nPlanes+1)` rows — broadcast into the bucket equi-join,
+    * so the corpus never shuffles; scoring is candidate-bounded and the
+    * final agg is the k-bounded TopKAgg (never a window sort). A corpus
+    * vector matches at most ONE probe of a given query (buckets are
+    * distinct values), so no candidate dedup pass is needed.
+    */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      inDims: Int, nPlanes: Int = 8, probeHamming: Int = 1,
+      scale: Double = 1e5): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, "nPlanes must be in [1, 30]")
+    require(probeHamming == 0 || probeHamming == 1,
+      "probeHamming must be 0 (single-probe) or 1 (flip each bit once)")
+    require(inDims >= 1 && k >= 1, "need positive dims and k")
+    def signRow(j: Int): Column =
+      lit((0 until inDims).map(d => jlSign(j, d).toLong).toArray)
+    // two selects (the signLshNearDupPairs discipline): quantize first,
+    // THEN the bucket fold over scalar integer plane dots
+    def sig(qv: Column): Column = (0 until nPlanes)
+      .map { j =>
+        when(graft.functions.GraftFunctions.long_dot(qv, signRow(j)) > 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val (cq, cr) = quantized(col("embedding"), scale)
+    val c = corpus
+      .select(col("vec_id"),
+        assertWidth(col("embedding"), inDims).as("embedding"))
+      .select(col("vec_id"), cq.as("qv"), cr.as("v_r"))
+      .select(col("vec_id"), col("qv"), col("v_r"),
+        sig(col("qv")).as("bucket"))
+    val (qq, qr) = quantized(col("query_vec"), scale)
+    val q0 = queries
+      .select(col("query_id"),
+        assertWidth(col("query_vec"), inDims).as("query_vec"))
+      .select(col("query_id"), qq.as("qq"), qr.as("q_r"))
+      .select(col("query_id"), col("qq"), col("q_r"),
+        sig(col("qq")).as("sig"))
+    val probeCols = col("sig") +: (if (probeHamming == 0) Seq.empty[Column]
+      else (0 until nPlanes).map(j => col("sig").bitwiseXOR(lit(1 << j))))
+    val probes = q0.select(col("query_id"), col("qq"), col("q_r"),
+      explode(array(probeCols: _*)).as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1m", exactCosX1m(
+        graft.functions.GraftFunctions.long_dot(col("qv"), col("qq")),
+        col("v_r"), col("q_r")))
+    topKPerQueryExact(scored, k)
+  }
+
   def labelCentroids(corpus: DataFrame, labelCol: String, vecCol: String,
       scale: Double = 1e6): DataFrame =
     corpus

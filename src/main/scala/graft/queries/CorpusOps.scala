@@ -951,6 +951,22 @@ object CorpusOps {
         .limit(20)
     }),
 
+    // multi-probe sign-LSH ANN: each query probes its own 8-bit sign
+    // bucket PLUS the 8 one-bit-flip buckets (the buckets a neighbor
+    // lands in when one plane sum crosses zero) — recall climbs toward
+    // brute while candidates stay bucket-bounded, no extra tables. The
+    // whole chain is quantize-first integer math (integer plane dots,
+    // exactCosX1m, k-bounded TopKAgg), so the oracle replays bit-exact
+    "q_emb_multiprobe" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      VectorOps.multiProbeLshTopK(emb, queries, k = 5, inDims = embDims,
+          nPlanes = 8, probeHamming = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // JL sign projection + search IN THE REDUCED SPACE: embeddings cut to
     // 16 dims by the deterministic ±1 plane family (Achlioptas), float-
     // quantized (both engines round-to-nearest), then the standard brute
@@ -3501,6 +3517,41 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // multi-probe replay: the same ±1 plane rows over the scale-1e5 qv
+    // (integer plane dots, bit set iff strictly positive), base + one-
+    // bit-flip probe buckets via xor, exact integer cosine, row_number
+    // top-5 with the (cos_x1m desc, vec_id) tie pin
+    "q_emb_multiprobe" -> {
+      val planeSums = (0 until 8).map { j =>
+        (0 until embDims).map { d =>
+          s"(${graft.ops.VectorOps.jlSign(j, d).toLong}) * qv[${d + 1}]"
+        }.mkString("(", " + ", s") AS s$j")
+      }.mkString(",\n    ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val probes = ("sig" +: (0 until 8).map(j => s"xor(sig, ${1 << j})"))
+        .mkString(", ")
+      s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |${exactChainSql("v", "c")},
+         |ps AS (SELECT vec_id, qv, r,
+         |    $planeSums
+         |  FROM c),
+         |sg AS (SELECT vec_id, qv, r, $bucket AS sig FROM ps),
+         |q AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r,
+         |    unnest([$probes]) AS bucket
+         |  FROM sg WHERE vec_id < 8),
+         |cand AS (SELECT q.query_id, sg.vec_id,
+         |    ${icosSql("sg.qv", "sg.r", "q.qq", "q.q_r")} AS cos_x1m
+         |  FROM q JOIN sg ON sg.sig = q.bucket AND sg.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, cos_x1m,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_x1m DESC, vec_id) AS INT) AS rank
+         |  FROM cand WHERE cos_x1m IS NOT NULL)
+         |SELECT query_id, rank, vec_id, cos_x1m
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // margin replay, INTEGER-EXACT: identical even/odd split, the
     // quantize-first chain (scale-1e5 qv + exact isqrt norm roots), both

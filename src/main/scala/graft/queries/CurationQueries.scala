@@ -635,6 +635,22 @@ object CurationQueries {
           TextOps.normalize(col("text")), epoch = 2, shards = 8)
         .orderBy("shard", "pos")),
 
+    // rendezvous (highest-random-weight) shard routing, and the property
+    // that justifies it: growing 8 -> 9 shards moves ONLY the docs whose
+    // argmax lands on the new shard — every moved doc shows shard9 = 8,
+    // ~1/9 of the corpus, zero shard-to-shard churn (mod-hashing remaps
+    // about half). Both assignments emitted per doc so the movement set
+    // is data, not a claim
+    "q_doc_rendezvous_shard" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Sampling.rendezvousShard(col("doc_id"), 8)
+            .as("shard8"),
+          graft.ops.Sampling.rendezvousShard(col("doc_id"), 9)
+            .as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy("doc_id")),
+
     // CROSS-doc segment dedup: shared boilerplate lines (nav/footer
     // literals planted across residue classes, incl. a within-doc repeat)
     // survive only at their global (min doc_id, min pos) canonical
@@ -759,6 +775,14 @@ object CurationQueries {
     "q_doc_rank_search" -> ((s, dir) =>
       graft.ops.Search.rankedSearch(wide(s, t(s, dir, "documents")),
         "doc_id", "text", Seq("spark", "vector", "stream"), k = 10)),
+
+    // BM25 (Okapi k1=1.2 b=0.75): tf saturation + doc-length damping in
+    // pinned fixed-point integer math; only the idf takes the rounded-ln
+    // path rank_search already documents. Deterministic at the k edge
+    "q_doc_bm25" -> ((s, dir) =>
+      graft.ops.Search.bm25Search(wide(s, t(s, dir, "documents")),
+        "doc_id", "text", Seq("spark", "vector", "stream", "data"),
+        k = 10)),
 
     // quality-weighted sampling: each doc kept with probability equal to
     // its quality score, decided by content-hash bucket — deterministic
@@ -1008,6 +1032,18 @@ object CurationQueries {
         .select(col("cluster_id"), col("doc_id"), col("q_micro"),
           col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
         .orderBy("cluster_id", "doc_id")
+    }),
+
+    // soft dedup: keep everything, down-weight dup clusters — each
+    // member of a cluster of n carries 10^6 div n ppm of sampling mass
+    // (duplication often correlates with quality; weighting preserves
+    // the signal hard-dropping destroys). Singletons weigh 10^6
+    "q_doc_dedup_weights" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        3, 64, 32, 0.8)
+      graft.ops.Dedup.softDedupWeights(docs, "doc_id", pairs)
+        .orderBy("doc_id")
     }),
 
     // snapshot drift report: volume, token, and vocabulary movement
@@ -1879,6 +1915,83 @@ object CurationQueries {
          |FROM j JOIN best USING (cluster_id)
          |ORDER BY j.cluster_id, j.doc_id""".stripMargin,
 
+    // BM25 replay: identical fixed-point chain — milli length ratio,
+    // milli K, ppm saturation, micro contributions — with the rounded-ln
+    // idf as the single float seam (rank_search's documented caveat)
+    "q_doc_bm25" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           |  FROM toks GROUP BY doc_id),
+           |tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |  WHERE term IN ('spark', 'vector', 'stream', 'data')
+           |  GROUP BY doc_id, term),
+           |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+           |  FROM tf GROUP BY term),
+           |st AS (SELECT
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM toks) AS tt),
+           |sc AS (
+           |  SELECT tf.doc_id,
+           |    CAST(round(ln((st.nd - dft.df_t + 0.5)
+           |      / (dft.df_t + 0.5) + 1.0) * 1000000.0) AS BIGINT)
+           |      AS idf_micro,
+           |    CAST(1000 AS BIGINT) - 750
+           |      + (750 * dl.dl * st.nd) // st.tt AS inner_m,
+           |    tf.tf AS tf
+           |  FROM tf JOIN dl USING (doc_id)
+           |  JOIN dft USING (term) CROSS JOIN st),
+           |c AS (
+           |  SELECT doc_id,
+           |    (idf_micro * ((tf * 1000 * 2200 * 1000)
+           |      // (tf * 1000 + (1200 * inner_m) // 1000))) // 1000000
+           |      AS c_micro
+           |  FROM sc)
+           |SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+           |  CAST(count(*) AS BIGINT) AS n_terms
+           |FROM c GROUP BY doc_id
+           |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    // soft-dedup replay: the survivors gate's cluster CTE chain, then
+    // every document left-joined in (singleton -> own id, size 1) with
+    // the integer floor-div weight
+    "q_doc_dedup_weights" ->
+      s"""WITH RECURSIVE sh AS ${CorpusOps.shinglesSql},
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+         |    >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e2.b, r.lab FROM reach r JOIN edges e2 ON e2.a = r.node),
+         |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY cluster_id),
+         |j AS (SELECT comp.doc_id, comp.cluster_id, cs.cluster_size
+         |  FROM comp JOIN cs USING (cluster_id))
+         |SELECT d.doc_id,
+         |  coalesce(j.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(j.cluster_size, 1) AS cluster_size,
+         |  CAST(1000000 AS BIGINT) // coalesce(j.cluster_size, 1)
+         |    AS weight_ppm
+         |FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_doc_exact_split" ->
       raw"""WITH n AS (SELECT source, doc_id,
            |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
@@ -2677,6 +2790,33 @@ object CurationQueries {
            |    ORDER BY h32, doc_id) AS BIGINT) AS pos,
            |  doc_id
            |FROM b ORDER BY shard, pos""".stripMargin,
+
+    // rendezvous replay: per (doc, s) 60-bit md5-prefix weights, argmax
+    // by (w DESC, s ASC) — the engine's greatest((w, -s)) tie pin
+    "q_doc_rendezvous_shard" ->
+      raw"""WITH s8 AS (
+           |  SELECT doc_id, s,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+           |      CAST(s AS VARCHAR)), 1, 15))::BIGINT AS w,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+           |        '|' || CAST(s AS VARCHAR)), 1, 15))::BIGINT DESC, s)
+           |      AS rn
+           |  FROM documents, unnest(generate_series(0, 7)) AS u(s)),
+           |s9 AS (
+           |  SELECT doc_id, s,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+           |        '|' || CAST(s AS VARCHAR)), 1, 15))::BIGINT DESC, s)
+           |      AS rn
+           |  FROM documents, unnest(generate_series(0, 8)) AS u(s)),
+           |a8 AS (SELECT doc_id, CAST(s AS INT) AS shard8
+           |  FROM s8 WHERE rn = 1),
+           |a9 AS (SELECT doc_id, CAST(s AS INT) AS shard9
+           |  FROM s9 WHERE rn = 1)
+           |SELECT a8.doc_id, shard8, shard9, shard8 <> shard9 AS moved
+           |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+           |ORDER BY a8.doc_id""".stripMargin,
 
     // cross-doc segment dedup replay: same planted lines; an occurrence
     // survives iff its (doc_id, pos) row_number within its segment is 1

@@ -1471,6 +1471,85 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Search: tf saturates, length damps, non-matches drop") {
+    import graft.ops.Search
+    val docs = Seq(
+      (1L, "apple pear"),
+      (2L, "apple apple"),
+      (3L, "apple pear pear pear pear pear"),
+      (4L, "cherry")).toDF("doc_id", "text")
+    val out = Search.bm25Search(docs, "doc_id", "text", Seq("apple"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // cherry never scores
+    assert(out(2L) > out(1L)) // more tf at equal length wins
+    assert(out(3L) < out(1L)) // longer doc damps an equal tf
+    // with b = 0 the length term vanishes and the tf gain is strictly
+    // sub-linear (the saturation BM25 exists for)
+    val flat = Search.bm25Search(docs, "doc_id", "text", Seq("apple"), 10,
+        bMilli = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat(2L) > flat(1L) && flat(2L) < 2L * flat(1L))
+  }
+
+  test("softDedupWeights: cluster mass splits, singletons keep 1e6") {
+    import graft.ops.Dedup
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val w = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the 3-cluster labels by its min member and splits the ppm mass
+    Seq(1L, 2L, 3L).foreach(d => assert(w(d) == ((1L, 3L, 333333L)), s"doc $d"))
+    assert(w(9L) == ((9L, 1L, 1000000L)))
+    // floor division never over-allocates a cluster's mass
+    w.values.foreach { case (_, n, ppm) => assert(ppm * n <= 1000000L) }
+  }
+
+  test("rendezvousShard: minimal movement onto the new shard only") {
+    import graft.ops.Sampling
+    val ids = spark.range(2000).select(col("id"))
+    val both = ids.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s8"),
+        Sampling.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every assignment in range
+    assert(both.forall { case (_, a, b) => a >= 0 && a < 8 && b >= 0 && b < 9 })
+    // the rendezvous property: a key moves iff the NEW shard wins its
+    // argmax — movers land on shard 8, nobody reshuffles between old
+    // shards, and the moved fraction is ~1/9
+    val moved = both.filter { case (_, a, b) => a != b }
+    assert(moved.forall(_._3 == 8), "a mover landed on an old shard")
+    val frac = moved.length.toDouble / both.length
+    assert(frac > 0.04 && frac < 0.20, s"moved fraction $frac not ~1/9")
+    // shards == 1 degenerates to 0 without md5 work
+    assert(ids.select(Sampling.rendezvousShard(col("id"), 1).as("s"))
+      .agg(max("s")).head.getInt(0) == 0)
+  }
+
+  test("multiProbeLshTopK: probing lifts recall, scores are brute-exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 12)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val brute = pairs(VectorOps.bruteTopKExact(emb, queries, k = 5))
+    val single = pairs(VectorOps.multiProbeLshTopK(emb, queries, k = 5,
+      inDims = 64, nPlanes = 8, probeHamming = 0))
+    val multi = pairs(VectorOps.multiProbeLshTopK(emb, queries, k = 5,
+      inDims = 64, nPlanes = 8, probeHamming = 1))
+    val rs = single.keySet.intersect(brute.keySet).size
+    val rm = multi.keySet.intersect(brute.keySet).size
+    // the multi-probe candidate set strictly contains the single-probe
+    // one, so recall against exact brute can only rise
+    assert(rm >= rs && rm > 0, s"recall single=$rs multi=$rm")
+    // any pair both searchers return carries the SAME exact integer
+    // score — the approximation is in candidate coverage, never scoring
+    multi.keySet.intersect(brute.keySet).foreach { p =>
+      assert(multi(p) == brute(p), s"score mismatch at $p")
+    }
+  }
+
   test("provenance: first-drop ownership, null-as-drop, keep path") {
     import graft.ops.Expectations
     val d = Seq(
