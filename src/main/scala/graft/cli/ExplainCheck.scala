@@ -130,6 +130,10 @@ object ExplainCheck {
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    // serve path scans the bucket-partitioned index (no corpus re-encode)
+    // with the probe frame broadcast; k-bounded TopKAgg selection
+    "q_emb_lsh_serve" -> (Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
     "q_doc_ul2_mixture" -> (Seq("Union"), Seq("Window", "SortMergeJoin")),
     "q_doc_blocklist_scrub" -> (Seq("SerializeFromObject"),
       Seq("Window", "CartesianProduct")),

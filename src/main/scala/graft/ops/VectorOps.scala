@@ -669,39 +669,88 @@ object VectorOps {
     */
   def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       inDims: Int, nPlanes: Int = 8, probeHamming: Int = 1,
-      scale: Double = 1e5): DataFrame = {
+      scale: Double = 1e5): DataFrame =
+    lshSearchTopKIndexed(
+      lshEncode(corpus, "vec_id", "embedding", inDims, nPlanes, scale),
+      queries, k, inDims, nPlanes, probeHamming, scale)
+
+  /** Sign-bucket encoding for the persisted LSH index: quantize-first
+    * integer plane dots against the ±1 [[jlSign]] rows (bit set iff
+    * strictly positive). Returns (vec_id, qv, v_r, bucket) — everything
+    * the serve path scores with, so serving never touches the float
+    * corpus. Two selects (the [[signLshNearDupPairs]] discipline):
+    * quantize first, THEN the bucket fold over scalar integer dots.
+    */
+  def lshEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, nPlanes: Int = 8, scale: Double = 1e5): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 30, "nPlanes must be in [1, 30]")
-    require(probeHamming == 0 || probeHamming == 1,
-      "probeHamming must be 0 (single-probe) or 1 (flip each bit once)")
-    require(inDims >= 1 && k >= 1, "need positive dims and k")
-    def signRow(j: Int): Column =
-      lit((0 until inDims).map(d => jlSign(j, d).toLong).toArray)
-    // two selects (the signLshNearDupPairs discipline): quantize first,
-    // THEN the bucket fold over scalar integer plane dots
-    def sig(qv: Column): Column = (0 until nPlanes)
-      .map { j =>
-        when(graft.functions.GraftFunctions.long_dot(qv, signRow(j)) > 0,
-          lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val (cq, cr) = quantized(col("embedding"), scale)
-    val c = corpus
-      .select(col("vec_id"),
-        assertWidth(col("embedding"), inDims).as("embedding"))
+    require(inDims >= 1, "inDims must be positive")
+    val (cq, cr) = quantized(col(vecCol), scale)
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        assertWidth(col(vecCol), inDims).as(vecCol))
       .select(col("vec_id"), cq.as("qv"), cr.as("v_r"))
       .select(col("vec_id"), col("qv"), col("v_r"),
-        sig(col("qv")).as("bucket"))
+        lshSig(col("qv"), inDims, nPlanes).as("bucket"))
+  }
+
+  private def lshSig(qv: Column, inDims: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      when(graft.functions.GraftFunctions.long_dot(qv,
+        lit((0 until inDims).map(d => jlSign(j, d).toLong).toArray)) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Persist an [[lshEncode]] table BUCKET-PARTITIONED — the serve-side
+    * point: a probe set touches `nPlanes + 1` of the `2^nPlanes`
+    * partition directories, and the broadcast bucket join makes the
+    * probed values available for dynamic partition pruning, so a query
+    * batch reads a sliver of the index, not a full scan.
+    */
+  def saveLshIndex(path: String, enc: DataFrame): Unit =
+    enc.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/buckets")
+
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/buckets")
+
+  /** Incremental maintenance: encode ONLY the new batch and append into
+    * its bucket directories — drift-free, because the plane family is a
+    * deterministic literal matrix with no trained state (the
+    * [[graft.ops.ScalarQuant.appendToBqIndex]] argument; contrast
+    * [[appendToIvfIndex]], whose centroids age).
+    */
+  def appendToLshIndex(path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String, inDims: Int, nPlanes: Int = 8,
+      scale: Double = 1e5): Unit =
+    lshEncode(newVecs, idCol, vecCol, inDims, nPlanes, scale)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
+
+  /** [[multiProbeLshTopK]] over a PREBUILT encoding (typically
+    * [[loadLshIndex]]) — the serving path: signatures, quantized vectors
+    * and norm roots come off the index scan; only the query batch is
+    * encoded per call. Results are identical to the in-query composition
+    * (same integer chain end to end).
+    */
+  def lshSearchTopKIndexed(enc: DataFrame, queries: DataFrame, k: Int,
+      inDims: Int, nPlanes: Int = 8, probeHamming: Int = 1,
+      scale: Double = 1e5): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      "probeHamming must be 0 (single-probe) or 1 (flip each bit once)")
+    require(k >= 1, "k must be positive")
     val (qq, qr) = quantized(col("query_vec"), scale)
     val q0 = queries
       .select(col("query_id"),
         assertWidth(col("query_vec"), inDims).as("query_vec"))
       .select(col("query_id"), qq.as("qq"), qr.as("q_r"))
       .select(col("query_id"), col("qq"), col("q_r"),
-        sig(col("qq")).as("sig"))
+        lshSig(col("qq"), inDims, nPlanes).as("sig"))
     val probeCols = col("sig") +: (if (probeHamming == 0) Seq.empty[Column]
       else (0 until nPlanes).map(j => col("sig").bitwiseXOR(lit(1 << j))))
     val probes = q0.select(col("query_id"), col("qq"), col("q_r"),
       explode(array(probeCols: _*)).as("bucket"))
-    val scored = c.join(broadcast(probes), Seq("bucket"))
+    val scored = enc.join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos_x1m", exactCosX1m(
         graft.functions.GraftFunctions.long_dot(col("qv"), col("qq")),

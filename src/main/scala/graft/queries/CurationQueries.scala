@@ -958,6 +958,30 @@ object CurationQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // sign-LSH SERVING path: the bucket-partitioned signature index is
+    // built once into the content-keyed cache; a query batch probes its
+    // nPlanes+1 buckets off the index scan (the partition layout prunes
+    // the rest) and never touches the float corpus — identical ranking
+    // to q_emb_multiprobe (same oracle), build isolated
+    "q_emb_lsh_serve" -> ((s, dir) => {
+      val base = graft.io.IndexCache.cacheDir("lsh", 1,
+        s"$dir/embeddings.parquet")
+      val emb = wide(s, t(s, dir, "embeddings"))
+      graft.io.IndexCache.ensureBuilt(base, s"$base/buckets/_SUCCESS") {
+        tmp =>
+          graft.ops.VectorOps.saveLshIndex(tmp,
+            graft.ops.VectorOps.lshEncode(emb, "vec_id", "embedding",
+              CorpusOps.embDims, nPlanes = 8))
+      }
+      val enc = graft.ops.VectorOps.loadLshIndex(s, base)
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.ops.VectorOps.lshSearchTopKIndexed(enc, queries, k = 5,
+          inDims = CorpusOps.embDims, nPlanes = 8, probeHamming = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // END-TO-END curation pipeline in one plan: exact dedup (keep-min per
     // content fingerprint) → quality filter (threshold 0.5) → train/val/
     // test hash split → per-(split, lang) summary. Every stage is the
@@ -1642,6 +1666,8 @@ object CurationQueries {
     // serving gate ranks identically to the in-query-encode gate — the
     // SAME replay is the oracle for both
     "q_emb_bq_serve" -> CorpusOps.oracles("q_emb_bq_search"),
+    // serving returns the in-query composition's exact integer ranking
+    "q_emb_lsh_serve" -> CorpusOps.oracles("q_emb_multiprobe"),
 
     "q_emb_ivfpq_search" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
       topK = 5, nprobe = 2, nCoarse = 8),

@@ -1471,6 +1471,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh index: append equals rebuild, serve equals in-query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val inQuery = rows(VectorOps.multiProbeLshTopK(emb, queries, k = 5,
+      inDims = 64, nPlanes = 8))
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    // build from the even half, append the odd half — the index must be
+    // bit-identical to a single-shot build (no trained state to drift)
+    VectorOps.saveLshIndex(dir, VectorOps.lshEncode(
+      emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", 64, 8))
+    VectorOps.appendToLshIndex(dir,
+      emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", 64, 8)
+    val served = rows(VectorOps.lshSearchTopKIndexed(
+      VectorOps.loadLshIndex(spark, dir), queries, k = 5,
+      inDims = 64, nPlanes = 8))
+    assert(served == inQuery && served.nonEmpty)
+  }
+
   test("bm25Search: tf saturates, length damps, non-matches drop") {
     import graft.ops.Search
     val docs = Seq(
