@@ -128,6 +128,10 @@ object ExplainCheck {
     // shuffles); k-bounded TopKAgg selection, never a window sort
     "q_emb_multiprobe" -> (Seq("BroadcastHashJoin", "ObjectHashAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // recall eval: k-bounded searcher outputs joined + counted — the
+    // brute reference keeps its broadcast-scan shape, never a window
+    "q_emb_ann_recall" -> (Seq("ObjectHashAggregate", "HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // serve path scans the bucket-partitioned index (no corpus re-encode)

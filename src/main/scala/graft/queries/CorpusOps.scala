@@ -967,6 +967,25 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN quality as DATA: per-query recall@5 of single-probe vs
+    // multi-probe LSH against the exact integer brute ranking — the
+    // dashboard a serving team reads before turning a probe dial.
+    // Everything integer (hits, ppm floor-div), bit-exact replay
+    "q_emb_ann_recall" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val exact = VectorOps.bruteTopKExact(emb, queries, k = 5)
+      def eval(name: String, ph: Int) = VectorOps.recallAtK(exact,
+          VectorOps.multiProbeLshTopK(emb, queries, k = 5,
+            inDims = embDims, nPlanes = 8, probeHamming = ph))
+        .withColumn("method", lit(name))
+      eval("probe0", 0).unionAll(eval("probe1", 1))
+        .select("method", "query_id", "k", "n_hit", "recall_ppm")
+        .orderBy("method", "query_id")
+    }),
+
     // JL sign projection + search IN THE REDUCED SPACE: embeddings cut to
     // 16 dims by the deterministic ±1 plane family (Achlioptas), float-
     // quantized (both engines round-to-nearest), then the standard brute
@@ -2638,13 +2657,13 @@ object CorpusOps {
        |${out}1 AS (SELECT vec_id, qv, ${idotSql("qv", "qv")} AS n2
        |  FROM ${out}0),
        |${out}2 AS (SELECT vec_id, qv, n2,
-       |    CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS r0
+       |    CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS mr0
        |  FROM ${out}1),
        |${out}3 AS (SELECT vec_id, qv, n2,
-       |    CASE WHEN (r0+1)*(r0+1) <= n2 THEN r0+1 ELSE r0 END AS r1
+       |    CASE WHEN (mr0+1)*(mr0+1) <= n2 THEN mr0+1 ELSE mr0 END AS mr1
        |  FROM ${out}2),
        |$out AS (SELECT vec_id, qv,
-       |    CASE WHEN r1*r1 > n2 THEN r1-1 ELSE r1 END AS r
+       |    CASE WHEN mr1*mr1 > n2 THEN mr1-1 ELSE mr1 END AS r
        |  FROM ${out}3)""".stripMargin
 
   /** Per-character replay of [[graft.ops.Dedup.spanRemoval]] for any
@@ -2736,6 +2755,32 @@ object CorpusOps {
        |  FROM v),
        |b AS (SELECT vec_id, ev, $bucket AS bucket FROM s)""".stripMargin
   }
+
+  /** Sign-LSH signature CTEs over the exact-chain CTE `c` (vec_id, qv,
+    * r): integer plane dots against the SAME ±1 [[graft.ops.VectorOps
+    * .jlSign]] rows the engine embeds as literals, bit set iff strictly
+    * positive — `sg` carries (vec_id, qv, r, sig). Shared by the
+    * multi-probe gate family (q_emb_multiprobe / q_emb_lsh_serve /
+    * q_emb_ann_recall).
+    */
+  private[queries] val lshSigCtes: String = {
+    val planeSums = (0 until 8).map { j =>
+      (0 until embDims).map { d =>
+        s"(${graft.ops.VectorOps.jlSign(j, d).toLong}) * qv[${d + 1}]"
+      }.mkString("(", " + ", s") AS s$j")
+    }.mkString(",\n    ")
+    val bucket = (0 until 8)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""ps AS (SELECT vec_id, qv, r,
+       |    $planeSums
+       |  FROM c),
+       |sg AS (SELECT vec_id, qv, r, $bucket AS sig FROM ps)""".stripMargin
+  }
+
+  /** The Hamming-1 probe list over a `sig` column: base + one-bit flips. */
+  private[queries] val lshProbeList: String =
+    ("sig" +: (0 until 8).map(j => s"xor(sig, ${1 << j})")).mkString(", ")
 
   /** Brute-force all-pairs mirror of [[Dedup.simhashBands]]: identical
     * integer math (md5 hex nibbles → 64 per-bit sums → majority bands →
@@ -3522,25 +3567,12 @@ object CorpusOps {
     // (integer plane dots, bit set iff strictly positive), base + one-
     // bit-flip probe buckets via xor, exact integer cosine, row_number
     // top-5 with the (cos_x1m desc, vec_id) tie pin
-    "q_emb_multiprobe" -> {
-      val planeSums = (0 until 8).map { j =>
-        (0 until embDims).map { d =>
-          s"(${graft.ops.VectorOps.jlSign(j, d).toLong}) * qv[${d + 1}]"
-        }.mkString("(", " + ", s") AS s$j")
-      }.mkString(",\n    ")
-      val bucket = (0 until 8)
-        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      val probes = ("sig" +: (0 until 8).map(j => s"xor(sig, ${1 << j})"))
-        .mkString(", ")
+    "q_emb_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
          |${exactChainSql("v", "c")},
-         |ps AS (SELECT vec_id, qv, r,
-         |    $planeSums
-         |  FROM c),
-         |sg AS (SELECT vec_id, qv, r, $bucket AS sig FROM ps),
+         |$lshSigCtes,
          |q AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r,
-         |    unnest([$probes]) AS bucket
+         |    unnest([$lshProbeList]) AS bucket
          |  FROM sg WHERE vec_id < 8),
          |cand AS (SELECT q.query_id, sg.vec_id,
          |    ${icosSql("sg.qv", "sg.r", "q.qq", "q.q_r")} AS cos_x1m
@@ -3550,8 +3582,61 @@ object CorpusOps {
          |      ORDER BY cos_x1m DESC, vec_id) AS INT) AS rank
          |  FROM cand WHERE cos_x1m IS NOT NULL)
          |SELECT query_id, rank, vec_id, cos_x1m
-         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // recall-eval replay: brute top-5 and both probe variants' top-5 on
+    // the shared exact chain + sig CTEs, hits by (query, neighbor)
+    // intersection, ppm floor-div — queries the single-probe pass
+    // returns nothing for still report 0 via the k_exact left join
+    "q_emb_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |${exactChainSql("v", "c")},
+         |$lshSigCtes,
+         |qx AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r
+         |  FROM c WHERE vec_id < 8),
+         |f0 AS (SELECT qx.query_id, c.vec_id,
+         |    ${icosSql("c.qv", "c.r", "qx.qq", "qx.q_r")} AS cos_x1m
+         |  FROM c CROSS JOIN qx WHERE c.vec_id <> qx.query_id),
+         |br AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |b5 AS (SELECT query_id, vec_id FROM br WHERE rn <= 5),
+         |ke AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+         |  FROM b5 GROUP BY query_id),
+         |qs AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r, sig
+         |  FROM sg WHERE vec_id < 8),
+         |mc0 AS (SELECT qs.query_id, sg.vec_id,
+         |    ${icosSql("sg.qv", "sg.r", "qs.qq", "qs.q_r")} AS cos_x1m
+         |  FROM qs JOIN sg ON sg.sig = qs.sig AND sg.vec_id <> qs.query_id),
+         |mr0 AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM mc0 WHERE cos_x1m IS NOT NULL),
+         |mt0 AS (SELECT query_id, vec_id FROM mr0 WHERE rn <= 5),
+         |mh0 AS (SELECT b5.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM b5 JOIN mt0 USING (query_id, vec_id) GROUP BY b5.query_id),
+         |p1 AS (SELECT query_id, qq, q_r,
+         |    unnest([$lshProbeList]) AS bucket
+         |  FROM qs),
+         |mc1 AS (SELECT p1.query_id, sg.vec_id,
+         |    ${icosSql("sg.qv", "sg.r", "p1.qq", "p1.q_r")} AS cos_x1m
+         |  FROM p1 JOIN sg ON sg.sig = p1.bucket
+         |    AND sg.vec_id <> p1.query_id),
+         |mr1 AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM mc1 WHERE cos_x1m IS NOT NULL),
+         |mt1 AS (SELECT query_id, vec_id FROM mr1 WHERE rn <= 5),
+         |mh1 AS (SELECT b5.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM b5 JOIN mt1 USING (query_id, vec_id) GROUP BY b5.query_id)
+         |SELECT 'probe0' AS method, ke.query_id, ke.k,
+         |  coalesce(mh0.hits, 0) AS n_hit,
+         |  (coalesce(mh0.hits, 0) * 1000000) // ke.k AS recall_ppm
+         |FROM ke LEFT JOIN mh0 USING (query_id)
+         |UNION ALL
+         |SELECT 'probe1' AS method, ke.query_id, ke.k,
+         |  coalesce(mh1.hits, 0) AS n_hit,
+         |  (coalesce(mh1.hits, 0) * 1000000) // ke.k AS recall_ppm
+         |FROM ke LEFT JOIN mh1 USING (query_id)
+         |ORDER BY method, query_id""".stripMargin,
 
     // margin replay, INTEGER-EXACT: identical even/odd split, the
     // quantize-first chain (scale-1e5 qv + exact isqrt norm roots), both
