@@ -300,4 +300,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(all(4L) == s"intro for doc zero EDITED $para".trim
       .replaceAll("\\s+", " ").toLowerCase) // the normalize contract
   }
+
+  test("LSH index layout: bucket directories prune the signature scan") {
+    import graft.ops.VectorOps
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lshlayout").toString
+    VectorOps.saveLshIndex(dir,
+      VectorOps.lshEncode(emb, "vec_id", "embedding", 64, nPlanes = 8))
+    // the physical layout IS bucket directories...
+    val dirs = new java.io.File(s"$dir/buckets").listFiles()
+      .map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.length > 1, "expected multiple bucket partitions")
+    // ...so a probe-set filter reaches the scan as a partition filter —
+    // the serve path reads nPlanes+1 directories of 2^nPlanes, never
+    // the whole index
+    val probed = VectorOps.loadLshIndex(spark, dir)
+      .where(col("bucket").isin(1, 2, 3))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket filter must prune the scan:\n${plan.take(1500)}")
+    assert(probed.select("bucket").distinct().collect()
+      .map(_.getInt(0)).forall(Set(1, 2, 3)))
+  }
 }
