@@ -516,6 +516,10 @@ object ExplainCheck {
     // against the dup-bounded cluster map — never a window
     "q_doc_dedup_weights" -> (Seq("HashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // b-bit minhash: register aggregator + banded value-equality join,
+    // sketch compare in-row — no window, no product
+    "q_doc_bbit_minhash" -> (Seq("ObjectHashAggregate"),
+      Seq("CartesianProduct", "Window")),
     // BM25: linear token aggs, broadcast df/stats, k-bounded ranking
     "q_doc_bm25" -> (Seq("HashAggregate", "TakeOrderedAndProject"),
       Seq("Window", "SortMergeJoin")),

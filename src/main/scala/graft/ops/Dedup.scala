@@ -526,6 +526,96 @@ object Dedup {
   def components(pairs: DataFrame, maxIters: Int): DataFrame =
     componentsScoped(pairs, maxIters).df
 
+  /** b-bit MinHash near-dup pairs (Li & König, WWW 2010): store only the
+    * LOWEST `b` bits of each of `nPerms` minhash registers — a sketch of
+    * `nPerms·b` bits packed into ONE long (vs `nPerms` full longs, a
+    * 64/b× storage cut at equal perm count), with the estimator
+    * correcting for accidental b-bit collisions:
+    *
+    *   Ĵ = (F − C) / (1 − C),  F = eq/nPerms,  C = 2⁻ᵇ
+    *
+    * (the paper's r→0 simplification of C₁/C₂ — exact for sparse
+    * registers, i.e. shingle universes ≫ 2ᵇ; stated in integer ppm with
+    * floor division and a 0 clamp, so both engines agree bit-for-bit).
+    *
+    * Unlike [[minhashSignatures]]'s xxhash64 base (fast, but only
+    * jaccard-verifiable by an external engine), the base hash here is the
+    * 60-bit md5 prefix — the [[simhashBands]] portability argument — fed
+    * through the SAME [[graft.functions.SigAggregators]] seeded arithmetic
+    * family, so an independent engine replays the registers, the banding,
+    * the sketch, AND the estimate exactly. Candidates come from
+    * `bands`-banded register slices joined on VALUE equality (fixed-width
+    * keys, replayable — no hash bucketing), capped by `bucketCap` like
+    * every blocked self-join here; the exact Jaccard rides along in ppm
+    * for calibration. Returns
+    * (doc_a, doc_b, eq, jhat_ppm, jaccard_ppm).
+    */
+  def bbitMinhashPairsScoped(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, nPerms: Int, bands: Int, b: Int,
+      bucketCap: Int = Int.MaxValue): Scoped = {
+    require(nPerms % bands == 0, "bands must divide nPerms")
+    require(b >= 1 && b * nPerms <= 63,
+      "need b >= 1 and b*nPerms <= 63 (one sketch word, sign bit free)")
+    val r = nPerms / bands
+    val e = shingleRows(docs, idCol, textCol, k).persist()
+    val sigs = e.select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SigAggregators.minhash_combine(nPerms)(col("h"))
+        .as("sig"))
+    val mask = (1L << b) - 1
+    val sk = sigs.select(col("doc_id"), col("sig"),
+      (0 until nPerms).map(i =>
+        shiftleft(col("sig")(i).bitwiseAND(lit(mask)), b * i))
+        .reduce(_ bitwiseOR _).as("sketch"))
+    val banded = capBuckets(
+      sk.select(col("doc_id"), col("sketch"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bb => slice(col("sig"), bb * r + lit(1), lit(r)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      bucketCap)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sketch").as("ska"), col("b.sketch").as("skb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val eq = (0 until nPerms).map { i =>
+      when(shiftrightunsigned(col("ska"), b * i).bitwiseAND(lit(mask)) ===
+        shiftrightunsigned(col("skb"), b * i).bitwiseAND(lit(mask)),
+        lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val cPpm = 1000000L / (1L << b)
+    val arrs = e.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shingles"), count(lit(1)).as("n"))
+    val out = cand
+      .withColumn("eq", eq)
+      .withColumn("eq_ppm",
+        call_function("div", col("eq") * lit(1000000L), lit(nPerms.toLong)))
+      .withColumn("jhat_ppm", greatest(lit(0L), call_function("div",
+        (col("eq_ppm") - lit(cPpm)) * lit(1000000L),
+        lit(1000000L - cPpm))))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sha"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("shb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("common",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("eq"), col("jhat_ppm"),
+        call_function("div", col("common") * lit(1000000L),
+          col("na") + col("nb") - col("common")).as("jaccard_ppm"))
+    Scoped(out, () => { e.unpersist(); () })
+  }
+
+  /** [[bbitMinhashPairsScoped]] without the handle (Verify/Bench own the
+    * session cache bound). */
+  def bbitMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nPerms: Int, bands: Int, b: Int,
+      bucketCap: Int = Int.MaxValue): DataFrame =
+    bbitMinhashPairsScoped(docs, idCol, textCol, k, nPerms, bands, b,
+      bucketCap).df
+
   /** Soft dedup: keep EVERY document but down-weight near-dup clusters —
     * each member of a cluster of n carries `weight_ppm = 10⁶ div n`, so a
     * cluster contributes ~one document's worth of sampling mass instead

