@@ -179,7 +179,7 @@ object Search {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val stats = docs.agg(count(lit(1)).as("nd"))
-      .crossJoin(toks.agg(count(lit(1)).as("tt")))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("tt"))))
     tf.join(dl, Seq("doc_id"))
       .join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(stats))
