@@ -520,6 +520,11 @@ object ExplainCheck {
     // sketch compare in-row — no window, no product
     "q_doc_bbit_minhash" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // KMV sketch: k-bounded typed aggregator + the exact-count
+    // comparison agg — no distinct shuffle of raw keys on the sketch
+    // side, no window
+    "q_doc_kmv_distinct" -> (Seq("ObjectHashAggregate"),
+      Seq("CartesianProduct", "Window")),
     // BM25: linear token aggs, broadcast df/stats, k-bounded ranking
     "q_doc_bm25" -> (Seq("HashAggregate", "TakeOrderedAndProject"),
       Seq("Window", "SortMergeJoin")),

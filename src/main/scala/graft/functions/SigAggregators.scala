@@ -176,4 +176,66 @@ object SigAggregators {
     val fn = udaf(new BitmapDistinctAggregator(m), Encoders.LONG)
     b => fn(b)
   }
+
+  /** KMV (k-minimum-values) distinct sketch: the k smallest DISTINCT
+    * hash values seen, as a sorted array — `O(k)` state per group on
+    * every mapper, k-bounded through the shuffle, merge = sorted union
+    * trimmed to k. Unlike [[BitmapDistinctAggregator]] (fixed bucket
+    * range) or HLL (float harmonic mean), the KMV ESTIMATE is a pure
+    * integer rank statistic — `(k−1)·M div h₍k₎` — so an external engine
+    * replays it bit-for-bit from the same hashes
+    * ([[graft.ops.Kmv]] holds the estimate algebra and the envelope).
+    * Input hash values must be non-negative (the md5-prefix family).
+    */
+  final class KmvAggregator(k: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    require(k >= 2, "k must be >= 2")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = {
+      val v = h.longValue()
+      val pos = java.util.Arrays.binarySearch(buf, v)
+      if (pos >= 0) buf // already present
+      else {
+        val ins = -pos - 1
+        if (buf.length == k && ins == k) buf // larger than the current kth
+        else {
+          val n = math.min(buf.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = v
+          System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // sorted-merge with dedup, trimmed to k
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val x = a(i); if (j < b.length && b(j) == x) j += 1; i += 1; x
+          } else { val x = b(j); j += 1; x }
+        out(n) = v; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** `kmv_sketch(k)(h)` → sorted array of the k smallest distinct hashes. */
+  def kmv_sketch(k: Int): Column => Column = {
+    val fn = udaf(new KmvAggregator(k), Encoders.LONG)
+    h => fn(h)
+  }
 }

@@ -842,6 +842,22 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // KMV distinct sketch: per-lang distinct-shingle cardinality from the
+    // k=128 smallest md5-52bit hashes — k-bounded mapper state (no
+    // distinct shuffle of the key domain), and the (k−1)·M div h_k
+    // estimate is integer rank algebra the oracle replays BIT-EXACTLY
+    // (approx_count_distinct's HLL float chain cannot be) — exact count
+    // rides along to show the ~1/√k error live
+    "q_doc_kmv_distinct" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      graft.ops.Kmv.distinctEstimate(sh, Seq("lang"), col("sh"), k = 128)
+        .join(sh.groupBy("lang").agg(countDistinct("sh").as("n_exact")),
+          Seq("lang"))
+        .orderBy("lang")
+    }),
+
     // tokenizer-aware packing: context windows packed by BPE PIECE count
     // (not whitespace tokens) — the composition a training pipeline
     // actually runs: encode → count pieces per doc → greedy first-fit
@@ -3363,6 +3379,36 @@ object CorpusOps {
            |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_doc_simhash_pairs" -> simhashPairsSql,
+
+    // KMV replay: distinct 52-bit md5 prefixes per lang, k-th order
+    // statistic by row_number, identical integer estimate; an unfilled
+    // sketch (nhash < k) reports NULL kth and the exact hash count
+    "q_doc_kmv_distinct" ->
+      raw"""WITH t AS (SELECT lang,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |shr AS (SELECT lang, unnest(CASE WHEN len(t) >= 3
+           |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |          for i in generate_series(1, len(t) - 2)]
+           |    ELSE [] END) AS sh
+           |  FROM t),
+           |h AS (SELECT DISTINCT lang,
+           |    ('0x' || substr(md5(sh), 1, 13))::BIGINT AS hv
+           |  FROM shr),
+           |rk AS (SELECT lang, hv, row_number() OVER (
+           |    PARTITION BY lang ORDER BY hv) AS rn FROM h),
+           |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS nhash,
+           |    max(CASE WHEN rn = 128 THEN hv END) AS kth128
+           |  FROM rk GROUP BY lang),
+           |ex AS (SELECT lang, CAST(count(DISTINCT sh) AS BIGINT)
+           |    AS n_exact
+           |  FROM shr GROUP BY lang)
+           |SELECT a.lang, least(a.nhash, 128) AS k_used,
+           |  a.kth128 AS kth_min,
+           |  CASE WHEN a.nhash < 128 THEN a.nhash
+           |    ELSE (127 * 4503599627370496) // a.kth128 END AS est,
+           |  ex.n_exact
+           |FROM a JOIN ex USING (lang) ORDER BY a.lang""".stripMargin,
 
     // b-bit minhash replay: md5-60bit base >> 8 through the same seeded
     // family (base·(2i+1) XOR i·φ64, constants Java-wrapped driver-side),

@@ -1516,6 +1516,29 @@ class OpsSpec extends AnyFunSuite {
     assert(flat(2L) > flat(1L) && flat(2L) < 2L * flat(1L))
   }
 
+  test("kmv: partitioning-invariant, exact when unfilled, ~1/sqrt(k) error") {
+    import graft.ops.Kmv
+    val keys = (0L until 5000L).map(i => ("g", s"key-$i"))
+      .toDF("grp", "key")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Kmv.distinctEstimate(df, Seq("grp"), col("key"), k)
+        .select("k_used", "kth_min", "est").head()
+    // merge = sorted-union-trim is exact under ANY partitioning: the
+    // sketch of a union is the union of sketches
+    val a = run(keys.repartition(1), 128)
+    val b = run(keys.repartition(32, col("key")), 128)
+    assert(a == b)
+    // filled sketch: estimate within ~4/sqrt(k-2) of truth (4 sigma)
+    val est = a.getLong(2)
+    assert(math.abs(est - 5000.0) / 5000.0 < 4.0 / math.sqrt(126.0),
+      s"estimate $est too far from 5000")
+    // unfilled sketch: k_used < k, NULL kth, estimate IS the exact count
+    val small = run((0L until 50L).map(i => ("g", s"k$i"))
+      .toDF("grp", "key"), 128)
+    assert(small.getLong(0) == 50L && small.isNullAt(1)
+      && small.getLong(2) == 50L)
+  }
+
   test("bbitMinhashPairs: identical docs saturate, estimate tracks exact") {
     import graft.ops.Dedup
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
