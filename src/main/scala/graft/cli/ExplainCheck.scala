@@ -525,6 +525,10 @@ object ExplainCheck {
     // side, no window
     "q_doc_kmv_distinct" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // theta overlap: two sketch aggs joined on lang + set-algebra
+    // projection; exact-intersect comparison agg — no window
+    "q_doc_kmv_overlap" -> (Seq("ObjectHashAggregate"),
+      Seq("CartesianProduct", "Window")),
     // BM25: linear token aggs, broadcast df/stats, k-bounded ranking
     "q_doc_bm25" -> (Seq("HashAggregate", "TakeOrderedAndProject"),
       Seq("Window", "SortMergeJoin")),

@@ -38,6 +38,49 @@ object Kmv {
   def hash52(key: Column): Column =
     conv(substring(md5(key), 1, 13), 16, 10).cast("long")
 
+  /** Theta-sketch set algebra over two KMV sketches (the Datasketches
+    * theta idiom): with θ = min of the two k-th order statistics (an
+    * unfilled side contributes θ = M), every retained hash below θ is a
+    * uniform sample of the union at rate θ/M, so
+    *
+    *   est_union     = |{h ∈ A ∪ B : h < θ}| · M div θ
+    *   est_intersect = |{h ∈ A ∩ B : h < θ}| · M div θ
+    *
+    * — distinct-set overlap between two corpora (vocabulary drift,
+    * cross-snapshot dedup pressure) from two k-long sketches, never a
+    * shuffle of either key domain, and the whole algebra integer rank
+    * arithmetic an oracle replays bit-for-bit. Exact when both sides
+    * fit their sketches. Returns per group:
+    * (groupCols…, est_a, est_b, est_union, est_intersect).
+    */
+  def overlapEstimate(dfA: DataFrame, dfB: DataFrame,
+      groupCols: Seq[String], key: Column, k: Int = 128): DataFrame = {
+    require(k >= 2 && k <= 2047, "k must be in [2, 2047]")
+    val sk = graft.functions.SigAggregators.kmv_sketch(k)
+    def side(df: DataFrame, out: String): DataFrame =
+      df.select(groupCols.map(col) :+ hash52(key).as("__h"): _*)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sk(col("__h")).as(out))
+    def theta(mins: Column): Column =
+      when(size(mins) < k, lit(HashSpace))
+        .otherwise(try_element_at(mins, lit(k)))
+    def estOf(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast("long"))
+        .otherwise(call_function("div", lit((k - 1).toLong * HashSpace),
+          try_element_at(mins, lit(k))))
+    def scaled(n: Column, th: Column): Column =
+      call_function("div", n.cast("long") * lit(HashSpace), th)
+    side(dfA, "ma").join(side(dfB, "mb"), groupCols)
+      .withColumn("th", least(theta(col("ma")), theta(col("mb"))))
+      .select(groupCols.map(col) ++ Seq(
+        estOf(col("ma")).as("est_a"),
+        estOf(col("mb")).as("est_b"),
+        scaled(size(filter(array_union(col("ma"), col("mb")),
+          x => x < col("th"))), col("th")).as("est_union"),
+        scaled(size(filter(array_intersect(col("ma"), col("mb")),
+          x => x < col("th"))), col("th")).as("est_intersect")): _*)
+  }
+
   /** Per-group distinct estimate: (groupCols…, k_used, kth_min, est).
     * `k_used < k` means the sketch holds every distinct hash — the
     * estimate IS the exact hash-distinct count (md5-prefix collisions

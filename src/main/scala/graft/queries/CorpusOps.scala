@@ -858,6 +858,26 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // theta-sketch overlap: distinct-shingle intersection/union between
+    // the even- and odd-doc halves per lang (the cross-snapshot
+    // vocabulary-overlap question) from two k-long sketches — set
+    // algebra at bounded state, integer-exact replay, with the exact
+    // intersection alongside for calibration
+    "q_doc_kmv_overlap" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      val a = sh.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b = sh.where(pmod(col("doc_id"), lit(2)) === 1)
+      graft.ops.Kmv.overlapEstimate(a, b, Seq("lang"), col("sh"), k = 128)
+        .join(a.select("lang", "sh").intersect(b.select("lang", "sh"))
+          .groupBy("lang").agg(count(lit(1)).as("n_exact_intersect")),
+          Seq("lang"), "left")
+        .withColumn("n_exact_intersect",
+          coalesce(col("n_exact_intersect"), lit(0L)))
+        .orderBy("lang")
+    }),
+
     // tokenizer-aware packing: context windows packed by BPE PIECE count
     // (not whitespace tokens) — the composition a training pipeline
     // actually runs: encode → count pieces per doc → greedy first-fit
@@ -3409,6 +3429,74 @@ object CorpusOps {
            |    ELSE (127 * 4503599627370496) // a.kth128 END AS est,
            |  ex.n_exact
            |FROM a JOIN ex USING (lang) ORDER BY a.lang""".stripMargin,
+
+    // theta-overlap replay: per-side distinct 52-bit hashes, kth-order
+    // thetas (unfilled side -> full hash space), retained-below-theta
+    // union/intersection counts, integer scaling — plus the exact
+    // distinct intersection
+    "q_doc_kmv_overlap" ->
+      raw"""WITH t AS (SELECT doc_id, lang,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |shr AS (SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 3
+           |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |          for i in generate_series(1, len(t) - 2)]
+           |    ELSE [] END) AS sh
+           |  FROM t),
+           |ha AS (SELECT DISTINCT lang,
+           |    ('0x' || substr(md5(sh), 1, 13))::BIGINT AS hv
+           |  FROM shr WHERE doc_id % 2 = 0),
+           |hb AS (SELECT DISTINCT lang,
+           |    ('0x' || substr(md5(sh), 1, 13))::BIGINT AS hv
+           |  FROM shr WHERE doc_id % 2 = 1),
+           |ra AS (SELECT lang, hv, row_number() OVER (
+           |    PARTITION BY lang ORDER BY hv) AS rn FROM ha),
+           |rb AS (SELECT lang, hv, row_number() OVER (
+           |    PARTITION BY lang ORDER BY hv) AS rn FROM hb),
+           |sa AS (SELECT lang, CAST(count(*) AS BIGINT) AS na,
+           |    max(CASE WHEN rn = 128 THEN hv END) AS ka
+           |  FROM ra GROUP BY lang),
+           |sb AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb,
+           |    max(CASE WHEN rn = 128 THEN hv END) AS kb
+           |  FROM rb GROUP BY lang),
+           |th AS (SELECT sa.lang,
+           |    least(CASE WHEN na < 128 THEN 4503599627370496 ELSE ka END,
+           |          CASE WHEN nb < 128 THEN 4503599627370496 ELSE kb END)
+           |      AS th,
+           |    CASE WHEN na < 128 THEN na
+           |      ELSE (127 * 4503599627370496) // ka END AS est_a,
+           |    CASE WHEN nb < 128 THEN nb
+           |      ELSE (127 * 4503599627370496) // kb END AS est_b
+           |  FROM sa JOIN sb ON sa.lang = sb.lang),
+           |keepa AS (SELECT lang, hv FROM ra WHERE rn <= 128),
+           |keepb AS (SELECT lang, hv FROM rb WHERE rn <= 128),
+           |uni AS (SELECT th.lang, CAST(count(DISTINCT u.hv) AS BIGINT)
+           |    AS nu
+           |  FROM th LEFT JOIN (SELECT * FROM keepa
+           |    UNION SELECT * FROM keepb) u
+           |    ON u.lang = th.lang AND u.hv < th.th
+           |  GROUP BY th.lang),
+           |ints AS (SELECT th.lang, CAST(count(i.hv) AS BIGINT) AS ni
+           |  FROM th LEFT JOIN (SELECT keepa.lang, keepa.hv FROM keepa
+           |    JOIN keepb ON keepa.lang = keepb.lang
+           |      AND keepa.hv = keepb.hv) i
+           |    ON i.lang = th.lang AND i.hv < th.th
+           |  GROUP BY th.lang),
+           |ex AS (SELECT a.lang,
+           |    CAST(count(DISTINCT a.sh) AS BIGINT) AS n_exact_intersect
+           |  FROM (SELECT DISTINCT lang, sh FROM shr WHERE doc_id % 2 = 0) a
+           |  JOIN (SELECT DISTINCT lang, sh FROM shr WHERE doc_id % 2 = 1) b
+           |    ON a.lang = b.lang AND a.sh = b.sh
+           |  GROUP BY a.lang)
+           |SELECT th.lang, th.est_a, th.est_b,
+           |  (uni.nu * 4503599627370496) // th.th AS est_union,
+           |  (coalesce(ints.ni, 0) * 4503599627370496) // th.th
+           |    AS est_intersect,
+           |  coalesce(ex.n_exact_intersect, 0) AS n_exact_intersect
+           |FROM th JOIN uni ON th.lang = uni.lang
+           |JOIN ints ON th.lang = ints.lang
+           |LEFT JOIN ex ON th.lang = ex.lang
+           |ORDER BY th.lang""".stripMargin,
 
     // b-bit minhash replay: md5-60bit base >> 8 through the same seeded
     // family (base·(2i+1) XOR i·φ64, constants Java-wrapped driver-side),

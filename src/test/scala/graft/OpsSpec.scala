@@ -1539,6 +1539,28 @@ class OpsSpec extends AnyFunSuite {
       && small.getLong(2) == 50L)
   }
 
+  test("kmv overlap: exact in the unfilled regime, accurate when filled") {
+    import graft.ops.Kmv
+    // unfilled: sketches hold everything, the algebra IS exact set math
+    val a = (0L until 60L).map(i => ("g", s"k$i")).toDF("grp", "key")
+    val b = (40L until 100L).map(i => ("g", s"k$i")).toDF("grp", "key")
+    val r = Kmv.overlapEstimate(a, b, Seq("grp"), col("key"), k = 128)
+      .select("est_a", "est_b", "est_union", "est_intersect").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((60L, 60L, 100L, 20L)))
+    // filled: 5000 vs 5000 with 2500 shared — estimates land within 4
+    // sigma of truth (union SE ~1/sqrt(k), intersection amplified by
+    // 1/overlap-fraction; 2/7 here -> be generous)
+    val bigA = (0L until 5000L).map(i => ("g", s"x$i")).toDF("grp", "key")
+    val bigB = (2500L until 7500L).map(i => ("g", s"x$i")).toDF("grp", "key")
+    val f = Kmv.overlapEstimate(bigA, bigB, Seq("grp"), col("key"), 128)
+      .select("est_union", "est_intersect").head()
+    assert(math.abs(f.getLong(0) - 7500.0) / 7500.0 < 0.4,
+      s"union ${f.getLong(0)}")
+    assert(math.abs(f.getLong(1) - 2500.0) / 2500.0 < 0.8,
+      s"intersect ${f.getLong(1)}")
+  }
+
   test("bbitMinhashPairs: identical docs saturate, estimate tracks exact") {
     import graft.ops.Dedup
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
