@@ -187,43 +187,53 @@ object SigAggregators {
     * ([[graft.ops.Kmv]] holds the estimate algebra and the envelope).
     * Input hash values must be non-negative (the md5-prefix family).
     */
+  /** Sorted-insert of a distinct value, trimmed to k — shared by the
+    * batch aggregator and the streaming KMV tracker so both paths hold
+    * the IDENTICAL sketch for identical inputs. */
+  private[graft] def kmvInsert(buf: Array[Long], v: Long,
+      k: Int): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, v)
+    if (pos >= 0) buf // already present
+    else {
+      val ins = -pos - 1
+      if (buf.length == k && ins == k) buf // larger than the current kth
+      else {
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = v
+        System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
+
+  /** Sorted-merge with dedup, trimmed to k. */
+  private[graft] def kmvMerge(a: Array[Long], b: Array[Long],
+      k: Int): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+          val x = a(i); if (j < b.length && b(j) == x) j += 1; i += 1; x
+        } else { val x = b(j); j += 1; x }
+      out(n) = v; n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
   final class KmvAggregator(k: Int)
       extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
     require(k >= 2, "k must be >= 2")
 
     override def zero: Array[Long] = Array.emptyLongArray
 
-    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = {
-      val v = h.longValue()
-      val pos = java.util.Arrays.binarySearch(buf, v)
-      if (pos >= 0) buf // already present
-      else {
-        val ins = -pos - 1
-        if (buf.length == k && ins == k) buf // larger than the current kth
-        else {
-          val n = math.min(buf.length + 1, k)
-          val out = new Array[Long](n)
-          System.arraycopy(buf, 0, out, 0, ins)
-          out(ins) = v
-          System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
-          out
-        }
-      }
-    }
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+      kmvInsert(buf, h.longValue(), k)
 
-    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      // sorted-merge with dedup, trimmed to k
-      val out = new Array[Long](math.min(a.length + b.length, k))
-      var i = 0; var j = 0; var n = 0
-      while (n < k && (i < a.length || j < b.length)) {
-        val v =
-          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
-            val x = a(i); if (j < b.length && b(j) == x) j += 1; i += 1; x
-          } else { val x = b(j); j += 1; x }
-        out(n) = v; n += 1
-      }
-      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
-    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      kmvMerge(a, b, k)
 
     override def finish(buf: Array[Long]): Array[Long] = buf
 

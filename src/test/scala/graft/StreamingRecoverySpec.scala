@@ -364,4 +364,42 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(closed.contains((1L, 2L, 3.0)),
       s"recovered session state lost: $closed")
   }
+
+  test("KMV distinct tracker survives restart: sketch state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDistinct
+    import graft.ops.Kmv
+    val source = MemoryStream[(String, Timestamp, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_kmv").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = StreamingDistinct.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        k = 16, watermarkDelay = "0 seconds")
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        b.collect().foreach(buf.add)).start()
+    val first = (0 until 10).map(i => ("g1", ts("2020-01-01 00:00:01"),
+      s"a$i"))
+    val second = (5 until 60).map(i => ("g1", ts("2020-01-01 00:00:02"),
+      s"a$i"))
+    val q1 = start()
+    try { source.addData(first: _*); q1.processAllAvailable() }
+    finally q1.stop() // the mid-stream kill: sketch holds 10 hashes
+    val q2 = start()
+    try { source.addData(second: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val last = buf.toArray(Array.empty[Row]).toSeq.last
+    // the recovered sketch must fold phase 2 INTO phase 1's state: the
+    // final estimate equals the batch sketch of the FULL stream (a lost
+    // sketch would re-count a5..a9 fresh and miss a0..a4 entirely)
+    val want = Kmv.distinctEstimate(
+        (first ++ second).map(t => (t._1, t._3)).toDF("grp", "key"),
+        Seq("grp"), col("key"), k = 16)
+      .select("k_used", "est").head()
+    assert((last.getInt(1).toLong, last.getLong(2))
+      == ((want.getLong(0), want.getLong(1))),
+      s"recovered $last vs batch $want")
+  }
 }

@@ -936,4 +936,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == Set((1L, 2L, 0)))
     } finally q.stop()
   }
+
+  test("streaming KMV distinct: running estimate equals batch per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDistinct
+    import graft.ops.Kmv
+    val source = MemoryStream[(String, Timestamp, String)]
+    val q = StreamingDistinct.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        k = 16, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_out").start()
+    def latest(): Map[String, (Int, Long)] = spark.table("kmv_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> (rows.last._2, rows.last._3) } // Update mode: last row wins
+    def batchOf(keys: Seq[(String, String)]): Map[String, (Int, Long)] =
+      Kmv.distinctEstimate(keys.toDF("grp", "key"), Seq("grp"),
+          col("key"), k = 16)
+        .collect().map(r =>
+          r.getString(0) -> ((r.getLong(1).toInt, r.getLong(3)))).toMap
+    try {
+      // prefix 1: 10 distinct in g1 (sketch unfilled -> exact), 3 in g2
+      val p1 = (0 until 10).map(i => ("g1", s"a$i")) ++
+        (0 until 3).map(i => ("g2", s"b$i"))
+      source.addData(p1.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:01"), k) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOf(p1))
+      // prefix 2: push g1 past k=16 with duplicates mixed in — the
+      // tracker's sketch must equal the batch sketch of the FULL prefix
+      val more = (5 until 60).map(i => ("g1", s"a$i")) ++
+        (0 until 10).map(i => ("g1", s"a$i")) // dups, must not change it
+      source.addData(more.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:02"), k) }: _*)
+      q.processAllAvailable()
+      val want = batchOf(p1 ++ more)
+      assert(latest() == want, s"stream ${latest()} vs batch $want")
+      assert(latest()("g1")._1 == 16) // genuinely in the filled regime
+    } finally q.stop()
+  }
 }
