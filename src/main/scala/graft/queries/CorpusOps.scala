@@ -849,7 +849,7 @@ object CorpusOps {
     // (approx_count_distinct's HLL float chain cannot be) — exact count
     // rides along to show the ~1/√k error live
     "q_doc_kmv_distinct" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      val sh = wide(s, t(s, dir, "documents"))
         .select(col("lang"),
           explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
       graft.ops.Kmv.distinctEstimate(sh, Seq("lang"), col("sh"), k = 128)
@@ -864,7 +864,7 @@ object CorpusOps {
     // algebra at bounded state, integer-exact replay, with the exact
     // intersection alongside for calibration
     "q_doc_kmv_overlap" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      val sh = wide(s, t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
       val a = sh.where(pmod(col("doc_id"), lit(2)) === 0)
