@@ -520,6 +520,12 @@ object ExplainCheck {
     // sketch compare in-row — no window, no product
     "q_doc_bbit_minhash" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // CMS: d·w-bounded counter agg (map-side partials) + broadcast
+    // sketch probe; top-k exact side is TakeOrderedAndProject — no
+    // window, no product
+    "q_doc_cms_freq" -> (Seq("HashAggregate", "BroadcastHashJoin",
+      "TakeOrderedAndProject"),
+      Seq("CartesianProduct", "Window")),
     // KMV sketch: k-bounded typed aggregator + the exact-count
     // comparison agg — no distinct shuffle of raw keys on the sketch
     // side, no window

@@ -842,6 +842,25 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // Count-Min point queries: per-term frequency estimates for the top-20
+    // exact terms from a d=4 × w=512 counter sketch — the structure a
+    // df-cap/rate-limiter consults when the key domain never fits a
+    // groupBy. Counters are order-free SUMS over the portable seeded
+    // md5-52bit family, so the oracle replays the sketch AND every
+    // estimate bit-exactly; over_by shows the collision overestimate live
+    "q_doc_cms_freq" -> ((s, dir) => {
+      val terms = wide(s, t(s, dir, "documents"))
+        .select(explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
+      val sk = graft.ops.Cms.sketch(terms, col("term"), d = 4, w = 512)
+      val top = terms.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+      graft.ops.Cms.estimate(sk, top, "term", d = 4, w = 512)
+        .join(top, Seq("term"))
+        .select(col("term"), col("n"), col("est"),
+          (col("est") - col("n")).as("over_by"))
+        .orderBy(col("n").desc, col("term"))
+    }),
+
     // KMV distinct sketch: per-lang distinct-shingle cardinality from the
     // k=128 smallest md5-52bit hashes — k-bounded mapper state (no
     // distinct shuffle of the key domain), and the (k−1)·M div h_k
@@ -3403,6 +3422,46 @@ object CorpusOps {
     // KMV replay: distinct 52-bit md5 prefixes per lang, k-th order
     // statistic by row_number, identical integer estimate; an unfilled
     // sketch (nhash < k) reports NULL kth and the exact hash count
+    // CMS replay: same seeded md5-52bit buckets (odd multiplier XOR i·φ64,
+    // constants folded driver-side; & 511 is a sign-safe two's-complement
+    // mask both engines compute identically), counter sums per (seed,
+    // bucket), min over the 4 rows per queried term
+    "q_doc_cms_freq" -> {
+      val phi = -0x61c8864680b583ebL
+      def bucket(src: String, i: Int): String =
+        s"(xor($src * ${2 * i + 1}, ${i * phi}) & 511)"
+      val rows = (0 until 4).map { i =>
+        s"SELECT $i AS seed, ${bucket("base", i)} AS bucket FROM b"
+      }.mkString("\n  UNION ALL ")
+      val probes = (0 until 4).map { i =>
+        s"SELECT term, n, $i AS seed, ${bucket("base", i)} AS bucket FROM tb"
+      }.mkString("\n  UNION ALL ")
+      raw"""WITH terms AS (
+           |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+           |    AS term
+           |  FROM documents),
+           |b AS (SELECT
+           |    ('0x' || substr(md5(term), 1, 15))::BIGINT // 256 AS base
+           |  FROM terms),
+           |e AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM ($rows)
+           |  GROUP BY seed, bucket),
+           |f AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+           |  FROM terms GROUP BY term),
+           |top AS (SELECT term, n FROM f ORDER BY n DESC, term LIMIT 20),
+           |tb AS (SELECT term, n,
+           |    ('0x' || substr(md5(term), 1, 15))::BIGINT // 256 AS base
+           |  FROM top),
+           |qb AS ($probes),
+           |est AS (SELECT qb.term, qb.n,
+           |    min(coalesce(e.cnt, 0)) AS est
+           |  FROM qb LEFT JOIN e USING (seed, bucket)
+           |  GROUP BY qb.term, qb.n)
+           |SELECT term, n, CAST(est AS BIGINT) AS est,
+           |  CAST(est - n AS BIGINT) AS over_by
+           |FROM est ORDER BY n DESC, term""".stripMargin
+    },
+
     "q_doc_kmv_distinct" ->
       raw"""WITH t AS (SELECT lang,
            |    regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -1539,6 +1539,34 @@ class OpsSpec extends AnyFunSuite {
       && small.getLong(2) == 50L)
   }
 
+  test("cms: overestimate contract, mergeability, absent-key zero") {
+    import graft.ops.Cms
+    // skewed stream: key-i occurs (i+1)² times, 40 distinct keys in a
+    // w=64 table → collisions guaranteed
+    val rows = (0 until 40).flatMap(i =>
+      Seq.fill((i + 1) * (i + 1))(s"key-$i")).toDF("k")
+    val sk = Cms.sketch(rows, col("k"), d = 4, w = 64)
+    val exact = rows.groupBy("k").agg(count(lit(1)).as("n"))
+    val est = Cms.estimate(sk, exact, "k", d = 4, w = 64)
+      .join(exact, Seq("k")).select("k", "n", "est").collect()
+    assert(est.length == 40)
+    // CMS never underestimates
+    est.foreach(r => assert(r.getLong(2) >= r.getLong(1), r.toString))
+    // counters are sums → the sketch of a union is the per-counter sum of
+    // the halves' sketches, under any partitioning
+    val h0 = Cms.sketch(rows.where(pmod(crc32(col("k")), lit(2)) === 0)
+      .repartition(7), col("k"), 4, 64)
+    val h1 = Cms.sketch(rows.where(pmod(crc32(col("k")), lit(2)) === 1),
+      col("k"), 4, 64)
+    val merged = h0.unionAll(h1).groupBy("seed", "bucket")
+      .agg(sum("n").as("n"))
+    assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty)
+    // a key the stream never contained estimates via live counters (>= 0)
+    val ghost = Cms.estimate(sk, Seq("never-seen-key").toDF("k"), "k", 4, 64)
+      .head()
+    assert(ghost.getLong(1) >= 0L)
+  }
+
   test("kmv overlap: exact in the unfilled regime, accurate when filled") {
     import graft.ops.Kmv
     // unfilled: sketches hold everything, the algebra IS exact set math
