@@ -535,6 +535,11 @@ object ExplainCheck {
     // projection; exact-intersect comparison agg — no window
     "q_doc_kmv_overlap" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // overlap matrix: ONE corpus sketch agg, then the m-row pair stage
+    // as a broadcast non-equi self-join — never a corpus-sized join
+    "q_doc_kmv_matrix" -> (Seq("ObjectHashAggregate",
+      "BroadcastNestedLoopJoin"),
+      Seq("SortMergeJoin", "Window")),
     // BM25: linear token aggs, broadcast df/stats, k-bounded ranking
     "q_doc_bm25" -> (Seq("HashAggregate", "TakeOrderedAndProject"),
       Seq("Window", "SortMergeJoin")),

@@ -60,6 +60,31 @@ object Kmv {
     * fit their sketches. Returns per group:
     * (groupCols…, est_a, est_b, est_union, est_intersect).
     */
+  private def theta(mins: Column, k: Int): Column =
+    when(size(mins) < k, lit(HashSpace))
+      .otherwise(try_element_at(mins, lit(k)))
+
+  private def estFromSketch(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(call_function("div", lit((k - 1).toLong * HashSpace),
+        try_element_at(mins, lit(k))))
+
+  private def scaledBelow(n: Column, th: Column): Column =
+    call_function("div", n.cast("long") * lit(HashSpace), th)
+
+  /** The theta set-algebra columns over two sketch columns `ma`/`mb`:
+    * (est_a, est_b, est_union, est_intersect). */
+  private def thetaAlgebra(ma: Column, mb: Column, k: Int): Seq[Column] = {
+    val th = least(theta(ma, k), theta(mb, k))
+    Seq(
+      estFromSketch(ma, k).as("est_a"),
+      estFromSketch(mb, k).as("est_b"),
+      scaledBelow(size(filter(array_union(ma, mb), x => x < th)), th)
+        .as("est_union"),
+      scaledBelow(size(filter(array_intersect(ma, mb), x => x < th)), th)
+        .as("est_intersect"))
+  }
+
   def overlapEstimate(dfA: DataFrame, dfB: DataFrame,
       groupCols: Seq[String], key: Column, k: Int = 128): DataFrame = {
     require(k >= 2 && k <= 2047, "k must be in [2, 2047]")
@@ -68,24 +93,39 @@ object Kmv {
       df.select(groupCols.map(col) :+ hash52(key).as("__h"): _*)
         .groupBy(groupCols.map(col): _*)
         .agg(sk(col("__h")).as(out))
-    def theta(mins: Column): Column =
-      when(size(mins) < k, lit(HashSpace))
-        .otherwise(try_element_at(mins, lit(k)))
-    def estOf(mins: Column): Column =
-      when(size(mins) < k, size(mins).cast("long"))
-        .otherwise(call_function("div", lit((k - 1).toLong * HashSpace),
-          try_element_at(mins, lit(k))))
-    def scaled(n: Column, th: Column): Column =
-      call_function("div", n.cast("long") * lit(HashSpace), th)
     side(dfA, "ma").join(side(dfB, "mb"), groupCols)
-      .withColumn("th", least(theta(col("ma")), theta(col("mb"))))
-      .select(groupCols.map(col) ++ Seq(
-        estOf(col("ma")).as("est_a"),
-        estOf(col("mb")).as("est_b"),
-        scaled(size(filter(array_union(col("ma"), col("mb")),
-          x => x < col("th"))), col("th")).as("est_union"),
-        scaled(size(filter(array_intersect(col("ma"), col("mb")),
-          x => x < col("th"))), col("th")).as("est_intersect")): _*)
+      .select(groupCols.map(col) ++ thetaAlgebra(col("ma"), col("mb"), k): _*)
+  }
+
+  /** Pairwise overlap MATRIX across the values of one group column: every
+    * unordered group pair scored by the same theta algebra, plus the
+    * derived Jaccard in ppm — "how much vocabulary do my m sources /
+    * snapshots / shards share", m²/2 answers from m k-long sketches.
+    *
+    * Scale shape: ONE sketch aggregate over the corpus (k-bounded
+    * buffers), then a broadcast self-join of the m-row sketch table —
+    * the corpus is read once and the pair stage's size is m²·k longs,
+    * independent of corpus size. The `<` pairing is a genuine non-equi
+    * join of a tiny table with itself; the hint keeps Spark's cartesian
+    * guard out of the way.
+    *
+    * Returns (grp_a, grp_b, est_a, est_b, est_union, est_intersect,
+    * jaccard_ppm), grp_a < grp_b.
+    */
+  def overlapMatrix(df: DataFrame, groupCol: String, key: Column,
+      k: Int = 128): DataFrame = {
+    require(k >= 2 && k <= 2047, "k must be in [2, 2047]")
+    val sk = graft.functions.SigAggregators.kmv_sketch(k)
+    val sketches = df.select(col(groupCol), hash52(key).as("__h"))
+      .groupBy(groupCol).agg(sk(col("__h")).as("m"))
+    val a = sketches.select(col(groupCol).as("grp_a"), col("m").as("ma"))
+    val b = sketches.select(col(groupCol).as("grp_b"), col("m").as("mb"))
+    a.join(broadcast(b).hint("broadcast"), col("grp_a") < col("grp_b"))
+      .select(Seq(col("grp_a"), col("grp_b")) ++
+        thetaAlgebra(col("ma"), col("mb"), k): _*)
+      .withColumn("jaccard_ppm", call_function("div",
+        col("est_intersect") * lit(1000000L),
+        greatest(col("est_union"), lit(1L))))
   }
 
   /** Per-group distinct estimate: (groupCols…, k_used, kth_min, est).

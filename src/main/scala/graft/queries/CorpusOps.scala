@@ -897,6 +897,19 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // theta-sketch overlap MATRIX: pairwise vocabulary overlap across all
+    // 20 sources from 20 k-long sketches — the corpus is read ONCE for
+    // the sketch agg; the 190-pair stage is a broadcast self-join of a
+    // 20-row table (m²·k longs, corpus-size independent). Same integer
+    // set algebra as q_doc_kmv_overlap, plus derived Jaccard ppm
+    "q_doc_kmv_matrix" -> ((s, dir) => {
+      val sh = wide(s, t(s, dir, "documents"))
+        .select(col("source"),
+          explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      graft.ops.Kmv.overlapMatrix(sh, "source", col("sh"), k = 128)
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // tokenizer-aware packing: context windows packed by BPE PIECE count
     // (not whitespace tokens) — the composition a training pipeline
     // actually runs: encode → count pieces per doc → greedy first-fit
@@ -3556,6 +3569,60 @@ object CorpusOps {
            |JOIN ints ON th.lang = ints.lang
            |LEFT JOIN ex ON th.lang = ex.lang
            |ORDER BY th.lang""".stripMargin,
+
+    // overlap-matrix replay: one ranked-hash table per source, kth-order
+    // thetas pairwise (source_a < source_b), retained-below-theta
+    // union/intersection, integer scaling + ppm Jaccard
+    "q_doc_kmv_matrix" ->
+      raw"""WITH t AS (SELECT source,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |shr AS (SELECT source, unnest(CASE WHEN len(t) >= 3
+           |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |          for i in generate_series(1, len(t) - 2)]
+           |    ELSE [] END) AS sh
+           |  FROM t),
+           |h AS (SELECT DISTINCT source,
+           |    ('0x' || substr(md5(sh), 1, 13))::BIGINT AS hv
+           |  FROM shr),
+           |rk AS (SELECT source, hv, row_number() OVER (
+           |    PARTITION BY source ORDER BY hv) AS rn FROM h),
+           |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    max(CASE WHEN rn = 128 THEN hv END) AS kth
+           |  FROM rk GROUP BY source),
+           |keep AS (SELECT source, hv FROM rk WHERE rn <= 128),
+           |p AS (SELECT a.source AS grp_a, b.source AS grp_b,
+           |    least(CASE WHEN a.n < 128 THEN 4503599627370496
+           |               ELSE a.kth END,
+           |          CASE WHEN b.n < 128 THEN 4503599627370496
+           |               ELSE b.kth END) AS th,
+           |    CASE WHEN a.n < 128 THEN a.n
+           |      ELSE (127 * 4503599627370496) // a.kth END AS est_a,
+           |    CASE WHEN b.n < 128 THEN b.n
+           |      ELSE (127 * 4503599627370496) // b.kth END AS est_b
+           |  FROM s a JOIN s b ON a.source < b.source),
+           |uni AS (SELECT p.grp_a, p.grp_b,
+           |    CAST(count(DISTINCT u.hv) AS BIGINT) AS nu
+           |  FROM p LEFT JOIN keep u
+           |    ON (u.source = p.grp_a OR u.source = p.grp_b)
+           |      AND u.hv < p.th
+           |  GROUP BY p.grp_a, p.grp_b),
+           |ints AS (SELECT p.grp_a, p.grp_b,
+           |    CAST(count(i.hv) AS BIGINT) AS ni
+           |  FROM p LEFT JOIN (SELECT ka.source AS sa, kb.source AS sb,
+           |      ka.hv
+           |    FROM keep ka JOIN keep kb ON ka.hv = kb.hv) i
+           |    ON i.sa = p.grp_a AND i.sb = p.grp_b AND i.hv < p.th
+           |  GROUP BY p.grp_a, p.grp_b),
+           |sc AS (SELECT p.grp_a, p.grp_b, p.est_a, p.est_b,
+           |    (uni.nu * 4503599627370496) // p.th AS est_union,
+           |    (ints.ni * 4503599627370496) // p.th AS est_intersect
+           |  FROM p JOIN uni ON p.grp_a = uni.grp_a AND p.grp_b = uni.grp_b
+           |  JOIN ints ON p.grp_a = ints.grp_a AND p.grp_b = ints.grp_b)
+           |SELECT grp_a, grp_b, est_a, est_b, est_union, est_intersect,
+           |  CAST((est_intersect * 1000000) // greatest(est_union, 1)
+           |    AS BIGINT) AS jaccard_ppm
+           |FROM sc ORDER BY grp_a, grp_b""".stripMargin,
 
     // b-bit minhash replay: md5-60bit base >> 8 through the same seeded
     // family (base·(2i+1) XOR i·φ64, constants Java-wrapped driver-side),

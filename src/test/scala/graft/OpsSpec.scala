@@ -1539,6 +1539,33 @@ class OpsSpec extends AnyFunSuite {
       && small.getLong(2) == 50L)
   }
 
+  test("kmv matrix: pairwise algebra matches the two-sided estimate") {
+    import graft.ops.Kmv
+    // g0 = 0..999, g1 = 500..1499, g2 = disjoint: known overlap structure
+    val rows = ((0 until 1000).map(i => ("g0", s"k$i")) ++
+      (500 until 1500).map(i => ("g1", s"k$i")) ++
+      (0 until 300).map(i => ("g2", s"z$i"))).toDF("grp", "key")
+    val m = Kmv.overlapMatrix(rows, "grp", col("key"), k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m.size == 3)
+    // the pair row reproduces overlapEstimate's algebra exactly
+    val two = Kmv.overlapEstimate(
+      rows.where(col("grp") === "g0").withColumn("g", lit("x")),
+      rows.where(col("grp") === "g1").withColumn("g", lit("x")),
+      Seq("g"), col("key"), k = 128).head()
+    val p01 = m(("g0", "g1"))
+    assert(Seq(2, 3, 4, 5).map(p01.getLong) ==
+      Seq(1, 2, 3, 4).map(two.getLong))
+    // disjoint pair: zero intersection estimate, zero jaccard
+    assert(m(("g0", "g2")).getLong(5) == 0L
+      && m(("g0", "g2")).getLong(6) == 0L)
+    // jaccard consistency on every row
+    m.values.foreach { r =>
+      assert(r.getLong(6) ==
+        r.getLong(5) * 1000000L / math.max(r.getLong(4), 1L))
+    }
+  }
+
   test("cms: overestimate contract, mergeability, absent-key zero") {
     import graft.ops.Cms
     // skewed stream: key-i occurs (i+1)² times, 40 distinct keys in a
