@@ -535,6 +535,11 @@ object ExplainCheck {
     // projection; exact-intersect comparison agg — no window
     "q_doc_kmv_overlap" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // priority sampling: per-partition top-(k+1) partials merge in
+    // TakeOrderedAndProject; boundary stats broadcast back — no window,
+    // no global sort of the population
+    "q_doc_priority_sample" -> (Seq("TakeOrderedAndProject"),
+      Seq("SortMergeJoin", "Window", "Exchange rangepartitioning")),
     // overlap matrix: ONE corpus sketch agg, then the m-row pair stage
     // as a broadcast non-equi self-join — never a corpus-sized join
     "q_doc_kmv_matrix" -> (Seq("ObjectHashAggregate",

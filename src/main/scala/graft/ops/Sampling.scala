@@ -166,6 +166,63 @@ object Sampling {
           .otherwise(col("h")).as("neg_id"))
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007): weight-proportional
+    * sampling WITHOUT replacement whose kept items carry an UNBIASED
+    * subset-sum estimator — the one-pass answer to "sample k docs by token
+    * mass, then estimate any stratum's total tokens from just the sample".
+    * Each item draws a deterministic uniform from its id hash, gets
+    * priority q = w/u, the k highest priorities are kept, and every kept
+    * item's estimator weight is ŵ = max(w, τ) with τ the (k+1)-th
+    * priority: E[Σ_{kept∩A} ŵ] = Σ_A w for ANY subset A.
+    *
+    * Integer exactness: u = (h+1)/2⁴⁰ from the first 10 md5 nibbles of
+    * the id, so q = w·2⁴⁰ div (h+1) is exact long math (w ≤ 2²² keeps the
+    * product inside a signed long — token counts, byte sizes in KB, etc.;
+    * DuckDB would raise on overflow, so a violation is loud, not silent).
+    * τ and ŵ = max(w, τ) stay in the same floored units; the ≤1-unit
+    * floor bias is the house exactness-first trade, documented here.
+    * Ties in q break by id ascending — fully deterministic on any
+    * partitioning, replayable by any engine with 64-bit integers.
+    *
+    * Scale shape: ONE TakeOrderedAndProject of (k+1) rows (per-partition
+    * top-(k+1) partials merge on the driver-side reduce — no global sort,
+    * no window), then broadcast joins of that (k+1)-row set against its
+    * own 1-row boundary stats. When the population has ≤ k items the
+    * sample is the population, τ = 0 and ŵ = w (the estimator is exact).
+    *
+    * Returns (idCol, weightCol, prio, tau, w_hat), the k kept rows.
+    */
+  def prioritySample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val m40 = 1L << 40
+    val h40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10)
+      .cast("long")
+    val scored = df.select(col(idCol), col(weightCol).cast("long")
+        .as(weightCol))
+      .withColumn("prio", call_function("div",
+        col(weightCol) * lit(m40), h40 + lit(1L)))
+    val topk1 = scored.orderBy(col("prio").desc, col(idCol).asc)
+      .limit(k + 1)
+    // boundary = last row in (prio desc, id asc) rank order = min of
+    // (prio, -id) lexicographically; n1 < k+1 means the limit never
+    // filled, so everything is kept and tau = 0
+    val st = topk1
+      .agg(count(lit(1)).as("n1"),
+        min(struct(col("prio"), (-col(idCol).cast("long")).as("nid")))
+          .as("b"))
+      .select(col("n1"), col("b.prio").as("bq"),
+        (-col("b.nid")).as("bid"))
+    topk1.join(broadcast(st).hint("broadcast"),
+        col("n1") < lit(k + 1) ||
+          !(col("prio") === col("bq") &&
+            col(idCol).cast("long") === col("bid")))
+      .withColumn("tau",
+        when(col("n1") === lit(k + 1), col("bq")).otherwise(lit(0L)))
+      .select(col(idCol), col(weightCol), col("prio"), col("tau"),
+        greatest(col(weightCol), col("tau")).as("w_hat"))
+  }
+
   /** Diversity cap: keep at most `cap` members per key, chosen by
     * (md5(id) asc, id asc) — a deterministic pseudo-random pick with no
     * rand(), the SemDeDup/DiverseEvol-style "spread the budget across

@@ -897,6 +897,19 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // priority sampling (Duffield-Lund-Thorup): k docs by token mass with
+    // the unbiased subset-sum estimator w_hat = max(w, tau) — one
+    // TakeOrderedAndProject of k+1 rows, no window, no global sort;
+    // deterministic md5 uniforms make the draw itself oracle-replayable
+    "q_doc_priority_sample" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(TextOps.tokenCount(col("text")).cast("long"), lit(1L))
+            .as("n_tokens"))
+      graft.ops.Sampling.prioritySample(w, "doc_id", "n_tokens", k = 32)
+        .orderBy(col("prio").desc, col("doc_id"))
+    }),
+
     // theta-sketch overlap MATRIX: pairwise vocabulary overlap across all
     // 20 sources from 20 k-long sketches — the corpus is read ONCE for
     // the sketch agg; the 190-pair stage is a broadcast self-join of a
@@ -3569,6 +3582,31 @@ object CorpusOps {
            |JOIN ints ON th.lang = ints.lang
            |LEFT JOIN ex ON th.lang = ex.lang
            |ORDER BY th.lang""".stripMargin,
+
+    // priority-sample replay: md5-40bit uniforms, integer priorities,
+    // rank 33 is tau (0 if the population never fills k+1), kept = top 32
+    "q_doc_priority_sample" ->
+      raw"""WITH w AS (SELECT doc_id,
+           |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+           |      AS BIGINT), 1) AS n_tokens
+           |  FROM documents),
+           |q AS (SELECT doc_id, n_tokens,
+           |    (n_tokens * 1099511627776)
+           |      // (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+           |        ::BIGINT + 1) AS prio
+           |  FROM w),
+           |r AS (SELECT doc_id, n_tokens, prio,
+           |    row_number() OVER (ORDER BY prio DESC, doc_id) AS rn,
+           |    count(*) OVER () AS nt
+           |  FROM q),
+           |b AS (SELECT CASE WHEN max(nt) >= 33
+           |      THEN max(CASE WHEN rn = 33 THEN prio END)
+           |      ELSE CAST(0 AS BIGINT) END AS tau
+           |  FROM r)
+           |SELECT r.doc_id, r.n_tokens, r.prio, b.tau,
+           |  greatest(r.n_tokens, b.tau) AS w_hat
+           |FROM r, b WHERE r.rn <= 32
+           |ORDER BY r.prio DESC, r.doc_id""".stripMargin,
 
     // overlap-matrix replay: one ranked-hash table per source, kth-order
     // thetas pairwise (source_a < source_b), retained-below-theta

@@ -1539,6 +1539,37 @@ class OpsSpec extends AnyFunSuite {
       && small.getLong(2) == 50L)
   }
 
+  test("priority sampling: estimator contract, small-population exactness") {
+    import graft.ops.Sampling
+    // weights 1..2000: heavy skew toward high ids
+    val pop = (1L to 2000L).map(i => (i, i)).toDF("id", "w")
+    val s = Sampling.prioritySample(pop, "id", "w", k = 256)
+    val rows = s.collect()
+    assert(rows.length == 256)
+    val tau = rows.head.getLong(3)
+    rows.foreach { r =>
+      assert(r.getLong(3) == tau)              // one global threshold
+      assert(r.getLong(2) >= tau)              // kept priorities >= tau
+      assert(r.getLong(4) == math.max(r.getLong(1), tau)) // w_hat def
+    }
+    // unbiased subset-sum estimator: the full-population estimate lands
+    // near the true mass (deterministic md5 draw — not flaky)
+    val what = rows.map(_.getLong(4)).sum.toDouble
+    val truth = (1L to 2000L).sum.toDouble
+    assert(math.abs(what - truth) / truth < 0.25,
+      s"estimate $what vs $truth")
+    // partitioning invariance
+    val s2 = Sampling.prioritySample(pop.repartition(13), "id", "w", 256)
+    assert(s.exceptAll(s2).isEmpty && s2.exceptAll(s).isEmpty)
+    // population <= k: everything kept, tau = 0, estimator exact
+    val tiny = Sampling.prioritySample(
+      (1L to 10L).map(i => (i, i * 3)).toDF("id", "w"), "id", "w", 32)
+      .collect()
+    assert(tiny.length == 10)
+    tiny.foreach(r => assert(r.getLong(3) == 0L
+      && r.getLong(4) == r.getLong(1)))
+  }
+
   test("kmv matrix: pairwise algebra matches the two-sided estimate") {
     import graft.ops.Kmv
     // g0 = 0..999, g1 = 500..1499, g2 = disjoint: known overlap structure
