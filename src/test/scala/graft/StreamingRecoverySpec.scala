@@ -402,4 +402,39 @@ class StreamingRecoverySpec extends AnyFunSuite {
       == ((want.getLong(0), want.getLong(1))),
       s"recovered $last vs batch $want")
   }
+
+  test("CMS frequency tracker survives restart: counters intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCms
+    import graft.ops.Cms
+    val source = MemoryStream[(String, Timestamp, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_cms").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = StreamingCms.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        d = 4, w = 64, watermarkDelay = "0 seconds")
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        b.collect().foreach(buf.add)).start()
+    val first = (0 until 6).flatMap(i =>
+      Seq.fill(3)(("g1", ts("2020-01-01 00:00:01"), s"u$i")))
+    val second = Seq(("g1", ts("2020-01-01 00:00:02"), "u0"))
+    val q1 = start()
+    try { source.addData(first: _*); q1.processAllAvailable() }
+    finally q1.stop() // mid-stream kill: u0's counters hold 3
+    val q2 = start()
+    try { source.addData(second: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val last = buf.toArray(Array.empty[Row]).toSeq.last
+    assert(last.getString(1) == "u0")
+    // the recovered counters must fold phase 2 onto phase 1's state:
+    // u0's estimate equals the batch CMS of the FULL stream (a lost
+    // table would report 1)
+    val all = (first ++ second).map(t => t._3).toDF("k")
+    val want = Cms.estimate(Cms.sketch(all, col("k"), 4, 64),
+        Seq("u0").toDF("k"), "k", 4, 64).head().getLong(1)
+    assert(last.getLong(2) == want, s"recovered $last vs batch $want")
+  }
 }

@@ -976,4 +976,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest()("g1")._1 == 16) // genuinely in the filled regime
     } finally q.stop()
   }
+
+  test("streaming CMS: running estimates equal batch per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCms
+    import graft.ops.Cms
+    val source = MemoryStream[(String, Timestamp, String)]
+    val q = StreamingCms.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        d = 4, w = 64, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cms_out").start()
+    def latest(): Map[(String, String), Long] =
+      spark.table("cms_out").collect()
+        .foldLeft(Map.empty[(String, String), Long]) { (m, r) =>
+          m + ((r.getString(0), r.getString(1)) -> r.getLong(2)) }
+    def batchEst(prefix: Seq[(String, String)])
+        : Map[(String, String), Long] =
+      prefix.map(_._1).distinct.flatMap { g =>
+        val ks = prefix.filter(_._1 == g).map(_._2)
+        val sk = Cms.sketch(ks.toDF("k"), col("k"), 4, 64)
+        Cms.estimate(sk, ks.distinct.toDF("k"), "k", 4, 64).collect()
+          .map(r => (g, r.getString(0)) -> r.getLong(1))
+      }.toMap
+    try {
+      // prefix 1: skewed dups in g1, a couple of keys in g2
+      val p1 = (0 until 8).flatMap(i =>
+        Seq.fill(i + 1)(("g1", s"u$i"))) ++ Seq(("g2", "x"), ("g2", "y"))
+      source.addData(p1.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:01"), k) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchEst(p1))
+      // prefix 2: re-touch some keys, add fresh ones — every estimate
+      // emitted in this batch must equal the batch CMS of the FULL prefix
+      val p2 = (4 until 12).flatMap(i =>
+        Seq.fill(2)(("g1", s"u$i"))) ++ Seq(("g2", "x"))
+      source.addData(p2.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:02"), k) }: _*)
+      q.processAllAvailable()
+      val want = batchEst(p1 ++ p2)
+      val got = latest()
+      p2.distinct.foreach { gk =>
+        assert(got(gk) == want(gk), s"$gk: stream ${got(gk)} vs ${want(gk)}")
+      }
+    } finally q.stop()
+  }
 }
