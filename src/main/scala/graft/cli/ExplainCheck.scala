@@ -535,6 +535,14 @@ object ExplainCheck {
     // projection; exact-intersect comparison agg — no window
     "q_doc_kmv_overlap" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // sorted neighborhood: the rank window is PARTITIONED by prefix
+    // bucket — "Window [partitionBy bucket]" would be ideal to grep but
+    // the formatted plan doesn't name specs; the PartitionBy exchange is
+    // hashpartitioning(bucket), and the output orderBy is the only range
+    // exchange. Offsets broadcast; pairing is an equi-join on rank
+    "q_doc_sorted_neighborhood" -> (Seq("Window", "BroadcastHashJoin",
+      "hashpartitioning(bucket"),
+      Seq("CartesianProduct")),
     // priority sampling: per-partition top-(k+1) partials merge in
     // TakeOrderedAndProject; boundary stats broadcast back — no window,
     // no global sort of the population

@@ -616,6 +616,61 @@ object Dedup {
     bbitMinhashPairsScoped(docs, idCol, textCol, k, nPerms, bands, b,
       bucketCap).df
 
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995,
+    * the merge/purge blocking family): sort the corpus by a domain key —
+    * here the NORMALIZED text, so case/whitespace variants and
+    * shared-prefix edits sort adjacent — and pair each document with its
+    * next `window−1` neighbors in sort order, with exact Jaccard over
+    * `shingleK`-shingles riding along for verification. Linear n·(w−1)
+    * candidates: the complement to LSH/band blocking (probabilistic,
+    * content-global) and SimHash (bit-flip tolerant) — SNM is
+    * deterministic-recall for prefix-clustered duplicates and, like every
+    * classic SNM deployment, blind to edits at the very start of the key
+    * (documented semantics, replayed exactly by the oracle).
+    *
+    * The global rank is EXACT and distributed: bucket by the sort key's
+    * first character (order-contiguous prefix buckets), per-bucket counts
+    * become cumulative offsets via a tiny self-join (≤ alphabet rows, no
+    * driver collect), rank = per-bucket row_number + offset — a
+    * PARTITIONED window, never a single-task global sort; cross-bucket
+    * neighbor pairs still form because the pairing is an equi-join on the
+    * global rank value. Returns (doc_a, doc_b, gap, jaccard_ppm), doc_a
+    * the lower-ranked end.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      textCol: String, window: Int, shingleK: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      TextOps.normalize(col(textCol)).as("skey"),
+      TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
+      .withColumn("bucket", substring(col("skey"), 1, 1))
+    val cnt = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val off = cnt.as("a")
+      .join(cnt.as("b"), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+    val ranked = keyed.join(broadcast(off), Seq("bucket"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bucket").orderBy("skey", "doc_id"))
+        .cast("long") + col("off"))
+      .select("doc_id", "rk", "shingles")
+    val probes = ranked.select(col("doc_id"), col("rk"), col("shingles"),
+      explode(sequence(lit(1L), lit((window - 1).toLong))).as("gap"))
+      .withColumn("rk2", col("rk") + col("gap"))
+    probes.join(ranked
+        .select(col("doc_id").as("doc_b"), col("rk").as("rk2"),
+          col("shingles").as("shb")), Seq("rk2"))
+      .withColumn("common",
+        size(array_intersect(col("shingles"), col("shb"))).cast("long"))
+      .withColumn("na", size(col("shingles")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("gap"),
+        when(col("na") + col("nb") - col("common") === 0, lit(1000000L))
+          .otherwise(call_function("div", col("common") * lit(1000000L),
+            col("na") + col("nb") - col("common"))).as("jaccard_ppm"))
+  }
+
   /** Soft dedup: keep EVERY document but down-weight near-dup clusters —
     * each member of a cluster of n carries `weight_ppm = 10⁶ div n`, so a
     * cluster contributes ~one document's worth of sampling mass instead

@@ -897,6 +897,17 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // sorted-neighborhood blocking (merge/purge): each doc paired with
+    // its next 3 neighbors in normalized-text sort order, exact Jaccard
+    // riding along — the deterministic-recall complement to LSH bands.
+    // Global rank is exact and DISTRIBUTED (prefix buckets + offsets +
+    // partitioned window), never a single-task sort
+    "q_doc_sorted_neighborhood" -> ((s, dir) =>
+      graft.ops.Dedup.sortedNeighborhoodPairs(
+          wide(s, t(s, dir, "documents")), "doc_id", "text",
+          window = 4, shingleK = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // priority sampling (Duffield-Lund-Thorup): k docs by token mass with
     // the unbiased subset-sum estimator w_hat = max(w, tau) — one
     // TakeOrderedAndProject of k+1 rows, no window, no global sort;
@@ -3582,6 +3593,33 @@ object CorpusOps {
            |JOIN ints ON th.lang = ints.lang
            |LEFT JOIN ex ON th.lang = ex.lang
            |ORDER BY th.lang""".stripMargin,
+
+    // sorted-neighborhood replay: one global rank over the normalized
+    // key, rank-gap pairs in [1, 3], list_intersect Jaccard; the
+    // both-empty-shingle-set pair is defined as jaccard 10^6 (identical
+    // empty sets), same CASE both engines
+    "q_doc_sorted_neighborhood" ->
+      raw"""WITH n AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS skey
+           |  FROM documents),
+           |sh AS $shinglesSql,
+           |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+           |r AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY skey, doc_id) AS rk
+           |  FROM n),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    b.rk - a.rk AS gap
+           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3),
+           |j AS (SELECT p.doc_a, p.doc_b, p.gap,
+           |    len(list_intersect(sa.s, sb.s)) AS c,
+           |    sa.n AS na, sb.n AS nb
+           |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+           |  JOIN sz sb ON p.doc_b = sb.doc_id)
+           |SELECT doc_a, doc_b, gap,
+           |  CAST(CASE WHEN na + nb - c = 0 THEN 1000000
+           |    ELSE (c * 1000000) // (na + nb - c) END AS BIGINT)
+           |    AS jaccard_ppm
+           |FROM j ORDER BY doc_a, doc_b""".stripMargin,
 
     // priority-sample replay: md5-40bit uniforms, integer priorities,
     // rank 33 is tau (0 if the population never fills k+1), kept = top 32

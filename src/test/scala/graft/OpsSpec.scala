@@ -1539,6 +1539,29 @@ class OpsSpec extends AnyFunSuite {
       && small.getLong(2) == 50L)
   }
 
+  test("sorted neighborhood: exact distributed rank, window pairs") {
+    import graft.ops.Dedup
+    // sorted by normalized text: doc2 (c...), doc1 (cat), doc0 (dog),
+    // doc3 (dog, ws/case variant of 0, tie-broken by id), doc4 (tiny)
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 3, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // n=5, window=3 -> (n-1)+(n-2) = 7 pairs
+    assert(got.size == 7)
+    assert(got.keySet == Set((2L, 1L), (2L, 0L), (1L, 0L), (1L, 3L),
+      (0L, 3L), (0L, 4L), (3L, 4L)))
+    // the normalize-identical pair is an exact dup: jaccard 1.0
+    assert(got((0L, 3L)) == ((1L, 1000000L)))
+    // near-dup neighbors score high, unrelated ones zero
+    assert(got((1L, 0L))._2 > 600000L && got((2L, 1L))._2 == 0L)
+    // rank (and thus the pair set) is partitioning-invariant
+    val re = Dedup.sortedNeighborhoodPairs(docs.repartition(8),
+      "doc_id", "text", window = 3, shingleK = 3)
+    assert(re.exceptAll(Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+      "text", 3, 3)).isEmpty)
+  }
+
   test("priority sampling: estimator contract, small-population exactness") {
     import graft.ops.Sampling
     // weights 1..2000: heavy skew toward high ids
