@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics — global ranks and percentiles
+  * WITHOUT a single-task sort and WITHOUT buffering a group's values.
+  *
+  * Spark's `percentile`/`median` aggregates hold every value of a group
+  * in one executor buffer (OOM at a billion rows per group), and a bare
+  * `row_number()` window with no partition moves the whole relation to
+  * one task. The classic fix is the two-pass bucket-offset rank (the
+  * distributed zipWithIndex): bucket rows by an ORDER-CONTIGUOUS prefix
+  * of the sort key, turn per-bucket counts into cumulative offsets with
+  * a tiny self-join (no driver collect), and add a PARTITIONED
+  * row_number to each bucket's offset. Every stage is a bounded shuffle;
+  * the value at any rank is exact.
+  *
+  * [[Dedup.sortedNeighborhoodPairs]] inlines the same discipline for
+  * string keys; this object is the numeric/general form.
+  */
+object Rank {
+
+  /** Adds an exact 1-based global rank column `rk` in the total order of
+    * `order`. `bucket` MUST be order-contiguous with `order` (all rows of
+    * bucket b sort before all rows of bucket b' > b) — e.g. `v div width`
+    * for a non-negative numeric key, `substring(key, 1, 1)` for strings.
+    * Ties in `order` rank arbitrarily but deterministically per plan;
+    * the VALUE at any rank is unaffected.
+    */
+  def withGlobalRank(df: DataFrame, bucket: Column,
+      order: Seq[Column]): DataFrame = {
+    val b = df.withColumn("__bk", bucket)
+    val cnt = b.groupBy("__bk").agg(count(lit(1)).as("__n"))
+    val off = cnt.as("a")
+      .join(cnt.as("b"), col("b.__bk") < col("a.__bk"), "left")
+      .groupBy(col("a.__bk").as("__bk"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    b.join(broadcast(off), Seq("__bk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("__bk").orderBy(order: _*)).cast("long")
+        + col("__off"))
+      .drop("__bk", "__off")
+  }
+
+  /** Exact nearest-rank percentiles of a NON-NEGATIVE long column:
+    * percentile p is the value at rank `ceil(n·p/100)` (= `(n·p + 99)
+    * div 100`, the classic type-1 definition — an actual data value,
+    * never an interpolation, so it is integer-exact and engine-
+    * replayable). `bucketWidth` sizes the order-contiguous buckets
+    * (`v div bucketWidth`); any width works for correctness, widths
+    * near (max−min)/partitions balance them.
+    *
+    * Returns one row per requested percent: (p, v).
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+      percents: Seq[Int], bucketWidth: Long): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+    val ranked = withGlobalRank(vals,
+      call_function("div", col("v"), lit(bucketWidth)), Seq(col("v")))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val targets = n.select(posexplode(
+        array(percents.map(p => lit(p)): _*)).as(Seq("i", "p")),
+        col("n"))
+      .select(col("p").cast("int").as("p"),
+        call_function("div", col("n") * col("p") + lit(99L), lit(100L))
+          .as("rk"))
+    ranked.join(broadcast(targets).hint("broadcast"), Seq("rk"))
+      .select(col("p"), col("v"))
+  }
+}
