@@ -111,7 +111,7 @@ object ExplainCheck {
     "q_doc_bpe_bytes" -> (Seq("Generate"), Seq("Window", "CartesianProduct")),
     "q_doc_bpe_bytes_roundtrip" -> (Seq("ObjectHashAggregate"),
       Seq("Window", "CartesianProduct")),
-    "q_emb_margin_pairs" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+    "q_emb_margin_pairs_i" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("Window")),
     "q_doc_backoff_lm" -> (Seq("BroadcastHashJoin"), Seq("Window", "SortMergeJoin")),
     // peel rounds are node-partitioned windowed degree counts (linear
@@ -123,7 +123,11 @@ object ExplainCheck {
     "q_doc_span_corrupt" -> (Seq("Project"), Seq("Window", "SortMergeJoin")),
     "q_doc_quality_dup" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_doc_tokenizer_compare" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
-    "q_emb_margin_ivf" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
+    "q_emb_margin_ivf_i" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
+    // margin over the PQ serving layout: codes scan joins the broadcast
+    // LUT; k-bounded TopKAgg per direction; margin tail unchanged
+    "q_emb_margin_pq" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct")),
     // bucket equi-join with the probe frame broadcast (corpus never
     // shuffles); k-bounded TopKAgg selection, never a window sort
     "q_emb_multiprobe" -> (Seq("BroadcastHashJoin", "ObjectHashAggregate"),
@@ -516,6 +520,13 @@ object ExplainCheck {
     // against the dup-bounded cluster map — never a window
     "q_doc_dedup_weights" -> (Seq("HashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // SNM-fed soft dedup: the blocking stage's partitioned rank window
+    // sits BEHIND the components materialization boundary (persist +
+    // checkpoint bounds lineage), so the audited final plan is the same
+    // join/agg shape as the LSH-fed gate — the SNM plan itself is pinned
+    // by q_doc_sorted_neighborhood
+    "q_doc_snm_weights" -> (Seq("HashAggregate"),
+      Seq("CartesianProduct", "Window")),
     // b-bit minhash: register aggregator + banded value-equality join,
     // sketch compare in-row — no window, no product
     "q_doc_bbit_minhash" -> (Seq("ObjectHashAggregate"),
@@ -526,6 +537,16 @@ object ExplainCheck {
     "q_doc_cms_freq" -> (Seq("HashAggregate", "BroadcastHashJoin",
       "TakeOrderedAndProject"),
       Seq("CartesianProduct", "Window")),
+    // AMS F2: signs fold in-row (posexplode), Z sums + block means are
+    // hash aggregates; the s2-long median folds per group — no window,
+    // no join wider than the 4-row exact-F2 comparison
+    "q_doc_ams_f2" -> (Seq("HashAggregate", "Generate"),
+      Seq("CartesianProduct", "Window")),
+    // exact percentiles: partitioned rank window + broadcast target
+    // ranks; the only unpartitioned window runs over the bucket-count
+    // table (B rows), never the data
+    "q_doc_exact_percentile" -> (Seq("Window", "BroadcastHashJoin"),
+      Seq("CartesianProduct", "SortMergeJoin")),
     // KMV sketch: k-bounded typed aggregator + the exact-count
     // comparison agg — no distinct shuffle of raw keys on the sketch
     // side, no window
@@ -591,6 +612,12 @@ object ExplainCheck {
       Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_langid" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // learned langid: vocab×L completion is a broadcast nested-loop of
+    // two CAPPED tables (never the corpus); scorer joins broadcast,
+    // argmax is the L-bounded collect_list fold — no window
+    "q_doc_langid_clf" -> (Seq("HashAggregate", "BroadcastHashJoin",
+      "ObjectHashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_doc_mask" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_quality" -> (Seq("Batched: true"),
@@ -624,6 +651,11 @@ object ExplainCheck {
     // PSL registered domain: the rule table rides IN the expression —
     // zero-shuffle in-row projection, no join against a suffix table
     "q_doc_psl_domain" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // full vendored table: same zero-shuffle in-row shape — rule-table
+    // size lives inside the expression, never in the plan
+    "q_doc_psl_full" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
     // rendezvous routing: shards-many md5 probes folded in-row by

@@ -3,47 +3,80 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** AMS second-moment (F₂) sketch (Alon, Matias & Szegedy 1996): `d`
+/** AMS second-moment (F₂) sketch (Alon, Matias & Szegedy 1996): s₁·s₂
   * independent ±1 hash signs; estimator `e` keeps the running sum
-  * `Z_e = Σ_k f_k·s_e(k)` (one long!), `Z_e²` is an unbiased estimate of
-  * `F₂ = Σ_k f_k²`, and the median over the `d` estimators concentrates
-  * it. F₂ is the self-join size / skew mass of a key's frequency vector —
-  * the number a join planner or hot-key guard wants ("how bad would
-  * joining on this key be") at d longs of state per group, when the key
-  * domain (URLs, shingles, user ids) never fits a groupBy.
+  * `Z_e = Σ_k f_k·s_e(k)` (one long!) and `Z_e²` is an unbiased estimate
+  * of `F₂ = Σ_k f_k²`. Concentration uses the paper's OWN two-level
+  * shape: MEAN over s₁ estimators per block (drives variance down by
+  * s₁), then MEDIAN over s₂ block means (drives failure probability down
+  * exponentially in s₂). A plain median over all d squares — tempting,
+  * simpler — is systematically LOW: Z is approximately N(0, √F₂), so Z²
+  * is F₂·χ²₁ whose median is ≈ 0.455·F₂; the mean step restores
+  * unbiasedness before the median robustifies. F₂ is the self-join size
+  * / skew mass of a key's frequency vector — the number a join planner
+  * or hot-key guard wants ("how bad would joining on this key be") at
+  * s₁·s₂ longs of state per group, when the key domain (URLs, shingles,
+  * user ids) never fits a groupBy.
   *
-  * Determinism/portability: signs come from bit 0 of the same seeded
-  * md5-52bit family as [[Cms]] / the b-bit MinHash registers; the Z sums
-  * are order-free longs and the median is a rank statistic over d sorted
-  * squares — an external engine replays the sketch and the estimate
-  * bit-for-bit. |Z| ≤ stream length, so Z² stays in a long for streams
-  * up to 3·10⁹ occurrences per group (the envelope; beyond that, shard
-  * the group and merge Z sums — they are additive).
+  * Determinism/portability: sign `s_e(k)` is bit 0 of the first nibble
+  * of `md5(key ∥ '|' ∥ e)` — the key and the seed hash JOINTLY, so the
+  * sign vectors are genuinely independent (a seeded odd-multiplier
+  * family over one base hash is NOT: with odd multipliers and an odd φ
+  * step, bit 0 collapses to bit0(base) XOR (e mod 2) and all estimators
+  * coincide up to global negation, voiding every concentration bound).
+  * The Z sums are order-free longs, block means are integer floor
+  * division, and the median is a rank statistic over s₂ sorted means —
+  * an external engine replays the sketch and the estimate bit-for-bit.
+  * |Z| ≤ stream length n, so Σ_{s₁} Z² stays in a long for n up to
+  * ~10⁹/√s₁ occurrences per group (the envelope; beyond that, shard the
+  * group and merge Z sums — they are additive).
   *
   * Scale shape: one projection + one (group, seed) hash aggregate whose
-  * map-side partials bound the shuffle at partitions × groups × d rows;
-  * the median stage folds d longs per group. Relative error ~ 1/√d.
+  * map-side partials bound the shuffle at partitions × groups × s₁·s₂
+  * rows; the mean/median stage folds s₁·s₂ longs per group. Relative
+  * error ~ 1/√s₁ with failure probability 2^−Ω(s₂).
   *
   * Returns (groupCols…, f2_est).
   */
 object Ams {
 
-  def f2Estimate(rows: DataFrame, groupCols: Seq[String], key: Column,
-      d: Int = 15): DataFrame = {
-    require(d >= 1 && d <= 31 && d % 2 == 1,
-      "d must be odd (exact median element) and in [1, 31]")
-    val base = Cms.base52(key)
+  /** The d per-seed running sums Z_e — (groupCols…, seed, z). Exposed so
+    * callers (and the estimator-independence spec) can see the sketches
+    * individually; Z sums are additive, so shards merge by summing z per
+    * (group, seed).
+    */
+  def zSums(rows: DataFrame, groupCols: Seq[String], key: Column,
+      d: Int): DataFrame = {
+    require(d >= 1 && d <= 64, s"d must be in [1, 64], got $d")
     val signs = array((0 until d).map { i =>
-      val g = (base * lit(2L * i + 1)).bitwiseXOR(lit(i * Cms.Phi))
-      lit(1L) - g.bitwiseAND(lit(1L)) * lit(2L)
+      val nib = conv(substring(
+        md5(concat(key.cast("string"), lit("|" + i))), 1, 1), 16, 10)
+        .cast("long")
+      lit(1L) - nib.bitwiseAND(lit(1L)) * lit(2L)
     }: _*)
     rows.select(groupCols.map(col) :+
         posexplode(signs).as(Seq("seed", "s")): _*)
       .groupBy((groupCols :+ "seed").map(col): _*)
       .agg(sum("s").as("z"))
+  }
+
+  /** Median over s2 blocks of the mean over s1 squared sums (both
+    * integer: block mean is `Σ Z² div s1`, median is the exact middle
+    * element of the s2 sorted block means — s2 odd keeps it rank-exact).
+    */
+  def f2Estimate(rows: DataFrame, groupCols: Seq[String], key: Column,
+      s1: Int = 8, s2: Int = 5): DataFrame = {
+    require(s1 >= 1 && s2 >= 1 && s2 % 2 == 1,
+      s"need s1 >= 1 and odd s2 >= 1, got s1=$s1 s2=$s2")
+    require(s1 * s2 <= 64, s"s1*s2 must be <= 64, got ${s1 * s2}")
+    zSums(rows, groupCols, key, s1 * s2)
+      .groupBy(groupCols.map(col) :+
+        call_function("div", col("seed"), lit(s1.toLong)).as("blk"): _*)
+      .agg(call_function("div", sum(col("z") * col("z")), lit(s1.toLong))
+        .as("blk_mean"))
       .groupBy(groupCols.map(col): _*)
-      .agg(array_sort(collect_list(col("z") * col("z"))).as("zz"))
+      .agg(array_sort(collect_list(col("blk_mean"))).as("mm"))
       .select(groupCols.map(col) :+
-        try_element_at(col("zz"), lit((d + 1) / 2)).as("f2_est"): _*)
+        try_element_at(col("mm"), lit((s2 + 1) / 2)).as("f2_est"): _*)
   }
 }

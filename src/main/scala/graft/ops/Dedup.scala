@@ -629,13 +629,19 @@ object Dedup {
     * (documented semantics, replayed exactly by the oracle).
     *
     * The global rank is EXACT and distributed: bucket by the sort key's
-    * first character (order-contiguous prefix buckets), per-bucket counts
-    * become cumulative offsets via a tiny self-join (≤ alphabet rows, no
-    * driver collect), rank = per-bucket row_number + offset — a
-    * PARTITIONED window, never a single-task global sort; cross-bucket
-    * neighbor pairs still form because the pairing is an equi-join on the
-    * global rank value. Returns (doc_a, doc_b, gap, jaccard_ppm), doc_a
-    * the lower-ranked end.
+    * first THREE characters (order-contiguous prefix buckets — on a real
+    * English corpus most normalized texts share their first character,
+    * so a 1-char bucket degenerates to a near-global single-task sort;
+    * 3-char prefixes split "the ", "a ", "in " families apart). The
+    * per-bucket counts become cumulative offsets via one running-sum
+    * window over the counts table itself — B rows where B = distinct
+    * prefixes actually present (≤ a few 10⁴ even on diverse corpora), a
+    * single trivially-sized task, NOT a self-join (the old non-equi
+    * self-join was O(B²)). rank = per-bucket row_number + offset — a
+    * PARTITIONED window over the corpus, never a single-task global
+    * sort; cross-bucket neighbor pairs still form because the pairing is
+    * an equi-join on the global rank value. Returns
+    * (doc_a, doc_b, gap, jaccard_ppm), doc_a the lower-ranked end.
     */
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
       textCol: String, window: Int, shingleK: Int): DataFrame = {
@@ -644,12 +650,12 @@ object Dedup {
     val keyed = docs.select(col(idCol).as("doc_id"),
       TextOps.normalize(col(textCol)).as("skey"),
       TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("bucket", substring(col("skey"), 1, 1))
+      .withColumn("bucket", substring(col("skey"), 1, 3))
     val cnt = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
-    val off = cnt.as("a")
-      .join(cnt.as("b"), col("b.bucket") < col("a.bucket"), "left")
-      .groupBy(col("a.bucket").as("bucket"))
-      .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+    val off = cnt.withColumn("off",
+      coalesce(sum(col("n")).over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
     val ranked = keyed.join(broadcast(off), Seq("bucket"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("bucket").orderBy("skey", "doc_id"))

@@ -247,6 +247,69 @@ object KMeans {
     rankTopK(scored, topK)
   }
 
+  /** Integer-exact reconstructed-vector COSINE search over PQ codes — the
+    * ADC variant that bitext margin mining composes over
+    * ([[VectorOps.marginPairsExact]] is kNN-backend-agnostic; this gives
+    * it the compressed-serving backend). Per (query, sub-space, codeword)
+    * the broadcast LUT carries the exact integer DOT of the quantized
+    * query slice against the codeword (not the squared distance the
+    * distance-ADC scan uses), each candidate's reconstructed norm² is the
+    * sum of its codewords' exact norms², and
+    * `cos_x1m = (dot·10⁶) div (rq·rv)` is the same truncating integer
+    * cosine as the brute/IVF exact chains — the whole composition replays
+    * bit-for-bit on any 64-bit-integer engine. `scale` defaults to 1e5
+    * (the exact-chain envelope: dot·10⁶ stays inside a signed long at 64
+    * dims), NOT the 1e6 of the distance-ADC gates — train the model at
+    * the same scale. Corpus side restricted to `corpusIds` (semi join);
+    * self-matches dropped; zero-norm sides → NULL cos → excluded, the
+    * standard policy. Returns (query_id, rank, vec_id, cos_x1m), top-k
+    * per query by (cos desc, vec_id asc), k-bounded agg — never a window.
+    */
+  def pqSearchCosExact(model: PqModel, corpusIds: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, topK: Int,
+      scale: Double = 1e5, maxQueryBatch: Int = 1024): DataFrame = {
+    val spark = model.codes.sparkSession
+    import spark.implicits._
+    val d = model.subDims
+    val qrows = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(qrows.length <= maxQueryBatch,
+      s"cos-ADC search got ${qrows.length} queries > " +
+        s"maxQueryBatch=$maxQueryBatch — run batches in a loop")
+    // exact integer sqrt, the VectorOps.isqrt seed+correct on the driver
+    def isqrtL(p: Long): Long = {
+      val r0 = math.floor(math.sqrt(p.toDouble)).toLong
+      val up = if ((r0 + 1) * (r0 + 1) <= p) r0 + 1 else r0
+      if (up * up > p) up - 1 else up
+    }
+    val lut = for {
+      (qid, qv) <- qrows.toSeq
+      rq = isqrtL(qv.map(x => x * x).sum)
+      (s, cents) <- model.codebooks
+      (cid, cv) <- cents
+    } yield {
+      val sub = qv.slice(s * d, (s + 1) * d)
+      (qid, s, cid, sub.zip(cv).map { case (a, b) => a * b }.sum,
+        rq, cv.map(x => x * x).sum)
+    }
+    val tdf = lut.toDF("query_id", "sub", "code", "dotl", "rq", "n2sub")
+    val scored = meltedCodes(model)
+      .join(corpusIds.select(col("vec_id")).distinct(), Seq("vec_id"),
+        "left_semi")
+      .join(broadcast(tdf), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dotl").as("dotl"), sum("n2sub").as("n2v"),
+        max("rq").as("rq"))
+      .withColumn("cos_x1m", call_function("div",
+        col("dotl") * lit(1000000L),
+        nullif(col("rq") * VectorOps.isqrt(col("n2v")), lit(0L))))
+      .select("query_id", "vec_id", "cos_x1m")
+    VectorOps.topKPerQueryExact(scored, topK)
+  }
+
   /** IVF-PQ: the billion-scale ANN composition — a coarse quantizer
     * restricts each query's ADC scan to its `nprobe` nearest cells, so the
     * per-query work is ~|corpus|·nprobe/K code lookups instead of the whole

@@ -12,16 +12,40 @@ package graft.ops
   * matching rule, else the implicit `*` rule (the bare TLD is public).
   * Registered domain = public suffix + one more label.
   *
-  * [[Default]] is a curated subset of the live list — the second-level
-  * country suffixes, wildcard/exception families, and hosting-platform
-  * suffixes a crawl corpus actually hits — NOT the full ~9k-rule file
-  * (zero-egress build). Deployments wanting exact full-list semantics
-  * pass the complete file's rules to
-  * [[UrlOps.registeredDomainPsl(host:org\.apache\.spark\.sql\.Column,rules:Seq[String])*]];
-  * the lookup is O(host labels) hash probes regardless of rule count, so
-  * the full list costs the same per row.
+  * [[Full]] (the default everywhere) loads the vendored
+  * `graft/public_suffix_list.dat` resource — list format, ICANN +
+  * PRIVATE sections; a deployment drops the live publicsuffix.org file
+  * at that path for byte-exact parity (zero-egress build ships a
+  * comprehensive offline snapshot). [[Default]] is the older curated
+  * subset, kept as the fallback when the resource is trimmed from a jar.
+  * Either way the lookup is O(host labels) hash probes regardless of
+  * rule count, so the full list costs the same per row.
   */
 object PublicSuffixes {
+
+  /** Parse publicsuffix.org list-format text into rules: strip `//`
+    * comments, section markers, blanks, and surrounding whitespace;
+    * lowercase (the list is defined case-insensitive). Rule syntax
+    * (`*.` wildcard, `!` exception) passes through verbatim.
+    */
+  def parse(lines: Iterator[String]): Seq[String] =
+    lines.map(_.trim.toLowerCase)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .toVector
+
+  /** The vendored full rule table (`graft/public_suffix_list.dat` on the
+    * classpath — publicsuffix.org list format, ICANN + PRIVATE sections).
+    * Deployments refresh the file in place for byte-exact live-list
+    * semantics; the loader and matcher are format-complete, so the swap
+    * is a resource drop, not a code change. Falls back to [[Default]]
+    * if the resource is absent (trimmed deployment jars).
+    */
+  lazy val Full: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in == null) Default
+    else try parse(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
 
   /** Curated PSL subset (list syntax, lowercase; punycode for IDN rules). */
   val Default: Seq[String] = Seq(

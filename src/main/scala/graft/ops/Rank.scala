@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * one task. The classic fix is the two-pass bucket-offset rank (the
   * distributed zipWithIndex): bucket rows by an ORDER-CONTIGUOUS prefix
   * of the sort key, turn per-bucket counts into cumulative offsets with
-  * a tiny self-join (no driver collect), and add a PARTITIONED
+  * ONE running-sum window over the counts table itself (B rows on a
+  * single trivially-sized task — no driver collect, and no O(B²)
+  * non-equi self-join, which a caller-picked narrow bucketWidth over a
+  * wide value range would otherwise blow up), and add a PARTITIONED
   * row_number to each bucket's offset. Every stage is a bounded shuffle;
   * the value at any rank is exact.
   *
@@ -33,10 +36,10 @@ object Rank {
       order: Seq[Column]): DataFrame = {
     val b = df.withColumn("__bk", bucket)
     val cnt = b.groupBy("__bk").agg(count(lit(1)).as("__n"))
-    val off = cnt.as("a")
-      .join(cnt.as("b"), col("b.__bk") < col("a.__bk"), "left")
-      .groupBy(col("a.__bk").as("__bk"))
-      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    val off = cnt.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bk", "__off")
     b.join(broadcast(off), Seq("__bk"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("__bk").orderBy(order: _*)).cast("long")

@@ -178,7 +178,8 @@ object Sampling {
     * Integer exactness: u = (h+1)/2⁴⁰ from the first 10 md5 nibbles of
     * the id, so q = w·2⁴⁰ div (h+1) is exact long math (w ≤ 2²² keeps the
     * product inside a signed long — token counts, byte sizes in KB, etc.;
-    * DuckDB would raise on overflow, so a violation is loud, not silent).
+    * the envelope is ENFORCED with raise_error engine-side, matching the
+    * oracle's overflow raise, so a violation is loud on both engines).
     * τ and ŵ = max(w, τ) stay in the same floored units; the ≤1-unit
     * floor bias is the house exactness-first trade, documented here.
     * Ties in q break by id ascending — fully deterministic on any
@@ -198,25 +199,35 @@ object Sampling {
     val m40 = 1L << 40
     val h40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10)
       .cast("long")
-    val scored = df.select(col(idCol), col(weightCol).cast("long")
-        .as(weightCol))
+    // enforce the documented w ≤ 2²² envelope ENGINE-SIDE: with non-ANSI
+    // Spark, w·2⁴⁰ would silently wrap for larger weights and bias the
+    // sample; the oracle (DuckDB) raises on overflow, so the engine must
+    // fail equally loudly, not diverge quietly
+    val wOk = col(weightCol).cast("long")
+    val wChecked = when(wOk.isNull || (wOk >= 0L && wOk <= (1L << 22)),
+      wOk).otherwise(raise_error(concat(
+        lit("prioritySample: weight outside [0, 2^22] envelope "),
+        lit("(w*2^40 must stay in a signed long): "),
+        wOk.cast("string"))))
+    val scored = df.select(col(idCol), wChecked.as(weightCol))
       .withColumn("prio", call_function("div",
         col(weightCol) * lit(m40), h40 + lit(1L)))
     val topk1 = scored.orderBy(col("prio").desc, col(idCol).asc)
       .limit(k + 1)
-    // boundary = last row in (prio desc, id asc) rank order = min of
-    // (prio, -id) lexicographically; n1 < k+1 means the limit never
-    // filled, so everything is kept and tau = 0
+    // boundary = last row in (prio desc, id asc) rank order = lexicographic
+    // max of (-prio, id) — prio is always a long so -prio is safe, and the
+    // id rides in the struct IN ITS NATIVE TYPE (a cast-to-long here would
+    // NULL out string ids and the tie predicate below would silently drop
+    // every boundary-tied row); n1 < k+1 means the limit never filled, so
+    // everything is kept and tau = 0
     val st = topk1
       .agg(count(lit(1)).as("n1"),
-        min(struct(col("prio"), (-col(idCol).cast("long")).as("nid")))
+        max(struct((-col("prio")).as("np"), col(idCol).as("bid")))
           .as("b"))
-      .select(col("n1"), col("b.prio").as("bq"),
-        (-col("b.nid")).as("bid"))
+      .select(col("n1"), (-col("b.np")).as("bq"), col("b.bid").as("bid"))
     topk1.join(broadcast(st).hint("broadcast"),
         col("n1") < lit(k + 1) ||
-          !(col("prio") === col("bq") &&
-            col(idCol).cast("long") === col("bid")))
+          !(col("prio") === col("bq") && col(idCol) === col("bid")))
       .withColumn("tau",
         when(col("n1") === lit(k + 1), col("bq")).otherwise(lit(0L)))
       .select(col(idCol), col(weightCol), col("prio"), col("tau"),

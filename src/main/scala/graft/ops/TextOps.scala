@@ -387,6 +387,83 @@ object TextOps {
         when(col("n_tokens") === 0L, lit(500000L))
           .otherwise(expr("s div n_tokens")).as("score_ppm"))
 
+  /** LEARNED language ID, trainer half — [[nbTrain]]'s count-space naive
+    * Bayes generalized to MULTI-CLASS posteriors (the fastText-class
+    * labeler role: a classifier fit on per-language labeled text replaces
+    * the [[langId]] stopword heuristic with corpus-derived evidence).
+    * Per token and language the model carries the smoothed posterior
+    *   post_ppm = (n_{tok,lang} + 1) · 10⁶ div (n_tok + L)
+    * (add-one over the L languages seen in training) — all integer, so
+    * training is bit-reproducible on any engine/partitioning. Every
+    * vocab token carries exactly L rows (absent (tok, lang) counts
+    * coalesce to 0), so the scorer's per-language sums share one token
+    * join. Vocabulary capped at `maxVocab` by (total count desc, token
+    * asc) — deterministic, broadcastable at any corpus size. Returns
+    * (tok, lang, n, post_ppm).
+    *
+    * Scale shape: one token explode + one (tok, lang) hash agg; the
+    * vocab × L completion is a broadcast nested-loop of two CAPPED
+    * tables (vocab ≤ maxVocab rows, L = distinct labels) — never the
+    * corpus.
+    */
+  def nbTrainMulti(docs: DataFrame, textCol: String, labelCol: String,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    require(maxVocab >= 1, "maxVocab must be positive")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("tok"),
+        col(labelCol).cast("string").as("lang"))
+      .groupBy("tok", "lang").agg(count(lit(1)).as("n"))
+    val langs = counts.select("lang").distinct()
+    val nl = counts.agg(countDistinct("lang").as("l"))
+    val vocab = counts.groupBy("tok").agg(sum("n").as("n_tok"))
+      .orderBy(col("n_tok").desc, col("tok").asc)
+      .limit(maxVocab)
+    vocab.crossJoin(broadcast(langs)).crossJoin(broadcast(nl))
+      .join(counts, Seq("tok", "lang"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select(col("tok"), col("lang"), col("n"),
+        expr("((n + 1) * 1000000L) div (n_tok + l)").as("post_ppm"))
+  }
+
+  /** Scorer half for [[nbTrainMulti]]: per (doc, language) mean token
+    * posterior over the doc's IN-VOCAB tokens (integer div; OOV tokens
+    * drop from the mean — every language sees the same token set, so the
+    * comparison is fair). Docs with zero in-vocab tokens produce no rows
+    * (undecidable — route them to the [[langId]] heuristic). The model
+    * joins broadcast; the only wide op is the (id, lang) aggregate.
+    * Returns (id, lang, n_seen, score_ppm).
+    */
+  def nbScoreMulti(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(model.select(col("tok"), col("lang"),
+        col("post_ppm"))), Seq("tok"))
+      .groupBy("id", "lang")
+      .agg(count(lit(1)).as("n_seen"), sum("post_ppm").as("s"))
+      .select(col("id"), col("lang"), col("n_seen"),
+        expr("s div n_seen").as("score_ppm"))
+
+  /** Argmax language per doc over [[nbScoreMulti]] output, ties broken
+    * by language ascending — ONE aggregate, no join-back, no window:
+    * max(struct(score, negated-rank lang)) can't order strings inversely,
+    * so the lang rides the struct as its per-id candidate list... instead
+    * the L-bounded trick: collect the ≤ L (score, lang) pairs per id
+    * (L = languages, a constant), sort, take the last-score/first-lang
+    * element. Deterministic and engine-replayable. Returns
+    * (id, pred_lang, score_ppm).
+    */
+  def nbPredictLang(scored: DataFrame): DataFrame =
+    scored
+      .groupBy("id")
+      .agg(array_sort(collect_list(
+        struct(col("score_ppm"), col("lang")))).as("cand"))
+      .select(col("id"),
+        expr("""element_at(
+          |  filter(cand, c -> c.score_ppm = element_at(cand, -1).score_ppm),
+          |  1).lang""".stripMargin).as("pred_lang"),
+        expr("element_at(cand, -1).score_ppm").as("score_ppm"))
+
   /** Stupid Backoff LM scoring (Brants et al. 2007, "Large Language
     * Models in Machine Translation" — the web-scale count LM that skips
     * normalization entirely): each token scores by its bigram relative

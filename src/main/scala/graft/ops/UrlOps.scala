@@ -82,13 +82,14 @@ object UrlOps {
     * row, zero shuffle, zero join, rule-count-independent. `gouv.fr`,
     * `or.jp`, `com.br`, `github.io`, `*.ck`/`!www.ck` all key correctly,
     * where the last-2/last-3 heuristic ([[registeredDomain]]) mis-keys
-    * them. Default rules are the curated [[PublicSuffixes.Default]]
-    * subset; pass the full live list's rules for exact deployment
-    * semantics (same cost). Single-label hosts and hosts that ARE a
+    * them. Default rules are the vendored full table
+    * ([[PublicSuffixes.Full]], resource-loaded — refresh the resource
+    * for live-list parity; rule count never touches per-row cost).
+    * Single-label hosts and hosts that ARE a
     * public suffix pass through unchanged (each keys its own bucket).
     */
   def registeredDomainPsl(host: Column,
-      rules: Seq[String] = PublicSuffixes.Default): Column =
+      rules: Seq[String] = PublicSuffixes.Full): Column =
     graft.functions.GraftFunctions.psl_domain(host, rules)
 
   /** Heuristic registered domain — the rule-table-free FALLBACK (the

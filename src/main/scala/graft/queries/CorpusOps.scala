@@ -245,6 +245,44 @@ object CorpusOps {
           TextOps.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
+    // LEARNED language ID: multi-class naive-Bayes posteriors trained on
+    // synthetic per-language fixtures (the X147 discipline — the corpus
+    // has no multilingual text, so four language families with
+    // characteristic vocab + shared noise tokens are synthesized from
+    // doc_id; train on doc_id%5 != 0, score the held-out fifth). Every
+    // number integer ppm (smoothed per-token posteriors, mean over
+    // in-vocab tokens, argmax with lang-asc ties), so the oracle replays
+    // trainer AND scorer bit-exactly; per-language held-out separation
+    // is visible in the output (pred_lang vs true_lang)
+    "q_doc_langid_clf" -> ((s, dir) => {
+      val base = wide(s, t(s, dir, "documents")).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("de"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("en"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("es"))
+          .otherwise(lit("fr")).as("true_lang"),
+        concat(
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("der hund und die katze sind hier oft genug"))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              lit("the quick brown fox and the lazy dog run often"))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              lit("el perro y el gato estan aqui muchas veces"))
+            .otherwise(
+              lit("le chat noir et le chien blanc sont souvent ici")),
+          lit(" tag"), pmod(col("doc_id"), lit(7)).cast("string"))
+          .as("text"))
+      val train = base.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = base.where(pmod(col("doc_id"), lit(5)) === 0)
+      val model = TextOps.nbTrainMulti(train, "text", "true_lang")
+      TextOps.nbPredictLang(
+          TextOps.nbScoreMulti(heldOut, "doc_id", "text", model))
+        .join(heldOut.select(col("doc_id").as("id"), col("true_lang")),
+          Seq("id"))
+        .select(col("id").as("doc_id"), col("true_lang"),
+          col("pred_lang"), col("score_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // classifier eval: labeled-vs-predicted language confusion matrix
     // with per-cell share of the labeled language's row (exact ppm) —
     // the accuracy audit for the langid heuristic
@@ -861,6 +899,41 @@ object CorpusOps {
         .orderBy(col("n").desc, col("term"))
     }),
 
+    // AMS F2 sketch: per-shard second moment of the token-frequency
+    // vector (self-join size / hot-key skew mass) from 40 ±1-sign sums —
+    // mean over s1=8 per block, median over s2=5 block means (the AMS
+    // paper's own two-level concentration; a plain median of squares
+    // sits near 0.455*F2). Signs hash (token, seed) jointly via md5, Z
+    // sums are order-free longs, block means integer floor-div — the
+    // oracle replays sketch AND estimate bit-exactly; the exact F2 rides
+    // along to show the ~1/sqrt(s1) error live
+    "q_doc_ams_f2" -> ((s, dir) => {
+      val tok = wide(s, t(s, dir, "documents"))
+        .select(pmod(col("doc_id"), lit(4)).as("grp"),
+          explode(graft.ops.TextOps.normTokens(col("text"))).as("w"))
+      val exact = tok.groupBy("grp", "w").agg(count(lit(1)).as("f"))
+        .groupBy("grp").agg(sum(col("f") * col("f")).as("f2_exact"))
+      graft.ops.Ams.f2Estimate(tok, Seq("grp"), col("w"))
+        .join(exact, Seq("grp"))
+        .orderBy("grp")
+    }),
+
+    // exact distributed percentiles: nearest-rank (type-1) token-count
+    // percentiles WITHOUT a single-task global sort — order-contiguous
+    // buckets (v div 8), one running-sum window over the tiny bucket-
+    // count table for offsets, partitioned row_number for ranks, then a
+    // broadcast join against the ceil(n*p/100) target ranks. Values at
+    // ranks are actual data values (never interpolation), so the replay
+    // is integer-exact
+    "q_doc_exact_percentile" -> ((s, dir) => {
+      val v = wide(s, t(s, dir, "documents"))
+        .select(size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("nt"))
+      graft.ops.Rank.exactPercentiles(v, "nt", Seq(25, 50, 75, 90, 99),
+          bucketWidth = 8)
+        .orderBy("p")
+    }),
+
     // KMV distinct sketch: per-lang distinct-shingle cardinality from the
     // k=128 smallest md5-52bit hashes — k-bounded mapper state (no
     // distinct shuffle of the key domain), and the (k−1)·M div h_k
@@ -1000,7 +1073,7 @@ object CorpusOps {
     // chain (quantize-first, no float similarity anywhere — the
     // cross-engine gate discipline); at scale marginPairsExact
     // post-processes the IVF/PQ/BQ serving layouts unchanged
-    "q_emb_margin_pairs" -> ((s, dir) => {
+    "q_emb_margin_pairs_i" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
       val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
@@ -1035,7 +1108,7 @@ object CorpusOps {
     // margin post-processing unchanged (nprobe=2 makes it a real
     // approximation, not a disguised brute force). Integer-exact chain
     // end to end: assignment, probing, and scoring all on exactCosX1m
-    "q_emb_margin_ivf" -> ((s, dir) => {
+    "q_emb_margin_ivf_i" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
       val centroids = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"),
@@ -2692,7 +2765,7 @@ object CorpusOps {
     * mirroring [[graft.ops.VectorOps.marginPairs]]'s backend-agnostic
     * contract.
     */
-  private def marginTailSql: String =
+  private[queries] def marginTailSql: String =
     """df AS (SELECT src_id, sum(cos_x1m) AS sum_f,
       |    CAST(count(*) AS BIGINT) AS cnt_f FROM fwd GROUP BY src_id),
       |db AS (SELECT tgt_id, sum(cos_x1m) AS sum_b,
@@ -2713,7 +2786,7 @@ object CorpusOps {
     * `error()` — a WHERE filter would pass vacuously on a wrong-width
     * corpus, which is precisely the silent mismatch this prevents.
     */
-  private def evGuardSql: String =
+  private[queries] def evGuardSql: String =
     s"CASE WHEN len(embedding) = $embDims THEN embedding::DOUBLE[] " +
       s"ELSE error('embeddings width <> $embDims') END"
 
@@ -2752,7 +2825,7 @@ object CorpusOps {
     * (`KMeans.quantize` mirror) and `r` the EXACT integer norm root —
     * double-sqrt seed corrected one exact integer step each way, the
     * `VectorOps.isqrt` replay (exact for n2 < 2^52, so engine-agnostic). */
-  private def exactChainSql(src: String, out: String): String =
+  private[queries] def exactChainSql(src: String, out: String): String =
     s"""${out}0 AS (SELECT vec_id,
        |    [CAST(floor(x * 100000.0 + 0.5) AS BIGINT) for x in ev] AS qv
        |  FROM $src),
@@ -3208,6 +3281,58 @@ object CorpusOps {
          |FROM m ORDER BY doc_id""".stripMargin
     },
 
+    // learned-langid replay: same fixture synthesis, (tok, lang) counts
+    // over the train slice, vocab×L completion with add-one posteriors
+    // ((n+1)·10⁶ // (n_tok + L)), held-out mean in-vocab posterior per
+    // language, argmax with lang-asc tie-break — trainer and scorer
+    // integer-exact end to end
+    "q_doc_langid_clf" ->
+      raw"""WITH base AS (SELECT doc_id,
+           |    CASE doc_id % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+           |      WHEN 2 THEN 'es' ELSE 'fr' END AS true_lang,
+           |    CASE doc_id % 4
+           |      WHEN 0 THEN 'der hund und die katze sind hier oft genug'
+           |      WHEN 1 THEN 'the quick brown fox and the lazy dog run often'
+           |      WHEN 2 THEN 'el perro y el gato estan aqui muchas veces'
+           |      ELSE 'le chat noir et le chien blanc sont souvent ici'
+           |      END || ' tag' || (doc_id % 7) AS text
+           |  FROM documents),
+           |tr AS (SELECT * FROM base WHERE doc_id % 5 != 0),
+           |ho AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+           |ttok AS (SELECT true_lang AS lang,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |  FROM tr),
+           |cnt AS (SELECT tok, lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM ttok GROUP BY tok, lang),
+           |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS l
+           |  FROM cnt),
+           |vocab AS (SELECT tok, CAST(sum(n) AS BIGINT) AS n_tok
+           |  FROM cnt GROUP BY tok),
+           |langs AS (SELECT DISTINCT lang FROM cnt),
+           |model AS (SELECT v.tok, lg.lang,
+           |    ((coalesce(c.n, 0) + 1) * 1000000) // (v.n_tok + nl.l)
+           |      AS post_ppm
+           |  FROM vocab v CROSS JOIN langs lg CROSS JOIN nl
+           |  LEFT JOIN cnt c ON c.tok = v.tok AND c.lang = lg.lang),
+           |htok AS (SELECT doc_id, true_lang,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |  FROM ho),
+           |sc AS (SELECT h.doc_id, h.true_lang, m.lang,
+           |    CAST(count(*) AS BIGINT) AS n_seen,
+           |    CAST(sum(m.post_ppm) AS BIGINT) AS s
+           |  FROM htok h JOIN model m USING (tok)
+           |  GROUP BY h.doc_id, h.true_lang, m.lang),
+           |scr AS (SELECT doc_id, true_lang, lang,
+           |    s // n_seen AS score_ppm FROM sc),
+           |best AS (SELECT doc_id, max(score_ppm) AS b FROM scr
+           |  GROUP BY doc_id)
+           |SELECT s.doc_id, s.true_lang, min(s.lang) AS pred_lang,
+           |  CAST(max(s.score_ppm) AS BIGINT) AS score_ppm
+           |FROM scr s JOIN best b
+           |  ON s.doc_id = b.doc_id AND s.score_ppm = b.b
+           |GROUP BY s.doc_id, s.true_lang
+           |ORDER BY s.doc_id""".stripMargin,
+
     "q_doc_lang_confusion" -> {
       val hitCols = TextOps.LangMarkers.map { case (lang, m) =>
         val lst = m.map(w => s"'$w'").mkString(", ")
@@ -3498,6 +3623,47 @@ object CorpusOps {
            |  CAST(est - n AS BIGINT) AS over_by
            |FROM est ORDER BY n DESC, term""".stripMargin
     },
+
+    // AMS replay: same (token|seed) md5 signs, Z sums per (grp, seed),
+    // integer block means (sum of squares div 8), exact middle element
+    // of the 5 sorted block means, exact F2 alongside
+    "q_doc_ams_f2" ->
+      raw"""WITH tok AS (SELECT doc_id % 4 AS grp,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+           |      AS w
+           |  FROM documents),
+           |sd AS (SELECT unnest(generate_series(0, 39)) AS seed),
+           |z AS (SELECT grp, seed,
+           |    CAST(sum(1 - 2 * (('0x' || substr(md5(w || '|' || seed),
+           |      1, 1))::BIGINT & 1)) AS BIGINT) AS z
+           |  FROM tok CROSS JOIN sd GROUP BY grp, seed),
+           |bm AS (SELECT grp, seed // 8 AS blk,
+           |    CAST(sum(z * z) // 8 AS BIGINT) AS blk_mean
+           |  FROM z GROUP BY grp, seed // 8),
+           |md AS (SELECT grp, blk_mean,
+           |    row_number() OVER (PARTITION BY grp ORDER BY blk_mean)
+           |      AS rn
+           |  FROM bm),
+           |ex AS (SELECT grp, CAST(sum(f * f) AS BIGINT) AS f2_exact
+           |  FROM (SELECT grp, w, count(*) AS f FROM tok GROUP BY grp, w)
+           |  GROUP BY grp)
+           |SELECT md.grp, md.blk_mean AS f2_est, ex.f2_exact
+           |FROM md JOIN ex USING (grp) WHERE rn = 3
+           |ORDER BY md.grp""".stripMargin,
+
+    // nearest-rank percentile replay: one global rank (DuckDB sorts; the
+    // engine's bucket-offset chain must land on identical values),
+    // targets at ceil(n*p/100) by integer arithmetic
+    "q_doc_exact_percentile" ->
+      raw"""WITH v AS (SELECT CAST(len(regexp_split_to_array(trim(text),
+           |      '\s+')) AS BIGINT) AS v
+           |  FROM documents),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+           |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+           |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS p),
+           |t AS (SELECT p.p, (n.n * p.p + 99) // 100 AS rk FROM p, n)
+           |SELECT t.p, r.v FROM t JOIN r USING (rk)
+           |ORDER BY t.p""".stripMargin,
 
     "q_doc_kmv_distinct" ->
       raw"""WITH t AS (SELECT lang,
@@ -4039,7 +4205,7 @@ object CorpusOps {
     // directions' top-4 by (cos_x1m desc, id), then the exact integer
     // ratio margin — no float similarity anywhere, mirroring
     // bruteTopKExact → marginPairsExact bit-for-bit
-    "q_emb_margin_pairs" ->
+    "q_emb_margin_pairs_i" ->
       s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
          |${exactChainSql("e", "qe")},
          |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
@@ -4084,7 +4250,7 @@ object CorpusOps {
     // (assign tie → lowest centroid id; probe top-2; in-cell knn ties →
     // lowest vec_id; every similarity icosSql), then the IDENTICAL margin
     // tail — proving the backend swap changes only the candidate CTEs
-    "q_emb_margin_ivf" -> {
+    "q_emb_margin_ivf_i" -> {
       def side(corpus: String, queries: String, cells: String,
           probes: String, fwd: String, qcol: String, ccol: String) =
         s"""$cells AS (SELECT vec_id, cell, qv, r FROM (

@@ -344,6 +344,39 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // PSL keying against the VENDORED FULL rule table (resource-loaded
+    // publicsuffix.org format, ICANN + PRIVATE sections): hosts hit rule
+    // families the curated subset never had — third-level k12.{state}.us,
+    // the *.nagoya.jp/!city.nagoya.jp wildcard city family, gub.uy,
+    // co.ke, com.ng, and the multi-level PRIVATE rule blogspot.com.br —
+    // plus the done-list anchors (gouv.fr, github.io, *.ck/!www.ck, IDN
+    // punycode, implicit `*`). The oracle replays the generic
+    // longest-match over the same rules inline
+    "q_doc_psl_full" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(14))
+      val host = when(m === 0, lit("sub.example.gouv.fr"))
+        .when(m === 1, lit("a.b.shop.blogspot.com.br"))
+        .when(m === 2, concat(lit("user"),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit(".github.io")))
+        .when(m === 3, lit("deep.y.k12.tx.us"))
+        .when(m === 4, lit("foo.bar.ck"))
+        .when(m === 5, lit("sub.www.ck"))
+        .when(m === 6, lit("a.blog.nagoya.jp"))
+        .when(m === 7, lit("x.city.nagoya.jp"))
+        .when(m === 8, lit("ministry.gub.uy"))
+        .when(m === 9, lit("shop.co.ke"))
+        .when(m === 10, lit("a.shi.xn--55qx5d.cn"))
+        .when(m === 11, concat(lit("cdn.example"),
+          pmod(col("doc_id"), lit(3)).cast("string"), lit(".zz")))
+        .when(m === 12, lit("mysite.streamlit.app"))
+        .otherwise(lit("x.firm.com.ng"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"),
+          graft.ops.UrlOps.registeredDomainPsl(host,
+            graft.ops.PublicSuffixes.Full).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // host-level dup triage: canonical-URL and content-fingerprint
     // distincts per registered domain (fingerprints synthesized with
     // planted collisions — doc_id mod 50 — so dup_ppm is a real assertion)
@@ -934,6 +967,31 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // margin mining over the PQ serving layout: the SAME ratio-margin
+    // tail as the brute/IVF gates, but both directions' kNN run on
+    // compressed codes via the integer cos-ADC scan (reconstructed-
+    // vector cosine from per-(query,sub,codeword) exact dot LUTs) — the
+    // corpus-scale serving form of bitext mining: codes train once
+    // (scale 1e5, the exact-chain envelope), the margin post-processing
+    // is backend-blind. Integer end to end; the oracle replays trainers,
+    // LUT dots, reconstructed norms, and the margin tail CTE-for-CTE
+    "q_emb_margin_pq" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id",
+        "embedding", m = 2, k = 8, iters = 2, scale = 1e5)
+      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val fwd = graft.ops.KMeans.pqSearchCosExact(model, tgt,
+        qside(src), "query_id", "query_vec", topK = 4)
+      val bwd = graft.ops.KMeans.pqSearchCosExact(model, src,
+        qside(tgt), "query_id", "query_vec", topK = 4)
+      graft.ops.VectorOps.marginPairsExact(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
     // BQ SERVING path: signatures packed once into the content-keyed
     // cache (the ivfpq_serve discipline), queries scan the 32×-compressed
     // words and rerank k-bounded candidates against the float corpus —
@@ -1066,6 +1124,23 @@ object CurationQueries {
       val docs = wide(s, t(s, dir, "documents"))
       val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
         3, 64, 32, 0.8)
+      graft.ops.Dedup.softDedupWeights(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // SNM → exact-Jaccard verify → soft-dedup weights, as ONE pipeline:
+    // the blocking family you choose when LSH recall is contractual —
+    // sorted-neighborhood candidates are DETERMINISTIC (every
+    // prefix-adjacent pair within the window is examined, no
+    // probabilistic bands), the exact Jaccard rides along from the
+    // blocking stage, and the surviving pairs feed the same re-weighting
+    // consumer as the LSH path (backend swap changes only the pair CTEs)
+    "q_doc_snm_weights" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val pairs = graft.ops.Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          "text", window = 4, shingleK = 3)
+        .where(col("jaccard_ppm") >= 800000L)
+        .select("doc_a", "doc_b")
       graft.ops.Dedup.softDedupWeights(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
@@ -1353,7 +1428,7 @@ object CurationQueries {
     * PQ); the final assignment CTE is `a${iters + 1}$sfx`.
     */
   private def kmeansCtes(sfx: String, vecExpr: String, k: Int,
-      iters: Int): Seq[String] = {
+      iters: Int, scale: String = "1000000.0"): Seq[String] = {
     def assignStep(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, v, cid FROM (
          |  SELECT q.vec_id, q.v, c.cid,
@@ -1371,7 +1446,7 @@ object CurationQueries {
     Seq(
       s"""q$sfx AS (
          |  SELECT vec_id,
-         |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         |    [CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)
          |     for x in $vecExpr] AS v
          |  FROM embeddings)""".stripMargin,
       s"""c0$sfx AS (
@@ -1494,6 +1569,78 @@ object CurationQueries {
     * with the PQ ADC replay — candidates restricted to probed cells before
     * ranking, exactly like the Spark operator.
     */
+  /** PQ-margin replay: sub-space trainers at scale 1e5 (the exact-chain
+    * envelope), candidate reconstructed norms from codeword norms², LUT
+    * dots of the quantized query slice against each assigned codeword,
+    * the icos truncating cosine, per-direction top-`topK`, and the SAME
+    * margin tail CTEs as the brute/IVF margin gates — proving the
+    * compressed backend swap changes only the kNN CTEs.
+    */
+  private def marginPqSql(m: Int, dims: Int, k: Int, iters: Int,
+      topK: Int): String = {
+    val d = dims / m
+    val blocks = (0 until m).flatMap { s =>
+      kmeansCtes(s"_s$s", s"embedding[${s * d + 1}:${(s + 1) * d}]", k,
+        iters, scale = "100000.0")
+    }
+    val n2s = (0 until m).map { s =>
+      s"""n2_s$s AS (SELECT cid, CAST(list_sum([cv[i] * cv[i]
+         |    for i in generate_series(1, len(cv))]) AS BIGINT) AS n2
+         |  FROM c${iters}_s$s)""".stripMargin
+    }
+    val a = s"a${iters + 1}"
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN ${a}_s$s t$s USING (vec_id)").mkString("\n")
+    val n2Joins = (0 until m)
+      .map(s => s"JOIN n2_s$s n$s ON n$s.cid = t$s.cid").mkString("\n")
+    val n2Sum = (0 until m).map(s => s"n$s.n2").mkString(" + ")
+    val cols = (0 until m).map(s => s"t$s.cid AS c$s").mkString(", ")
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN c${iters}_s$s b$s ON b$s.cid = c.c$s").mkString("\n")
+    val dotSum = (0 until m).map { s =>
+      s"CAST(list_sum([q.qv[${s * d} + i] * b$s.cv[i] " +
+        s"for i in generate_series(1, $d)]) AS BIGINT)"
+    }.mkString(" + ")
+    def side(qs: String, candPar: Int, srcSel: String, tgtSel: String,
+        part: String, tie: String, out: String) =
+      s"""${out}0 AS (SELECT $srcSel, $tgtSel,
+         |    ($dotSum) AS dot, q.r AS rq, c.rv
+         |  FROM $qs q, crv c
+         |$cbJoins
+         |  WHERE c.vec_id % 2 = $candPar AND c.vec_id != q.vec_id),
+         |${out}c AS (SELECT src_id, tgt_id,
+         |    (dot * 1000000) // nullif(rq * rv, 0) AS cos_x1m
+         |  FROM ${out}0),
+         |${out}r AS (SELECT src_id, tgt_id, cos_x1m,
+         |    row_number() OVER (PARTITION BY $part
+         |      ORDER BY cos_x1m DESC, $tie) AS rn
+         |  FROM ${out}c WHERE cos_x1m IS NOT NULL),
+         |$out AS (SELECT src_id, tgt_id, cos_x1m FROM ${out}r
+         |  WHERE rn <= $topK)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, ${CorpusOps.evGuardSql} AS ev
+       |  FROM embeddings),
+       |${CorpusOps.exactChainSql("e", "qe")},
+       |${(blocks ++ n2s).mkString(",\n")},
+       |cand AS (SELECT t0.vec_id, $cols, $n2Sum AS n2v
+       |  FROM ${a}_s0 t0
+       |$codeJoins
+       |$n2Joins),
+       |cr0 AS (SELECT *, CAST(floor(sqrt(CAST(n2v AS DOUBLE)))
+       |    AS BIGINT) AS mr0 FROM cand),
+       |cr1 AS (SELECT *, CASE WHEN (mr0+1)*(mr0+1) <= n2v THEN mr0+1
+       |    ELSE mr0 END AS mr1 FROM cr0),
+       |crv AS (SELECT vec_id, ${(0 until m).map(s => s"c$s")
+        .mkString(", ")}, CASE WHEN mr1*mr1 > n2v THEN mr1-1 ELSE mr1 END
+       |    AS rv FROM cr1),
+       |so AS (SELECT vec_id, qv, r FROM qe WHERE vec_id % 2 = 0),
+       |tg AS (SELECT vec_id, qv, r FROM qe WHERE vec_id % 2 = 1),
+       |${side("so", 1, "q.vec_id AS src_id", "c.vec_id AS tgt_id",
+          "src_id", "tgt_id", "fwd")},
+       |${side("tg", 0, "c.vec_id AS src_id", "q.vec_id AS tgt_id",
+          "tgt_id", "src_id", "bwd")},
+       |${CorpusOps.marginTailSql}""".stripMargin
+  }
+
   private def ivfPqSearchSql(m: Int, dims: Int, k: Int, iters: Int,
       nQueries: Int, topK: Int, nprobe: Int, nCoarse: Int): String = {
     val d = dims / m
@@ -1676,6 +1823,8 @@ object CurationQueries {
     // (persistence must not change a single bit), so the same full replay
     "q_emb_ivfpq_serve" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
       topK = 5, nprobe = 2, nCoarse = 8),
+
+    "q_emb_margin_pq" -> marginPqSql(2, 64, 8, 2, topK = 4),
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
 
@@ -2018,6 +2167,52 @@ object CurationQueries {
          |FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // SNM-weights replay: the sorted-neighborhood rank/gap/Jaccard CTEs
+    // (one global rank — DuckDB just sorts; the engine's bucket-offset
+    // chain must land on identical pairs), threshold 0.8 exact-integer,
+    // then the IDENTICAL component/weight chain as the LSH-fed gate
+    "q_doc_snm_weights" ->
+      raw"""WITH RECURSIVE n AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS skey
+           |  FROM documents),
+           |sh AS ${CorpusOps.shinglesSql},
+           |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+           |r AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY skey, doc_id) AS rk
+           |  FROM n),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3),
+           |jj AS (SELECT p.doc_a, p.doc_b,
+           |    len(list_intersect(sa.s, sb.s)) AS c,
+           |    sa.n AS na, sb.n AS nb
+           |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+           |  JOIN sz sb ON p.doc_b = sb.doc_id),
+           |prs AS (SELECT doc_a, doc_b FROM jj
+           |  WHERE CAST(CASE WHEN na + nb - c = 0 THEN 1000000
+           |    ELSE (c * 1000000) // (na + nb - c) END AS BIGINT)
+           |    >= 800000),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+           |  UNION SELECT doc_b, doc_a FROM prs),
+           |reach(node, lab) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT e2.b, r2.lab FROM reach r2 JOIN edges e2
+           |    ON e2.a = r2.node),
+           |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+           |  FROM reach GROUP BY node),
+           |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+           |    AS cluster_size
+           |  FROM comp GROUP BY cluster_id),
+           |j2 AS (SELECT comp.doc_id, comp.cluster_id, cs.cluster_size
+           |  FROM comp JOIN cs USING (cluster_id))
+           |SELECT d.doc_id,
+           |  coalesce(j2.cluster_id, d.doc_id) AS cluster_id,
+           |  coalesce(j2.cluster_size, 1) AS cluster_size,
+           |  CAST(1000000 AS BIGINT) // coalesce(j2.cluster_size, 1)
+           |    AS weight_ppm
+           |FROM documents d LEFT JOIN j2 ON d.doc_id = j2.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
     "q_doc_exact_split" ->
       raw"""WITH n AS (SELECT source, doc_id,
            |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
@@ -2320,6 +2515,59 @@ object CurationQueries {
         |r(rule) AS (VALUES ('co.uk'), ('gouv.fr'), ('com.br'),
         |  ('github.io'), ('*.ck'), ('!www.ck'), ('*.kobe.jp'),
         |  ('!city.kobe.jp'), ('xn--55qx5d.cn'), ('or.jp'), ('com.au')),
+        |ls AS (SELECT doc_id, host, string_split(host, '.') AS l FROM h),
+        |ix AS (SELECT doc_id, host, l,
+        |    unnest(generate_series(1, len(l))) AS i FROM ls),
+        |sf AS (SELECT doc_id, host, len(l) AS n, i,
+        |    array_to_string(l[len(l)-i+1:len(l)], '.') AS sfx,
+        |    CASE WHEN i >= 2
+        |      THEN array_to_string(l[len(l)-i+2:len(l)], '.') END AS psfx
+        |  FROM ix),
+        |mt AS (SELECT doc_id, host, n, i, sfx,
+        |    EXISTS(SELECT 1 FROM r WHERE r.rule = sf.sfx
+        |      OR (sf.psfx IS NOT NULL AND r.rule = '*.' || sf.psfx))
+        |      AS is_m,
+        |    EXISTS(SELECT 1 FROM r WHERE r.rule = '!' || sf.sfx) AS is_exc
+        |  FROM sf),
+        |ag AS (SELECT doc_id, host, max(n) AS n,
+        |    coalesce(max(CASE WHEN is_m THEN i END), 1) AS mlen,
+        |    max(CASE WHEN is_exc THEN i END) AS elen
+        |  FROM mt GROUP BY doc_id, host)
+        |SELECT a.doc_id, a.host,
+        |  CASE WHEN a.elen IS NOT NULL THEN se.sfx
+        |       WHEN a.n > a.mlen THEN sm.sfx
+        |       ELSE a.host END AS domain
+        |FROM ag a
+        |LEFT JOIN sf se ON se.doc_id = a.doc_id AND se.i = a.elen
+        |LEFT JOIN sf sm ON sm.doc_id = a.doc_id AND sm.i = a.mlen + 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // full-table PSL replay: the SAME generic longest-match algorithm,
+    // rules inline = every vendored rule that is suffix-relevant to the
+    // synthesized hosts (incl. the third-level k12.tx.us, the nagoya
+    // wildcard/exception family, and the PRIVATE blogspot.com.br rule)
+    "q_doc_psl_full" ->
+      """WITH h AS (SELECT doc_id,
+        |    CASE doc_id % 14
+        |      WHEN 0 THEN 'sub.example.gouv.fr'
+        |      WHEN 1 THEN 'a.b.shop.blogspot.com.br'
+        |      WHEN 2 THEN 'user' || (doc_id % 5) || '.github.io'
+        |      WHEN 3 THEN 'deep.y.k12.tx.us'
+        |      WHEN 4 THEN 'foo.bar.ck'
+        |      WHEN 5 THEN 'sub.www.ck'
+        |      WHEN 6 THEN 'a.blog.nagoya.jp'
+        |      WHEN 7 THEN 'x.city.nagoya.jp'
+        |      WHEN 8 THEN 'ministry.gub.uy'
+        |      WHEN 9 THEN 'shop.co.ke'
+        |      WHEN 10 THEN 'a.shi.xn--55qx5d.cn'
+        |      WHEN 11 THEN 'cdn.example' || (doc_id % 3) || '.zz'
+        |      WHEN 12 THEN 'mysite.streamlit.app'
+        |      ELSE 'x.firm.com.ng' END AS host
+        |  FROM documents),
+        |r(rule) AS (VALUES ('gouv.fr'), ('com.br'), ('blogspot.com.br'),
+        |  ('github.io'), ('tx.us'), ('k12.tx.us'), ('*.ck'), ('!www.ck'),
+        |  ('*.nagoya.jp'), ('!city.nagoya.jp'), ('gub.uy'), ('co.ke'),
+        |  ('xn--55qx5d.cn'), ('streamlit.app'), ('com.ng')),
         |ls AS (SELECT doc_id, host, string_split(host, '.') AS l FROM h),
         |ix AS (SELECT doc_id, host, l,
         |    unnest(generate_series(1, len(l))) AS i FROM ls),

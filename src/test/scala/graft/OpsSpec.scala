@@ -1562,6 +1562,73 @@ class OpsSpec extends AnyFunSuite {
       "text", 3, 3)).isEmpty)
   }
 
+  test("sorted neighborhood: first-char skew still ranks exactly") {
+    import graft.ops.Dedup
+    // 90% of the corpus shares its first char (the English-corpus "the "
+    // cluster) — the old 1-char bucket put 90% of ranking on one task;
+    // the 3-char bucket splits it while the rank stays globally exact
+    val skew = (0L until 200L).map { i =>
+      val text = if (i % 10 != 0) s"the quick ${"%03d".format(i)} fox jumps"
+                 else s"zebra ${"%03d".format(i)} crossing line"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(skew.repartition(16),
+      "doc_id", "text", window = 2, shingleK = 2).collect()
+    assert(got.length == 199) // n-1 adjacent pairs, none lost to skew
+    // reference: brute-force global sort order of the normalized key
+    val order = skew.collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ")))
+      .sortBy { case (id, k) => (k, id) }.map(_._1)
+    val expected = order.sliding(2).map(p => (p(0), p(1))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    // the bucket domain actually split: >1 distinct 3-char prefix among
+    // the skewed 90% is not required, but the zebra/the split is
+    val buckets = skew.select(graft.ops.TextOps.normalize(col("text"))
+      .substr(1, 3)).distinct().count()
+    assert(buckets >= 2)
+  }
+
+  test("AMS F2: estimators differ per seed and the median concentrates") {
+    import graft.ops.Ams
+    // skewed stream: key j appears j times for j in 1..40 -> F2 exact
+    val stream = (1 to 40).flatMap(j => Seq.fill(j)(("g", s"key-$j")))
+      .toDF("grp", "key")
+    val f2True = (1 to 40).map(j => j.toLong * j).sum
+    // the per-seed sums must NOT collapse to a single (+/-) family —
+    // the old odd-multiplier signs made every |Z_e| identical
+    val zs = Ams.zSums(stream, Seq("grp"), col("key"), d = 15)
+      .select(abs(col("z"))).collect().map(_.getLong(0)).toSeq
+    assert(zs.distinct.size > 1, s"degenerate sign family: |Z| = $zs")
+    // mean-of-s1 / median-of-s2 concentrates: within 2x of truth
+    // (deterministic hash, not flaky; a plain median of squares sits
+    // near 0.455*F2 by the chi-square median and would fail this band)
+    val est = Ams.f2Estimate(stream, Seq("grp"), col("key"))
+      .head().getLong(1)
+    assert(est >= f2True / 2 && est <= f2True * 2,
+      s"f2 estimate $est vs true $f2True")
+    // Z sums are additive: sharded run merges to the same estimate
+    val est2 = Ams.f2Estimate(stream.repartition(8), Seq("grp"),
+      col("key")).head().getLong(1)
+    assert(est2 == est)
+  }
+
+  test("priority sampling: string ids tie at the boundary, envelope raises") {
+    import graft.ops.Sampling
+    // STRING ids (the old boundary exclusion cast ids to long -> NULL ->
+    // dropped every boundary-tied row); weight 1 collides priorities hard
+    val pop = (1 to 400).map(i => (s"doc-${"%04d".format(i)}", 1L))
+      .toDF("id", "w")
+    val s = Sampling.prioritySample(pop, "id", "w", k = 64).collect()
+    assert(s.length == 64, s"expected 64 kept rows, got ${s.length}")
+    // enforced envelope: w > 2^22 must raise, not silently wrap
+    val big = Seq(("a", 1L << 23), ("b", 2L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.prioritySample(big, "id", "w", k = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("priority sampling: estimator contract, small-population exactness") {
     import graft.ops.Sampling
     // weights 1..2000: heavy skew toward high ids
@@ -2888,6 +2955,35 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(13L) == ((1L, 500000L)))
     // and token-bearing docs report their true token count
     assert(rows(11L)._1 == 4L)
+  }
+
+  test("nbTrainMulti: multilingual posteriors separate held-out languages") {
+    val train = Seq(
+      ("the quick brown fox and the lazy dog", "en"),
+      ("a clean sentence with common words", "en"),
+      ("le chat noir et le chien blanc", "fr"),
+      ("le monde est grand et le ciel bleu", "fr"),
+      ("der hund und die katze sind hier", "de"),
+      ("die sonne und der mond sind oben", "de")).toDF("text", "lang")
+    val model = graft.ops.TextOps.nbTrainMulti(train, "text", "lang")
+    // every vocab token carries exactly L = 3 rows
+    val perTok = model.groupBy("tok").count()
+      .select(countDistinct("count")).head().getLong(0)
+    assert(perTok == 1L && model.groupBy("tok").count()
+      .head().getLong(1) == 3L)
+    // a French-only token's posterior: fr row dominates, others floor
+    val le = model.where(col("tok") === "le").collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(le("fr") > le("en") && le("fr") > le("de"))
+    // held-out docs classify to their language; lang-asc tie-break is
+    // deterministic (all-OOV docs produce NO row — undecidable)
+    val heldOut = Seq((1L, "the fox and dog"), (2L, "le chat et le chien"),
+      (3L, "der hund und katze"), (4L, "zz qq vv")).toDF("doc_id", "text")
+    val pred = graft.ops.TextOps.nbPredictLang(
+      graft.ops.TextOps.nbScoreMulti(heldOut, "doc_id", "text", model))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "fr", 3L -> "de"),
+      s"held-out separation failed: $pred")
   }
 
   test("nbTrain vocab cap keeps the top tokens deterministically") {
