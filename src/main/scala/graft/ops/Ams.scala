@@ -18,15 +18,16 @@ import org.apache.spark.sql.functions._
   * s₁·s₂ longs of state per group, when the key domain (URLs, shingles,
   * user ids) never fits a groupBy.
   *
-  * Determinism/portability: sign `s_e(k)` is bit 0 of the first nibble
-  * of `md5(key ∥ '|' ∥ e)` — the key and the seed hash JOINTLY, so the
-  * sign vectors are genuinely independent (a seeded odd-multiplier
-  * family over one base hash is NOT: with odd multipliers and an odd φ
-  * step, bit 0 collapses to bit0(base) XOR (e mod 2) and all estimators
-  * coincide up to global negation, voiding every concentration bound).
-  * The Z sums are order-free longs, block means are integer floor
-  * division, and the median is a rank statistic over s₂ sorted means —
-  * an external engine replays the sketch and the estimate bit-for-bit.
+  * Determinism/portability: sign `s_e(k)` is BIT e of md5(key) — one
+  * digest per occurrence serves all d ≤ 64 seeds, and distinct digest
+  * bits are independent ±1 functions of the key (a seeded
+  * odd-multiplier family over one base hash is NOT: with odd
+  * multipliers and an odd φ step, bit 0 collapses to bit0(base) XOR
+  * (e mod 2) and all estimators coincide up to global negation, voiding
+  * every concentration bound). The Z sums are order-free longs, block
+  * means are integer floor division, and the median is a rank statistic
+  * over s₂ sorted means — an external engine replays the sketch and the
+  * estimate bit-for-bit.
   * |Z| ≤ stream length n, so Σ_{s₁} Z² stays in a long for n up to
   * ~10⁹/√s₁ occurrences per group (the envelope; beyond that, shard the
   * group and merge Z sums — they are additive).
@@ -44,20 +45,31 @@ object Ams {
     * callers (and the estimator-independence spec) can see the sketches
     * individually; Z sums are additive, so shards merge by summing z per
     * (group, seed).
+    *
+    * Sign `s_e(k)` = bit e of md5(key): ONE digest per occurrence serves
+    * all d seeds (bit e = bit (e mod 4) of hex nibble (e div 4)), and the
+    * d sums aggregate as d COLUMNS of one hash aggregate — no per-seed
+    * row multiplication anywhere; the seed dimension unfolds only AFTER
+    * the agg, d rows per group. A 10× corpus costs one 10× md5 scan, not
+    * 10·d.
     */
   def zSums(rows: DataFrame, groupCols: Seq[String], key: Column,
       d: Int): DataFrame = {
     require(d >= 1 && d <= 64, s"d must be in [1, 64], got $d")
-    val signs = array((0 until d).map { i =>
-      val nib = conv(substring(
-        md5(concat(key.cast("string"), lit("|" + i))), 1, 1), 16, 10)
+    val base = rows.select(groupCols.map(col) :+
+      md5(key.cast("string")).as("__dg"): _*)
+    val sums = (0 until d).map { e =>
+      val nib = conv(substring(col("__dg"), e / 4 + 1, 1), 16, 10)
         .cast("long")
-      lit(1L) - nib.bitwiseAND(lit(1L)) * lit(2L)
-    }: _*)
-    rows.select(groupCols.map(col) :+
-        posexplode(signs).as(Seq("seed", "s")): _*)
-      .groupBy((groupCols :+ "seed").map(col): _*)
-      .agg(sum("s").as("z"))
+      sum(lit(1L) -
+        shiftrightunsigned(nib, e % 4).bitwiseAND(lit(1L)) * lit(2L))
+        .as(s"__z$e")
+    }
+    base.groupBy(groupCols.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .select(groupCols.map(col) :+ posexplode(
+        array((0 until d).map(e => col(s"__z$e")): _*))
+        .as(Seq("seed", "z")): _*)
   }
 
   /** Median over s2 blocks of the mean over s1 squared sums (both

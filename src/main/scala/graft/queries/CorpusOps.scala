@@ -3624,7 +3624,8 @@ object CorpusOps {
            |FROM est ORDER BY n DESC, term""".stripMargin
     },
 
-    // AMS replay: same (token|seed) md5 signs, Z sums per (grp, seed),
+    // AMS replay: sign = bit `seed` of md5(token) (nibble seed//4, bit
+    // seed%4 — one digest serves all 40 seeds), Z sums per (grp, seed),
     // integer block means (sum of squares div 8), exact middle element
     // of the 5 sorted block means, exact F2 alongside
     "q_doc_ams_f2" ->
@@ -3634,8 +3635,9 @@ object CorpusOps {
            |  FROM documents),
            |sd AS (SELECT unnest(generate_series(0, 39)) AS seed),
            |z AS (SELECT grp, seed,
-           |    CAST(sum(1 - 2 * (('0x' || substr(md5(w || '|' || seed),
-           |      1, 1))::BIGINT & 1)) AS BIGINT) AS z
+           |    CAST(sum(1 - 2 * ((('0x' || substr(md5(w),
+           |      (seed // 4) + 1, 1))::BIGINT >> (seed % 4)) & 1))
+           |      AS BIGINT) AS z
            |  FROM tok CROSS JOIN sd GROUP BY grp, seed),
            |bm AS (SELECT grp, seed // 8 AS blk,
            |    CAST(sum(z * z) // 8 AS BIGINT) AS blk_mean

@@ -983,10 +983,17 @@ object CurationQueries {
       val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       def qside(d: org.apache.spark.sql.DataFrame) = d.select(
         col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // the gate scales BOTH kNN directions like the brute/IVF margin
+      // pair (deliberately super-linear under a replica probe, SCALE.md);
+      // maxQueryBatch raised above the 10x-probe query count — the LUT
+      // stays tiny (nq × m × k rows), the candidate join is the priced
+      // quadratic
       val fwd = graft.ops.KMeans.pqSearchCosExact(model, tgt,
-        qside(src), "query_id", "query_vec", topK = 4)
+        qside(src), "query_id", "query_vec", topK = 4,
+        maxQueryBatch = 16384)
       val bwd = graft.ops.KMeans.pqSearchCosExact(model, src,
-        qside(tgt), "query_id", "query_vec", topK = 4)
+        qside(tgt), "query_id", "query_vec", topK = 4,
+        maxQueryBatch = 16384)
       graft.ops.VectorOps.marginPairsExact(fwd, bwd)
         .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
         .limit(20)
