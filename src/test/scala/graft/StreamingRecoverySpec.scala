@@ -437,4 +437,75 @@ class StreamingRecoverySpec extends AnyFunSuite {
         Seq("u0").toDF("k"), "k", 4, 64).head().getLong(1)
     assert(last.getLong(2) == want, s"recovered $last vs batch $want")
   }
+
+  test("AMS F2 tracker survives restart: Z sums intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAms
+    import graft.ops.Ams
+    val source = MemoryStream[(String, Timestamp, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_ams").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = StreamingAms.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        watermarkDelay = "0 seconds")
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        b.collect().foreach(buf.add)).start()
+    val first = (1 to 12).flatMap(j =>
+      Seq.fill(j)(("g1", ts("2020-01-01 00:00:01"), s"key-$j")))
+    val second = (1 to 6).map(j =>
+      ("g1", ts("2020-01-01 00:00:02"), s"key-$j"))
+    val q1 = start()
+    try { source.addData(first: _*); q1.processAllAvailable() }
+    finally q1.stop() // mid-stream kill: Z sums hold the first fold
+    val q2 = start()
+    try { source.addData(second: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val last = buf.toArray(Array.empty[Row]).toSeq.last
+    // recovered Z sums must fold phase 2 onto phase 1's state: the final
+    // estimate equals the batch fold of the FULL stream
+    val want = Ams.f2Estimate((first ++ second).map(t => ("g1", t._3))
+        .toDF("grp", "k"), Seq("grp"), col("k")).head().getLong(1)
+    assert(last.getLong(1) == want, s"recovered $last vs batch $want")
+  }
+
+  test("priority-sample tracker survives restart: top-(k+1) intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPrioritySample
+    import graft.ops.Sampling
+    val source = MemoryStream[(String, Timestamp, String, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_prio").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = StreamingPrioritySample.estimates(
+        source.toDF().toDF("grp", "event_time", "id", "w"), k = 6,
+        watermarkDelay = "0 seconds")
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        b.collect().foreach(buf.add)).start()
+    val first = (1 to 15).map(i =>
+      ("g1", ts("2020-01-01 00:00:01"), s"doc-$i", (i % 4 + 1).toLong))
+    val second = (16 to 25).map(i =>
+      ("g1", ts("2020-01-01 00:00:02"), s"doc-$i", (i % 3 + 2).toLong))
+    val q1 = start()
+    try { source.addData(first: _*); q1.processAllAvailable() }
+    finally q1.stop() // mid-stream kill: the top-7 triples persist
+    val q2 = start()
+    try { source.addData(second: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val last = buf.toArray(Array.empty[Row]).toSeq.last
+    // recovered state must merge phase 2 into phase 1's top set: the
+    // final (n_kept, tau, estimate) equals the batch gate on the FULL
+    // stream (a lost state would sample phase 2 alone)
+    val rows = Sampling.prioritySample(
+      (first ++ second).map(t => (t._3, t._4)).toDF("id", "w"),
+      "id", "w", 6).collect()
+    assert(last.getInt(1) == rows.length &&
+      last.getLong(2) == rows.head.getLong(3) &&
+      last.getLong(3) == rows.map(_.getLong(4)).sum,
+      s"recovered $last vs batch ${rows.mkString(",")}")
+  }
 }

@@ -1021,4 +1021,80 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming AMS F2 tracker matches batch estimate after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAms
+    import graft.ops.Ams
+    val source = MemoryStream[(String, Timestamp, String)]
+    val q = StreamingAms.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ams_out").start()
+    def latest(): Map[String, Long] =
+      spark.table("ams_out").collect()
+        .foldLeft(Map.empty[String, Long]) { (m, r) =>
+          m + (r.getString(0) -> r.getLong(1)) }
+    def batchEst(prefix: Seq[(String, String)]): Map[String, Long] =
+      Ams.f2Estimate(prefix.toDF("grp", "key"), Seq("grp"), col("key"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      val p1 = (1 to 10).flatMap(j => Seq.fill(j)(("g1", s"key-$j"))) ++
+        Seq(("g2", "a"), ("g2", "a"), ("g2", "b"))
+      source.addData(p1.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:01"), k) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchEst(p1))
+      // the second batch re-touches g1 only; its emitted estimate must
+      // equal the batch fold of the FULL prefix
+      val p2 = (5 to 14).map(j => ("g1", s"key-$j"))
+      source.addData(p2.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:02"), k) }: _*)
+      q.processAllAvailable()
+      assert(latest()("g1") == batchEst(p1 ++ p2)("g1"))
+    } finally q.stop()
+  }
+
+  test("streaming priority sample matches the batch gate after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPrioritySample
+    import graft.ops.Sampling
+    val source = MemoryStream[(String, Timestamp, String, Long)]
+    val k = 8
+    val q = StreamingPrioritySample.estimates(
+        source.toDF().toDF("grp", "event_time", "id", "w"), k = k,
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("prio_out").start()
+    def latest(): Map[String, (Int, Long, Long)] =
+      spark.table("prio_out").collect()
+        .foldLeft(Map.empty[String, (Int, Long, Long)]) { (m, r) =>
+          m + (r.getString(0) -> ((r.getInt(1), r.getLong(2),
+            r.getLong(3)))) }
+    def batchStat(prefix: Seq[(String, String, Long)])
+        : Map[String, (Int, Long, Long)] =
+      prefix.map(_._1).distinct.map { g =>
+        val items = prefix.filter(_._1 == g).map(t => (t._2, t._3))
+        val rows = Sampling.prioritySample(items.toDF("id", "w"), "id",
+          "w", k).collect()
+        val tau = rows.head.getLong(3)
+        g -> ((rows.length, tau, rows.map(_.getLong(4)).sum))
+      }.toMap
+    try {
+      val p1 = (1 to 20).map(i => ("g1", s"doc-$i", (i % 5 + 1).toLong)) ++
+        Seq(("g2", "x", 3L), ("g2", "y", 9L))
+      source.addData(p1.map { case (g, id, w) =>
+        (g, ts("2020-01-01 00:00:01"), id, w) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchStat(p1))
+      // g2 stays under k (everything kept, tau 0, estimator exact)
+      assert(latest()("g2") == ((2, 0L, 12L)))
+      val p2 = (21 to 40).map(i => ("g1", s"doc-$i", (i % 7 + 1).toLong))
+      source.addData(p2.map { case (g, id, w) =>
+        (g, ts("2020-01-01 00:00:02"), id, w) }: _*)
+      q.processAllAvailable()
+      assert(latest()("g1") == batchStat(p1 ++ p2)("g1"))
+    } finally q.stop()
+  }
 }
