@@ -547,6 +547,11 @@ object ExplainCheck {
     // table (B rows), never the data
     "q_doc_exact_percentile" -> (Seq("Window", "BroadcastHashJoin"),
       Seq("CartesianProduct", "SortMergeJoin")),
+    // grouped percentiles: every window is partitioned — ranks by
+    // (group, bucket), offsets by group over the tiny counts table
+    "q_doc_group_percentile" -> (Seq("Window", "BroadcastHashJoin",
+      "hashpartitioning(g"),
+      Seq("CartesianProduct", "SortMergeJoin")),
     // KMV sketch: k-bounded typed aggregator + the exact-count
     // comparison agg — no distinct shuffle of raw keys on the sketch
     // side, no window

@@ -75,4 +75,42 @@ object Rank {
     ranked.join(broadcast(targets).hint("broadcast"), Seq("rk"))
       .select(col("p"), col("v"))
   }
+
+  /** Per-GROUP exact nearest-rank percentiles — [[exactPercentiles]]
+    * with the whole chain keyed by `groupCol`: ranks come from a window
+    * PARTITIONED BY (group, bucket) plus per-group cumulative bucket
+    * offsets (a running-sum window over the counts table, G·B tiny rows),
+    * so no group's values ever sort on one task and no group's values
+    * ever buffer in an aggregator — the two failure modes of
+    * `percentile()` and bare `row_number()` at a billion rows per group.
+    * Targets join back on (group, rank). Returns (groupCol, p, v).
+    */
+  def groupedExactPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, percents: Seq[Int],
+      bucketWidth: Long): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val vals = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+      .withColumn("__bk", call_function("div", col("v"), lit(bucketWidth)))
+    val cnt = vals.groupBy("g", "__bk").agg(count(lit(1)).as("__n"))
+    val off = cnt.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.partitionBy("g")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "__bk", "__off")
+    val ranked = vals.join(broadcast(off), Seq("g", "__bk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g", "__bk").orderBy("v")).cast("long")
+        + col("__off"))
+    val targets = vals.groupBy("g").agg(count(lit(1)).as("n"))
+      .select(col("g"), posexplode(
+        array(percents.map(p => lit(p)): _*)).as(Seq("i", "p")), col("n"))
+      .select(col("g"), col("p").cast("int").as("p"),
+        call_function("div", col("n") * col("p") + lit(99L), lit(100L))
+          .as("rk"))
+    ranked.join(broadcast(targets).hint("broadcast"), Seq("g", "rk"))
+      .select(col("g").as(groupCol), col("p"), col("v"))
+  }
 }

@@ -934,6 +934,19 @@ object CorpusOps {
         .orderBy("p")
     }),
 
+    // per-GROUP exact percentiles: the bucket-offset rank chain keyed by
+    // lang — no group ever sorts on one task, no group's values buffer
+    // in an aggregator (the percentile() failure mode at a billion rows
+    // per group); nearest-rank values are actual data, integer-exact
+    "q_doc_group_percentile" -> ((s, dir) => {
+      val v = wide(s, t(s, dir, "documents"))
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      graft.ops.Rank.groupedExactPercentiles(v, "lang", "nt",
+          Seq(25, 50, 75, 90, 99), bucketWidth = 8)
+        .orderBy("lang", "p")
+    }),
+
     // KMV distinct sketch: per-lang distinct-shingle cardinality from the
     // k=128 smallest md5-52bit hashes — k-bounded mapper state (no
     // distinct shuffle of the key domain), and the (k−1)·M div h_k
@@ -3666,6 +3679,25 @@ object CorpusOps {
            |t AS (SELECT p.p, (n.n * p.p + 99) // 100 AS rk FROM p, n)
            |SELECT t.p, r.v FROM t JOIN r USING (rk)
            |ORDER BY t.p""".stripMargin,
+
+    // grouped-percentile replay: per-lang global rank (DuckDB sorts
+    // within partitions; the engine's per-group bucket-offset chain must
+    // land on identical values), targets at ceil(n_g*p/100)
+    "q_doc_group_percentile" ->
+      raw"""WITH v AS (SELECT lang,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+           |      AS BIGINT) AS v
+           |  FROM documents),
+           |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang
+           |    ORDER BY v) AS rk FROM v),
+           |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v
+           |  GROUP BY lang),
+           |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS p),
+           |t AS (SELECT n.lang, p.p, (n.n * p.p + 99) // 100 AS rk
+           |  FROM p, n)
+           |SELECT t.lang, t.p, r.v
+           |FROM t JOIN r ON t.lang = r.lang AND t.rk = r.rk
+           |ORDER BY t.lang, t.p""".stripMargin,
 
     "q_doc_kmv_distinct" ->
       raw"""WITH t AS (SELECT lang,

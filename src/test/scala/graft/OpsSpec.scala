@@ -1589,6 +1589,33 @@ class OpsSpec extends AnyFunSuite {
     assert(buckets >= 2)
   }
 
+  test("exact percentiles: global and grouped match a sorted reference") {
+    import graft.ops.Rank
+    // skewed values incl. ties and zeros; any bucketWidth is correct
+    val vs = (0 until 500).map(i => (i % 3 match {
+      case 0 => "a"; case 1 => "b"; case _ => "c"
+    }, (i * i % 97).toLong))
+    val df = vs.toDF("g", "v")
+    def ref(xs: Seq[Long], p: Int): Long = {
+      val s = xs.sorted
+      s(((xs.size.toLong * p + 99) / 100 - 1).toInt) // 1-based rank
+    }
+    val ps = Seq(25, 50, 75, 99)
+    val glob = Rank.exactPercentiles(df, "v", ps, bucketWidth = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ps.foreach(p => assert(glob(p) == ref(vs.map(_._2), p),
+      s"global p$p: ${glob(p)} vs ${ref(vs.map(_._2), p)}"))
+    // grouped: each group's percentile equals its own sorted reference,
+    // under a hostile repartitioning
+    val grp = Rank.groupedExactPercentiles(df.repartition(16), "g", "v",
+      ps, bucketWidth = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("a", "b", "c"); p <- ps) {
+      val want = ref(vs.filter(_._1 == g).map(_._2), p)
+      assert(grp((g, p)) == want, s"grouped ($g, p$p)")
+    }
+  }
+
   test("AMS F2: estimators differ per seed and the median concentrates") {
     import graft.ops.Ams
     // skewed stream: key j appears j times for j in 1..40 -> F2 exact
