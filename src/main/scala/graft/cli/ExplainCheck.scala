@@ -132,6 +132,12 @@ object ExplainCheck {
     // shuffles); k-bounded TopKAgg selection, never a window sort
     "q_emb_multiprobe" -> (Seq("BroadcastHashJoin", "ObjectHashAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // LSH-backed margin: bucket equi-joins both directions (pair work
+    // bucket-bounded, the one sub-quadratic margin backend), k-bounded
+    // TopKAgg; the margin tail's k·nq-row joins may sort-merge under
+    // unknown stats like the other margin gates (same forbid set)
+    "q_emb_margin_lsh" -> (Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // recall eval: k-bounded searcher outputs joined + counted — the
     // brute reference keeps its broadcast-scan shape, never a window
     "q_emb_ann_recall" -> (Seq("ObjectHashAggregate", "HashAggregate"),

@@ -1139,6 +1139,27 @@ object CorpusOps {
         .limit(20)
     }),
 
+    // margin mining on the multi-probe LSH backend — the FOURTH kNN
+    // backend under the identical margin tail (brute, IVF, PQ, LSH):
+    // candidates come from each query's own + one-bit-flip sign buckets
+    // only, so the pair work is bucket-bounded rather than quadratic;
+    // same quantize-first integer chain end to end, oracle replays
+    // sig/probe/cos/rank/margin CTE-for-CTE
+    "q_emb_margin_lsh" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val fwd = VectorOps.multiProbeLshTopK(tgt, qside(src), k = 4,
+        inDims = embDims, nPlanes = 8, probeHamming = 1)
+      val bwd = VectorOps.multiProbeLshTopK(src, qside(tgt), k = 4,
+        inDims = embDims, nPlanes = 8, probeHamming = 1)
+      VectorOps.marginPairsExact(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
     // multi-probe sign-LSH ANN: each query probes its own 8-bit sign
     // bucket PLUS the 8 one-bit-flip buckets (the buckets a neighbor
     // lands in when one plane sum crosses zero) — recall climbs toward
@@ -4163,6 +4184,38 @@ object CorpusOps {
     // (integer plane dots, bit set iff strictly positive), base + one-
     // bit-flip probe buckets via xor, exact integer cosine, row_number
     // top-5 with the (cos_x1m desc, vec_id) tie pin
+    // LSH-margin replay: shared sig CTEs, each direction's candidates
+    // from the probed buckets only (a candidate's single sig matches at
+    // most one probe bucket — no dedup needed), per-direction top-4 by
+    // (cos desc, id), then the IDENTICAL margin tail as brute/IVF/PQ
+    "q_emb_margin_lsh" ->
+      s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |${exactChainSql("v", "c")},
+         |$lshSigCtes,
+         |qf AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r,
+         |    unnest([$lshProbeList]) AS bucket
+         |  FROM sg WHERE vec_id % 2 = 0),
+         |cf AS (SELECT q.query_id AS src_id, t.vec_id AS tgt_id,
+         |    ${icosSql("t.qv", "t.r", "q.qq", "q.q_r")} AS cos_x1m
+         |  FROM qf q JOIN sg t ON t.sig = q.bucket
+         |  WHERE t.vec_id % 2 = 1),
+         |fr AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY cos_x1m DESC, tgt_id) AS rn
+         |  FROM cf WHERE cos_x1m IS NOT NULL),
+         |fwd AS (SELECT src_id, tgt_id, cos_x1m FROM fr WHERE rn <= 4),
+         |qb AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r,
+         |    unnest([$lshProbeList]) AS bucket
+         |  FROM sg WHERE vec_id % 2 = 1),
+         |cb AS (SELECT t.vec_id AS src_id, q.query_id AS tgt_id,
+         |    ${icosSql("t.qv", "t.r", "q.qq", "q.q_r")} AS cos_x1m
+         |  FROM qb q JOIN sg t ON t.sig = q.bucket
+         |  WHERE t.vec_id % 2 = 0),
+         |br AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY cos_x1m DESC, src_id) AS rn
+         |  FROM cb WHERE cos_x1m IS NOT NULL),
+         |bwd AS (SELECT src_id, tgt_id, cos_x1m FROM br WHERE rn <= 4),
+         |$marginTailSql""".stripMargin,
+
     "q_emb_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
          |${exactChainSql("v", "c")},
