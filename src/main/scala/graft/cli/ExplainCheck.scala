@@ -558,6 +558,11 @@ object ExplainCheck {
     "q_doc_group_percentile" -> (Seq("Window", "BroadcastHashJoin",
       "hashpartitioning(g"),
       Seq("CartesianProduct", "SortMergeJoin")),
+    // weighted percentiles: same partitioned-window discipline; the
+    // target lookup is a broadcast join with the interval filter
+    "q_doc_wgt_percentile" -> (Seq("Window", "BroadcastHashJoin",
+      "hashpartitioning(g"),
+      Seq("CartesianProduct", "SortMergeJoin")),
     // KMV sketch: k-bounded typed aggregator + the exact-count
     // comparison agg — no distinct shuffle of raw keys on the sketch
     // side, no window

@@ -113,4 +113,61 @@ object Rank {
     ranked.join(broadcast(targets).hint("broadcast"), Seq("g", "rk"))
       .select(col("g").as(groupCol), col("p"), col("v"))
   }
+
+  /** Per-group WEIGHTED nearest-rank percentiles — the value at the
+    * point where cumulative WEIGHT first reaches `ceil(W_g·p/100)`
+    * (W_g = the group's total weight). With weight = token count this
+    * answers "the document length at the p-th percentile of TOKEN MASS"
+    * — the number that matters when budgets are tokens, not documents
+    * (half the corpus's tokens live in docs longer than the mass
+    * median, however many tiny docs there are).
+    *
+    * Same bucket-offset discipline as [[groupedExactPercentiles]], with
+    * weight sums in place of counts: per-(group, bucket) weight totals
+    * → per-group running offsets (tiny counts-table window), intra-
+    * bucket cumulative weight via a PARTITIONED window, and the target
+    * row found by the interval membership `cum − w < target ≤ cum` —
+    * the (cum−w, cum] intervals partition the weight axis, so exactly
+    * one row matches per target and the selected VALUE is invariant to
+    * tie order among equal values. Weights must be ≥ 0 (raise_error on
+    * negatives — a silent negative would corrupt every downstream
+    * cumulative); zero-weight rows own an empty interval and are never
+    * selected. Returns (groupCol, p, v).
+    */
+  def groupedWeightedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, percents: Seq[Int],
+      bucketWidth: Long): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val wChecked = when(col(weightCol).cast("long") >= 0,
+      col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("groupedWeightedPercentiles: negative weight: "),
+        col(weightCol).cast("string"))))
+    val vals = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"), wChecked.as("w"))
+      .withColumn("__bk", call_function("div", col("v"), lit(bucketWidth)))
+    val cnt = vals.groupBy("g", "__bk").agg(sum("w").as("__n"))
+    val off = cnt.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.partitionBy("g")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "__bk", "__off")
+    val ranked = vals.join(broadcast(off), Seq("g", "__bk"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy("g", "__bk").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)) + col("__off"))
+    val targets = vals.groupBy("g").agg(sum("w").as("tw"))
+      .select(col("g").as("g2"), posexplode(
+        array(percents.map(p => lit(p)): _*)).as(Seq("i", "p")),
+        col("tw"))
+      .select(col("g2"), col("p").cast("int").as("p"),
+        call_function("div", col("tw") * col("p") + lit(99L), lit(100L))
+          .as("tgt"))
+    ranked.join(broadcast(targets).hint("broadcast"),
+        col("g") === col("g2") &&
+          col("tgt") > col("cum") - col("w") && col("tgt") <= col("cum"))
+      .select(col("g").as(groupCol), col("p"), col("v"))
+  }
 }

@@ -947,6 +947,20 @@ object CorpusOps {
         .orderBy("lang", "p")
     }),
 
+    // WEIGHTED (token-mass) percentiles per lang: the doc length at the
+    // p-th percentile of TOKEN MASS, not doc count — the packing-budget
+    // view (half the tokens live in docs longer than the mass median);
+    // weight-sum bucket offsets + partitioned cumulative windows, target
+    // row by (cum−w, cum] interval membership — integer-exact
+    "q_doc_wgt_percentile" -> ((s, dir) => {
+      val v = wide(s, t(s, dir, "documents"))
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      graft.ops.Rank.groupedWeightedPercentiles(v, "lang", "nt", "nt",
+          Seq(25, 50, 75, 90, 99), bucketWidth = 8)
+        .orderBy("lang", "p")
+    }),
+
     // KMV distinct sketch: per-lang distinct-shingle cardinality from the
     // k=128 smallest md5-52bit hashes — k-bounded mapper state (no
     // distinct shuffle of the key domain), and the (k−1)·M div h_k
@@ -3718,6 +3732,30 @@ object CorpusOps {
            |  FROM p, n)
            |SELECT t.lang, t.p, r.v
            |FROM t JOIN r ON t.lang = r.lang AND t.rk = r.rk
+           |ORDER BY t.lang, t.p""".stripMargin,
+
+    // weighted-percentile replay: per-lang cumulative weight over value
+    // order, target = ceil(W_g*p/100), row by interval membership
+    // (cum - w, cum] — the selected VALUE is tie-order-invariant
+    "q_doc_wgt_percentile" ->
+      raw"""WITH v AS (SELECT lang,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+           |      AS BIGINT) AS v
+           |  FROM documents),
+           |w AS (SELECT lang, v, v AS w FROM v),
+           |c AS (SELECT lang, v, w,
+           |    sum(w) OVER (PARTITION BY lang ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cum
+           |  FROM w),
+           |n AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw FROM w
+           |  GROUP BY lang),
+           |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS p),
+           |t AS (SELECT n.lang, p.p, (n.tw * p.p + 99) // 100 AS tgt
+           |  FROM p, n)
+           |SELECT t.lang, t.p, c.v
+           |FROM t JOIN c ON c.lang = t.lang
+           |  AND t.tgt > c.cum - c.w AND t.tgt <= c.cum
            |ORDER BY t.lang, t.p""".stripMargin,
 
     "q_doc_kmv_distinct" ->

@@ -1614,6 +1614,30 @@ class OpsSpec extends AnyFunSuite {
       val want = ref(vs.filter(_._1 == g).map(_._2), p)
       assert(grp((g, p)) == want, s"grouped ($g, p$p)")
     }
+    // weighted: value at the point cumulative WEIGHT reaches ceil(W*p/100)
+    // (weight = value here: the token-mass view); scalar reference walks
+    // the sorted (v, w) list — tie order among equal v cannot change the
+    // selected value
+    def wref(xs: Seq[Long], p: Int): Long = {
+      val s = xs.sorted
+      val tgt = (xs.sum * p + 99) / 100
+      var cum = 0L
+      s.find { v => cum += v; cum >= tgt }.get
+    }
+    val wgt = Rank.groupedWeightedPercentiles(df.repartition(16), "g",
+      "v", "v", ps, bucketWidth = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("a", "b", "c"); p <- ps) {
+      val want = wref(vs.filter(_._1 == g).map(_._2), p)
+      assert(wgt((g, p)) == want, s"weighted ($g, p$p): ${wgt((g, p))}" +
+        s" vs $want")
+    }
+    // negative weights refuse loudly
+    intercept[Exception] {
+      Rank.groupedWeightedPercentiles(
+        Seq(("a", 1L, -2L)).toDF("g", "v", "w"), "g", "v", "w",
+        Seq(50), 5).collect()
+    }
   }
 
   test("AMS F2: estimators differ per seed and the median concentrates") {
