@@ -628,6 +628,11 @@ object ExplainCheck {
       Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_langid" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // WARC parsing: pure in-row string algebra — no join, no shuffle,
+    // no UDF; the whole parse stays in one codegen stage
+    "q_doc_warc" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate")),
     // learned langid: vocab×L completion is a broadcast nested-loop of
     // two CAPPED tables (never the corpus); scorer joins broadcast,
     // argmax is the L-bounded collect_list fold — no window

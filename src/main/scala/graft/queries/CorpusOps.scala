@@ -1861,6 +1861,52 @@ object CorpusOps {
         .orderBy("lang", "bucket")
     }),
 
+    // WARC record parsing — the container crawl corpora arrive in: each
+    // doc becomes a two-record WARC/1.0 stream (request + response, real
+    // grammar: header block, CRLFCRLF, exactly-Content-Length payload),
+    // then the GENERIC parser splits records, reads headers, slices
+    // payloads by length, and parses the HTTP response. The oracle
+    // replays the PARSER (string_split/split_part/regexp/strpos), not
+    // the construction — any offset bug on either side breaks the gate
+    "q_doc_warc" -> ((s, dir) => {
+      val crlf = "\r\n"
+      val uri = concat(lit("https://example"),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".com/page/"), col("doc_id").cast("string"))
+      val reqPl = concat(lit("GET /page/"), col("doc_id").cast("string"),
+        lit(s" HTTP/1.1${crlf}Host: h${crlf}${crlf}"))
+      val body = concat(lit("<html>"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " "),
+        lit("</html>"))
+      val respPl = concat(
+        lit(s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}${crlf}"),
+        body)
+      def rec(tp: String, pl: org.apache.spark.sql.Column) = concat(
+        lit(s"WARC/1.0${crlf}WARC-Type: $tp${crlf}WARC-Target-URI: "),
+        uri, lit(s"${crlf}Content-Length: "),
+        length(pl).cast("string"), lit(s"${crlf}${crlf}"), pl,
+        lit(s"${crlf}${crlf}"))
+      val parsed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Warc.records(
+            concat(rec("request", reqPl), rec("response", respPl)))
+            .as("recs"))
+      parsed.select(col("doc_id"),
+          size(col("recs")).as("n_records"),
+          element_at(col("recs"), 1).getField("target_uri").as("uri"),
+          element_at(col("recs"), 1).getField("rec_type").as("t1"),
+          element_at(col("recs"), 2).getField("content_length")
+            .as("resp_len"),
+          graft.ops.Warc.httpResponse(
+            element_at(col("recs"), 2).getField("payload")).as("h"))
+        .select(col("doc_id"), col("n_records"), col("uri"), col("t1"),
+          col("resp_len"), col("h.status").as("status"),
+          col("h.content_type").as("content_type"),
+          md5(col("h.body")).as("body_md5"),
+          length(col("h.body")).as("body_len"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: binary payload + batched decode-stub feature extraction
     // container-header sniffing (NOT a stub — real PNG IHDR byte offsets):
     // payloads assembled as valid PNG headers (every 7th doc a JPEG
@@ -5465,6 +5511,69 @@ object CorpusOps {
         |    THEN CAST((doc_id % 5000 + 600) * 1000
         |      // ((doc_id % 3 + 1) * 1000) AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // WARC replay: the same fixture synthesis, then the GENERIC parser
+    // in DuckDB string functions — record split on the version line,
+    // header block via split_part, payload slice by Content-Length,
+    // HTTP status/type/body from the response payload
+    "q_doc_warc" -> {
+      val cr = "chr(13) || chr(10)"
+      raw"""WITH b AS (SELECT doc_id,
+           |    '<html>' || array_to_string(
+           |      (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ')
+           |      || '</html>' AS body,
+           |    'https://example' || (doc_id % 5) || '.com/page/' ||
+           |      doc_id AS uri
+           |  FROM documents),
+           |pl AS (SELECT doc_id, uri,
+           |    'GET /page/' || doc_id || ' HTTP/1.1' || $cr ||
+           |      'Host: h' || $cr || $cr AS reqpl,
+           |    'HTTP/1.1 200 OK' || $cr || 'Content-Type: text/html' ||
+           |      $cr || $cr || body AS resppl
+           |  FROM b),
+           |w AS (SELECT doc_id,
+           |    'WARC/1.0' || $cr || 'WARC-Type: request' || $cr ||
+           |      'WARC-Target-URI: ' || uri || $cr ||
+           |      'Content-Length: ' || length(reqpl) || $cr || $cr ||
+           |      reqpl || $cr || $cr ||
+           |    'WARC/1.0' || $cr || 'WARC-Type: response' || $cr ||
+           |      'WARC-Target-URI: ' || uri || $cr ||
+           |      'Content-Length: ' || length(resppl) || $cr || $cr ||
+           |      resppl || $cr || $cr AS warc
+           |  FROM pl),
+           |rl AS (SELECT doc_id, list_filter(
+           |    string_split(warc, 'WARC/1.0' || $cr),
+           |    x -> len(x) > 0) AS rl
+           |  FROM w),
+           |p AS (SELECT doc_id, CAST(len(rl) AS INT) AS n_records,
+           |    rl[1] AS r1, rl[2] AS r2 FROM rl),
+           |h AS (SELECT doc_id, n_records,
+           |    split_part(r1, $cr || $cr, 1) AS h1,
+           |    split_part(r2, $cr || $cr, 1) AS h2, r1, r2
+           |  FROM p),
+           |f AS (SELECT doc_id, n_records,
+           |    regexp_extract(h1, 'WARC-Target-URI: ([^\r\n]+)', 1)
+           |      AS uri,
+           |    regexp_extract(h1, 'WARC-Type: ([^\r\n]+)', 1) AS t1,
+           |    CAST(regexp_extract(h2, 'Content-Length: (\d+)', 1)
+           |      AS BIGINT) AS resp_len,
+           |    substr(r2, length(h2) + 5,
+           |      CAST(regexp_extract(h2, 'Content-Length: (\d+)', 1)
+           |        AS BIGINT)) AS payload
+           |  FROM h),
+           |o AS (SELECT doc_id, n_records, uri, t1, resp_len,
+           |    CAST(regexp_extract(payload, '^HTTP/1\.[01] (\d{3})', 1)
+           |      AS INT) AS status,
+           |    regexp_extract(payload, 'Content-Type: ([^\r\n]+)', 1)
+           |      AS content_type,
+           |    substr(payload, strpos(payload, $cr || $cr) + 4)
+           |      AS hbody
+           |  FROM f)
+           |SELECT doc_id, n_records, uri, t1, resp_len, status,
+           |  content_type, md5(hbody) AS body_md5,
+           |  CAST(length(hbody) AS INT) AS body_len
+           |FROM o ORDER BY doc_id""".stripMargin
+    },
 
     "q_mm_headers" ->
       """WITH p AS (SELECT doc_id,

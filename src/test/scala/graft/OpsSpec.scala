@@ -1589,6 +1589,40 @@ class OpsSpec extends AnyFunSuite {
     assert(buckets >= 2)
   }
 
+  test("WARC parsing: length-sliced payloads, embedded separators, malformed") {
+    import graft.ops.Warc
+    val crlf = "\r\n"
+    def rec(tp: String, uri: String, pl: String) =
+      s"WARC/1.0${crlf}WARC-Type: $tp${crlf}WARC-Target-URI: $uri$crlf" +
+        s"Content-Length: ${pl.length}$crlf$crlf$pl$crlf$crlf"
+    // payload CONTAINS its own \r\n\r\n — the boundary must come from
+    // Content-Length, never from searching for the next separator
+    val tricky = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html" +
+      s"$crlf$crlf<body>inner${crlf}${crlf}still-body</body>"
+    val warc = rec("request", "https://a/x", s"GET /x HTTP/1.1$crlf$crlf") +
+      rec("response", "https://a/x", tricky) +
+      s"WARC/1.0${crlf}broken-no-blank-line"
+    val out = Seq(warc).toDF("w")
+      .select(explode(Warc.records(col("w"))).as("r"))
+      .select(col("r.rec_type"), col("r.target_uri"),
+        col("r.content_length"), col("r.payload"))
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getString(0) == "request" &&
+      out(0).getString(1) == "https://a/x")
+    assert(out(1).getLong(2) == tricky.length &&
+      out(1).getString(3) == tricky)
+    // malformed record surfaces as data (empty fields), not an exception
+    assert(out(2).getString(0) == "" && out(2).isNullAt(2))
+    // HTTP sub-parse keeps the embedded blank line inside the body
+    val h = Seq(tricky).toDF("p")
+      .select(Warc.httpResponse(col("p")).as("h"))
+      .select(col("h.status"), col("h.content_type"), col("h.body"))
+      .head()
+    assert(h.getInt(0) == 200 && h.getString(1) == "text/html")
+    assert(h.getString(2) == s"<body>inner${crlf}${crlf}still-body</body>")
+  }
+
   test("exact percentiles: global and grouped match a sorted reference") {
     import graft.ops.Rank
     // skewed values incl. ties and zeros; any bucketWidth is correct
