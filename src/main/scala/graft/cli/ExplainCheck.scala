@@ -633,6 +633,11 @@ object ExplainCheck {
     "q_doc_warc" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate")),
+    // WARC→WET composition: parse + body slice + strip chain, still one
+    // in-row stage end to end
+    "q_doc_warc_wet" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate")),
     // learned langid: vocab×L completion is a broadcast nested-loop of
     // two CAPPED tables (never the corpus); scorer joins broadcast,
     // argmax is the L-bounded collect_list fold — no window

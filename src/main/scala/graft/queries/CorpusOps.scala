@@ -1907,6 +1907,41 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // WARC → WET, as ONE pipeline: parse the WARC record, slice the HTTP
+    // response body, strip its markup to clean text — the crawl-file-to-
+    // training-text path every web corpus starts with, composed from the
+    // same three operators the individual gates price (records ∘
+    // httpResponse ∘ htmlStrip), all in-row, zero shuffle end to end
+    "q_doc_warc_wet" -> ((s, dir) => {
+      val crlf = "\r\n"
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int) = array_join(slice(toks, from, 4), " ")
+      val body = concat(
+        lit("<html><head><script>var a=1;</script></head><body><p>"),
+        seg(1), lit(" &amp; "), seg(5), lit("</p><br>"), seg(9),
+        lit("</body></html>"))
+      val respPl = concat(
+        lit(s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}${crlf}"),
+        body)
+      val uri = concat(lit("https://example"),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".com/page/"), col("doc_id").cast("string"))
+      val warc = concat(
+        lit(s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Target-URI: "),
+        uri, lit(s"${crlf}Content-Length: "),
+        length(respPl).cast("string"), lit(s"${crlf}${crlf}"), respPl,
+        lit(s"${crlf}${crlf}"))
+      val parsed = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.ops.Warc.httpResponse(
+            element_at(graft.ops.Warc.records(warc), 1)
+              .getField("payload")).getField("body").as("text"))
+      graft.ops.Curation.htmlStrip(parsed, "doc_id", "text")
+        .select(col("doc_id"), col("n_tags"), col("clean_len"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: binary payload + batched decode-stub feature extraction
     // container-header sniffing (NOT a stub — real PNG IHDR byte offsets):
     // payloads assembled as valid PNG headers (every 7th doc a JPEG

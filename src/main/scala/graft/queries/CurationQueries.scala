@@ -1648,6 +1648,38 @@ object CurationQueries {
        |${CorpusOps.marginTailSql}""".stripMargin
   }
 
+  /** The [[graft.ops.Curation.htmlStrip]] rule chain as reusable oracle
+    * CTEs `x/y/z/w` over a source CTE `h` carrying (doc_id, html); `w`
+    * exposes (doc_id, html, clean). Shared by the strip gate and the
+    * WARC→WET composition so the rewrite replays from ONE definition.
+    */
+  private val htmlStripChainSql: String =
+    raw"""x AS (SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(regexp_replace(html,
+         |      '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+         |      '(?s)<!--.*?-->', ' ', 'g') AS s3
+         |  FROM h),
+         |y AS (SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(s3,
+         |      '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol)[^>]*>',
+         |      chr(10), 'g'),
+         |      '<[^>]*>', ' ', 'g') AS s5
+         |  FROM x),
+         |z AS (SELECT doc_id, html,
+         |    replace(replace(replace(replace(replace(replace(replace(s5,
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+         |      '&amp;', '&') AS s6
+         |  FROM y),
+         |w AS (SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      s6, '[ \t\r]+', ' ', 'g'),
+         |      ' *\n *', chr(10), 'g'),
+         |      '\n+', chr(10), 'g'),
+         |      '^\s+|\s+$$', '', 'g') AS clean
+         |  FROM z)""".stripMargin
+
   private def ivfPqSearchSql(m: Int, dims: Int, k: Int, iters: Int,
       nQueries: Int, topK: Int, nprobe: Int, nCoarse: Int): String = {
     val d = dims / m
@@ -2846,31 +2878,7 @@ object CurationQueries {
            |        '<br>' || c || '</div><ul><li>' || a || '</li></ul>'
            |      ELSE text END AS html
            |  FROM seg),
-           |x AS (SELECT doc_id, html,
-           |    regexp_replace(regexp_replace(regexp_replace(html,
-           |      '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
-           |      '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
-           |      '(?s)<!--.*?-->', ' ', 'g') AS s3
-           |  FROM h),
-           |y AS (SELECT doc_id, html,
-           |    regexp_replace(regexp_replace(s3,
-           |      '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol)[^>]*>',
-           |      chr(10), 'g'),
-           |      '<[^>]*>', ' ', 'g') AS s5
-           |  FROM x),
-           |z AS (SELECT doc_id, html,
-           |    replace(replace(replace(replace(replace(replace(replace(s5,
-           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-           |      '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
-           |      '&amp;', '&') AS s6
-           |  FROM y),
-           |w AS (SELECT doc_id, html,
-           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           |      s6, '[ \t\r]+', ' ', 'g'),
-           |      ' *\n *', chr(10), 'g'),
-           |      '\n+', chr(10), 'g'),
-           |      '^\s+|\s+$$', '', 'g') AS clean
-           |  FROM z)
+           |$htmlStripChainSql
            |SELECT doc_id,
            |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT)
            |    AS n_tags,
@@ -2880,6 +2888,55 @@ object CurationQueries {
            |  CAST(length(clean) AS INT) AS clean_len,
            |  md5(clean) AS clean_fp
            |FROM w ORDER BY doc_id""".stripMargin,
+
+    // WARC→WET replay: fixture synthesis, the generic WARC/HTTP parse
+    // (record split, Content-Length slice, body after the blank line),
+    // then the SAME strip-chain CTEs as q_doc_html_strip — one rewrite
+    // definition serves both gates
+    "q_doc_warc_wet" -> {
+      val cr = "chr(13) || chr(10)"
+      raw"""WITH tk AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\s+') AS t
+           |  FROM documents),
+           |bb AS (SELECT doc_id,
+           |    '<html><head><script>var a=1;</script></head><body><p>' ||
+           |      array_to_string(t[1:4], ' ') || ' &amp; ' ||
+           |      array_to_string(t[5:8], ' ') || '</p><br>' ||
+           |      array_to_string(t[9:12], ' ') || '</body></html>'
+           |      AS body,
+           |    'https://example' || (doc_id % 5) || '.com/page/' ||
+           |      doc_id AS uri
+           |  FROM tk),
+           |pl AS (SELECT doc_id, uri,
+           |    'HTTP/1.1 200 OK' || $cr || 'Content-Type: text/html' ||
+           |      $cr || $cr || body AS resppl
+           |  FROM bb),
+           |wr AS (SELECT doc_id,
+           |    'WARC/1.0' || $cr || 'WARC-Type: response' || $cr ||
+           |      'WARC-Target-URI: ' || uri || $cr ||
+           |      'Content-Length: ' || length(resppl) || $cr || $cr ||
+           |      resppl || $cr || $cr AS warc
+           |  FROM pl),
+           |rl AS (SELECT doc_id, list_filter(
+           |    string_split(warc, 'WARC/1.0' || $cr),
+           |    x2 -> len(x2) > 0)[1] AS r1
+           |  FROM wr),
+           |pp AS (SELECT doc_id,
+           |    substr(r1, length(split_part(r1, $cr || $cr, 1)) + 5,
+           |      CAST(regexp_extract(split_part(r1, $cr || $cr, 1),
+           |        'Content-Length: (\d+)', 1) AS BIGINT)) AS payload
+           |  FROM rl),
+           |h AS (SELECT doc_id,
+           |    substr(payload, strpos(payload, $cr || $cr) + 4) AS html
+           |  FROM pp),
+           |$htmlStripChainSql
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT)
+           |    AS n_tags,
+           |  CAST(length(clean) AS INT) AS clean_len,
+           |  md5(clean) AS clean_fp
+           |FROM w ORDER BY doc_id""".stripMargin
+    },
 
     // encoding-noise replay: same synthesized damage (chr() codepoints),
     // same \x{...} codepoint-class patterns — the syntax Java regex and
