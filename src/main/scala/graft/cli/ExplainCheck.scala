@@ -182,6 +182,12 @@ object ExplainCheck {
     // key per mapper, not history)
     "q_doc_upsert" -> (Seq("Union", "SortAggregate"),
       Seq("Window", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // SCD2 history: two KEY-partitioned windows sharing one
+    // hashpartitioning(o_custkey) exchange — per-key histories are short
+    // by the CDC contract; never a join, never a global sort before the
+    // output orderBy
+    "q_cdc_scd2" -> (Seq("Window", "hashpartitioning(o_custkey"),
+      Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
     // grouped top-k: bounded k-heap aggregation, never a per-group window
     // sort (one hot group would serialize on one task)
     "q_topk_group" -> (Seq("ObjectHashAggregate"),
@@ -568,6 +574,11 @@ object ExplainCheck {
     // side, no window
     "q_doc_kmv_distinct" -> (Seq("ObjectHashAggregate"),
       Seq("CartesianProduct", "Window")),
+    // HLL sketch: plain codegen'd hash aggs (register max, harmonic
+    // fold) — m-bounded rows per group after the first agg, no typed
+    // aggregator needed, no distinct shuffle of raw keys, no window
+    "q_doc_hll_distinct" -> (Seq("HashAggregate"),
+      Seq("CartesianProduct", "Window", "ObjectHashAggregate")),
     // theta overlap: two sketch aggs joined on lang + set-algebra
     // projection; exact-intersect comparison agg — no window
     "q_doc_kmv_overlap" -> (Seq("ObjectHashAggregate"),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CDC-style snapshot maintenance for a versioned corpus: apply a change
@@ -61,5 +62,51 @@ object Snapshot {
       .select(col(keyCol) +:
         col(s"w.$versionCol").as(versionCol) +:
         payload.map(c => col(s"w.$c").as(c)): _*)
+  }
+
+  /** SCD type-2 history build: fold a CDC change log (keyCol, versionCol,
+    * attrCols…, optional boolean tombstones) into the standard
+    * point-in-time dimension table — one row per ATTRIBUTE RUN with
+    * `(valid_from, valid_to, is_current)`:
+    *
+    *   - consecutive versions with unchanged attributes COLLAPSE into one
+    *     row (null-safe struct compare — a null attribute is a value, not
+    *     a wildcard);
+    *   - a tombstone CLOSES the open run without opening one (the key has
+    *     no current row until a later re-insert starts a fresh run);
+    *   - `valid_to` is the next run boundary's version, NULL while open;
+    *     `is_current` marks open, non-deleted runs.
+    *
+    * Scale shape: two windows, both PARTITIONED BY KEY over the same
+    * (key, version) ordering — one exchange, per-key histories are short
+    * by the CDC contract (one row per (key, version) — same contract as
+    * [[upsert]]), so no task ever sorts more than one key's history. The
+    * second window runs over the boundary rows only (post-filter), which
+    * is strictly smaller. No self-join, nothing global.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, versionCol: String,
+      attrCols: Seq[String], deleteCol: Option[String] = None): DataFrame = {
+    require(attrCols.nonEmpty, "scd2History needs at least one attribute")
+    val w = Window.partitionBy(keyCol).orderBy(versionCol)
+    val del = deleteCol.map(col).getOrElse(lit(false))
+    val attrs = struct(attrCols.map(col): _*)
+    // a run OPENS at: the key's first version, any version after a
+    // tombstone, or an attribute change; tombstones are boundaries too
+    // (they must terminate the previous run's valid_to)
+    val boundary = del ||
+      lag(attrs, 1).over(w).isNull ||
+      coalesce(lag(del, 1).over(w), lit(false)) ||
+      !(attrs <=> lag(attrs, 1).over(w))
+    changes
+      .withColumn("__del", del)
+      .withColumn("__b", boundary)
+      .where(col("__b"))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .where(!col("__del"))
+      .select(col(keyCol) +:
+        col(versionCol).as("valid_from") +:
+        col("valid_to") +:
+        (col("valid_to").isNull).as("is_current") +:
+        attrCols.map(col): _*)
   }
 }

@@ -977,6 +977,22 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // HLL distinct sketch: the same per-lang distinct-shingle question
+    // with m = 256 FIXED-SIZE registers instead of KMV's k longs — the
+    // industry-standard sketch, but with the harmonic mean computed as
+    // exact integer algebra (2^(S−M) terms, floor-div α scaling) so the
+    // oracle replays the ESTIMATE bit-for-bit, which Spark's own HLL++
+    // float chain cannot; exact count rides along showing ~1.04/√m live
+    "q_doc_hll_distinct" -> ((s, dir) => {
+      val sh = wide(s, t(s, dir, "documents"))
+        .select(col("lang"),
+          explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      graft.ops.Hll.distinctEstimate(sh, Seq("lang"), col("sh"), p = 8)
+        .join(sh.groupBy("lang").agg(countDistinct("sh").as("n_exact")),
+          Seq("lang"))
+        .orderBy("lang")
+    }),
+
     // theta-sketch overlap: distinct-shingle intersection/union between
     // the even- and odd-doc halves per lang (the cross-snapshot
     // vocabulary-overlap question) from two k-long sketches — set
@@ -3865,6 +3881,42 @@ object CorpusOps {
            |    ELSE (127 * 4503599627370496) // a.kth128 END AS est,
            |  ex.n_exact
            |FROM a JOIN ex USING (lang) ORDER BY a.lang""".stripMargin,
+
+    // HLL replay: 52-bit md5 hash split top-8/low-44, rank = leading
+    // zeros + 1 via bin() bit-length, register max, harmonic sum as
+    // exact 2^(45-reg) integers (empty registers contribute 2^45), and
+    // the same m^2*2^45 // T floor-div alpha chain the engine computes
+    "q_doc_hll_distinct" ->
+      raw"""WITH t AS (SELECT lang,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |shr AS (SELECT lang, unnest(CASE WHEN len(t) >= 3
+           |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |          for i in generate_series(1, len(t) - 2)]
+           |    ELSE [] END) AS sh
+           |  FROM t),
+           |h AS (SELECT lang,
+           |    ('0x' || substr(md5(sh), 1, 13))::BIGINT AS hv
+           |  FROM shr),
+           |rr AS (SELECT lang, hv // 17592186044416 AS idx,
+           |    hv % 17592186044416 AS w FROM h),
+           |rk AS (SELECT lang, idx, CASE WHEN w = 0 THEN 45
+           |    ELSE 45 - length(bin(w)) END AS rnk FROM rr),
+           |regs AS (SELECT lang, idx, max(rnk) AS reg
+           |  FROM rk GROUP BY lang, idx),
+           |ag AS (SELECT lang,
+           |    CAST(256 - count(*) AS BIGINT) AS v_empty,
+           |    CAST(sum(1::BIGINT << (45 - reg)) AS BIGINT)
+           |      + (256 - count(*)) * 35184372088832 AS tt
+           |  FROM regs GROUP BY lang),
+           |ex AS (SELECT lang, CAST(count(DISTINCT sh) AS BIGINT)
+           |    AS n_exact
+           |  FROM shr GROUP BY lang)
+           |SELECT ag.lang, ag.v_empty,
+           |  CAST(((2305843009213693952 // ag.tt) * 718273) // 1000000
+           |    AS BIGINT) AS est,
+           |  ex.n_exact
+           |FROM ag JOIN ex USING (lang) ORDER BY ag.lang""".stripMargin,
 
     // theta-overlap replay: per-side distinct 52-bit hashes, kth-order
     // thetas (unfilled side -> full hash space), retained-below-theta

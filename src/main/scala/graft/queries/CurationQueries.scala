@@ -1229,6 +1229,21 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // SCD type-2 history build: the customer's order-status stream folded
+    // into the point-in-time dimension table — attribute runs collapse,
+    // tombstones close runs without opening one, (valid_from, valid_to,
+    // is_current) per run. Two KEY-partitioned windows over one exchange;
+    // per-key histories are short by the CDC contract, nothing global
+    "q_cdc_scd2" -> ((s, dir) => {
+      val chg = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        (pmod(col("o_orderkey"), lit(37)) === 0).as("deleted"))
+      graft.ops.Snapshot.scd2History(chg, "o_custkey", "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"), Some("deleted"))
+        .orderBy("o_custkey", "valid_from")
+    }),
+
     // deterministic k-per-group sampling: 5 example docs per language by
     // content-hash order — stable across runs/partitionings/engines;
     // ranked through the bounded k-heap Aggregator, never a group window
@@ -2042,6 +2057,35 @@ object CurationQueries {
         |      FROM u)
         |SELECT doc_id, version, md5(text) AS fp, lang
         |FROM r WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
+    // SCD2 replay: the same boundary predicate (first version / after a
+    // tombstone / null-safe attribute change), valid_to = next boundary
+    // version over boundary rows only, tombstones dropped after closing
+    "q_cdc_scd2" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+        |    (o_orderkey % 37 = 0) AS deleted
+        |  FROM orders),
+        |lagd AS (
+        |  SELECT *,
+        |    lag(o_orderstatus) OVER w AS p_st,
+        |    lag(o_orderpriority) OVER w AS p_pr,
+        |    lag(deleted) OVER w AS p_del,
+        |    (row_number() OVER w = 1) AS first_row
+        |  FROM chg WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)),
+        |b AS (
+        |  SELECT * FROM lagd
+        |  WHERE deleted OR first_row OR coalesce(p_del, FALSE)
+        |    OR NOT (o_orderstatus IS NOT DISTINCT FROM p_st
+        |            AND o_orderpriority IS NOT DISTINCT FROM p_pr)),
+        |v AS (
+        |  SELECT *, lead(o_orderkey) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to
+        |  FROM b)
+        |SELECT o_custkey, o_orderkey AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, o_orderstatus, o_orderpriority
+        |FROM v WHERE NOT deleted
+        |ORDER BY o_custkey, valid_from""".stripMargin,
 
     "q_doc_split_overlap" ->
       s"""WITH n AS (

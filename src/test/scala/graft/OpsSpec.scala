@@ -680,6 +680,36 @@ class OpsSpec extends AnyFunSuite {
     assert(replay == got)
   }
 
+  test("scd2 history: runs collapse, tombstones close, nulls are values") {
+    import graft.ops.Snapshot
+    val chg = Seq(
+      // key "a": A,A collapse; change to B; tombstone; re-insert A
+      ("a", 1L, Some("A"), false),
+      ("a", 2L, Some("A"), false),  // unchanged — collapses into run 1
+      ("a", 3L, Some("B"), false),  // attribute change — new run
+      ("a", 4L, Some("B"), true),   // tombstone — closes B's run
+      ("a", 5L, Some("A"), false),  // re-insert — fresh current run
+      // key "b": null attr is a VALUE: null->null collapses, null->C opens
+      ("b", 1L, None, false),
+      ("b", 2L, None, false),
+      ("b", 3L, Some("C"), false))
+      .toDF("k", "v", "attr", "deleted")
+    def runs(df: org.apache.spark.sql.DataFrame) =
+      Snapshot.scd2History(df, "k", "v", Seq("attr"), Some("deleted"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) null else r.getString(4))).toSet
+    val got = runs(chg)
+    assert(got == Set(
+      ("a", 1L, 3L, false, "A"),
+      ("a", 3L, 4L, false, "B"),
+      ("a", 5L, -1L, true, "A"),
+      ("b", 1L, 3L, false, null),
+      ("b", 3L, -1L, true, "C")))
+    // partitioning-invariant: the windows are keyed, not global
+    assert(runs(chg.repartition(7)) == got)
+  }
+
   test("negative samples: k per anchor, in range, no self, deterministic") {
     import graft.ops.Sampling
     val n = 100
@@ -1537,6 +1567,31 @@ class OpsSpec extends AnyFunSuite {
       .toDF("grp", "key"), 128)
     assert(small.getLong(0) == 50L && small.isNullAt(1)
       && small.getLong(2) == 50L)
+  }
+
+  test("hll: partitioning-invariant, concentrates, streaming-scalar parity") {
+    import graft.ops.Hll
+    assert(Hll.alphaPpm(8) == 718273L) // the literal baked into the oracle
+    val keys = (0L until 20000L).map(i => ("g", s"key-$i"))
+      .toDF("grp", "key")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Hll.distinctEstimate(df, Seq("grp"), col("key"), p = 8)
+        .select("v_empty", "est").head()
+    // register-wise max is exact under ANY partitioning
+    val a = run(keys.repartition(1))
+    val b = run(keys.repartition(32, col("key")))
+    assert(a == b)
+    // raw regime (n >> 2.5m): within 5 sigma of 1.04/sqrt(256) ~ 6.5%
+    val est = a.getLong(1)
+    assert(math.abs(est - 20000.0) / 20000.0 < 5 * 1.04 / 16.0,
+      s"estimate $est too far from 20000")
+    // at n = 20000 over m = 256 registers, empties are essentially gone
+    assert(a.getLong(0) < 5L)
+    // the columnar chain and the streaming scalar produce the SAME number
+    val regs = Hll.registerTable(keys, Seq("grp"), col("key"), p = 8)
+      .collect().map(r => r.getLong(1).toInt -> r.getInt(2)).toMap
+    val full = Array.tabulate(256)(j => regs.getOrElse(j, 0))
+    assert(Hll.estimateOf(full, 8) == est)
   }
 
   test("sorted neighborhood: exact distributed rank, window pairs") {

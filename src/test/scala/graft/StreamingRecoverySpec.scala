@@ -403,6 +403,43 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"recovered $last vs batch $want")
   }
 
+  test("HLL distinct tracker survives restart: registers intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingHll
+    import graft.ops.Hll
+    val source = MemoryStream[(String, Timestamp, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_hll").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = StreamingHll.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        p = 6, watermarkDelay = "0 seconds")
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        b.collect().foreach(buf.add)).start()
+    val first = (0 until 40).map(i => ("g1", ts("2020-01-01 00:00:01"),
+      s"a$i"))
+    val second = (20 until 200).map(i => ("g1", ts("2020-01-01 00:00:02"),
+      s"a$i"))
+    val q1 = start()
+    try { source.addData(first: _*); q1.processAllAvailable() }
+    finally q1.stop() // mid-stream kill: registers hold phase 1's maxes
+    val q2 = start()
+    try { source.addData(second: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val last = buf.toArray(Array.empty[Row]).toSeq.last
+    // the recovered registers must fold phase 2 into phase 1's state:
+    // the final estimate equals the batch sketch of the FULL stream
+    val want = Hll.distinctEstimate(
+        (first ++ second).map(t => (t._1, t._3)).toDF("grp", "key"),
+        Seq("grp"), col("key"), p = 6)
+      .select("v_empty", "est").head()
+    assert((last.getInt(1).toLong, last.getLong(2))
+      == ((want.getLong(0), want.getLong(1))),
+      s"recovered $last vs batch $want")
+  }
+
   test("CMS frequency tracker survives restart: counters intact") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCms

@@ -977,6 +977,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL: running estimate equals batch per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingHll
+    import graft.ops.Hll
+    val source = MemoryStream[(String, Timestamp, String)]
+    val q = StreamingHll.estimates(
+        source.toDF().toDF("grp", "event_time", "key"),
+        p = 6, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hll_out").start()
+    def latest(): Map[String, (Long, Long)] = spark.table("hll_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> (rows.last._2.toLong, rows.last._3) }
+    def batchOf(keys: Seq[(String, String)]): Map[String, (Long, Long)] =
+      Hll.distinctEstimate(keys.toDF("grp", "key"), Seq("grp"),
+          col("key"), p = 6)
+        .collect().map(r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      val p1 = (0 until 40).map(i => ("g1", s"a$i")) ++
+        (0 until 5).map(i => ("g2", s"b$i"))
+      source.addData(p1.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:01"), k) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOf(p1))
+      // prefix 2: push g1 well past m = 64, duplicates must be no-ops
+      // (register max is idempotent)
+      val more = (20 until 400).map(i => ("g1", s"a$i")) ++
+        (0 until 40).map(i => ("g1", s"a$i"))
+      source.addData(more.map { case (g, k) =>
+        (g, ts("2020-01-01 00:00:02"), k) }: _*)
+      q.processAllAvailable()
+      val want = batchOf(p1 ++ more)
+      assert(latest() == want, s"stream ${latest()} vs batch $want")
+    } finally q.stop()
+  }
+
   test("streaming CMS: running estimates equal batch per prefix") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCms
