@@ -188,6 +188,18 @@ object ExplainCheck {
     // output orderBy
     "q_cdc_scd2" -> (Seq("Window", "hashpartitioning(o_custkey"),
       Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // preference pairs: ONE struct-extreme aggregate — struct min/max
+    // plans as SortAggregate WITH a partial before the exchange (the
+    // q_doc_upsert shape: per-partition sort, one row per group per
+    // mapper reaches the shuffle); never a per-group window sort, never
+    // a self-join of the pool
+    "q_doc_pref_pairs" -> (Seq("SortAggregate"),
+      Seq("Window", "SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
+    // SFT render: conv-keyed running-length window + one grouped agg over
+    // the same hashpartitioning(conv) exchange; no join, nothing global
+    "q_doc_sft_render" -> (Seq("Window", "hashpartitioning(conv"),
+      Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
     // grouped top-k: bounded k-heap aggregation, never a per-group window
     // sort (one hot group would serialize on one task)
     "q_topk_group" -> (Seq("ObjectHashAggregate"),

@@ -611,6 +611,91 @@ object Curation {
     docs.where(Sampling.hashBucket(keyCol, buckets).cast("double") <
       rate * buckets)
 
+  /** Chat-template rendering with loss-mask spans — the SFT-assembly op:
+    * fold a turn table (conv, turn index, role, content) into one training
+    * string per conversation,
+    *
+    *   `<|role|>content<|end|>` per turn, concatenated in index order,
+    *
+    * plus the 1-based character spans of each `maskRole` turn's CONTENT
+    * inside the rendered string — exactly what a trainer needs to compute
+    * loss on assistant tokens only. Spans come from a running sum of
+    * rendered segment lengths (a KEY-partitioned window; conversations are
+    * short by construction), so they are exact by arithmetic, not by
+    * re-searching the string (content that repeats across turns cannot
+    * alias). Returns (convCol, n_turns, render_len, render_md5,
+    * mask_spans) with spans canonicalized to "start:end,start:end" in turn
+    * order.
+    *
+    * Scale shape: one window + one grouped aggregate, both keyed by
+    * conversation — nothing global; the collected per-conv segment array
+    * is bounded by conversation length, the same working-set bound any
+    * per-group assembly (packing, chunking) carries.
+    */
+  def sftRender(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, contentCol: String,
+      maskRole: String = "assistant"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(convCol).orderBy(idxCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val seg = concat(lit("<|"), col(roleCol), lit("|>"), col(contentCol),
+      lit("<|end|>"))
+    val cumBefore = coalesce(sum(length(seg)).over(w), lit(0L))
+    val start = cumBefore + length(col(roleCol)) + lit(5)
+    val end = start + length(col(contentCol)) - lit(1)
+    turns
+      .withColumn("__seg", seg)
+      .withColumn("__span", when(col(roleCol) === maskRole,
+        concat(start.cast("string"), lit(":"), end.cast("string"))))
+      .groupBy(convCol)
+      .agg(
+        count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(col(idxCol).as("i"),
+          col("__seg").as("s")))).as("__segs"),
+        array_sort(collect_list(when(col("__span").isNotNull,
+          struct(col(idxCol).as("i"), col("__span").as("sp")))))
+          .as("__spans"))
+      .select(col(convCol), col("n_turns"),
+        length(array_join(transform(col("__segs"), x => x.getField("s")),
+          "")).as("render_len"),
+        md5(array_join(transform(col("__segs"), x => x.getField("s")), ""))
+          .as("render_md5"),
+        array_join(transform(col("__spans"), x => x.getField("sp")), ",")
+          .as("mask_spans"))
+  }
+
+  /** Preference-pair construction — the DPO/RLHF dataset op: from a pool
+    * of scored candidates (completions per prompt, answers per question),
+    * emit one (chosen, rejected) pair per group — the best- and
+    * worst-scored candidates — with the score margin, keeping only pairs
+    * whose margin clears `minMargin` (near-tied pairs are label noise for
+    * a preference model, the same reason hard-negative mining floors its
+    * gap).
+    *
+    * Determinism: extremes are struct orderings over (score, id) — score
+    * ties go to the LARGER id for chosen and the SMALLER id for rejected,
+    * so the pair is a pure function of the pool on any partitioning, and
+    * a group whose pool is one row (or all one (score, id)) yields
+    * chosen == rejected and margin 0, dropped by any positive margin
+    * floor. Scores must be integer-typed — the margin is exact.
+    *
+    * Scale shape: ONE aggregate (two struct extremes — plans as
+    * SortAggregate with a partial before the exchange, the [[Snapshot
+    * .upsert]] shape: at most one row per group per mapper reaches the
+    * shuffle). No window, no self-join, no full per-group sort.
+    */
+  def preferencePairs(pool: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, minMargin: Long = 1L): DataFrame = {
+    val cand = struct(col(scoreCol).as("s"), col(idCol).as("i"))
+    pool.groupBy(groupCol)
+      .agg(max(cand).as("c"), min(cand).as("r"))
+      .select(col(groupCol),
+        col("c.i").as("chosen_id"), col("c.s").as("chosen_score"),
+        col("r.i").as("rejected_id"), col("r.s").as("rejected_score"),
+        (col("c.s") - col("r.s")).as("margin"))
+      .where(col("margin") >= minMargin)
+  }
+
   /** Greedy sequence packing: within each group (ordered by `idCol`), fill
     * bins of `capacity` tokens first-fit-in-order — the context-window
     * packing step of an LLM data pipeline. Returns one row per doc:

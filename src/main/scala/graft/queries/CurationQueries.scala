@@ -1244,6 +1244,37 @@ object CurationQueries {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // preference-pair construction (the DPO/RLHF dataset op): per prompt
+    // group, the best- and worst-scored candidates with the exact integer
+    // margin, near-ties dropped — ONE struct-extreme hash agg, no window
+    "q_doc_pref_pairs" -> ((s, dir) => {
+      val pool = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(97)).as("prompt_id"),
+        col("doc_id"),
+        (TextOps.tokenCount(col("text")) * lit(1000) +
+          pmod(length(col("text")), lit(997))).as("score"))
+      graft.ops.Curation.preferencePairs(pool, "prompt_id", "doc_id",
+          "score", minMargin = 500L)
+        .orderBy("prompt_id")
+    }),
+
+    // SFT chat-template assembly: turn table -> rendered training string
+    // + assistant loss-mask char spans from a running-length window (spans
+    // by arithmetic, not re-search) — conv-keyed window + one agg
+    "q_doc_sft_render" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val turns = t(s, dir, "documents").select(
+        call_function("div", col("doc_id"), lit(4L)).as("conv"),
+        pmod(col("doc_id"), lit(4)).as("turn_idx"),
+        when(pmod(col("doc_id"), lit(4)) === 0, "system")
+          .when(pmod(col("doc_id"), lit(4)) === 1, "user")
+          .otherwise("assistant").as("role"),
+        array_join(slice(toks, 1, 8), " ").as("content"))
+      graft.ops.Curation.sftRender(turns, "conv", "turn_idx", "role",
+          "content")
+        .orderBy("conv")
+    }),
+
     // deterministic k-per-group sampling: 5 example docs per language by
     // content-hash order — stable across runs/partitionings/engines;
     // ranked through the bounded k-heap Aggregator, never a group window
@@ -2086,6 +2117,63 @@ object CurationQueries {
         |  (valid_to IS NULL) AS is_current, o_orderstatus, o_orderpriority
         |FROM v WHERE NOT deleted
         |ORDER BY o_custkey, valid_from""".stripMargin,
+
+    // preference-pair replay: extremes as row_number orderings with the
+    // SAME tie-breaks (score desc, id desc for chosen; asc, asc for
+    // rejected), margin floor applied after the join of the two picks
+    "q_doc_pref_pairs" ->
+      raw"""WITH pool AS (
+           |  SELECT doc_id % 97 AS prompt_id, doc_id,
+           |    len(regexp_split_to_array(trim(text), '\s+')) * 1000
+           |      + (length(text) % 997) AS score
+           |  FROM documents),
+           |r AS (SELECT *,
+           |    row_number() OVER (PARTITION BY prompt_id
+           |      ORDER BY score DESC, doc_id DESC) AS rc,
+           |    row_number() OVER (PARTITION BY prompt_id
+           |      ORDER BY score ASC, doc_id ASC) AS rr
+           |  FROM pool),
+           |c AS (SELECT prompt_id, doc_id AS chosen_id,
+           |    score AS chosen_score FROM r WHERE rc = 1),
+           |j AS (SELECT prompt_id, doc_id AS rejected_id,
+           |    score AS rejected_score FROM r WHERE rr = 1)
+           |SELECT c.prompt_id, c.chosen_id, c.chosen_score,
+           |  j.rejected_id, j.rejected_score,
+           |  c.chosen_score - j.rejected_score AS margin
+           |FROM c JOIN j USING (prompt_id)
+           |WHERE c.chosen_score - j.rejected_score >= 500
+           |ORDER BY c.prompt_id""".stripMargin,
+
+    // SFT render replay: same turn synthesis, segment per turn, running
+    // pre-segment length window for span starts, ordered string_agg for
+    // the rendered string and the span list (NULL non-assistant spans
+    // skipped by string_agg)
+    "q_doc_sft_render" ->
+      raw"""WITH turns AS (
+           |  SELECT doc_id // 4 AS conv, doc_id % 4 AS turn_idx,
+           |    CASE WHEN doc_id % 4 = 0 THEN 'system'
+           |         WHEN doc_id % 4 = 1 THEN 'user'
+           |         ELSE 'assistant' END AS role,
+           |    array_to_string(
+           |      (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ')
+           |      AS content
+           |  FROM documents),
+           |seg AS (
+           |  SELECT *, '<|' || role || '|>' || content || '<|end|>' AS s
+           |  FROM turns),
+           |sp AS (
+           |  SELECT *,
+           |    coalesce(sum(length(s)) OVER (PARTITION BY conv
+           |      ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND 1 PRECEDING), 0) + length(role) + 5 AS sta
+           |  FROM seg)
+           |SELECT conv, CAST(count(*) AS BIGINT) AS n_turns,
+           |  length(string_agg(s, '' ORDER BY turn_idx)) AS render_len,
+           |  md5(string_agg(s, '' ORDER BY turn_idx)) AS render_md5,
+           |  coalesce(string_agg(CASE WHEN role = 'assistant'
+           |    THEN sta || ':' || (sta + length(content) - 1) END,
+           |    ',' ORDER BY turn_idx), '') AS mask_spans
+           |FROM sp GROUP BY conv ORDER BY conv""".stripMargin,
 
     "q_doc_split_overlap" ->
       s"""WITH n AS (

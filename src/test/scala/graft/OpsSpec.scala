@@ -710,6 +710,57 @@ class OpsSpec extends AnyFunSuite {
     assert(runs(chg.repartition(7)) == got)
   }
 
+  test("preference pairs: extremes, tie-breaks, margin floor, singletons") {
+    import graft.ops.Curation
+    val pool = Seq(
+      ("p1", 1L, 10L), ("p1", 2L, 30L), ("p1", 3L, 30L), ("p1", 4L, 5L),
+      ("p2", 5L, 7L), ("p2", 6L, 7L),   // all tied — margin 0, dropped
+      ("p3", 7L, 100L),                 // singleton — chosen==rejected, dropped
+      ("p4", 8L, 3L), ("p4", 9L, 4L))   // margin 1 < floor 2, dropped
+      .toDF("prompt", "cand_id", "score")
+    val got = Curation.preferencePairs(pool, "prompt", "cand_id", "score",
+        minMargin = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // p1: chosen = score 30 tie -> LARGER id 3; rejected = 5 @ id 4
+    assert(got == Set(("p1", 3L, 30L, 4L, 5L, 25L)))
+    // partitioning-invariant (one struct-extreme agg)
+    val re = Curation.preferencePairs(pool.repartition(7), "prompt",
+        "cand_id", "score", minMargin = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(re == got)
+  }
+
+  test("sft render: template fold, mask spans by arithmetic, repeats safe") {
+    import graft.ops.Curation
+    val turns = Seq(
+      // conv A: the assistant content REPEATS the user content — spans
+      // must come from arithmetic, not string search
+      ("A", 0, "system", "be good"),
+      ("A", 1, "user", "hi"),
+      ("A", 2, "assistant", "hi"),
+      ("A", 3, "assistant", "more"),
+      // conv B: no assistant at all -> empty mask
+      ("B", 0, "user", "lone"))
+      .toDF("conv", "turn_idx", "role", "content")
+    val got = Curation.sftRender(turns, "conv", "turn_idx", "role",
+        "content")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(4)))).toMap
+    // conv A rendered: "<|system|>be good<|end|><|user|>hi<|end|>
+    //                   <|assistant|>hi<|end|><|assistant|>more<|end|>"
+    val a = "<|system|>be good<|end|><|user|>hi<|end|>" +
+      "<|assistant|>hi<|end|><|assistant|>more<|end|>"
+    assert(got("A")._2 == a.length)
+    // assistant #1 content "hi" at 1-based offset of the SECOND "hi"
+    val s1 = a.indexOf("<|assistant|>hi") + "<|assistant|>".length + 1
+    val s2 = a.indexOf("<|assistant|>more") + "<|assistant|>".length + 1
+    assert(got("A")._3 == s"$s1:${s1 + 1},$s2:${s2 + 3}")
+    assert(got("A")._1 == 4L)
+    assert(got("B") == ((1L, "<|user|>lone<|end|>".length, "")))
+  }
+
   test("negative samples: k per anchor, in range, no self, deterministic") {
     import graft.ops.Sampling
     val n = 100
