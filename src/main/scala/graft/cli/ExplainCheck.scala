@@ -656,6 +656,11 @@ object ExplainCheck {
     "q_doc_warc" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate")),
+    // sitemap parse: in-row regex grammar + posexplode (Generate) — no
+    // join, no agg, no window; entry order carried by pos, not a sort
+    "q_doc_sitemap" -> (Seq("Batched: true", "Generate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate")),
     // WARC→WET composition: parse + body slice + strip chain, still one
     // in-row stage end to end
     "q_doc_warc_wet" -> (Seq("Batched: true"),

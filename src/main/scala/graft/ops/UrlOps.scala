@@ -316,4 +316,29 @@ object UrlOps {
       .select(col("id"), col("path"), col("b.p").as("matched_rule"),
         coalesce(col("b.a"), lit(true)).as("allowed"))
   }
+
+  /** Sitemap (sitemaps.org XML) entry extraction — the third leg of the
+    * crawl-ingest grammar next to [[Warc]] records and the RFC 9309 path
+    * rules: split a sitemap document into its `<url>` entries and pull
+    * `loc` / `lastmod` / `priority` per entry. Pure in-row Column algebra
+    * (regexp_extract_all block split + per-block anchored extracts, both
+    * RE2-portable: `(?s)` + non-greedy, no backrefs) — zero shuffle, zero
+    * UDF, and generically replayable by an external engine's regex
+    * functions. Malformed/missing children surface as NULL fields, not
+    * exceptions (the quarantine filter is one `where` away — the [[Warc]]
+    * discipline). Returns array<struct<loc, lastmod, priority>>; `loc`
+    * whitespace-trimmed per the spec's leniency, `priority` kept as the
+    * raw string (float parsing is an engine-specific rabbit hole the
+    * caller can opt into).
+    */
+  def sitemapEntries(xml: Column): Column = {
+    val blocks = regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1))
+    transform(blocks, b => {
+      def child(tag: String) =
+        nullif(regexp_extract(b, s"(?s)<$tag>\\s*(.*?)\\s*</$tag>", 1),
+          lit(""))
+      struct(child("loc").as("loc"), child("lastmod").as("lastmod"),
+        child("priority").as("priority"))
+    })
+  }
 }

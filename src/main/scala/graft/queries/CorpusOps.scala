@@ -1958,6 +1958,32 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // sitemap XML parsing — the third crawl-ingest grammar (WARC records,
+    // robots path rules, sitemap entries): per-doc synthesized sitemaps
+    // (one full entry, one with priority, one malformed loc-less entry)
+    // parsed back by the in-row regex grammar; posexplode keeps entry
+    // order; the oracle replays the PARSER over the same synthesis
+    "q_doc_sitemap" -> ((s, dir) => {
+      val host = concat(lit("example"),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".com"))
+      val month = (pmod(col("doc_id"), lit(9)) + 1).cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset>\n<url>\n  <loc> https://"),
+        host, lit("/p/"), col("doc_id").cast("string"),
+        lit(" </loc>\n  <lastmod>2024-0"), month,
+        lit("-01</lastmod>\n</url>\n<url><loc>https://sub."), host,
+        lit("/q/"), col("doc_id").cast("string"),
+        lit("</loc><priority>0.8</priority></url>" +
+          "<url><lastmod>2023-01-01</lastmod></url></urlset>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.ops.UrlOps.sitemapEntries(xml)))
+        .select(col("doc_id"), col("pos"),
+          col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+          col("col.priority").as("priority"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // multimodal: binary payload + batched decode-stub feature extraction
     // container-header sniffing (NOT a stub — real PNG IHDR byte offsets):
     // payloads assembled as valid PNG headers (every 7th doc a JPEG
@@ -5603,6 +5629,37 @@ object CorpusOps {
     // in DuckDB string functions — record split on the version line,
     // header block via split_part, payload slice by Content-Length,
     // HTTP status/type/body from the response payload
+    // sitemap replay: same XML synthesis, same (?s) non-greedy block
+    // split + anchored child extracts; parallel unnest zips entries with
+    // their 0-based positions; '' extracts null out via nullif
+    "q_doc_sitemap" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    '<?xml version="1.0"?>' || chr(10) || '<urlset>' ||
+           |      chr(10) || '<url>' || chr(10) || '  <loc> https://' ||
+           |      'example' || (doc_id % 5) || '.com' || '/p/' || doc_id ||
+           |      ' </loc>' || chr(10) || '  <lastmod>2024-0' ||
+           |      (doc_id % 9 + 1) || '-01</lastmod>' || chr(10) ||
+           |      '</url>' || chr(10) || '<url><loc>https://sub.' ||
+           |      'example' || (doc_id % 5) || '.com' || '/q/' || doc_id ||
+           |      '</loc><priority>0.8</priority></url>' ||
+           |      '<url><lastmod>2023-01-01</lastmod></url></urlset>'
+           |      AS xml
+           |  FROM documents),
+           |bl AS (SELECT doc_id,
+           |    regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS bs
+           |  FROM x),
+           |e AS (SELECT doc_id, unnest(bs) AS b,
+           |    unnest(range(len(bs))) AS pos
+           |  FROM bl)
+           |SELECT doc_id, CAST(pos AS INT) AS pos,
+           |  nullif(regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1),
+           |    '') AS loc,
+           |  nullif(regexp_extract(b,
+           |    '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod,
+           |  nullif(regexp_extract(b,
+           |    '(?s)<priority>\s*(.*?)\s*</priority>', 1), '') AS priority
+           |FROM e ORDER BY doc_id, pos""".stripMargin,
+
     "q_doc_warc" -> {
       val cr = "chr(13) || chr(10)"
       raw"""WITH b AS (SELECT doc_id,

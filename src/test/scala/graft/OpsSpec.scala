@@ -710,6 +710,32 @@ class OpsSpec extends AnyFunSuite {
     assert(runs(chg.repartition(7)) == got)
   }
 
+  test("sitemap entries: block split, trimmed loc, missing children null") {
+    import graft.ops.UrlOps
+    val xml = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url>
+      |    <loc> https://a.com/1 </loc>
+      |    <lastmod>2024-01-02</lastmod>
+      |    <priority>0.5</priority>
+      |  </url>
+      |  <url><loc>https://a.com/2</loc></url>
+      |  <url><lastmod>2023-01-01</lastmod></url>
+      |</urlset>""".stripMargin
+    val got = Seq(Tuple1(xml)).toDF("xml")
+      .select(explode(UrlOps.sitemapEntries(col("xml"))).as("e"))
+      .select("e.loc", "e.lastmod", "e.priority")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("https://a.com/1", "2024-01-02", "0.5"),
+      ("https://a.com/2", null, null),
+      (null, "2023-01-01", null)))
+    // no <url> blocks at all -> empty array, not a crash
+    val none = Seq(Tuple1("<urlset></urlset>")).toDF("xml")
+      .select(size(UrlOps.sitemapEntries(col("xml"))).as("n")).head()
+    assert(none.getInt(0) == 0)
+  }
+
   test("preference pairs: extremes, tie-breaks, margin floor, singletons") {
     import graft.ops.Curation
     val pool = Seq(
