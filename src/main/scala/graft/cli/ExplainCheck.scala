@@ -871,6 +871,11 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_mm_headers" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    // TIFF IFD walk: endian-aware bounded entry scan, pure projection —
+    // no join, no agg, no window
+    "q_mm_tiff" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate")),
     // JPEG SOF walk: a bounded per-row fold — still a pure projection
     "q_mm_jpeg" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",

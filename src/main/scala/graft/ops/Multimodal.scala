@@ -1073,6 +1073,65 @@ object Multimodal {
         .as("duration_ms"))
   }
 
+  /** TIFF header + first-IFD parse (the EXIF grammar: an EXIF blob is a
+    * TIFF IFD, so this is also the byte walk an EXIF APP1 reader does
+    * after the `Exif\0\0` marker). Grammar (TIFF 6.0 §2): 2-byte order
+    * mark `II` (little-endian) / `MM` (big-endian) — the ONE container
+    * here whose multi-byte integers change direction per file — magic 42
+    * in that order, u32 first-IFD offset; the IFD is a u16 entry count
+    * then 12-byte entries (tag u16, type u16, count u32, value-or-offset
+    * u32). Extracted tags: ImageWidth 0x0100, ImageLength 0x0101,
+    * Orientation 0x0112 — each taken only when stored INLINE (count 1,
+    * type SHORT(3) or LONG(4); SHORT reads the value field's first two
+    * bytes in file order, per spec). Out-of-range offsets, truncated
+    * IFDs, and offset-stored values fail CLOSED to null fields — route/
+    * quarantine semantics, like [[mp4Header]]. Entry scan is bounded by
+    * `maxEntries`; `n_entries` reports the DECLARED count so a capped
+    * parse is visible. Pure Column algebra in hex space — zero shuffle,
+    * codegen'd, replayable by any engine's substring/conv functions.
+    */
+  def tiffHeader(payload: org.apache.spark.sql.Column,
+      maxEntries: Int = 32): org.apache.spark.sql.Column = {
+    require(maxEntries >= 1 && maxEntries <= 256, "maxEntries in [1, 256]")
+    val hx = hex(payload) // 2 uppercase hex chars per byte, 0-based offs
+    val total = length(payload)
+    val le = substring(hx, 1, 4) === lit("4949")
+    val isTiff = (le && substring(hx, 5, 4) === lit("2A00")) ||
+      (substring(hx, 1, 4) === lit("4D4D") &&
+        substring(hx, 5, 4) === lit("002A"))
+    def byteAt(off: org.apache.spark.sql.Column) =
+      hx.substr(off * 2 + 1, lit(2))
+    def u16(off: org.apache.spark.sql.Column) =
+      conv(when(le, concat(byteAt(off + 1), byteAt(off)))
+        .otherwise(hx.substr(off * 2 + 1, lit(4))), 16, 10).cast("long")
+    def u32(off: org.apache.spark.sql.Column) =
+      conv(when(le, concat(byteAt(off + 3), byteAt(off + 2),
+          byteAt(off + 1), byteAt(off)))
+        .otherwise(hx.substr(off * 2 + 1, lit(8))), 16, 10).cast("long")
+    val ifd = u32(lit(4))
+    val nDecl = when(isTiff && ifd.isNotNull && ifd + 2 <= total, u16(ifd))
+    def tagVal(wanted: Long) = {
+      val hits = filter(
+        transform(sequence(lit(0), lit(maxEntries - 1)), i => {
+          val e = ifd + lit(2) + i.cast("long") * 12
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          val cnt = u32(e + 4)
+          when(i < nDecl && e + 12 <= total && tag === wanted &&
+              cnt === 1 && (typ === 3 || typ === 4),
+            when(typ === 3, u16(e + 8)).otherwise(u32(e + 8)))
+        }), v => v.isNotNull)
+      try_element_at(hits, lit(1))
+    }
+    struct(
+      isTiff.as("is_tiff"),
+      when(isTiff, le).as("little_endian"),
+      nDecl.as("n_entries"),
+      tagVal(0x0100L).as("width"),
+      tagVal(0x0101L).as("height"),
+      tagVal(0x0112L).as("orientation"))
+  }
+
   /** Exact per-patch channel features for one decoded image patch. */
   final case class PatchFeatures(media_id: Long, py: Int, px: Int,
       n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long)

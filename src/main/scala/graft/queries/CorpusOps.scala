@@ -2005,6 +2005,47 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // TIFF/EXIF-IFD sniff — the one container whose integer byte order
+    // flips PER FILE: payloads assembled as minimal 3-entry TIFFs,
+    // little-endian for even docs, big-endian for odd, every 7th doc a
+    // PNG signature; width (SHORT), height (LONG), orientation (SHORT)
+    // parsed back from the BYTES through the endian-aware IFD walk; the
+    // oracle replays the PARSER over the same hex
+    "q_mm_tiff" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      val w = pmod(col("doc_id"), lit(640)) + 1
+      val h = pmod(col("doc_id"), lit(480)) + 1
+      val o = pmod(col("doc_id"), lit(8)) + 1
+      def be16(c: Column) = lpad(hex(c), 4, "0")
+      def be32(c: Column) = lpad(hex(c), 8, "0")
+      def sw2(x: Column) = concat(substring(x, 3, 2), substring(x, 1, 2))
+      def sw4(x: Column) = concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+      val leHex = concat(lit("49492A00" + "08000000" + "0300"),
+        lit("0001" + "0300" + "01000000"), sw2(be16(w)), lit("0000"),
+        lit("0101" + "0400" + "01000000"), sw4(be32(h)),
+        lit("1201" + "0300" + "01000000"), sw2(be16(o)), lit("0000"),
+        lit("00000000"))
+      val beHex = concat(lit("4D4D002A000000080003"),
+        lit("0100000300000001"), be16(w), lit("0000"),
+        lit("0101000400000001"), be32(h),
+        lit("0112000300000001"), be16(o), lit("0000"),
+        lit("00000000"))
+      val pl = when(pmod(col("doc_id"), lit(7)) === 0,
+        unhex(lit("89504E470D0A1A0A")))
+        .otherwise(unhex(when(pmod(col("doc_id"), lit(2)) === 0, leHex)
+          .otherwise(beHex)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Multimodal.tiffHeader(pl).as("hdr"))
+        .select(col("doc_id"), col("hdr.is_tiff").as("is_tiff"),
+          col("hdr.little_endian").as("little_endian"),
+          col("hdr.n_entries").as("n_entries"),
+          col("hdr.width").as("width"), col("hdr.height").as("height"),
+          col("hdr.orientation").as("orientation"))
+        .orderBy("doc_id")
+    }),
+
     // WAV/RIFF sniff (little-endian fields): payloads assembled as
     // canonical 36-byte PCM headers (every 5th doc gets a PNG magic
     // instead), parsed back from the BYTES. The oracle states the expected
@@ -5739,6 +5780,108 @@ object CorpusOps {
         |  CASE WHEN is_png THEN CAST(('0x' || substr(hx, 51, 2))::BIGINT AS INT) END
         |    AS color_type
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // TIFF replay: same assembly (LE even docs / BE odd / PNG every 7th),
+    // then the PARSER replayed generically — endian-aware u16/u32 reads,
+    // declared entry count, per-entry tag scan over unnested indices,
+    // first inline SHORT/LONG match per wanted tag via arg_min on i
+    "q_mm_tiff" ->
+      raw"""WITH p AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN '89504E470D0A1A0A'
+           |      WHEN doc_id % 2 = 0 THEN
+           |        '49492A00' || '08000000' || '0300' ||
+           |        '0001' || '0300' || '01000000' ||
+           |          substr(lpad(upper(to_hex(doc_id % 640 + 1)),4,'0'),3,2)
+           |          || substr(lpad(upper(to_hex(doc_id % 640 + 1)),4,'0'),1,2)
+           |          || '0000' ||
+           |        '0101' || '0400' || '01000000' ||
+           |          substr(lpad(upper(to_hex(doc_id % 480 + 1)),8,'0'),7,2)
+           |          || substr(lpad(upper(to_hex(doc_id % 480 + 1)),8,'0'),5,2)
+           |          || substr(lpad(upper(to_hex(doc_id % 480 + 1)),8,'0'),3,2)
+           |          || substr(lpad(upper(to_hex(doc_id % 480 + 1)),8,'0'),1,2) ||
+           |        '1201' || '0300' || '01000000' ||
+           |          substr(lpad(upper(to_hex(doc_id % 8 + 1)),4,'0'),3,2)
+           |          || substr(lpad(upper(to_hex(doc_id % 8 + 1)),4,'0'),1,2)
+           |          || '0000' ||
+           |        '00000000'
+           |      ELSE
+           |        '4D4D002A' || '00000008' || '0003' ||
+           |        '0100' || '0003' || '00000001' ||
+           |          lpad(upper(to_hex(doc_id % 640 + 1)),4,'0') || '0000' ||
+           |        '0101' || '0004' || '00000001' ||
+           |          lpad(upper(to_hex(doc_id % 480 + 1)),8,'0') ||
+           |        '0112' || '0003' || '00000001' ||
+           |          lpad(upper(to_hex(doc_id % 8 + 1)),4,'0') || '0000' ||
+           |        '00000000'
+           |    END AS hx FROM documents),
+           |b AS (SELECT doc_id, hx, length(hx) // 2 AS totb,
+           |    (substr(hx, 1, 4) = '4949') AS le,
+           |    ((substr(hx, 1, 4) = '4949' AND substr(hx, 5, 4) = '2A00')
+           |     OR (substr(hx, 1, 4) = '4D4D' AND substr(hx, 5, 4) = '002A'))
+           |      AS is_tiff
+           |  FROM p),
+           |hd AS (SELECT *,
+           |    CASE WHEN le THEN ('0x' || substr(hx, 15, 2) ||
+           |        substr(hx, 13, 2) || substr(hx, 11, 2) ||
+           |        substr(hx, 9, 2))::BIGINT
+           |      ELSE ('0x' || substr(hx, 9, 8))::BIGINT END AS ifd
+           |  FROM b),
+           |nd AS (SELECT *,
+           |    CASE WHEN is_tiff AND ifd + 2 <= totb THEN
+           |      CASE WHEN le THEN ('0x' || substr(hx, ifd*2 + 3, 2) ||
+           |          substr(hx, ifd*2 + 1, 2))::BIGINT
+           |        ELSE ('0x' || substr(hx, ifd*2 + 1, 4))::BIGINT END
+           |    END AS n
+           |  FROM hd),
+           |e AS (SELECT doc_id, hx, totb, le, ifd, n,
+           |    unnest(range(32)) AS i
+           |  FROM nd),
+           |pe AS (SELECT *, ifd + 2 + i*12 AS eo FROM e),
+           |fx AS (SELECT doc_id, i,
+           |    (i < n AND eo + 12 <= totb) AS fits,
+           |    CASE WHEN (i < n AND eo + 12 <= totb) THEN
+           |      CASE WHEN le THEN ('0x' || substr(hx, eo*2 + 3, 2) ||
+           |          substr(hx, eo*2 + 1, 2))::BIGINT
+           |        ELSE ('0x' || substr(hx, eo*2 + 1, 4))::BIGINT END
+           |    END AS tag,
+           |    CASE WHEN (i < n AND eo + 12 <= totb) THEN
+           |      CASE WHEN le THEN ('0x' || substr(hx, eo*2 + 7, 2) ||
+           |          substr(hx, eo*2 + 5, 2))::BIGINT
+           |        ELSE ('0x' || substr(hx, eo*2 + 5, 4))::BIGINT END
+           |    END AS typ,
+           |    CASE WHEN (i < n AND eo + 12 <= totb) THEN
+           |      CASE WHEN le THEN ('0x' || substr(hx, eo*2 + 15, 2) ||
+           |          substr(hx, eo*2 + 13, 2) || substr(hx, eo*2 + 11, 2) ||
+           |          substr(hx, eo*2 + 9, 2))::BIGINT
+           |        ELSE ('0x' || substr(hx, eo*2 + 9, 8))::BIGINT END
+           |    END AS cnt,
+           |    CASE WHEN (i < n AND eo + 12 <= totb) THEN
+           |      CASE WHEN le THEN ('0x' || substr(hx, eo*2 + 19, 2) ||
+           |          substr(hx, eo*2 + 17, 2))::BIGINT
+           |        ELSE ('0x' || substr(hx, eo*2 + 17, 4))::BIGINT END
+           |    END AS v16,
+           |    CASE WHEN (i < n AND eo + 12 <= totb) THEN
+           |      CASE WHEN le THEN ('0x' || substr(hx, eo*2 + 23, 2) ||
+           |          substr(hx, eo*2 + 21, 2) || substr(hx, eo*2 + 19, 2) ||
+           |          substr(hx, eo*2 + 17, 2))::BIGINT
+           |        ELSE ('0x' || substr(hx, eo*2 + 17, 8))::BIGINT END
+           |    END AS v32
+           |  FROM pe),
+           |m AS (SELECT doc_id,
+           |    arg_min(CASE WHEN typ = 3 THEN v16 ELSE v32 END, i)
+           |      FILTER (WHERE fits AND tag = 256 AND cnt = 1
+           |        AND typ IN (3, 4)) AS width,
+           |    arg_min(CASE WHEN typ = 3 THEN v16 ELSE v32 END, i)
+           |      FILTER (WHERE fits AND tag = 257 AND cnt = 1
+           |        AND typ IN (3, 4)) AS height,
+           |    arg_min(CASE WHEN typ = 3 THEN v16 ELSE v32 END, i)
+           |      FILTER (WHERE fits AND tag = 274 AND cnt = 1
+           |        AND typ IN (3, 4)) AS orientation
+           |  FROM fx GROUP BY doc_id)
+           |SELECT nd.doc_id, nd.is_tiff,
+           |  CASE WHEN nd.is_tiff THEN nd.le END AS little_endian,
+           |  nd.n AS n_entries, m.width, m.height, m.orientation
+           |FROM nd JOIN m USING (doc_id) ORDER BY nd.doc_id""".stripMargin,
 
     "q_mm_decode" ->
       """WITH ch AS (

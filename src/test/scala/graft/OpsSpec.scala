@@ -710,6 +710,42 @@ class OpsSpec extends AnyFunSuite {
     assert(runs(chg.repartition(7)) == got)
   }
 
+  test("tiff header: both endians, inline-only values, fail-closed edges") {
+    import graft.ops.Multimodal
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // hand-assembled LE TIFF: width SHORT 320 (0x0140), height LONG
+    // 77777 (0x00012FD1), orientation SHORT 6, PLUS an offset-stored
+    // entry (count 2) that must be IGNORED
+    val le = "49492A00" + "08000000" + "0400" +
+      "0001" + "0300" + "01000000" + "4001" + "0000" + // 0x0100 w=320
+      "0101" + "0400" + "01000000" + "D12F0100" +      // 0x0101 h=77777
+      "1201" + "0300" + "01000000" + "0600" + "0000" + // 0x0112 o=6
+      "0B01" + "0300" + "02000000" + "AAAAAAAA" +      // count 2: skip
+      "00000000"
+    // BE variant of the same logical file
+    val be = "4D4D002A" + "00000008" + "0004" +
+      "0100" + "0003" + "00000001" + "0140" + "0000" +
+      "0101" + "0004" + "00000001" + "00012FD1" +
+      "0112" + "0003" + "00000001" + "0006" + "0000" +
+      "010B" + "0003" + "00000002" + "AAAAAAAA" +
+      "00000000"
+    val truncated = "49492A00" + "08000000" + "0400" + "0001" // IFD cut off
+    val notTiff = "89504E470D0A1A0A"
+    val rows = Seq((1L, hexBytes(le)), (2L, hexBytes(be)),
+      (3L, hexBytes(truncated)), (4L, hexBytes(notTiff)))
+      .toDF("id", "pl")
+    val got = rows.select(col("id"), Multimodal.tiffHeader(col("pl")).as("h"))
+      .select("id", "h.is_tiff", "h.little_endian", "h.n_entries",
+        "h.width", "h.height", "h.orientation")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq(true, true, 4L, 320L, 77777L, 6L))
+    assert(got(2L) == Seq(true, false, 4L, 320L, 77777L, 6L))
+    // truncated: n_entries declared 4 but no entry fits -> null fields
+    assert(got(3L) == Seq(true, true, 4L, null, null, null))
+    assert(got(4L) == Seq(false, null, null, null, null, null))
+  }
+
   test("sitemap entries: block split, trimmed loc, missing children null") {
     import graft.ops.UrlOps
     val xml = """<?xml version="1.0"?>
