@@ -35,6 +35,11 @@ object ExplainCheck {
     // embedding search top-k must run as bounded ObjectHashAggregate
     // (TopKAgg partial top-k), never a per-query window sort of the whole
     // scored corpus on one task
+    // MMR: brute exact retrieval (broadcast scan + k-bounded TopKAgg),
+    // per-query pair joins of the BOUNDED candidate lists, greedy rounds
+    // as an in-row fold — never a window, never corpus x corpus
+    "q_emb_mmr" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")),
     "q_emb_knn_brute" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("SortMergeJoin", "Window")),
     "q_emb_knn_ivf" -> (Seq("ObjectHashAggregate"),

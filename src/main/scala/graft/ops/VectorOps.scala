@@ -934,4 +934,84 @@ object VectorOps {
     TopComponent(projDf, v, mu, () => { q.unpersist(); () })
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * re-ranking — the diversification pass between retrieval and a RAG
+    * prompt or annotation batch: greedily pick `k` of each query's
+    * `topC` candidates maximizing
+    *
+    *   λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    *
+    * (λ in ppm; the first pick reduces to argmax rel since the penalty
+    * over an empty selection is 0). Everything rides the integer-exact
+    * chain: rel is [[bruteTopKExact]]'s `cos_x1m`, pairwise candidate
+    * sims are the same [[exactCosX1m]] micro-units, and the MMR score is
+    * `λ·rel − (10⁶−λ)·pen` (|score| ≤ 2·10¹², inside a long) — the
+    * greedy argmax is therefore bit-reproducible on any engine; ties
+    * break to the larger candidate id (struct-max ordering), pinned in
+    * the oracle.
+    *
+    * Scale shape: retrieval is the k-bounded TopKAgg chain; pairwise
+    * sims join the candidate lists to themselves PER QUERY (≤ C(C−1)/2
+    * rows per query — never corpus×corpus); the greedy loop is a
+    * k-round `aggregate()` fold over the per-query candidate/sim arrays,
+    * pure codegen'd expression work on ≤ topC + topC² bounded state —
+    * no iterative jobs, no window, no driver loop. Returns
+    * (query_id, mmr_rank, vec_id, mmr_score).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, topC: Int,
+      lambdaPpm: Long, scale: Double = 1e5): DataFrame = {
+    require(k >= 1 && topC >= k && topC <= 64, "need 1 <= k <= topC <= 64")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L, "lambdaPpm in [0, 1e6]")
+    val cands = bruteTopKExact(corpus, queries, topC, scale)
+    val (cq, cr) = quantized(col("embedding"), scale)
+    val cv = corpus.select(col("vec_id"), cq.as("qv"), cr.as("r"))
+    val withVec = cands.select("query_id", "vec_id").join(cv, Seq("vec_id"))
+    val x = withVec.select(col("query_id"), col("vec_id").as("a"),
+      col("qv").as("aq"), col("r").as("ar"))
+    val y = withVec.select(col("query_id"), col("vec_id").as("b"),
+      col("qv").as("bq"), col("r").as("br"))
+    val pairs = x.join(y, Seq("query_id")).where(col("a") < col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        exactCosX1m(graft.functions.GraftFunctions.long_dot(
+          col("aq"), col("bq")), col("ar"), col("br")).as("s"))
+    val cs = cands.groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id").as("id"),
+        col("cos_x1m").as("rel"))).as("cs"))
+    val ss = pairs.groupBy("query_id")
+      .agg(collect_list(struct(col("a"), col("b"), col("s"))).as("ss"))
+    val joined = cs.join(ss, Seq("query_id"), "left")
+      .withColumn("ss", coalesce(col("ss"),
+        array().cast("array<struct<a:bigint,b:bigint,s:bigint>>")))
+    val init = struct(
+      array().cast("array<bigint>").as("sel"),
+      array().cast("array<struct<r:int,id:bigint,m:bigint>>").as("out"))
+    val folded = aggregate(sequence(lit(1), lit(k)), init, (acc, rnd) => {
+      val sel = acc.getField("sel")
+      val scoredArr = transform(
+        filter(col("cs"), c => !array_contains(sel, c.getField("id"))),
+        c => {
+          val pen = coalesce(array_max(transform(
+            filter(col("ss"), p =>
+              (p.getField("a") === c.getField("id") &&
+                array_contains(sel, p.getField("b"))) ||
+              (p.getField("b") === c.getField("id") &&
+                array_contains(sel, p.getField("a")))),
+            p => p.getField("s"))), lit(0L))
+          struct(
+            (lit(lambdaPpm) * c.getField("rel") -
+              (lit(1000000L) - lit(lambdaPpm)) * pen).as("m"),
+            c.getField("id").as("id"))
+        })
+      val pick = array_max(scoredArr)
+      when(pick.isNull, acc).otherwise(struct(
+        array_append(sel, pick.getField("id")).as("sel"),
+        array_append(acc.getField("out"), struct(rnd.as("r"),
+          pick.getField("id").as("id"), pick.getField("m").as("m")))
+          .as("out")))
+    })
+    joined.select(col("query_id"), explode(folded.getField("out")).as("e"))
+      .select(col("query_id"), col("e.r").as("mmr_rank"),
+        col("e.id").as("vec_id"), col("e.m").as("mmr_score"))
+  }
+
 }

@@ -1109,6 +1109,21 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversification: retrieval's top-6 re-ranked to 3 diverse picks
+    // per query (lambda = 0.7) — greedy argmax of lam*rel − (1−lam)*max
+    // sim-to-selected, everything on the integer-exact cosine chain, the
+    // greedy loop a k-round in-row fold over bounded candidate/sim arrays
+    // (no window, no iterative jobs); ties pinned to the larger id
+    "q_emb_mmr" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      VectorOps.mmrRerank(emb, queries, k = 3, topC = 6,
+          lambdaPpm = 700000L)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // bitext-style pair mining (ratio margin): even vec_ids play the
     // "source" corpus, odd the "target"; each pair's cosine divides by
     // its two neighborhoods' mean density — a raw-cos threshold
@@ -4417,6 +4432,73 @@ object CorpusOps {
          |    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // MMR replay: integer-exact brute top-6 (cos desc, id asc tie pin),
+    // pairwise candidate sims on the same icos chain, then the k=3
+    // greedy rounds UNROLLED — round r's penalty is the max sim to the
+    // r−1 already-picked ids, argmax pinned (m desc, id DESC = the
+    // engine's struct-max larger-id tie)
+    "q_emb_mmr" ->
+      s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |${exactChainSql("v", "c")},
+         |q AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r
+         |  FROM c WHERE vec_id < 6),
+         |sc AS (SELECT q.query_id, c.vec_id,
+         |    ${icosSql("c.qv", "c.r", "q.qq", "q.q_r")} AS rel
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, rel, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+         |  FROM sc WHERE rel IS NOT NULL),
+         |cand AS (SELECT query_id, vec_id, rel FROM rk WHERE rn <= 6),
+         |cw AS (SELECT cand.query_id, cand.vec_id, c.qv, c.r
+         |  FROM cand JOIN c USING (vec_id)),
+         |pr AS (SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+         |    ${icosSql("x.qv", "x.r", "y.qv", "y.r")} AS s
+         |  FROM cw x JOIN cw y
+         |    ON x.query_id = y.query_id AND x.vec_id < y.vec_id),
+         |m1 AS (SELECT query_id, vec_id, 700000 * rel AS m FROM cand),
+         |p1 AS (SELECT query_id, vec_id, m, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY m DESC, vec_id DESC) AS rn
+         |  FROM m1),
+         |s1 AS (SELECT query_id, vec_id AS id1, m AS sm1 FROM p1
+         |  WHERE rn = 1),
+         |pen2 AS (SELECT cand.query_id, cand.vec_id, cand.rel,
+         |    max(CASE WHEN (pr.a = cand.vec_id AND pr.b = s1.id1)
+         |          OR (pr.b = cand.vec_id AND pr.a = s1.id1)
+         |        THEN pr.s END) AS pen
+         |  FROM cand JOIN s1 USING (query_id)
+         |  LEFT JOIN pr ON pr.query_id = cand.query_id
+         |  WHERE cand.vec_id <> s1.id1
+         |  GROUP BY cand.query_id, cand.vec_id, cand.rel),
+         |m2 AS (SELECT query_id, vec_id,
+         |    700000 * rel - 300000 * coalesce(pen, 0) AS m FROM pen2),
+         |p2 AS (SELECT query_id, vec_id, m, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY m DESC, vec_id DESC) AS rn
+         |  FROM m2),
+         |s2 AS (SELECT query_id, vec_id AS id2, m AS sm2 FROM p2
+         |  WHERE rn = 1),
+         |pen3 AS (SELECT cand.query_id, cand.vec_id, cand.rel,
+         |    max(CASE WHEN (pr.a = cand.vec_id
+         |            AND pr.b IN (s1.id1, s2.id2))
+         |          OR (pr.b = cand.vec_id
+         |            AND pr.a IN (s1.id1, s2.id2))
+         |        THEN pr.s END) AS pen
+         |  FROM cand JOIN s1 USING (query_id) JOIN s2 USING (query_id)
+         |  LEFT JOIN pr ON pr.query_id = cand.query_id
+         |  WHERE cand.vec_id NOT IN (s1.id1, s2.id2)
+         |  GROUP BY cand.query_id, cand.vec_id, cand.rel),
+         |m3 AS (SELECT query_id, vec_id,
+         |    700000 * rel - 300000 * coalesce(pen, 0) AS m FROM pen3),
+         |p3 AS (SELECT query_id, vec_id, m, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY m DESC, vec_id DESC) AS rn
+         |  FROM m3),
+         |s3 AS (SELECT query_id, vec_id AS id3, m AS sm3 FROM p3
+         |  WHERE rn = 1)
+         |SELECT query_id, CAST(1 AS INT) AS mmr_rank, id1 AS vec_id,
+         |  sm1 AS mmr_score FROM s1
+         |UNION ALL SELECT query_id, CAST(2 AS INT), id2, sm2 FROM s2
+         |UNION ALL SELECT query_id, CAST(3 AS INT), id3, sm3 FROM s3
+         |ORDER BY query_id, mmr_rank""".stripMargin,
 
     // multi-probe replay: the same ±1 plane rows over the scale-1e5 qv
     // (integer plane dots, bit set iff strictly positive), base + one-

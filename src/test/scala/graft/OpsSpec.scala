@@ -710,6 +710,35 @@ class OpsSpec extends AnyFunSuite {
     assert(runs(chg.repartition(7)) == got)
   }
 
+  test("mmr rerank: diversity beats raw rank, lambda=1 is plain top-k") {
+    import graft.ops.VectorOps
+    // 3D geometry (padded to 4 dims): query (1,1,0); 11 and 10 hug the
+    // query AND each other (near-dups: sim(10,11) > either rel), 12
+    // brings a fresh third axis (its rel EXCEEDS its sim to the picked
+    // 11). Plain top-2 is {11, 10}; MMR at lambda=0.5 must pick 11 then
+    // SKIP its near-dup 10 for the diverse 12.
+    def pad(x: Double, y: Double, z: Double) = Array(x, y, z, 0.0)
+    val emb = Seq(
+      (9L, pad(1.0, 1.0, 0.0)),   // the query vector
+      (10L, pad(1.0, 0.85, 0.0)),
+      (11L, pad(1.0, 0.95, 0.0)),
+      (12L, pad(0.9, 1.0, 0.3)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") === 9L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def picks(lambdaPpm: Long) =
+      VectorOps.mmrRerank(emb, q, k = 2, topC = 3, lambdaPpm = lambdaPpm)
+        .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(picks(500000L) == Seq(11L, 12L))
+    // lambda = 1: the penalty vanishes — MMR degenerates to raw top-k
+    assert(picks(1000000L) == Seq(11L, 10L))
+    // partitioning must not change the greedy result
+    val re = VectorOps.mmrRerank(emb.repartition(5), q, k = 2, topC = 3,
+      lambdaPpm = 500000L).orderBy("mmr_rank").collect()
+      .map(_.getLong(2)).toSeq
+    assert(re == Seq(11L, 12L))
+  }
+
   test("tiff header: both endians, inline-only values, fail-closed edges") {
     import graft.ops.Multimodal
     def hexBytes(h: String): Array[Byte] =
