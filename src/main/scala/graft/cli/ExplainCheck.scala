@@ -666,6 +666,11 @@ object ExplainCheck {
     "q_doc_sitemap" -> (Seq("Batched: true", "Generate"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate")),
+    // robots group parse: the line fold + group algebra are ONE in-row
+    // projection + posexplode — no join, no agg, no window
+    "q_doc_robots" -> (Seq("Generate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate")),
     // WARC→WET composition: parse + body slice + strip chain, still one
     // in-row stage end to end
     "q_doc_warc_wet" -> (Seq("Batched: true"),

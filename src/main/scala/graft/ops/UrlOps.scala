@@ -317,6 +317,77 @@ object UrlOps {
         coalesce(col("b.a"), lit(true)).as("allowed"))
   }
 
+  /** robots.txt GROUP PARSING (RFC 9309 §2.2) — the text-to-rules half
+    * in front of [[pathRuleFilter]] (which applies longest-match rules it
+    * is given): split the file into lines, strip comments, fold lines
+    * into user-agent GROUPS (consecutive `user-agent` lines share the
+    * group that the following rules belong to; any other recognized
+    * field closes the run so a later `user-agent` starts a NEW group),
+    * then select the most specific matching group — the longest
+    * user-agent token that case-insensitively prefixes `userAgent`, with
+    * `*` matching everything at priority 0 — and emit ITS allow/disallow
+    * rules, combining groups that tie on specificity (the RFC's "most
+    * specific group" rule). Unparseable lines (no `field:` shape) are
+    * ignored entirely; empty rule values carry no rule (an empty
+    * `Disallow:` means allow-all, per the RFC); no matching group —
+    * including an empty file — yields an empty rule set (crawl allowed).
+    *
+    * Pure in-row Column algebra: one line fold (bounded by file lines)
+    * building (group, field, value) entries, then bounded array algebra
+    * for group specificities and the winning filter. Zero shuffle, zero
+    * UDF, replayable by an engine's window/regex functions. Returns
+    * array<struct<prefix, allow>> — [[pathRuleFilter]]'s rule shape.
+    */
+  def robotsRules(txt: Column, userAgent: String): Column = {
+    val ua = userAgent.toLowerCase
+    val lines = split(txt, "\n")
+    val entryType = "array<struct<g:int,f:string,v:string>>"
+    val init = struct(lit(0).as("gid"), lit(false).as("inUa"),
+      array().cast(entryType).as("es"))
+    val folded = aggregate(lines, init, (acc, raw) => {
+      val l = trim(regexp_replace(raw, "#.*$", ""))
+      val f = lower(regexp_extract(l, "^([A-Za-z-]+)\\s*:", 1))
+      val v = trim(regexp_extract(l, "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
+      val isUa = f === "user-agent"
+      val gid2 = when(isUa && !acc.getField("inUa"),
+        acc.getField("gid") + 1).otherwise(acc.getField("gid"))
+      val keep = f =!= "" // comment/blank/garbage lines change nothing
+      when(!keep, acc).otherwise(struct(
+        gid2.as("gid"),
+        isUa.as("inUa"),
+        when(isUa || acc.getField("gid") >= 1,
+          array_append(acc.getField("es"),
+            struct(gid2.as("g"), f.as("f"), v.as("v"))))
+          .otherwise(acc.getField("es")).as("es")))
+    })
+    val es = folded.getField("es")
+    // per-UA-entry specificity: '*' → 0, prefix match → token length,
+    // no match → -1
+    def uaLen(e: Column) = {
+      val v = lower(e.getField("v"))
+      when(v === "*", 0)
+        .when(lit(ua).startsWith(v), length(v)).otherwise(-1)
+    }
+    val uaEntries = filter(es, e => e.getField("f") === "user-agent")
+    val gids = array_distinct(transform(uaEntries, _.getField("g")))
+    // each group's best specificity, then the global best
+    val groupBest = transform(gids, g => struct(g.as("g"),
+      array_max(transform(filter(uaEntries, e => e.getField("g") === g),
+        e => uaLen(e))).as("len")))
+    val bestLen = array_max(transform(groupBest, _.getField("len")))
+    val winners = transform(
+      filter(groupBest, gb =>
+        gb.getField("len") === bestLen && gb.getField("len") >= 0),
+      _.getField("g"))
+    transform(
+      filter(es, e =>
+        (e.getField("f") === "allow" || e.getField("f") === "disallow") &&
+          e.getField("v") =!= "" &&
+          array_contains(winners, e.getField("g"))),
+      e => struct(e.getField("v").as("prefix"),
+        (e.getField("f") === "allow").as("allow")))
+  }
+
   /** Sitemap (sitemaps.org XML) entry extraction — the third leg of the
     * crawl-ingest grammar next to [[Warc]] records and the RFC 9309 path
     * rules: split a sitemap document into its `<url>` entries and pull

@@ -1973,6 +1973,34 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // robots.txt GROUP parsing (RFC 9309): per-doc synthesized files with
+    // a '*' group, a 'graftbot' group (dropped every 3rd doc), and a
+    // two-UA 'graft'/'otherbot' group (dropped every 7th) — the parser
+    // folds lines into groups, picks the most specific match for
+    // graftbot/1.0 (longest prefixing token; '*' at priority 0), and
+    // emits that group's rules in file order; empty Disallow = no rule
+    "q_doc_robots" -> ((s, dir) => {
+      val nl = "\n"
+      val base = concat(
+        lit(s"# synthetic${nl}User-agent: *${nl}Disallow: /private$nl" +
+          "Allow: /ok-"),
+        pmod(col("doc_id"), lit(10)).cast("string"), lit(nl))
+      val g2 = when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit(s"${nl}User-agent: graftbot${nl}Disallow: /tmp/"),
+          col("doc_id").cast("string"), lit(s"${nl}Crawl-delay: 5$nl")))
+        .otherwise(lit(""))
+      val g3 = when(pmod(col("doc_id"), lit(7)) =!= 0,
+        lit(s"${nl}User-agent: graft${nl}User-agent: otherbot$nl" +
+          s"Disallow: /deep${nl}Disallow:$nl")).otherwise(lit(""))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.ops.UrlOps.robotsRules(
+            concat(base, g2, g3), "graftbot/1.0")))
+        .select(col("doc_id"), col("pos"),
+          col("col.prefix").as("prefix"), col("col.allow").as("allow"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // sitemap XML parsing — the third crawl-ingest grammar (WARC records,
     // robots path rules, sitemap entries): per-doc synthesized sitemaps
     // (one full entry, one with priority, one malformed loc-less entry)
@@ -5752,6 +5780,65 @@ object CorpusOps {
     // in DuckDB string functions — record split on the version line,
     // header block via split_part, payload slice by Content-Length,
     // HTTP status/type/body from the response payload
+    // robots replay: same synthesis; kept lines (parseable 'field:'
+    // shape) get group ids via a lag+running-sum window (a user-agent
+    // line NOT preceded by one starts a group — the fold's inUa flag),
+    // per-group specificity = max over its UA tokens, winners join back
+    // for the rule rows in file order
+    "q_doc_robots" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    '# synthetic' || chr(10) || 'User-agent: *' || chr(10) ||
+           |    'Disallow: /private' || chr(10) ||
+           |    'Allow: /ok-' || (doc_id % 10) || chr(10) ||
+           |    CASE WHEN doc_id % 3 <> 0 THEN chr(10) ||
+           |      'User-agent: graftbot' || chr(10) ||
+           |      'Disallow: /tmp/' || doc_id || chr(10) ||
+           |      'Crawl-delay: 5' || chr(10) ELSE '' END ||
+           |    CASE WHEN doc_id % 7 <> 0 THEN chr(10) ||
+           |      'User-agent: graft' || chr(10) ||
+           |      'User-agent: otherbot' || chr(10) ||
+           |      'Disallow: /deep' || chr(10) ||
+           |      'Disallow:' || chr(10) ELSE '' END AS txt
+           |  FROM documents),
+           |ln AS (SELECT doc_id,
+           |    unnest(string_split(txt, chr(10))) AS raw,
+           |    unnest(range(len(string_split(txt, chr(10))))) AS p
+           |  FROM x),
+           |pf AS (SELECT doc_id, p,
+           |    lower(regexp_extract(trim(regexp_replace(raw, '#.*$$', '')),
+           |      '^([A-Za-z-]+)\s*:', 1)) AS f,
+           |    trim(regexp_extract(trim(regexp_replace(raw, '#.*$$', '')),
+           |      '^[A-Za-z-]+\s*:\s*(.*)$$', 1)) AS v
+           |  FROM ln),
+           |k AS (SELECT * FROM pf WHERE f <> ''),
+           |g0 AS (SELECT *, (f = 'user-agent') AS isua,
+           |    coalesce(lag(f = 'user-agent') OVER (
+           |      PARTITION BY doc_id ORDER BY p), FALSE) AS prevua
+           |  FROM k),
+           |g AS (SELECT *, sum(CASE WHEN isua AND NOT prevua
+           |      THEN 1 ELSE 0 END) OVER (
+           |      PARTITION BY doc_id ORDER BY p) AS gid
+           |  FROM g0),
+           |ua AS (SELECT doc_id, gid,
+           |    max(CASE WHEN v = '*' THEN 0
+           |      WHEN starts_with('graftbot/1.0', lower(v))
+           |        THEN length(v)
+           |      ELSE -1 END) AS glen
+           |  FROM g WHERE isua GROUP BY doc_id, gid),
+           |best AS (SELECT doc_id, max(glen) AS b FROM ua
+           |  GROUP BY doc_id),
+           |win AS (SELECT ua.doc_id, ua.gid FROM ua JOIN best
+           |  USING (doc_id) WHERE glen = b AND glen >= 0),
+           |r AS (SELECT g.doc_id, g.p, g.v AS prefix,
+           |    (g.f = 'allow') AS allow
+           |  FROM g JOIN win ON win.doc_id = g.doc_id
+           |    AND win.gid = g.gid
+           |  WHERE g.f IN ('allow', 'disallow') AND g.v <> '')
+           |SELECT doc_id, CAST(row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS pos,
+           |  prefix, allow
+           |FROM r ORDER BY doc_id, pos""".stripMargin,
+
     // sitemap replay: same XML synthesis, same (?s) non-greedy block
     // split + anchored child extracts; parallel unnest zips entries with
     // their 0-based positions; '' extracts null out via nullif

@@ -775,6 +775,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == Seq(false, null, null, null, null, null))
   }
 
+  test("robots rules: group fold, specificity pick, ties, empty values") {
+    import graft.ops.UrlOps
+    val robots = """Disallow: /early-orphan-rule
+      |# global group
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |
+      |User-agent: graftbot
+      |Disallow: /tmp
+      |Crawl-delay: 5
+      |
+      |User-agent: graft
+      |User-agent: otherbot
+      |Disallow: /deep
+      |Disallow:
+      |not a field line
+      |""".stripMargin
+    def rulesFor(agent: String) = Seq(Tuple1(robots)).toDF("txt")
+      .select(explode(UrlOps.robotsRules(col("txt"), agent)).as("r"))
+      .select("r.prefix", "r.allow")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    // longest token wins: 'graftbot' (8) beats 'graft' (5) and '*'
+    assert(rulesFor("graftbot/1.0") == Seq(("/tmp", false)))
+    // 'graft' prefix wins for graftx; the empty Disallow carries no rule
+    assert(rulesFor("graftx") == Seq(("/deep", false)))
+    // nothing but '*' matches; orphan pre-group rule must NOT leak in
+    assert(rulesFor("plaincrawler") ==
+      Seq(("/private", false), ("/private/ok", true)))
+    // empty file -> empty rules (crawl allowed), not a crash
+    val none = Seq(Tuple1("")).toDF("txt")
+      .select(size(UrlOps.robotsRules(col("txt"), "graftbot")).as("n"))
+      .head()
+    assert(none.getInt(0) == 0)
+  }
+
   test("sitemap entries: block split, trimmed loc, missing children null") {
     import graft.ops.UrlOps
     val xml = """<?xml version="1.0"?>
