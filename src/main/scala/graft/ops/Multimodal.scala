@@ -1093,43 +1093,54 @@ object Multimodal {
   def tiffHeader(payload: org.apache.spark.sql.Column,
       maxEntries: Int = 32): org.apache.spark.sql.Column = {
     require(maxEntries >= 1 && maxEntries <= 256, "maxEntries in [1, 256]")
-    val hx = hex(payload) // 2 uppercase hex chars per byte, 0-based offs
-    val total = length(payload)
-    val le = substring(hx, 1, 4) === lit("4949")
-    val isTiff = (le && substring(hx, 5, 4) === lit("2A00")) ||
-      (substring(hx, 1, 4) === lit("4D4D") &&
-        substring(hx, 5, 4) === lit("002A"))
-    def byteAt(off: org.apache.spark.sql.Column) =
-      hx.substr(off * 2 + 1, lit(2))
-    def u16(off: org.apache.spark.sql.Column) =
-      conv(when(le, concat(byteAt(off + 1), byteAt(off)))
-        .otherwise(hx.substr(off * 2 + 1, lit(4))), 16, 10).cast("long")
-    def u32(off: org.apache.spark.sql.Column) =
-      conv(when(le, concat(byteAt(off + 3), byteAt(off + 2),
-          byteAt(off + 1), byteAt(off)))
-        .otherwise(hx.substr(off * 2 + 1, lit(8))), 16, 10).cast("long")
-    val ifd = u32(lit(4))
-    val nDecl = when(isTiff && ifd.isNotNull && ifd + 2 <= total, u16(ifd))
-    def tagVal(wanted: Long) = {
-      val hits = filter(
-        transform(sequence(lit(0), lit(maxEntries - 1)), i => {
-          val e = ifd + lit(2) + i.cast("long") * 12
-          val tag = u16(e)
-          val typ = u16(e + 2)
-          val cnt = u32(e + 4)
-          when(i < nDecl && e + 12 <= total && tag === wanted &&
-              cnt === 1 && (typ === 3 || typ === 4),
-            when(typ === 3, u16(e + 8)).otherwise(u32(e + 8)))
-        }), v => v.isNotNull)
-      try_element_at(hits, lit(1))
-    }
-    struct(
-      isTiff.as("is_tiff"),
-      when(isTiff, le).as("little_endian"),
-      nDecl.as("n_entries"),
-      tagVal(0x0100L).as("width"),
-      tagVal(0x0101L).as("height"),
-      tagVal(0x0112L).as("orientation"))
+    // LET-BINDING: the hex string is bound ONCE per row as a lambda
+    // variable — the parse below references it hundreds of times (per
+    // entry, per field, per endianness branch), and inlining hex(payload)
+    // at each reference would re-evaluate the caller's whole payload
+    // expression per reference per row (measured ~10ms/row on a
+    // synthesized-payload gate; ~1000x the bound form)
+    val parsed = transform(array(hex(payload)), hx => {
+      val total = length(hx).cast("long") / 2
+      val le = substring(hx, 1, 4) === lit("4949")
+      val isTiff = (le && substring(hx, 5, 4) === lit("2A00")) ||
+        (substring(hx, 1, 4) === lit("4D4D") &&
+          substring(hx, 5, 4) === lit("002A"))
+      def byteAt(off: org.apache.spark.sql.Column) =
+        hx.substr((off * 2 + 1).cast("int"), lit(2))
+      def u16(off: org.apache.spark.sql.Column) =
+        conv(when(le, concat(byteAt(off + 1), byteAt(off)))
+          .otherwise(hx.substr((off * 2 + 1).cast("int"), lit(4))),
+          16, 10).cast("long")
+      def u32(off: org.apache.spark.sql.Column) =
+        conv(when(le, concat(byteAt(off + 3), byteAt(off + 2),
+            byteAt(off + 1), byteAt(off)))
+          .otherwise(hx.substr((off * 2 + 1).cast("int"), lit(8))),
+          16, 10).cast("long")
+      val ifd = u32(lit(4L))
+      val nDecl = when(isTiff && ifd.isNotNull && ifd + 2 <= total,
+        u16(ifd))
+      def tagVal(wanted: Long) = {
+        val hits = filter(
+          transform(sequence(lit(0), lit(maxEntries - 1)), i => {
+            val e = ifd + lit(2) + i.cast("long") * 12
+            val tag = u16(e)
+            val typ = u16(e + 2)
+            val cnt = u32(e + 4)
+            when(i < nDecl && e + 12 <= total && tag === wanted &&
+                cnt === 1 && (typ === 3 || typ === 4),
+              when(typ === 3, u16(e + 8)).otherwise(u32(e + 8)))
+          }), v => v.isNotNull)
+        try_element_at(hits, lit(1))
+      }
+      struct(
+        isTiff.as("is_tiff"),
+        when(isTiff, le).as("little_endian"),
+        nDecl.as("n_entries"),
+        tagVal(0x0100L).as("width"),
+        tagVal(0x0101L).as("height"),
+        tagVal(0x0112L).as("orientation"))
+    })
+    try_element_at(parsed, lit(1))
   }
 
   /** Exact per-patch channel features for one decoded image patch. */

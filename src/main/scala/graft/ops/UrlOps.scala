@@ -360,32 +360,39 @@ object UrlOps {
             struct(gid2.as("g"), f.as("f"), v.as("v"))))
           .otherwise(acc.getField("es")).as("es")))
     })
-    val es = folded.getField("es")
-    // per-UA-entry specificity: '*' → 0, prefix match → token length,
-    // no match → -1
-    def uaLen(e: Column) = {
-      val v = lower(e.getField("v"))
-      when(v === "*", 0)
-        .when(lit(ua).startsWith(v), length(v)).otherwise(-1)
-    }
-    val uaEntries = filter(es, e => e.getField("f") === "user-agent")
-    val gids = array_distinct(transform(uaEntries, _.getField("g")))
-    // each group's best specificity, then the global best
-    val groupBest = transform(gids, g => struct(g.as("g"),
-      array_max(transform(filter(uaEntries, e => e.getField("g") === g),
-        e => uaLen(e))).as("len")))
-    val bestLen = array_max(transform(groupBest, _.getField("len")))
-    val winners = transform(
-      filter(groupBest, gb =>
-        gb.getField("len") === bestLen && gb.getField("len") >= 0),
-      _.getField("g"))
-    transform(
-      filter(es, e =>
-        (e.getField("f") === "allow" || e.getField("f") === "disallow") &&
-          e.getField("v") =!= "" &&
-          array_contains(winners, e.getField("g"))),
-      e => struct(e.getField("v").as("prefix"),
-        (e.getField("f") === "allow").as("allow")))
+    // LET-BINDING (the [[Multimodal.tiffHeader]] discipline): the folded
+    // entry list is bound ONCE per row as a lambda variable — the group
+    // algebra below references it several times, and inlining the fold
+    // at each reference would replay the whole line fold per reference
+    // per row
+    val rules = transform(array(folded.getField("es")), es => {
+      // per-UA-entry specificity: '*' → 0, prefix match → token length,
+      // no match → -1
+      def uaLen(e: Column) = {
+        val v = lower(e.getField("v"))
+        when(v === "*", 0)
+          .when(lit(ua).startsWith(v), length(v)).otherwise(-1)
+      }
+      val uaEntries = filter(es, e => e.getField("f") === "user-agent")
+      val gids = array_distinct(transform(uaEntries, _.getField("g")))
+      // each group's best specificity, then the global best
+      val groupBest = transform(gids, g => struct(g.as("g"),
+        array_max(transform(filter(uaEntries, e => e.getField("g") === g),
+          e => uaLen(e))).as("len")))
+      val bestLen = array_max(transform(groupBest, _.getField("len")))
+      val winners = transform(
+        filter(groupBest, gb =>
+          gb.getField("len") === bestLen && gb.getField("len") >= 0),
+        _.getField("g"))
+      transform(
+        filter(es, e =>
+          (e.getField("f") === "allow" || e.getField("f") === "disallow") &&
+            e.getField("v") =!= "" &&
+            array_contains(winners, e.getField("g"))),
+        e => struct(e.getField("v").as("prefix"),
+          (e.getField("f") === "allow").as("allow")))
+    })
+    try_element_at(rules, lit(1))
   }
 
   /** Sitemap (sitemaps.org XML) entry extraction — the third leg of the

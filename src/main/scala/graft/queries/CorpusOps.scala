@@ -2080,7 +2080,7 @@ object CorpusOps {
           .otherwise(beHex)))
       t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.ops.Multimodal.tiffHeader(pl).as("hdr"))
+          graft.ops.Multimodal.tiffHeader(pl, maxEntries = 8).as("hdr"))
         .select(col("doc_id"), col("hdr.is_tiff").as("is_tiff"),
           col("hdr.little_endian").as("little_endian"),
           col("hdr.n_entries").as("n_entries"),
@@ -6003,7 +6003,7 @@ object CorpusOps {
            |    END AS n
            |  FROM hd),
            |e AS (SELECT doc_id, hx, totb, le, ifd, n,
-           |    unnest(range(32)) AS i
+           |    unnest(range(8)) AS i
            |  FROM nd),
            |pe AS (SELECT *, ifd + 2 + i*12 AS eo FROM e),
            |fx AS (SELECT doc_id, i,
