@@ -193,6 +193,12 @@ object ExplainCheck {
     // output orderBy
     "q_cdc_scd2" -> (Seq("Window", "hashpartitioning(o_custkey"),
       Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // snapshot diff: ONE union + ONE aggregate (string max plans as
+    // SortAggregate WITH a partial before the exchange — the upsert
+    // shape) — never an outer join of the two versions
+    "q_doc_snapshot_diff" -> (Seq("Union", "SortAggregate"),
+      Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+        "Window")),
     // preference pairs: ONE struct-extreme aggregate — struct min/max
     // plans as SortAggregate WITH a partial before the exchange (the
     // q_doc_upsert shape: per-partition sort, one row per group per
@@ -671,6 +677,14 @@ object ExplainCheck {
     "q_doc_robots" -> (Seq("Generate"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate")),
+    // crawl frontier composition: the rules dim broadcasts into the
+    // prefix-explosion join; the verdict-to-urls join is corpus×corpus
+    // keyed by doc_id (a shuffle join IS the right plan — not pinned
+    // away); frontier ranking is the k-bounded TopKAgg, never a
+    // per-domain window sort
+    "q_doc_crawl_frontier" -> (Seq("BroadcastHashJoin",
+      "ObjectHashAggregate"),
+      Seq("CartesianProduct", "Window")),
     // WARC→WET composition: parse + body slice + strip chain, still one
     // in-row stage end to end
     "q_doc_warc_wet" -> (Seq("Batched: true"),

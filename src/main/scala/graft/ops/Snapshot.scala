@@ -64,6 +64,32 @@ object Snapshot {
         payload.map(c => col(s"w.$c").as(c)): _*)
   }
 
+  /** Corpus version diff — the release-note op between two snapshots:
+    * classify every key as added / removed / changed / unchanged by
+    * content fingerprint. Same ONE-union-ONE-aggregate shape as
+    * [[upsert]] (no outer join: a full outer join shuffles both sides
+    * AND plans null-handling for every payload column; the union
+    * aggregates the same shuffle volume with map-side partials).
+    * Returns (keyCol, status, fp_old, fp_new). Keys must be unique per
+    * side (snapshot contract).
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      fpCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(keyCol), col(fpCol).as("__fp"), lit(tag).as("__side"))
+    side(oldSnap, 1).unionByName(side(newSnap, 2))
+      .groupBy(keyCol)
+      .agg(
+        max(when(col("__side") === 1, col("__fp"))).as("fp_old"),
+        max(when(col("__side") === 2, col("__fp"))).as("fp_new"))
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed"))
+      .select(col(keyCol), col("status"), col("fp_old"), col("fp_new"))
+  }
+
   /** SCD type-2 history build: fold a CDC change log (keyCol, versionCol,
     * attrCols…, optional boolean tombstones) into the standard
     * point-in-time dimension table — one row per ATTRIBUTE RUN with

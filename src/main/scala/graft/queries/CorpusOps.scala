@@ -1973,6 +1973,63 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // crawl-frontier scheduling — the politeness COMPOSITION: per-host
+    // robots.txt (5-row dim) parsed by the X249 grammar for graftbot,
+    // longest-match verdict per URL via the host-keyed prefix join, then
+    // the allowed frontier ranked top-5 per registered domain by priority
+    // through the k-bounded TopKAgg. The '*' group disallows EVERYTHING —
+    // graftbot is admitted only because its own group wins selection, so
+    // a group-selection bug empties the frontier
+    "q_doc_crawl_frontier" -> ((s, dir) => {
+      val nl = "\n"
+      val host = concat(lit("sub.example"),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".com"))
+      val path = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("/p/"), col("doc_id").cast("string")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("/tmp/"), col("doc_id").cast("string")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("/tmp/ok/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/private/"), col("doc_id").cast("string")))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        host.as("host"), path.as("path"),
+        (TextOps.tokenCount(col("text")).cast("long") * 1000 +
+          pmod(col("doc_id"), lit(7))).as("priority"))
+      val robotsTxt = concat(
+        lit(s"User-agent: *${nl}Disallow: /$nl$nl" +
+          s"User-agent: graftbot${nl}Disallow: /tmp$nl" +
+          s"Allow: /tmp/ok$nl"),
+        when(pmod(col("hn"), lit(2)) === 0, lit(s"Disallow: /p$nl"))
+          .otherwise(lit("")))
+      val rules = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(5)).as("hn")).distinct()
+        .select(concat(lit("sub.example"), col("hn").cast("string"),
+            lit(".com")).as("host"),
+          explode(graft.ops.UrlOps.robotsRules(robotsTxt,
+            "graftbot/1.0")).as("r"))
+        .select(col("host"), col("r.prefix").as("prefix"),
+          col("r.allow").as("allow"))
+      val pref = urls.select(col("doc_id"), col("host"), explode(
+        transform(sequence(lit(1), length(col("path"))),
+          i => col("path").substr(lit(1), i))).as("prefix"))
+      val verdict = pref
+        .join(broadcast(rules), Seq("host", "prefix"))
+        .groupBy("doc_id")
+        .agg(max(struct(length(col("prefix")).as("l"),
+          col("allow").as("a"))).as("b"))
+      val allowed = urls.join(verdict, Seq("doc_id"), "left")
+        .where(coalesce(col("b.a"), lit(true)))
+        .select(graft.ops.UrlOps.registeredDomain(col("host"))
+          .as("domain"), col("doc_id"), col("priority"))
+      val top = graft.functions.TopKAgg.smallest_k_long(5)
+      allowed.groupBy("domain")
+        .agg(top(negate(col("priority")), col("doc_id")).as("t"))
+        .select(col("domain"), posexplode(col("t")).as(Seq("pos", "e")))
+        .select(col("domain"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("doc_id"), negate(col("e.key")).as("priority"))
+        .orderBy("domain", "rank")
+    }),
+
     // robots.txt GROUP parsing (RFC 9309): per-doc synthesized files with
     // a '*' group, a 'graftbot' group (dropped every 3rd doc), and a
     // two-UA 'graft'/'otherbot' group (dropped every 7th) — the parser
@@ -5780,6 +5837,79 @@ object CorpusOps {
     // in DuckDB string functions — record split on the version line,
     // header block via split_part, payload slice by Content-Length,
     // HTTP status/type/body from the response payload
+    // frontier replay: the q_doc_robots parser chain over the 5-host dim
+    // (group ids via lag+running-sum, specificity pick for graftbot),
+    // longest-match verdict as arg_max(allow, prefix length) over the
+    // host-keyed prefix-compare join, unmatched URLs default-allowed,
+    // then the per-domain top-5 by (priority DESC, doc_id) row_number —
+    // the TopKAgg tie pin
+    "q_doc_crawl_frontier" ->
+      raw"""WITH hosts AS (SELECT DISTINCT doc_id % 5 AS hn
+           |  FROM documents),
+           |rx AS (SELECT hn,
+           |    'User-agent: *' || chr(10) || 'Disallow: /' || chr(10) ||
+           |    chr(10) || 'User-agent: graftbot' || chr(10) ||
+           |    'Disallow: /tmp' || chr(10) || 'Allow: /tmp/ok' ||
+           |    chr(10) ||
+           |    CASE WHEN hn % 2 = 0 THEN 'Disallow: /p' || chr(10)
+           |      ELSE '' END AS txt
+           |  FROM hosts),
+           |ln AS (SELECT hn,
+           |    unnest(string_split(txt, chr(10))) AS raw,
+           |    unnest(range(len(string_split(txt, chr(10))))) AS p
+           |  FROM rx),
+           |pf AS (SELECT hn, p,
+           |    lower(regexp_extract(trim(regexp_replace(raw, '#.*$$', '')),
+           |      '^([A-Za-z-]+)\s*:', 1)) AS f,
+           |    trim(regexp_extract(trim(regexp_replace(raw, '#.*$$', '')),
+           |      '^[A-Za-z-]+\s*:\s*(.*)$$', 1)) AS v
+           |  FROM ln),
+           |kk AS (SELECT * FROM pf WHERE f <> ''),
+           |g0 AS (SELECT *, (f = 'user-agent') AS isua,
+           |    coalesce(lag(f = 'user-agent') OVER (
+           |      PARTITION BY hn ORDER BY p), FALSE) AS prevua
+           |  FROM kk),
+           |g AS (SELECT *, sum(CASE WHEN isua AND NOT prevua
+           |      THEN 1 ELSE 0 END) OVER (
+           |      PARTITION BY hn ORDER BY p) AS gid
+           |  FROM g0),
+           |ua AS (SELECT hn, gid,
+           |    max(CASE WHEN v = '*' THEN 0
+           |      WHEN starts_with('graftbot/1.0', lower(v))
+           |        THEN length(v)
+           |      ELSE -1 END) AS glen
+           |  FROM g WHERE isua GROUP BY hn, gid),
+           |best AS (SELECT hn, max(glen) AS b FROM ua GROUP BY hn),
+           |win AS (SELECT ua.hn, ua.gid FROM ua JOIN best USING (hn)
+           |  WHERE glen = b AND glen >= 0),
+           |rl AS (SELECT g.hn, g.v AS prefix, (g.f = 'allow') AS allow
+           |  FROM g JOIN win ON win.hn = g.hn AND win.gid = g.gid
+           |  WHERE g.f IN ('allow', 'disallow') AND g.v <> ''),
+           |u AS (SELECT doc_id, doc_id % 5 AS hn,
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN '/p/' || doc_id
+           |      WHEN 1 THEN '/tmp/' || doc_id
+           |      WHEN 2 THEN '/tmp/ok/' || doc_id
+           |      ELSE '/private/' || doc_id END AS path,
+           |    len(regexp_split_to_array(trim(text), '\s+')) * 1000
+           |      + doc_id % 7 AS priority
+           |  FROM documents),
+           |pv AS (SELECT u.doc_id,
+           |    arg_max(rl.allow, length(rl.prefix)) AS a
+           |  FROM u JOIN rl ON rl.hn = u.hn
+           |    AND substr(u.path, 1, length(rl.prefix)) = rl.prefix
+           |  GROUP BY u.doc_id),
+           |al AS (SELECT u.doc_id,
+           |    'example' || u.hn || '.com' AS domain, u.priority
+           |  FROM u LEFT JOIN pv USING (doc_id)
+           |  WHERE coalesce(pv.a, TRUE)),
+           |rk AS (SELECT domain, doc_id, priority,
+           |    CAST(row_number() OVER (PARTITION BY domain
+           |      ORDER BY priority DESC, doc_id) AS INT) AS rank
+           |  FROM al)
+           |SELECT domain, rank, doc_id, priority FROM rk
+           |WHERE rank <= 5 ORDER BY domain, rank""".stripMargin,
+
     // robots replay: same synthesis; kept lines (parseable 'field:'
     // shape) get group ids via a lag+running-sum window (a user-agent
     // line NOT preceded by one starts a group — the fold's inUa flag),

@@ -1244,6 +1244,24 @@ object CurationQueries {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // corpus snapshot diff: v2 re-crawls every 5th doc (changed), drops
+    // doc_id % 11 = 7 (removed), and adds fresh ids for every 13th —
+    // classified by content fp in ONE union + ONE aggregate, no outer
+    // join (the upsert shuffle discipline)
+    "q_doc_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(11)) =!= 7)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(5)) === 0, upper(col("text")))
+            .otherwise(col("text"))).as("fp"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(concat(lit("new:"), col("text"))).as("fp")))
+      graft.ops.Snapshot.diff(v1, v2, "doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // preference-pair construction (the DPO/RLHF dataset op): per prompt
     // group, the best- and worst-scored candidates with the exact integer
     // margin, near-ties dropped — ONE struct-extreme hash agg, no window
@@ -2117,6 +2135,27 @@ object CurationQueries {
         |  (valid_to IS NULL) AS is_current, o_orderstatus, o_orderpriority
         |FROM v WHERE NOT deleted
         |ORDER BY o_custkey, valid_from""".stripMargin,
+
+    // snapshot-diff replay: same v2 synthesis, FULL OUTER JOIN
+    // classification (the join formulation is fine at oracle scale; the
+    // engine's union+agg must agree cell for cell)
+    "q_doc_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN upper(text)
+        |    ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5('new:' || text) AS fp
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.fp IS NULL THEN 'added'
+        |       WHEN v2.fp IS NULL THEN 'removed'
+        |       WHEN v1.fp = v2.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  v1.fp AS fp_old, v2.fp AS fp_new
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // preference-pair replay: extremes as row_number orderings with the
     // SAME tie-breaks (score desc, id desc for chosen; asc, asc for
