@@ -193,6 +193,14 @@ object ExplainCheck {
     // output orderBy
     "q_cdc_scd2" -> (Seq("Window", "hashpartitioning(o_custkey"),
       Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // z-value: pure codegen'd projection — scan + interleave, nothing else
+    "q_layout_zvalue" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+        "Window", "HashAggregate")),
+    // bloom prefilter: the bits literal rides the task binary into the
+    // fact scan filter (might_contain), then the exact semi-join
+    "q_join_bloom_prefilter" -> (Seq("might_contain", "Join"),
+      Seq("CartesianProduct", "Window")),
     // snapshot diff: ONE union + ONE aggregate (string max plans as
     // SortAggregate WITH a partial before the exchange — the upsert
     // shape) — never an outer join of the two versions

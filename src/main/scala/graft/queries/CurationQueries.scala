@@ -1244,6 +1244,18 @@ object CurationQueries {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // Z-order (Morton) key — the multi-dimensional layout op made
+    // oracle-backed: interleaved (o_custkey, o_totalprice) bits, the
+    // range-partition key writeZOrdered sorts files by (LayoutSpec pins
+    // the two-sided pruning it buys); scaling is IEEE double algebra
+    // both engines compute identically, interleave is integer bit math
+    "q_layout_zvalue" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        graft.io.CorpusLayout.zValue(
+          col("o_custkey"), 0.0, 20000.0,
+          col("o_totalprice"), 0.0, 600000.0, bits = 8).as("z"))
+        .orderBy("o_orderkey")),
+
     // corpus snapshot diff: v2 re-crawls every 5th doc (changed), drops
     // doc_id % 11 = 7 (removed), and adds fresh ids for every 13th —
     // classified by content fp in ONE union + ONE aggregate, no outer
@@ -2135,6 +2147,21 @@ object CurationQueries {
         |  (valid_to IS NULL) AS is_current, o_orderstatus, o_orderpriority
         |FROM v WHERE NOT deleted
         |ORDER BY o_custkey, valid_from""".stripMargin,
+
+    // z-value replay: the same scale-clamp (double divide then multiply,
+    // IEEE-identical) and the same 8-term bit interleave in integer math
+    "q_layout_zvalue" ->
+      """WITH s AS (SELECT o_orderkey,
+        |    least(greatest(CAST(floor((CAST(o_custkey AS DOUBLE) - 0.0)
+        |      / 20000.0 * 255) AS BIGINT), 0), 255) AS sx,
+        |    least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+        |      / 600000.0 * 255) AS BIGINT), 0), 255) AS sy
+        |  FROM orders)
+        |SELECT o_orderkey, CAST(list_sum(
+        |    [((sx // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+        |     + ((sy // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1))
+        |     for i in generate_series(0, 7)]) AS BIGINT) AS z
+        |FROM s ORDER BY o_orderkey""".stripMargin,
 
     // snapshot-diff replay: same v2 synthesis, FULL OUTER JOIN
     // classification (the join formulation is fine at oracle scale; the

@@ -85,6 +85,28 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // bloom-prefiltered semi-join — the 100 TB form of the runtime
+    // filter: when the key set is too big to ship as an in-list, ship
+    // fixed-size bloom BITS into the fact scan (Spark's own codegen'd
+    // BloomFilterMightContain) and let the exact semi-join clean up the
+    // false positives — scan volume drops, the RESULT is exactly the
+    // plain semi-join's (the oracle states the bloom-free query)
+    "q_join_bloom_prefilter" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bits = graft.ops.Bloom.buildFilter(urgent, col("o_orderkey"),
+        expectedItems = 50000L, fpp = 0.01)
+      t(s, dir, "lineitem")
+        .where(graft.ops.Bloom.mightContain(bits, col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("qty_c"))
+        .orderBy("l_returnflag")
+    }),
+
     // J3/P7: left-anti membership (NOT EXISTS)
     "q_join_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -319,6 +341,17 @@ object Relational {
          |FROM customer
          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // bloom prefilter: the oracle is the BLOOM-FREE semi-join — the
+    // filter must never change the result, only the scan volume
+    "q_join_bloom_prefilter" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c
+         |FROM lineitem
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |  WHERE o_orderkey = l_orderkey
+         |    AND o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_outer" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
