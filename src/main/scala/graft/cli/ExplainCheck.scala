@@ -291,6 +291,10 @@ object ExplainCheck {
       Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
     "q_graph_pagerank" -> (Seq("HashAggregate"),
       Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // LPA: per-round join + count + argmax aggregates, node-keyed — the
+    // pageRank shape; never a per-node window, never a product
+    "q_graph_label_prop" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
     // hybrid retrieval: the dense stage must broadcast the k-bounded
     // lexical candidates into the embeddings join (never shuffle the
     // embedding table), and both rankings stay k-bounded

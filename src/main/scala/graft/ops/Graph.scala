@@ -68,6 +68,55 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
+    * round count — community detection over the crawl/domain graph (the
+    * coarser cousin of connected components: components find reachable
+    * sets, LPA finds densely-linked clusters — link rings, topic hubs —
+    * inside one component). Deterministic by construction: labels start
+    * as the node id, each round every node adopts the MODE of its
+    * neighbors' labels with ties to the SMALLEST label, all nodes update
+    * simultaneously. No float, no randomness — a SQL oracle replays the
+    * rounds exactly. Fixed rounds are a documented approximation of the
+    * fixpoint (like [[kCoreScoped]]'s bounded peel); synchronous LPA can
+    * 2-cycle on bipartite structures, which fixed rounds also bound.
+    *
+    * Input: `edges` (a, b) any orientation (symmetrized, self-loops
+    * dropped), `nodes` (node). Returns (node, label).
+    *
+    * Scale shape — the [[pageRank]] discipline: each round is one
+    * edge-to-labels equi-join + one (node, label) count + one argmax
+    * aggregate, every shuffle node-keyed, and the previous state is
+    * referenced exactly ONCE (isolated nodes fall back to their INITIAL
+    * label — semantically identical, since a neighborless node's label
+    * can never change — so the fallback needs no second state
+    * reference and lineage stays linear in `iters`).
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      "iters must be in [1, 50] — beyond that, checkpoint between calls")
+    val und = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    var labels = nodes.select(col("node"), col("node").cast("long").as("label"))
+    for (_ <- 1 to iters) {
+      val freq = sym
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("a")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("a").as("node"), (-col("m.neg")).as("nl"))
+      labels = nodes
+        .join(freq, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nl"), col("node").cast("long")).as("label"))
+    }
+    labels
+  }
+
   /** Triangle enumeration by DEGREE ORIENTATION — the O(m^{3/2})
     * algorithm every distributed triangle counter uses (a naive wedge
     * join pays Σ deg² and melts on hub nodes; orienting each undirected

@@ -35,6 +35,27 @@ object Extras {
     // fixed-point integer rounds — the crawl-curation quality signal
     // (domain-graph centrality) as pure joins+aggs; the per-round edge
     // exchange is identical so Catalyst reuses it across iterations
+    // label propagation communities over the same nation trade graph:
+    // 3 synchronous rounds, mode-of-neighbor-labels with smallest-label
+    // ties — deterministic, integer-only, oracle-unrollable; the coarser
+    // community signal next to components/kcore/pagerank/triangles
+    "q_graph_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        // keep only heavier trade links so communities are non-trivial
+        .groupBy(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 3)
+        .select("a", "b")
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.ops.Graph.labelPropagation(edges, nodes, 3).orderBy("node")
+    }),
+
     "q_graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -322,6 +343,51 @@ object Extras {
          |  cd.core_deg IS NOT NULL AS in_core
          |FROM a0 n LEFT JOIN cd USING (node) ORDER BY node""".stripMargin
     },
+
+    // LPA replay: 3 synchronous rounds unrolled — per round, the mode of
+    // neighbor labels via count + row_number (cnt DESC, label ASC = the
+    // engine's max(struct(cnt, -label)) tie pin), isolated nodes fall
+    // back to their initial id
+    "q_graph_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT c_nationkey AS sa, s_nationkey AS sb,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+        |  FROM e0 WHERE w >= 3 AND sa <> sb),
+        |sym AS (SELECT a, b FROM und
+        |  UNION ALL SELECT b AS a, a AS b FROM und),
+        |n AS (SELECT n_nationkey AS node FROM nation),
+        |l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM n),
+        |f1 AS (SELECT s.a, l.label, count(*) AS cnt
+        |  FROM sym s JOIN l0 l ON l.node = s.b GROUP BY s.a, l.label),
+        |p1 AS (SELECT a, label, row_number() OVER (PARTITION BY a
+        |  ORDER BY cnt DESC, label ASC) AS rn FROM f1),
+        |l1 AS (SELECT n.node,
+        |    coalesce(p.label, CAST(n.node AS BIGINT)) AS label
+        |  FROM n LEFT JOIN (SELECT a, label FROM p1 WHERE rn = 1) p
+        |    ON p.a = n.node),
+        |f2 AS (SELECT s.a, l.label, count(*) AS cnt
+        |  FROM sym s JOIN l1 l ON l.node = s.b GROUP BY s.a, l.label),
+        |p2 AS (SELECT a, label, row_number() OVER (PARTITION BY a
+        |  ORDER BY cnt DESC, label ASC) AS rn FROM f2),
+        |l2 AS (SELECT n.node,
+        |    coalesce(p.label, CAST(n.node AS BIGINT)) AS label
+        |  FROM n LEFT JOIN (SELECT a, label FROM p2 WHERE rn = 1) p
+        |    ON p.a = n.node),
+        |f3 AS (SELECT s.a, l.label, count(*) AS cnt
+        |  FROM sym s JOIN l2 l ON l.node = s.b GROUP BY s.a, l.label),
+        |p3 AS (SELECT a, label, row_number() OVER (PARTITION BY a
+        |  ORDER BY cnt DESC, label ASC) AS rn FROM f3),
+        |l3 AS (SELECT n.node,
+        |    coalesce(p.label, CAST(n.node AS BIGINT)) AS label
+        |  FROM n LEFT JOIN (SELECT a, label FROM p3 WHERE rn = 1) p
+        |    ON p.a = n.node)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
 
     // exact replay of the fixed-point rounds: every division is an integer
     // floor on non-negative operands, so the chained CTEs reproduce the

@@ -775,6 +775,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == Seq(false, null, null, null, null, null))
   }
 
+  test("label propagation: communities form, ties to smallest, isolates") {
+    import graft.ops.Graph
+    // two triangles bridged by one edge, plus an isolated node 7:
+    // after 3 synchronous rounds the cliques settle on labels 1 and 3
+    // (hand-simulated: mode of neighbor labels, ties -> smallest)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val nodes = (1L to 7L).toDF("node")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(e, nodes, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+    // direction/duplication of input edges must not matter
+    val re = run(edges.select(col("b").as("a"), col("a").as("b"))
+      .unionAll(edges).repartition(5))
+    assert(re == got)
+  }
+
   test("robots rules: group fold, specificity pick, ties, empty values") {
     import graft.ops.UrlOps
     val robots = """Disallow: /early-orphan-rule
