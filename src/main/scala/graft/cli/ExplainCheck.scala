@@ -147,6 +147,10 @@ object ExplainCheck {
     // brute reference keeps its broadcast-scan shape, never a window
     "q_emb_ann_recall" -> (Seq("ObjectHashAggregate", "HashAggregate"),
       Seq("Window", "CartesianProduct")),
+    // rank metrics: k-bounded retrieval aggs + one query-keyed metric
+    // agg; the LUT is in-plan literals, never a log call
+    "q_emb_rank_metrics" -> (Seq("ObjectHashAggregate", "HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // serve path scans the bucket-partitioned index (no corpus re-encode)

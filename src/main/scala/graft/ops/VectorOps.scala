@@ -196,6 +196,55 @@ object VectorOps {
       .select(col("query_id"), col("k"), col("n_hit"),
         expr("(n_hit * 1000000L) div k").as("recall_ppm"))
 
+  /** Ranked-retrieval quality metrics beyond [[recallAtK]] — the eval
+    * row a serving team reads per query: against a relevant set `truth`
+    * (query_id, vec_id), score a RANKED candidate list `ranked`
+    * (query_id, rank, vec_id) with
+    *
+    *   - `hits`      relevant candidates in the top k,
+    *   - `mrr_ppm`   10⁶ div rank-of-first-relevant (0 = none),
+    *   - `dcg_micro` Σ_{relevant r} LUT(r), binary-relevance DCG in
+    *                 micro-units with LUT(r) = round(10⁶ / log₂(r+1))
+    *                 — the discounts are k PRECOMPUTED integer literals
+    *                 baked identically into the plan and the oracle, so
+    *                 "a float logarithm" never enters either engine,
+    *   - `ndcg_ppm`  dcg · 10⁶ div Σ LUT(1..min(k, |truth|)) — the
+    *                 ideal places every relevant doc first.
+    *
+    * One equi-join + one grouped aggregate, both query-keyed; k is the
+    * LUT bound (ranks past k are ignored, documented). Queries with an
+    * empty ranked list still report (their truth rows drive the join).
+    */
+  def rankMetrics(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in [1, 100]")
+    val lut: Seq[Long] =
+      (1 to k).map(r => math.round(1e6 / (math.log(r + 1) / math.log(2))))
+    val lutCol = array(lut.map(lit): _*)
+    val j = truth.select(col("query_id"), col("vec_id"))
+      .join(ranked.select(col("query_id"), col("vec_id"), col("rank")),
+        Seq("query_id", "vec_id"), "left")
+      // a relevant doc ranked past k counts as unranked (rank nulls out)
+      // rather than dropping the truth row — n_truth stays the full set
+      .withColumn("rank", when(col("rank") <= k, col("rank")))
+    j.groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        count(col("rank")).as("hits"),
+        min(col("rank")).as("first_rank"),
+        coalesce(sum(try_element_at(lutCol, col("rank").cast("int"))),
+          lit(0L)).as("dcg_micro"))
+      .select(col("query_id"), col("n_truth"), col("hits"),
+        coalesce(call_function("div", lit(1000000L), col("first_rank")),
+          lit(0L)).as("mrr_ppm"),
+        col("dcg_micro"),
+        call_function("div", col("dcg_micro") * lit(1000000L),
+          aggregate(
+            transform(sequence(lit(1), least(col("n_truth"), lit(k))),
+              i => try_element_at(lutCol, i.cast("int"))),
+            lit(0L), (a, x) => a + x))
+        .as("ndcg_ppm"))
+  }
+
   /** Persist an IVF index in the SERVING layout: centroids + the cell
     * assignment written PARTITIONED BY cell — a probe of nprobe cells then
     * reads only those directories (partition pruning; with the probe set

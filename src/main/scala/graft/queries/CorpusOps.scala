@@ -1240,6 +1240,23 @@ object CorpusOps {
         .orderBy("method", "query_id")
     }),
 
+    // ranked-retrieval metrics beyond recall: MRR, hits@k, and
+    // binary-relevance DCG/nDCG with INTEGER LUT discounts (the log2
+    // table is k precomputed literals shared by plan and oracle — no
+    // float log in either engine) — multi-probe LSH scored against the
+    // exact integer brute truth, per query
+    "q_emb_rank_metrics" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val exact = VectorOps.bruteTopKExact(emb, queries, k = 5)
+      val lsh = VectorOps.multiProbeLshTopK(emb, queries, k = 5,
+        inDims = embDims, nPlanes = 8, probeHamming = 1)
+      VectorOps.rankMetrics(exact, lsh, k = 5)
+        .orderBy("query_id")
+    }),
+
     // JL sign projection + search IN THE REDUCED SPACE: embeddings cut to
     // 16 dims by the deterministic ±1 plane family (Achlioptas), float-
     // quantized (both engines round-to-nearest), then the standard brute
@@ -4642,6 +4659,54 @@ object CorpusOps {
     // the shared exact chain + sig CTEs, hits by (query, neighbor)
     // intersection, ppm floor-div — queries the single-probe pass
     // returns nothing for still report 0 via the k_exact left join
+    // rank-metrics replay: brute truth + probe-1 LSH ranks as in
+    // ann_recall, then MRR/hits/DCG with the SAME five integer LUT
+    // literals (round(1e6/log2(r+1))) and the cumulative ideal CASE
+    "q_emb_rank_metrics" ->
+      s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |${exactChainSql("v", "c")},
+         |$lshSigCtes,
+         |qx AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r
+         |  FROM c WHERE vec_id < 8),
+         |f0 AS (SELECT qx.query_id, c.vec_id,
+         |    ${icosSql("c.qv", "c.r", "qx.qq", "qx.q_r")} AS cos_x1m
+         |  FROM c CROSS JOIN qx WHERE c.vec_id <> qx.query_id),
+         |br AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |b5 AS (SELECT query_id, vec_id FROM br WHERE rn <= 5),
+         |qs AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r, sig
+         |  FROM sg WHERE vec_id < 8),
+         |p1 AS (SELECT query_id, qq, q_r,
+         |    unnest([$lshProbeList]) AS bucket
+         |  FROM qs),
+         |mc1 AS (SELECT p1.query_id, sg.vec_id,
+         |    ${icosSql("sg.qv", "sg.r", "p1.qq", "p1.q_r")} AS cos_x1m
+         |  FROM p1 JOIN sg ON sg.sig = p1.bucket
+         |    AND sg.vec_id <> p1.query_id),
+         |mr1 AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM mc1 WHERE cos_x1m IS NOT NULL),
+         |jj AS (SELECT b5.query_id, b5.vec_id, mt.rn AS rnk
+         |  FROM b5 LEFT JOIN (SELECT query_id, vec_id, rn FROM mr1
+         |    WHERE rn <= 5) mt USING (query_id, vec_id)),
+         |m AS (SELECT query_id,
+         |    CAST(count(*) AS BIGINT) AS n_truth,
+         |    CAST(count(rnk) AS BIGINT) AS hits,
+         |    min(rnk) AS fr,
+         |    coalesce(CAST(sum(CASE rnk WHEN 1 THEN 1000000
+         |      WHEN 2 THEN 630930 WHEN 3 THEN 500000
+         |      WHEN 4 THEN 430677 WHEN 5 THEN 386853 END) AS BIGINT),
+         |      0) AS dcg_micro
+         |  FROM jj GROUP BY query_id)
+         |SELECT query_id, n_truth, hits,
+         |  coalesce(1000000 // fr, 0) AS mrr_ppm, dcg_micro,
+         |  (dcg_micro * 1000000) // (CASE least(n_truth, 5)
+         |    WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+         |    WHEN 3 THEN 2130930 WHEN 4 THEN 2561607
+         |    ELSE 2948460 END) AS ndcg_ppm
+         |FROM m ORDER BY query_id""".stripMargin,
+
     "q_emb_ann_recall" ->
       s"""WITH v AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
          |${exactChainSql("v", "c")},

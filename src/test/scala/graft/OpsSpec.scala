@@ -775,6 +775,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == Seq(false, null, null, null, null, null))
   }
 
+  test("rank metrics: mrr/hits/dcg/ndcg on a hand-computed ranking") {
+    import graft.ops.VectorOps
+    // truth q1 = {10, 11, 12}; ranked: 11 at rank 1, 12 at rank 3, 10
+    // unranked. truth q2 = {20}; ranked list misses it entirely.
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("query_id", "vec_id")
+    val ranked = Seq((1L, 1, 11L), (1L, 2, 99L), (1L, 3, 12L),
+      (2L, 1, 98L))
+      .toDF("query_id", "rank", "vec_id")
+    val got = VectorOps.rankMetrics(truth, ranked, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // LUT: 1->1000000, 2->630930, 3->500000, 4->430677, 5->386853
+    // q1: dcg = LUT(1)+LUT(3) = 1500000; ideal(3) = 2130930
+    assert(got(1L) == ((3L, 2L, 1000000L, 1500000L,
+      1500000L * 1000000L / 2130930L)))
+    // q2: no hits — everything zero, ideal(1) divides a zero dcg
+    assert(got(2L) == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("label propagation: communities form, ties to smallest, isolates") {
     import graft.ops.Graph
     // two triangles bridged by one edge, plus an isolated node 7:
