@@ -223,6 +223,11 @@ object ExplainCheck {
     // the same hashpartitioning(conv) exchange; no join, nothing global
     "q_doc_sft_render" -> (Seq("Window", "hashpartitioning(conv"),
       Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // SFT->pack composition: the render chain feeding the shard-keyed
+    // greedy-fill fold (ObjectHashAggregate for the sorted collect) —
+    // no join anywhere
+    "q_doc_sft_pack" -> (Seq("ObjectHashAggregate", "Generate"),
+      Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
     // grouped top-k: bounded k-heap aggregation, never a per-group window
     // sort (one hot group would serialize on one task)
     "q_topk_group" -> (Seq("ObjectHashAggregate"),

@@ -1256,6 +1256,30 @@ object CurationQueries {
           col("o_totalprice"), 0.0, 600000.0, bits = 8).as("z"))
         .orderBy("o_orderkey")),
 
+    // SFT assembly -> context packing, as ONE pipeline: render the turn
+    // table to training strings (X245), then greedy-pack the rendered
+    // lengths into 2048-char windows per shard (X69b's fold) — the
+    // chat-data analog of the BPE->pack chain, char-budgeted end to end
+    "q_doc_sft_pack" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val turns = t(s, dir, "documents").select(
+        call_function("div", col("doc_id"), lit(4L)).as("conv"),
+        pmod(col("doc_id"), lit(4)).as("turn_idx"),
+        when(pmod(col("doc_id"), lit(4)) === 0, "system")
+          .when(pmod(col("doc_id"), lit(4)) === 1, "user")
+          .otherwise("assistant").as("role"),
+        array_join(slice(toks, 1, 8), " ").as("content"))
+      val rendered = graft.ops.Curation.sftRender(turns, "conv",
+        "turn_idx", "role", "content")
+      graft.ops.Curation.packBySize(
+          rendered.select(pmod(col("conv"), lit(4)).as("shard"),
+            col("conv"), col("render_len")),
+          "shard", "conv", "render_len", capacity = 2048)
+        .select(col("grp").as("shard"), col("doc_id").as("conv"),
+          col("n_tokens").as("render_len"), col("bin"))
+        .orderBy("shard", "conv")
+    }),
+
     // corpus snapshot diff: v2 re-crawls every 5th doc (changed), drops
     // doc_id % 11 = 7 (removed), and adds fresh ids for every 13th —
     // classified by content fp in ONE union + ONE aggregate, no outer
@@ -2162,6 +2186,42 @@ object CurationQueries {
         |     + ((sy // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1))
         |     for i in generate_series(0, 7)]) AS BIGINT) AS z
         |FROM s ORDER BY o_orderkey""".stripMargin,
+
+    // sft-pack replay: render_len = per-conv sum of segment lengths
+    // (only the LENGTH feeds packing), then the recursive greedy fill
+    // per shard — the q_doc_pack CTE with the rendered sizes
+    "q_doc_sft_pack" ->
+      raw"""WITH RECURSIVE turns AS (
+           |  SELECT doc_id // 4 AS conv,
+           |    CASE WHEN doc_id % 4 = 0 THEN 'system'
+           |         WHEN doc_id % 4 = 1 THEN 'user'
+           |         ELSE 'assistant' END AS role,
+           |    array_to_string(
+           |      (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ')
+           |      AS content
+           |  FROM documents),
+           |seg AS (SELECT conv,
+           |    '<|' || role || '|>' || content || '<|end|>' AS s
+           |  FROM turns),
+           |r AS (SELECT conv, conv % 4 AS shard,
+           |    CAST(sum(length(s)) AS INT) AS sz
+           |  FROM seg GROUP BY conv),
+           |tk AS (SELECT shard, conv, sz,
+           |    CAST(row_number() OVER (PARTITION BY shard ORDER BY conv)
+           |      AS INT) AS rn
+           |  FROM r),
+           |p AS (
+           |  SELECT shard, conv, sz, rn, 0 AS bin, sz AS fill
+           |  FROM tk WHERE rn = 1
+           |  UNION ALL
+           |  SELECT tk.shard, tk.conv, tk.sz, tk.rn,
+           |    CASE WHEN p.fill + tk.sz <= 2048 THEN p.bin
+           |         ELSE p.bin + 1 END AS bin,
+           |    CASE WHEN p.fill + tk.sz <= 2048 THEN p.fill + tk.sz
+           |         ELSE tk.sz END AS fill
+           |  FROM tk JOIN p ON tk.shard = p.shard AND tk.rn = p.rn + 1)
+           |SELECT shard, conv, sz AS render_len, bin
+           |FROM p ORDER BY shard, conv""".stripMargin,
 
     // snapshot-diff replay: same v2 synthesis, FULL OUTER JOIN
     // classification (the join formulation is fine at oracle scale; the
