@@ -151,6 +151,10 @@ object ExplainCheck {
     // agg; the LUT is in-plan literals, never a log call
     "q_emb_rank_metrics" -> (Seq("ObjectHashAggregate", "HashAggregate"),
       Seq("Window", "CartesianProduct")),
+    // calibration: NB score chain + ONE bin-keyed agg; the nBins-row ECE
+    // total broadcasts back onto the curve (guard-admitted 1-row cross)
+    "q_doc_quality_ece" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      Seq("Window", "SortMergeJoin")),
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // serve path scans the bucket-partitioned index (no corpus re-encode)

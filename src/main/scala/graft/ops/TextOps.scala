@@ -895,4 +895,45 @@ object TextOps {
       }
       .toDF("id", "n_hits", "clean")
   }
+
+  /** Reliability-curve calibration audit for a binary scorer — the check
+    * between "the classifier separates" ([[nbScore]] gates) and "its
+    * score is a usable KEEP PROBABILITY" (what a curation pipeline
+    * actually thresholds on): bin documents by score (ppm, `nBins` equal
+    * bins), compare each bin's mean score (`conf_ppm`) to its empirical
+    * positive rate (`acc_ppm`), and summarize as the expected calibration
+    * error
+    *
+    *   ece_ppm = Σ_b n_b · |acc_b − conf_b|  div  N
+    *
+    * — all integer floor algebra on ppm scores, oracle-replayable.
+    * Returns one row per non-empty bin (bin, n, n_pos, conf_ppm,
+    * acc_ppm, gap_ppm) with the global `ece_ppm` repeated on each row
+    * (the summary and the curve travel together).
+    *
+    * Scale shape: one bin-keyed aggregate (≤ nBins rows out), then the
+    * nBins-row ECE total broadcasts back onto the curve — the corpus is
+    * scanned once, nothing shuffles but the tiny bin table.
+    */
+  def calibrationBins(scored: DataFrame, labelCol: String,
+      scoreCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2, 1000]")
+    val width = 1000000L / nBins
+    val bin = least(call_function("div", col(scoreCol), lit(width)),
+      lit(nBins - 1L))
+    val b = scored
+      .select(bin.as("bin"), col(labelCol).cast("long").as("y"),
+        col(scoreCol).cast("long").as("s"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("s").as("sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        call_function("div", col("sum_s"), col("n")).as("conf_ppm"),
+        call_function("div", col("n_pos") * lit(1000000L), col("n"))
+          .as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+    val tot = b.agg(call_function("div",
+      sum(col("n") * col("gap_ppm")), sum(col("n"))).as("ece_ppm"))
+    b.crossJoin(broadcast(tot).hint("broadcast"))
+  }
 }

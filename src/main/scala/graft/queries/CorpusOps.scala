@@ -63,6 +63,26 @@ object CorpusOps {
         .orderBy("label", "in_train")
     }),
 
+    // classifier CALIBRATION audit (reliability curve + ECE): the learned
+    // quality scorer binned by score vs empirical positive rate — the
+    // dial between "separates" (q_doc_quality_clf) and "the score is a
+    // usable keep-probability"; all integer ppm algebra, ECE rides every
+    // curve row via the broadcast 1-row total
+    "q_doc_quality_ece" -> ((s, dir) => {
+      val lab = wide(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(regexp_replace(lower(col("text")), "[aeiou]", ""))
+            .as("text"),
+          (lit(1L) - pmod(col("doc_id"), lit(2))).as("label"))
+      val model = TextOps.nbTrain(
+        lab.where(pmod(col("doc_id"), lit(4)) < 2), "text", "label")
+      val scored = TextOps.nbScore(lab, "doc_id", "text", model)
+        .join(lab.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      TextOps.calibrationBins(scored, "label", "score_ppm", nBins = 10)
+        .orderBy("bin")
+    }),
+
     // tokenizer fertility by language: BPE-unit tokens per whitespace
     // word (micro-units) — the corpus-mix diagnostic for whether one
     // tokenizer taxes some languages with longer sequences than others.
@@ -3497,6 +3517,52 @@ object CorpusOps {
            |FROM sc JOIN lab l ON l.doc_id = sc.doc_id
            |GROUP BY l.label, l.in_train
            |ORDER BY l.label, l.in_train""".stripMargin,
+
+    // ECE replay: the q_doc_quality_clf NB chain scores every doc, then
+    // bin = least(score div 100000, 9), per-bin integer conf/acc/gap,
+    // ece = sum(n*gap) div N joined back onto each row
+    "q_doc_quality_ece" ->
+      raw"""WITH lab AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN text
+           |      ELSE regexp_replace(lower(text), '[aeiou]', '', 'g') END
+           |      AS text,
+           |    CAST(1 - doc_id % 2 AS BIGINT) AS label
+           |  FROM documents),
+           |ttok AS (
+           |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           |    label
+           |  FROM lab WHERE doc_id % 4 < 2),
+           |model AS (
+           |  SELECT tok,
+           |    (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) * 1000000
+           |      // (count(*) + 2) AS score_ppm
+           |  FROM ttok GROUP BY tok),
+           |stok AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |  FROM lab),
+           |sc AS (
+           |  SELECT s.doc_id, count(*) AS n_tokens,
+           |    sum(coalesce(m.score_ppm, 500000)) // count(*) AS score_ppm
+           |  FROM stok s LEFT JOIN model m USING (tok)
+           |  GROUP BY s.doc_id),
+           |bi AS (
+           |  SELECT least(sc.score_ppm // 100000, 9) AS bin,
+           |    l.label AS y, sc.score_ppm AS s
+           |  FROM sc JOIN lab l ON l.doc_id = sc.doc_id),
+           |b AS (
+           |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) AS n_pos,
+           |    CAST(sum(s) // count(*) AS BIGINT) AS conf_ppm,
+           |    CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS acc_ppm
+           |  FROM bi GROUP BY bin),
+           |g AS (SELECT *, abs(acc_ppm - conf_ppm) AS gap_ppm FROM b),
+           |t AS (SELECT CAST(sum(n * gap_ppm) // sum(n) AS BIGINT)
+           |    AS ece_ppm FROM g)
+           |SELECT g.bin, g.n, g.n_pos, g.conf_ppm, g.acc_ppm, g.gap_ppm,
+           |  t.ece_ppm
+           |FROM g CROSS JOIN t ORDER BY g.bin""".stripMargin,
 
     "q_doc_fertility" ->
       s"""WITH d AS (
