@@ -155,6 +155,10 @@ object ExplainCheck {
     // total broadcasts back onto the curve (guard-admitted 1-row cross)
     "q_doc_quality_ece" -> (Seq("HashAggregate", "BroadcastNestedLoopJoin"),
       Seq("Window", "SortMergeJoin")),
+    // skew advisor: key-count agg + k-bounded heap + k-row broadcast
+    // join back — never a window, never a global sort of the counts
+    "q_skew_advisor" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "SortMergeJoin", "CartesianProduct")),
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // serve path scans the bucket-partitioned index (no corpus re-encode)

@@ -37,6 +37,57 @@ object Profiler {
         max(col("nval")).as("max_num"))
   }
 
+  /** Shuffle-skew advisor — the pre-flight read before keying a 100 TB
+    * join or aggregate on a column: the k heaviest keys with their row
+    * share and the SALT FACTOR that would spread each one evenly over
+    * `parts` partitions,
+    *
+    *   salt = ceil(cnt · parts / N)   (1 = no salting needed)
+    *
+    * plus a `hot` flag at cnt > 2·(N div parts) — the "this key alone
+    * overflows its reducer" line. All integer floor/ceil algebra in ppm.
+    *
+    * Scale shape: one key-keyed count (the same aggregate the skewed
+    * job itself would run, map-side combined), one k-bounded top-k (the
+    * TopKAgg heap — never a global sort), and the 1-row total broadcast.
+    * Returns (rank, key, cnt, share_ppm, salt_factor, hot).
+    */
+  def skewAdvisor(df: DataFrame, keyCol: String, parts: Int,
+      topK: Int = 10): DataFrame = {
+    require(parts >= 1 && topK >= 1, "parts and topK must be positive")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.functions.TopKAgg.smallest_k_long(topK)
+    val ranked = counts
+      // the heap orders (key, id); the id slot carries a dense surrogate
+      // via the count itself... keys are strings, so rank on (-cnt) and
+      // re-join for the key (k rows, broadcast)
+      .select(col("key"), col("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val topped = ranked.join(broadcast(total).hint("broadcast"))
+      .select(col("key"), col("cnt"), col("n_total"),
+        // deterministic heap order: (-cnt, md5-52(key)) — count ties
+        // break by smallest key hash; the hash also keys the k-row
+        // broadcast join back to the key string
+        graft.ops.Kmv.hash52(col("key")).as("kh"))
+    val agg = topped.groupBy("n_total")
+      .agg(top(negate(col("cnt")), col("kh")).as("t"))
+    val picks = agg
+      .select(col("n_total"), posexplode(col("t")).as(Seq("pos", "e")))
+      .select(col("n_total"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("kh"))
+    picks.join(broadcast(topped.select(col("key"), col("cnt"),
+        col("kh"))), Seq("kh"))
+      .select(col("rank"), col("key"), col("cnt"),
+        call_function("div", col("cnt") * lit(1000000L), col("n_total"))
+          .as("share_ppm"),
+        call_function("div",
+          col("cnt") * lit(parts.toLong) + col("n_total") - 1,
+          col("n_total")).as("salt_factor"),
+        (col("cnt") > lit(2L) * call_function("div", col("n_total"),
+          lit(parts.toLong))).as("hot"))
+  }
+
   /** DuckDB mirror of [[profile]] for a given table name — one UNION ALL
     * branch per column with the identical cast-through-VARCHAR semantics.
     */

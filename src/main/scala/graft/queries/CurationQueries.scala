@@ -1244,6 +1244,15 @@ object CurationQueries {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // shuffle-skew advisor: the pre-flight read before keying a 100 TB
+    // job — heaviest keys, row share, the salt factor that would spread
+    // each across 32 partitions, and the reducer-overflow flag; one
+    // count agg + a k-bounded heap, never a global sort
+    "q_skew_advisor" -> ((s, dir) =>
+      graft.ops.Profiler.skewAdvisor(
+          t(s, dir, "events"), "event_type", parts = 32, topK = 5)
+        .orderBy("rank")),
+
     // Z-order (Morton) key — the multi-dimensional layout op made
     // oracle-backed: interleaved (o_custkey, o_totalprice) bits, the
     // range-partition key writeZOrdered sorts files by (LayoutSpec pins
@@ -2171,6 +2180,24 @@ object CurationQueries {
         |  (valid_to IS NULL) AS is_current, o_orderstatus, o_orderpriority
         |FROM v WHERE NOT deleted
         |ORDER BY o_custkey, valid_from""".stripMargin,
+
+    // skew-advisor replay: key counts, (cnt DESC, kh ASC) ranking — the
+    // heap's (-cnt, hash) order — and the integer share/salt/hot algebra
+    "q_skew_advisor" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+        |h AS (SELECT c.key, c.cnt,
+        |    ('0x' || substr(md5(c.key), 1, 13))::BIGINT AS kh, t.n_total
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY cnt DESC, kh ASC) AS INT) AS rank FROM h)
+        |SELECT rank, key, cnt,
+        |  cnt * 1000000 // n_total AS share_ppm,
+        |  (cnt * 32 + n_total - 1) // n_total AS salt_factor,
+        |  cnt > 2 * (n_total // 32) AS hot
+        |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     // z-value replay: the same scale-clamp (double divide then multiply,
     // IEEE-identical) and the same 8-term bit interleave in integer math
