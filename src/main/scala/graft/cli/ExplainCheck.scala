@@ -159,6 +159,10 @@ object ExplainCheck {
     // join back — never a window, never a global sort of the counts
     "q_skew_advisor" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    // Allen relations: pure codegen'd scalar classification — scan only
+    "q_ts_allen" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+        "Window", "HashAggregate")),
     "q_emb_cluster_cap" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_bq_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // serve path scans the bucket-partitioned index (no corpus re-encode)

@@ -27,6 +27,35 @@ object Intervals {
     * their partition — at web scale pre-split pathological keys (the
     * Skew.saltedJoin discipline) or bound spans per key upstream.
     */
+  /** Allen's interval algebra (Allen 1983): classify an ordered pair of
+    * intervals [aS, aE), [bS, bE) into exactly one of the 13 basic
+    * relations — the vocabulary of every temporal-reasoning join
+    * (med-events vs stays, ad exposure vs session, license validity vs
+    * usage). Half-open convention: `meets` is aE = bS; `equals` needs
+    * both endpoints equal. The CASE ladder is exhaustive and mutually
+    * exclusive (each arm adds one constraint), so exactly one label fires
+    * for any well-formed pair (aS < aE, bS < bE) — ill-formed input is
+    * the caller's filter. Pure codegen'd scalar; compose with
+    * [[RangeJoin]] to classify only OVERLAP-candidate pairs at scale
+    * instead of a product.
+    */
+  def allenRelation(aS: org.apache.spark.sql.Column,
+      aE: org.apache.spark.sql.Column, bS: org.apache.spark.sql.Column,
+      bE: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(aE < bS, "before")
+      .when(aE === bS, "meets")
+      .when(bE < aS, "after")
+      .when(bE === aS, "met_by")
+      .when(aS === bS && aE === bE, "equals")
+      .when(aS === bS && aE < bE, "starts")
+      .when(aS === bS, "started_by") // aE > bE by exclusion
+      .when(aE === bE && aS > bS, "finishes")
+      .when(aE === bE, "finished_by") // aS < bS by exclusion
+      .when(aS > bS && aE < bE, "during")
+      .when(aS < bS && aE > bE, "contains")
+      .when(aS < bS, "overlaps") // bS < aE < bE by exclusion
+      .otherwise("overlapped_by")
+
   def mergeIntervals(spans: DataFrame, keyCol: String, startCol: String,
       endCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(startCol, endCol)

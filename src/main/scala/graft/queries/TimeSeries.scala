@@ -457,6 +457,35 @@ object TimeSeries {
         .orderBy("l_suppkey", "start")
     }),
 
+    // Allen's 13 interval relations: per-doc (a, b) pairs constructed to
+    // hit every relation by doc_id mod 13, classified by the exhaustive
+    // mutually-exclusive CASE ladder — the temporal-reasoning vocabulary
+    // over the interval family; pure codegen'd scalar, zero shuffle
+    "q_ts_allen" -> ((s, dir) => {
+      val d = col("doc_id")
+      val aS = lit(10L) + pmod(d, lit(40))
+      val aE = aS + lit(3) + pmod(d, lit(5))
+      val c = pmod(d, lit(13))
+      val bS = when(c === 0, aE + 2).when(c === 1, aE)
+        .when(c === 2, aS - 5).when(c === 3, aS - 3)
+        .when(c === 4, aS).when(c === 5, aS)
+        .when(c === 6, aS).when(c === 7, aS - 2)
+        .when(c === 8, aS + 1).when(c === 9, aS - 1)
+        .when(c === 10, aS + 1).when(c === 11, aS + 2)
+        .otherwise(aS - 2)
+      val bE = when(c === 0, aE + 4).when(c === 1, aE + 3)
+        .when(c === 2, aS - 3).when(c === 3, aS)
+        .when(c === 4, aE).when(c === 5, aE + 2)
+        .when(c === 6, aE - 1).when(c === 7, aE)
+        .when(c === 8, aE).when(c === 9, aE + 1)
+        .when(c === 10, aE - 1).when(c === 11, aE + 2)
+        .otherwise(aS + 1)
+      t(s, dir, "documents")
+        .select(d, aS.as("a_s"), aE.as("a_e"), bS.as("b_s"), bE.as("b_e"),
+          graft.ops.Intervals.allenRelation(aS, aE, bS, bE).as("rel"))
+        .orderBy("doc_id")
+    }),
+
     // range join: in-window click attribution. Purchases open a
     // value-scaled attribution window; same-user clicks land in it via
     // the grid-cell equi-join (RangeJoin — a naive lo<=pt<=hi join has no
@@ -1078,6 +1107,42 @@ object TimeSeries {
         |ORDER BY p.event_id""".stripMargin,
 
     // window replay: same running-max island scan; "end" quoted (reserved)
+    // Allen replay: same pair synthesis, same exhaustive CASE ladder in
+    // the same arm order (exclusion arms match the engine's)
+    "q_ts_allen" ->
+      """WITH p AS (SELECT doc_id,
+        |    10 + doc_id % 40 AS a_s,
+        |    10 + doc_id % 40 + 3 + doc_id % 5 AS a_e,
+        |    CAST(doc_id % 13 AS INT) AS c
+        |  FROM documents),
+        |b AS (SELECT doc_id, a_s, a_e,
+        |    CASE c WHEN 0 THEN a_e+2 WHEN 1 THEN a_e WHEN 2 THEN a_s-5
+        |      WHEN 3 THEN a_s-3 WHEN 4 THEN a_s WHEN 5 THEN a_s
+        |      WHEN 6 THEN a_s WHEN 7 THEN a_s-2 WHEN 8 THEN a_s+1
+        |      WHEN 9 THEN a_s-1 WHEN 10 THEN a_s+1 WHEN 11 THEN a_s+2
+        |      ELSE a_s-2 END AS b_s,
+        |    CASE c WHEN 0 THEN a_e+4 WHEN 1 THEN a_e+3 WHEN 2 THEN a_s-3
+        |      WHEN 3 THEN a_s WHEN 4 THEN a_e WHEN 5 THEN a_e+2
+        |      WHEN 6 THEN a_e-1 WHEN 7 THEN a_e WHEN 8 THEN a_e
+        |      WHEN 9 THEN a_e+1 WHEN 10 THEN a_e-1 WHEN 11 THEN a_e+2
+        |      ELSE a_s+1 END AS b_e
+        |  FROM p)
+        |SELECT doc_id, a_s, a_e, b_s, b_e,
+        |  CASE WHEN a_e < b_s THEN 'before'
+        |    WHEN a_e = b_s THEN 'meets'
+        |    WHEN b_e < a_s THEN 'after'
+        |    WHEN b_e = a_s THEN 'met_by'
+        |    WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+        |    WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+        |    WHEN a_s = b_s THEN 'started_by'
+        |    WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+        |    WHEN a_e = b_e THEN 'finished_by'
+        |    WHEN a_s > b_s AND a_e < b_e THEN 'during'
+        |    WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+        |    WHEN a_s < b_s THEN 'overlaps'
+        |    ELSE 'overlapped_by' END AS rel
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "q_ts_interval_merge" ->
       """WITH s AS (
         |  SELECT l_suppkey, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS st,

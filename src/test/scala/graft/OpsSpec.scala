@@ -775,6 +775,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == Seq(false, null, null, null, null, null))
   }
 
+  test("allen relations: all 13, exhaustive and mutually exclusive") {
+    import graft.ops.Intervals
+    // a = [10, 20) throughout; b constructed per expected relation
+    val cases = Seq(
+      (22L, 25L, "before"), (20L, 25L, "meets"),
+      (2L, 5L, "after"), (5L, 10L, "met_by"),
+      (10L, 20L, "equals"), (10L, 25L, "starts"),
+      (10L, 15L, "started_by"), (5L, 20L, "finishes"),
+      (12L, 20L, "finished_by"), (5L, 25L, "during"),
+      (12L, 18L, "contains"), (15L, 25L, "overlaps"),
+      (5L, 15L, "overlapped_by"))
+    val got = cases.toDF("b_s", "b_e", "want")
+      .select(col("want"), Intervals.allenRelation(
+        lit(10L), lit(20L), col("b_s"), col("b_e")).as("rel"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (want, rel) => assert(rel == want, s"$want -> $rel") }
+    assert(got.map(_._2).distinct.length == 13)
+  }
+
   test("rank metrics: mrr/hits/dcg/ndcg on a hand-computed ranking") {
     import graft.ops.VectorOps
     // truth q1 = {10, 11, 12}; ranked: 11 at rank 1, 12 at rank 3, 10
