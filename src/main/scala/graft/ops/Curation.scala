@@ -631,6 +631,10 @@ object Curation {
     * conversation — nothing global; the collected per-conv segment array
     * is bounded by conversation length, the same working-set bound any
     * per-group assembly (packing, chunking) carries.
+    *
+    * Contract: (convCol, idxCol) is unique — a duplicated turn index
+    * would make the running-length frame (and so the spans) depend on
+    * tie order. Same one-row-per-key discipline as [[Snapshot.upsert]].
     */
   def sftRender(turns: DataFrame, convCol: String, idxCol: String,
       roleCol: String, contentCol: String,
@@ -677,7 +681,9 @@ object Curation {
     * so the pair is a pure function of the pool on any partitioning, and
     * a group whose pool is one row (or all one (score, id)) yields
     * chosen == rejected and margin 0, dropped by any positive margin
-    * floor. Scores must be integer-typed — the margin is exact.
+    * floor. Scores must be integer-typed and non-null — the margin is
+    * exact (a null score would sort into an extreme instead of failing;
+    * filter or impute upstream).
     *
     * Scale shape: ONE aggregate (two struct extremes — plans as
     * SortAggregate with a partial before the exchange, the [[Snapshot
