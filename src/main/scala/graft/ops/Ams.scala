@@ -77,10 +77,19 @@ object Ams {
     * batch hold identical Z sums (parity by construction). Adds key's d
     * signs into `z` IN PLACE.
     */
+  /** Per-thread MD5 instance for the streaming hot paths — `getInstance`
+    * + a fresh digest object per RECORD is pure allocation churn inside
+    * a per-event fold; `reset()` via `digest()` makes reuse safe.
+    */
+  private[graft] val threadMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   private[graft] def foldSigns(z: Array[Long], key: String,
       d: Int): Unit = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(key.getBytes("UTF-8"))
+    val dig = threadMd5.get().digest(key.getBytes("UTF-8"))
     var e = 0
     while (e < d) {
       // hex nibble e/4 (high nibble first within each byte), bit e%4 —

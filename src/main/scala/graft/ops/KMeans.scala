@@ -278,12 +278,8 @@ object KMeans {
     require(qrows.length <= maxQueryBatch,
       s"cos-ADC search got ${qrows.length} queries > " +
         s"maxQueryBatch=$maxQueryBatch — run batches in a loop")
-    // exact integer sqrt, the VectorOps.isqrt seed+correct on the driver
-    def isqrtL(p: Long): Long = {
-      val r0 = math.floor(math.sqrt(p.toDouble)).toLong
-      val up = if ((r0 + 1) * (r0 + 1) <= p) r0 + 1 else r0
-      if (up * up > p) up - 1 else up
-    }
+    // exact integer sqrt — the ONE shared scalar kernel
+    def isqrtL(p: Long): Long = VectorOps.isqrtScalar(p)
     // per-query LUT row: (query_id, rq, dots[sub][code]) — the code id
     // indexes straight into the array, so scoring each (vector, query)
     // pair is m element_at lookups in WHOLE-STAGE CODEGEN. A melted

@@ -47,37 +47,40 @@ object Profiler {
     * plus a `hot` flag at cnt > 2·(N div parts) — the "this key alone
     * overflows its reducer" line. All integer floor/ceil algebra in ppm.
     *
-    * Scale shape: one key-keyed count (the same aggregate the skewed
-    * job itself would run, map-side combined), one k-bounded top-k (the
-    * TopKAgg heap — never a global sort), and the 1-row total broadcast.
-    * Returns (rank, key, cnt, share_ppm, salt_factor, hot).
+    * Scale shape: the key-keyed count (the same aggregate the skewed job
+    * itself would run, map-side combined) feeds a k-bounded TopKAgg heap
+    * — never a global sort — and the k-row picks BROADCAST back into the
+    * counts for the key strings (never the other way around: the counts
+    * table is one row per distinct key, the very cardinality this
+    * advisor warns about). The counts subtree is evaluated for both
+    * consumers — two linear passes; cache it upstream if the input scan
+    * is the expensive part. Returns (rank, key, cnt, share_ppm,
+    * salt_factor, hot).
     */
   def skewAdvisor(df: DataFrame, keyCol: String, parts: Int,
       topK: Int = 10): DataFrame = {
     require(parts >= 1 && topK >= 1, "parts and topK must be positive")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("kh", graft.ops.Kmv.hash52(col("key")))
     val top = graft.functions.TopKAgg.smallest_k_long(topK)
-    val ranked = counts
-      // the heap orders (key, id); the id slot carries a dense surrogate
-      // via the count itself... keys are strings, so rank on (-cnt) and
-      // re-join for the key (k rows, broadcast)
-      .select(col("key"), col("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n_total"))
-    val topped = ranked.join(broadcast(total).hint("broadcast"))
-      .select(col("key"), col("cnt"), col("n_total"),
-        // deterministic heap order: (-cnt, md5-52(key)) — count ties
-        // break by smallest key hash; the hash also keys the k-row
-        // broadcast join back to the key string
-        graft.ops.Kmv.hash52(col("key")).as("kh"))
-    val agg = topped.groupBy("n_total")
+    // deterministic heap order: (-cnt, md5-52(key)) — count ties break
+    // by smallest key hash; the hash also identifies the pick for the
+    // join back to the key string below
+    val agg = counts.join(broadcast(total).hint("broadcast"))
+      .groupBy("n_total")
       .agg(top(negate(col("cnt")), col("kh")).as("t"))
     val picks = agg
       .select(col("n_total"), posexplode(col("t")).as(Seq("pos", "e")))
       .select(col("n_total"), (col("pos") + 1).cast("int").as("rank"),
         col("e.id").as("kh"))
-    picks.join(broadcast(topped.select(col("key"), col("cnt"),
-        col("kh"))), Seq("kh"))
+    // broadcast the k-ROW picks into the streamed counts — never the
+    // counts table (one row per DISTINCT key: the very table whose
+    // cardinality this advisor exists to warn about). Key strings come
+    // from the counts side; cnt rides along so only this join's output
+    // (k rows) ever leaves the scan.
+    counts.join(broadcast(picks), Seq("kh"))
       .select(col("rank"), col("key"), col("cnt"),
         call_function("div", col("cnt") * lit(1000000L), col("n_total"))
           .as("share_ppm"),

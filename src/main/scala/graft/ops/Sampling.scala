@@ -201,8 +201,7 @@ object Sampling {
   private[graft] def prioOf(id: String, w: Long): Long = {
     require(w >= 0 && w <= (1L << 22),
       s"prioritySample: weight outside [0, 2^22] envelope: $w")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(id.getBytes("UTF-8"))
+    val dig = Ams.threadMd5.get().digest(id.getBytes("UTF-8"))
     var h = 0L
     var i = 0
     while (i < 10) { // first 10 hex nibbles = first 5 bytes

@@ -367,10 +367,14 @@ object UrlOps {
     // per row
     val rules = transform(array(folded.getField("es")), es => {
       // per-UA-entry specificity: '*' → 0, prefix match → token length,
-      // no match → -1
+      // no match → -1. An EMPTY value is no match, not priority 0: ''
+      // prefixes everything, so without the guard a malformed bare
+      // 'User-agent:' group would tie the wildcard and merge its rules
+      // in — RFC 9309 ignores unparseable records instead
       def uaLen(e: Column) = {
         val v = lower(e.getField("v"))
-        when(v === "*", 0)
+        when(v === "", -1)
+          .when(v === "*", 0)
           .when(lit(ua).startsWith(v), length(v)).otherwise(-1)
       }
       val uaEntries = filter(es, e => e.getField("f") === "user-agent")

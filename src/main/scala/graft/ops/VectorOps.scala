@@ -574,6 +574,19 @@ object VectorOps {
     when(up * up > p, up - 1).otherwise(up)
   }
 
+  /** The ONE scalar twin of [[isqrt]] — same seed + one exact integer
+    * step each way, shared by every driver-side fixed-point trainer
+    * (KMeans PQ scoring, power iteration) so the numeric kernel cannot
+    * silently fork across call sites. Exact floor(√p) for p < 2^62
+    * (the correction steps repair any last-ulp seed rounding).
+    */
+  private[graft] def isqrtScalar(p: Long): Long = {
+    require(p >= 0L, "isqrtScalar domain")
+    val r0 = math.floor(math.sqrt(p.toDouble)).toLong
+    val up = if ((r0 + 1) * (r0 + 1) <= p) r0 + 1 else r0
+    if (up * up > p) up - 1 else up
+  }
+
   /** Exact integer cosine in micro-units over pre-quantized long vectors:
     * `cos_x1m = (dot·10⁶) div (isqrt(n2a)·isqrt(n2b))`, truncating toward
     * zero in both engines; zero-norm → NULL (the [[over]] guard's integer
@@ -954,10 +967,10 @@ object VectorOps {
     def centered: Column =
       zip_with(col("qv"), array(mu.map(lit): _*), (x, m) => x - m)
     def isqrt(x: Long): Long = {
-      // floor(IEEE sqrt) is exact below 2^52 (correctly rounded, and
-      // adjacent roots are farther apart than one ulp there)
+      // the shared corrected kernel equals plain floor(IEEE sqrt) below
+      // 2^52 (this trainer's audited envelope — keep the loud check)
       require(x >= 0 && x < (1L << 52), "isqrt domain")
-      math.floor(math.sqrt(x.toDouble)).toLong
+      isqrtScalar(x)
     }
     var v: Seq[Long] = Seq.fill(dims)(1000L)
     for (_ <- 1 to rounds) {

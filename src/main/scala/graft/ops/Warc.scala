@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * Grammar handled here (the format's core): each record is
   * `"WARC/1.0\r\n"` + header lines + `"\r\n\r\n"` + exactly
-  * Content-Length bytes of payload (+ the inter-record `"\r\n\r\n"`).
-  * Everything is in-row Column algebra (split / substring_index /
-  * regexp_extract / Content-Length slice) — zero shuffle, zero UDF,
-  * codegen-friendly, and generically replayable by an external engine's
-  * string functions (the gate's oracle replays the PARSER, not the
-  * fixture construction). Payloads that contain their own
-  * `"\r\n\r\n"` are safe: the header/payload boundary is the FIRST
-  * separator and the payload end comes from Content-Length, never from
-  * searching.
+  * Content-Length BYTES of payload + the inter-record `"\r\n\r\n"`.
+  * Records are walked BY OFFSET off the parsed Content-Length — never by
+  * searching for the next record marker — so a payload containing
+  * `"WARC/1.0\r\n"` (a crawled page about WARC, a nested archive) can
+  * not split the stream, and Content-Length is honored as the BYTE count
+  * ISO 28500 defines: offsets and the payload slice run over the UTF-8
+  * bytes (`encode`/`octet_length`), so multi-byte payload text cannot
+  * shear the record chain. Only the header/payload boundary uses a
+  * search (first `"\r\n\r\n"`), which is safe: headers cannot contain a
+  * blank line. Everything is in-row Column algebra — zero shuffle, zero
+  * UDF — and generically replayable by an external engine's byte/string
+  * functions (the gate's oracle replays the PARSER, not the fixture
+  * construction).
   *
   * Real WARCs are gzip-per-record; the decompression seam is
   * [[Multimodal]]'s codec territory — this operator owns the record
@@ -29,31 +33,68 @@ import org.apache.spark.sql.functions._
 object Warc {
 
   private val Sep = "\r\n\r\n"
+  private val Marker = "WARC/1.0\r\n"
 
-  /** Parse a WARC/1.0 stream into its records:
+  /** Parse a WARC/1.0 stream into its records (up to `maxRecords` — the
+    * per-row container bound, like [[Multimodal.mp4Header]]'s box walk):
     * array<struct<rec_type, target_uri, content_length, payload>>.
-    * Missing headers parse as empty string / NULL length (malformed
-    * records surface as data, not exceptions — the quarantine filter is
-    * one `where` away).
+    * Missing headers parse as empty string / NULL length; a record with
+    * no Content-Length surfaces with a NULL length and an empty payload
+    * and ENDS the walk (the next offset is unknowable), as does a
+    * missing record marker — malformed input surfaces as data, not
+    * exceptions (the quarantine filter is one `where` away).
     */
-  def records(warc: Column): Column = {
-    val recs = filter(split(warc, "WARC/1\\.0\r\n"),
-      r => length(r) > lit(0))
-    transform(recs, r => {
-      val head = substring_index(r, Sep, 1)
-      // nullif before the cast: a missing header extracts as '' and an
-      // ANSI cast of '' throws — malformed records must surface as NULL
-      // data, not kill the scan
-      val clen = nullif(regexp_extract(head, "Content-Length: (\\d+)", 1),
-        lit("")).cast("long")
-      struct(
-        regexp_extract(head, "WARC-Type: ([^\r\n]+)", 1).as("rec_type"),
-        regexp_extract(head, "WARC-Target-URI: ([^\r\n]+)", 1)
-          .as("target_uri"),
-        clen.as("content_length"),
-        r.substr(length(head) + lit(5), coalesce(clen, lit(0L)))
-          .as("payload"))
-    })
+  def records(warc: Column, maxRecords: Int = 8): Column = {
+    require(maxRecords >= 1 && maxRecords <= 64, "maxRecords in [1, 64]")
+    val bin = encode(warc, "UTF-8")
+    val totB = octet_length(warc).cast("long")
+    val recType = org.apache.spark.sql.types.DataTypes.createArrayType(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "rec_type string, target_uri string, " +
+          "content_length bigint, payload string"))
+    val init = struct(lit(0L).as("off"),
+      array().cast(recType).as("recs"), lit(false).as("bad"))
+    val walked = aggregate(sequence(lit(1), lit(maxRecords)), init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val done = acc.getField("bad") || off >= totB
+        // LET-BINDING (the tiffHeader discipline): the decoded tail and
+        // its header prefix are referenced many times below
+        val stepArr = transform(
+          array(decode(bin.substr(off + 1, totB), "UTF-8")), rest => {
+            val ok = rest.startsWith(Marker)
+            val head = substring_index(rest, Sep, 1)
+            val clen = nullif(
+              regexp_extract(head, "Content-Length: (\\d+)", 1),
+              lit("")).cast("long")
+            val headB = octet_length(head).cast("long")
+            val payload = decode(
+              bin.substr(off + headB + 5, coalesce(clen, lit(0L))),
+              "UTF-8")
+            struct(
+              ok.as("ok"),
+              clen.as("clen"),
+              (off + headB + 4 + coalesce(clen, lit(0L)) + 4).as("next"),
+              struct(
+                regexp_extract(head, "WARC-Type: ([^\r\n]+)", 1)
+                  .as("rec_type"),
+                regexp_extract(head, "WARC-Target-URI: ([^\r\n]+)", 1)
+                  .as("target_uri"),
+                clen.as("content_length"),
+                payload.as("payload")).as("rec"))
+          })
+        val step = try_element_at(stepArr, lit(1))
+        val ok = step.getField("ok")
+        struct(
+          when(done || !ok, off).otherwise(step.getField("next"))
+            .as("off"),
+          when(done || !ok, acc.getField("recs"))
+            .otherwise(array_append(acc.getField("recs"),
+              step.getField("rec"))).as("recs"),
+          when(done, acc.getField("bad"))
+            .otherwise(!ok || step.getField("clen").isNull).as("bad"))
+      })
+    walked.getField("recs")
   }
 
   /** Parse the HTTP response inside a response record's payload:

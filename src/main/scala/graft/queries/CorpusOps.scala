@@ -1952,7 +1952,7 @@ object CorpusOps {
       def rec(tp: String, pl: org.apache.spark.sql.Column) = concat(
         lit(s"WARC/1.0${crlf}WARC-Type: $tp${crlf}WARC-Target-URI: "),
         uri, lit(s"${crlf}Content-Length: "),
-        length(pl).cast("string"), lit(s"${crlf}${crlf}"), pl,
+        octet_length(pl).cast("string"), lit(s"${crlf}${crlf}"), pl,
         lit(s"${crlf}${crlf}"))
       val parsed = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1997,7 +1997,7 @@ object CorpusOps {
       val warc = concat(
         lit(s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Target-URI: "),
         uri, lit(s"${crlf}Content-Length: "),
-        length(respPl).cast("string"), lit(s"${crlf}${crlf}"), respPl,
+        octet_length(respPl).cast("string"), lit(s"${crlf}${crlf}"), respPl,
         lit(s"${crlf}${crlf}"))
       val parsed = wide(s, t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -6005,7 +6005,8 @@ object CorpusOps {
            |      PARTITION BY hn ORDER BY p) AS gid
            |  FROM g0),
            |ua AS (SELECT hn, gid,
-           |    max(CASE WHEN v = '*' THEN 0
+           |    max(CASE WHEN v = '' THEN -1
+           |      WHEN v = '*' THEN 0
            |      WHEN starts_with('graftbot/1.0', lower(v))
            |        THEN length(v)
            |      ELSE -1 END) AS glen
@@ -6081,7 +6082,8 @@ object CorpusOps {
            |      PARTITION BY doc_id ORDER BY p) AS gid
            |  FROM g0),
            |ua AS (SELECT doc_id, gid,
-           |    max(CASE WHEN v = '*' THEN 0
+           |    max(CASE WHEN v = '' THEN -1
+           |      WHEN v = '*' THEN 0
            |      WHEN starts_with('graftbot/1.0', lower(v))
            |        THEN length(v)
            |      ELSE -1 END) AS glen
@@ -6149,33 +6151,44 @@ object CorpusOps {
            |w AS (SELECT doc_id,
            |    'WARC/1.0' || $cr || 'WARC-Type: request' || $cr ||
            |      'WARC-Target-URI: ' || uri || $cr ||
-           |      'Content-Length: ' || length(reqpl) || $cr || $cr ||
-           |      reqpl || $cr || $cr ||
+           |      'Content-Length: ' || octet_length(encode(reqpl)) ||
+           |      $cr || $cr || reqpl || $cr || $cr ||
            |    'WARC/1.0' || $cr || 'WARC-Type: response' || $cr ||
            |      'WARC-Target-URI: ' || uri || $cr ||
-           |      'Content-Length: ' || length(resppl) || $cr || $cr ||
-           |      resppl || $cr || $cr AS warc
+           |      'Content-Length: ' || octet_length(encode(resppl)) ||
+           |      $cr || $cr || resppl || $cr || $cr AS warc
            |  FROM pl),
-           |rl AS (SELECT doc_id, list_filter(
-           |    string_split(warc, 'WARC/1.0' || $cr),
-           |    x -> len(x) > 0) AS rl
+           |a1 AS (SELECT doc_id, warc,
+           |    split_part(warc, $cr || $cr, 1) AS h1
            |  FROM w),
-           |p AS (SELECT doc_id, CAST(len(rl) AS INT) AS n_records,
-           |    rl[1] AS r1, rl[2] AS r2 FROM rl),
-           |h AS (SELECT doc_id, n_records,
-           |    split_part(r1, $cr || $cr, 1) AS h1,
-           |    split_part(r2, $cr || $cr, 1) AS h2, r1, r2
-           |  FROM p),
-           |f AS (SELECT doc_id, n_records,
+           |a2 AS (SELECT *, octet_length(encode(h1)) AS b1,
+           |    CAST(regexp_extract(h1, 'Content-Length: (\d+)', 1)
+           |      AS BIGINT) AS c1
+           |  FROM a1),
+           |a3 AS (SELECT *,
+           |    decode(from_hex(substr(hex(encode(warc)),
+           |      (b1 + 4 + c1 + 4) * 2 + 1,
+           |      octet_length(encode(warc)) * 2))) AS rest2
+           |  FROM a2),
+           |a4 AS (SELECT *, split_part(rest2, $cr || $cr, 1) AS h2
+           |  FROM a3),
+           |a5 AS (SELECT *, octet_length(encode(h2)) AS b2,
+           |    CAST(regexp_extract(h2, 'Content-Length: (\d+)', 1)
+           |      AS BIGINT) AS c2
+           |  FROM a4),
+           |f AS (SELECT doc_id,
+           |    CAST(CASE WHEN starts_with(warc, 'WARC/1.0' || $cr)
+           |        THEN 1 ELSE 0 END
+           |      + CASE WHEN starts_with(rest2, 'WARC/1.0' || $cr)
+           |        THEN 1 ELSE 0 END AS INT) AS n_records,
            |    regexp_extract(h1, 'WARC-Target-URI: ([^\r\n]+)', 1)
            |      AS uri,
            |    regexp_extract(h1, 'WARC-Type: ([^\r\n]+)', 1) AS t1,
-           |    CAST(regexp_extract(h2, 'Content-Length: (\d+)', 1)
-           |      AS BIGINT) AS resp_len,
-           |    substr(r2, length(h2) + 5,
-           |      CAST(regexp_extract(h2, 'Content-Length: (\d+)', 1)
-           |        AS BIGINT)) AS payload
-           |  FROM h),
+           |    c2 AS resp_len,
+           |    decode(from_hex(substr(hex(encode(warc)),
+           |      (b1 + 4 + c1 + 4 + b2 + 4) * 2 + 1, c2 * 2)))
+           |      AS payload
+           |  FROM a5),
            |o AS (SELECT doc_id, n_records, uri, t1, resp_len,
            |    CAST(regexp_extract(payload, '^HTTP/1\.[01] (\d{3})', 1)
            |      AS INT) AS status,

@@ -3199,17 +3199,17 @@ object CurationQueries {
            |wr AS (SELECT doc_id,
            |    'WARC/1.0' || $cr || 'WARC-Type: response' || $cr ||
            |      'WARC-Target-URI: ' || uri || $cr ||
-           |      'Content-Length: ' || length(resppl) || $cr || $cr ||
-           |      resppl || $cr || $cr AS warc
+           |      'Content-Length: ' || octet_length(encode(resppl)) ||
+           |      $cr || $cr || resppl || $cr || $cr AS warc
            |  FROM pl),
-           |rl AS (SELECT doc_id, list_filter(
-           |    string_split(warc, 'WARC/1.0' || $cr),
-           |    x2 -> len(x2) > 0)[1] AS r1
+           |rl AS (SELECT doc_id, warc,
+           |    split_part(warc, $cr || $cr, 1) AS h1
            |  FROM wr),
            |pp AS (SELECT doc_id,
-           |    substr(r1, length(split_part(r1, $cr || $cr, 1)) + 5,
-           |      CAST(regexp_extract(split_part(r1, $cr || $cr, 1),
-           |        'Content-Length: (\d+)', 1) AS BIGINT)) AS payload
+           |    decode(from_hex(substr(hex(encode(warc)),
+           |      (octet_length(encode(h1)) + 4) * 2 + 1,
+           |      CAST(regexp_extract(h1, 'Content-Length: (\d+)', 1)
+           |        AS BIGINT) * 2))) AS payload
            |  FROM rl),
            |h AS (SELECT doc_id,
            |    substr(payload, strpos(payload, $cr || $cr) + 4) AS html

@@ -853,6 +853,9 @@ class OpsSpec extends AnyFunSuite {
       |Disallow: /deep
       |Disallow:
       |not a field line
+      |
+      |User-agent:
+      |Disallow: /
       |""".stripMargin
     def rulesFor(agent: String) = Seq(Tuple1(robots)).toDF("txt")
       .select(explode(UrlOps.robotsRules(col("txt"), agent)).as("r"))
@@ -862,7 +865,9 @@ class OpsSpec extends AnyFunSuite {
     assert(rulesFor("graftbot/1.0") == Seq(("/tmp", false)))
     // 'graft' prefix wins for graftx; the empty Disallow carries no rule
     assert(rulesFor("graftx") == Seq(("/deep", false)))
-    // nothing but '*' matches; orphan pre-group rule must NOT leak in
+    // nothing but '*' matches; orphan pre-group rule must NOT leak in,
+    // and neither may the malformed empty-UA group's 'Disallow: /' —
+    // '' prefixes everything but is NO MATCH, not a priority-0 tie
     assert(rulesFor("plaincrawler") ==
       Seq(("/private", false), ("/private/ok", true)))
     // empty file -> empty rules (crawl allowed), not a crash
@@ -1888,11 +1893,15 @@ class OpsSpec extends AnyFunSuite {
     val crlf = "\r\n"
     def rec(tp: String, uri: String, pl: String) =
       s"WARC/1.0${crlf}WARC-Type: $tp${crlf}WARC-Target-URI: $uri$crlf" +
-        s"Content-Length: ${pl.length}$crlf$crlf$pl$crlf$crlf"
-    // payload CONTAINS its own \r\n\r\n — the boundary must come from
-    // Content-Length, never from searching for the next separator
+        s"Content-Length: ${pl.getBytes("UTF-8").length}$crlf$crlf" +
+        s"$pl$crlf$crlf"
+    // payload CONTAINS its own \r\n\r\n AND a fake record marker AND a
+    // multi-byte char: boundaries must come from Content-Length counted
+    // in BYTES, never from searching, and the byte-exact slice must not
+    // shear the records that follow
     val tricky = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html" +
-      s"$crlf$crlf<body>inner${crlf}${crlf}still-body</body>"
+      s"$crlf$crlf<body>inner${crlf}${crlf}café about " +
+      s"WARC/1.0${crlf}still-body</body>"
     val warc = rec("request", "https://a/x", s"GET /x HTTP/1.1$crlf$crlf") +
       rec("response", "https://a/x", tricky) +
       s"WARC/1.0${crlf}broken-no-blank-line"
@@ -1904,7 +1913,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 3)
     assert(out(0).getString(0) == "request" &&
       out(0).getString(1) == "https://a/x")
-    assert(out(1).getLong(2) == tricky.length &&
+    assert(out(1).getLong(2) == tricky.getBytes("UTF-8").length &&
       out(1).getString(3) == tricky)
     // malformed record surfaces as data (empty fields), not an exception
     assert(out(2).getString(0) == "" && out(2).isNullAt(2))
@@ -1914,7 +1923,8 @@ class OpsSpec extends AnyFunSuite {
       .select(col("h.status"), col("h.content_type"), col("h.body"))
       .head()
     assert(h.getInt(0) == 200 && h.getString(1) == "text/html")
-    assert(h.getString(2) == s"<body>inner${crlf}${crlf}still-body</body>")
+    assert(h.getString(2) == s"<body>inner${crlf}${crlf}café about " +
+      s"WARC/1.0${crlf}still-body</body>")
   }
 
   test("exact percentiles: global and grouped match a sorted reference") {
