@@ -775,6 +775,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == Seq(false, null, null, null, null, null))
   }
 
+  test("snapshot diff: added/removed/changed/unchanged classification") {
+    import graft.ops.Snapshot
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "fp")
+    val got = Snapshot.diff(v1, v2, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("calibration bins: perfect scorer has zero ece, constant does not") {
+    import graft.ops.TextOps
+    // perfectly calibrated at the bin level: bin 9 all positive at conf
+    // ~1e6, bin 0 all negative at conf ~0
+    val perfect = Seq.fill(50)((1L, 999999L)) ++ Seq.fill(50)((0L, 1L))
+    val p = TextOps.calibrationBins(perfect.toDF("label", "score_ppm"),
+      "label", "score_ppm", nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(p(9L) == ((999999L, 1000000L, 1L, 1L))) // conf, acc, gap, ece
+    assert(p(0L)._3 == 1L) // |0 - 1| micro rounding only
+    // a constant 500000 scorer on a 70/30 corpus: one bin, gap 200000
+    val const = (Seq.fill(70)((1L, 500000L)) ++ Seq.fill(30)((0L, 500000L)))
+    val c = TextOps.calibrationBins(const.toDF("label", "score_ppm"),
+      "label", "score_ppm", nBins = 10).collect()
+    assert(c.length == 1 && c.head.getLong(5) == 200000L
+      && c.head.getLong(6) == 200000L)
+  }
+
+  test("skew advisor: shares, salt factors, hot flag, bounded output") {
+    import graft.ops.Profiler
+    // 80/15/5 split over 100 rows, 10 partitions
+    val rows = (Seq.fill(80)("hot") ++ Seq.fill(15)("warm") ++
+      Seq.fill(5)("cold")).toDF("k")
+    val got = Profiler.skewAdvisor(rows, "k", parts = 10, topK = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(got.length == 2) // topK bounds the output
+    // hot: 80% share, salt ceil(80*10/100)=8, > 2*(100/10) -> hot
+    assert(got(0) == ((1, "hot", 80L, 800000L, 8L, true)))
+    // warm: 15%: salt ceil(1.5)=2, 15 < 20 -> not hot
+    assert(got(1) == ((2, "warm", 15L, 150000L, 2L, false)))
+  }
+
   test("allen relations: all 13, exhaustive and mutually exclusive") {
     import graft.ops.Intervals
     // a = [10, 20) throughout; b constructed per expected relation
