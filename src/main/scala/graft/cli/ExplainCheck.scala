@@ -635,6 +635,11 @@ object ExplainCheck {
     // aggregator needed, no distinct shuffle of raw keys, no window
     "q_doc_hll_distinct" -> (Seq("HashAggregate"),
       Seq("CartesianProduct", "Window", "ObjectHashAggregate")),
+    // incremental HLL serve: stored registers SCANNED (not rebuilt) +
+    // the batch registers, merged by one register-max agg — history is
+    // never re-shingled
+    "q_doc_hll_serve" -> (Seq("HashAggregate", "Union"),
+      Seq("CartesianProduct", "Window", "ObjectHashAggregate")),
     // theta overlap: two sketch aggs joined on lang + set-algebra
     // projection; exact-intersect comparison agg — no window
     "q_doc_kmv_overlap" -> (Seq("ObjectHashAggregate"),

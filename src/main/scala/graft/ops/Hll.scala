@@ -97,15 +97,25 @@ object Hll {
     e1 * a / 1000000L
   }
 
-  /** Per-group distinct estimate: (groupCols…, v_empty, est).
-    * `v_empty` = registers never hit (the regime dial: raw HLL is
-    * unbiased once most registers are occupied).
+  /** Register-wise merge of two register tables — union of sketches =
+    * sketch of the union (max is commutative, associative, idempotent),
+    * which is what makes the PERSISTED serving path sound: store
+    * yesterday's registers, merge today's batch, never rescan history.
     */
-  def distinctEstimate(df: DataFrame, groupCols: Seq[String], key: Column,
-      p: Int = 8): DataFrame = {
+  def mergeRegisters(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+
+  /** The estimate off a register table ([[registerTable]] /
+    * [[mergeRegisters]] output): (groupCols…, v_empty, est) — the same
+    * integer chain [[estimateOf]] computes per scalar array.
+    */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
     val s = 52 - p + 1
     val mm = m(p).toLong
-    val regs = registerTable(df, groupCols, key, p)
     val tPresent = sum(call_function("shiftleft", lit(1L),
       lit(s) - col("reg")))
     val t = tPresent + (lit(mm) - count(lit(1))) * lit(1L << s)
@@ -118,4 +128,13 @@ object Hll {
     regs.groupBy(groupCols.map(col): _*)
       .agg((lit(mm) - count(lit(1))).as("v_empty"), est.as("est"))
   }
+
+  /** Per-group distinct estimate: (groupCols…, v_empty, est).
+    * `v_empty` = registers never hit (the regime dial: raw HLL is
+    * unbiased once most registers are occupied).
+    */
+  def distinctEstimate(df: DataFrame, groupCols: Seq[String], key: Column,
+      p: Int = 8): DataFrame =
+    estimateFromRegisters(registerTable(df, groupCols, key, p),
+      groupCols, p)
 }

@@ -1013,6 +1013,38 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // PERSISTED incremental HLL — the cross-batch distinct-maintenance
+    // serving path: yesterday's registers stored (even-doc half), today's
+    // batch (odd half) merged register-wise, estimate off the merged
+    // table WITHOUT rescanning history. Merge(a,b) = sketch(a ∪ b) by
+    // construction, so the oracle is the FULL-corpus HLL chain — an
+    // incremental-path bug (missed registers, wrong max) breaks the gate
+    "q_doc_hll_serve" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      def shingles(half: Int) =
+        docs.where(pmod(col("doc_id"), lit(2)) === half)
+          .select(col("lang"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      val base = graft.io.IndexCache.cacheDir("hllregs", 1,
+        s"$dir/documents.parquet")
+      graft.io.IndexCache.ensureBuilt(base, s"$base/regs/_SUCCESS") {
+        tmp =>
+          graft.ops.Hll.registerTable(shingles(0), Seq("lang"),
+            col("sh"), p = 8).write.parquet(s"$tmp/regs")
+      }
+      val stored = s.read.parquet(s"$base/regs")
+      val batch = graft.ops.Hll.registerTable(shingles(1), Seq("lang"),
+        col("sh"), p = 8)
+      val all = docs.select(col("lang"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      graft.ops.Hll.estimateFromRegisters(
+          graft.ops.Hll.mergeRegisters(stored, batch, Seq("lang")),
+          Seq("lang"), p = 8)
+        .join(all.groupBy("lang").agg(countDistinct("sh").as("n_exact")),
+          Seq("lang"))
+        .orderBy("lang")
+    }),
+
     // theta-sketch overlap: distinct-shingle intersection/union between
     // the even- and odd-doc halves per lang (the cross-snapshot
     // vocabulary-overlap question) from two k-long sketches — set
@@ -4137,6 +4169,41 @@ object CorpusOps {
     // exact 2^(45-reg) integers (empty registers contribute 2^45), and
     // the same m^2*2^45 // T floor-div alpha chain the engine computes
     "q_doc_hll_distinct" ->
+      raw"""WITH t AS (SELECT lang,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |shr AS (SELECT lang, unnest(CASE WHEN len(t) >= 3
+           |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |          for i in generate_series(1, len(t) - 2)]
+           |    ELSE [] END) AS sh
+           |  FROM t),
+           |h AS (SELECT lang,
+           |    ('0x' || substr(md5(sh), 1, 13))::BIGINT AS hv
+           |  FROM shr),
+           |rr AS (SELECT lang, hv // 17592186044416 AS idx,
+           |    hv % 17592186044416 AS w FROM h),
+           |rk AS (SELECT lang, idx, CASE WHEN w = 0 THEN 45
+           |    ELSE 45 - length(bin(w)) END AS rnk FROM rr),
+           |regs AS (SELECT lang, idx, max(rnk) AS reg
+           |  FROM rk GROUP BY lang, idx),
+           |ag AS (SELECT lang,
+           |    CAST(256 - count(*) AS BIGINT) AS v_empty,
+           |    CAST(sum(1::BIGINT << (45 - reg)) AS BIGINT)
+           |      + (256 - count(*)) * 35184372088832 AS tt
+           |  FROM regs GROUP BY lang),
+           |ex AS (SELECT lang, CAST(count(DISTINCT sh) AS BIGINT)
+           |    AS n_exact
+           |  FROM shr GROUP BY lang)
+           |SELECT ag.lang, ag.v_empty,
+           |  CAST(((2305843009213693952 // ag.tt) * 718273) // 1000000
+           |    AS BIGINT) AS est,
+           |  ex.n_exact
+           |FROM ag JOIN ex USING (lang) ORDER BY ag.lang""".stripMargin,
+
+    // serve replay: merge(stored even-half registers, odd-half batch)
+    // must equal the FULL-corpus sketch (register max is a set union),
+    // so the oracle is exactly the q_doc_hll_distinct chain
+    "q_doc_hll_serve" ->
       raw"""WITH t AS (SELECT lang,
            |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
            |  FROM documents),

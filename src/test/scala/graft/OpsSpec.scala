@@ -1881,6 +1881,16 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1).toInt -> r.getInt(2)).toMap
     val full = Array.tabulate(256)(j => regs.getOrElse(j, 0))
     assert(Hll.estimateOf(full, 8) == est)
+    // merge identity: union of half-sketches IS the sketch of the union
+    // (the persisted-serve contract)
+    val h0 = Hll.registerTable(keys.where(col("key").endsWith("0")),
+      Seq("grp"), col("key"), p = 8)
+    val h1 = Hll.registerTable(keys.where(!col("key").endsWith("0")),
+      Seq("grp"), col("key"), p = 8)
+    val merged = Hll.estimateFromRegisters(
+      Hll.mergeRegisters(h0, h1, Seq("grp")), Seq("grp"), p = 8)
+      .select("v_empty", "est").head()
+    assert(merged == a)
   }
 
   test("sorted neighborhood: exact distributed rank, window pairs") {
