@@ -661,7 +661,7 @@ object Curation {
           .as("__spans"))
       .select(col(convCol), col("n_turns"),
         length(array_join(transform(col("__segs"), x => x.getField("s")),
-          "")).as("render_len"),
+          "")).cast("long").as("render_len"),
         md5(array_join(transform(col("__segs"), x => x.getField("s")), ""))
           .as("render_md5"),
         array_join(transform(col("__spans"), x => x.getField("sp")), ",")

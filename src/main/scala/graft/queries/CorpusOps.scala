@@ -3158,7 +3158,8 @@ object CorpusOps {
       |    df.cnt_f, db.cnt_b
       |  FROM u JOIN df USING (src_id) JOIN db USING (tgt_id))
       |SELECT src_id, tgt_id, cos_x1m,
-      |  (cos_x1m * 2 * cnt_f * cnt_b * 1000000) // den AS margin_ppm
+      |  CAST((cos_x1m * 2 * cnt_f * cnt_b * 1000000) // den AS BIGINT)
+      |    AS margin_ppm
       |FROM m WHERE den > 0
       |ORDER BY margin_ppm DESC, src_id, tgt_id LIMIT 20""".stripMargin
 
@@ -3580,7 +3581,7 @@ object CorpusOps {
            |  FROM stok s LEFT JOIN model m USING (tok)
            |  GROUP BY s.doc_id),
            |bi AS (
-           |  SELECT least(sc.score_ppm // 100000, 9) AS bin,
+           |  SELECT CAST(least(sc.score_ppm // 100000, 9) AS BIGINT) AS bin,
            |    l.label AS y, sc.score_ppm AS s
            |  FROM sc JOIN lab l ON l.doc_id = sc.doc_id),
            |b AS (

@@ -1315,7 +1315,7 @@ object CurationQueries {
         pmod(col("doc_id"), lit(97)).as("prompt_id"),
         col("doc_id"),
         (TextOps.tokenCount(col("text")) * lit(1000) +
-          pmod(length(col("text")), lit(997))).as("score"))
+          pmod(length(col("text")), lit(997))).cast("long").as("score"))
       graft.ops.Curation.preferencePairs(pool, "prompt_id", "doc_id",
           "score", minMargin = 500L)
         .orderBy("prompt_id")

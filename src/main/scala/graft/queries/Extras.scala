@@ -84,7 +84,8 @@ object Extras {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+        .select(col("c_nationkey").cast("long").as("a"),
+          col("s_nationkey").cast("long").as("b"))
       val tri = graft.ops.Graph.triangles(edges)
       tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))

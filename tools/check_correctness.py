@@ -1,16 +1,33 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — DTYPE-AWARE.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage:
+  python3 tools/check_correctness.py <sfDir> <verifyOutDir>   # full compare
+  python3 tools/check_correctness.py --lint <sfDir> <oracle_sql.json>
 
-Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
-paired oracle SQL from oracle_sql.json in DuckDB (views named after the
-parquet tables in <sfDir>), and compares: columns sorted by name, rows sorted,
-exact value equality (tiny float tolerance only for reporting — a mismatch
-beyond 1e-12 relative is a FAIL, matching a hash-style compare).
+Full compare: reads each <verifyOutDir>/<name>/ parquet (written by
+graft.Verify), runs the paired oracle SQL from oracle_sql.json in DuckDB
+(views named after the parquet tables in <sfDir>), and compares
+  1. LOGICAL TYPES — the DuckDB relation types of the oracle output vs the
+     spark parquet output, position-matched after sorting columns by name.
+     The driver's hasher is dtype-sensitive (round-11 verdict: 5 gates were
+     value-exact but hashed red because one oracle column was HUGEINT), so
+     two numerically-equal columns with different logical types are a FAIL
+     here exactly as they are there.
+  2. VALUES — columns sorted by name, rows sorted, exact equality (NaN==NaN;
+     float-vs-int dtype divergence is a FAIL).
+
+Both modes additionally LINT every oracle: each output column's DuckDB type
+must be in the portable set {BIGINT, DOUBLE, VARCHAR, BOOLEAN, DATE,
+TIMESTAMP and array/struct compositions thereof}. HUGEINT / DECIMAL /
+unsigned / INTEGER outputs are exactly the class of silent divergence the
+driver catches and a dtype-blind local compare cannot — lint them out before
+they reach the driver. The lint is static (DuckDB binds types without
+executing), so --lint runs in seconds with no spark output needed.
 """
 import json
 import math
+import re
 import sys
 from pathlib import Path
 
@@ -18,6 +35,25 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Types a parquet-read Spark result can NEVER surface as in DuckDB: an
+# oracle output column of one of these is guaranteed to dtype-mismatch the
+# spark side under the driver's dtype-sensitive hasher, no matter the
+# values. (round-11 verdict: 5 gates were value-exact but hashed red
+# because sum(BIGINT) // x silently made the oracle column HUGEINT.)
+# INTEGER/SMALLINT etc. are NOT banned here — they are legal when the spark
+# column is the same width; the full-compare path checks that exactly.
+_BANNED = re.compile(
+    r"HUGEINT|UHUGEINT|DECIMAL|UINTEGER|UBIGINT|USMALLINT|UTINYINT"
+    r"|\bTIME\b|INTERVAL|TIMESTAMP WITH TIME ZONE|TIMESTAMP_NS|TIMESTAMP_MS"
+    r"|TIMESTAMP_S|\bBIT\b|\bUUID\b|\bENUM\b")
+
+
+def type_portable(t: str) -> bool:
+    """True unless the type (or any nested element type) is in the banned
+    set — composites are scanned textually, which is safe because the
+    banned names cannot appear inside identifiers DuckDB quotes."""
+    return _BANNED.search(t) is None
 
 
 def norm_cell(v):
@@ -28,13 +64,20 @@ def norm_cell(v):
     return v
 
 
-def rows_of(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+def rel_of(con, sql):
+    """Bind (not execute) sql; returns the DuckDB relation."""
+    return con.sql(sql)
+
+
+def typed_rows_of(con, sql):
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=repr)
+    return ([cols[i] for i in order], [types[i] for i in order],
+            sorted(out, key=repr))
 
 
 def cells_equal(a, b):
@@ -47,15 +90,52 @@ def cells_equal(a, b):
     return a == b
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def connect_views(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def lint_oracles(con, oracle):
+    """Static type lint of every oracle: returns {name: [bad 'col TYPE']}."""
+    bad = {}
+    for name in sorted(oracle):
+        try:
+            rel = con.sql(oracle[name])
+            offend = [f"{c} {t}" for c, t in
+                      zip(rel.columns, (str(x) for x in rel.types))
+                      if not type_portable(str(t))]
+        except Exception as e:  # a binding error is itself a lint failure
+            offend = [f"<bind error: {str(e)[:160]}>"]
+        if offend:
+            bad[name] = offend
+    return bad
+
+
+def main():
+    if sys.argv[1] == "--lint":
+        sf_dir, oracle_path = sys.argv[2], sys.argv[3]
+        con = connect_views(sf_dir)
+        oracle = json.loads(Path(oracle_path).read_text())
+        bad = lint_oracles(con, oracle)
+        for name, offend in bad.items():
+            print(f"LINT {name}: non-portable oracle output: {offend}")
+        print(f"\nlint: {len(oracle) - len(bad)} clean, {len(bad)} flagged "
+              f"of {len(oracle)}")
+        sys.exit(1 if bad else 0)
+
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = connect_views(sf_dir)
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+
+    lint_bad = lint_oracles(con, oracle)
+    for name, offend in lint_bad.items():
+        print(f"LINT {name}: non-portable oracle output: {offend}")
+
     n_pass = n_fail = 0
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
@@ -64,15 +144,19 @@ def main():
             n_fail += 1
             continue
         try:
-            scols, srows = rows_of(
+            scols, stypes, srows = typed_rows_of(
                 con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-            ocols, orows = rows_of(con, oracle[name])
+            ocols, otypes, orows = typed_rows_of(con, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:200]}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns {scols} != {ocols}")
+            n_fail += 1
+            continue
+        if stypes != otypes:
+            print(f"FAIL {name}: dtypes spark={stypes} oracle={otypes}")
             n_fail += 1
             continue
         if len(srows) != len(orows):
@@ -90,8 +174,8 @@ def main():
         else:
             print(f"PASS {name} ({len(srows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
-    sys.exit(1 if n_fail else 0)
+    print(f"\n{n_pass} passed, {n_fail} failed, {len(lint_bad)} lint-flagged")
+    sys.exit(1 if (n_fail or lint_bad) else 0)
 
 
 if __name__ == "__main__":
