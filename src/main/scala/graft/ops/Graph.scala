@@ -81,7 +81,11 @@ object Graph {
     * 2-cycle on bipartite structures, which fixed rounds also bound.
     *
     * Input: `edges` (a, b) any orientation (symmetrized, self-loops
-    * dropped), `nodes` (node). Returns (node, label).
+    * dropped), `nodes` (node). Returns (node, label). NODE IDS MUST BE
+    * NUMERIC (castable to long) — labels are seeded from the id itself,
+    * and a string id that casts to NULL would silently null every
+    * label, so the seed raises loudly instead (hash string ids to a
+    * 52-bit key upstream, e.g. [[graft.ops.Kmv.hash52]], before calling).
     *
     * Scale shape — the [[pageRank]] discipline: each round is one
     * edge-to-labels equi-join + one (node, label) count + one argmax
@@ -100,7 +104,15 @@ object Graph {
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-    var labels = nodes.select(col("node"), col("node").cast("long").as("label"))
+    // loud seed: a non-numeric id must fail HERE, not propagate as a
+    // NULL label through every round (cast-to-long of e.g. "siteA" is
+    // NULL, and NULL labels would win no argmax yet poison coalesce)
+    val seed = when(col("node").isNotNull && col("node").cast("long").isNotNull,
+        col("node").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("labelPropagation: node id not castable to long: "),
+        coalesce(col("node").cast("string"), lit("NULL")))).cast("long"))
+    var labels = nodes.select(col("node"), seed.as("label"))
     for (_ <- 1 to iters) {
       val freq = sym
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
@@ -111,8 +123,7 @@ object Graph {
         .select(col("a").as("node"), (-col("m.neg")).as("nl"))
       labels = nodes
         .join(freq, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("nl"), col("node").cast("long")).as("label"))
+        .select(col("node"), coalesce(col("nl"), seed).as("label"))
     }
     labels
   }

@@ -46,6 +46,19 @@ object Hll {
   /** Register count m = 2^p, rank width r = 52 − p, max rank S = r + 1. */
   def m(p: Int): Int = 1 << p
 
+  /** Precision guard shared by every HLL entry point (batch + streaming).
+    * Upper bound is 9, NOT 12: the integer estimate's numerator is
+    * m²·2^S = 2^(p+53), which fits a signed Long only for p ≤ 9 — at
+    * p = 10 it wraps to Long.MinValue and at 11/12 to 0, silently
+    * corrupting every estimate. Loud here beats wrong there (p = 9 is
+    * m = 512 registers, ~4.6% standard error — plenty for this engine's
+    * sketch use; a wider p needs a 128-bit or floating estimate chain).
+    */
+  def requireP(p: Int): Unit =
+    require(p >= 4 && p <= 9,
+      "p must be in [4, 9]: the integer estimate numerator 2^(p+53) " +
+        "overflows Long for p >= 10")
+
   /** α_m in ppm — the Flajolet bias constant for the raw estimate:
     * 0.673 (m=16), 0.697 (m=32), 0.709 (m=64), else 0.7213/(1+1.079/m);
     * rounded once here and baked as the SAME literal into the plan and
@@ -67,7 +80,7 @@ object Hll {
     */
   def registerTable(df: DataFrame, groupCols: Seq[String], key: Column,
       p: Int): DataFrame = {
-    require(p >= 4 && p <= 12, "p must be in [4, 12]")
+    requireP(p)
     val r = 52 - p
     val h = Kmv.hash52(key)
     val idx = call_function("div", h, lit(1L << r))
@@ -86,6 +99,7 @@ object Hll {
     * and batch report the identical number for identical inputs.
     */
   def estimateOf(registers: Array[Int], p: Int): Long = {
+    requireP(p)
     val s = 52 - p + 1
     val mm = m(p).toLong
     var t = 0L
@@ -114,6 +128,7 @@ object Hll {
     */
   def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
       p: Int): DataFrame = {
+    requireP(p)
     val s = 52 - p + 1
     val mm = m(p).toLong
     val tPresent = sum(call_function("shiftleft", lit(1L),

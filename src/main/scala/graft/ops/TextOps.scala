@@ -899,8 +899,12 @@ object TextOps {
   /** Reliability-curve calibration audit for a binary scorer — the check
     * between "the classifier separates" ([[nbScore]] gates) and "its
     * score is a usable KEEP PROBABILITY" (what a curation pipeline
-    * actually thresholds on): bin documents by score (ppm, `nBins` equal
-    * bins), compare each bin's mean score (`conf_ppm`) to its empirical
+    * actually thresholds on): bin documents by score — ppm range cut
+    * into `nBins` bins of floor(10^6 / nBins) ppm each; when nBins does
+    * not divide 10^6 the LAST bin absorbs the remainder (the `least`
+    * clamp), e.g. nBins = 7 gives six 142857-ppm bins and a final one
+    * covering [857142, 10^6] — so bins are equal only when nBins divides
+    * 10^6 — compare each bin's mean score (`conf_ppm`) to its empirical
     * positive rate (`acc_ppm`), and summarize as the expected calibration
     * error
     *

@@ -43,8 +43,29 @@ object Warc {
     * and ENDS the walk (the next offset is unknowable), as does a
     * missing record marker — malformed input surfaces as data, not
     * exceptions (the quarantine filter is one `where` away).
+    *
+    * CAP SEMANTICS: the walk stops SILENTLY after `maxRecords` — an
+    * 8-record result is indistinguishable from a capped parse of a
+    * longer stream here. Callers that must tell them apart use
+    * [[recordsWalk]], which surfaces `truncated` (valid bytes remained
+    * when the cap hit) and `next_off` (the resume offset).
     */
-  def records(warc: Column, maxRecords: Int = 8): Column = {
+  def records(warc: Column, maxRecords: Int = 8): Column =
+    recordsWalk(warc, maxRecords).getField("recs")
+
+  /** [[records]] plus the walk's end state — the truncation signal the
+    * bare array cannot carry (mirrors how [[Multimodal.tiffHeader]]
+    * surfaces the declared n_entries next to the parsed ones):
+    * struct<recs, truncated boolean, next_off bigint, malformed
+    * boolean>. `truncated` is true iff the walk consumed `maxRecords`
+    * records and well-formed bytes remained (resume by slicing the
+    * stream at `next_off` and walking again); `malformed` is true iff
+    * the walk ended early on a bad marker (`next_off` points at the
+    * offending bytes) or a missing Content-Length (that header-only
+    * record is still appended, as [[records]] documents, and `next_off`
+    * sits past its consumed header).
+    */
+  def recordsWalk(warc: Column, maxRecords: Int = 8): Column = {
     require(maxRecords >= 1 && maxRecords <= 64, "maxRecords in [1, 64]")
     val bin = encode(warc, "UTF-8")
     val totB = octet_length(warc).cast("long")
@@ -94,7 +115,12 @@ object Warc {
           when(done, acc.getField("bad"))
             .otherwise(!ok || step.getField("clen").isNull).as("bad"))
       })
-    walked.getField("recs")
+    // one more let-binding: `walked` is referenced four times below
+    try_element_at(transform(array(walked), w => struct(
+      w.getField("recs").as("recs"),
+      (!w.getField("bad") && w.getField("off") < totB).as("truncated"),
+      w.getField("off").as("next_off"),
+      w.getField("bad").as("malformed"))), lit(1))
   }
 
   /** Parse the HTTP response inside a response record's payload:

@@ -33,7 +33,7 @@ object StreamingHll {
   /** `rows` needs (grp: string, event_time: timestamp, key: string). */
   def estimates(rows: DataFrame, p: Int,
       watermarkDelay: String): Dataset[GroupHll] = {
-    require(p >= 4 && p <= 12, "p must be in [4, 12]")
+    graft.ops.Hll.requireP(p) // p <= 9: the shared integer-estimate envelope
     val m = 1 << p
     val r = 52 - p
     val spark = rows.sparkSession

@@ -985,7 +985,7 @@ class OpsSpec extends AnyFunSuite {
     val got = Curation.sftRender(turns, "conv", "turn_idx", "role",
         "content")
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getInt(2), r.getString(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
     // conv A rendered: "<|system|>be good<|end|><|user|>hi<|end|>
     //                   <|assistant|>hi<|end|><|assistant|>more<|end|>"
     val a = "<|system|>be good<|end|><|user|>hi<|end|>" +
@@ -1069,6 +1069,41 @@ class OpsSpec extends AnyFunSuite {
     val ivf = VectorOps.ivfTopK(vecs, centroids, queries, k = 1, nprobe = 1)
       .collect()
     assert(ivf.length == 1 && ivf(0).getLong(2) == 1L)
+  }
+
+  test("integer-exact SQ8/BQ search rank like their float twins at full pool") {
+    import graft.ops.ScalarQuant
+    // embeddings from the driver testdata: real 64-dim vectors, so the
+    // exact-integer chains run inside their documented envelopes
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(40)
+    val queries = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    // SQ8: integer codes-cosine ranking vs the float score ranking —
+    // same neighbor sets at k=3 (scale cancellation preserves order up
+    // to quantization ties, none present in this slice)
+    val exact = ScalarQuant.sq8SearchCosExact(emb, "vec_id", "embedding",
+        queries, "query_id", "query_vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fl = ScalarQuant.sq8SearchTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "query_vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == fl.keySet)
+    assert(exact == fl, s"sq8 exact-vs-float rank divergence: $exact vs $fl")
+    // BQ indexed: with the rerank pool covering the whole corpus, the
+    // exact rerank must return the integer-chain brute ranking exactly
+    val enc = ScalarQuant.bqEncode(emb, "vec_id", "embedding")
+    val bq = ScalarQuant.bqSearchCosExactIndexed(enc, emb, "vec_id",
+        "embedding", queries, "query_id", "query_vec", k = 3, rerank = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val brute = VectorOps.bruteTopKExact(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(bq == brute, s"bq full-pool rerank != brute exact: $bq vs $brute")
+    // and cos_x1m is genuinely integer micro-units (sanity bound)
+    assert(bq.values.forall { case (_, c) => c.abs <= 1000000L })
   }
 
   test("codegen'd FloatVectorDot is bit-identical to the HOF fold") {
@@ -1893,6 +1928,28 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == a)
   }
 
+  test("hll: p > 9 refuses loudly (2^(p+53) Long envelope)") {
+    import graft.ops.Hll
+    // p = 9 is the widest precision the integer estimate supports:
+    // numerator m²·2^S = 2^(p+53) needs p ≤ 9 to fit a signed Long.
+    // Before the guard, p = 10 wrapped to Long.MinValue (negative
+    // estimates) and p = 11/12 to 0 — silently wrong, never loud.
+    val spark = SparkTest.session
+    import spark.implicits._
+    val keys = (0 until 3000).map(i => ("g", s"k$i")).toDF("grp", "key")
+    for (p <- Seq(10, 11, 12)) {
+      assertThrows[IllegalArgumentException](Hll.estimateOf(new Array[Int](1 << p), p))
+      assertThrows[IllegalArgumentException](
+        Hll.registerTable(keys, Seq("grp"), col("key"), p))
+    }
+    // and p = 9 (the new ceiling) still estimates sanely: positive,
+    // within the ~3σ band of the 4.6% stderr for m = 512
+    val regs = Hll.registerTable(keys, Seq("grp"), col("key"), p = 9)
+      .collect().map(r => r.getLong(1).toInt -> r.getInt(2)).toMap
+    val est9 = Hll.estimateOf(Array.tabulate(512)(j => regs.getOrElse(j, 0)), 9)
+    assert(est9 > 2500 && est9 < 3500, s"p=9 estimate off: $est9")
+  }
+
   test("sorted neighborhood: exact distributed rank, window pairs") {
     import graft.ops.Dedup
     // sorted by normalized text: doc2 (c...), doc1 (cat), doc0 (dog),
@@ -1980,6 +2037,35 @@ class OpsSpec extends AnyFunSuite {
     assert(h.getInt(0) == 200 && h.getString(1) == "text/html")
     assert(h.getString(2) == s"<body>inner${crlf}${crlf}café about " +
       s"WARC/1.0${crlf}still-body</body>")
+
+    // recordsWalk: the cap is no longer silent — a 2-capped walk of a
+    // 3-record stream says truncated with a usable resume offset; the
+    // full walk of a clean stream says neither truncated nor malformed
+    val clean = rec("response", "https://a/1", "one") +
+      rec("response", "https://a/2", "two") +
+      rec("response", "https://a/3", "three")
+    val w2 = Seq(clean).toDF("w")
+      .select(Warc.recordsWalk(col("w"), maxRecords = 2).as("k"))
+      .select(col("k.recs"), col("k.truncated"), col("k.next_off"),
+        col("k.malformed")).head()
+    assert(w2.getSeq[Any](0).length == 2 && w2.getBoolean(1) &&
+      !w2.getBoolean(3))
+    // resume at next_off: slicing there and re-walking yields record 3
+    val resumed = Seq(clean).toDF("w")
+      .select(Warc.records(
+        decode(expr(s"substr(encode(w, 'UTF-8'), ${w2.getLong(2) + 1})"),
+          "UTF-8")).as("r"))
+      .select(element_at(col("r"), 1).getField("target_uri")).head()
+    assert(resumed.getString(0) == "https://a/3")
+    val wFull = Seq(clean).toDF("w")
+      .select(Warc.recordsWalk(col("w")).as("k")).head()
+      .getStruct(0)
+    assert(wFull.getSeq[Any](0).length == 3 &&
+      !wFull.getBoolean(1) && !wFull.getBoolean(3))
+    // and the malformed stream reports malformed, not truncated
+    val wBad = Seq(warc).toDF("w")
+      .select(Warc.recordsWalk(col("w")).as("k")).head().getStruct(0)
+    assert(wBad.getBoolean(3) && !wBad.getBoolean(1))
   }
 
   test("exact percentiles: global and grouped match a sorted reference") {
