@@ -118,6 +118,17 @@ object ExplainCheck {
       Seq("Window", "CartesianProduct")),
     "q_emb_margin_pairs_i" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
       Seq("Window")),
+    // margin over the SQ8 layout: codes-only broadcast scan both
+    // directions (the brute-margin shape on 4×-compressed state),
+    // k-bounded TopKAgg, margin tail unchanged
+    "q_emb_margin_sq8" -> (Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      Seq("Window")),
+    // margin over the BQ serving layout: persisted-signature Hamming
+    // scan both directions, k-bounded pools rerank via broadcast joins
+    // back to the float corpus — never a window, never an unhinted
+    // product
+    "q_emb_margin_bq" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "CartesianProduct")),
     "q_doc_backoff_lm" -> (Seq("BroadcastHashJoin"), Seq("Window", "SortMergeJoin")),
     // peel rounds are node-partitioned windowed degree counts (linear
     // lineage); the forbidden list still rejects an accidental

@@ -148,6 +148,81 @@ object ScalarQuant {
         col("cos"))
   }
 
+  /** INTEGER-EXACT top-k over SQ8 codes — the cross-engine-exact twin of
+    * [[sq8SearchTopK]] (the [[VectorOps.bruteTopKExact]] discipline,
+    * but on the SQ8 LAYOUT: per-vector scale + int8 codes instead of one
+    * global fixed-point scale). Cosine is scale-invariant, so the
+    * per-vector scales CANCEL and the whole similarity runs on the codes
+    * alone: `cos_x1m = (idot(codes_a, codes_q)·10⁶) div
+    * (isqrt(n2_a)·isqrt(n2_q))` — no float materialized anywhere, so the
+    * chain reproduces bit-for-bit on any 64-bit-integer engine.
+    * Envelope: |idot| ≤ dims·127² (~10⁶ at 64 dims), ×10⁶ ≈ 10¹² ≪ 2⁶³.
+    * Zero vectors: all-zero codes → NULL cosine → excluded (the
+    * [[VectorOps.topKPerQueryExact]] policy). Ranking is the bounded
+    * TopKAgg, ties (cos_x1m, then vec_id asc) pinned in the oracle.
+    * Returns (query_id, rank, vec_id, cos_x1m) — [[VectorOps
+    * .marginPairsExact]]-compatible, which is how margin mining runs
+    * over the SQ8 serving layout.
+    */
+  def sq8SearchCosExact(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    def withRoot(enc: DataFrame): DataFrame =
+      enc.withColumn("r", VectorOps.isqrt(idot(col("codes"), col("codes"))))
+    val c = withRoot(sq8Encode(corpus, idCol, vecCol))
+    val q = withRoot(sq8Encode(queries, queryIdCol, queryVecCol))
+      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"),
+        col("r").as("q_r"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1m", VectorOps.exactCosX1m(
+        idot(col("codes"), col("q_codes")), col("r"), col("q_r")))
+    VectorOps.topKPerQueryExact(scored, k)
+  }
+
+  /** INTEGER-EXACT two-stage search over a PREBUILT BQ signature table —
+    * [[bqSearchTopKIndexed]]'s serving shape with the rerank on the
+    * quantize-first integer chain instead of a float cosine: stage 1
+    * scans only the packed sign bits (Hamming is already exact integer
+    * math; candidate ties at the boundary break on vec_id asc), stage 2
+    * scores just the k-bounded pool with [[VectorOps.exactCosX1m]] over
+    * scale-quantized vectors + exact isqrt norms. No float similarity is
+    * materialized or rounded anywhere, so the whole composition
+    * reproduces bit-for-bit cross-engine. Returns
+    * (query_id, rank, vec_id, cos_x1m) — [[VectorOps.marginPairsExact]]-
+    * compatible, which is how margin mining runs over the BQ serving
+    * layout.
+    */
+  def bqSearchCosExactIndexed(enc: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int, rerank: Int,
+      scale: Double = 1e5): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    val qenc = bqEncode(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("query_id"), col("bq_words").as("q_words"))
+    val topH = graft.functions.TopKAgg.smallest_k_long(rerank)
+    val cands = enc.crossJoin(broadcast(qenc))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bqHamming(col("bq_words"), col("q_words")).as("ham"))
+      .groupBy("query_id")
+      .agg(topH(col("ham"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"))
+    val (cq, cr) = VectorOps.quantized(col(vecCol), scale)
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
+      cq.as("qv"), cr.as("c_r"))
+    val (qq, qr) = VectorOps.quantized(col(queryVecCol), scale)
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      qq.as("qq"), qr.as("q_r"))
+    val scored = c.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_x1m", VectorOps.exactCosX1m(
+        graft.functions.GraftFunctions.long_dot(col("qv"), col("qq")),
+        col("c_r"), col("q_r")))
+    VectorOps.topKPerQueryExact(scored, k)
+  }
+
   /** Top-k search over SQ8 codes: both sides quantized (symmetric), score
     * = idot · scale_a · scale_q. Queries must be small (broadcast); the
     * ranking is the same bounded [[graft.functions.TopKAgg]] aggregation

@@ -600,12 +600,12 @@ object VectorOps {
     * must stay under 2^63/10⁶ ≈ 9.2e12 — at scale 1e5, dims 64, |x| ≤ 1.4
     * the bound is ~1.25e12. Wider vectors or hotter scales: drop `scale`.
     */
-  private def exactCosX1m(dotL: Column, ra: Column, rb: Column): Column =
+  private[ops] def exactCosX1m(dotL: Column, ra: Column, rb: Column): Column =
     call_function("div", dotL * lit(1000000L), nullif(ra * rb, lit(0L)))
 
   /** Quantize an embedding column and pair it with its exact integer norm
     * root: (qv = round-half-up(x·scale) per element, r = isqrt(qv·qv)). */
-  private def quantized(vec: Column, scale: Double): (Column, Column) = {
+  private[ops] def quantized(vec: Column, scale: Double): (Column, Column) = {
     val qv = KMeans.quantize(vec, scale)
     (qv, isqrt(graft.functions.GraftFunctions.long_dot(qv, qv)))
   }

@@ -3191,7 +3191,7 @@ object CorpusOps {
   /** Exact integer dot of two BIGINT-list expressions: per-element BIGINT
     * products (overflow raises, mirroring the engine's ANSI
     * [[graft.functions.LongVectorDot]]) summed to HUGEINT, cast back. */
-  private def idotSql(a: String, b: String): String =
+  private[queries] def idotSql(a: String, b: String): String =
     s"CAST(list_sum([$a[i] * $b[i] " +
       s"for i in generate_series(1, len($a))]) AS BIGINT)"
 
@@ -3199,7 +3199,8 @@ object CorpusOps {
     * integer norm roots — mirrors `VectorOps.exactCosX1m`: `(dot·10⁶) //
     * (ra·rb)`, truncating toward zero (DuckDB `//` ≡ Spark `div` on
     * BIGINT, verified incl. negatives), zero denominator → NULL. */
-  private def icosSql(aq: String, ar: String, bq: String, br: String): String =
+  private[queries] def icosSql(aq: String, ar: String, bq: String,
+      br: String): String =
     s"(${idotSql(aq, bq)} * 1000000) // nullif($ar * $br, 0)"
 
   /** Integer-exact embedding chain — CTEs `<out>0..<out>` over input CTE
@@ -3211,7 +3212,16 @@ object CorpusOps {
     s"""${out}0 AS (SELECT vec_id,
        |    [CAST(floor(x * 100000.0 + 0.5) AS BIGINT) for x in ev] AS qv
        |  FROM $src),
-       |${out}1 AS (SELECT vec_id, qv, ${idotSql("qv", "qv")} AS n2
+       |${isqrtTailSql(out)}""".stripMargin
+
+  /** The isqrt tail of [[exactChainSql]] factored out: CTEs `<out>1..
+    * <out>` over `<out>0` (vec_id, qv BIGINT[]) — n2, double-sqrt seed,
+    * one exact correction step each way. Shared by every integer-exact
+    * vector chain regardless of HOW qv was quantized (global fixed-point
+    * scale, SQ8 per-vector scale, ...).
+    */
+  private[queries] def isqrtTailSql(out: String): String =
+    s"""${out}1 AS (SELECT vec_id, qv, ${idotSql("qv", "qv")} AS n2
        |  FROM ${out}0),
        |${out}2 AS (SELECT vec_id, qv, n2,
        |    CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS mr0
@@ -3222,6 +3232,21 @@ object CorpusOps {
        |$out AS (SELECT vec_id, qv,
        |    CASE WHEN mr1*mr1 > n2 THEN mr1-1 ELSE mr1 END AS r
        |  FROM ${out}3)""".stripMargin
+
+  /** SQ8 twin of [[exactChainSql]]: quantize with the PER-VECTOR scale
+    * max|x|/127 half-up (the `ScalarQuant.sq8Encode` replay — zero
+    * vectors coalesce to all-zero codes), then the identical isqrt tail.
+    * The scale itself is NOT emitted: cosine over codes cancels it,
+    * which is the whole point of `sq8SearchCosExact`.
+    */
+  private[queries] def sq8ChainSql(src: String, out: String): String =
+    s"""${out}s AS (SELECT vec_id, ev,
+       |    list_max([abs(x) for x in ev]) / 127.0 AS scl FROM $src),
+       |${out}0 AS (SELECT vec_id,
+       |    [CAST(coalesce(floor(x / nullif(scl, 0.0) + 0.5), 0) AS BIGINT)
+       |     for x in ev] AS qv
+       |  FROM ${out}s),
+       |${isqrtTailSql(out)}""".stripMargin
 
   /** Per-character replay of [[graft.ops.Dedup.spanRemoval]] for any
     * (winLen, stride): mark every character covered by a duplicated

@@ -1023,6 +1023,61 @@ object CurationQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // margin mining over the SQ8 serving layout — the FIFTH kNN backend
+    // under the identical margin tail (brute, IVF, PQ, LSH, SQ8): both
+    // directions' kNN run on int8 codes with the per-vector scale
+    // CANCELLED by the cosine (codes-only integer chain), so the 4×-
+    // compressed layout serves bitext mining without touching floats;
+    // the margin post-processing is backend-blind, integer end to end
+    "q_emb_margin_sq8" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val fwd = graft.ops.ScalarQuant.sq8SearchCosExact(tgt, "vec_id",
+        "embedding", qside(src), "query_id", "query_vec", k = 4)
+      val bwd = graft.ops.ScalarQuant.sq8SearchCosExact(src, "vec_id",
+        "embedding", qside(tgt), "query_id", "query_vec", k = 4)
+      graft.ops.VectorOps.marginPairsExact(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
+    // margin mining over the BQ serving layout — the SIXTH backend, and
+    // the 100 TB memory shape for the family: both directions' candidate
+    // generation scans only the persisted 32×-compressed sign signatures
+    // (REUSING q_emb_bq_serve's content-keyed index, parity-filtered per
+    // direction), Hamming prefilter to a rerank-bounded pool, then the
+    // exact integer-cosine rerank; the margin tail is unchanged. Only
+    // the k-bounded pools ever touch float vectors
+    "q_emb_margin_bq" -> ((s, dir) => {
+      val base = graft.io.IndexCache.cacheDir("bq", 1,
+        s"$dir/embeddings.parquet")
+      val emb = wide(s, t(s, dir, "embeddings"))
+      graft.io.IndexCache.ensureBuilt(base, s"$base/words/_SUCCESS") {
+        tmp =>
+          graft.ops.ScalarQuant.saveBqIndex(tmp,
+            graft.ops.ScalarQuant.bqEncode(emb, "vec_id", "embedding"))
+      }
+      val enc = graft.ops.ScalarQuant.loadBqIndex(s, base)
+      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val fwd = graft.ops.ScalarQuant.bqSearchCosExactIndexed(
+        enc.where(pmod(col("vec_id"), lit(2)) === 1), tgt, "vec_id",
+        "embedding", qside(src), "query_id", "query_vec", k = 4,
+        rerank = 16)
+      val bwd = graft.ops.ScalarQuant.bqSearchCosExactIndexed(
+        enc.where(pmod(col("vec_id"), lit(2)) === 0), src, "vec_id",
+        "embedding", qside(tgt), "query_id", "query_vec", k = 4,
+        rerank = 16)
+      graft.ops.VectorOps.marginPairsExact(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
     // sign-LSH SERVING path: the bucket-partitioned signature index is
     // built once into the content-keyed cache; a query batch probes its
     // nPlanes+1 buckets off the index scan (the partition layout prunes
@@ -1973,6 +2028,76 @@ object CurationQueries {
       topK = 5, nprobe = 2, nCoarse = 8),
 
     "q_emb_margin_pq" -> marginPqSql(2, 64, 8, 2, topK = 4),
+
+    // SQ8-margin replay: the sq8 per-vector-scale quantize chain (scale
+    // cancels in the cosine, so codes + isqrt roots are the whole
+    // state), both directions' top-4 by (cos_x1m desc, id), the
+    // IDENTICAL margin tail — backend swap = chain CTE swap, nothing else
+    "q_emb_margin_sq8" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    ${CorpusOps.evGuardSql} AS ev FROM embeddings),
+         |${CorpusOps.sq8ChainSql("e", "qe")},
+         |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
+         |tg AS (SELECT * FROM qe WHERE vec_id % 2 = 1),
+         |f0 AS (SELECT so.vec_id AS src_id, tg.vec_id AS tgt_id,
+         |    ${CorpusOps.icosSql("so.qv", "so.r", "tg.qv", "tg.r")}
+         |      AS cos_x1m
+         |  FROM so CROSS JOIN tg),
+         |fr AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY cos_x1m DESC, tgt_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |fwd AS (SELECT src_id, tgt_id, cos_x1m FROM fr WHERE rn <= 4),
+         |br AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY cos_x1m DESC, src_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |bwd AS (SELECT src_id, tgt_id, cos_x1m FROM br WHERE rn <= 4),
+         |${CorpusOps.marginTailSql}""".stripMargin,
+
+    // BQ-margin replay: Hamming prefilter as the VALUE identity Σ[sign
+    // disagreements] (Σ bit_count(xor(words)) ≡ count of differing sign
+    // bits — the word PACKING itself is replayed in q_emb_bq_search's
+    // oracle), 16-candidate pool per query with boundary ties on id,
+    // exact integer-cosine rerank at scale 1e5, top-4 both directions,
+    // the identical margin tail
+    "q_emb_margin_bq" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    ${CorpusOps.evGuardSql} AS ev FROM embeddings),
+         |${CorpusOps.exactChainSql("e", "qe")},
+         |je AS (SELECT e.vec_id, e.ev, qe.qv, qe.r
+         |  FROM e JOIN qe USING (vec_id)),
+         |so AS (SELECT * FROM je WHERE vec_id % 2 = 0),
+         |tg AS (SELECT * FROM je WHERE vec_id % 2 = 1),
+         |hf AS (SELECT so.vec_id AS src_id, tg.vec_id AS tgt_id,
+         |    so.qv AS qqv, so.r AS qr, tg.qv AS cqv, tg.r AS cr,
+         |    list_sum([CASE WHEN (tg.ev[i] > 0) <> (so.ev[i] > 0)
+         |      THEN 1 ELSE 0 END
+         |     for i in generate_series(1, len(tg.ev))]) AS ham
+         |  FROM so CROSS JOIN tg),
+         |cf AS (SELECT *, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY ham, tgt_id) AS hrn FROM hf),
+         |sf AS (SELECT src_id, tgt_id,
+         |    ${CorpusOps.icosSql("cqv", "cr", "qqv", "qr")} AS cos_x1m
+         |  FROM cf WHERE hrn <= 16),
+         |fr AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY cos_x1m DESC, tgt_id) AS rn
+         |  FROM sf WHERE cos_x1m IS NOT NULL),
+         |fwd AS (SELECT src_id, tgt_id, cos_x1m FROM fr WHERE rn <= 4),
+         |hb AS (SELECT so.vec_id AS src_id, tg.vec_id AS tgt_id,
+         |    tg.qv AS qqv, tg.r AS qr, so.qv AS cqv, so.r AS cr,
+         |    list_sum([CASE WHEN (so.ev[i] > 0) <> (tg.ev[i] > 0)
+         |      THEN 1 ELSE 0 END
+         |     for i in generate_series(1, len(so.ev))]) AS ham
+         |  FROM tg CROSS JOIN so),
+         |cb AS (SELECT *, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY ham, src_id) AS hrn FROM hb),
+         |sb AS (SELECT src_id, tgt_id,
+         |    ${CorpusOps.icosSql("cqv", "cr", "qqv", "qr")} AS cos_x1m
+         |  FROM cb WHERE hrn <= 16),
+         |br AS (SELECT src_id, tgt_id, cos_x1m, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY cos_x1m DESC, src_id) AS rn
+         |  FROM sb WHERE cos_x1m IS NOT NULL),
+         |bwd AS (SELECT src_id, tgt_id, cos_x1m FROM br WHERE rn <= 4),
+         |${CorpusOps.marginTailSql}""".stripMargin,
 
     "q_emb_kmeans" -> kmeansSql(4, 3),
 
