@@ -651,6 +651,11 @@ object ExplainCheck {
     // never re-shingled
     "q_doc_hll_serve" -> (Seq("HashAggregate", "Union"),
       Seq("CartesianProduct", "Window", "ObjectHashAggregate")),
+    // warm serve: NOTHING but register scans + the merge/estimate aggs —
+    // a Generate (shingle explode) in this plan means the cache split
+    // regressed and the gate is re-reading text
+    "q_doc_hll_serve_warm" -> (Seq("HashAggregate", "Union"),
+      Seq("Generate", "CartesianProduct", "Window", "ObjectHashAggregate")),
     // theta overlap: two sketch aggs joined on lang + set-algebra
     // projection; exact-intersect comparison agg — no window
     "q_doc_kmv_overlap" -> (Seq("ObjectHashAggregate"),

@@ -1045,6 +1045,38 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // WARM HLL serving — the deployment number for sketch serving,
+    // split from the cold build the way the chunk-store gates split
+    // theirs: BOTH halves' registers live in the content-keyed cache
+    // (built off-clock on first touch), and the gate itself never sees
+    // text or shingles — it scans two ≤ langs×256-row register tables,
+    // merges register-wise, estimates. Flat at any corpus scale by
+    // construction (state is m small ints per group forever); the cold
+    // register build + the exact countDistinct audit stay priced in
+    // q_doc_hll_serve's own row
+    "q_doc_hll_serve_warm" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      def shingles(half: Int) =
+        docs.where(pmod(col("doc_id"), lit(2)) === half)
+          .select(col("lang"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      val base = graft.io.IndexCache.cacheDir("hllregs2", 1,
+        s"$dir/documents.parquet")
+      graft.io.IndexCache.ensureBuilt(base, s"$base/regs1/_SUCCESS") {
+        tmp =>
+          graft.ops.Hll.registerTable(shingles(0), Seq("lang"),
+            col("sh"), p = 8).write.parquet(s"$tmp/regs0")
+          graft.ops.Hll.registerTable(shingles(1), Seq("lang"),
+            col("sh"), p = 8).write.parquet(s"$tmp/regs1")
+      }
+      graft.ops.Hll.estimateFromRegisters(
+          graft.ops.Hll.mergeRegisters(
+            s.read.parquet(s"$base/regs0"),
+            s.read.parquet(s"$base/regs1"), Seq("lang")),
+          Seq("lang"), p = 8)
+        .orderBy("lang")
+    }),
+
     // theta-sketch overlap: distinct-shingle intersection/union between
     // the even- and odd-doc halves per lang (the cross-snapshot
     // vocabulary-overlap question) from two k-long sketches — set
@@ -4260,6 +4292,37 @@ object CorpusOps {
            |    AS BIGINT) AS est,
            |  ex.n_exact
            |FROM ag JOIN ex USING (lang) ORDER BY ag.lang""".stripMargin,
+
+    // warm-serve replay: merge(a,b) = sketch(a ∪ b), so the oracle is
+    // the full-corpus register chain (same CTEs as q_doc_hll_serve,
+    // minus the exact audit column that gate carries)
+    "q_doc_hll_serve_warm" ->
+      raw"""WITH t AS (SELECT lang,
+           |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |shr AS (SELECT lang, unnest(CASE WHEN len(t) >= 3
+           |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |          for i in generate_series(1, len(t) - 2)]
+           |    ELSE [] END) AS sh
+           |  FROM t),
+           |h AS (SELECT lang,
+           |    ('0x' || substr(md5(sh), 1, 13))::BIGINT AS hv
+           |  FROM shr),
+           |rr AS (SELECT lang, hv // 17592186044416 AS idx,
+           |    hv % 17592186044416 AS w FROM h),
+           |rk AS (SELECT lang, idx, CASE WHEN w = 0 THEN 45
+           |    ELSE 45 - length(bin(w)) END AS rnk FROM rr),
+           |regs AS (SELECT lang, idx, max(rnk) AS reg
+           |  FROM rk GROUP BY lang, idx),
+           |ag AS (SELECT lang,
+           |    CAST(256 - count(*) AS BIGINT) AS v_empty,
+           |    CAST(sum(1::BIGINT << (45 - reg)) AS BIGINT)
+           |      + (256 - count(*)) * 35184372088832 AS tt
+           |  FROM regs GROUP BY lang)
+           |SELECT lang, v_empty,
+           |  CAST(((2305843009213693952 // tt) * 718273) // 1000000
+           |    AS BIGINT) AS est
+           |FROM ag ORDER BY lang""".stripMargin,
 
     // theta-overlap replay: per-side distinct 52-bit hashes, kth-order
     // thetas (unfilled side -> full hash space), retained-below-theta

@@ -492,6 +492,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming label propagation matches the batch operator per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingLabelProp
+    val out = java.nio.file.Files.createTempDirectory("slp_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("slp_ckpt").toString
+    val source = MemoryStream[(Long, Long, Timestamp)]
+    val closed = StreamingLabelProp.windowedEdgeSets(
+      source.toDF().toDF("a", "b", "event_time"),
+      windowDuration = "1 hour", watermarkDelay = "0 seconds")
+    val q = StreamingLabelProp.sink(closed, out, ckpt, iters = 4).start()
+    try {
+      // window 0: triangle {1,2,3} (converges to all-1 by round 2: the
+      // smallest-label tie rule) + pair {10,11} (synchronous LPA 2-cycles
+      // on bipartite structure; 4 fixed rounds land it back on identity)
+      source.addData(
+        (1L, 2L, ts("2020-01-01 00:05:00")),
+        (2L, 3L, ts("2020-01-01 00:10:00")),
+        (1L, 3L, ts("2020-01-01 00:15:00")),
+        (10L, 11L, ts("2020-01-01 00:20:00")))
+      q.processAllAvailable()
+      // window 1 arrival closes window 0 (watermark 0); single edge
+      source.addData((5L, 6L, ts("2020-01-01 01:10:00")))
+      q.processAllAvailable()
+      // pusher closes window 1
+      source.addData((98L, 99L, ts("2020-01-01 03:00:00")))
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(out)
+        .select("window_start", "node", "label")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      val w0 = "2020-01-01 00:00:00.0"
+      val w1 = "2020-01-01 01:00:00.0"
+      assert(got == Set(
+        (w0, 1L, 1L), (w0, 2L, 1L), (w0, 3L, 1L), // triangle community
+        (w0, 10L, 10L), (w0, 11L, 11L),           // 2-cycle back to ids
+        (w1, 5L, 5L), (w1, 6L, 6L)))
+
+      // parity: the batch operator on window 0's slice, byte-identical
+      val w0edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+        .toDF("a", "b")
+      val w0nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("node")
+      val batch = graft.ops.Graph.labelPropagation(w0edges, w0nodes, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamedW0 = got.filter(_._1 == w0)
+        .map { case (_, n, l) => n -> l }.toMap
+      assert(streamedW0 == batch,
+        s"streamed window-0 labels $streamedW0 != batch $batch")
+
+      // replay idempotency: the dynamic-overwrite writer re-running a
+      // window leaves the dataset unchanged
+      val before = spark.read.parquet(out).count()
+      spark.read.parquet(out)
+        .where(col("window_start") === lit(ts("2020-01-01 00:00:00")))
+        .select("node", "label", "window_start")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("window_start")
+        .parquet(out)
+      assert(spark.read.parquet(out).count() == before)
+    } finally q.stop()
+  }
+
   test("streaming trending terms match the batch top-k per closed window") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingTrends
