@@ -110,6 +110,8 @@ object ExplainCheck {
     // SQ8 search: bounded TopKAgg ranking like the float/PQ paths
     "q_emb_sq8_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_emb_bq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    // SQ8 serve: the code-table scan + bounded TopKAgg, never a window
+    "q_emb_sq8_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     "q_doc_bpe_roundtrip" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // byte-level BPE: corpus side is Generate (pretoken explode) + joins
     // back; the merge loop runs only on the distinct-pretoken side

@@ -231,8 +231,18 @@ object ScalarQuant {
     */
   def sq8SearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int): DataFrame = {
-    val enc = sq8Encode(corpus, idCol, vecCol)
+      k: Int): DataFrame =
+    sq8SearchTopKIndexed(sq8Encode(corpus, idCol, vecCol), queries,
+      queryIdCol, queryVecCol, k)
+
+  /** [[sq8SearchTopK]] over a PREBUILT code table ([[sq8Encode]] output,
+    * typically [[loadSq8Index]]) — the serving path: the corpus is
+    * quantized once at index-build time, and a query batch scans only
+    * the 4×-compressed codes (the per-vector scale rides along as one
+    * double, so nothing float-width is read per dimension).
+    */
+  def sq8SearchTopKIndexed(enc: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
     val qenc = sq8Encode(queries, queryIdCol, queryVecCol)
       .select(col("vec_id").as("query_id"), col("sq_scale").as("q_scale"),
         col("codes").as("q_codes"))
@@ -243,4 +253,25 @@ object ScalarQuant {
           * col("sq_scale") * col("q_scale"))
     VectorOps.topKPerQuery(scored, k, scoreCol = "score")
   }
+
+  /** Persist / load the SQ8 code layout — the 4× serving index (the
+    * accuracy point between raw float and PQ/BQ on the compression
+    * curve; every other layout already had its persisted form). No
+    * trained state, so the layout never drifts.
+    */
+  def saveSq8Index(path: String, enc: DataFrame): Unit =
+    enc.write.mode("overwrite").parquet(s"$path/codes")
+
+  def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+
+  /** Incremental maintenance: quantize ONLY the new batch and append —
+    * per-vector scales make each row self-contained, so existing codes
+    * are never re-read or rewritten ([[appendToBqIndex]]'s discipline).
+    */
+  def appendToSq8Index(path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Unit =
+    sq8Encode(newVecs, idCol, vecCol).write.mode("append")
+      .parquet(s"$path/codes")
 }

@@ -999,6 +999,29 @@ object CurationQueries {
         .limit(20)
     }),
 
+    // SQ8 SERVING path: codes quantized once into the content-keyed
+    // cache, queries scan only the 4×-compressed code table — identical
+    // ranking to q_emb_sq8_search (same oracle), build isolated; closes
+    // the last layout without a persisted serving form
+    "q_emb_sq8_serve" -> ((s, dir) => {
+      val base = graft.io.IndexCache.cacheDir("sq8", 1,
+        s"$dir/embeddings.parquet")
+      val emb = wide(s, t(s, dir, "embeddings"))
+      graft.io.IndexCache.ensureBuilt(base, s"$base/codes/_SUCCESS") {
+        tmp =>
+          graft.ops.ScalarQuant.saveSq8Index(tmp,
+            graft.ops.ScalarQuant.sq8Encode(emb, "vec_id", "embedding"))
+      }
+      val enc = graft.ops.ScalarQuant.loadSq8Index(s, base)
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.ops.ScalarQuant.sq8SearchTopKIndexed(enc, queries,
+          "query_id", "query_vec", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // BQ SERVING path: signatures packed once into the content-keyed
     // cache (the ivfpq_serve discipline), queries scan the 32×-compressed
     // words and rerank k-bounded candidates against the float corpus —
@@ -2016,6 +2039,10 @@ object CurationQueries {
     // serving gate ranks identically to the in-query-encode gate — the
     // SAME replay is the oracle for both
     "q_emb_bq_serve" -> CorpusOps.oracles("q_emb_bq_search"),
+
+    // serving gate: persistence must not change a single bit — same
+    // full replay as the in-query-encode variant
+    "q_emb_sq8_serve" -> CorpusOps.oracles("q_emb_sq8_search"),
     // serving returns the in-query composition's exact integer ranking
     "q_emb_lsh_serve" -> CorpusOps.oracles("q_emb_multiprobe"),
 

@@ -1517,6 +1517,32 @@ class OpsSpec extends AnyFunSuite {
     assert(served == rebuilt && served.nonEmpty)
   }
 
+  test("SQ8 index append: new batch quantized in place, search sees both") {
+    import graft.ops.ScalarQuant
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = base.where(col("vec_id") < 400)
+    val fresh = base.where(col("vec_id") >= 400 && col("vec_id") < 420)
+    ScalarQuant.saveSq8Index(dir,
+      ScalarQuant.sq8Encode(old, "vec_id", "embedding"))
+    ScalarQuant.appendToSq8Index(dir, fresh, "vec_id", "embedding")
+    val enc = ScalarQuant.loadSq8Index(spark, dir)
+    assert(enc.count() == old.count() + 20)
+    // a query near an APPENDED vector must surface it through the
+    // persisted layout — identical to a full rebuild's result (per-
+    // vector scales make rows self-contained, so append cannot drift)
+    val q = base.where(col("vec_id") === 410)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val served = ScalarQuant.sq8SearchTopKIndexed(enc, q,
+      "query_id", "query_vec", 5).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val rebuilt = ScalarQuant.sq8SearchTopK(old.unionAll(fresh), "vec_id",
+      "embedding", q, "query_id", "query_vec", 5).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("Aho-Corasick scrub: leftmost-longest, overlaps, phrase terms") {
     val ac = new TextOps.AcAutomaton(
       Seq("zz_absent", "row fast", "spark", "table", "tab"))
