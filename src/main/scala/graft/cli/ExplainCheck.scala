@@ -160,6 +160,10 @@ object ExplainCheck {
     // brute reference keeps its broadcast-scan shape, never a window
     "q_emb_ann_recall" -> (Seq("ObjectHashAggregate", "HashAggregate"),
       Seq("Window", "CartesianProduct")),
+    // compression-recall eval: three k-bounded searchers (brute truth,
+    // sq8 codes, bq ham+rerank) joined + counted, same forbid set
+    "q_emb_quant_recall" -> (Seq("ObjectHashAggregate", "HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // rank metrics: k-bounded retrieval aggs + one query-keyed metric
     // agg; the LUT is in-plan literals, never a log call
     "q_emb_rank_metrics" -> (Seq("ObjectHashAggregate", "HashAggregate"),

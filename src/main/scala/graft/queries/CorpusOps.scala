@@ -1324,6 +1324,31 @@ object CorpusOps {
         .orderBy("method", "query_id")
     }),
 
+    // what compression costs in RECALL: per-query recall@5 of the SQ8
+    // (4×, codes-cosine) and BQ (32×, Hamming-prefilter + exact rerank)
+    // backends against the exact integer brute ranking — the third axis
+    // of the serving trade next to bytes (SCALE.md) and latency (bench):
+    // the number a team reads before picking a layout. Integer end to
+    // end, every chain already gate-pinned individually
+    "q_emb_quant_recall" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val exact = VectorOps.bruteTopKExact(emb, queries, k = 5)
+      val sq8 = graft.ops.ScalarQuant.sq8SearchCosExact(emb, "vec_id",
+        "embedding", queries, "query_id", "query_vec", k = 5)
+      val bq = graft.ops.ScalarQuant.bqSearchCosExactIndexed(
+        graft.ops.ScalarQuant.bqEncode(emb, "vec_id", "embedding"), emb,
+        "vec_id", "embedding", queries, "query_id", "query_vec", k = 5,
+        rerank = 16)
+      VectorOps.recallAtK(exact, sq8).withColumn("method", lit("sq8"))
+        .unionAll(
+          VectorOps.recallAtK(exact, bq).withColumn("method", lit("bq")))
+        .select("method", "query_id", "k", "n_hit", "recall_ppm")
+        .orderBy("method", "query_id")
+    }),
+
     // ranked-retrieval metrics beyond recall: MRR, hits@k, and
     // binary-relevance DCG/nDCG with INTEGER LUT discounts (the log2
     // table is k precomputed literals shared by plan and oracle — no
@@ -4977,6 +5002,68 @@ object CorpusOps {
          |  coalesce(mh1.hits, 0) AS n_hit,
          |  (coalesce(mh1.hits, 0) * 1000000) // ke.k AS recall_ppm
          |FROM ke LEFT JOIN mh1 USING (query_id)
+         |ORDER BY method, query_id""".stripMargin,
+
+    // quant-recall replay: exact-brute truth (the ann_recall CTEs), the
+    // sq8 codes-cosine chain, and the BQ sign-Hamming + exact-rerank
+    // chain, each ranked top-5 with the same (cos desc, id) pin, hit
+    // counts per query against the truth set
+    "q_emb_quant_recall" ->
+      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |${exactChainSql("e", "c")},
+         |qx AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r
+         |  FROM c WHERE vec_id < 8),
+         |f0 AS (SELECT qx.query_id, c.vec_id,
+         |    ${icosSql("c.qv", "c.r", "qx.qq", "qx.q_r")} AS cos_x1m
+         |  FROM c CROSS JOIN qx WHERE c.vec_id <> qx.query_id),
+         |br AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |b5 AS (SELECT query_id, vec_id FROM br WHERE rn <= 5),
+         |ke AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+         |  FROM b5 GROUP BY query_id),
+         |${sq8ChainSql("e", "s8")},
+         |q8 AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r
+         |  FROM s8 WHERE vec_id < 8),
+         |m80 AS (SELECT q8.query_id, s8.vec_id,
+         |    ${icosSql("s8.qv", "s8.r", "q8.qq", "q8.q_r")} AS cos_x1m
+         |  FROM s8 CROSS JOIN q8 WHERE s8.vec_id <> q8.query_id),
+         |m8r AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM m80 WHERE cos_x1m IS NOT NULL),
+         |m8t AS (SELECT query_id, vec_id FROM m8r WHERE rn <= 5),
+         |h8 AS (SELECT b5.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM b5 JOIN m8t USING (query_id, vec_id) GROUP BY b5.query_id),
+         |jb AS (SELECT c.vec_id, e.ev, c.qv, c.r
+         |  FROM c JOIN e USING (vec_id)),
+         |qb AS (SELECT vec_id AS query_id, ev AS qev, qv AS qq, r AS q_r
+         |  FROM jb WHERE vec_id < 8),
+         |hb AS (SELECT qb.query_id, jb.vec_id, jb.qv AS cqv, jb.r AS cr,
+         |    qb.qq, qb.q_r,
+         |    list_sum([CASE WHEN (jb.ev[i] > 0) <> (qb.qev[i] > 0)
+         |      THEN 1 ELSE 0 END
+         |     for i in generate_series(1, len(jb.ev))]) AS ham
+         |  FROM jb CROSS JOIN qb WHERE jb.vec_id <> qb.query_id),
+         |cb AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY ham, vec_id) AS hrn FROM hb),
+         |sb AS (SELECT query_id, vec_id,
+         |    ${icosSql("cqv", "cr", "qq", "q_r")} AS cos_x1m
+         |  FROM cb WHERE hrn <= 16),
+         |mbr AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM sb WHERE cos_x1m IS NOT NULL),
+         |mbt AS (SELECT query_id, vec_id FROM mbr WHERE rn <= 5),
+         |hbq AS (SELECT b5.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM b5 JOIN mbt USING (query_id, vec_id) GROUP BY b5.query_id)
+         |SELECT 'sq8' AS method, ke.query_id, ke.k,
+         |  coalesce(h8.hits, 0) AS n_hit,
+         |  (coalesce(h8.hits, 0) * 1000000) // ke.k AS recall_ppm
+         |FROM ke LEFT JOIN h8 USING (query_id)
+         |UNION ALL
+         |SELECT 'bq' AS method, ke.query_id, ke.k,
+         |  coalesce(hbq.hits, 0) AS n_hit,
+         |  (coalesce(hbq.hits, 0) * 1000000) // ke.k AS recall_ppm
+         |FROM ke LEFT JOIN hbq USING (query_id)
          |ORDER BY method, query_id""".stripMargin,
 
     // margin replay, INTEGER-EXACT: identical even/odd split, the
