@@ -372,6 +372,24 @@ object Bench {
         graft.ops.VectorOps.bruteTopK(emb, q, 4)).count()
       spark.catalog.clearCache()
     }
+    // every persisted-serving gate once, off-clock: first touch of a
+    // content-keyed cache family (bq/sq8/lsh/postings/chunk/hll registers)
+    // runs the one-time index build, which is NOT per-query serving work —
+    // the measured rows must price the warm serve (q_emb_margin_bq shares
+    // q_emb_bq_serve's signature cache, so this also warms the margin
+    // family's serving side). Generalizes the ivfpq_serve discipline to
+    // the whole _serve family so a new serving gate can't silently carry
+    // its cold build onto the clock.
+    def warmServe(): Unit = {
+      SparkEntry.queries.keys.filter(_.contains("_serve")).toSeq.sorted
+        .foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] serve warmup '$n' FAILED: $e")
+          }
+        }
+      spark.catalog.clearCache()
+    }
     warm("dedup")(warmDedup())
     warm("timeseries")(warmTimeSeries())
     warm("relational")(warmRelational())
@@ -381,6 +399,7 @@ object Bench {
     warm("curation")(warmCuration())
     warm("fingerprints")(warmFingerprints())
     warm("newops")(warmNewOps())
+    warm("serve")(warmServe())
     warm("dedup-broadcast-off") {
       val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")

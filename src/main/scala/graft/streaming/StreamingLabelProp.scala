@@ -92,4 +92,50 @@ object StreamingLabelProp {
             .parquet(path)
         }
       }
+
+  /** LPA over the LSH NEAR-DUP PAIR STREAM — the composition sink: per
+    * closed DOCUMENT window ([[StreamingClusters.windowedDocSets]]
+    * output), generate the window's LSH pair graph with the batch
+    * near-dup operator, then run [[labelWindow]] on those pairs.
+    * Communities are LPA's view of the same pair graph
+    * [[StreamingClusters.sink]] resolves into connected components —
+    * components answer "transitively reachable at all", LPA answers
+    * "densely linked" (a chain of borderline matches splits under LPA,
+    * merges under components). Every doc gets a row (pairless docs label
+    * themselves). Same idempotent dynamic-overwrite layout: (doc_id,
+    * label) under `path/window_start=.../`.
+    */
+  def lshSink(closedDocWindows: DataFrame, path: String,
+      checkpoint: String, k: Int = 3, nHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8, iters: Int = 5): DataStreamWriter[Row] =
+    closedDocWindows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wins = batch.select("window_start").distinct()
+          .collect().map(_.getTimestamp(0))
+        wins.foreach { w =>
+          val winDocs = batch
+            .where(col("window_start") === lit(w))
+            .select(explode(col("docs")).as("d"))
+            .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+          val lsh = graft.ops.Dedup.minhashLshPairsScoped(
+            winDocs, "doc_id", "text", k, nHashes, bands, threshold)
+          val labels = labelWindow(
+            lsh.df.select(col("doc_a").as("a"), col("doc_b").as("b")),
+            w, iters)
+          // pairless docs label themselves (the batch operator only sees
+          // edge endpoints); materialize before releasing the LSH caches
+          val rows = winDocs
+            .join(labels, winDocs("doc_id") === labels("node"), "left")
+            .select(lit(w).as("window_start"), col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("label"))
+            .localCheckpoint()
+          lsh.release()
+          rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(path)
+        }
+      }
 }

@@ -41,6 +41,7 @@ class OracleLintSpec extends AnyFunSuite {
     val body = m.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",\n", "}")
     val p = Files.createTempFile("oracle_lint", ".json")
+    p.toFile.deleteOnExit()
     Files.write(p, body.getBytes("UTF-8"))
     p
   }

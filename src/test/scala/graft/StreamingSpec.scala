@@ -556,6 +556,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LPA over the LSH pair stream matches batch pairs->LPA per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamingClusters, StreamingLabelProp}
+    val out = java.nio.file.Files.createTempDirectory("slpl_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("slpl_ckpt").toString
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val closed = StreamingClusters.windowedDocSets(
+      source.toDF().toDF("doc_id", "event_time", "text"),
+      windowDuration = "1 hour", watermarkDelay = "0 seconds")
+    val q = StreamingLabelProp.lshSink(closed, out, ckpt,
+      k = 3, nHashes = 64, bands = 32, threshold = 0.5, iters = 4).start()
+    try {
+      // the StreamingClusters fixture: docs 0/1/3 near-dup (pair triangle
+      // at threshold 0.5), 2 unrelated, 4 shingle-less
+      source.addData(
+        (0L, ts("2020-01-01 00:05:00"), "the quick brown fox jumps over the lazy dog"),
+        (1L, ts("2020-01-01 00:10:00"), "the quick brown fox jumps over the lazy cat"),
+        (2L, ts("2020-01-01 00:15:00"), "completely different words entirely unrelated text here"),
+        (3L, ts("2020-01-01 00:20:00"), "THE  Quick   Brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      source.addData((99L, ts("2020-01-01 03:00:00"), "watermark pusher"))
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(out)
+        .where(col("window_start") === lit(ts("2020-01-01 00:00:00")))
+        .select("doc_id", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // LPA on the 0-1-3 pair triangle converges to the smallest id by
+      // round 2; pairless docs label themselves
+      assert(got == Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L),
+        s"got $got")
+
+      // parity: batch pairs -> batch LPA on the same slice
+      val w0docs = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy cat"),
+        (2L, "completely different words entirely unrelated text here"),
+        (3L, "THE  Quick   Brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val pairs = graft.ops.Dedup.minhashLshPairs(
+        w0docs, "doc_id", "text", 3, 64, 32, 0.5)
+      val nodes = pairs.select(col("doc_a").as("node"))
+        .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
+      val batch = graft.ops.Graph.labelPropagation(
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")),
+          nodes, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.forall { case (n, l) => got(n) == l },
+        s"streamed $got must cover batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming trending terms match the batch top-k per closed window") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingTrends
