@@ -112,6 +112,13 @@ object ExplainCheck {
     "q_emb_bq_search" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // SQ8 serve: the code-table scan + bounded TopKAgg, never a window
     "q_emb_sq8_serve" -> (Seq("ObjectHashAggregate"), Seq("Window")),
+    // privacy audit: ONE map-side-combinable QI-keyed aggregate
+    "q_doc_k_anonymity" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // compaction planner: per-partition pack fold (Generate) + the
+    // bin-count semi filter — metadata-scale, never a window
+    "q_layout_compaction" -> (Seq("Generate", "HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     "q_doc_bpe_roundtrip" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // byte-level BPE: corpus side is Generate (pretoken explode) + joins
     // back; the merge loop runs only on the distinct-pretoken side

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Physical corpus layout for the 100 TB posture: hash-bucketed tables for
   * shuffle-free co-located joins, and value-partitioned directories for
@@ -120,6 +120,45 @@ object CorpusLayout {
     * flags a bad writer partitioning. One narrow aggregate, no shuffle
     * wider than (files × partitions) partial rows.
     */
+  /** Distributed compaction PLANNER — the metadata-level half of
+    * [[compact]], the shape a table-maintenance service actually runs at
+    * 100 TB (Delta OPTIMIZE / Iceberg rewrite planning): given a file
+    * listing (partition, file_id, bytes), decide WHICH small files merge
+    * into WHICH target-sized rewrite group, without touching data. Policy
+    * (the standard one):
+    *
+    *   - only files under `minFileBytes` are eligible (already-compacted
+    *     files must not be rewritten again — without this floor every
+    *     run re-rewrites the whole table),
+    *   - eligible files greedily first-fit-in-order (by file_id — the
+    *     deterministic stand-in for listing order) into bins of
+    *     `targetBytes` per partition ([[graft.ops.Curation.packBySize]]'s
+    *     fold — compaction IS sequence packing on bytes),
+    *   - single-file bins are DROPPED (rewriting one file alone is pure
+    *     wasted IO; it stays as-is until it has company).
+    *
+    * Returns (partition, file_id, bytes, bin) — one row per file the plan
+    * rewrites; bins number 0.. per partition. The listing is metadata
+    * (~10⁶ rows for 100 TB), so the fold's per-partition working set is
+    * the file count, never data bytes.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileIdCol: String,
+      bytesCol: String, targetBytes: Int, minFileBytes: Int): DataFrame = {
+    require(minFileBytes <= targetBytes,
+      "minFileBytes above targetBytes would plan oversized bins")
+    val eligible = files.where(col(bytesCol) < minFileBytes)
+    val packed = graft.ops.Curation.packBySize(eligible, partCol,
+        fileIdCol, bytesCol, targetBytes)
+      .select(col("grp").as("partition"), col("doc_id").as("file_id"),
+        col("n_tokens").cast("long").as("bytes"), col("bin"))
+    val keep = packed.groupBy("partition", "bin")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select("partition", "bin")
+    packed.join(keep, Seq("partition", "bin"), "left_semi")
+      .select("partition", "file_id", "bytes", "bin")
+  }
+
   def fileStats(df: DataFrame): DataFrame =
     df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
       .agg(org.apache.spark.sql.functions.count(

@@ -730,6 +730,38 @@ object CurationQueries {
           col("bin"))
         .orderBy("lang", "doc_id")),
 
+    // k-anonymity / l-diversity audit over quasi-identifiers — the
+    // structural privacy check next to the pattern-level PII scrub: one
+    // map-side-combinable aggregate on the QI key (lang × length
+    // bucket), class sizes + distinct-sensitive counts + both violation
+    // flags
+    "q_doc_k_anonymity" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val qis = docs.select(
+        col("lang"),
+        call_function("div", length(col("text")).cast("long"), lit(64L))
+          .as("len_bucket"),
+        pmod(col("doc_id"), lit(7)).as("sensitive"))
+      graft.ops.Privacy.kAnonymityAudit(qis, Seq("lang", "len_bucket"),
+          "sensitive", k = 5, l = 5)
+        .orderBy("lang", "len_bucket")
+    }),
+
+    // compaction PLANNER: metadata-level small-file bin-packing per
+    // partition — only files under the floor are eligible (compacted
+    // files never re-rewrite), greedy target-size fill in listing
+    // order, single-file bins dropped (rewriting one file is wasted
+    // IO); the listing here is derived from documents (lang=partition,
+    // text bytes=file size) the way any synthetic-listing test would
+    "q_layout_compaction" -> ((s, dir) => {
+      val files = wide(s, t(s, dir, "documents")).select(
+        col("lang").as("part"), col("doc_id").as("file_id"),
+        length(col("text")).as("bytes"))
+      graft.io.CorpusLayout.compactionPlan(files, "part", "file_id",
+          "bytes", targetBytes = 1000, minFileBytes = 400)
+        .orderBy("partition", "file_id")
+    }),
+
     // inverted-index conjunctive search: docs containing ALL query terms —
     // one selective postings scan + one doc-keyed count agg, independent
     // of term count (an intersect chain would shuffle once per term)
@@ -3672,6 +3704,48 @@ object CurationQueries {
            |  FROM tk JOIN p ON tk.lang = p.lang AND tk.rn = p.rn + 1)
            |SELECT lang, doc_id, n_tokens, bin
            |FROM p ORDER BY lang, doc_id""".stripMargin,
+
+    // k-anonymity replay: one GROUP BY on the QI tuple, count + distinct
+    // sensitive, the two violation flags as plain comparisons
+    "q_doc_k_anonymity" ->
+      raw"""WITH q AS (SELECT lang,
+           |    CAST(length(text) // 64 AS BIGINT) AS len_bucket,
+           |    doc_id % 7 AS sensitive
+           |  FROM documents),
+           |a AS (SELECT lang, len_bucket,
+           |    CAST(count(*) AS BIGINT) AS class_size,
+           |    CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct
+           |  FROM q GROUP BY lang, len_bucket)
+           |SELECT lang, len_bucket, class_size, l_distinct,
+           |  class_size < 5 AS violates_k, l_distinct < 5 AS violates_l
+           |FROM a ORDER BY lang, len_bucket""".stripMargin,
+
+    // compaction-plan replay: eligibility floor, the q_doc_pack greedy
+    // recursion on bytes at the 1000-byte target, then the >= 2-file
+    // bin filter
+    "q_layout_compaction" ->
+      raw"""WITH RECURSIVE f AS (
+           |  SELECT lang AS partition, doc_id AS file_id,
+           |    CAST(length(text) AS INT) AS bytes,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+           |      AS INT) AS rn
+           |  FROM documents WHERE length(text) < 400),
+           |p AS (
+           |  SELECT partition, file_id, bytes, rn, 0 AS bin, bytes AS fill
+           |  FROM f WHERE rn = 1
+           |  UNION ALL
+           |  SELECT f.partition, f.file_id, f.bytes, f.rn,
+           |    CASE WHEN p.fill + f.bytes <= 1000 THEN p.bin
+           |         ELSE p.bin + 1 END AS bin,
+           |    CASE WHEN p.fill + f.bytes <= 1000 THEN p.fill + f.bytes
+           |         ELSE f.bytes END AS fill
+           |  FROM f JOIN p ON f.partition = p.partition AND f.rn = p.rn + 1),
+           |b AS (SELECT partition, bin FROM p
+           |  GROUP BY partition, bin HAVING count(*) >= 2)
+           |SELECT p.partition, p.file_id, CAST(p.bytes AS BIGINT) AS bytes,
+           |  p.bin
+           |FROM p JOIN b USING (partition, bin)
+           |ORDER BY partition, file_id""".stripMargin,
 
     // Luhn replay: same candidate regex (leftmost-greedy, RE2 ≡ Java
     // here), same right-to-left mod-10 fold (reverse + parity), same

@@ -1543,6 +1543,64 @@ class OpsSpec extends AnyFunSuite {
     assert(served == rebuilt && served.nonEmpty)
   }
 
+  test("k-anonymity: audit flags, suppression nulls QIs, NULL-QI classes covered") {
+    import graft.ops.Privacy
+    // class (en, 0): 5 rows, sensitive {0,1} -> k ok, l=3 violated
+    // class (de, 0): 2 rows -> k violated
+    // class (NULL, 1): 3 rows -> k violated; must STILL suppress (the
+    // null-safe join is the point)
+    val rows = Seq(
+      ("en", 0L, 0L), ("en", 0L, 0L), ("en", 0L, 1L), ("en", 0L, 1L),
+      ("en", 0L, 1L),
+      ("de", 0L, 2L), ("de", 0L, 3L),
+      (null, 1L, 4L), (null, 1L, 5L), (null, 1L, 6L))
+      .toDF("lang", "bucket", "sensitive")
+    val audit = Privacy.kAnonymityAudit(rows, Seq("lang", "bucket"),
+        "sensitive", k = 5, l = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(audit((Some("en"), 0L)) == ((5L, 2L, false, true)))
+    assert(audit((Some("de"), 0L)) == ((2L, 2L, true, true)))
+    assert(audit((None, 1L)) == ((3L, 3L, true, false)))
+    val sup = Privacy.suppress(rows, Seq("lang", "bucket"), "sensitive",
+        k = 5, l = 3)
+      .collect()
+    assert(sup.length == rows.count()) // row count preserved
+    // every row is suppressed here (en violates l, de and NULL violate k)
+    assert(sup.forall(_.getBoolean(3)))
+    assert(sup.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // and with k=1, l=1 nothing suppresses, QIs intact
+    val keep = Privacy.suppress(rows, Seq("lang", "bucket"), "sensitive",
+        k = 1, l = 1).collect()
+    assert(keep.forall(r => !r.getBoolean(3)))
+    assert(keep.count(r => !r.isNullAt(0)) == 7) // original NULLs stay NULL
+  }
+
+  test("compaction plan: eligibility floor, greedy bins, single-file bins dropped") {
+    import graft.io.CorpusLayout
+    val files = Seq(
+      // partition p1: 300+300 fit bin 0; 500 opens bin 1 alone (dropped);
+      // 900 is over the floor (ineligible)
+      ("p1", 1L, 300), ("p1", 2L, 300), ("p1", 3L, 500), ("p1", 4L, 900),
+      // partition p2: all three fit one bin
+      ("p2", 5L, 100), ("p2", 6L, 100), ("p2", 7L, 100))
+      .toDF("part", "file_id", "bytes")
+    val plan = CorpusLayout.compactionPlan(files, "part", "file_id",
+        "bytes", targetBytes = 700, minFileBytes = 600)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(plan == Set(
+      ("p1", 1L, 300L, 0), ("p1", 2L, 300L, 0),
+      ("p2", 5L, 100L, 0), ("p2", 6L, 100L, 0), ("p2", 7L, 100L, 0)),
+      s"plan was $plan")
+    // floor above target refuses loudly
+    assertThrows[IllegalArgumentException](
+      CorpusLayout.compactionPlan(files, "part", "file_id", "bytes",
+        targetBytes = 100, minFileBytes = 800))
+  }
+
   test("Aho-Corasick scrub: leftmost-longest, overlaps, phrase terms") {
     val ac = new TextOps.AcAutomaton(
       Seq("zz_absent", "row fast", "spark", "table", "tab"))
