@@ -171,6 +171,10 @@ object ExplainCheck {
     // sq8 codes, bq ham+rerank) joined + counted, same forbid set
     "q_emb_quant_recall" -> (Seq("ObjectHashAggregate", "HashAggregate"),
       Seq("Window", "CartesianProduct")),
+    // truncation-recall eval: three exact brute scans (full, 16, 32
+    // dims), all k-bounded TopKAgg — same forbid set
+    "q_emb_trunc_recall" -> (Seq("ObjectHashAggregate", "HashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // rank metrics: k-bounded retrieval aggs + one query-keyed metric
     // agg; the LUT is in-plan literals, never a log call
     "q_emb_rank_metrics" -> (Seq("ObjectHashAggregate", "HashAggregate"),

@@ -1324,6 +1324,27 @@ object CorpusOps {
         .orderBy("method", "query_id")
     }),
 
+    // what DIMENSION TRUNCATION costs in recall (the Matryoshka-serving
+    // question: store 64 dims, serve a 16- or 32-dim prefix): recall@5
+    // of the truncated-prefix exact search vs the full-width exact
+    // ranking, same integer chain on sliced vectors — the fourth axis of
+    // the serving trade (width) next to bytes, latency, quantization
+    "q_emb_trunc_recall" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+      def cut(d: Int) = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      def qside(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("vec_id") < 8).select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val truth = VectorOps.bruteTopKExact(emb, qside(emb), k = 5)
+      def eval(name: String, d: Int) = VectorOps.recallAtK(truth,
+          VectorOps.bruteTopKExact(cut(d), qside(cut(d)), k = 5))
+        .withColumn("method", lit(name))
+      eval("d16", 16).unionAll(eval("d32", 32))
+        .select("method", "query_id", "k", "n_hit", "recall_ppm")
+        .orderBy("method", "query_id")
+    }),
+
     // what compression costs in RECALL: per-query recall@5 of the SQ8
     // (4×, codes-cosine) and BQ (32×, Hamming-prefilter + exact rerank)
     // backends against the exact integer brute ranking — the third axis
@@ -5003,6 +5024,53 @@ object CorpusOps {
          |  (coalesce(mh1.hits, 0) * 1000000) // ke.k AS recall_ppm
          |FROM ke LEFT JOIN mh1 USING (query_id)
          |ORDER BY method, query_id""".stripMargin,
+
+    // truncation-recall replay: the exact chain re-run on list-sliced
+    // vectors per width, ranked with the same pins, hits vs full truth
+    "q_emb_trunc_recall" -> {
+      def side(d: Int, out: String) =
+        s"""e$d AS (SELECT vec_id, ev[1:$d] AS ev FROM e),
+           |${exactChainSql(s"e$d", out)},
+           |q$d AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r
+           |  FROM $out WHERE vec_id < 8),
+           |f$d AS (SELECT q$d.query_id, $out.vec_id,
+           |    ${icosSql(s"$out.qv", s"$out.r", s"q$d.qq", s"q$d.q_r")}
+           |      AS cos_x1m
+           |  FROM $out CROSS JOIN q$d
+           |  WHERE $out.vec_id <> q$d.query_id),
+           |r$d AS (SELECT query_id, vec_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+           |  FROM f$d WHERE cos_x1m IS NOT NULL),
+           |t$d AS (SELECT query_id, vec_id FROM r$d WHERE rn <= 5),
+           |h$d AS (SELECT b5.query_id, CAST(count(*) AS BIGINT) AS hits
+           |  FROM b5 JOIN t$d USING (query_id, vec_id)
+           |  GROUP BY b5.query_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+         |${exactChainSql("e", "c")},
+         |qx AS (SELECT vec_id AS query_id, qv AS qq, r AS q_r
+         |  FROM c WHERE vec_id < 8),
+         |f0 AS (SELECT qx.query_id, c.vec_id,
+         |    ${icosSql("c.qv", "c.r", "qx.qq", "qx.q_r")} AS cos_x1m
+         |  FROM c CROSS JOIN qx WHERE c.vec_id <> qx.query_id),
+         |br AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1m DESC, vec_id) AS rn
+         |  FROM f0 WHERE cos_x1m IS NOT NULL),
+         |b5 AS (SELECT query_id, vec_id FROM br WHERE rn <= 5),
+         |ke AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+         |  FROM b5 GROUP BY query_id),
+         |${side(16, "c16")},
+         |${side(32, "c32")}
+         |SELECT 'd16' AS method, ke.query_id, ke.k,
+         |  coalesce(h16.hits, 0) AS n_hit,
+         |  (coalesce(h16.hits, 0) * 1000000) // ke.k AS recall_ppm
+         |FROM ke LEFT JOIN h16 USING (query_id)
+         |UNION ALL
+         |SELECT 'd32' AS method, ke.query_id, ke.k,
+         |  coalesce(h32.hits, 0) AS n_hit,
+         |  (coalesce(h32.hits, 0) * 1000000) // ke.k AS recall_ppm
+         |FROM ke LEFT JOIN h32 USING (query_id)
+         |ORDER BY method, query_id""".stripMargin
+    },
 
     // quant-recall replay: exact-brute truth (the ann_recall CTEs), the
     // sq8 codes-cosine chain, and the BQ sign-Hamming + exact-rerank
