@@ -653,6 +653,12 @@ object ExplainCheck {
     "q_doc_wgt_percentile" -> (Seq("Window", "BroadcastHashJoin",
       "hashpartitioning(g"),
       Seq("CartesianProduct", "SortMergeJoin")),
+    // quantile sketch: k-bounded sample aggregator (ObjectHashAggregate,
+    // never a window on the SKETCH side) + the exact-percentile
+    // calibration chain (whose windows are all partitioned)
+    "q_doc_quantile_sketch" -> (Seq("ObjectHashAggregate",
+      "BroadcastHashJoin"),
+      Seq("CartesianProduct", "SortMergeJoin")),
     // KMV sketch: k-bounded typed aggregator + the exact-count
     // comparison agg — no distinct shuffle of raw keys on the sketch
     // side, no window

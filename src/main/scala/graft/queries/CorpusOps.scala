@@ -1077,6 +1077,27 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // bounded-state grouped quantiles — the sketch-family quantile
+    // member next to HLL/KMV/CMS/AMS: a deterministic bottom-k-by-
+    // content-hash row sample per group (mergeable, oracle-replayable),
+    // quantiles as rank picks off the k-array; the exact grouped
+    // percentile alongside for calibration (the hll-serve discipline)
+    "q_doc_quantile_sketch" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val sketch = graft.ops.QuantileSketch.quantiles(docs, Seq("lang"),
+        length(col("text")).cast("long"), col("doc_id").cast("string"),
+        k = 64, ps = Seq(25, 50, 75, 99))
+      val exact = graft.ops.Rank.groupedExactPercentiles(
+        docs.select(col("lang").as("g"),
+          length(col("text")).cast("long").as("v")),
+        "g", "v", Seq(25, 50, 75, 99), bucketWidth = 16)
+      sketch.join(exact
+          .select(col("g").as("lang"), col("p"), col("v").as("exact")),
+          Seq("lang", "p"))
+        .select("lang", "p", "n_sample", "est", "exact")
+        .orderBy("lang", "p")
+    }),
+
     // theta-sketch overlap: distinct-shingle intersection/union between
     // the even- and odd-doc halves per lang (the cross-snapshot
     // vocabulary-overlap question) from two k-long sketches — set
@@ -4201,6 +4222,37 @@ object CorpusOps {
     // grouped-percentile replay: per-lang global rank (DuckDB sorts
     // within partitions; the engine's per-group bucket-offset chain must
     // land on identical values), targets at ceil(n_g*p/100)
+    // quantile-sketch replay: bottom-64 rows per lang by md5-52 hash of
+    // the id string (ties to the smaller value, the TopKAgg pin), rank
+    // picks ⌈n·p/100⌉ off the value-sorted sample; exact side is the
+    // group-percentile chain on the full value set
+    "q_doc_quantile_sketch" ->
+      raw"""WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS val,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           |      AS h
+           |  FROM documents),
+           |r AS (SELECT lang, val, row_number() OVER (PARTITION BY lang
+           |    ORDER BY h, val) AS rn FROM v),
+           |s AS (SELECT lang, val FROM r WHERE rn <= 64),
+           |ns AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sample
+           |  FROM s GROUP BY lang),
+           |o AS (SELECT lang, val, row_number() OVER (PARTITION BY lang
+           |    ORDER BY val) AS vr FROM s),
+           |pp AS (SELECT unnest([25, 50, 75, 99]) AS p),
+           |est AS (SELECT o.lang, pp.p, ns.n_sample, o.val AS est
+           |  FROM o JOIN ns USING (lang) CROSS JOIN pp
+           |  WHERE o.vr = greatest((ns.n_sample * pp.p + 99) // 100, 1)),
+           |fr AS (SELECT lang, val, row_number() OVER (PARTITION BY lang
+           |    ORDER BY val) AS rk FROM v),
+           |fn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v
+           |  GROUP BY lang),
+           |ex AS (SELECT fn.lang, pp.p, fr.val AS exact
+           |  FROM pp, fn JOIN fr ON fn.lang = fr.lang
+           |  WHERE fr.rk = (fn.n * pp.p + 99) // 100)
+           |SELECT est.lang, est.p, est.n_sample, est.est, ex.exact
+           |FROM est JOIN ex ON est.lang = ex.lang AND est.p = ex.p
+           |ORDER BY est.lang, est.p""".stripMargin,
+
     "q_doc_group_percentile" ->
       raw"""WITH v AS (SELECT lang,
            |    CAST(len(regexp_split_to_array(trim(text), '\s+'))

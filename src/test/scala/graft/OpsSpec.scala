@@ -2012,6 +2012,43 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == a)
   }
 
+  test("quantile sketch: deterministic sample, merge identity, rank rule") {
+    import graft.ops.QuantileSketch
+    val spark = SparkTest.session
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => ("g", i.toLong, (i * 37 % 997).toLong))
+      .toDF("grp", "id", "v")
+    val key = col("id").cast("string")
+    // partitioning-invariance: the content-hash sample ignores layout
+    val a = QuantileSketch.quantiles(rows, Seq("grp"), col("v"), key,
+      k = 64, ps = Seq(25, 50, 75, 99)).collect().toSeq.sortBy(_.getInt(1))
+    val b = QuantileSketch.quantiles(rows.repartition(17), Seq("grp"),
+      col("v"), key, k = 64, ps = Seq(25, 50, 75, 99))
+      .collect().toSeq.sortBy(_.getInt(1))
+    assert(a == b)
+    // merge identity: sample(A) ⊕ sample(B) == sample(A ∪ B)
+    val sa = QuantileSketch.sampleTable(rows.where(col("id") % 2 === 0),
+      Seq("grp"), col("v"), key, 64)
+    val sb = QuantileSketch.sampleTable(rows.where(col("id") % 2 === 1),
+      Seq("grp"), col("v"), key, 64)
+    val merged = QuantileSketch.quantilesFromSample(
+      QuantileSketch.mergeSamples(sa, sb, Seq("grp"), 64), Seq("grp"),
+      Seq(25, 50, 75, 99)).collect().toSeq.sortBy(_.getInt(1))
+    assert(merged == a)
+    // the estimates are sane: within the ~3/√64 rank band of the exact
+    // percentile values (uniform-ish value distribution here)
+    val exact = rows.select(col("v")).collect().map(_.getLong(0)).sorted
+    a.foreach { r =>
+      val (p, est) = (r.getInt(1), r.getLong(3))
+      val lo = exact(((exact.length * math.max(p - 20, 1)) / 100 - 1).max(0))
+      val hi = exact(((exact.length * math.min(p + 20, 100)) / 100 - 1)
+        .min(exact.length - 1))
+      assert(est >= lo && est <= hi, s"p$p est $est outside [$lo, $hi]")
+    }
+    // a filled sketch reports n_sample = k
+    assert(a.forall(_.getLong(2) == 64L))
+  }
+
   test("hll: p > 9 refuses loudly (2^(p+53) Long envelope)") {
     import graft.ops.Hll
     // p = 9 is the widest precision the integer estimate supports:
