@@ -187,6 +187,10 @@ object ExplainCheck {
     // join back — never a window, never a global sort of the counts
     "q_skew_advisor" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    // join-size advisor: the same plumbing over TWO count tables — the
+    // counts equi-join, the k-bounded heap, the k-row broadcast back
+    "q_join_size_advisor" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      Seq("Window", "SortMergeJoin", "CartesianProduct")),
     // Allen relations: pure codegen'd scalar classification — scan only
     "q_ts_allen" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",

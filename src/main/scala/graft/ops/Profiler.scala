@@ -91,6 +91,52 @@ object Profiler {
           lit(parts.toLong))).as("hot"))
   }
 
+  /** Join-size advisor — [[skewAdvisor]]'s sibling for the OTHER way a
+    * 100 TB job melts: a many-to-many key whose join output explodes.
+    * Exact pre-flight estimate from per-key counts alone (never running
+    * the join):
+    *
+    *   rows(key) = cnt_left(key) · cnt_right(key),   total = Σ rows(key)
+    *
+    * Returns the k biggest-contribution keys as (rank, key, n_left,
+    * n_right, pair_rows, share_ppm, est_total) with the grand total on
+    * every row (the summary travels with the curve, the
+    * [[TextOps.calibrationBins]] discipline). A key with share_ppm near
+    * 10⁶ is the "one hot key IS the join" read; est_total ≫ both input
+    * counts is the fan-out warning a planner wants BEFORE the shuffle.
+    *
+    * Scale shape: two map-side-combined key counts, an equi-join of the
+    * two DISTINCT-KEY count tables (each far smaller than its input),
+    * one k-bounded TopKAgg heap ordered (−pair_rows, md5-52(key)) — never
+    * a global sort — and the k-row picks broadcast back for the key
+    * strings, exactly the [[skewAdvisor]] plumbing.
+    */
+  def joinSizeAdvisor(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    def counts(df: DataFrame, k: String, out: String) =
+      df.groupBy(col(k).cast("string").as("key"))
+        .agg(count(lit(1)).as(out))
+    val pairs = counts(left, leftKey, "n_left")
+      .join(counts(right, rightKey, "n_right"), Seq("key"))
+      .withColumn("pair_rows", col("n_left") * col("n_right"))
+      .withColumn("kh", graft.ops.Kmv.hash52(col("key")))
+    val total = pairs.agg(sum(col("pair_rows")).as("est_total"))
+    val top = graft.functions.TopKAgg.smallest_k_long(topK)
+    val picks = pairs.join(broadcast(total).hint("broadcast"))
+      .groupBy("est_total")
+      .agg(top(negate(col("pair_rows")), col("kh")).as("t"))
+      .select(col("est_total"), posexplode(col("t")).as(Seq("pos", "e")))
+      .select(col("est_total"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("kh"))
+    pairs.join(broadcast(picks), Seq("kh"))
+      .select(col("rank"), col("key"), col("n_left"), col("n_right"),
+        col("pair_rows"),
+        call_function("div", col("pair_rows") * lit(1000000L),
+          col("est_total")).as("share_ppm"),
+        col("est_total"))
+  }
+
   /** DuckDB mirror of [[profile]] for a given table name — one UNION ALL
     * branch per column with the identical cast-through-VARCHAR semantics.
     */

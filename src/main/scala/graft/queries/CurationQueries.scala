@@ -1363,6 +1363,17 @@ object CurationQueries {
           t(s, dir, "events"), "event_type", parts = 32, topK = 5)
         .orderBy("rank")),
 
+    // join-size advisor: the pre-flight read before a many-to-many join
+    // — exact output-size estimate from per-key counts alone (customer ×
+    // supplier on nationkey is the genuine fan-out case: ~25 keys, each
+    // contributing n_cust × n_supp pairs), top contributors ranked by a
+    // k-bounded heap, grand total on every row
+    "q_join_size_advisor" -> ((s, dir) =>
+      graft.ops.Profiler.joinSizeAdvisor(
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "supplier"), "s_nationkey", topK = 5)
+        .orderBy("rank")),
+
     // Z-order (Morton) key — the multi-dimensional layout op made
     // oracle-backed: interleaved (o_custkey, o_totalprice) bits, the
     // range-partition key writeZOrdered sorts files by (LayoutSpec pins
@@ -2381,6 +2392,27 @@ object CurationQueries {
         |  cnt * 1000000 // n_total AS share_ppm,
         |  (cnt * 32 + n_total - 1) // n_total AS salt_factor,
         |  cnt > 2 * (n_total // 32) AS hot
+        |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    // join-size replay: per-side key counts, per-key pair products,
+    // (pair_rows DESC, kh ASC) ranking, integer share algebra
+    "q_join_size_advisor" ->
+      """WITH cl AS (SELECT CAST(c_nationkey AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS n_left
+        |  FROM customer GROUP BY 1),
+        |cr AS (SELECT CAST(s_nationkey AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS n_right
+        |  FROM supplier GROUP BY 1),
+        |p AS (SELECT cl.key, cl.n_left, cr.n_right,
+        |    cl.n_left * cr.n_right AS pair_rows,
+        |    ('0x' || substr(md5(cl.key), 1, 13))::BIGINT AS kh
+        |  FROM cl JOIN cr USING (key)),
+        |t AS (SELECT CAST(sum(pair_rows) AS BIGINT) AS est_total FROM p),
+        |r AS (SELECT p.*, t.est_total, CAST(row_number() OVER (
+        |    ORDER BY pair_rows DESC, kh ASC) AS INT) AS rank
+        |  FROM p CROSS JOIN t)
+        |SELECT rank, key, n_left, n_right, pair_rows,
+        |  pair_rows * 1000000 // est_total AS share_ppm, est_total
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     // z-value replay: the same scale-clamp (double divide then multiply,
