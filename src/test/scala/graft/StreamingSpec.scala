@@ -1053,6 +1053,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantiles: running estimates equal batch per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingQuantiles
+    import graft.ops.QuantileSketch
+    val source = MemoryStream[(String, Timestamp, String, Long)]
+    val ps = Seq(25, 50, 99)
+    val q = StreamingQuantiles.estimates(
+        source.toDF().toDF("grp", "event_time", "key", "value"),
+        k = 16, ps = ps, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("qs_out").start()
+    def latest(): Map[(String, Int), (Long, Long)] = spark.table("qs_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(x => (x._1, x._2)).map { case (k0, rows) =>
+        k0 -> (rows.last._3, rows.last._4) } // Update mode: last row wins
+    def batchOf(rows: Seq[(String, String, Long)]): Map[(String, Int), (Long, Long)] =
+      QuantileSketch.quantiles(rows.toDF("grp", "key", "v"),
+          Seq("grp"), col("v"), col("key"), k = 16, ps = ps)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    try {
+      // prefix 1: 10 rows in g1 (sample unfilled -> exact quantiles)
+      val p1 = (0 until 10).map(i => ("g1", s"a$i", (i * 11 % 97).toLong))
+      source.addData(p1.map { case (g, k, v) =>
+        (g, ts("2020-01-01 00:00:01"), k, v) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOf(p1))
+      // prefix 2: push g1 well past k=16 — tracker sample must equal the
+      // batch sample of the FULL prefix, estimates included
+      val more = (10 until 80).map(i => ("g1", s"a$i", (i * 7 % 89).toLong))
+      source.addData(more.map { case (g, k, v) =>
+        (g, ts("2020-01-01 00:00:02"), k, v) }: _*)
+      q.processAllAvailable()
+      val want = batchOf(p1 ++ more)
+      assert(latest() == want, s"stream ${latest()} vs batch $want")
+      assert(latest()(("g1", 50))._1 == 16L) // genuinely in the filled regime
+    } finally q.stop()
+  }
+
   test("streaming KMV distinct: running estimate equals batch per prefix") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDistinct
