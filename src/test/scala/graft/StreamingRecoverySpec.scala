@@ -545,4 +545,87 @@ class StreamingRecoverySpec extends AnyFunSuite {
       last.getLong(3) == rows.map(_.getLong(4)).sum,
       s"recovered $last vs batch ${rows.mkString(",")}")
   }
+
+  test("quantile tracker survives restart: sample state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingQuantiles
+    import graft.ops.QuantileSketch
+    val source = MemoryStream[(String, Timestamp, String, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_qs").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = StreamingQuantiles.estimates(
+        source.toDF().toDF("grp", "event_time", "key", "value"),
+        k = 16, ps = Seq(50, 99), watermarkDelay = "0 seconds")
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        b.collect().foreach(buf.add)).start()
+    val first = (0 until 10).map(i =>
+      ("g1", ts("2020-01-01 00:00:01"), s"a$i", (i * 11 % 97).toLong))
+    val second = (10 until 80).map(i =>
+      ("g1", ts("2020-01-01 00:00:02"), s"a$i", (i * 7 % 89).toLong))
+    val q1 = start()
+    try { source.addData(first: _*); q1.processAllAvailable() }
+    finally q1.stop() // mid-stream kill: sample holds phase 1's 10 rows
+    val q2 = start()
+    try { source.addData(second: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val lastByP = buf.toArray(Array.empty[Row]).toSeq
+      .groupBy(_.getInt(1)).map { case (p, rs) => p -> rs.last }
+    // the recovered sample must fold phase 2 into phase 1's rows: the
+    // final estimates equal the batch sketch of the FULL stream (a lost
+    // sample would resample phase 2 alone and shift every rank pick)
+    val want = QuantileSketch.quantiles(
+        (first ++ second).map(t => (t._1, t._3, t._4)).toDF("grp", "key", "v"),
+        Seq("grp"), col("v"), col("key"), k = 16, ps = Seq(50, 99))
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    want.foreach { case (p, (n, est)) =>
+      val got = lastByP(p)
+      assert((got.getLong(2), got.getLong(3)) == ((n, est)),
+        s"recovered p$p $got vs batch ($n, $est)")
+    }
+  }
+
+  test("windowed label propagation survives restart: pre-kill window intact, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingLabelProp
+    val source = MemoryStream[(Long, Long, Timestamp)]
+    val out = java.nio.file.Files.createTempDirectory("slp_r_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("slp_r_ckpt").toString
+    def start() = StreamingLabelProp.sink(
+      StreamingLabelProp.windowedEdgeSets(
+        source.toDF().toDF("a", "b", "event_time"),
+        windowDuration = "1 hour", watermarkDelay = "0 seconds"),
+      out, ckpt, iters = 4).start()
+    val q1 = start()
+    try {
+      // window 0 edges arrive, then the kill lands BEFORE anything
+      // closes it — the open window's buffer must survive in state
+      source.addData(
+        (1L, 2L, ts("2020-01-01 00:05:00")),
+        (2L, 3L, ts("2020-01-01 00:10:00")),
+        (1L, 3L, ts("2020-01-01 00:15:00")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // after restart, a window-1 edge closes window 0 with its
+      // PRE-KILL edges; the pusher closes window 1
+      source.addData((5L, 6L, ts("2020-01-01 01:10:00")))
+      q2.processAllAvailable()
+      source.addData((98L, 99L, ts("2020-01-01 03:00:00")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out)
+      .select("window_start", "node", "label")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("2020-01-01 00:00:00.0", 1L, 1L), ("2020-01-01 00:00:00.0", 2L, 1L),
+      ("2020-01-01 00:00:00.0", 3L, 1L),
+      ("2020-01-01 01:00:00.0", 5L, 5L), ("2020-01-01 01:00:00.0", 6L, 6L)),
+      s"got $got")
+  }
 }
