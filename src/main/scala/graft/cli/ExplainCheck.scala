@@ -663,6 +663,10 @@ object ExplainCheck {
     "q_doc_quantile_sketch" -> (Seq("ObjectHashAggregate",
       "BroadcastHashJoin"),
       Seq("CartesianProduct", "SortMergeJoin")),
+    // warm quantile serve: persisted-sample scans + the k-bounded merge
+    // agg — no text/tokenize at query time, never a window
+    "q_doc_quantile_serve" -> (Seq("ObjectHashAggregate", "Union"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin")),
     // KMV sketch: k-bounded typed aggregator + the exact-count
     // comparison agg — no distinct shuffle of raw keys on the sketch
     // side, no window

@@ -1098,6 +1098,33 @@ object CorpusOps {
         .orderBy("lang", "p")
     }),
 
+    // WARM quantile serving — the persisted form of the sample sketch
+    // (the hll_serve_warm discipline): both halves' bottom-k samples
+    // live in the content-keyed cache, the gate scans two ≤ langs×k-row
+    // tables, merges (bottom-k of unions composes), estimates — the
+    // corpus text is never touched at query time
+    "q_doc_quantile_serve" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      def half(h: Int) = docs.where(pmod(col("doc_id"), lit(2)) === h)
+      def sample(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.QuantileSketch.sampleTable(d, Seq("lang"),
+          length(col("text")).cast("long"), col("doc_id").cast("string"),
+          k = 64)
+      val base = graft.io.IndexCache.cacheDir("qsketch", 1,
+        s"$dir/documents.parquet")
+      graft.io.IndexCache.ensureBuilt(base, s"$base/smp1/_SUCCESS") {
+        tmp =>
+          sample(half(0)).write.parquet(s"$tmp/smp0")
+          sample(half(1)).write.parquet(s"$tmp/smp1")
+      }
+      graft.ops.QuantileSketch.quantilesFromSample(
+          graft.ops.QuantileSketch.mergeSamples(
+            s.read.parquet(s"$base/smp0"), s.read.parquet(s"$base/smp1"),
+            Seq("lang"), k = 64),
+          Seq("lang"), ps = Seq(25, 50, 75, 99))
+        .orderBy("lang", "p")
+    }),
+
     // theta-sketch overlap: distinct-shingle intersection/union between
     // the even- and odd-doc halves per lang (the cross-snapshot
     // vocabulary-overlap question) from two k-long sketches — set
@@ -4222,6 +4249,27 @@ object CorpusOps {
     // grouped-percentile replay: per-lang global rank (DuckDB sorts
     // within partitions; the engine's per-group bucket-offset chain must
     // land on identical values), targets at ceil(n_g*p/100)
+    // warm-quantile-serve replay: merge(a,b) = sample(a ∪ b) (bottom-k
+    // of unions composes), so the oracle is the FULL-corpus sample chain
+    // — any merge/persistence bug breaks the gate
+    "q_doc_quantile_serve" ->
+      raw"""WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS val,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           |      AS h
+           |  FROM documents),
+           |r AS (SELECT lang, val, row_number() OVER (PARTITION BY lang
+           |    ORDER BY h, val) AS rn FROM v),
+           |s AS (SELECT lang, val FROM r WHERE rn <= 64),
+           |ns AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sample
+           |  FROM s GROUP BY lang),
+           |o AS (SELECT lang, val, row_number() OVER (PARTITION BY lang
+           |    ORDER BY val) AS vr FROM s),
+           |pp AS (SELECT unnest([25, 50, 75, 99]) AS p)
+           |SELECT o.lang, pp.p, ns.n_sample, o.val AS est
+           |FROM o JOIN ns USING (lang) CROSS JOIN pp
+           |WHERE o.vr = greatest((ns.n_sample * pp.p + 99) // 100, 1)
+           |ORDER BY o.lang, pp.p""".stripMargin,
+
     // quantile-sketch replay: bottom-64 rows per lang by md5-52 hash of
     // the id string (ties to the smaller value, the TopKAgg pin), rank
     // picks ⌈n·p/100⌉ off the value-sorted sample; exact side is the
