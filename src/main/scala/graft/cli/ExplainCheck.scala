@@ -1002,6 +1002,12 @@ object ExplainCheck {
     "q_mm_mp4" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // MP4 frame index: bounded per-row descent+table folds, then one
+    // explode of the k-bounded sample array — projection + Generate,
+    // zero shuffle before the output sort
+    "q_mm_frame_index" -> (Seq("Batched: true", "Generate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // source divergence: one linear token-count shuffle + k-bounded
     // vocab + metadata-sized broadcast grid/pair joins (the hinted
     // cross product over groups x vocab is catalog-bounded BNLJ)

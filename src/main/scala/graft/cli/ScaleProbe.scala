@@ -19,21 +19,58 @@ import org.apache.spark.sql.functions._
   * fresh ids (per-user series identical, 10× users).
   *
   * Usage: runMain graft.cli.ScaleProbe <sfDir> <scaledDir> <factor>
-  *          [build|probe] <gate ...>
+  *          [build|buildfull|probe] <gate ...>
+  * (`buildfull` also replicates the TPC-H star fk-preservingly — the
+  * corpus for the full-surface sf1 sweep; `build` keeps it untouched.)
   */
 object ScaleProbe {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
   def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, scaleTpch: Boolean = false): Unit = {
     def t(name: String): DataFrame =
       spark.read.parquet(s"$sfDir/$name.parquet")
 
-    // small dims copy through untouched
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { name =>
-      t(name).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    if (!scaleTpch) {
+      // per-gate probes: the TPC-H star copies through untouched (the
+      // probed gates are documents/embeddings/events consumers)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem").foreach { name =>
+        t(name).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
+    } else {
+      // full-surface scale build (the sf1 sweep): replicate the star too,
+      // FK-PRESERVING — each replica shifts every key by r·(max+1) on
+      // BOTH sides of each fk edge, so join fan-outs per key are
+      // unchanged and the relational gates measure a genuinely 10×
+      // corpus, not 10× fan-out. region/nation stay fixed (constant-size
+      // in TPC-H at every SF; nationkey references stay valid).
+      Seq("region", "nation").foreach { name =>
+        t(name).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
+      val maxCust = t("customer").agg(max("c_custkey")).head.getLong(0) + 1
+      val maxSupp = t("supplier").agg(max("s_suppkey")).head.getLong(0) + 1
+      val maxPart = t("part").agg(max("p_partkey")).head.getLong(0) + 1
+      val maxOrd = t("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+      def reps(name: String, shifts: Map[String, Long]): Unit = {
+        val base = t(name)
+        (0 until factor).map { r =>
+          base.select(base.columns.map { c =>
+            shifts.get(c) match {
+              case Some(m) => (col(c) + lit(r * m)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        }.reduce(_.unionAll(_)).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+      }
+      reps("customer", Map("c_custkey" -> maxCust))
+      reps("supplier", Map("s_suppkey" -> maxSupp))
+      reps("part", Map("p_partkey" -> maxPart))
+      reps("orders", Map("o_orderkey" -> maxOrd, "o_custkey" -> maxCust))
+      reps("lineitem", Map("l_orderkey" -> maxOrd, "l_partkey" -> maxPart,
+        "l_suppkey" -> maxSupp))
     }
 
     val docs = t("documents")
@@ -91,8 +128,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    if (mode == "build") {
-      buildScaled(spark, sfDir, outDir, factor)
+    if (mode == "build" || mode == "buildfull") {
+      // buildfull additionally replicates the TPC-H star (fk-preserving)
+      // — the full-surface sf1 sweep's corpus; plain build keeps the star
+      // as-is for the documents/embeddings/events per-gate probes
+      buildScaled(spark, sfDir, outDir, factor,
+        scaleTpch = mode == "buildfull")
       println(s"[scale-probe] built ${factor}x corpus at $outDir")
     } else {
       def time(name: String, dir: String): Double = {

@@ -53,6 +53,30 @@ object Dedup {
       conv(substring(h, 17, 15), 16, 10).cast("long").as("fp_lo"))
   }
 
+  /** Explicit opt-out for the viral-key guards (`dfCap`/`bucketCap`/
+    * `blockCap`): pass this to run a pair operator UNCAPPED — classic
+    * exact semantics, with the documented risk that one stopword-like
+    * shingle / viral bucket / hot block funnels O(df²) candidate pairs
+    * through a single reducer (measured here: a 31-word vocabulary drove
+    * ~15M candidate rows through winnowPairs before its cap existed).
+    * Deliberate spelling over a bare Int.MaxValue so uncapped runs are
+    * grep-able and reviewable.
+    */
+  val Uncapped: Int = Int.MaxValue
+
+  /** Finite DEFAULT for every viral-key guard in this file (and
+    * [[graft.ops.VectorOps]]'s `blockCap`): keys hotter than this are
+    * dropped from candidate generation, bounding any single key's pair
+    * contribution at ~DefaultCap²/2 ≈ 5·10⁵ — a bare library call can
+    * never go quadratic in the corpus. 1024 is far above any honest
+    * near-dup group (this corpus maxes at df=25 shingles; a key hotter
+    * than 1024 docs is stopword residue or exact-dup mass that belongs
+    * to [[exactGroups]] first), so the default is invisible on real
+    * data and binds exactly on the degenerate inputs it guards against.
+    * Pass [[Uncapped]] (or any explicit cap) to override.
+    */
+  val DefaultCap: Int = 1024
+
   /** Exact duplicate groups: fingerprint → (n_docs, keep = min id).
     * Input needs columns (idCol, textCol).
     */
@@ -104,17 +128,17 @@ object Dedup {
     *    the whole pipeline (candidates AND sizes) — Jaccard restricted to
     *    the informative-shingle universe. A stopword-like shingle at corpus
     *    scale would otherwise funnel O(df²) pairs through one reducer; the
-    *    cap bounds every shingle's candidate contribution. Uncapped default
-    *    = classic exact Jaccard.
+    *    cap bounds every shingle's candidate contribution. Default
+    *    [[DefaultCap]]; pass [[Uncapped]] for classic exact Jaccard.
     *
     * Verification rebuilds the shingle sets for CANDIDATES ONLY
     * (array_intersect on the cached arrays) — exact, like the LSH path.
     */
   def jaccardPairsScoped(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, dfCap: Int = Int.MaxValue): Scoped = {
+      k: Int, threshold: Double, dfCap: Int = DefaultCap): Scoped = {
     val raw = shingleRows(docs, idCol, textCol, k)
     val capped =
-      if (dfCap == Int.MaxValue) raw
+      if (dfCap == Uncapped) raw
       else raw.join(
         raw.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).select("sh"),
@@ -158,7 +182,7 @@ object Dedup {
     * lifecycle (or clearing the cache themselves) can ignore scoping.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame =
+      k: Int, threshold: Double, dfCap: Int = DefaultCap): DataFrame =
     jaccardPairsScoped(docs, idCol, textCol, k, threshold, dfCap).df
 
   /** MinHash signatures for a (doc_id, sh) exploded-row table (see
@@ -190,7 +214,7 @@ object Dedup {
     */
   def minhashLshPairsScoped(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int, bands: Int, threshold: Double,
-      bucketCap: Int = Int.MaxValue): Scoped = {
+      bucketCap: Int = DefaultCap): Scoped = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
@@ -229,8 +253,10 @@ object Dedup {
     * session lifecycle (or clearing the cache themselves) can ignore it.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, nHashes: Int, bands: Int, threshold: Double): DataFrame =
-    minhashLshPairsScoped(docs, idCol, textCol, k, nHashes, bands, threshold).df
+      k: Int, nHashes: Int, bands: Int, threshold: Double,
+      bucketCap: Int = DefaultCap): DataFrame =
+    minhashLshPairsScoped(docs, idCol, textCol, k, nHashes, bands,
+      threshold, bucketCap).df
 
   /** FUZZY cross-corpus decontamination — the near-dup complement of
     * [[graft.ops.Curation.contaminationScan]]'s exact n-gram overlap: a
@@ -254,7 +280,7 @@ object Dedup {
     */
   def crossNearDupScoped(train: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, k: Int, nHashes: Int, bands: Int,
-      thresholdPpm: Long, bucketCap: Int = Int.MaxValue): Scoped = {
+      thresholdPpm: Long, bucketCap: Int = DefaultCap): Scoped = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
@@ -308,7 +334,7 @@ object Dedup {
     * (exact LSH semantics; production at corpus scale sets a cap).
     */
   private def capBuckets(banded: DataFrame, cap: Int): DataFrame =
-    if (cap == Int.MaxValue) banded
+    if (cap == Uncapped) banded
     else banded.join(
       banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
         .where(col("c") <= cap).select("band", "bucket"),
@@ -323,7 +349,7 @@ object Dedup {
     */
   def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int, bands: Int,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
+      bucketCap: Int = DefaultCap): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
@@ -552,7 +578,7 @@ object Dedup {
     */
   def bbitMinhashPairsScoped(docs: DataFrame, idCol: String,
       textCol: String, k: Int, nPerms: Int, bands: Int, b: Int,
-      bucketCap: Int = Int.MaxValue): Scoped = {
+      bucketCap: Int = DefaultCap): Scoped = {
     require(nPerms % bands == 0, "bands must divide nPerms")
     require(b >= 1 && b * nPerms <= 63,
       "need b >= 1 and b*nPerms <= 63 (one sketch word, sign bit free)")
@@ -612,7 +638,7 @@ object Dedup {
     * session cache bound). */
   def bbitMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nPerms: Int, bands: Int, b: Int,
-      bucketCap: Int = Int.MaxValue): DataFrame =
+      bucketCap: Int = DefaultCap): DataFrame =
     bbitMinhashPairsScoped(docs, idCol, textCol, k, nPerms, bands, b,
       bucketCap).df
 
@@ -984,7 +1010,7 @@ object Dedup {
     */
   def containmentPairsScoped(docs: DataFrame, idCol: String,
       textCol: String, k: Int, minContainPpm: Long,
-      dfCap: Int = Int.MaxValue): Scoped = {
+      dfCap: Int = DefaultCap): Scoped = {
     require(minContainPpm >= 1 && minContainPpm <= 1000000L,
       "minContainPpm in [1, 1e6]")
     // persist: the capped shingle universe feeds the size aggregate and
@@ -993,7 +1019,7 @@ object Dedup {
     // the gate at sf0.1)
     val raw = shingleRows(docs, idCol, textCol, k).persist()
     val capped =
-      (if (dfCap == Int.MaxValue) raw
+      (if (dfCap == Uncapped) raw
       else raw.join(
         raw.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).select("sh"),
@@ -1021,7 +1047,7 @@ object Dedup {
     * session lifecycle (or clearing the cache themselves) can ignore it.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minContainPpm: Long, dfCap: Int = Int.MaxValue): DataFrame =
+      k: Int, minContainPpm: Long, dfCap: Int = DefaultCap): DataFrame =
     containmentPairsScoped(docs, idCol, textCol, k, minContainPpm,
       dfCap).df
 
@@ -1271,7 +1297,7 @@ object Dedup {
     * fingerprints exactly like the shingle df-cap.
     */
   def winnowPairsScoped(fps: DataFrame, minShared: Long,
-      dfCap: Int = Int.MaxValue): Scoped = {
+      dfCap: Int = DefaultCap): Scoped = {
     require(minShared >= 1, "minShared must be >= 1")
     // persist: the fingerprint derivation (per-char hashing + window
     // selection) feeds the df aggregate, the cap semi-join, and BOTH
@@ -1279,7 +1305,7 @@ object Dedup {
     // the whole gate
     val f = fps.select("doc_id", "fp").distinct().persist()
     val capped =
-      if (dfCap == Int.MaxValue) f
+      if (dfCap == Uncapped) f
       else f.join(
         f.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).select("fp"),
@@ -1296,7 +1322,7 @@ object Dedup {
     * session lifecycle (or clearing the cache themselves) can ignore it.
     */
   def winnowPairs(fps: DataFrame, minShared: Long,
-      dfCap: Int = Int.MaxValue): DataFrame =
+      dfCap: Int = DefaultCap): DataFrame =
     winnowPairsScoped(fps, minShared, dfCap).df
 
   /** Content-defined chunking (the rsync/LBFS/storage-dedup primitive):

@@ -338,7 +338,7 @@ object Multimodal {
     * instead, which is linear).
     */
   def perceptualPairs(ph: DataFrame, maxDist: Int,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
+      bucketCap: Int = graft.ops.Dedup.DefaultCap): DataFrame = {
     require(maxDist <= 3,
       "4x16-bit banding guarantees recall only for maxDist <= 3 (pigeonhole)")
     val sig = ph.where(col("decoded"))
@@ -348,7 +348,7 @@ object Multimodal {
     val banded0 = sig.select(Seq(col("media_id"), col("ahash"), col("dhash"),
       posexplode(array(bands: _*)).as(Seq("band", "chunk"))): _*)
     val banded =
-      if (bucketCap == Int.MaxValue) banded0
+      if (bucketCap == graft.ops.Dedup.Uncapped) banded0
       else banded0.join(
         banded0.groupBy("band", "chunk").agg(count(lit(1)).as("c"))
           .where(col("c") <= bucketCap).select("band", "chunk"),
@@ -1071,6 +1071,161 @@ object Multimodal {
       when(haveMvhd && timescale > 0,
         (duration * lit(1000L) / timescale).cast("long"))
         .as("duration_ms"))
+  }
+
+  /** MP4 sample (frame) INDEX — the container-level walk that makes video
+    * frame sampling REAL without a pixel codec (the one seam
+    * [[decodeStub]] still stubs is pixel DECODE; frame *location* lives
+    * entirely in the container): descends moov → trak → mdia → minf →
+    * stbl and reads the three sample tables that place every frame in the
+    * byte stream (ISO 14496-12 §8.5–8.7):
+    *
+    *  - `stsz`: per-sample byte sizes (or one fixed size when the
+    *    sample_size field is nonzero),
+    *  - `stsc`: sample→chunk run map (first_chunk, samples_per_chunk),
+    *  - `stco`: chunk byte offsets (u32 flavor; `co64` is out of scope
+    *    and fails closed, like mvhd v1 in [[mp4Header]]).
+    *
+    * Returns struct<ok boolean, n_samples bigint, n_chunks bigint,
+    * samples array<struct<idx int, off bigint, sz bigint>>>: `samples`
+    * holds the first `maxSamples` frames' EXACT byte extents — a frame's
+    * offset is its chunk's stco entry plus the sizes of the chunk's prior
+    * samples, walked sample-by-sample in ONE bounded fold. `n_samples`
+    * reports the DECLARED stsz count ([[tiffHeader]]'s visible-cap
+    * discipline), so a capped index is distinguishable from a short file.
+    * Every anomaly fails CLOSED (ok=false, null samples): missing box on
+    * the descent path, version≠0 tables, empty stsc / first run not
+    * chunk 1 / non-positive samples_per_chunk / more runs than
+    * `maxStscRuns`, a walk needing a chunk past stco's count, or any
+    * frame extent overrunning the payload. Pure Column algebra in hex
+    * space — zero shuffle, no codec, codegen'd, replayable by any
+    * engine's substring/conv — and `substr(payload, off+1, sz)` then
+    * slices real frame bytes for hashing / dedup / external decode.
+    */
+  def mp4SampleIndex(payload: org.apache.spark.sql.Column,
+      maxSamples: Int = 16, maxBoxes: Int = 8,
+      maxStscRuns: Int = 4): org.apache.spark.sql.Column = {
+    require(maxSamples >= 1 && maxSamples <= 64, "maxSamples in [1, 64]")
+    require(maxBoxes >= 1 && maxBoxes <= 16, "maxBoxes in [1, 16]")
+    require(maxStscRuns >= 1 && maxStscRuns <= 16, "maxStscRuns in [1, 16]")
+    // LET-BINDING THROUGHOUT (the tiffHeader/mp4Header discipline, load-
+    // bearing here): every descent level is the box-scan FOLD below, and
+    // each is referenced by three table parses which are themselves
+    // referenced per step of the 16-step sample fold — inlined naively
+    // the expression tree is exponential in the descent depth (the first
+    // cut OOMed the driver); bound as nested lambda variables each fold
+    // exists ONCE in the tree and once per row at runtime.
+    def letCol(c: org.apache.spark.sql.Column)(
+        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      try_element_at(transform(array(c), f), lit(1))
+    val total = length(payload).cast("long")
+    def typeLit(t: String) =
+      lit(t.getBytes("UTF-8").map(b => f"$b%02X").mkString)
+    letCol(hex(payload)) { hx =>
+      def be32(off: org.apache.spark.sql.Column) =
+        conv(hx.substr(off * 2 + 1, lit(8)), 16, 10).cast("long")
+      def typeHex(off: org.apache.spark.sql.Column) =
+        hx.substr(off * 2 + 9, lit(8))
+      // bounded child scan: offset of the FIRST box of type `want` in
+      // [start, end); null when absent, the chain breaks, or start/end
+      // are already null (a broken parent descent propagates)
+      def findBox(start: org.apache.spark.sql.Column,
+          end: org.apache.spark.sql.Column,
+          want: String): org.apache.spark.sql.Column = {
+        val init = struct(start.as("off"),
+          lit(null).cast("long").as("hit"))
+        aggregate(sequence(lit(1), lit(maxBoxes)), init, (acc, _) => {
+          val off = acc.getField("off")
+          val hit = acc.getField("hit")
+          val active = hit.isNull && off.isNotNull && end.isNotNull &&
+            off + 8L <= end
+          val sz = be32(off)
+          val broken = sz.isNull || sz < 8L || off + sz > end
+          val found = typeHex(off) === typeLit(want)
+          struct(
+            when(!active || found, off)
+              .when(broken, lit(null).cast("long"))
+              .otherwise(off + sz).as("off"),
+            when(!active, hit).when(found, off).otherwise(hit).as("hit"))
+        }).getField("hit")
+      }
+      def into(parent: org.apache.spark.sql.Column, want: String) =
+        findBox(parent + 8L, parent + be32(parent), want)
+      val isMp4 = hx.substr(9, 8) === typeLit("ftyp")
+      letCol(findBox(lit(0L), total, "moov")) { moov =>
+      letCol(into(moov, "trak")) { trak =>
+      letCol(into(trak, "mdia")) { mdia =>
+      letCol(into(mdia, "minf")) { minf =>
+      letCol(into(minf, "stbl")) { stbl =>
+      letCol(into(stbl, "stsz")) { stsz =>
+      letCol(into(stbl, "stsc")) { stsc =>
+      letCol(into(stbl, "stco")) { stco =>
+        // table headers (full-box version+flags u32 must be 0)
+        val versOk = be32(stsz + 8L) === 0L && be32(stsc + 8L) === 0L &&
+          be32(stco + 8L) === 0L
+        val declared = be32(stsz + 16L)
+        val nRuns = be32(stsc + 12L)
+        val nCh = be32(stco + 12L)
+        val runsOk = nRuns >= 1L && nRuns <= maxStscRuns.toLong &&
+          be32(stsc + 16L) === 1L // first run must start at chunk 1
+        // stsc runs as a bounded array (guarded: a hostile count never
+        // drives the sequence length)
+        val nRunsB = when(runsOk, nRuns).otherwise(lit(1L))
+        letCol(transform(sequence(lit(0L), nRunsB - 1L), j =>
+          struct(be32(stsc + 16L + j * 12L).as("fc"),
+            be32(stsc + 20L + j * 12L).as("spc")))) { runs =>
+          // samples_per_chunk for 1-based chunk c: last run with fc <= c
+          def spcFor(c: org.apache.spark.sql.Column) =
+            element_at(filter(runs, r => r.getField("fc") <= c), -1)
+              .getField("spc")
+          val szFix = be32(stsz + 12L) // 0 = per-sample table follows
+          val n = least(coalesce(declared, lit(0L)),
+            lit(maxSamples.toLong))
+          val outType = "array<struct<idx:int,off:bigint,sz:bigint>>"
+          val init = struct(lit(1L).as("ck"), lit(0L).as("ic"),
+            be32(stco + 16L).as("cur"), array().cast(outType).as("out"),
+            lit(false).as("bad"))
+          // NB sequence(1, 0) is DESCENDING in Spark (step sign is
+          // inferred): the empty case must short-circuit
+          val idxSeq = when(n >= 1L, sequence(lit(1L), n))
+            .otherwise(array().cast("array<bigint>"))
+          letCol(aggregate(idxSeq, init, (acc, i) => {
+            val ck = acc.getField("ck"); val ic = acc.getField("ic")
+            val cur = acc.getField("cur"); val out = acc.getField("out")
+            val szI = when(szFix > 0L, szFix)
+              .otherwise(be32(stsz + 20L + (i - 1L) * 4L))
+            val spc = spcFor(ck)
+            val bad = acc.getField("bad") || cur.isNull || szI.isNull ||
+              szI < 0L || cur + szI > total || spc.isNull || spc < 1L
+            val adv = ic + 1L >= spc // chunk exhausted after this sample
+            struct(
+              when(bad, ck).when(adv, ck + 1L).otherwise(ck).as("ck"),
+              when(bad, ic).when(adv, lit(0L)).otherwise(ic + 1L)
+                .as("ic"),
+              when(bad, cur)
+                .when(adv && ck + 1L <= nCh, be32(stco + 16L + ck * 4L))
+                .when(adv, lit(null).cast("long")) // ran out of chunks
+                .otherwise(cur + szI).as("cur"),
+              when(bad, out).otherwise(array_append(out,
+                struct((i - 1L).cast("int").as("idx"), cur.as("off"),
+                  szI.as("sz")))).as("out"),
+              bad.as("bad"))
+          })) { walked =>
+            val ok = isMp4 && stsz.isNotNull && stsc.isNotNull &&
+              stco.isNotNull && coalesce(versOk, lit(false)) &&
+              coalesce(runsOk, lit(false)) &&
+              coalesce(nCh >= 1L, lit(false)) &&
+              !walked.getField("bad") &&
+              size(walked.getField("out")) === n.cast("int")
+            struct(
+              ok.as("ok"),
+              when(ok, declared).as("n_samples"),
+              when(ok, nCh).as("n_chunks"),
+              when(ok, walked.getField("out")).as("samples"))
+          }
+        }
+      }}}}}}}}
+    }
   }
 
   /** TIFF header + first-IFD parse (the EXIF grammar: an EXIF blob is a

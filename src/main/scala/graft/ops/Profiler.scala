@@ -56,6 +56,14 @@ object Profiler {
     * consumers — two linear passes; cache it upstream if the input scan
     * is the expensive part. Returns (rank, key, cnt, share_ppm,
     * salt_factor, hot).
+    *
+    * Identity caveat (shared with [[joinSizeAdvisor]]): picks join back
+    * to the counts on the 52-bit md5 key hash alone. Two DISTINCT keys
+    * colliding on hash52 would both match one pick — a duplicate rank
+    * row and one dropped true top key. At 52 bits that needs ~6.7e7
+    * distinct HOT-candidate keys for even-odds (birthday bound); accepted
+    * for an advisory read, noted here so a consumer treating rank as a
+    * unique key knows the envelope.
     */
   def skewAdvisor(df: DataFrame, keyCol: String, parts: Int,
       topK: Int = 10): DataFrame = {
@@ -82,8 +90,7 @@ object Profiler {
     // (k rows) ever leaves the scan.
     counts.join(broadcast(picks), Seq("kh"))
       .select(col("rank"), col("key"), col("cnt"),
-        call_function("div", col("cnt") * lit(1000000L), col("n_total"))
-          .as("share_ppm"),
+        sharePpm(col("cnt"), col("n_total")).as("share_ppm"),
         call_function("div",
           col("cnt") * lit(parts.toLong) + col("n_total") - 1,
           col("n_total")).as("salt_factor"),
@@ -109,7 +116,8 @@ object Profiler {
     * two DISTINCT-KEY count tables (each far smaller than its input),
     * one k-bounded TopKAgg heap ordered (−pair_rows, md5-52(key)) — never
     * a global sort — and the k-row picks broadcast back for the key
-    * strings, exactly the [[skewAdvisor]] plumbing.
+    * strings, exactly the [[skewAdvisor]] plumbing (including its 52-bit
+    * pick-join identity caveat — see there).
     */
   def joinSizeAdvisor(left: DataFrame, leftKey: String, right: DataFrame,
       rightKey: String, topK: Int = 10): DataFrame = {
@@ -132,10 +140,29 @@ object Profiler {
     pairs.join(broadcast(picks), Seq("kh"))
       .select(col("rank"), col("key"), col("n_left"), col("n_right"),
         col("pair_rows"),
-        call_function("div", col("pair_rows") * lit(1000000L),
-          col("est_total")).as("share_ppm"),
+        sharePpm(col("pair_rows"), col("est_total")).as("share_ppm"),
         col("est_total"))
   }
+
+  /** Overflow-bounded integer ppm share `part/total`: the exact
+    * `part·10⁶ div total` whenever `total < 9·10¹²` (then `part ≤ total`
+    * keeps the product under 2⁶³), else the denominators shrink instead —
+    * `part div max(total div 10⁶, 1)` — so the HOT regime the advisors
+    * exist for (a key contributing >9.2e12 pairs) cannot silently wrap
+    * (non-ANSI) or raise (ANSI) mid-advice. The two branches agree within
+    * ±1 ppm·(10⁶/total) — sub-ppm error exactly where the fallback fires.
+    * Both engines replay the identical CASE, so gates stay bit-exact.
+    * Remaining envelope (documented, [[graft.ops.VectorOps]] exactCosX1m
+    * discipline): `pair_rows = n_left·n_right` and `Σ pair_rows` are
+    * plain long arithmetic — past 2⁶³ (~9.2e18 pairs) ANSI raises loudly
+    * rather than mis-ranking.
+    */
+  private def sharePpm(part: org.apache.spark.sql.Column,
+      total: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(total < lit(9000000000000L),
+      call_function("div", part * lit(1000000L), total))
+      .otherwise(call_function("div", part,
+        greatest(call_function("div", total, lit(1000000L)), lit(1L))))
 
   /** DuckDB mirror of [[profile]] for a given table name — one UNION ALL
     * branch per column with the identical cast-through-VARCHAR semantics.

@@ -296,11 +296,14 @@ object VectorOps {
     * vectors before the in-block self-join — a block of n near-identical
     * embeddings funnels O(n²) pairs through one reducer. Blocks that hot
     * are exact-dup residue (dedup first) or a degenerate block key; the
-    * cap bounds every block's contribution. Default = uncapped (exact
-    * blocking semantics; production at corpus scale sets a cap).
+    * cap bounds every block's contribution. Default =
+    * [[graft.ops.Dedup.DefaultCap]] (finite — a bare library call can
+    * never go quadratic on a viral block); pass
+    * [[graft.ops.Dedup.Uncapped]] explicitly for exact blocking
+    * semantics on a corpus known to have no hot blocks.
     */
   private def capBlocks(v: DataFrame, keyCol: String, cap: Int): DataFrame =
-    if (cap == Int.MaxValue) v
+    if (cap == graft.ops.Dedup.Uncapped) v
     else v.join(
       v.groupBy(keyCol).agg(count(lit(1)).as("c"))
         .where(col("c") <= cap).select(keyCol),
@@ -377,7 +380,7 @@ object VectorOps {
       size(emb).cast("string"), lit(")"))))
 
   def signLshNearDupPairs(corpus: DataFrame, threshold: Double,
-      inDims: Int, nPlanes: Int = 8, blockCap: Int = Int.MaxValue): DataFrame = {
+      inDims: Int, nPlanes: Int = 8, blockCap: Int = graft.ops.Dedup.DefaultCap): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 30, "nPlanes must be in [1, 30]")
     require(inDims >= 1, "inDims must be positive")
     // two selects: projections first (plain HOF columns), THEN the CASE
@@ -421,7 +424,7 @@ object VectorOps {
     * Returns (vec_a, vec_b, cell, cos) with cos >= threshold.
     */
   def semanticDedupPairs(corpus: DataFrame, centroids: DataFrame,
-      threshold: Double, blockCap: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, blockCap: Int = graft.ops.Dedup.DefaultCap): DataFrame = {
     // assignCells carries a label column through; semantic dedup has no
     // use for one — synthesize it when the corpus doesn't have it
     val c = if (corpus.columns.contains("label")) corpus
@@ -445,7 +448,7 @@ object VectorOps {
     * corpora with no natural block key. Returns (vec_a, vec_b, cos).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      blockCap: Int = Int.MaxValue): DataFrame = {
+      blockCap: Int = graft.ops.Dedup.DefaultCap): DataFrame = {
     val v = capBlocks(
       corpus.select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", norm(col("embedding"))),

@@ -58,12 +58,16 @@ object Warc {
     * surfaces the declared n_entries next to the parsed ones):
     * struct<recs, truncated boolean, next_off bigint, malformed
     * boolean>. `truncated` is true iff the walk consumed `maxRecords`
-    * records and well-formed bytes remained (resume by slicing the
-    * stream at `next_off` and walking again); `malformed` is true iff
-    * the walk ended early on a bad marker (`next_off` points at the
-    * offending bytes) or a missing Content-Length (that header-only
-    * record is still appended, as [[records]] documents, and `next_off`
-    * sits past its consumed header).
+    * records and bytes remained past `next_off` — the remainder is NOT
+    * verified well-formed (that would cost a second look ahead); resume
+    * by slicing the stream at `next_off` and walking again, and let THAT
+    * walk classify the tail. `malformed` is true iff the walk ended
+    * early on a bad marker (`next_off` points at the offending bytes) or
+    * a missing Content-Length (that header-only record is still
+    * appended, as [[records]] documents, and `next_off` sits past its
+    * consumed header). A whitespace-only tail after the final separator
+    * (trailing CRLF padding, common in hand-cut slices) is tolerated:
+    * neither truncated nor malformed.
     */
   def recordsWalk(warc: Column, maxRecords: Int = 8): Column = {
     require(maxRecords >= 1 && maxRecords <= 64, "maxRecords in [1, 64]")
@@ -84,6 +88,8 @@ object Warc {
         val stepArr = transform(
           array(decode(bin.substr(off + 1, totB), "UTF-8")), rest => {
             val ok = rest.startsWith(Marker)
+            // whitespace-only tail = clean end of stream, not malformed
+            val ws = rest.rlike("\\A\\s*\\z")
             val head = substring_index(rest, Sep, 1)
             val clen = nullif(
               regexp_extract(head, "Content-Length: (\\d+)", 1),
@@ -94,6 +100,7 @@ object Warc {
               "UTF-8")
             struct(
               ok.as("ok"),
+              ws.as("ws"),
               clen.as("clen"),
               (off + headB + 4 + coalesce(clen, lit(0L)) + 4).as("next"),
               struct(
@@ -113,12 +120,14 @@ object Warc {
             .otherwise(array_append(acc.getField("recs"),
               step.getField("rec"))).as("recs"),
           when(done, acc.getField("bad"))
-            .otherwise(!ok || step.getField("clen").isNull).as("bad"))
+            .otherwise((!ok && !step.getField("ws")) ||
+              (ok && step.getField("clen").isNull)).as("bad"))
       })
     // one more let-binding: `walked` is referenced four times below
     try_element_at(transform(array(walked), w => struct(
       w.getField("recs").as("recs"),
-      (!w.getField("bad") && w.getField("off") < totB).as("truncated"),
+      (!w.getField("bad") && w.getField("off") < totB &&
+        size(w.getField("recs")) === lit(maxRecords)).as("truncated"),
       w.getField("off").as("next_off"),
       w.getField("bad").as("malformed"))), lit(1))
   }

@@ -1262,9 +1262,19 @@ object CorpusOps {
     // over-selects hubs. kNN both directions via the INTEGER-EXACT brute
     // chain (quantize-first, no float similarity anywhere — the
     // cross-engine gate discipline); at scale marginPairsExact
-    // post-processes the IVF/PQ/BQ serving layouts unchanged
+    // post-processes the IVF/PQ/BQ serving layouts unchanged.
+    // CALIBRATION BOUND (the q_mm_audio_fp discipline): brute both-
+    // direction kNN is deliberately quadratic — the backend-blind truth
+    // this gate calibrates the LSH/IVF/PQ/SQ8/BQ margin backends against
+    // — so it runs on the DETERMINISTIC marginCalBound-id sub-corpus:
+    // constant work at any corpus size, full semantics on the subset
+    // (sf ≤ 0.01 is entirely under the bound, so those gates are
+    // byte-identical to the unbounded form). The SCALE paths for this
+    // family are q_emb_margin_lsh / _bq — corpus-wide, bucket/Hamming-
+    // bounded, never quadratic.
     "q_emb_margin_pairs_i" -> ((s, dir) => {
       val emb = wide(s, t(s, dir, "embeddings"))
+        .where(col("vec_id") < lit(marginCalBound))
       val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       def qside(d: org.apache.spark.sql.DataFrame) = d.select(
@@ -1783,9 +1793,14 @@ object CorpusOps {
           round(expr("percentile(ratio, 0.95)"), 6).as("p95"))
     }),
 
-    // dedup: embedding-cosine near-dup pairs blocked by label
+    // dedup: embedding-cosine near-dup pairs blocked by label.
+    // Uncapped EXPLICITLY: the oracle replays the full in-block scan, so
+    // the gate must not depend on whether a block crosses Dedup.DefaultCap
+    // at some SF (at a 10x replica the label blocks do); the cap is the
+    // production dial, exercised by OpsSpec's viral fixture
     "q_emb_neardup" -> ((s, dir) =>
-      VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+      VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4,
+          blockCap = Dedup.Uncapped)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
@@ -1794,7 +1809,8 @@ object CorpusOps {
     // groups (keep one per cluster), composing the gated pair generator
     // with the gated union-find; min-id cluster labels
     "q_emb_dedup_clusters" -> ((s, dir) => {
-      val pairs = VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+      val pairs = VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4,
+          blockCap = Dedup.Uncapped) // oracle replays uncapped (see q_emb_neardup)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       Dedup.components(pairs, 20)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -1869,7 +1885,8 @@ object CorpusOps {
       val centroids = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("centroid_vec"))
-      VectorOps.semanticDedupPairs(emb, centroids, 0.4)
+      VectorOps.semanticDedupPairs(emb, centroids, 0.4,
+          blockCap = Dedup.Uncapped) // oracle replays uncapped (see q_emb_neardup)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")
     }),
@@ -1899,7 +1916,7 @@ object CorpusOps {
     // are portable integer math, so DuckDB recomputes identical buckets
     "q_emb_lsh_neardup" -> ((s, dir) =>
       VectorOps.signLshNearDupPairs(wide(s, t(s, dir, "embeddings")), 0.4,
-          inDims = embDims)
+          inDims = embDims, blockCap = Dedup.Uncapped) // oracle replays uncapped
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
@@ -1910,7 +1927,8 @@ object CorpusOps {
     // exact-percentile reduce on top
     "q_emb_cos_calibration" -> ((s, dir) => {
       val pairs = VectorOps.signLshNearDupPairs(
-        wide(s, t(s, dir, "embeddings")), -1.0, inDims = embDims)
+        wide(s, t(s, dir, "embeddings")), -1.0, inDims = embDims,
+        blockCap = Dedup.Uncapped) // oracle replays uncapped
       pairs
         .select(round(col("cos"), 6).as("cos"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -2512,6 +2530,93 @@ object CorpusOps {
         .select(col("media_id"), col("frame_idx"),
           decode(col("frame"), "UTF-8").as("frame_str"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // multimodal: REAL MP4 frame index — the container-level sample-table
+    // walk (stsz/stsc/stco inside moov/trak/mdia/minf/stbl) that yields
+    // every frame's exact byte extent WITHOUT a pixel codec, closing the
+    // "frame sampling is pseudo" gap: each doc becomes a structurally
+    // valid MP4 (ftyp + full moov tree + mdat) whose sample layout varies
+    // per doc (2-6 frames, 4-10 bytes each, 1-3 samples per chunk), the
+    // GENERIC parser walks the tree, and the gate slices the indexed
+    // frames out of mdat and returns their decoded bytes — proving the
+    // offsets are real, not derived from the fixture parameters. Two
+    // planted failure modes (non-MP4 payload; stsz version=1) pin the
+    // fail-closed contract. Oracle = closed-form layout from the
+    // generator params (the q_mm_mp4 discipline): frame i's offset is
+    // mdat_data_start + sum of prior sizes — any walk bug on either side
+    // (box descent, stsc run lookup, chunk advance) breaks the match
+    "q_mm_frame_index" -> ((s, dir) => {
+      def be32(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+      def tp(t: String) =
+        t.getBytes("UTF-8").map(b => f"$b%02X").mkString
+      val spc = pmod(col("doc_id"), lit(3)) + 1
+      val n = pmod(col("doc_id"), lit(5)) + 2
+      val nCh = call_function("div", n + spc - 1, spc)
+      def szAt(i: org.apache.spark.sql.Column) =
+        pmod(col("doc_id") + i, lit(7)) + 4
+      def frameStr(i: org.apache.spark.sql.Column) = substring(
+        concat(lit("f"), col("doc_id").cast("string"), lit("_"),
+          i.cast("string"), lit("x" * 16)), 1, 10)
+      // per-frame hex payload, truncated to its size
+      val framesHex = array_join(transform(sequence(lit(0L), n - 1),
+        i => hex(frameStr(i).substr(lit(1), szAt(i).cast("int")))), "")
+      val sumAll = aggregate(sequence(lit(0L), n - 1), lit(0L),
+        (a, j) => a + szAt(j))
+      // cumulative sizes before chunk k's first sample (k*spc frames)
+      def sumBefore(m: org.apache.spark.sql.Column) = aggregate(
+        when(m >= 1L, sequence(lit(0L), m - 1))
+          .otherwise(array().cast("array<bigint>")),
+        lit(0L), (a, j) => a + szAt(j))
+      val dataStart = lit(252L) + n * 4 + nCh * 4
+      val stts = concat(be32(lit(16L)), lit(tp("stts")),
+        lit("00000000"), be32(lit(0L)))
+      val verFail = pmod(col("doc_id"), lit(11)) === 5
+      val stsc = concat(be32(lit(28L)), lit(tp("stsc")), lit("00000000"),
+        be32(lit(1L)), be32(lit(1L)), be32(spc), be32(lit(1L)))
+      val stsz = concat(be32(lit(20L) + n * 4), lit(tp("stsz")),
+        when(verFail, lit("01000000")).otherwise(lit("00000000")),
+        be32(lit(0L)), be32(n),
+        array_join(transform(sequence(lit(0L), n - 1),
+          i => be32(szAt(i))), ""))
+      val stco = concat(be32(lit(16L) + nCh * 4), lit(tp("stco")),
+        lit("00000000"), be32(nCh),
+        array_join(transform(sequence(lit(0L), nCh - 1),
+          k => be32(dataStart + sumBefore(k * spc))), ""))
+      val stbl = concat(be32(lit(88L) + n * 4 + nCh * 4), lit(tp("stbl")),
+        stts, stsc, stsz, stco)
+      val minf = concat(be32(lit(96L) + n * 4 + nCh * 4), lit(tp("minf")),
+        stbl)
+      val mdia = concat(be32(lit(104L) + n * 4 + nCh * 4),
+        lit(tp("mdia")), minf)
+      val trak = concat(be32(lit(112L) + n * 4 + nCh * 4),
+        lit(tp("trak")), mdia)
+      val mvhd = concat(be32(lit(108L)), lit(tp("mvhd")), lit("0" * 200))
+      val moov = concat(be32(lit(228L) + n * 4 + nCh * 4),
+        lit(tp("moov")), mvhd, trak)
+      val ftyp = lit("00000010" + tp("ftyp") + "69736F6D00000200")
+      val mdat = concat(be32(lit(8L) + sumAll), lit(tp("mdat")), framesHex)
+      val good = concat(ftyp, moov, mdat)
+      val pl = when(pmod(col("doc_id"), lit(7)) === 3,
+          unhex(lit("89504E470D0A1A0A"))) // PNG magic: not an MP4
+        .otherwise(unhex(good))
+      // payload into a COLUMN first (the q_mm_mp4 lesson: the walk
+      // references hex(payload) dozens of times per fold step)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pl.as("pl"))
+        .select(col("doc_id"), col("pl"),
+          graft.ops.Multimodal.mp4SampleIndex(col("pl")).as("ix"))
+        .select(col("doc_id"), col("ix.ok").as("ok"),
+          col("ix.n_samples").as("n_samples"),
+          col("ix.n_chunks").as("n_chunks"),
+          explode_outer(col("ix.samples")).as("smp"), col("pl"))
+        .select(col("doc_id"), col("ok"), col("n_samples"),
+          col("n_chunks"),
+          col("smp.idx").cast("long").as("frame_idx"),
+          col("smp.off").as("off"), col("smp.sz").as("sz"),
+          decode(col("pl").substr(col("smp.off").cast("int") + 1,
+            col("smp.sz").cast("int")), "UTF-8").as("frame_str"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // multimodal: REAL PNG decode (javax.imageio — the JDK's own codec, no
@@ -3208,6 +3313,20 @@ object CorpusOps {
     * via [[evGuardSql]] — instead of null-padding plane sums.
     */
   private[graft] val embDims = 64
+
+  /** Deterministic id bound for the three brute/compressed margin
+    * CALIBRATION gates (q_emb_margin_pairs_i / _pq / _sq8): both kNN
+    * directions there are deliberately all-pairs — they calibrate the
+    * bounded backends (LSH/BQ) against exact truth — so the sub-corpus
+    * they run on must be CONSTANT-SIZED, not a corpus fraction (a
+    * fraction keeps the quadratic). `vec_id < 1024` covers the whole
+    * corpus at sf ≤ 0.01 (500 ids — gates unchanged there), a quarter of
+    * the pairs at sf0.1, and a fixed 1024-vector panel at any larger
+    * scale. The corpus-wide margin gates (_lsh, _bq, _ivf_i) stay
+    * UNBOUNDED — their candidate generation is bucket/Hamming/probe-
+    * bounded by construction.
+    */
+  private[graft] val marginCalBound = 1024L
 
   /** Parameterized span-corruption replay (rate %, max span len, doc
     * filter): the q_doc_span_corrupt formulation generalized so the UL2
@@ -5240,7 +5359,8 @@ object CorpusOps {
     // ratio margin — no float similarity anywhere, mirroring
     // bruteTopKExact → marginPairsExact bit-for-bit
     "q_emb_margin_pairs_i" ->
-      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings
+         |  WHERE vec_id < $marginCalBound),
          |${exactChainSql("e", "qe")},
          |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
          |tg AS (SELECT * FROM qe WHERE vec_id % 2 = 1),
@@ -6767,6 +6887,41 @@ object CorpusOps {
         |    AS frame_str
         |FROM documents, LATERAL (SELECT unnest(generate_series(0, 3)) AS f)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // frame-index replay: CLOSED-FORM layout from the generator params
+    // (the q_mm_mp4 discipline) — n/spc/sizes are doc_id algebra, a
+    // frame's offset is mdat_data_start (252 + 4n + 4·chunks, the summed
+    // box headers) + its running prior-size sum (chunks are contiguous,
+    // so the chunked walk must land on the flat prefix sums); any
+    // descent/stsc/stco bug in the engine's GENERIC parser breaks this
+    "q_mm_frame_index" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS spc,
+        |    doc_id % 5 + 2 AS n,
+        |    (doc_id % 7 <> 3 AND doc_id % 11 <> 5) AS ok
+        |  FROM documents),
+        |f AS (SELECT doc_id, spc, n,
+        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        |  FROM p WHERE ok),
+        |s AS (SELECT *, (doc_id + i) % 7 + 4 AS sz FROM f),
+        |c AS (SELECT *, coalesce(SUM(sz) OVER (PARTITION BY doc_id
+        |    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS bef FROM s),
+        |good AS (SELECT doc_id, TRUE AS ok, CAST(n AS BIGINT) AS n_samples,
+        |    CAST((n + spc - 1) // spc AS BIGINT) AS n_chunks,
+        |    CAST(i AS BIGINT) AS frame_idx,
+        |    CAST(252 + 4 * n + 4 * ((n + spc - 1) // spc) + bef AS BIGINT)
+        |      AS off,
+        |    CAST(sz AS BIGINT) AS sz,
+        |    substr('f' || doc_id || '_' || i || repeat('x', 16), 1,
+        |      CAST(sz AS INT)) AS frame_str
+        |  FROM c),
+        |bad AS (SELECT doc_id, FALSE AS ok, NULL::BIGINT AS n_samples,
+        |    NULL::BIGINT AS n_chunks, NULL::BIGINT AS frame_idx,
+        |    NULL::BIGINT AS off, NULL::BIGINT AS sz,
+        |    NULL::VARCHAR AS frame_str
+        |  FROM p WHERE NOT ok)
+        |SELECT * FROM good UNION ALL SELECT * FROM bad
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // bucket replay via the same md5-nibble integer math ('0x'||substr
     // idiom == Spark conv(substring(md5,1,4),16,10)); occupied =

@@ -1008,7 +1008,12 @@ object CurationQueries {
     // is backend-blind. Integer end to end; the oracle replays trainers,
     // LUT dots, reconstructed norms, and the margin tail CTE-for-CTE
     "q_emb_margin_pq" -> ((s, dir) => {
+      // calibration bound (CorpusOps.marginCalBound, the q_mm_audio_fp
+      // discipline): trainer + both all-pairs kNN directions run on the
+      // deterministic id panel — constant work at any corpus size; the
+      // corpus-wide scale siblings are q_emb_margin_lsh / _bq
       val emb = wide(s, t(s, dir, "embeddings"))
+        .where(col("vec_id") < lit(graft.queries.CorpusOps.marginCalBound))
       val model = graft.ops.KMeans.pqEncodeDetailed(emb, "vec_id",
         "embedding", m = 2, k = 8, iters = 2, scale = 1e5)
       val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
@@ -1085,7 +1090,9 @@ object CurationQueries {
     // compressed layout serves bitext mining without touching floats;
     // the margin post-processing is backend-blind, integer end to end
     "q_emb_margin_sq8" -> ((s, dir) => {
+      // calibration bound — see q_emb_margin_pq
       val emb = wide(s, t(s, dir, "embeddings"))
+        .where(col("vec_id") < lit(graft.queries.CorpusOps.marginCalBound))
       val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       def qside(d: org.apache.spark.sql.DataFrame) = d.select(
@@ -1665,7 +1672,8 @@ object CurationQueries {
     * PQ); the final assignment CTE is `a${iters + 1}$sfx`.
     */
   private def kmeansCtes(sfx: String, vecExpr: String, k: Int,
-      iters: Int, scale: String = "1000000.0"): Seq[String] = {
+      iters: Int, scale: String = "1000000.0",
+      from: String = "embeddings"): Seq[String] = {
     def assignStep(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, v, cid FROM (
          |  SELECT q.vec_id, q.v, c.cid,
@@ -1685,7 +1693,7 @@ object CurationQueries {
          |  SELECT vec_id,
          |    [CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)
          |     for x in $vecExpr] AS v
-         |  FROM embeddings)""".stripMargin,
+         |  FROM $from)""".stripMargin,
       s"""c0$sfx AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          |    v AS cv
@@ -1816,9 +1824,14 @@ object CurationQueries {
   private def marginPqSql(m: Int, dims: Int, k: Int, iters: Int,
       topK: Int): String = {
     val d = dims / m
+    // calibration bound (CorpusOps.marginCalBound): trainer, corpus and
+    // query sides all run on the deterministic id panel — the engine
+    // gate applies the same WHERE before training and mining
+    val calSrc = "(SELECT * FROM embeddings WHERE vec_id < " +
+      s"${CorpusOps.marginCalBound})"
     val blocks = (0 until m).flatMap { s =>
       kmeansCtes(s"_s$s", s"embedding[${s * d + 1}:${(s + 1) * d}]", k,
-        iters, scale = "100000.0")
+        iters, scale = "100000.0", from = calSrc)
     }
     val n2s = (0 until m).map { s =>
       s"""n2_s$s AS (SELECT cid, CAST(list_sum([cv[i] * cv[i]
@@ -1855,7 +1868,7 @@ object CurationQueries {
          |$out AS (SELECT src_id, tgt_id, cos_x1m FROM ${out}r
          |  WHERE rn <= $topK)""".stripMargin
     s"""WITH e AS (SELECT vec_id, ${CorpusOps.evGuardSql} AS ev
-       |  FROM embeddings),
+       |  FROM embeddings WHERE vec_id < ${CorpusOps.marginCalBound}),
        |${CorpusOps.exactChainSql("e", "qe")},
        |${(blocks ++ n2s).mkString(",\n")},
        |cand AS (SELECT t0.vec_id, $cols, $n2Sum AS n2v
@@ -2105,7 +2118,8 @@ object CurationQueries {
     // IDENTICAL margin tail — backend swap = chain CTE swap, nothing else
     "q_emb_margin_sq8" ->
       s"""WITH e AS (SELECT vec_id,
-         |    ${CorpusOps.evGuardSql} AS ev FROM embeddings),
+         |    ${CorpusOps.evGuardSql} AS ev FROM embeddings
+         |    WHERE vec_id < ${CorpusOps.marginCalBound}),
          |${CorpusOps.sq8ChainSql("e", "qe")},
          |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
          |tg AS (SELECT * FROM qe WHERE vec_id % 2 = 1),
@@ -2389,7 +2403,8 @@ object CurationQueries {
         |r AS (SELECT *, CAST(row_number() OVER (
         |    ORDER BY cnt DESC, kh ASC) AS INT) AS rank FROM h)
         |SELECT rank, key, cnt,
-        |  cnt * 1000000 // n_total AS share_ppm,
+        |  CASE WHEN n_total < 9000000000000 THEN cnt * 1000000 // n_total
+        |    ELSE cnt // greatest(n_total // 1000000, 1) END AS share_ppm,
         |  (cnt * 32 + n_total - 1) // n_total AS salt_factor,
         |  cnt > 2 * (n_total // 32) AS hot
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
@@ -2412,7 +2427,10 @@ object CurationQueries {
         |    ORDER BY pair_rows DESC, kh ASC) AS INT) AS rank
         |  FROM p CROSS JOIN t)
         |SELECT rank, key, n_left, n_right, pair_rows,
-        |  pair_rows * 1000000 // est_total AS share_ppm, est_total
+        |  CASE WHEN est_total < 9000000000000
+        |    THEN pair_rows * 1000000 // est_total
+        |    ELSE pair_rows // greatest(est_total // 1000000, 1) END
+        |    AS share_ppm, est_total
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     // z-value replay: the same scale-clamp (double divide then multiply,

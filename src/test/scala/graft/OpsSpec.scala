@@ -63,6 +63,38 @@ class OpsSpec extends AnyFunSuite {
     assert(l == j)
   }
 
+  test("viral-key guards: finite defaults bind, Uncapped restores exact pairs") {
+    // adversarial fixture: a viral group one past DefaultCap (every
+    // shingle/bucket/fingerprint key is DefaultCap+1 hot) next to one
+    // honest near-dup pair with its own vocabulary
+    val viral = (0L until (Dedup.DefaultCap + 1).toLong)
+      .map(i => (i, "aa bb cc dd ee ff gg hh ii jj"))
+    val honest = Seq(
+      (900000L, "zz yy xx ww vv uu tt ss rr qq"),
+      (900001L, "zz yy xx ww vv uu tt ss rr pp"))
+    val docsV = (viral ++ honest).toDF("doc_id", "text")
+    // bare calls (library-user shape): the viral mass is dropped by the
+    // DEFAULT caps, the honest pair survives — no explicit cap anywhere
+    val lsh = Dedup.minhashLshPairs(docsV, "doc_id", "text", 3, 64, 32, 0.5)
+      .select("doc_a", "doc_b").collect()
+    assert(lsh.toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((900000L, 900001L)))
+    val jac = Dedup.jaccardPairs(docsV, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect()
+    assert(jac.toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((900000L, 900001L)))
+    // honest-small input: the default NEVER binds (10 << DefaultCap) and
+    // Uncapped is the explicit escape that restores the full quadratic
+    val ten = (0L until 10L).map(i => (i, "mm nn oo pp qq rr ss tt"))
+      .toDF("doc_id", "text")
+    def n(cap: Int) = Dedup.minhashLshPairs(ten, "doc_id", "text",
+      3, 64, 32, 0.5, bucketCap = cap).count()
+    assert(Dedup.minhashLshPairs(ten, "doc_id", "text", 3, 64, 32, 0.5)
+      .count() == 45L) // default, unbound on honest data
+    assert(n(8) == 0L) // explicit tight cap binds
+    assert(n(Dedup.Uncapped) == 45L) // explicit escape
+  }
+
   test("scoped dedup pipelines release their cached base relations") {
     spark.catalog.clearCache() // isolate from other suites
     val sj = Dedup.jaccardPairsScoped(docs, "doc_id", "text", 3, 0.5, dfCap = 100)
@@ -2187,6 +2219,30 @@ class OpsSpec extends AnyFunSuite {
     val wBad = Seq(warc).toDF("w")
       .select(Warc.recordsWalk(col("w")).as("k")).head().getStruct(0)
     assert(wBad.getBoolean(3) && !wBad.getBoolean(1))
+    // whitespace-only tail after the final separator: a hand-cut slice
+    // with trailing CRLF padding is neither truncated nor malformed
+    val padded = Seq(clean + crlf).toDF("w")
+      .select(Warc.recordsWalk(col("w")).as("k")).head().getStruct(0)
+    assert(padded.getSeq[Any](0).length == 3 &&
+      !padded.getBoolean(1) && !padded.getBoolean(3))
+    // exactly-maxRecords stream with trailing junk: truncated claims only
+    // "bytes remained at the cap" (doc semantics) — the RESUMED walk at
+    // next_off is what classifies the tail as malformed
+    val capJunk = Seq(clean + "junk").toDF("w")
+      .select(Warc.recordsWalk(col("w"), maxRecords = 3).as("k"))
+      .head().getStruct(0)
+    assert(capJunk.getBoolean(1) && !capJunk.getBoolean(3))
+    val resumedJunk = Seq(clean + "junk").toDF("w")
+      .select(Warc.recordsWalk(
+        decode(expr(s"substr(encode(w, 'UTF-8'), ${capJunk.getLong(2) + 1})"),
+          "UTF-8")).as("k")).head().getStruct(0)
+    assert(resumedJunk.getBoolean(3) && !resumedJunk.getBoolean(1))
+    // an UNDER-cap walk that left bytes (ws tail) must NOT claim
+    // truncated: the cap was never hit
+    val wsUnder = Seq(clean + crlf).toDF("w")
+      .select(Warc.recordsWalk(col("w"), maxRecords = 8).as("k"))
+      .head().getStruct(0)
+    assert(!wsUnder.getBoolean(1) && !wsUnder.getBoolean(3))
   }
 
   test("exact percentiles: global and grouped match a sorted reference") {
@@ -4305,5 +4361,77 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L) == ((true, true, Some(2), None, None))) // no moov at all
     assert(r(4L)._1 == false) // PNG magic
     assert(r(4L)._3.isEmpty)
+  }
+
+  test("mp4 sample index: chunked stbl walk yields exact frame extents") {
+    import graft.ops.Multimodal
+    def be32(v: Long) = f"$v%08X"
+    def tp(t: String) = t.getBytes("UTF-8").map(b => f"$b%02X").mkString
+    def box(t: String, bodyHex: String) =
+      be32(8 + bodyHex.length / 2) + tp(t) + bodyHex
+    val ftyp = "00000010" + tp("ftyp") + "69736F6D00000200"
+    // 5 frames of sizes 3,4,5,6,7 in chunks of 2 (chunks: [0,1][2,3][4])
+    val sizes = Seq(3L, 4L, 5L, 6L, 7L)
+    val frames = Seq("abc", "defg", "hijkl", "mnopqr", "stuvwxy")
+    def stblFor(szs: Seq[Long], chunkOffs: Seq[Long], spc: Long,
+        stszVer: String = "00000000") =
+      box("stbl",
+        box("stts", "00000000" + be32(0)) +
+        box("stsc", "00000000" + be32(1) + be32(1) + be32(spc) + be32(1)) +
+        be32(20 + 4 * szs.length) + tp("stsz") + stszVer + be32(0) +
+          be32(szs.length) + szs.map(be32).mkString +
+        box("stco", "00000000" + be32(chunkOffs.length) +
+          chunkOffs.map(be32).mkString))
+    def full(stbl: String): String = {
+      val moovBody = be32(108) + tp("mvhd") + ("00" * 100) +
+        box("trak", box("mdia", box("minf", stbl)))
+      val moov = be32(8 + moovBody.length / 2) + tp("moov") + moovBody
+      val dataStart = 16 + moov.length / 2 + 8
+      val chunkOffs = Seq(dataStart.toLong, dataStart + 7L, dataStart + 18L)
+      // stco offsets were placeholders until now: rebuild with real ones
+      val stbl2 = stblFor(sizes, chunkOffs, 2)
+      val moovBody2 = be32(108) + tp("mvhd") + ("00" * 100) +
+        box("trak", box("mdia", box("minf", stbl2)))
+      val moov2 = be32(8 + moovBody2.length / 2) + tp("moov") + moovBody2
+      val mdat = be32(8 + sizes.sum) + tp("mdat") +
+        frames.map(f => f.getBytes("UTF-8").map(b => f"$b%02X").mkString)
+          .mkString
+      ftyp + moov2 + mdat
+    }
+    val goodHex = full(stblFor(sizes, Seq(0L, 0L, 0L), 2))
+    val r = Seq(goodHex).toDF("hx")
+      .select(Multimodal.mp4SampleIndex(unhex(col("hx"))).as("ix"),
+        unhex(col("hx")).as("pl"))
+      .select(col("ix.ok"), col("ix.n_samples"), col("ix.n_chunks"),
+        col("ix.samples"), col("pl"))
+      .head()
+    assert(r.getBoolean(0) && r.getLong(1) == 5L && r.getLong(2) == 3L)
+    val samples = r.getSeq[org.apache.spark.sql.Row](3)
+    val dataStart = goodHex.length / 2 - sizes.sum
+    // chunk layout [0,1][2,3][4]: offsets are the flat prefix sums
+    val wantOffs = Seq(0L, 3L, 7L, 12L, 18L).map(_ + dataStart)
+    assert(samples.map(_.getLong(1)) == wantOffs)
+    assert(samples.map(_.getLong(2)) == sizes)
+    // slicing the payload at the indexed extents recovers the frames
+    val sliced = Seq(goodHex).toDF("hx")
+      .select(explode(Multimodal.mp4SampleIndex(unhex(col("hx")))
+        .getField("samples")).as("s"), unhex(col("hx")).as("pl"))
+      .select(decode(col("pl").substr(col("s.off").cast("int") + 1,
+        col("s.sz").cast("int")), "UTF-8"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sliced == frames)
+    // fail-closed: stsz version 1; a walk needing a chunk past stco;
+    // a frame extent overrunning the payload; no stbl at all
+    def okOf(hx: String): Boolean = Seq(hx).toDF("hx")
+      .select(Multimodal.mp4SampleIndex(unhex(col("hx")))
+        .getField("ok")).head().getBoolean(0)
+    assert(!okOf(full(stblFor(sizes, Seq(0L), 2, stszVer = "01000000"))
+      .replace(tp("stsz") + "00000000", tp("stsz") + "01000000")))
+    // truncate the payload so the last frame overruns
+    assert(!okOf(goodHex.dropRight(4)))
+    // drop the mdia level: descent misses, fails closed
+    val noMdia = ftyp + (be32(108 + 8) + tp("moov") + be32(108) +
+      tp("mvhd") + ("00" * 100))
+    assert(!okOf(noMdia))
   }
 }
