@@ -73,6 +73,45 @@ object MatrixReader {
     (batch.size, batch.headOption.map(_.featureIds.size).getOrElse(0), maxW, padded)
   }
 
+  /** The reference's `truncate_collate`
+    * (`tools/sampleDataset.py:36-40`): keep only each stay's FIRST
+    * feature row (its own comment says "super simplistic"), right-pad
+    * time to the batch's widest stay → one (batch, maxWidth) plane.
+    * Returns (batch, maxWidth, rows).
+    */
+  def truncateCollate(batch: Seq[StayMatrix]): (Int, Int, Seq[Array[Double]]) = {
+    val maxW = batch.map(_.width).max
+    val rows = batch.map(m =>
+      (if (m.values.nonEmpty) m.values(0) else Array.empty[Double])
+        .padTo(maxW, 0.0))
+    (batch.size, maxW, rows)
+  }
+
+  /** The reference's `maxlen_padmask_collate`
+    * (`tools/sampleDataset.py:42-61`): pad the FEATURE axis of every stay
+    * to exactly `maxLen` rows of zeros and return, per stay, the mask of
+    * REAL (non-pad) feature rows. The reference derives the mask by
+    * double-padding with 0.0 and 42.0 and testing where the two disagree
+    * — a real row can never be 0 and 42 at once, so that trick marks
+    * exactly the appended rows; tracking the pre-pad row count is the
+    * same mask without the sentinel dance. Time is right-padded to the
+    * batch max like [[collate]]. Returns (padded, mask) with
+    * padded(i).length == maxLen and mask(i)(j) == true iff row j is real.
+    */
+  def maxlenPadmaskCollate(batch: Seq[StayMatrix], maxLen: Int)
+      : (Seq[Array[Array[Double]]], Seq[Array[Boolean]]) = {
+    require(batch.forall(_.values.length <= maxLen),
+      s"a stay has more than maxLen=$maxLen feature rows")
+    val maxW = batch.map(_.width).max
+    val padded = batch.map { m =>
+      m.values.map(_.padTo(maxW, 0.0)) ++
+        Array.fill(maxLen - m.values.length)(Array.fill(maxW)(0.0))
+    }
+    val mask = batch.map(m => Array.fill(m.values.length)(true) ++
+      Array.fill(maxLen - m.values.length)(false))
+    (padded, mask)
+  }
+
   def main(args: Array[String]): Unit = {
     val dstPath = args.headOption.getOrElse(
       sys.error("usage: MatrixReader <dstPath> [batchSize]"))

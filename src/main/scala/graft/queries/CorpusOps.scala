@@ -116,10 +116,14 @@ object CorpusOps {
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextOps.qualityScore(col("text")).as("quality"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("n_src", count(lit(1)).over(ws))
         .where(col("rk") * 2 > col("n_src"))
         .select(col("doc_id"), col("source"), col("quality"),
+          // rk is widened to BIGINT above: row_number() is INT, and
+          // (rk-1)*1e6 overflows int32 once a source holds >2148 docs
+          // (surfaced by the sf1 full-surface sweep; DuckDB's
+          // row_number() is already BIGINT so the oracle was safe)
           expr("CAST((rk - 1) * 1000000 DIV greatest(n_src - 1, 1) AS BIGINT)")
             .as("q_rank_micro"))
         .orderBy("doc_id")

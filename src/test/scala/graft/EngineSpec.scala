@@ -146,6 +146,43 @@ class EngineSpec extends AnyFunSuite {
     assert(padded(1).forall(_.length == w))
   }
 
+  test("MatrixReader collate parity: all three reference strategies") {
+    import graft.cli.MatrixReader
+    val sources = Sources.all.map(_.name)
+    val universe = Vector(100L, 200L, 300L, 999L)
+    val m1 = MatrixReader.readStay(outDir.toString, 1L, sources, universe)
+    val m3 = MatrixReader.readStay(outDir.toString, 3L, sources, universe)
+    // truncate_collate: per stay only feature row 0 (universe.head =
+    // feature 100), right-padded to the batch's widest time axis
+    val (tn, tw, rows) = MatrixReader.truncateCollate(Seq(m1, m3))
+    assert(tn == 2 && tw == m1.width)
+    assert(rows(0).toSeq == m1.values(0).toSeq) // widest stay: unpadded
+    assert(rows(1).toSeq ==
+      m3.values(0).padTo(tw, 0.0).toSeq) // narrower stay: zero-padded
+    // maxlen_padmask_collate: feature axis padded to maxLen, mask true
+    // exactly on the real rows (the reference's 0.0/42.0 sentinel trick
+    // marks appended rows — same mask)
+    val maxLen = universe.size + 2
+    val (pm, mask) = MatrixReader.maxlenPadmaskCollate(Seq(m1, m3), maxLen)
+    assert(pm.forall(_.length == maxLen))
+    assert(pm.forall(_.forall(_.length == tw)))
+    // appended rows are all-zero; mask splits real/pad at universe.size
+    assert(mask.forall(mk => mk.count(identity) == universe.size &&
+      mk.take(universe.size).forall(identity)))
+    assert(pm(0).drop(universe.size).forall(_.forall(_ == 0.0)))
+    // real rows survive the pad untouched
+    assert(pm(0)(0).toSeq == m1.values(0).toSeq)
+    // over-full batch refuses loudly rather than silently truncating
+    intercept[IllegalArgumentException] {
+      MatrixReader.maxlenPadmaskCollate(Seq(m1), universe.size - 1)
+    }
+    // padding_collate is the existing collate(); pin the trio's shape
+    // contract side by side: (batch, features, time) vs (batch, time)
+    val (cn, cf, cw, cp) = MatrixReader.collate(Seq(m1, m3))
+    assert(cn == tn && cw == tw && cf == universe.size)
+    assert(cp(0).length == universe.size && cp(0)(0).length == cw)
+  }
+
   test("chartevents mean combine + clamp + drop + null skip") {
     val lines = readCsvLines(outDir.resolve("1/chartevents_features.csv"))
     assert(lines.length == 3) // header + itemid 100 + itemid 200 (sorted)
