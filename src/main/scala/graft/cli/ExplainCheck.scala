@@ -1008,6 +1008,12 @@ object ExplainCheck {
     "q_mm_frame_index" -> (Seq("Batched: true", "Generate"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
+    // frame dedup: index walk + explode + ONE fp-keyed aggregate
+    // (map-side combined); no joins, no window
+    "q_mm_frame_dedup" -> (Seq("Batched: true", "Generate",
+        "HashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window")),
     // source divergence: one linear token-count shuffle + k-bounded
     // vocab + metadata-sized broadcast grid/pair joins (the hinted
     // cross product over groups x vocab is catalog-bounded BNLJ)

