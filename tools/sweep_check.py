@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Sharded driver-format correctness sweep over a graft.Verify output dir.
+
+Usage:
+  python3 tools/sweep_check.py <sfDir> <verifyOutDir> <out.json> [shardSize] [parallel]
+
+Splits the gate list into shards of `shardSize` (default 24) and runs each
+shard in a FRESH subprocess (`--shard-worker` mode below), merging the
+per-gate results into one driver-format JSON:
+
+  {"q_x": {"rows_match": bool, "schema_match": bool, "hash_match": bool,
+           "spark_rows": int|null, "oracle_rows": int|null, "err": str|null}}
+
+Why subprocess-per-shard: the single-process sf1 run OOM'd — DuckDB +
+multi-million-row fetchall never return freed arenas to the OS, so by the
+~200th gate the resident set exceeded the host. A fresh process per shard
+caps the blast radius of any one gate's result size, and `parallel` (default
+3) shards run concurrently, each with DuckDB capped at threads=8 /
+memory_limit=24GB / spill dir (set in check_correctness.connect_views).
+
+Semantics per gate mirror the driver's t2 gate exactly (via the shared
+typed_rows_of / cells_equal in check_correctness.py):
+  schema_match = column names AND DuckDB logical types equal
+  rows_match   = row counts equal
+  hash_match   = every cell bit-exact (NaN==NaN; dtype divergence fails)
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE))
+
+
+def worker(sf_dir, out_dir, names):
+    import check_correctness as cc
+    con = cc.connect_views(sf_dir)
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    res = {}
+    for name in names:
+        ent = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        res[name] = ent
+        qdir = Path(out_dir) / name
+        if name not in oracle:
+            ent["err"] = "no oracle sql"
+            continue
+        if not qdir.exists():
+            ent["err"] = "no spark output"
+            continue
+        try:
+            scols, stypes, srows = cc.typed_rows_of(
+                con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            ocols, otypes, orows = cc.typed_rows_of(con, oracle[name])
+        except Exception as e:
+            ent["err"] = str(e)[:300]
+            continue
+        ent["spark_rows"] = len(srows)
+        ent["oracle_rows"] = len(orows)
+        ent["rows_match"] = len(srows) == len(orows)
+        ent["schema_match"] = scols == ocols and stypes == otypes
+        if not ent["schema_match"]:
+            ent["err"] = f"schema spark={list(zip(scols, stypes))} oracle={list(zip(ocols, otypes))}"[:400]
+            continue
+        if not ent["rows_match"]:
+            continue
+        ok = True
+        for sr, orow in zip(srows, orows):
+            if not all(cc.cells_equal(a, b) for a, b in zip(sr, orow)):
+                ok = False
+                ent["err"] = f"cell mismatch spark={sr} oracle={orow}"[:400]
+                break
+        ent["hash_match"] = ok
+    return res
+
+
+def main():
+    if sys.argv[1] == "--shard-worker":
+        sf_dir, out_dir, out_json = sys.argv[2], sys.argv[3], sys.argv[4]
+        names = sys.argv[5:]
+        Path(out_json).write_text(json.dumps(worker(sf_dir, out_dir, names)))
+        return
+
+    sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+    shard_size = int(sys.argv[4]) if len(sys.argv) > 4 else 24
+    parallel = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    names = sorted(oracle)
+    shards = [names[i:i + shard_size] for i in range(0, len(names), shard_size)]
+    tmpdir = Path(out_json).parent / "sweep_shards"
+    tmpdir.mkdir(parents=True, exist_ok=True)
+    procs, merged = [], {}
+
+    def drain(block_all=False):
+        while procs and (block_all or len(procs) >= parallel):
+            p, pj = procs.pop(0)
+            rc = p.wait()
+            if rc != 0 or not pj.exists():
+                # a crashed shard (OOM-kill etc.) marks its gates errored
+                for n in p.args[5:]:
+                    merged[n] = {"rows_match": False, "schema_match": False,
+                                 "hash_match": False, "spark_rows": None,
+                                 "oracle_rows": None,
+                                 "err": f"shard worker exited rc={rc}"}
+            else:
+                merged.update(json.loads(pj.read_text()))
+            done = len(merged)
+            print(f"[sweep] {done}/{len(names)} gates merged", flush=True)
+
+    for i, shard in enumerate(shards):
+        drain()
+        pj = tmpdir / f"shard_{i}.json"
+        p = subprocess.Popen(
+            [sys.executable, __file__, "--shard-worker",
+             sf_dir, out_dir, str(pj)] + shard)
+        procs.append((p, pj))
+    drain(block_all=True)
+
+    Path(out_json).write_text(json.dumps(
+        {k: merged[k] for k in sorted(merged)}, indent=1))
+    npass = sum(1 for v in merged.values()
+                if v["rows_match"] and v["schema_match"] and v["hash_match"])
+    print(f"[sweep] {npass}/{len(merged)} gates green -> {out_json}")
+    sys.exit(0 if npass == len(merged) else 1)
+
+
+if __name__ == "__main__":
+    main()
