@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOps, CurationQueries, Extras, Relational, TimeSeries}
+import graft.queries.{CorpusOps, CurationQueries, Extras, PreferenceQueries, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry is one operator from the SURVEY §2 inventory (or a
@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ TimeSeries.defs ++ CorpusOps.defs ++ Extras.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ PreferenceQueries.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TimeSeries.oracles ++ CorpusOps.oracles ++
-      Extras.oracles ++ CurationQueries.oracles
+      Extras.oracles ++ CurationQueries.oracles ++ PreferenceQueries.oracles
 }

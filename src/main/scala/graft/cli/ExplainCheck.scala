@@ -263,6 +263,28 @@ object ExplainCheck {
     "q_doc_pref_pairs" -> (Seq("SortAggregate"),
       Seq("Window", "SortMergeJoin", "BroadcastHashJoin",
         "CartesianProduct")),
+    // win-rate matrix: two-sided explode (Generate) into ONE hash
+    // aggregate on the model key — no join, no window, nothing pairwise
+    "q_doc_winrate" -> (Seq("Generate", "HashAggregate"),
+      Seq("Window", "SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
+    // BT strength: the returned frame is the eager localCheckpoint of the
+    // final k-row join (materialized before the pair-stats cache is
+    // released), so the visible plan is the checkpoint scan — the
+    // per-round chain's shape (pair stats joined against k-row broadcast
+    // LocalRelations) is audited by OpsSpec's hand replay instead
+    "q_doc_bt_strength" -> (Seq("Scan ExistingRDD"),
+      Seq("CartesianProduct", "Window", "SortMergeJoin")),
+    // Fleiss kappa: three linear hash aggregates joined at GROUP
+    // granularity (groups ≈ languages → broadcast-sized); the item/
+    // category rollups never window and never self-join the ratings
+    "q_doc_fleiss_kappa" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct")),
+    // best-of-n: k=2 bounded-heap aggregate (ObjectHashAggregate), never
+    // a per-group window sort of the candidate pool
+    "q_doc_best_of_n" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
     // SFT render: conv-keyed running-length window + one grouped agg over
     // the same hashpartitioning(conv) exchange; no join, nothing global
     "q_doc_sft_render" -> (Seq("Window", "hashpartitioning(conv"),

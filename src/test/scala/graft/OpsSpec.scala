@@ -4434,4 +4434,115 @@ class OpsSpec extends AnyFunSuite {
       tp("mvhd") + ("00" * 100))
     assert(!okOf(noMdia))
   }
+
+  test("winMatrix tallies both sides, halves ties, ignores junk outcomes") {
+    import graft.ops.Preference
+    val battles = Seq(
+      (10L, 20L, "a"), (10L, 20L, "a"), (10L, 20L, "tie"),
+      (20L, 10L, "b"), // 10 wins as the b-side too
+      (10L, 30L, "b"),
+      (10L, 20L, "oops")) // malformed outcome: ignored entirely
+      .toDF("ma", "mb", "o")
+    val r = Preference.winMatrix(battles, "ma", "mb", "o")
+      .collect().map(x => x.getAs[Long]("model") ->
+        ((x.getAs[Long]("battles"), x.getAs[Long]("wins"),
+          x.getAs[Long]("losses"), x.getAs[Long]("ties"),
+          x.getAs[Long]("win_rate_ppm")))).toMap
+    // model 10: 5 battles, 3 wins, 1 loss, 1 tie → (6+1)*1e6/10 = 700000
+    assert(r(10L) == ((5L, 3L, 1L, 1L, 700000L)))
+    assert(r(20L) == ((4L, 0L, 3L, 1L, 125000L)))
+    assert(r(30L) == ((1L, 1L, 0L, 0L, 1000000L)))
+  }
+
+  test("btStrength: hand-replayed 2-model fixed point, gradient ordering") {
+    import graft.ops.Preference
+    // A beats B twice + one tie: W2_A=5, W2_B=1, n2=6 each side
+    val battles = Seq(("A", "B", "a"), ("A", "B", "a"), ("A", "B", "tie"))
+      .toDF("ma", "mb", "o")
+    val got = Preference.btStrength(battles, "ma", "mb", "o", rounds = 3)
+      .collect().map(x => x.getAs[String]("model") ->
+        ((x.getAs[Long]("battles"), x.getAs[Long]("win_points"),
+          x.getAs[Long]("strength_ppm")))).toMap
+    // hand replay of the exact integer chain (k=2, mass=2e6)
+    var (piA, piB) = (1000000L, 1000000L)
+    for (_ <- 1 to 3) {
+      val dA = 6L * 1000000000000L / math.max(piA + piB, 1L)
+      val dB = dA
+      val rawA = math.min(5L * 1000000000000L / math.max(dA, 1L), 2000000L)
+      val rawB = math.min(1L * 1000000000000L / math.max(dB, 1L), 2000000L)
+      val tot = math.max(rawA + rawB, 1L)
+      piA = rawA * 2000000L / tot; piB = rawB * 2000000L / tot
+    }
+    assert(got("A") == ((3L, 5L, piA)))
+    assert(got("B") == ((3L, 1L, piB)))
+    assert(piA > piB) // the winner rates stronger
+    // mass conservation within floor truncation
+    assert(piA + piB <= 2000000L && piA + piB >= 2000000L - 2)
+    // a 3-model chain orders by true strength: X > Y > Z pairwise
+    val chain = Seq(("X", "Y", "a"), ("X", "Y", "a"), ("X", "Y", "b"),
+      ("Y", "Z", "a"), ("Y", "Z", "a"), ("Y", "Z", "b"),
+      ("X", "Z", "a"), ("X", "Z", "a"), ("X", "Z", "a"))
+      .toDF("ma", "mb", "o")
+    val s = Preference.btStrength(chain, "ma", "mb", "o", rounds = 5)
+      .collect().map(x => x.getAs[String]("model") ->
+        x.getAs[Long]("strength_ppm")).toMap
+    assert(s("X") > s("Y") && s("Y") > s("Z"))
+    intercept[IllegalArgumentException] {
+      Preference.btStrength(battles, "ma", "mb", "o", rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Preference.btStrength(battles, "ma", "mb", "o", rounds = 3,
+        maxModels = 1) // pool has 2 models
+    }
+  }
+
+  test("fleissKappa: perfect, degenerate, and listwise-dropped cases") {
+    import graft.ops.Preference
+    // g1: 2 items, 3 raters, perfect agreement on DIFFERENT categories
+    //     → po=1e9, pe=500000000·... → kappa exactly 1e6
+    // g2: every rating one category → pe=1e9 → kappa NULL
+    // g3: item 31 has 4 ratings (duplicate) → dropped; item 32 kept with
+    //     split 2-1 → hand value
+    val rows = Seq(
+      ("g1", 11L, 0L), ("g1", 11L, 0L), ("g1", 11L, 0L),
+      ("g1", 12L, 1L), ("g1", 12L, 1L), ("g1", 12L, 1L),
+      ("g2", 21L, 2L), ("g2", 21L, 2L), ("g2", 21L, 2L),
+      ("g2", 22L, 2L), ("g2", 22L, 2L), ("g2", 22L, 2L),
+      ("g3", 31L, 0L), ("g3", 31L, 0L), ("g3", 31L, 0L), ("g3", 31L, 0L),
+      ("g3", 32L, 0L), ("g3", 32L, 0L), ("g3", 32L, 1L))
+      .toDF("g", "item", "label")
+    val r = Preference.fleissKappa(rows, "g", "item", "label", raters = 3)
+      .collect().map(x => x.getAs[String]("g") ->
+        ((x.getAs[Long]("n_items"), x.getAs[Long]("n_items_dropped"),
+          x.getAs[Long]("po_ppb"), x.getAs[Long]("pe_ppb"),
+          Option(x.getAs[Any]("kappa_ppm"))))).toMap
+    assert(r("g1") == ((2L, 0L, 1000000000L, 500000000L, Some(1000000L))))
+    assert(r("g2")._4 == 1000000000L && r("g2")._5.isEmpty)
+    // g3: N=1, A=2·1+0=2 → po=2e9/6=333333333; T_0=2,T_1=1 over N·k=3
+    //     p0=666666666,p1=333333333; pe=(p0²+p1²)/1e9=444444443+111111110
+    val po = 2L * 1000000000L / 6L
+    val p0 = 2L * 1000000000L / 3L; val p1 = 1000000000L / 3L
+    val pe = p0 * p0 / 1000000000L + p1 * p1 / 1000000000L
+    val kap = (po - pe) * 1000000L / (1000000000L - pe)
+    assert(r("g3") == ((1L, 1L, po, pe, Some(kap))))
+    assert(kap < 0L) // below-chance agreement goes negative, not null
+  }
+
+  test("bestOfN: runner-up margin, singleton groups, smaller-id ties") {
+    import graft.ops.Preference
+    val pool = Seq(
+      (1L, 100L, 50L), (1L, 101L, 80L), (1L, 102L, 70L),
+      (2L, 200L, 9L), // singleton: null runner, null margin
+      (3L, 300L, 5L), (3L, 301L, 5L)) // tie: smaller id wins best
+      .toDF("p", "id", "score")
+    val r = Preference.bestOfN(pool, "p", "id", "score")
+      .collect().map(x => x.getAs[Long]("p") ->
+        ((x.getAs[Long]("n_candidates"), x.getAs[Long]("best_id"),
+          x.getAs[Long]("best_score"),
+          Option(x.getAs[Any]("runner_id")),
+          Option(x.getAs[Any]("margin"))))).toMap
+    assert(r(1L) == ((3L, 101L, 80L, Some(102L), Some(10L))))
+    assert(r(2L) == ((1L, 200L, 9L, None, None)))
+    assert(r(3L) == ((2L, 300L, 5L, Some(301L), Some(0L))))
+  }
 }
