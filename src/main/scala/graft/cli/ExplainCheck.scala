@@ -285,6 +285,12 @@ object ExplainCheck {
     "q_doc_best_of_n" -> (Seq("ObjectHashAggregate"),
       Seq("Window", "SortMergeJoin", "BroadcastHashJoin",
         "CartesianProduct")),
+    // interleave assignment: ONE doc-keyed equi-join (per-doc bounded
+    // images × sentences fan-out) into the struct-min argmin aggregate —
+    // SortAggregate WITH a partial before the exchange (the pref_pairs
+    // shape); no window, nothing cross-doc
+    "q_mm_interleave" -> (Seq("Join", "SortAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
     // SFT render: conv-keyed running-length window + one grouped agg over
     // the same hashpartitioning(conv) exchange; no join, nothing global
     "q_doc_sft_render" -> (Seq("Window", "hashpartitioning(conv"),

@@ -364,6 +364,43 @@ object Multimodal {
       .where(col("hamming") <= maxDist)
   }
 
+  /** MMC4-style image→text interleaving assignment — the multimodal
+    * document-assembly op: given per-doc image signatures and per-doc
+    * sentence signatures, place every image at its best-matching sentence
+    * (greedy per-image argmin, the scalable form of MMC4's bipartite
+    * matching). Similarity here is Hamming distance between 64-bit
+    * signatures — in production the signatures are CLIP-style embedding
+    * sketches; the op's contract is the ASSIGNMENT shape, and any
+    * bit-signature column (perceptual hash, sign-LSH of an embedding)
+    * plugs in unchanged.
+    *
+    * Ties break to the SMALLER sentence index (images gravitate toward
+    * first mention — the MMC4 default), so the layout is a pure function
+    * of the inputs. Docs with images but no sentences drop (nothing to
+    * anchor to); `n_sentences` carries the per-doc anchor count.
+    *
+    * Scale shape: ONE doc-keyed equi-join whose fan-out is images ×
+    * sentences WITHIN a doc (both per-doc bounded — a layout never holds
+    * unbounded images), then a map-side-combinable argmin aggregate per
+    * image. No window, nothing cross-doc, never quadratic in the corpus.
+    */
+  def interleaveAssign(images: DataFrame, docCol: String, imgCol: String,
+      sigCol: String, sents: DataFrame, sentIdxCol: String,
+      sentSigCol: String): DataFrame =
+    images.join(sents, Seq(docCol))
+      .groupBy(docCol, imgCol)
+      .agg(
+        min(col(sigCol)).as(sigCol), // constant per image; min for determinism
+        min(struct(
+          bit_count(col(sigCol).bitwiseXOR(col(sentSigCol)))
+            .cast("long").as("ham"),
+          col(sentIdxCol).cast("long").as("idx"))).as("best"),
+        count(lit(1)).as("n_sentences"))
+      .select(col(docCol), col(imgCol), col(sigCol),
+        col("best.idx").as("best_sent_idx"),
+        col("best.ham").as("best_hamming"),
+        col("n_sentences"))
+
   /** Real audio RESAMPLE on the decode path: decode 16-bit LE PCM
     * ([[decodeWav]]'s codec), then nearest-neighbor pick `n` samples —
     * output sample i reads source sample (i·len div n), integer math, so

@@ -2726,6 +2726,44 @@ object CorpusOps {
       pairs.join(hashes, Seq("grp")).orderBy("grp")
     }),
 
+    // multimodal: MMC4-style image→text interleaving — two REAL-decoded
+    // images per doc (perceptual pattern family) placed at their
+    // Hamming-closest 5-token sentence chunk (greedy argmin, ties to the
+    // earliest sentence); sentence signatures are the portable 52-bit md5
+    // prefix, image signatures the decoded aHash, so the oracle states
+    // the hashes from the generator and replays the assignment exactly
+    "q_mm_interleave" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val pngs = (0 until 8).map(k =>
+        lit(Multimodal.makePng(16, 16, mmPerceptualPixel(k))))
+      def side(slot: Int, kIdx: org.apache.spark.sql.Column) = d.select(
+        (col("doc_id") * 2 + slot).as("media_id"),
+        lit("image").as("modality"),
+        element_at(array(pngs: _*), kIdx.cast("int") + 1).as("payload"),
+        lit("synth").as("source"))
+      val media = side(0, pmod(col("doc_id"), lit(8)))
+        .unionByName(side(1, pmod(expr("doc_id DIV 8"), lit(8))))
+        .as[Multimodal.MediaRecord]
+      val imgs = Multimodal.perceptualHash(media).toDF()
+        .where(col("decoded"))
+        .select(expr("media_id DIV 2").as("doc_id"),
+          pmod(col("media_id"), lit(2L)).as("img_slot"), col("ahash"))
+      val words = split(trim(col("text")), "\\s+")
+      val nch = call_function("div",
+        (size(words) + lit(4)).cast("long"), lit(5L))
+      val sents = d
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), nch - 1), g =>
+            array_join(slice(words, (g * 5 + 1).cast("int"), lit(5)), " ")))
+            .as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx"),
+          graft.ops.Kmv.hash52(col("sentence")).as("sent_sig"))
+      Multimodal.interleaveAssign(imgs, "doc_id", "img_slot", "ahash",
+          sents, "sent_idx", "sent_sig")
+        .orderBy("doc_id", "img_slot")
+    }),
+
     // multimodal: REAL WAV PCM decode (javax.sound.sampled): canonical
     // 52-byte mono 16-bit files assembled IN-QUERY (header as q_mm_wav plus
     // a data chunk of 4 doc_id-derived samples), decoded back by the JDK's
@@ -7256,6 +7294,41 @@ object CorpusOps {
         |  CAST(1 AS BIGINT) AS n_hashes, e.ahash_hex, e.dhash_hex
         |FROM g JOIN e USING (grp)
         |ORDER BY g.grp""".stripMargin
+    },
+
+    // interleave replay: aHashes stated from the generator (the decode
+    // gates prove codec identity), sentence 52-bit md5 sigs and the
+    // (hamming, sent_idx) argmin replayed; the lexicographic tiebreak is
+    // encoded as ham*1e6+idx (sent counts are docs-bounded << 1e6)
+    "q_mm_interleave" -> {
+      val rows = (0 until 8).map { k =>
+        s"($k, CAST(${mmPhashExpected(k)._1} AS BIGINT))"
+      }.mkString(",\n        |    ")
+      s"""WITH e(k, ahash) AS (VALUES
+        |    $rows),
+        |w AS (SELECT doc_id,
+        |        regexp_split_to_array(trim(text), '\\s+') AS words
+        |      FROM documents),
+        |sent AS (SELECT doc_id, g.g AS sent_idx,
+        |    ('0x' || substr(md5(array_to_string(
+        |      words[(g.g*5+1):(g.g*5+5)], ' ')), 1, 13))::BIGINT AS sig
+        |  FROM w, UNNEST(range(0, (len(words)+4)//5)) AS g(g)),
+        |img AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS img_slot, e.ahash
+        |  FROM documents JOIN e ON CAST(doc_id % 8 AS INT) = e.k
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT), e.ahash
+        |  FROM documents JOIN e ON CAST((doc_id // 8) % 8 AS INT) = e.k),
+        |j AS (SELECT i.doc_id, i.img_slot, i.ahash,
+        |        CAST(bit_count(xor(i.ahash, s.sig)) AS BIGINT) * 1000000
+        |          + s.sent_idx AS key
+        |      FROM img i JOIN sent s ON i.doc_id = s.doc_id),
+        |m AS (SELECT doc_id, img_slot, min(ahash) AS ahash,
+        |        min(key) AS key, count(*) AS n_sentences
+        |      FROM j GROUP BY 1, 2)
+        |SELECT doc_id, img_slot, ahash, key % 1000000 AS best_sent_idx,
+        |  key // 1000000 AS best_hamming, n_sentences
+        |FROM m ORDER BY doc_id, img_slot""".stripMargin
     },
 
     // new-batch dedup verdicts in closed form: grid j < 8 collides with

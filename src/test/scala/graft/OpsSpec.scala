@@ -4435,6 +4435,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!okOf(noMdia))
   }
 
+  test("interleaveAssign: argmin hamming, earliest-sentence ties, no-anchor drop") {
+    val images = Seq(
+      (1L, 0L, 0xF0L), // doc 1, two images
+      (1L, 1L, 0x0FL),
+      (2L, 0L, 0xFFL)) // doc 2 has no sentences → dropped
+      .toDF("doc", "img", "sig")
+    val sents = Seq(
+      (1L, 0L, 0xF1L), // ham(0xF0)=1  ham(0x0F)=7
+      (1L, 1L, 0x0FL), // ham(0xF0)=8  ham(0x0F)=0
+      (1L, 2L, 0xF1L)) // duplicate sig of sent 0 → tie must pick idx 0
+      .toDF("doc", "sidx", "ssig")
+    val r = Multimodal.interleaveAssign(images, "doc", "img", "sig",
+        sents, "sidx", "ssig")
+      .collect().map(x => (x.getAs[Long]("doc"), x.getAs[Long]("img")) ->
+        ((x.getAs[Long]("best_sent_idx"), x.getAs[Long]("best_hamming"),
+          x.getAs[Long]("n_sentences")))).toMap
+    assert(r((1L, 0L)) == ((0L, 1L, 3L))) // tie with sent 2 → earliest
+    assert(r((1L, 1L)) == ((1L, 0L, 3L)))
+    assert(!r.contains((2L, 0L)))
+  }
+
   test("winMatrix tallies both sides, halves ties, ignores junk outcomes") {
     import graft.ops.Preference
     val battles = Seq(

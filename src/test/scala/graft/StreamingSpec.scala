@@ -1290,4 +1290,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest()("g1") == batchStat(p1 ++ p2)("g1"))
     } finally q.stop()
   }
+
+  test("streaming winrate leaderboard equals batch winMatrix per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingWinrate
+    import graft.ops.Preference
+    val source = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = StreamingWinrate.track(
+        source.toDF().toDF("model_a", "model_b", "outcome", "event_time"),
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wr_out").start()
+    def latest(): Map[Long, (Long, Long, Long, Long, Long)] =
+      spark.table("wr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .groupBy(_._1).map { case (m, rows) =>
+          val x = rows.last // Update mode: last row wins
+          m -> ((x._2, x._3, x._4, x._5, x._6))
+        }
+    def batchOf(rows: Seq[(Long, Long, String)]) =
+      Preference.winMatrix(rows.toDF("ma", "mb", "o"), "ma", "mb", "o")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+    try {
+      val p1 = Seq((10L, 20L, "a"), (10L, 20L, "tie"), (20L, 30L, "b"),
+        (10L, 30L, "oops")) // malformed: dropped in both paths
+      source.addData(p1.map { case (a, b, o) =>
+        (a, b, o, ts("2020-01-01 00:00:01")) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOf(p1))
+      // cross-batch accumulation: model 10's tallies span both batches
+      val p2 = Seq((10L, 30L, "b"), (20L, 10L, "a"), (10L, 20L, "a"))
+      source.addData(p2.map { case (a, b, o) =>
+        (a, b, o, ts("2020-01-01 00:00:02")) }: _*)
+      q.processAllAvailable()
+      val want = batchOf(p1 ++ p2)
+      assert(latest() == want, s"stream ${latest()} vs batch $want")
+    } finally q.stop()
+  }
 }
