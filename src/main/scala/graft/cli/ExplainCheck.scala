@@ -475,10 +475,12 @@ object ExplainCheck {
       Seq("Window", "CartesianProduct", "SortMergeJoin",
         "BroadcastNestedLoopJoin")),
     // winsorize: cutoffs from one grouped percentile agg broadcast back
-    // onto the scan; the clip + micro-sum is a second aggregate — no
-    // window, no shuffled join
-    "q_ts_winsorize" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
-      Seq("Window", "CartesianProduct", "SortMergeJoin")),
+    // onto the scan; cutoffs are ceil-rank order statistics over the
+    // DISTINCT-cents table (value-domain-bounded, so its cumulative
+    // window is metadata-sized — the Rank.scala discipline), broadcast
+    // back; the clip + micro-sum is one hash aggregate over the scan
+    "q_ts_winsorize" -> (Seq("HashAggregate", "BroadcastHashJoin", "Window"),
+      Seq("CartesianProduct", "SortMergeJoin")),
     // gap profile: one key-partitioned lag window + one grouped
     // percentile aggregate
     "q_ts_gaps" -> (Seq("Window", "ObjectHashAggregate"),

@@ -2703,7 +2703,13 @@ object CorpusOps {
       val payload = when(pmod(col("doc_id"), lit(2)) === 0,
         element_at(array(pngs: _*), idx))
         .otherwise(element_at(array(bmps: _*), idx))
-      val media = t(s, dir, "documents")
+      // deterministic id panel just above the sf0.1 table size (the
+      // margin-gate discipline): every sf ≤ 0.1 result is unchanged, and
+      // the per-group pair count is CONSTANT at sf1+ — without it the
+      // groups grow past the viral-bucket DefaultCap and the capped band
+      // join correctly drops them whole (0 pairs at sf1, surfaced by the
+      // sf1 sweep), while an Uncapped escape would grow O(n²) pairs
+      val media = t(s, dir, "documents").where(col("doc_id") < 5120)
         .select(col("doc_id").as("media_id"), lit("image").as("modality"),
           payload.as("payload"), lit("synth").as("source"))
         .as[Multimodal.MediaRecord]
@@ -7286,7 +7292,7 @@ object CorpusOps {
         |g AS (SELECT CAST((doc_id // 2) % 8 AS INT) AS grp, count(*) AS n,
         |        count(*) FILTER (WHERE doc_id % 2 = 0) AS ne,
         |        count(*) FILTER (WHERE doc_id % 2 = 1) AS no
-        |      FROM documents GROUP BY 1)
+        |      FROM documents WHERE doc_id < 5120 GROUP BY 1)
         |SELECT g.grp, CAST(g.n * (g.n - 1) // 2 AS BIGINT) AS n_pairs,
         |  CAST(g.ne * g.no AS BIGINT) AS n_cross_format,
         |  CAST(0 AS INT) AS max_hamming,

@@ -281,20 +281,37 @@ object TimeSeries {
     // values. Cutoffs from ONE grouped percentile agg broadcast back;
     // clipped values summed in micro-units (post-clip round → exact
     // integer sum, order-free)
+    // winsorize at EXACT integer-cent order statistics (ceil-rank p01 /
+    // p99 — the classic trim-to-order-statistic definition), not at
+    // interpolated quantiles: float interpolation formulas differ
+    // between engines (v[lo]+f·(v[hi]−v[lo]) vs (1−f)·v[lo]+f·v[hi]) and
+    // diverge by an ulp exactly when the rank lands inside a run of tied
+    // values — surfaced by the sf1 sweep, where 10× replicas put ties at
+    // the 0.99 boundary. The cumulative window runs over DISTINCT cents
+    // per type (a value-domain-bounded table, not the event stream — the
+    // Rank.scala bounded-by-construction discipline); cutoffs broadcast
+    // back onto the scan.
     "q_ts_winsorize" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("event_type"), col("value"))
-      val cuts = e.groupBy("event_type")
-        .agg(expr("percentile(value, 0.01)").as("lo"),
-          expr("percentile(value, 0.99)").as("hi"))
+      val e = ev(s, dir).select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      val n = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val dist = e.groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+      val cum = dist.withColumn("cum", sum("cnt").over(w))
+      val cuts = cum.join(n, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          min(when(col("cum") >= call_function("div",
+            col("n") + 99, lit(100L)), col("c"))).as("lo_c"),
+          min(when(col("cum") >= call_function("div",
+            col("n") * 99 + 99, lit(100L)), col("c"))).as("hi_c"))
       e.join(broadcast(cuts), Seq("event_type"))
-        .select(col("event_type"), col("value"), col("lo"), col("hi"),
-          round(greatest(least(col("value"), col("hi")), col("lo")) * 1e6, 0)
-            .cast("long").as("clipped_micro"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum((col("value") < col("lo")).cast("long")).as("n_clipped_low"),
-          sum((col("value") > col("hi")).cast("long")).as("n_clipped_high"),
-          sum(col("clipped_micro")).as("sum_clipped_micro"))
+          sum((col("c") < col("lo_c")).cast("long")).as("n_clipped_low"),
+          sum((col("c") > col("hi_c")).cast("long")).as("n_clipped_high"),
+          (sum(greatest(least(col("c"), col("hi_c")), col("lo_c")))
+            * 10000L).as("sum_clipped_micro"))
         .orderBy("event_type")
     }),
 
@@ -977,20 +994,33 @@ object TimeSeries {
         |FROM e GROUP BY user_id, event_type, bucket
         |ORDER BY user_id, event_type, bucket""".stripMargin,
 
+    // ceil-rank order-statistic cutoffs over integer cents — no float
+    // interpolation anywhere (see the gate comment: interpolated
+    // quantiles diverge between engines on replica ties at the rank)
     "q_ts_winsorize" ->
-      """WITH e AS (SELECT event_type, value FROM events),
-        |c AS (
-        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
-        |    quantile_cont(value, 0.99) AS hi
-        |  FROM e GROUP BY event_type)
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+        |d AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM d),
+        |cuts AS (SELECT cum.event_type,
+        |    min(CASE WHEN cum.cum >= (n.n + 99) // 100 THEN cum.c END)
+        |      AS lo_c,
+        |    min(CASE WHEN cum.cum >= (n.n * 99 + 99) // 100 THEN cum.c END)
+        |      AS hi_c
+        |  FROM cum JOIN n USING (event_type) GROUP BY cum.event_type)
         |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN e.c < t.lo_c THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_clipped_low,
-        |  CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN e.c > t.hi_c THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_clipped_high,
-        |  CAST(sum(CAST(round(greatest(least(e.value, c.hi), c.lo) * 1e6, 0)
-        |    AS BIGINT)) AS BIGINT) AS sum_clipped_micro
-        |FROM e JOIN c USING (event_type)
+        |  CAST(sum(greatest(least(e.c, t.hi_c), t.lo_c)) AS BIGINT) * 10000
+        |    AS sum_clipped_micro
+        |FROM e JOIN cuts t USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_ts_exp_histogram" ->

@@ -98,8 +98,10 @@ def main():
             p, pj = procs.pop(0)
             rc = p.wait()
             if rc != 0 or not pj.exists():
-                # a crashed shard (OOM-kill etc.) marks its gates errored
-                for n in p.args[5:]:
+                # a crashed shard (OOM-kill etc.) marks its gates errored;
+                # argv layout: [python, script, --shard-worker, sf, out, pj,
+                # gate...] — gates start at index 6
+                for n in p.args[6:]:
                     merged[n] = {"rows_match": False, "schema_match": False,
                                  "hash_match": False, "spark_rows": None,
                                  "oracle_rows": None,
