@@ -1135,8 +1135,16 @@ object CurationQueries {
       val enc = graft.ops.ScalarQuant.loadBqIndex(s, base)
       val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
-      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
-        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // calibration bound on the QUERY sides only (see q_emb_margin_pq):
+      // the persisted index and the candidate scans stay FULL-corpus (the
+      // memory-shape claim), but each direction mines margins for the
+      // fixed id panel, so verification work is constant at sf1+ — the
+      // unbounded oracle's 1e8-row Hamming cross spilled past the disk at
+      // sf1; margin pairs need both endpoints panel-side (the tail's
+      // inner denominator joins), identical in the oracle
+      def qside(d: org.apache.spark.sql.DataFrame) = d
+        .where(col("vec_id") < lit(graft.queries.CorpusOps.marginCalBound))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val fwd = graft.ops.ScalarQuant.bqSearchCosExactIndexed(
         enc.where(pmod(col("vec_id"), lit(2)) === 1), tgt, "vec_id",
         "embedding", qside(src), "query_id", "query_vec", k = 4,
@@ -2164,12 +2172,16 @@ object CurationQueries {
          |  FROM e JOIN qe USING (vec_id)),
          |so AS (SELECT * FROM je WHERE vec_id % 2 = 0),
          |tg AS (SELECT * FROM je WHERE vec_id % 2 = 1),
-         |hf AS (SELECT so.vec_id AS src_id, tg.vec_id AS tgt_id,
-         |    so.qv AS qqv, so.r AS qr, tg.qv AS cqv, tg.r AS cr,
-         |    list_sum([CASE WHEN (tg.ev[i] > 0) <> (so.ev[i] > 0)
+         |sp AS (SELECT * FROM so
+         |       WHERE vec_id < ${CorpusOps.marginCalBound}),
+         |tp AS (SELECT * FROM tg
+         |       WHERE vec_id < ${CorpusOps.marginCalBound}),
+         |hf AS (SELECT sp.vec_id AS src_id, tg.vec_id AS tgt_id,
+         |    sp.qv AS qqv, sp.r AS qr, tg.qv AS cqv, tg.r AS cr,
+         |    list_sum([CASE WHEN (tg.ev[i] > 0) <> (sp.ev[i] > 0)
          |      THEN 1 ELSE 0 END
          |     for i in generate_series(1, len(tg.ev))]) AS ham
-         |  FROM so CROSS JOIN tg),
+         |  FROM sp CROSS JOIN tg),
          |cf AS (SELECT *, row_number() OVER (
          |    PARTITION BY src_id ORDER BY ham, tgt_id) AS hrn FROM hf),
          |sf AS (SELECT src_id, tgt_id,
@@ -2179,12 +2191,12 @@ object CurationQueries {
          |    PARTITION BY src_id ORDER BY cos_x1m DESC, tgt_id) AS rn
          |  FROM sf WHERE cos_x1m IS NOT NULL),
          |fwd AS (SELECT src_id, tgt_id, cos_x1m FROM fr WHERE rn <= 4),
-         |hb AS (SELECT so.vec_id AS src_id, tg.vec_id AS tgt_id,
-         |    tg.qv AS qqv, tg.r AS qr, so.qv AS cqv, so.r AS cr,
-         |    list_sum([CASE WHEN (so.ev[i] > 0) <> (tg.ev[i] > 0)
+         |hb AS (SELECT so.vec_id AS src_id, tp.vec_id AS tgt_id,
+         |    tp.qv AS qqv, tp.r AS qr, so.qv AS cqv, so.r AS cr,
+         |    list_sum([CASE WHEN (so.ev[i] > 0) <> (tp.ev[i] > 0)
          |      THEN 1 ELSE 0 END
          |     for i in generate_series(1, len(so.ev))]) AS ham
-         |  FROM tg CROSS JOIN so),
+         |  FROM tp CROSS JOIN so),
          |cb AS (SELECT *, row_number() OVER (
          |    PARTITION BY tgt_id ORDER BY ham, src_id) AS hrn FROM hb),
          |sb AS (SELECT src_id, tgt_id,
