@@ -1033,14 +1033,15 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
     // MP4 frame index: bounded per-row descent+table folds, then one
-    // explode of the k-bounded sample array — projection + Generate,
+    // explode of the k-bounded sample array — the (pl, ix) checkpoint
+    // barrier (assemble + walk once per doc) feeds projection + Generate,
     // zero shuffle before the output sort
-    "q_mm_frame_index" -> (Seq("Batched: true", "Generate"),
+    "q_mm_frame_index" -> (Seq("Scan ExistingRDD", "Generate"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
-    // frame dedup: index walk + explode + ONE fp-keyed aggregate
-    // (map-side combined); no joins, no window
-    "q_mm_frame_dedup" -> (Seq("Batched: true", "Generate",
+    // frame dedup: checkpointed index walk + explode + ONE fp-keyed
+    // aggregate (map-side combined); no joins, no window
+    "q_mm_frame_dedup" -> (Seq("Scan ExistingRDD", "Generate",
         "HashAggregate"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window")),

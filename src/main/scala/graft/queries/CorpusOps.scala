@@ -2564,6 +2564,13 @@ object CorpusOps {
       mp4Fixture(t(s, dir, "documents"), "f", col("doc_id"))
         .select(col("doc_id"), col("pl"),
           graft.ops.Multimodal.mp4SampleIndex(col("pl")).as("ix"))
+        // materialize (pl, ix) ONCE: the fixture assembly and the index
+        // walk are expensive row expressions, and downstream explode +
+        // per-frame slicing re-inlines them 2-3x through the implicit
+        // Generate filter and projections (measured 12.7 s -> the walk
+        // dominating the whole sweep); after the checkpoint each doc
+        // assembles and walks exactly once
+        .localCheckpoint()
         .select(col("doc_id"), col("ix.ok").as("ok"),
           col("ix.n_samples").as("n_samples"),
           col("ix.n_chunks").as("n_chunks"),
@@ -2589,6 +2596,8 @@ object CorpusOps {
           pmod(col("doc_id"), lit(50)))
         .select(col("doc_id"), col("pl"),
           graft.ops.Multimodal.mp4SampleIndex(col("pl")).as("ix"))
+        // assemble + walk once per doc (see q_mm_frame_index)
+        .localCheckpoint()
         .select(col("doc_id"),
           explode(col("ix.samples")).as("smp"), col("pl"))
         .select(col("doc_id"),
