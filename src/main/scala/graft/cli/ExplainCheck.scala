@@ -77,9 +77,11 @@ object ExplainCheck {
     // shingle-keyed join; shingling runs as Generate, never a product join
     "q_doc_decontaminate" -> (Seq("BroadcastHashJoin", "Generate"),
       Seq("CartesianProduct")),
-    // packing: per-group fold = collect_list partials (ObjectHashAggregate)
-    // + Generate in the same stage; no global window anywhere
-    "q_doc_pack" -> (Seq("ObjectHashAggregate", "Generate"),
+    // packing: per-group sorted collect (ObjectHashAggregate) into the
+    // typed O(n) greedy-fill loop (SerializeFromObject — the imperative
+    // per-group seam; the Column-fold form was O(n²) per group); no
+    // global window anywhere
+    "q_doc_pack" -> (Seq("ObjectHashAggregate", "SerializeFromObject"),
       Seq("CartesianProduct", "Window")),
     "q_doc_repetition" -> (Seq("HashAggregate"),
       Seq("CartesianProduct", "Window")),
@@ -115,9 +117,10 @@ object ExplainCheck {
     // privacy audit: ONE map-side-combinable QI-keyed aggregate
     "q_doc_k_anonymity" -> (Seq("HashAggregate"),
       Seq("Window", "CartesianProduct", "SortMergeJoin")),
-    // compaction planner: per-partition pack fold (Generate) + the
-    // bin-count semi filter — metadata-scale, never a window
-    "q_layout_compaction" -> (Seq("Generate", "HashAggregate"),
+    // compaction planner: per-partition typed pack loop
+    // (SerializeFromObject) + the bin-count semi filter —
+    // metadata-scale, never a window
+    "q_layout_compaction" -> (Seq("SerializeFromObject", "HashAggregate"),
       Seq("Window", "CartesianProduct")),
     "q_doc_bpe_roundtrip" -> (Seq("ObjectHashAggregate"), Seq("Window")),
     // byte-level BPE: corpus side is Generate (pretoken explode) + joins
@@ -296,9 +299,9 @@ object ExplainCheck {
     "q_doc_sft_render" -> (Seq("Window", "hashpartitioning(conv"),
       Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
     // SFT->pack composition: the render chain feeding the shard-keyed
-    // greedy-fill fold (ObjectHashAggregate for the sorted collect) —
-    // no join anywhere
-    "q_doc_sft_pack" -> (Seq("ObjectHashAggregate", "Generate"),
+    // typed greedy-fill loop (ObjectHashAggregate for the sorted
+    // collect, SerializeFromObject for the O(n) pack) — no join anywhere
+    "q_doc_sft_pack" -> (Seq("ObjectHashAggregate", "SerializeFromObject"),
       Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
     // grouped top-k: bounded k-heap aggregation, never a per-group window
     // sort (one hot group would serialize on one task)
