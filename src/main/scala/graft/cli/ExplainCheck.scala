@@ -288,6 +288,11 @@ object ExplainCheck {
     "q_doc_best_of_n" -> (Seq("ObjectHashAggregate"),
       Seq("Window", "SortMergeJoin", "BroadcastHashJoin",
         "CartesianProduct")),
+    // rater bias: one item-keyed aggregate joined back onto the ratings
+    // (both sides item-partitioned), then one rater-keyed aggregate —
+    // linear, no window, nothing pairwise
+    "q_doc_rater_bias" -> (Seq("HashAggregate"),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
     // interleave assignment: ONE doc-keyed equi-join (per-doc bounded
     // images × sentences fan-out) into the struct-min argmin aggregate —
     // SortAggregate WITH a partial before the exchange (the pref_pairs

@@ -236,6 +236,43 @@ object Preference {
             lit(1000000000L) - col("pe_ppb"))))
   }
 
+  /** Per-rater bias (severity/leniency) audit over NUMERIC scores — the
+    * companion to [[fleissKappa]] for scored rubrics: for every rating,
+    * the deviation from the LEAVE-ONE-OUT consensus (the item's mean
+    * over the OTHER raters — comparing against a mean that includes the
+    * rater's own score would shrink every bias toward zero), then the
+    * per-rater mean deviation. A consistently harsh rater surfaces as a
+    * negative bias, a lenient one positive; both are re-centering
+    * candidates before the scores train anything.
+    *
+    * Exact integer algebra at micro scale (scores integer-typed):
+    *   dev_micro  = 1e6 * (score*(n_i-1) - (sum_i - score)) div (n_i-1)
+    *   bias_micro = SUM(dev_micro) div n_scored
+    * Items with a single rating are excluded (no consensus to deviate
+    * from) and surface in `n_single`. Truncation only at the two named
+    * div sites, replayed identically by the oracle.
+    *
+    * Scale shape: one item-keyed aggregate joined back onto the ratings
+    * (both sides item-partitioned — one shuffle pair), then one
+    * rater-keyed aggregate. Linear, no window, nothing pairwise.
+    */
+  def raterBias(ratings: DataFrame, raterCol: String, itemCol: String,
+      scoreCol: String): DataFrame = {
+    val items = ratings.groupBy(itemCol)
+      .agg(sum(scoreCol).as("sum_i"), count(lit(1)).as("n_i"))
+    ratings.join(items, Seq(itemCol))
+      .select(col(raterCol), col("n_i"),
+        when(col("n_i") > 1, call_function("div",
+          (col(scoreCol) * (col("n_i") - 1) -
+            (col("sum_i") - col(scoreCol))) * 1000000L,
+          col("n_i") - 1)).as("dev_micro"))
+      .groupBy(raterCol)
+      .agg(count(col("dev_micro")).as("n_scored"),
+        sum(when(col("n_i") === 1, 1L).otherwise(0L)).as("n_single"),
+        when(count(col("dev_micro")) > 0, call_function("div",
+          sum("dev_micro"), count(col("dev_micro")))).as("bias_micro"))
+  }
+
   /** Best-of-n selection with the runner-up margin — the rejection-
     * sampling / BoN-distillation dataset op: per group (prompt), the
     * top-scored candidate plus the gap to the SECOND best (the margin a

@@ -76,6 +76,23 @@ object PreferenceQueries {
         .orderBy("lang")
     }),
 
+    // per-rater severity audit: 3 synthesized raters per doc, each with
+    // a built-in severity offset (rater % 7) the leave-one-out bias must
+    // recover; every 13th doc is single-rated → excluded, surfaced in
+    // n_single
+    "q_doc_rater_bias" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rs = when(pmod(col("doc_id"), lit(13L)) === 0, array(lit(0L)))
+        .otherwise(array(lit(0L), lit(1L), lit(2L)))
+      val rater = pmod(col("doc_id") * 7 + col("r") * 31, lit(11L))
+      val ratings = d
+        .select(col("doc_id"), col("n_chars"), explode(rs).as("r"))
+        .select(col("doc_id"), rater.as("rater"),
+          (col("n_chars") * 10 + pmod(rater, lit(7L))).as("score"))
+      Preference.raterBias(ratings, "rater", "doc_id", "score")
+        .orderBy("rater")
+    }),
+
     // best-of-n selection with the runner-up margin — per prompt, top-2
     // through the k-bounded heap aggregate (never a group window)
     "q_doc_best_of_n" -> ((s, dir) => {
@@ -200,6 +217,29 @@ object PreferenceQueries {
         |FROM pg JOIN pe ON pg.lang = pe.lang
         |LEFT JOIN drp ON pg.lang = drp.lang
         |ORDER BY pg.lang""".stripMargin,
+
+    "q_doc_rater_bias" ->
+      """WITH rat AS (
+        |  SELECT doc_id, (doc_id*7 + u.r*31) % 11 AS rater,
+        |    n_chars*10 + ((doc_id*7 + u.r*31) % 11) % 7 AS score
+        |  FROM documents,
+        |    UNNEST(CASE WHEN doc_id % 13 = 0 THEN [0]
+        |           ELSE [0, 1, 2] END) AS u(r)),
+        |it AS (SELECT doc_id, CAST(sum(score) AS BIGINT) AS sum_i,
+        |         count(*) AS n_i
+        |       FROM rat GROUP BY 1),
+        |dv AS (SELECT r.rater, it.n_i,
+        |    CASE WHEN it.n_i > 1 THEN
+        |      (r.score*(it.n_i-1) - (it.sum_i - r.score)) * 1000000
+        |        // (it.n_i-1) END AS dev
+        |  FROM rat r JOIN it USING (doc_id))
+        |SELECT rater, count(dev) AS n_scored,
+        |  CAST(sum(CASE WHEN n_i = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_single,
+        |  CASE WHEN count(dev) > 0
+        |       THEN CAST(sum(dev) AS BIGINT) // count(dev) END
+        |    AS bias_micro
+        |FROM dv GROUP BY rater ORDER BY rater""".stripMargin,
 
     "q_doc_best_of_n" ->
       """WITH pool AS (

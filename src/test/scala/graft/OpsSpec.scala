@@ -4549,6 +4549,33 @@ class OpsSpec extends AnyFunSuite {
     assert(kap < 0L) // below-chance agreement goes negative, not null
   }
 
+  test("raterBias: leave-one-out deviation, singleton exclusion") {
+    import graft.ops.Preference
+    // item 1: raters A(10), B(20) → dev A = -10e6, dev B = +10e6
+    // item 2: raters A(30), B(30), C(60) → consensus w/o A = 45 → A -15e6
+    //         w/o B = 45 → B -15e6; w/o C = 30 → C +30e6
+    // item 3: rater C alone → excluded, n_single(C) = 1
+    val rows = Seq(
+      ("A", 1L, 10L), ("B", 1L, 20L),
+      ("A", 2L, 30L), ("B", 2L, 30L), ("C", 2L, 60L),
+      ("C", 3L, 99L))
+      .toDF("rater", "item", "score")
+    val r = Preference.raterBias(rows, "rater", "item", "score")
+      .collect().map(x => x.getAs[String]("rater") ->
+        ((x.getAs[Long]("n_scored"), x.getAs[Long]("n_single"),
+          Option(x.getAs[Any]("bias_micro"))))).toMap
+    assert(r("A") == ((2L, 0L, Some((-10000000L - 15000000L) / 2))))
+    assert(r("B") == ((2L, 0L, Some((10000000L - 15000000L) / 2))))
+    assert(r("C") == ((1L, 1L, Some(30000000L))))
+    // a rater with ONLY singleton items: null bias, n_single counted
+    val solo = Preference.raterBias(
+      Seq(("Z", 9L, 5L)).toDF("rater", "item", "score"),
+      "rater", "item", "score").collect()
+    assert(solo.length == 1 && solo(0).getAs[Long]("n_scored") == 0L
+      && solo(0).getAs[Long]("n_single") == 1L
+      && solo(0).isNullAt(solo(0).fieldIndex("bias_micro")))
+  }
+
   test("bestOfN: runner-up margin, singleton groups, smaller-id ties") {
     import graft.ops.Preference
     val pool = Seq(
