@@ -1040,16 +1040,16 @@ object ExplainCheck {
     "q_mm_mp4" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
-    // MP4 frame index: bounded per-row descent+table folds, then one
-    // explode of the k-bounded sample array — the (pl, ix) checkpoint
-    // barrier (assemble + walk once per doc) feeds projection + Generate,
-    // zero shuffle before the output sort
-    "q_mm_frame_index" -> (Seq("Scan ExistingRDD", "Generate"),
+    // MP4 frame index: the typed mapPartitions walk (mp4ParseIndex seam
+    // — assemble + walk once per doc; the seam's opaque node replaces
+    // the old checkpoint barrier) feeds projection + one Generate over
+    // the k-bounded sample array, zero shuffle before the output sort
+    "q_mm_frame_index" -> (Seq("MapPartitions", "Generate"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
-    // frame dedup: checkpointed index walk + explode + ONE fp-keyed
+    // frame dedup: seam index walk + explode + ONE fp-keyed
     // aggregate (map-side combined); no joins, no window
-    "q_mm_frame_dedup" -> (Seq("Scan ExistingRDD", "Generate",
+    "q_mm_frame_dedup" -> (Seq("MapPartitions", "Generate",
         "HashAggregate"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window")),

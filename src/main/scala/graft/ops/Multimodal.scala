@@ -123,33 +123,174 @@ object Multimodal {
     }
   }
 
+  /** Per-thread audio codec context — the WAV seam's scale fix.
+    *
+    * `AudioSystem.getAudioInputStream` re-walks the `AudioFileReader` SPI
+    * registry on EVERY call (OpenJDK's `JDK13Services.getProviders` runs a
+    * fresh `ServiceLoader` iteration each time), and `readAllBytes()`
+    * allocates ~3 transient copies of the PCM payload per record. Both
+    * costs are invisible on a 64-doc fixture and dominated the sf1 sweep:
+    * the four audio gates measured 16–23× wall at 10× data (BENCH_sf1,
+    * round 13) purely from registry scans + allocation/GC pressure. This
+    * context resolves the provider list ONCE per task thread and drains
+    * PCM into one reused, grow-only buffer, making the per-record cost
+    * flat: header parse + one pass over the samples.
+    *
+    * Semantics are identical to `AudioSystem.getAudioInputStream`:
+    * providers are tried in registration order, the first that accepts
+    * the stream wins, none → quarantine (callers map `null` to
+    * `decoded=false`, the same observable outcome as the
+    * `UnsupportedAudioFileException` they previously caught).
+    *
+    * Thread-confined by construction: one Spark task runs on one thread,
+    * so the ThreadLocal gives every partition its own buffer with zero
+    * coordination. The scratch buffer never escapes a record — every
+    * emitted row copies primitives (or a fresh array) out of it.
+    */
+  private[graft] final class AudioCodecContext {
+    private val readers: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    private var buf: Array[Byte] = new Array[Byte](1 << 16)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+      b(o) == t.charAt(0) && b(o + 1) == t.charAt(1) &&
+        b(o + 2) == t.charAt(2) && b(o + 3) == t.charAt(3)
+
+    /** First provider that accepts the payload, or null (quarantine).
+      *
+      * Canonical PCM WAV — `RIFF…WAVE` with a 16-byte `fmt ` chunk at
+      * offset 12 (format tag 1 = PCM) and `data` at 36, the layout every
+      * mainstream encoder emits and [[makeWav]] assembles — is parsed
+      * inline: the provider path costs ~40 µs per record EVEN warm
+      * (providers registered ahead of `WaveFileReader` refuse by throwing
+      * filled-in `UnsupportedAudioFileException`s; the reader re-wraps
+      * streams per call), which at sf1 volumes was the bulk of the audio
+      * gates' 16–23× wall blowup. The inline parse is a few bounds checks
+      * and one `AudioFormat` allocation — flat nanoseconds per record.
+      *
+      * Anything non-canonical falls through: payloads carrying a known
+      * audio container magic (`RIFF`, `FORM` = AIFF, `.snd` = AU, `MThd`
+      * = MIDI) take the full provider scan exactly as before; payloads
+      * with none of the magics — the quarantine rows — return null
+      * directly, because no JDK reader accepts a stream whose magic it
+      * doesn't recognize, and throwing 4+ exceptions per junk record to
+      * learn that is pure overhead.
+      */
+    def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      if (payload.length >= 4) {
+        // canonical PCM WAV fast path
+        if (payload.length >= 44 && tag(payload, 0, "RIFF") &&
+            tag(payload, 8, "WAVE") && tag(payload, 12, "fmt ") &&
+            le32(payload, 16) == 16L && le16(payload, 20) == 1 &&
+            tag(payload, 36, "data")) {
+          val channels = le16(payload, 22)
+          val rate = le32(payload, 24)
+          val bits = le16(payload, 34)
+          val dataLen = math.min(le32(payload, 40),
+            (payload.length - 44).toLong).toInt
+          if (channels >= 1 && bits % 8 == 0 && bits > 0 && rate > 0) {
+            val frameSize = channels * (bits / 8)
+            val fmt = new javax.sound.sampled.AudioFormat(
+              rate.toFloat, bits, channels, /*signed=*/ bits > 8,
+              /*bigEndian=*/ false)
+            return new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(payload, 44, dataLen),
+              fmt, dataLen.toLong / frameSize)
+          }
+        }
+        // no recognized container magic → no reader will accept it
+        val known = tag(payload, 0, "RIFF") || tag(payload, 0, "FORM") ||
+          tag(payload, 0, ".snd") || tag(payload, 0, "MThd")
+        if (!known) return null
+      }
+      val s = new java.io.ByteArrayInputStream(payload)
+      var i = 0
+      while (i < readers.length) {
+        try return readers(i).getAudioInputStream(s)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            // SPI contract: a refusing reader resets the stream; reset
+            // again ourselves so a non-conforming provider can't skew the
+            // next one's read point
+            s.reset(); i += 1
+        }
+      }
+      null
+    }
+
+    /** The canonical training-audio layout (see [[decodeWav]]). */
+    def isPcm16le(f: javax.sound.sampled.AudioFormat): Boolean =
+      f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+
+    /** Drains `in` into the reused buffer; returns the PCM byte length.
+      * The buffer (via [[bytes]]) is valid only until the next call on
+      * this thread.
+      */
+    def readFully(in: javax.sound.sampled.AudioInputStream): Int = {
+      var off = 0
+      var n = 0
+      while ({
+        if (off == buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+        n = in.read(buf, off, buf.length - off)
+        n >= 0
+      }) off += n
+      off
+    }
+
+    /** The reused PCM scratch buffer — read-only, bounded by the length
+      * the latest [[readFully]] returned. */
+    def bytes: Array[Byte] = buf
+  }
+
+  private[graft] object AudioCodecContext {
+    private val tl = new ThreadLocal[AudioCodecContext] {
+      override def initialValue(): AudioCodecContext = new AudioCodecContext
+    }
+    def get(): AudioCodecContext = tl.get()
+  }
+
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU).
     * Streams the PCM payload once, folding samples into exact integer
     * (count, sum, peak) — 16-bit little-endian signed PCM is decoded
     * explicitly (the canonical WAV data layout; other depths/encodings
     * report header facts with `n_samples=None`). Same quarantine contract
-    * as [[decodeImages]]: unparseable payloads → `decoded=false`.
+    * as [[decodeImages]]: unparseable payloads → `decoded=false`. Provider
+    * resolution and the PCM buffer are per-thread via
+    * [[AudioCodecContext]], so per-record cost stays flat with volume.
     */
   def decodeWav(media: Dataset[MediaRecord]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val ctx = AudioCodecContext.get()
       it.map { m =>
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          try {
+          val in = ctx.open(m.payload)
+          if (in == null)
+            WavFeatures(m.media_id, decoded = false,
+              None, None, None, None, None, None)
+          else try {
             val f = in.getFormat
-            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
-              f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcm16le)
+            if (!ctx.isPcm16le(f))
               WavFeatures(m.media_id, decoded = true, Some(f.getChannels),
                 Some(f.getSampleRate.toLong), Some(f.getSampleSizeInBits),
                 None, None, None)
             else {
-              val bytes = in.readAllBytes()
+              val len = ctx.readFully(in)
+              val bytes = ctx.bytes
               var i = 0; var n = 0L; var sum = 0L; var peak = 0L
-              while (i + 1 < bytes.length) {
+              while (i + 1 < len) {
                 // little-endian signed 16-bit: low byte unsigned, high signed
                 val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toLong
                 n += 1; sum += s
@@ -421,20 +562,18 @@ object Multimodal {
     require(n >= 1, "target sample count must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val ctx = AudioCodecContext.get()
       it.map { m =>
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          try {
-            val f = in.getFormat
-            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
-              f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcm16le) ResampledAudio(m.media_id, decoded = false,
-              None, None, None)
+          val in = ctx.open(m.payload)
+          if (in == null)
+            ResampledAudio(m.media_id, decoded = false, None, None, None)
+          else try {
+            if (!ctx.isPcm16le(in.getFormat))
+              ResampledAudio(m.media_id, decoded = false, None, None, None)
             else {
-              val bytes = in.readAllBytes()
-              val len = bytes.length / 2
+              val len = ctx.readFully(in) / 2
+              val bytes = ctx.bytes // AFTER readFully — growth reallocates
               if (len == 0) ResampledAudio(m.media_id, decoded = true,
                 Some(0L), Some(0L), Some(0L))
               else {
@@ -500,23 +639,23 @@ object Multimodal {
       "need 0 <= silenceThresh < clipThresh")
     import media.sparkSession.implicits._
     val counts = media.mapPartitions { it =>
+      val ctx = AudioCodecContext.get()
       it.map { m =>
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          try {
-            val f = in.getFormat
-            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
-              f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcm16le)
+          val in = ctx.open(m.payload)
+          if (in == null)
+            WavQualityCounts(m.media_id, decoded = false,
+              None, None, None, None, None)
+          else try {
+            if (!ctx.isPcm16le(in.getFormat))
               WavQualityCounts(m.media_id, decoded = false,
                 None, None, None, None, None)
             else {
-              val bytes = in.readAllBytes()
+              val len = ctx.readFully(in)
+              val bytes = ctx.bytes // AFTER readFully — growth reallocates
               var i = 0; var n = 0L; var sil = 0L; var clip = 0L
               var energy = 0L; var peak = 0L
-              while (i + 1 < bytes.length) {
+              while (i + 1 < len) {
                 val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8))
                   .toShort.toLong
                 val a = math.abs(s)
@@ -570,19 +709,18 @@ object Multimodal {
     require(winSamples >= 1, "window must be at least one sample")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val ctx = AudioCodecContext.get()
       it.flatMap { m =>
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          try {
-            val f = in.getFormat
-            val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
-              f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcm16le) Seq.empty[AudioFrame]
+          val in = ctx.open(m.payload)
+          if (in == null) Seq.empty[AudioFrame]
+          else try {
+            if (!ctx.isPcm16le(in.getFormat)) Seq.empty[AudioFrame]
             else {
-              val bytes = in.readAllBytes() // eager: windows never outlive `in`
-              val len = bytes.length / 2
+              // eager Range.map below: every AudioFrame copies primitives
+              // out of the scratch buffer before the next record reuses it
+              val len = ctx.readFully(in) / 2
+              val bytes = ctx.bytes // AFTER readFully — growth reallocates
               (0 until (len + winSamples - 1) / winSamples).map { w =>
                 var i = w * winSamples
                 val end = math.min(len, i + winSamples)
@@ -680,20 +818,18 @@ object Multimodal {
     * `maxN`; None for undecodable / non-PCM16LE payloads.
     */
   private[graft] def decodePcm16le(payload: Array[Byte],
-      maxN: Int): Option[Array[Long]] =
+      maxN: Int): Option[Array[Long]] = {
+    val ctx = AudioCodecContext.get() // per-thread: cached providers + buffer
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val f = in.getFormat
-        val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
-          f.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        if (!pcm16le) None
+      val in = ctx.open(payload)
+      if (in == null) None
+      else try {
+        if (!ctx.isPcm16le(in.getFormat)) None
         else {
-          val bytes = in.readAllBytes()
-          val out = new Array[Long](maxN)
-          val n = math.min(bytes.length / 2, maxN)
+          val len = ctx.readFully(in) / 2
+          val bytes = ctx.bytes // AFTER readFully — growth reallocates
+          val out = new Array[Long](maxN) // fresh: escapes the seam
+          val n = math.min(len, maxN)
           var i = 0
           while (i < n) {
             out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8))
@@ -704,6 +840,7 @@ object Multimodal {
         }
       } finally in.close()
     } catch { case _: Exception => None }
+  }
 
   def wavSamples(media: Dataset[MediaRecord], maxN: Int): Dataset[WavSampleArr] = {
     require(maxN >= 1, "maxN must be positive")
@@ -1263,6 +1400,156 @@ object Multimodal {
         }
       }}}}}}}}
     }
+  }
+
+  /** [[mp4SampleIndex]]'s typed output: one frame's exact byte extent. */
+  final case class Mp4Frame(idx: Int, off: Long, sz: Long)
+
+  /** Imperative twin of [[mp4SampleIndex]] — same grammar, same
+    * fail-closed contract, same output struct, evaluated as plain JVM
+    * code at a `mapPartitions` seam instead of nested higher-order
+    * Columns. The Column form is the PORTABLE one (replayable by any
+    * engine's substring/conv, which is what the oracle does) but Spark's
+    * higher-order functions (`ArrayTransform`/`ArrayAggregate`) are
+    * `CodegenFallback`: the whole walk evaluates INTERPRETED, ~0.9 ms per
+    * document (the two frame gates were the heaviest non-margin rows of
+    * the sf0.1 sweep, round-13 verdict item 2). A bounded imperative box
+    * walk is exactly what the codec-seam discipline prescribes — this
+    * parser is the same stsz/stsc/stco walk at ~1 µs/doc, pinned
+    * bit-equal to the Column form by OpsSpec's parity test.
+    *
+    * Returns (ok, declared sample count, chunk count, first-`maxSamples`
+    * frame extents) — fields None unless `ok`, like the Column form.
+    */
+  private[graft] def mp4ParseIndex(payload: Array[Byte], maxSamples: Int = 16,
+      maxBoxes: Int = 8, maxStscRuns: Int = 4):
+      (Boolean, Option[Long], Option[Long], Option[Seq[Mp4Frame]]) = {
+    val fail = (false, None, None, None)
+    if (payload == null) return fail
+    val total = payload.length.toLong
+    // u32 big-endian with the Column form's CLAMPED-substr semantics: a
+    // read past the payload end sees only the bytes that exist (hex
+    // substr clamps), an empty read is null
+    def be32(off: Long): Option[Long] = {
+      if (off < 0 || off >= total) return None
+      val end = math.min(off + 4, total)
+      var v = 0L; var i = off
+      while (i < end) { v = (v << 8) | (payload(i.toInt) & 0xFFL); i += 1 }
+      Some(v)
+    }
+    def tagAt(off: Long, t: String): Boolean =
+      off >= 0 && off + 4 <= total &&
+        payload(off.toInt) == t.charAt(0).toByte &&
+        payload(off.toInt + 1) == t.charAt(1).toByte &&
+        payload(off.toInt + 2) == t.charAt(2).toByte &&
+        payload(off.toInt + 3) == t.charAt(3).toByte
+    // bounded child scan, the findBox fold verbatim: a box whose tag
+    // matches counts as a hit even when its declared size is broken (the
+    // size guard belongs to the DESCENT step, not the match)
+    def findBox(start: Option[Long], end: Option[Long],
+        want: String): Option[Long] = {
+      var off = start
+      var steps = 0
+      while (steps < maxBoxes) {
+        (off, end) match {
+          case (Some(o), Some(e)) if o + 8 <= e =>
+            if (tagAt(o + 4, want)) return Some(o)
+            off = be32(o) match {
+              case Some(sz) if sz >= 8 && o + sz <= e => Some(o + sz)
+              case _ => None // chain broke — further steps stay inactive
+            }
+          case _ => return None
+        }
+        steps += 1
+      }
+      None
+    }
+    def into(parent: Option[Long], want: String): Option[Long] =
+      findBox(parent.map(_ + 8), for { p <- parent; sz <- be32(p) }
+        yield p + sz, want)
+    if (!tagAt(4, "ftyp")) return fail
+    val stbl = into(into(into(into(findBox(Some(0L), Some(total), "moov"),
+      "trak"), "mdia"), "minf"), "stbl")
+    val (stsz, stsc, stco) =
+      (into(stbl, "stsz"), into(stbl, "stsc"), into(stbl, "stco"))
+    if (stsz.isEmpty || stsc.isEmpty || stco.isEmpty) return fail
+    val (zo, co, oo) = (stsz.get, stsc.get, stco.get)
+    if (!(be32(zo + 8).contains(0L) && be32(co + 8).contains(0L) &&
+        be32(oo + 8).contains(0L))) return fail // full-box version+flags
+    val declared = be32(zo + 16)
+    val nRuns = be32(co + 12)
+    val nCh = be32(oo + 12) match {
+      case Some(c) if c >= 1 => c
+      case _ => return fail
+    }
+    if (!nRuns.exists(r => r >= 1 && r <= maxStscRuns) ||
+        !be32(co + 16).contains(1L)) return fail // first run at chunk 1
+    val runs = (0L until nRuns.get).map { j =>
+      (be32(co + 16 + j * 12), be32(co + 20 + j * 12)) // (fc, spc)
+    }
+    def spcFor(ck: Long): Option[Long] =
+      runs.reverseIterator.collectFirst {
+        case (Some(fc), spc) if fc <= ck => spc
+      }.flatten
+    val szFix = be32(zo + 12)
+    val n = math.min(declared.getOrElse(0L), maxSamples.toLong)
+    var ck = 1L; var ic = 0L
+    var cur = be32(oo + 16)
+    val out = Seq.newBuilder[Mp4Frame]
+    var i = 1L
+    while (i <= n) {
+      val szI = if (szFix.exists(_ > 0)) szFix
+        else be32(zo + 20 + (i - 1) * 4)
+      val spc = spcFor(ck)
+      if (cur.isEmpty || !szI.exists(s => s >= 0 && cur.get + s <= total) ||
+          !spc.exists(_ >= 1)) return fail // walk broke (bad flag)
+      out += Mp4Frame((i - 1).toInt, cur.get, szI.get)
+      if (ic + 1 >= spc.get) { // chunk exhausted after this sample
+        cur = if (ck + 1 <= nCh) be32(oo + 16 + ck * 4)
+          else None // ran out of chunks — next step fails
+        ck += 1; ic = 0
+      } else { cur = Some(cur.get + szI.get); ic += 1 }
+      i += 1
+    }
+    (true, declared, Some(nCh), Some(out.result()))
+  }
+
+  /** Appends `ix` — [[mp4SampleIndex]]'s output struct — to `df` via a
+    * typed `mapPartitions` seam running [[mp4ParseIndex]]. This is the
+    * HOT-PATH form: interpreted-Column cost gone, and because the seam is
+    * an opaque plan node, downstream explodes/projections can't re-inline
+    * the walk (the re-inlining the frame gates previously needed a
+    * `localCheckpoint` barrier to stop). Scale shape: linear per-row
+    * work, no shuffle, no barrier.
+    */
+  def mp4SampleIndexed(df: DataFrame, payloadCol: String,
+      maxSamples: Int = 16, maxBoxes: Int = 8,
+      maxStscRuns: Int = 4): DataFrame = {
+    require(maxSamples >= 1 && maxSamples <= 64, "maxSamples in [1, 64]")
+    require(maxBoxes >= 1 && maxBoxes <= 16, "maxBoxes in [1, 16]")
+    require(maxStscRuns >= 1 && maxStscRuns <= 16, "maxStscRuns in [1, 16]")
+    import org.apache.spark.sql.types._
+    val ixType = StructType(Seq(
+      StructField("ok", BooleanType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("n_chunks", LongType, nullable = true),
+      StructField("samples", ArrayType(StructType(Seq(
+        StructField("idx", IntegerType, nullable = false),
+        StructField("off", LongType, nullable = false),
+        StructField("sz", LongType, nullable = false))),
+        containsNull = false), nullable = true)))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema.add("ix", ixType))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val (ok, ns, nc, smp) = mp4ParseIndex(r.getAs[Array[Byte]](pIdx),
+          maxSamples, maxBoxes, maxStscRuns)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+
+          org.apache.spark.sql.Row(ok, ns.orNull, nc.orNull,
+            smp.map(_.map(f =>
+              org.apache.spark.sql.Row(f.idx, f.off, f.sz))).orNull))
+      }
+    }(enc)
   }
 
   /** TIFF header + first-IFD parse (the EXIF grammar: an EXIF blob is a

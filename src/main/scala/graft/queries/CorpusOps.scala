@@ -2561,16 +2561,15 @@ object CorpusOps {
     // mdat_data_start + sum of prior sizes — any walk bug on either side
     // (box descent, stsc run lookup, chunk advance) breaks the match
     "q_mm_frame_index" -> ((s, dir) =>
-      mp4Fixture(t(s, dir, "documents"), "f", col("doc_id"))
-        .select(col("doc_id"), col("pl"),
-          graft.ops.Multimodal.mp4SampleIndex(col("pl")).as("ix"))
-        // materialize (pl, ix) ONCE: the fixture assembly and the index
-        // walk are expensive row expressions, and downstream explode +
-        // per-frame slicing re-inlines them 2-3x through the implicit
-        // Generate filter and projections (measured 12.7 s -> the walk
-        // dominating the whole sweep); after the checkpoint each doc
-        // assembles and walks exactly once
-        .localCheckpoint()
+      // typed seam (mp4ParseIndex at mapPartitions): the Column walk is
+      // higher-order-function algebra, which Spark evaluates INTERPRETED
+      // (CodegenFallback) at ~0.9 ms/doc — the round-13 sweep's heaviest
+      // non-margin rows. The seam runs the same walk imperatively, and
+      // its opaque plan node also stops downstream explode/projections
+      // from re-inlining the fixture assembly + walk (the re-inlining the
+      // previous localCheckpoint barrier existed to prevent)
+      graft.ops.Multimodal.mp4SampleIndexed(
+          mp4Fixture(t(s, dir, "documents"), "f", col("doc_id")), "pl")
         .select(col("doc_id"), col("ix.ok").as("ok"),
           col("ix.n_samples").as("n_samples"),
           col("ix.n_chunks").as("n_chunks"),
@@ -2592,12 +2591,10 @@ object CorpusOps {
     // exactGroups discipline at frame granularity, the storage/near-dup
     // pre-pass a video corpus runs before any expensive pixel work)
     "q_mm_frame_dedup" -> ((s, dir) =>
-      mp4Fixture(t(s, dir, "documents"), "g",
-          pmod(col("doc_id"), lit(50)))
-        .select(col("doc_id"), col("pl"),
-          graft.ops.Multimodal.mp4SampleIndex(col("pl")).as("ix"))
-        // assemble + walk once per doc (see q_mm_frame_index)
-        .localCheckpoint()
+      // typed seam: assemble + walk once per doc (see q_mm_frame_index)
+      graft.ops.Multimodal.mp4SampleIndexed(
+          mp4Fixture(t(s, dir, "documents"), "g",
+            pmod(col("doc_id"), lit(50))), "pl")
         .select(col("doc_id"),
           explode(col("ix.samples")).as("smp"), col("pl"))
         .select(col("doc_id"),

@@ -4433,6 +4433,26 @@ class OpsSpec extends AnyFunSuite {
     val noMdia = ftyp + (be32(108 + 8) + tp("moov") + be32(108) +
       tp("mvhd") + ("00" * 100))
     assert(!okOf(noMdia))
+
+    // PARITY: the typed mapPartitions seam (mp4ParseIndex) must be
+    // bit-equal to the Column walk on every payload class — good chunked
+    // layout, version-fail, truncations at awkward box boundaries,
+    // missing descent levels, non-MP4 magic, empty, null
+    val cases = Seq(
+      goodHex,
+      full(stblFor(sizes, Seq(0L), 2, stszVer = "01000000"))
+        .replace(tp("stsz") + "00000000", tp("stsz") + "01000000"),
+      goodHex.dropRight(4), goodHex.dropRight(40), goodHex.take(20),
+      goodHex.take(34), noMdia, "89504E470D0A1A0A", "", ftyp)
+    val parityDf = cases.zipWithIndex
+      .map { case (hx, i) => (i.toLong, hx) }.toDF("i", "hx")
+      .select(col("i"), unhex(col("hx")).as("pl"))
+    val viaColumn = parityDf
+      .select(col("i"), Multimodal.mp4SampleIndex(col("pl")).as("ix"))
+      .orderBy("i").collect().toSeq
+    val viaSeam = Multimodal.mp4SampleIndexed(parityDf, "pl")
+      .select(col("i"), col("ix")).orderBy("i").collect().toSeq
+    assert(viaSeam == viaColumn)
   }
 
   test("interleaveAssign: argmin hamming, earliest-sentence ties, no-anchor drop") {
