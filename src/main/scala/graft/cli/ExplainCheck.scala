@@ -152,6 +152,11 @@ object ExplainCheck {
     "q_doc_quality_dup" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_doc_tokenizer_compare" -> (Seq("HashAggregate"), Seq("Window", "CartesianProduct")),
     "q_emb_margin_ivf_i" -> (Seq("ObjectHashAggregate"), Seq("Window", "CartesianProduct")),
+    // margin over the persisted IVF index: loaded cell scan + broadcast
+    // probes; the corpus x centroids assignment is build-time, so the
+    // serve plan must carry no crossJoin at all
+    "q_emb_margin_ivf_serve" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // margin over the PQ serving layout: codes scan joins the broadcast
     // LUT; k-bounded TopKAgg per direction; margin tail unchanged
     "q_emb_margin_pq" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),

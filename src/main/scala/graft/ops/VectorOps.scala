@@ -665,14 +665,40 @@ object VectorOps {
   def ivfTopKExact(corpus: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int,
       scale: Double = 1e5): DataFrame = {
+    val cen = ivfExactCentroids(centroids, scale)
+    ivfTopKExactIndexed(ivfExactCells(corpus, cen), cen, queries, k,
+      nprobe, scale)
+  }
+
+  /** Quantized centroid table for the integer-exact IVF chain —
+    * (centroid_id, cv, cen_r). Shared by the in-query composition
+    * ([[ivfTopKExact]]) and the persisted serving index (the build side
+    * writes this next to [[ivfExactCells]]' assignment via
+    * [[saveIvfIndex]]; [[ivfTopKExactIndexed]] probes against it).
+    */
+  def ivfExactCentroids(centroids: DataFrame,
+      scale: Double = 1e5): DataFrame = {
     val (cv, cenR) = quantized(col("centroid_vec"), scale)
-    val cen = centroids.select(col("centroid_id"), cv.as("cv"),
-      cenR.as("cen_r"))
+    centroids.select(col("centroid_id"), cv.as("cv"), cenR.as("cen_r"))
+  }
+
+  /** Integer-exact IVF cell assignment — (vec_id, qv, v_r, cell), the
+    * persistable half of [[ivfTopKExact]]: each vector's quantized form
+    * plus its argmax cell over exact centroid cosines (ties → lowest
+    * centroid id). Build once, write with [[saveIvfIndex]] (partitioned
+    * by cell), and every later query batch serves via
+    * [[ivfTopKExactIndexed]] without re-scoring corpus × centroids —
+    * per-vector assignment is independent of every other vector, so
+    * filtering the loaded assignment (e.g. to a src/tgt split) yields
+    * exactly the cells an in-query assignment of that subset would.
+    */
+  def ivfExactCells(corpus: DataFrame, cen: DataFrame,
+      scale: Double = 1e5): DataFrame = {
     val (eq, er) = quantized(col("embedding"), scale)
     val corp = corpus.select(col("vec_id"), eq.as("qv"), er.as("v_r"))
     // cell assignment: argmax over exact cell cosines as a map-side
     // combined aggregation (see assignCells for why not a window)
-    val cells = corp.crossJoin(broadcast(cen))
+    corp.crossJoin(broadcast(cen))
       .withColumn("c_cos", exactCosX1m(
         graft.functions.GraftFunctions.long_dot(col("qv"), col("cv")),
         col("v_r"), col("cen_r")))
@@ -683,6 +709,18 @@ object VectorOps {
         first(col("qv")).as("qv"), first(col("v_r")).as("v_r"))
       .select(col("vec_id"), col("qv"), col("v_r"),
         (-col("best.neg_id")).as("cell"))
+  }
+
+  /** [[ivfTopKExact]] over a PREBUILT integer-exact cell assignment
+    * ([[ivfExactCells]] output, typically [[loadIvfIndex]]-loaded from
+    * the cell-partitioned serving layout) — the serving path: probe
+    * selection + candidate scoring only, the corpus × centroids
+    * assignment already paid at build time. Identical ranking to the
+    * in-query form by construction (same chain, same tie pins).
+    */
+  def ivfTopKExactIndexed(cells: DataFrame, cen: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      scale: Double = 1e5): DataFrame = {
     val (qq, qr) = quantized(col("query_vec"), scale)
     val topP = graft.functions.TopKAgg.smallest_k_long(nprobe)
     val probes = queries

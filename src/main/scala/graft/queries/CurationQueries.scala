@@ -1009,6 +1009,46 @@ object CurationQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // margin mining on the PERSISTED IVF index — q_emb_margin_ivf_i's
+    // serving sibling (the q_emb_sq8_serve/_ivfpq_serve discipline):
+    // that gate re-runs the corpus × centroids assignment in-query per
+    // direction (legitimate as the composition/calibration form, but the
+    // slowest row of the sf1 sweep at 29 s); here the integer-exact cell
+    // assignment builds ONCE into the content-keyed cache
+    // (cell-partitioned layout), and the query is probe + candidate scan
+    // + the identical margin tail. Per-vector assignment is independent
+    // of the rest of the corpus, so parity-filtering the LOADED cells
+    // equals assigning each side separately — byte-identical ranking to
+    // the in-query form, same oracle
+    "q_emb_margin_ivf_serve" -> ((s, dir) => {
+      val base = graft.io.IndexCache.cacheDir("mivf", 1,
+        s"$dir/embeddings.parquet")
+      val emb = wide(s, t(s, dir, "embeddings"))
+      graft.io.IndexCache.ensureBuilt(base, s"$base/ivf/cells/_SUCCESS") {
+        tmp =>
+          val centroids = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("centroid_id"),
+              col("embedding").as("centroid_vec"))
+          val cen = graft.ops.VectorOps.ivfExactCentroids(centroids)
+          graft.ops.VectorOps.saveIvfIndex(s"$tmp/ivf", cen,
+            graft.ops.VectorOps.ivfExactCells(emb, cen))
+      }
+      val (cen, cells) = graft.ops.VectorOps.loadIvfIndex(s, s"$base/ivf")
+      def qside(par: Int) = emb
+        .where(pmod(col("vec_id"), lit(2)) === par)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val fwd = graft.ops.VectorOps.ivfTopKExactIndexed(
+        cells.where(pmod(col("vec_id"), lit(2)) === 1), cen, qside(0),
+        k = 4, nprobe = 2)
+      val bwd = graft.ops.VectorOps.ivfTopKExactIndexed(
+        cells.where(pmod(col("vec_id"), lit(2)) === 0), cen, qside(1),
+        k = 4, nprobe = 2)
+      graft.ops.VectorOps.marginPairsExact(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
     // margin mining over the PQ serving layout: the SAME ratio-margin
     // tail as the brute/IVF gates, but both directions' kNN run on
     // compressed codes via the integer cos-ADC scan (reconstructed-
@@ -2130,6 +2170,10 @@ object CurationQueries {
     // (persistence must not change a single bit), so the same full replay
     "q_emb_ivfpq_serve" -> ivfPqSearchSql(2, 64, 8, 2, nQueries = 3,
       topK = 5, nprobe = 2, nCoarse = 8),
+
+    // serving gate mines the in-query composition's exact margins — the
+    // persisted cell assignment must not change a single bit
+    "q_emb_margin_ivf_serve" -> CorpusOps.oracles("q_emb_margin_ivf_i"),
 
     "q_emb_margin_pq" -> marginPqSql(2, 64, 8, 2, topK = 4),
 
