@@ -413,6 +413,37 @@ object Bench {
       }
     }
 
+    // Host conditions IN the artifact (three rounds of contended-vs-idle
+    // sweep adjudication were done by hand from narrative notes): 1-min
+    // loadavg at sweep start/end, plus the /proc/stat busy fraction over
+    // the measured window. `other_busy_pct` approximates CPU burned by
+    // OTHER processes: total busy minus this JVM's own process jiffies
+    // (/proc/self/stat utime+stime), so a judge can classify a slow sweep
+    // — high other_busy = contended host, low = the bench itself — from
+    // the JSON alone.
+    def loadAvg1(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def cpuJiffies(): (Long, Long) = // (busyAll, idleAll) across cpus
+      try {
+        val f = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal ...
+        val idle = f(3) + f(4)
+        (f.take(8).sum - idle, idle)
+      } catch { case _: Throwable => (-1L, -1L) }
+    def selfJiffies(): Long =
+      try {
+        val f = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat")).split(" ")
+        f(13).toLong + f(14).toLong // utime + stime
+      } catch { case _: Throwable => -1L }
+    val loadBefore = loadAvg1()
+    val (busy0, idle0) = cpuJiffies()
+    val self0 = selfJiffies()
+
     // a throwing query is REPORTED and fails the run — swallowing it would
     // make a broken query look like a fast one and *improve* the total
     var failed = List.empty[String]
@@ -432,8 +463,21 @@ object Bench {
     val warmJson = warmups.map { case (k, (sec, ok)) =>
       f""""$k":{"sec":$sec%.2f,"ok":$ok}"""
     }.mkString("{", ",", "}")
+    val loadAfter = loadAvg1()
+    val (busy1, idle1) = cpuJiffies()
+    val self1 = selfJiffies()
+    val hostJson = {
+      val (db, di, ds) = (busy1 - busy0, idle1 - idle0, self1 - self0)
+      val busyPct =
+        if (busy0 >= 0 && db + di > 0) db * 100.0 / (db + di) else -1.0
+      val otherPct =
+        if (busyPct >= 0 && self0 >= 0 && ds >= 0)
+          math.max(0.0, (db - ds) * 100.0 / (db + di))
+        else -1.0
+      f""""host":{"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"busy_pct":$busyPct%.1f,"other_busy_pct":$otherPct%.1f}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warmups":$warmJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warmups":$warmJson,$hostJson,"sf":"$sfDir"}"""
     println(line)
     // the driver keeps only a tail of this process's stdout (BENCH_r04 lost
     // 31 of 96 per-query numbers) — persist the full line so regressions

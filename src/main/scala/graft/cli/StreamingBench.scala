@@ -19,9 +19,98 @@ import graft.streaming.StreamingAggregator
   * traffic, watermark eviction, and sink commits, not just the hot loop.
   *
   * Usage: `runMain graft.cli.StreamingBench [nStays] [perStay] [filesPerTrigger]`
+  *    or: `runMain graft.cli.StreamingBench neardup <docsDir> [filesPerTrigger]`
+  *
+  * `neardup` mode measures the stateful LSH tracker
+  * ([[graft.streaming.StreamingNearDup]]) at corpus scale: every document
+  * of `<docsDir>/documents.parquet` is replayed 1 s apart (the ordered
+  * file protocol below) followed 10 s later by an exact duplicate under a
+  * fresh id — a PLANTED pair inside the horizon whose identical signature
+  * collides in every band, so the tracker must catch 100% of them.
+  * Reported rate = stream rows / wall; the run FAILS unless every planted
+  * pair (for every shingle-bearing doc) is emitted — a watermark racing
+  * the replay, an eviction bug, or state loss all surface as missing
+  * planted pairs, the near-dup analog of the r4 zero-drop assertion.
   */
 object StreamingBench {
+
+  def neardupMain(spark: SparkSession, docsDir: String,
+      filesPerTrigger: Int): Unit = {
+    import spark.implicits._
+    val base = 1577836800L // 2020-01-01
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val dupOffset = 1000000000L
+    val replay = docs
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(base) + col("doc_id")).as("event_time"))
+      .unionAll(docs.select((col("doc_id") + dupOffset).as("doc_id"),
+        col("text"),
+        timestamp_seconds(lit(base) + col("doc_id") + 10L)
+          .as("event_time")))
+    // docs with at least one 3-shingle are the ones the tracker (and the
+    // batch path) can see at all — the planted-pair denominator
+    val eligible = docs
+      .where(size(graft.ops.TextOps.wordShingles(col("text"), 3)) > 0)
+      .select("doc_id").as[Long].collect().toSet
+    val nRows = nDocs * 2
+
+    val inDir = Files.createTempDirectory("sbench-nd-in").toString
+    val ckDir = Files.createTempDirectory("sbench-nd-ck").toString
+    replay.repartitionByRange(40, col("event_time"))
+      .write.mode("overwrite").parquet(inDir)
+    val parts = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1600000000000L + i * 60000L)
+    }
+
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .schema(replay.schema).parquet(inDir)
+    val hits = graft.streaming.StreamingNearDup.hits(stream, k = 3,
+      nHashes = 64, bands = 16, threshold = 0.8, horizonSeconds = 60L,
+      watermarkDelay = "120 seconds")
+
+    val t0 = System.nanoTime()
+    val q = hits.writeStream
+      .outputMode("append")
+      .format("memory").queryName("nd_hits")
+      .option("checkpointLocation", ckDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val out = spark.table("nd_hits")
+      .select("doc_a", "doc_b").distinct().cache()
+    val nPairs = out.count()
+    // planted coverage: (doc, doc + dupOffset) for every eligible doc
+    val planted = out
+      .where(col("doc_b") === col("doc_a") + dupOffset)
+      .select("doc_a").as[Long].collect().toSet
+    val caught = eligible.count(planted.contains)
+    val batches = q.recentProgress.length
+    println(f"""{"metric":"streaming_neardup_rows_per_sec","value":${nRows / wallSec}%.0f,"rows":$nRows,"wall_sec":$wallSec%.2f,"distinct_pairs":$nPairs,"planted":${eligible.size},"caught":$caught,"micro_batches":$batches,"files_per_trigger":$filesPerTrigger}""")
+    spark.stop()
+    if (caught != eligible.size) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("neardup")) {
+      val cpusNd = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkNd = SparkSession.builder()
+        .master(s"local[$cpusNd]").appName("graft-streaming-bench")
+        .config("spark.sql.shuffle.partitions", cpusNd)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sparkNd.sparkContext.setLogLevel("WARN")
+      neardupMain(sparkNd, args(1),
+        if (args.length > 2) args(2).toInt else 4)
+      return
+    }
     val nStays = args.headOption.map(_.toInt).getOrElse(2000)
     val perStay = if (args.length > 1) args(1).toInt else 200
     val filesPerTrigger = if (args.length > 2) args(2).toInt else 4

@@ -86,7 +86,11 @@ object Preference {
     *
     * Envelope: maxModels <= 3000 (renorm multiply min(pi', k*1e6)*(k*1e6)
     * <= 9e18 just fits a long; ANSI raises beyond), rounds <= 20. Battles
-    * per pair are unbounded (they fold into n2/w2 longs).
+    * per pair AND per model are unbounded: the Spark-side n2*1e12 is
+    * ANSI-guarded (raises loudly at ~9.2e6 battles on one PAIR), and the
+    * driver-side numerator/renorm multiplies run in BigInt — a model
+    * whose battles are spread across many pairs (under the pair guard,
+    * over a long's w2*1e12) rates exactly instead of silently wrapping.
     */
   def btStrength(battles: DataFrame, aCol: String, bCol: String,
       outcomeCol: String, rounds: Int, maxModels: Int = 3000): DataFrame = {
@@ -135,11 +139,17 @@ object Preference {
           .collect()
           .map(r => r.getAs[Any]("i") -> r.getAs[Long]("denom"))
           .toMap
+        // BigInt: w2 (battles per MODEL) is unbounded, so w2*1e12 can
+        // wrap a long even while every pair stays under the ANSI-guarded
+        // pair-level envelope; the clamp makes the result long-safe
         val raw = modelStats.map { case (m, _, w2) =>
-          m -> math.min(w2 * 1000000000000L / math.max(denom(m), 1L), mass)
+          m -> (BigInt(w2) * 1000000000000L /
+            BigInt(math.max(denom(m), 1L))).min(BigInt(mass)).toLong
         }
-        val tot = math.max(raw.map(_._2).sum, 1L)
-        pi = raw.map { case (m, r) => m -> r * mass / tot }.toMap
+        val tot = math.max(raw.map(_._2).sum, 1L) // <= k * mass <= 9e12
+        pi = raw.map { case (m, r) =>
+          m -> (BigInt(r) * mass / tot).toLong // r*mass <= 9e18: headroom
+        }.toMap
       }
       val piDF = toPiFrame(spark, battles, aCol, pi)
       pairStats.groupBy("i")
@@ -175,7 +185,10 @@ object Preference {
     * per (group, item, rater's categorical label); every item must carry
     * exactly `raters` ratings — items with more or fewer (a rater
     * skipped, a duplicate submission) are EXCLUDED, the standard
-    * listwise deletion, and surfaced in `n_items_dropped`.
+    * listwise deletion, and surfaced in `n_items_dropped`. A group whose
+    * items are ALL dropped still gets a row — n_items = 0, its drop
+    * count, NULL po/pe/kappa (the final rollup is a full outer join, so
+    * listwise deletion can never silently erase a whole group).
     *
     * Exact integer algebra at ppb scale (k = raters, N = kept items,
     * n_ic = ratings of item i in category c, T_c = SUM_i n_ic):
@@ -222,9 +235,13 @@ object Preference {
       .groupBy(groupCol)
       .agg(sum(call_function("div", col("p_ppb") * col("p_ppb"),
         lit(1000000000L))).as("pe_ppb"))
+    // full outer: a group whose items were ALL dropped has no perGroup
+    // row but must still surface (n_items = 0, null kappa) — the dropped
+    // rollup is its only witness
     perGroup.join(pe, Seq(groupCol))
-      .join(dropped, Seq(groupCol), "left")
-      .select(col(groupCol), col("n_items"),
+      .join(dropped, Seq(groupCol), "full")
+      .select(col(groupCol),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
         coalesce(col("n_items_dropped"), lit(0L)).as("n_items_dropped"),
         call_function("div", col("a_tot") * 1000000000L,
           col("n_items") * k * (k - 1)).as("po_ppb"),

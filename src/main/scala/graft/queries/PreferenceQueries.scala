@@ -206,17 +206,21 @@ object PreferenceQueries {
         |           * (tc.t_c * 1000000000 // (pg.n_items*3))
         |           // 1000000000) AS BIGINT) AS pe_ppb
         |       FROM tc JOIN pg ON tc.lang = pg.lang GROUP BY tc.lang)
-        |SELECT pg.lang, pg.n_items,
-        |  coalesce(drp.n_items_dropped, 0) AS n_items_dropped,
+        |SELECT coalesce(pg.lang, drp.lang) AS lang,
+        |  CAST(coalesce(pg.n_items, 0) AS BIGINT) AS n_items,
+        |  CAST(coalesce(drp.n_items_dropped, 0) AS BIGINT)
+        |    AS n_items_dropped,
         |  pg.a_tot * 1000000000 // (pg.n_items*3*2) AS po_ppb,
         |  pe.pe_ppb,
         |  CASE WHEN pe.pe_ppb = 1000000000 THEN NULL
         |       ELSE ((pg.a_tot * 1000000000 // (pg.n_items*3*2))
         |              - pe.pe_ppb) * 1000000
         |            // (1000000000 - pe.pe_ppb) END AS kappa_ppm
+        |-- full outer (engine parity): a group with every item dropped
+        |-- must still surface with n_items 0 and null kappa
         |FROM pg JOIN pe ON pg.lang = pe.lang
-        |LEFT JOIN drp ON pg.lang = drp.lang
-        |ORDER BY pg.lang""".stripMargin,
+        |FULL JOIN drp ON pg.lang = drp.lang
+        |ORDER BY 1""".stripMargin,
 
     "q_doc_rater_bias" ->
       """WITH rat AS (

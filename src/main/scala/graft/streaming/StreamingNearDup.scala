@@ -54,11 +54,17 @@ object StreamingNearDup {
     * ANSI mode.
     */
   private def sigExpr(shingles: org.apache.spark.sql.Column, nHashes: Int) = {
+    // LET-BIND the base hashes (the Multimodal letCol discipline): as a
+    // plain val, the `bases` transform is INLINED into each of the
+    // nHashes array_min entries, so every shingle was string-hashed
+    // nHashes times per row (measured ~5 ms/doc at 64 hashes); bound as
+    // a lambda variable it evaluates once per row
     val bases = transform(shingles, sh => shiftrightunsigned(xxhash64(sh), 8))
-    array((0 until nHashes).map { i =>
-      array_min(transform(bases,
-        h => (h * lit(2L * i + 1)).bitwiseXOR(lit(-0x61c8864680b583ebL * i))))
-    }: _*)
+    try_element_at(transform(array(bases), bs =>
+      array((0 until nHashes).map { i =>
+        array_min(transform(bs,
+          h => (h * lit(2L * i + 1)).bitwiseXOR(lit(-0x61c8864680b583ebL * i))))
+      }: _*)), lit(1))
   }
 
   /** Verified near-dup hits for a streaming (doc_id, event_time, text)
@@ -97,11 +103,18 @@ object StreamingNearDup {
             val arrivals = batch.toSeq
               .sortBy(a => (a.event_time.getTime, a.doc_id))
             val latest = arrivals.map(_.event_time.getTime / 1000).max
-            val floor = latest - horizonSeconds
             var docs = state.getOption.map(_.docs).getOrElse(Nil)
-              .filter(_._2 >= floor)
             val out = Seq.newBuilder[NearDupHit]
             arrivals.foreach { a =>
+              // horizon pruned per ARRIVAL, not once per micro-batch:
+              // pruning only at batch entry made an arrival pair with
+              // same-batch docs arbitrarily older than the horizon, so
+              // output depended on micro-batch boundaries (and a replay
+              // that compresses event time into few batches went
+              // quadratic inside viral buckets). Arrivals are sorted, so
+              // the floor is monotone and each doc is dropped once.
+              val floor = a.event_time.getTime / 1000 - horizonSeconds
+              docs = docs.filter(_._2 >= floor)
               val aSet = a.hashes.toSet
               docs.foreach { case (oid, _, oh) =>
                 if (oid != a.doc_id) {

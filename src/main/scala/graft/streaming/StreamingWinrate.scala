@@ -32,6 +32,14 @@ final case class LeaderRow(model: Long, battles: Long, wins: Long,
   * Malformed outcomes (anything outside {"a","b","tie"}) are dropped
   * before the state fold, identical to the batch filter.
   *
+  * NO WATERMARK, deliberately: state is bounded by the model domain (not
+  * time), never expires (`NoTimeout`), and counter addition is order-
+  * free — so a late battle folds in exactly like an on-time one and the
+  * batch-parity contract holds unconditionally. Declaring a watermark
+  * here would do nothing except license Spark to DROP late rows before
+  * the stateful operator, silently breaking that contract — which is why
+  * the earlier `watermarkDelay` knob was removed rather than documented.
+  *
   * Output mode Update: one row per model per micro-batch that touched
   * it — the live leaderboard a dashboard sink reads.
   */
@@ -40,8 +48,7 @@ object StreamingWinrate {
   /** `battles` needs (model_a: long, model_b: long, outcome: string,
     * event_time: timestamp).
     */
-  def track(battles: DataFrame,
-      watermarkDelay: String): Dataset[LeaderRow] = {
+  def track(battles: DataFrame): Dataset[LeaderRow] = {
     val spark = battles.sparkSession
     import spark.implicits._
     battles
@@ -55,7 +62,6 @@ object StreamingWinrate {
           case _     => Seq.empty // malformed outcome: ignored, as in batch
         }
       }
-      .withWatermark("event_time", watermarkDelay)
       .groupByKey(_.model)
       .flatMapGroupsWithState[WinState, LeaderRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {

@@ -4550,13 +4550,18 @@ class OpsSpec extends AnyFunSuite {
       ("g2", 21L, 2L), ("g2", 21L, 2L), ("g2", 21L, 2L),
       ("g2", 22L, 2L), ("g2", 22L, 2L), ("g2", 22L, 2L),
       ("g3", 31L, 0L), ("g3", 31L, 0L), ("g3", 31L, 0L), ("g3", 31L, 0L),
-      ("g3", 32L, 0L), ("g3", 32L, 0L), ("g3", 32L, 1L))
+      ("g3", 32L, 0L), ("g3", 32L, 0L), ("g3", 32L, 1L),
+      // g4: EVERY item dropped (4 and 2 ratings) — the group must still
+      // surface with n_items=0, its drop count, and null po/pe/kappa
+      ("g4", 41L, 0L), ("g4", 41L, 0L), ("g4", 41L, 1L), ("g4", 41L, 1L),
+      ("g4", 42L, 2L), ("g4", 42L, 2L))
       .toDF("g", "item", "label")
     val r = Preference.fleissKappa(rows, "g", "item", "label", raters = 3)
       .collect().map(x => x.getAs[String]("g") ->
         ((x.getAs[Long]("n_items"), x.getAs[Long]("n_items_dropped"),
           x.getAs[Long]("po_ppb"), x.getAs[Long]("pe_ppb"),
           Option(x.getAs[Any]("kappa_ppm"))))).toMap
+    assert(r("g4")._1 == 0L && r("g4")._2 == 2L && r("g4")._5.isEmpty)
     assert(r("g1") == ((2L, 0L, 1000000000L, 500000000L, Some(1000000L))))
     assert(r("g2")._4 == 1000000000L && r("g2")._5.isEmpty)
     // g3: N=1, A=2·1+0=2 → po=2e9/6=333333333; T_0=2,T_1=1 over N·k=3

@@ -1297,8 +1297,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ops.Preference
     val source = MemoryStream[(Long, Long, String, Timestamp)]
     val q = StreamingWinrate.track(
-        source.toDF().toDF("model_a", "model_b", "outcome", "event_time"),
-        watermarkDelay = "0 seconds")
+        source.toDF().toDF("model_a", "model_b", "outcome", "event_time"))
       .writeStream.outputMode("update")
       .format("memory").queryName("wr_out").start()
     def latest(): Map[Long, (Long, Long, Long, Long, Long)] =
@@ -1328,6 +1327,15 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val want = batchOf(p1 ++ p2)
       assert(latest() == want, s"stream ${latest()} vs batch $want")
+      // LATE arrival: event-time far BEHIND everything already folded —
+      // with no watermark declared nothing may be dropped, so parity
+      // must hold for the late battle too
+      val p3 = Seq((30L, 20L, "tie"), (10L, 30L, "a"))
+      source.addData(p3.map { case (a, b, o) =>
+        (a, b, o, ts("2019-12-31 00:00:00")) }: _*)
+      q.processAllAvailable()
+      val want3 = batchOf(p1 ++ p2 ++ p3)
+      assert(latest() == want3, s"late-arrival stream ${latest()} vs batch $want3")
     } finally q.stop()
   }
 }

@@ -25,6 +25,7 @@ typed_rows_of / cells_equal in check_correctness.py):
   hash_match   = every cell bit-exact (NaN==NaN; dtype divergence fails)
 """
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -93,15 +94,26 @@ def main():
     tmpdir.mkdir(parents=True, exist_ok=True)
     procs, merged = [], {}
 
+    # generous per-shard ceiling: the slowest honest shard (DuckDB window
+    # replays at sf1) runs minutes, but a worker stuck in a spill loop
+    # (disk-full thrash rather than a clean OOM kill) would otherwise
+    # hang the whole sweep forever on the timeout-less wait
+    shard_timeout_s = int(os.environ.get("SWEEP_SHARD_TIMEOUT_S", "1800"))
+
     def drain(block_all=False):
         while procs and (block_all or len(procs) >= parallel):
-            p, pj = procs.pop(0)
-            rc = p.wait()
+            p, pj, shard_names = procs.pop(0)
+            try:
+                rc = p.wait(timeout=shard_timeout_s)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+                rc = -9
             if rc != 0 or not pj.exists():
-                # a crashed shard (OOM-kill etc.) marks its gates errored;
-                # argv layout: [python, script, --shard-worker, sf, out, pj,
-                # gate...] — gates start at index 6
-                for n in p.args[6:]:
+                # a crashed/hung shard (OOM-kill, spill loop) marks its own
+                # gate list errored — carried alongside the proc, never
+                # re-parsed out of argv
+                for n in shard_names:
                     merged[n] = {"rows_match": False, "schema_match": False,
                                  "hash_match": False, "spark_rows": None,
                                  "oracle_rows": None,
@@ -117,7 +129,7 @@ def main():
         p = subprocess.Popen(
             [sys.executable, __file__, "--shard-worker",
              sf_dir, out_dir, str(pj)] + shard)
-        procs.append((p, pj))
+        procs.append((p, pj, shard))
     drain(block_all=True)
 
     Path(out_json).write_text(json.dumps(
