@@ -312,10 +312,15 @@ object Search {
     val flags = transform(sequence(lit(1), size(tk)),
       i => slice(tk, i, lit(k)) === litArr)
     val window = slice(flags, lit(1), greatest(size(tk) - (k - 1), lit(0)))
+    // window behind its own projection: referenced twice below, and a
+    // Column val is INLINED per reference — the |toks| slice-compares
+    // ran twice per candidate (CollapseProject keeps the boundary for a
+    // non-cheap expr used more than once, so this computes it once)
     screened
+      .select(col("doc_id"), window.as("__w"))
       .select(col("doc_id"),
-        size(filter(window, b => b)).cast("long").as("n_hits"),
-        array_position(window, true).as("first_pos"))
+        size(filter(col("__w"), b => b)).cast("long").as("n_hits"),
+        array_position(col("__w"), true).as("first_pos"))
       .where(col("n_hits") > 0)
   }
 }

@@ -738,7 +738,15 @@ object TextOps {
     */
   def repeatProfile(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = normTokens(col(textCol))
+    // tokenize behind a projection boundary: as a plain val, the
+    // normTokens regexp chain was INLINED into every reference — seven
+    // sites across sz + three repN variants, and inside each transform
+    // lambda a constant subtree re-evaluates PER ELEMENT, so the split
+    // ran O(|tokens|) times per row. As an attribute it computes once
+    // (CollapseProject keeps the boundary for non-cheap multi-use exprs).
+    val tokenized = docs.select(col(idCol).as("doc_id"),
+      normTokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val sz = size(toks)
     def repN(n: Int): Column = {
       val flags = transform(sequence(lit(1), sz),
@@ -746,7 +754,7 @@ object TextOps {
       size(filter(slice(flags, lit(1), greatest(sz - (2 * n - 1), lit(0))),
         b => b)).cast("long")
     }
-    val base = docs.select(col(idCol).as("doc_id"), sz.cast("long")
+    val base = tokenized.select(col("doc_id"), sz.cast("long")
         .as("n_tokens"),
       repN(1).as("rep1"), repN(2).as("rep2"), repN(3).as("rep3"))
     base.select(col("doc_id"), col("n_tokens"), col("rep1"), col("rep2"),
