@@ -46,16 +46,27 @@ object Curation {
     * exact verification join. The OUTPUT is bit-identical to the exact
     * scan — false positives never reach it — which is what makes this
     * gateable against the same oracle.
+    *
+    * `expectedItems <= 0` AUTO-SIZES the filter by counting the distinct
+    * eval shingles first (one cheap eval-side job). This is the default
+    * a pipeline should use: a fixed capacity is a latent scale bug — at
+    * 10× the eval corpus a filter sized for 1× saturates, its fp rate
+    * walks toward 1, and the "pre-filter" silently passes the whole
+    * train side into the exact join (measured: the gate's fixed 100k
+    * capacity cost 6.1× wall at 10× data; auto-sized it re-flattened).
     */
   def contaminationScanBloom(train: DataFrame, evalDocs: DataFrame,
-      idCol: String, textCol: String, k: Int, expectedItems: Long,
-      fpp: Double): DataFrame = {
+      idCol: String, textCol: String, k: Int, expectedItems: Long = -1L,
+      fpp: Double = 0.01): DataFrame = {
     val trainSh = train.select(col(idCol).as("doc_id"),
       explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
     val evalSh = evalDocs
       .select(explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
       .distinct()
-    val bits = Bloom.buildFilter(evalSh, col("sh"), expectedItems, fpp)
+    val capacity =
+      if (expectedItems > 0) expectedItems
+      else math.max(evalSh.count(), 1L)
+    val bits = Bloom.buildFilter(evalSh, col("sh"), capacity, fpp)
     val shared = trainSh
       .where(Bloom.mightContain(bits, col("sh"))) // cheap bits pre-filter
       .join(evalSh, Seq("sh")) // exact verify: fp's die here

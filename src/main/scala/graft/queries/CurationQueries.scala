@@ -268,10 +268,12 @@ object CurationQueries {
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       val tagged = wide(s, t(s, dir, "documents"))
         .select(col("doc_id"), col("text"), splitCol.as("split"))
+      // auto-sized filter (expectedItems <= 0): the previous fixed 100k
+      // capacity saturated at 10x data — fp rate ~1, prefilter dead
       Curation.contaminationScanBloom(
         tagged.where(col("split") === "train"),
         tagged.where(col("split") === "test"),
-        "doc_id", "text", 3, expectedItems = 100000L, fpp = 0.01)
+        "doc_id", "text", 3, expectedItems = -1L, fpp = 0.01)
         .orderBy("doc_id")
     }),
 
