@@ -2736,6 +2736,64 @@ class OpsSpec extends AnyFunSuite {
     assert(!out(1L).decoded && out(1L).n_samples.isEmpty)
   }
 
+  test("AudioCodecContext.open matches AudioSystem across payload classes") {
+    import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+    def le16(v: Int) =
+      Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def wav(fmtTag: Int, channels: Int, rate: Int, bits: Int,
+        data: Array[Byte], pre: Array[Byte] = Array.empty) = {
+      val block = channels * math.max(bits / 8, 1)
+      val body = pre ++ ("fmt ".getBytes ++ le32(16) ++ le16(fmtTag) ++
+        le16(channels) ++ le32(rate) ++ le32(rate * block) ++ le16(block) ++
+        le16(bits)) ++ ("data".getBytes ++ le32(data.length) ++ data)
+      "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    }
+    val pcm = Seq(100, -5, 30000, -30000).flatMap(s => le16(s & 0xFFFF)).toArray
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      // canonical PCM16LE mono — the inline fast path
+      "canonical16" -> wav(1, 1, 8000, 16, pcm),
+      // stereo 16-bit — fast path, 2-channel format facts
+      "stereo16" -> wav(1, 2, 44100, 16, pcm),
+      // 8-bit PCM (WaveFileReader reports PCM_UNSIGNED) — fast path must
+      // construct the same unsigned format the provider would
+      "pcm8" -> wav(1, 1, 8000, 8, Array[Byte](0, 64, -128, -1)),
+      // a LIST chunk before fmt — NON-canonical layout, provider fallback
+      "listChunk" -> wav(1, 1, 8000, 16, pcm,
+        pre = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes),
+      // non-PCM format tag (ALAW=6) — non-canonical, provider decides
+      "alaw" -> wav(6, 1, 8000, 8, Array[Byte](1, 2, 3, 4)),
+      // data chunk longer than the payload — truncated file
+      "truncated" -> wav(1, 1, 8000, 16, pcm).dropRight(3),
+      // RIFF magic but not WAVE — known magic, providers all refuse
+      "riffNotWave" -> ("RIFF".getBytes ++ le32(8) ++ "AVI ".getBytes),
+      // AIFF magic with garbage body — provider path, refusal
+      "formGarbage" -> ("FORM".getBytes ++ le32(4) ++ "JUNK".getBytes),
+      // no known magic — ctx fast-fails, AudioSystem throws
+      "junk" -> "definitely not audio".getBytes("UTF-8"),
+      "empty" -> Array.empty[Byte],
+      "short" -> Array[Byte](82, 73))
+    val ctx = graft.ops.Multimodal.AudioCodecContext.get()
+    cases.foreach { case (name, payload) =>
+      val viaSystem =
+        try {
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try Some((in.getFormat.toString, in.readAllBytes().toSeq))
+          finally in.close()
+        } catch { case _: UnsupportedAudioFileException => None }
+      val viaCtx = Option(ctx.open(payload)).map { in =>
+        try {
+          val len = ctx.readFully(in)
+          (in.getFormat.toString, ctx.bytes.take(len).toSeq)
+        } finally in.close()
+      }
+      assert(viaCtx == viaSystem,
+        s"$name: ctx=$viaCtx vs AudioSystem=$viaSystem")
+    }
+  }
+
   test("audio energy windows: exact Σs² per window, silence flag, partial tail") {
     def le16(v: Int) =
       Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
