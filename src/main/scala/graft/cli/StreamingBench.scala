@@ -100,12 +100,18 @@ object StreamingBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("neardup")) {
       val cpusNd = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val sparkNd = SparkSession.builder()
+      val builderNd = SparkSession.builder()
         .master(s"local[$cpusNd]").appName("graft-streaming-bench")
         .config("spark.sql.shuffle.partitions", cpusNd)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      // SPARK_GRAFT_STATE_STORE=rocksdb swaps the state backend — the
+      // 100 TB question is whether keyed state survives volume without
+      // executor-heap pressure; RocksDB keeps it off-heap/on-disk
+      if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+        builderNd.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sparkNd = builderNd.getOrCreate()
       sparkNd.sparkContext.setLogLevel("WARN")
       neardupMain(sparkNd, args(1),
         if (args.length > 2) args(2).toInt else 4)
@@ -115,12 +121,15 @@ object StreamingBench {
     val perStay = if (args.length > 1) args(1).toInt else 200
     val filesPerTrigger = if (args.length > 2) args(2).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]").appName("graft-streaming-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
