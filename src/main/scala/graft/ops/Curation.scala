@@ -60,9 +60,15 @@ object Curation {
       fpp: Double = 0.01): DataFrame = {
     val trainSh = train.select(col(idCol).as("doc_id"),
       explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
+    // persisted: the eval shingle set is read up to three times (the
+    // auto-size count, the filter build aggregation, the exact verify
+    // join) — without the persist each is a full explode+distinct over
+    // the eval corpus. Intra-query persist, bounded by the harnesses'
+    // per-query clearCache discipline (Bench/Verify).
     val evalSh = evalDocs
       .select(explode(TextOps.wordShingles(col(textCol), k)).as("sh"))
       .distinct()
+      .persist()
     val capacity =
       if (expectedItems > 0) expectedItems
       else math.max(evalSh.count(), 1L)

@@ -187,6 +187,14 @@ object Multimodal {
       * learn that is pure overhead.
       */
     def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      // retention cap: the scratch buffer grows to the largest payload a
+      // thread ever decodes and ThreadLocals on executor task threads
+      // live for the JVM — one 200 MB outlier would otherwise pin a
+      // 256 MB buffer per thread for every later query. The previous
+      // record's bytes are dead once the next open() begins, so shrink
+      // back here; only outlier records pay a re-allocation.
+      if (buf.length > AudioCodecContext.RetainCap)
+        buf = new Array[Byte](AudioCodecContext.RetainCap)
       if (payload.length >= 4) {
         // canonical PCM WAV fast path
         if (payload.length >= 44 && tag(payload, 0, "RIFF") &&
@@ -236,16 +244,29 @@ object Multimodal {
     /** Drains `in` into the reused buffer; returns the PCM byte length.
       * The buffer (via [[bytes]]) is valid only until the next call on
       * this thread.
+      *
+      * Growth triggers whenever less than one FRAME of space remains,
+      * not only when the buffer is exactly full: `AudioInputStream.read`
+      * returns 0 — not −1 — when the requested length is a partial
+      * frame, so a frame size that doesn't divide the 2^k capacities
+      * (3- or 6-channel PCM) would otherwise leave a sliver the stream
+      * refuses to fill and the loop would spin forever. A 0-return is
+      * additionally treated as "grow and retry" so a non-conforming
+      * stream can never stall the task.
       */
     def readFully(in: javax.sound.sampled.AudioInputStream): Int = {
+      val frame = math.max(in.getFormat.getFrameSize, 1)
       var off = 0
-      var n = 0
-      while ({
-        if (off == buf.length)
+      var done = false
+      while (!done) {
+        if (buf.length - off < frame)
           buf = java.util.Arrays.copyOf(buf, buf.length << 1)
-        n = in.read(buf, off, buf.length - off)
-        n >= 0
-      }) off += n
+        val n = in.read(buf, off, buf.length - off)
+        if (n > 0) off += n
+        else if (n == 0) // defensive: force room for a whole frame
+          buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+        else done = true
+      }
       off
     }
 
@@ -255,6 +276,10 @@ object Multimodal {
   }
 
   private[graft] object AudioCodecContext {
+    /** Largest scratch buffer a thread keeps BETWEEN records (4 MiB —
+      * minutes of PCM); bigger payloads grow transiently and shrink at
+      * the next [[AudioCodecContext.open]]. */
+    private[graft] val RetainCap: Int = 1 << 22
     private val tl = new ThreadLocal[AudioCodecContext] {
       override def initialValue(): AudioCodecContext = new AudioCodecContext
     }

@@ -2774,8 +2774,20 @@ class OpsSpec extends AnyFunSuite {
       "junk" -> "definitely not audio".getBytes("UTF-8"),
       "empty" -> Array.empty[Byte],
       "short" -> Array[Byte](82, 73))
+    // REGRESSION (round-14 review): frame size 6 (3-channel 16-bit) does
+    // not divide the 2^k scratch capacities, and AudioInputStream.read
+    // returns 0 — not -1 — for a partial-frame request: with >=64 KiB of
+    // PCM the drain loop must grow at the frame-aligned boundary instead
+    // of spinning forever on the 4-byte sliver
+    val bigPcm = Array.fill[Byte](66006)(0)
+    var bi = 0
+    while (bi + 1 < bigPcm.length) { // every 16-bit value = 1000 LE
+      bigPcm(bi) = ((1000 & 0xFF)).toByte; bigPcm(bi + 1) = (1000 >> 8).toByte
+      bi += 2
+    }
+    val multiChannel = ("multichannel16" -> wav(1, 3, 8000, 16, bigPcm))
     val ctx = graft.ops.Multimodal.AudioCodecContext.get()
-    cases.foreach { case (name, payload) =>
+    (cases :+ multiChannel).foreach { case (name, payload) =>
       val viaSystem =
         try {
           val in = AudioSystem.getAudioInputStream(

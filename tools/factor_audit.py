@@ -72,16 +72,18 @@ def main():
               + (" ..." if len(only_scaled) > 8 else ""))
 
     rows = []
+    skipped_noise = set()
     for g in sorted(set(base) & set(scaled)):
         b, s = base[g], scaled[g]
         if isinstance(b, dict):  # ScaleProbe row
             b, s = b["base_s"], s["scaled_s"]
         if b < args.min_base:
-            continue
+            skipped_noise.add(g)  # present, just too fast to judge —
+            continue              # NOT a stale allowlist entry
         rows.append((g, b, s, s / b if b > 0 else float("inf")))
 
     failures = []
-    stale_allow = sorted(set(allow) - {g for g, *_ in rows}
+    stale_allow = sorted(set(allow) - {g for g, *_ in rows} - skipped_noise
                          - set(only_base) - set(only_scaled))
     for g, b, s, f in sorted(rows, key=lambda r: -r[3]):
         mark = ""
