@@ -444,10 +444,26 @@ object Bench {
     val (busy0, idle0) = cpuJiffies()
     val self0 = selfJiffies()
 
+    // SPARK_GRAFT_SHARD="i/n" times only the i-th contiguous slice of the
+    // sorted gate list (tools/bench_sharded.py runs one fresh JVM per
+    // slice and merges): round 14 measured that any single ~700 s sweep
+    // JVM inflates 1-3 rotating heavy rows 2-3.5x from in-process state;
+    // bounding JVM life to a slice removes that scatter structurally.
+    // Contiguous (not round-robin) so name-prefix families keep their
+    // content-keyed serving-cache reuse inside one JVM.
+    val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val shardQs = sys.env.get("SPARK_GRAFT_SHARD") match {
+      case Some(spec) =>
+        val Array(i, n) = spec.split("/").map(_.toInt)
+        require(n >= 1 && i >= 0 && i < n, s"bad SPARK_GRAFT_SHARD '$spec'")
+        val per = (allQs.size + n - 1) / n
+        allQs.slice(i * per, math.min((i + 1) * per, allQs.size))
+      case None => allQs
+    }
     // a throwing query is REPORTED and fails the run — swallowing it would
     // make a broken query look like a fast one and *improve* the total
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = shardQs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
         failed ::= name
@@ -483,7 +499,8 @@ object Bench {
     // 31 of 96 per-query numbers) — persist the full line so regressions
     // stay diagnosable from artifacts alone
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/bench_last.json")),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

@@ -157,6 +157,9 @@ object ExplainCheck {
     // serve plan must carry no crossJoin at all
     "q_emb_margin_ivf_serve" -> (Seq("ObjectHashAggregate"),
       Seq("Window", "CartesianProduct")),
+    // deployment-shaped C=64 variant: same serve plan contract
+    "q_emb_margin_ivf_serve64" -> (Seq("ObjectHashAggregate"),
+      Seq("Window", "CartesianProduct")),
     // margin over the PQ serving layout: codes scan joins the broadcast
     // LUT; k-bounded TopKAgg per direction; margin tail unchanged
     "q_emb_margin_pq" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),

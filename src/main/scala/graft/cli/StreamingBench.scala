@@ -91,7 +91,11 @@ object StreamingBench {
       .where(col("doc_b") === col("doc_a") + dupOffset)
       .select("doc_a").as[Long].collect().toSet
     val caught = eligible.count(planted.contains)
-    val batches = q.recentProgress.length
+    // recentProgress is capped (spark.sql.streaming.numRecentProgressUpdates,
+    // default 100) and would under-report long replays; batchId is the
+    // 0-based id of the last completed micro-batch on this fresh checkpoint
+    val batches =
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
     println(f"""{"metric":"streaming_neardup_rows_per_sec","value":${nRows / wallSec}%.0f,"rows":$nRows,"wall_sec":$wallSec%.2f,"distinct_pairs":$nPairs,"planted":${eligible.size},"caught":$caught,"micro_batches":$batches,"files_per_trigger":$filesPerTrigger}""")
     spark.stop()
     if (caught != eligible.size) sys.exit(1)
@@ -214,7 +218,9 @@ object StreamingBench {
     // replay (watermark racing the file order) fails loudly instead of
     // inflating the rate
     val retained = outAgg.getLong(1)
-    val batches = q.recentProgress.length
+    // see neardupMain: recentProgress is capped at 100 entries
+    val batches =
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
     println(f"""{"metric":"streaming_rows_per_sec","value":${retained / wallSec}%.0f,"events":$nEvents,"retained":$retained,"wall_sec":$wallSec%.2f,"partial_rows":$outRows,"micro_batches":$batches,"files_per_trigger":$filesPerTrigger,"stays":$nStays}""")
     spark.stop()
     if (outRows == 0 || retained < (nEvents * 99) / 100) sys.exit(1)

@@ -155,6 +155,15 @@ object Multimodal {
       while (it.hasNext) b += it.next()
       b.result()
     }
+    /** The unknown-magic fast-fail in [[open]] assumes the resolved
+      * provider set is exactly the JDK's bundled readers (WAV/AIFF/AU/
+      * MIDI, all under `com.sun.media.sound`), which only accept streams
+      * whose magic they recognize. A deployment that adds a third-party
+      * `AudioFileReader` SPI (MP3, Vorbis, …) may accept payloads with
+      * other magics, so there the fast-fail must be skipped to keep the
+      * documented `AudioSystem.getAudioInputStream` parity. */
+    private val jdkReadersOnly: Boolean =
+      readers.forall(_.getClass.getName.startsWith("com.sun.media.sound."))
     private var buf: Array[Byte] = new Array[Byte](1 << 16)
 
     private def le16(b: Array[Byte], o: Int): Int =
@@ -206,7 +215,12 @@ object Multimodal {
           val bits = le16(payload, 34)
           val dataLen = math.min(le32(payload, 40),
             (payload.length - 44).toLong).toInt
-          if (channels >= 1 && bits % 8 == 0 && bits > 0 && rate > 0) {
+          // block-align (offset 32) must agree with channels*(bits/8):
+          // WaveFileReader derives the frame size from the header's
+          // block-align, so an inconsistent header must take the provider
+          // path or frame counts would diverge from AudioSystem's
+          if (channels >= 1 && bits % 8 == 0 && bits > 0 && rate > 0 &&
+              le16(payload, 32) == channels * (bits / 8)) {
             val frameSize = channels * (bits / 8)
             val fmt = new javax.sound.sampled.AudioFormat(
               rate.toFloat, bits, channels, /*signed=*/ bits > 8,
@@ -216,10 +230,12 @@ object Multimodal {
               fmt, dataLen.toLong / frameSize)
           }
         }
-        // no recognized container magic → no reader will accept it
+        // no recognized container magic → no JDK reader will accept it;
+        // only valid when the provider list IS just the JDK readers
+        // (a third-party SPI may accept other magics)
         val known = tag(payload, 0, "RIFF") || tag(payload, 0, "FORM") ||
           tag(payload, 0, ".snd") || tag(payload, 0, "MThd")
-        if (!known) return null
+        if (!known && jdkReadersOnly) return null
       }
       val s = new java.io.ByteArrayInputStream(payload)
       var i = 0
@@ -259,15 +275,28 @@ object Multimodal {
       var off = 0
       var done = false
       while (!done) {
-        if (buf.length - off < frame)
-          buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+        if (buf.length - off < frame) grow()
         val n = in.read(buf, off, buf.length - off)
         if (n > 0) off += n
-        else if (n == 0) // defensive: force room for a whole frame
-          buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+        else if (n == 0) grow() // defensive: force room for a whole frame
         else done = true
       }
       off
+    }
+
+    /** Doubles the scratch buffer, clamped to the JVM array-size limit —
+      * `buf.length << 1` alone overflows negative past 1 GiB, which would
+      * throw `NegativeArraySizeException` and misclassify a huge-but-valid
+      * PCM payload as `decoded=false`. At the clamp, a stream still asking
+      * for more space cannot be drained at all: fail loudly (callers map
+      * the exception to the quarantine row) instead of spinning forever on
+      * the pathological 0-return branch. */
+    private def grow(): Unit = {
+      val newLen = math.min(Integer.MAX_VALUE - 8L, buf.length * 2L).toInt
+      if (newLen <= buf.length)
+        throw new java.io.IOException(
+          "PCM payload exceeds the maximum JVM array size")
+      buf = java.util.Arrays.copyOf(buf, newLen)
     }
 
     /** The reused PCM scratch buffer — read-only, bounded by the length

@@ -279,11 +279,18 @@ object CorpusOps {
     // trainer AND scorer bit-exactly; per-language held-out separation
     // is visible in the output (pred_lang vs true_lang)
     "q_doc_langid_clf" -> ((s, dir) => {
+      // true_lang is a pure function of doc_id — derivable anywhere, so
+      // the final projection recomputes it from the scored ids instead of
+      // joining back to heldOut (one fewer documents scan + repartition +
+      // join; scored ids ⊆ heldOut ids and every heldOut doc has in-vocab
+      // tokens by construction, so the row set is identical)
+      def langOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(pmod(id, lit(4)) === 0, lit("de"))
+          .when(pmod(id, lit(4)) === 1, lit("en"))
+          .when(pmod(id, lit(4)) === 2, lit("es"))
+          .otherwise(lit("fr"))
       val base = wide(s, t(s, dir, "documents")).select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(4)) === 0, lit("de"))
-          .when(pmod(col("doc_id"), lit(4)) === 1, lit("en"))
-          .when(pmod(col("doc_id"), lit(4)) === 2, lit("es"))
-          .otherwise(lit("fr")).as("true_lang"),
+        langOf(col("doc_id")).as("true_lang"),
         concat(
           when(pmod(col("doc_id"), lit(4)) === 0,
             lit("der hund und die katze sind hier oft genug"))
@@ -300,9 +307,7 @@ object CorpusOps {
       val model = TextOps.nbTrainMulti(train, "text", "true_lang")
       TextOps.nbPredictLang(
           TextOps.nbScoreMulti(heldOut, "doc_id", "text", model))
-        .join(heldOut.select(col("doc_id").as("id"), col("true_lang")),
-          Seq("id"))
-        .select(col("id").as("doc_id"), col("true_lang"),
+        .select(col("id").as("doc_id"), langOf(col("id")).as("true_lang"),
           col("pred_lang"), col("score_ppm"))
         .orderBy("doc_id")
     }),
@@ -3519,6 +3524,59 @@ object CorpusOps {
       |FROM m WHERE den > 0
       |ORDER BY margin_ppm DESC, src_id, tgt_id LIMIT 20""".stripMargin
 
+  /** IVF-margin replay, INTEGER-EXACT and C-PARAMETERIZED: the knn_ivf
+    * cell/probe CTEs in BOTH directions on the same quantize-first chain
+    * as the brute gate (assign tie → lowest centroid id; probe top-2;
+    * in-cell knn ties → lowest vec_id; every similarity icosSql), then
+    * the IDENTICAL margin tail. `c` is the coarse-cell count (centroids
+    * = vec_ids < c): 8 is the calibration shape the in-query gate pins;
+    * 64 is the deployment shape (C~√N at the sf1 corpus) the persisted
+    * serve gate demonstrates — per-query candidate work is N·nprobe/C,
+    * so the same SQL at larger C is the flattening claim, made replayable.
+    */
+  private[queries] def marginIvfOracleSql(c: Int): String = {
+    def side(corpus: String, queries: String, cells: String,
+        probes: String, fwd: String, qcol: String, ccol: String) =
+      s"""$cells AS (SELECT vec_id, cell, qv, r FROM (
+         |    SELECT t.vec_id, cent.centroid_id AS cell, t.qv, t.r,
+         |      ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")} AS ccos,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")}
+         |          DESC, cent.centroid_id) AS rn
+         |    FROM $corpus t CROSS JOIN cent) z
+         |  WHERE rn = 1 AND ccos IS NOT NULL),
+         |$probes AS (SELECT query_id, qv, r, cell FROM (
+         |    SELECT s.vec_id AS query_id, s.qv, s.r,
+         |      cent.centroid_id AS cell,
+         |      ${icosSql("s.qv", "s.r", "cent.cv", "cent.cr")} AS ccos,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${icosSql("s.qv", "s.r", "cent.cv", "cent.cr")}
+         |          DESC, cent.centroid_id) AS rn
+         |    FROM $queries s CROSS JOIN cent) z
+         |  WHERE rn <= 2 AND ccos IS NOT NULL),
+         |$fwd AS (SELECT $qcol, $ccol, cos_x1m
+         |  FROM (SELECT query_id, vec_id, cos_x1m,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_x1m DESC, vec_id) AS rn
+         |    FROM (SELECT p.query_id, c.vec_id,
+         |        ${icosSql("c.qv", "c.r", "p.qv", "p.r")} AS cos_x1m
+         |      FROM $cells c JOIN $probes p USING (cell)
+         |      WHERE c.vec_id != p.query_id) z0
+         |    WHERE cos_x1m IS NOT NULL) z1
+         |  WHERE rn <= 4)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
+       |${exactChainSql("e", "qe")},
+       |cent AS (SELECT vec_id AS centroid_id, qv AS cv, r AS cr FROM qe
+       |  WHERE vec_id < $c),
+       |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
+       |tg AS (SELECT * FROM qe WHERE vec_id % 2 = 1),
+       |${side("tg", "so", "cellsT", "probF", "fwd",
+           "query_id AS src_id", "vec_id AS tgt_id")},
+       |${side("so", "tg", "cellsS", "probB", "bwd",
+           "vec_id AS src_id", "query_id AS tgt_id")},
+       |$marginTailSql""".stripMargin
+  }
+
   /** DuckDB-side mirror of the engine's width guard: selects the embedding
     * as DOUBLE[] when exactly [[embDims]] wide, else raises through
     * `error()` — a WHERE filter would pass vacuously on a wrong-width
@@ -5515,48 +5573,7 @@ object CorpusOps {
     // (assign tie → lowest centroid id; probe top-2; in-cell knn ties →
     // lowest vec_id; every similarity icosSql), then the IDENTICAL margin
     // tail — proving the backend swap changes only the candidate CTEs
-    "q_emb_margin_ivf_i" -> {
-      def side(corpus: String, queries: String, cells: String,
-          probes: String, fwd: String, qcol: String, ccol: String) =
-        s"""$cells AS (SELECT vec_id, cell, qv, r FROM (
-           |    SELECT t.vec_id, cent.centroid_id AS cell, t.qv, t.r,
-           |      ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")} AS ccos,
-           |      row_number() OVER (PARTITION BY t.vec_id
-           |        ORDER BY ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")}
-           |          DESC, cent.centroid_id) AS rn
-           |    FROM $corpus t CROSS JOIN cent) z
-           |  WHERE rn = 1 AND ccos IS NOT NULL),
-           |$probes AS (SELECT query_id, qv, r, cell FROM (
-           |    SELECT s.vec_id AS query_id, s.qv, s.r,
-           |      cent.centroid_id AS cell,
-           |      ${icosSql("s.qv", "s.r", "cent.cv", "cent.cr")} AS ccos,
-           |      row_number() OVER (PARTITION BY s.vec_id
-           |        ORDER BY ${icosSql("s.qv", "s.r", "cent.cv", "cent.cr")}
-           |          DESC, cent.centroid_id) AS rn
-           |    FROM $queries s CROSS JOIN cent) z
-           |  WHERE rn <= 2 AND ccos IS NOT NULL),
-           |$fwd AS (SELECT $qcol, $ccol, cos_x1m
-           |  FROM (SELECT query_id, vec_id, cos_x1m,
-           |      row_number() OVER (PARTITION BY query_id
-           |        ORDER BY cos_x1m DESC, vec_id) AS rn
-           |    FROM (SELECT p.query_id, c.vec_id,
-           |        ${icosSql("c.qv", "c.r", "p.qv", "p.r")} AS cos_x1m
-           |      FROM $cells c JOIN $probes p USING (cell)
-           |      WHERE c.vec_id != p.query_id) z0
-           |    WHERE cos_x1m IS NOT NULL) z1
-           |  WHERE rn <= 4)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, $evGuardSql AS ev FROM embeddings),
-         |${exactChainSql("e", "qe")},
-         |cent AS (SELECT vec_id AS centroid_id, qv AS cv, r AS cr FROM qe
-         |  WHERE vec_id < 8),
-         |so AS (SELECT * FROM qe WHERE vec_id % 2 = 0),
-         |tg AS (SELECT * FROM qe WHERE vec_id % 2 = 1),
-         |${side("tg", "so", "cellsT", "probF", "fwd",
-             "query_id AS src_id", "vec_id AS tgt_id")},
-         |${side("so", "tg", "cellsS", "probB", "bwd",
-             "vec_id AS src_id", "query_id AS tgt_id")},
-         |$marginTailSql""".stripMargin
-    },
+    "q_emb_margin_ivf_i" -> marginIvfOracleSql(8),
 
     // JL replay: the IDENTICAL ±1 literal matrix (generated from the same
     // driver-side jlSign), identical left-associated + chain per

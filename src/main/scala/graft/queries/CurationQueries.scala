@@ -1051,6 +1051,45 @@ object CurationQueries {
         .limit(20)
     }),
 
+    // the DEPLOYMENT-SHAPED serving form: identical pipeline to
+    // q_emb_margin_ivf_serve but at C=64 coarse cells instead of the
+    // C=8 calibration pin. Per-query candidate work in an IVF layout is
+    // N·nprobe/C — the C=8 form scans a quarter of the corpus per query
+    // (fine for calibrating the exact chain, wrong as a serving claim),
+    // while C~√N at the sf1 corpus (~64 for 4k vectors/cell at 260k)
+    // is the shape a deployment picks, and the cell-pruned directory
+    // scan goes FLATTER as C grows with N. Same integer-exact assignment
+    // (ties → lowest centroid id), same probe depth, same margin tail;
+    // the oracle replays the identical SQL with the centroid bound at 64
+    "q_emb_margin_ivf_serve64" -> ((s, dir) => {
+      val base = graft.io.IndexCache.cacheDir("mivf64", 1,
+        s"$dir/embeddings.parquet")
+      val emb = wide(s, t(s, dir, "embeddings"))
+      graft.io.IndexCache.ensureBuilt(base, s"$base/ivf/cells/_SUCCESS") {
+        tmp =>
+          val centroids = emb.where(col("vec_id") < 64)
+            .select(col("vec_id").as("centroid_id"),
+              col("embedding").as("centroid_vec"))
+          val cen = graft.ops.VectorOps.ivfExactCentroids(centroids)
+          graft.ops.VectorOps.saveIvfIndex(s"$tmp/ivf", cen,
+            graft.ops.VectorOps.ivfExactCells(emb, cen))
+      }
+      val (cen, cells) = graft.ops.VectorOps.loadIvfIndex(s, s"$base/ivf")
+      def qside(par: Int) = emb
+        .where(pmod(col("vec_id"), lit(2)) === par)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val fwd = graft.ops.VectorOps.ivfTopKExactIndexed(
+        cells.where(pmod(col("vec_id"), lit(2)) === 1), cen, qside(0),
+        k = 4, nprobe = 2)
+      val bwd = graft.ops.VectorOps.ivfTopKExactIndexed(
+        cells.where(pmod(col("vec_id"), lit(2)) === 0), cen, qside(1),
+        k = 4, nprobe = 2)
+      graft.ops.VectorOps.marginPairsExact(fwd, bwd)
+        .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
+        .limit(20)
+    }),
+
     // margin mining over the PQ serving layout: the SAME ratio-margin
     // tail as the brute/IVF gates, but both directions' kNN run on
     // compressed codes via the integer cos-ADC scan (reconstructed-
@@ -2176,6 +2215,7 @@ object CurationQueries {
     // serving gate mines the in-query composition's exact margins — the
     // persisted cell assignment must not change a single bit
     "q_emb_margin_ivf_serve" -> CorpusOps.oracles("q_emb_margin_ivf_i"),
+    "q_emb_margin_ivf_serve64" -> CorpusOps.marginIvfOracleSql(64),
 
     "q_emb_margin_pq" -> marginPqSql(2, 64, 8, 2, topK = 4),
 

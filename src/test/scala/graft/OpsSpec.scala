@@ -2764,6 +2764,11 @@ class OpsSpec extends AnyFunSuite {
         pre = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes),
       // non-PCM format tag (ALAW=6) — non-canonical, provider decides
       "alaw" -> wav(6, 1, 8000, 8, Array[Byte](1, 2, 3, 4)),
+      // block-align (offset 32) disagrees with channels*(bits/8) — must
+      // take the provider path: WaveFileReader derives the frame size
+      // from the header's block-align, so the fast path's computed frame
+      // size would diverge from AudioSystem's (round-15 review)
+      "badBlockAlign" -> { val w = wav(1, 1, 8000, 16, pcm); w(32) = 4; w },
       // data chunk longer than the payload — truncated file
       "truncated" -> wav(1, 1, 8000, 16, pcm).dropRight(3),
       // RIFF magic but not WAVE — known magic, providers all refuse

@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""One-command round-close gate: every closing discipline, failing loudly.
+
+Usage:
+  python3 tools/round_close.py \
+      --correctness CORRECTNESS_sf1.json \
+      --bench bench_last.json --bench-scaled bench_sf1.json
+
+Round 14 closed with five separately-invoked checks documented in prose
+(factor audit, sharded sweep, warm-run classification, leak grep, the
+ADVICE ledger assertion); this script is those checks as code. Run it
+before committing round-close artifacts; exit 0 means the round is
+closeable.
+
+Checks:
+  1. correctness artifact: every gate rows+schema+hash green, zero err
+  2. factor audit: bench vs bench-scaled under the wall-factor gate
+     (tools/factor_audit.py + its committed allowlist)
+  3. warm-run classification on BOTH bench artifacts
+     (tools/warm_check.py + its committed bands)
+  4. leak grep over src/ and tools/: no external URLs off the public
+     allowlist, no cloud bucket schemes, no credential-shaped strings,
+     no non-SPARK_/COURSIER_ env-var reads
+  5. ADVICE.md ledger: every advice bullet carries a FIXED(...) or
+     ACCEPTED(...) disposition line
+"""
+import argparse
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+REPO = HERE.parent
+
+
+def check_correctness(path):
+    d = json.loads(Path(path).read_text())
+    bad = [k for k, v in d.items()
+           if not (v.get("rows_match") and v.get("schema_match")
+                   and v.get("hash_match")) or v.get("err")]
+    if bad:
+        return [f"correctness {path}: {len(bad)} non-green gates: "
+                f"{bad[:10]}"]
+    print(f"[round-close] correctness: {len(d)} gates green in {path}")
+    return []
+
+
+def run_tool(argv, name):
+    r = subprocess.run([sys.executable, *argv], cwd=REPO)
+    if r.returncode != 0:
+        return [f"{name} failed (rc={r.returncode}) — see output above"]
+    return []
+
+
+# Public hosts that legitimately appear in Scaladoc citations/comments;
+# synthetic fixture hosts live in the committed tools/leak_allowlist.json.
+PUBLIC_HOSTS = re.compile(
+    r"^(localhost(:\d+)?|127\.0\.0\.1(:\d+)?|(www\.)?(apache\.org|"
+    r"github\.com|arxiv\.org|aclanthology\.org|spark\.apache\.org|"
+    r"duckdb\.org|en\.wikipedia\.org|doi\.org|dl\.acm\.org|"
+    r"openreview\.net|scala-lang\.org|docs\.oracle\.com|w3\.org|"
+    r"ietf\.org|unicode\.org|sitemaps\.org)(/.*)?$)")
+LEAK_PATTERNS = [
+    ("url", re.compile(r"https?://([\w.:@-]+)")),
+    # a bucket LEAK needs a bucket name; a bare `s3a://, ...` in a doc
+    # comment enumerating public Hadoop schemes does not name a system
+    ("bucket", re.compile(r"\b(?:s3|gs|s3a|s3n|abfss?|wasbs?)://([\w-]{3,})")),
+    ("aws-key", re.compile(r"\bAKIA[0-9A-Z]{16}\b")),
+    ("env", re.compile(r"""sys\.env(?:\.get(?:OrElse)?)?\(\s*"([^"]+)""")),
+]
+ENV_ALLOW = re.compile(r"^(SPARK_|COURSIER_|JAVA_|HOME$|PATH$|TMPDIR$)")
+
+
+def leak_scan():
+    allow = json.loads((HERE / "leak_allowlist.json").read_text())
+    host_allow = [re.compile(h) for h in allow["hosts"]]
+    problems = []
+    files = []
+    for base in [REPO / "src", REPO / "tools"]:
+        files += [p for p in base.rglob("*")
+                  if p.suffix in (".scala", ".py", ".json", ".md", ".sbt")
+                  and p.name not in ("round_close.py", "leak_allowlist.json")]
+    for p in files:
+        try:
+            text = p.read_text(errors="replace")
+        except OSError:
+            continue
+        for i, line in enumerate(text.splitlines(), 1):
+            for kind, pat in LEAK_PATTERNS:
+                for m in pat.finditer(line):
+                    g = m.group(1) if m.groups() else m.group(0)
+                    if kind == "url" and (
+                            PUBLIC_HOSTS.match(g)
+                            or any(h.match(g.lower()) for h in host_allow)):
+                        continue
+                    if kind == "env" and ENV_ALLOW.match(g):
+                        continue
+                    problems.append(
+                        f"leak[{kind}] {p.relative_to(REPO)}:{i}: "
+                        f"{line.strip()[:120]}")
+    if not problems:
+        print(f"[round-close] leak grep: 0 hits over {len(files)} files")
+    return problems
+
+
+def check_advice():
+    text = (REPO / "ADVICE.md").read_text()
+    problems = []
+    # bullets start "- **sev** path — claim"; the disposition convention
+    # is an indented line inside the bullet carrying FIXED(...)/ACCEPTED(...)
+    bullets = re.split(r"^(?=- \*\*)", text, flags=re.M)
+    for b in bullets:
+        if not b.startswith("- **"):
+            continue
+        head = b.splitlines()[0][:100]
+        if "FIXED(" not in b and "ACCEPTED(" not in b:
+            problems.append(f"ADVICE.md item lacks FIXED()/ACCEPTED() "
+                            f"disposition: {head}")
+    if not problems:
+        n = sum(1 for b in bullets if b.startswith("- **"))
+        print(f"[round-close] ADVICE.md ledger: {n} items all dispositioned")
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--correctness", required=True,
+                    help="driver-format correctness JSON to assert green")
+    ap.add_argument("--bench", required=True, help="base bench artifact")
+    ap.add_argument("--bench-scaled", required=True,
+                    help="scaled (10x) bench artifact")
+    ap.add_argument("--skip-advice", action="store_true",
+                    help="before the close edit that dispositions ADVICE.md")
+    args = ap.parse_args()
+
+    problems = []
+    problems += check_correctness(args.correctness)
+    problems += run_tool([str(HERE / "factor_audit.py"), args.bench,
+                          args.bench_scaled], "factor_audit")
+    problems += run_tool([str(HERE / "warm_check.py"), args.bench],
+                         "warm_check(base)")
+    problems += run_tool([str(HERE / "warm_check.py"), args.bench_scaled],
+                         "warm_check(scaled)")
+    problems += leak_scan()
+    if not args.skip_advice:
+        problems += check_advice()
+
+    for p in problems:
+        print(f"[round-close] FAIL: {p}")
+    if problems:
+        print(f"[round-close] NOT CLOSEABLE: {len(problems)} problems")
+        return 1
+    print("[round-close] ALL CHECKS GREEN — round is closeable")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
