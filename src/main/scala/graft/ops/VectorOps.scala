@@ -607,10 +607,38 @@ object VectorOps {
     call_function("div", dotL * lit(1000000L), nullif(ra * rb, lit(0L)))
 
   /** Quantize an embedding column and pair it with its exact integer norm
-    * root: (qv = round-half-up(x·scale) per element, r = isqrt(qv·qv)). */
+    * root: (qv = round-half-up(x·scale) per element, r = isqrt(qv·qv)).
+    *
+    * INLINE-COST WARNING: `qv` is a `transform(...)` higher-order function
+    * — Spark evaluates it INTERPRETED (CodegenFallback), and a Column is
+    * re-inlined at every reference site: `r` embeds qv twice inside the
+    * dot and [[isqrt]] references ITS argument five times, so a single
+    * projection of this pair evaluates the per-element quantize ~11× per
+    * row (measured ~200 µs/row at 64 dims — 2 s per 10k query rows on
+    * the round-15 margin-serve probes). Row-at-scale callers must use
+    * [[quantizedStaged]]; this pair form is for bounded tables
+    * (centroids) and expression-level composition. */
   private[ops] def quantized(vec: Column, scale: Double): (Column, Column) = {
     val qv = KMeans.quantize(vec, scale)
     (qv, isqrt(graft.functions.GraftFunctions.long_dot(qv, qv)))
+  }
+
+  /** [[quantized]] materialized in three projection steps so the
+    * interpreted quantize transform runs ONCE per row: project qv, then
+    * the self-dot off the materialized attribute, then the isqrt off the
+    * materialized dot (CollapseProject keeps each boundary because the
+    * produced expression is non-cheap and referenced more than once
+    * downstream). Same values bit-for-bit as the pair form — only the
+    * evaluation count changes. Returns `keep ++ (outVec, outR)`. */
+  private[ops] def quantizedStaged(df: DataFrame, keep: Seq[String],
+      vecCol: Column, outVec: String, outR: String,
+      scale: Double): DataFrame = {
+    val ks = keep.map(col)
+    val q0 = df.select(ks :+ KMeans.quantize(vecCol, scale).as(outVec): _*)
+    val q1 = q0.select(ks :+ col(outVec) :+
+      graft.functions.GraftFunctions.long_dot(col(outVec), col(outVec))
+        .as("__n2"): _*)
+    q1.select(ks :+ col(outVec) :+ isqrt(col("__n2")).as(outR): _*)
   }
 
   /** Per-query bounded top-k over integer-scored candidates — the
@@ -694,8 +722,9 @@ object VectorOps {
     */
   def ivfExactCells(corpus: DataFrame, cen: DataFrame,
       scale: Double = 1e5): DataFrame = {
-    val (eq, er) = quantized(col("embedding"), scale)
-    val corp = corpus.select(col("vec_id"), eq.as("qv"), er.as("v_r"))
+    // staged quantize: one interpreted transform per corpus row, not ~11
+    val corp = quantizedStaged(corpus, Seq("vec_id"), col("embedding"),
+      "qv", "v_r", scale)
     // cell assignment: argmax over exact cell cosines as a map-side
     // combined aggregation (see assignCells for why not a window)
     corp.crossJoin(broadcast(cen))
@@ -721,10 +750,12 @@ object VectorOps {
   def ivfTopKExactIndexed(cells: DataFrame, cen: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int,
       scale: Double = 1e5): DataFrame = {
-    val (qq, qr) = quantized(col("query_vec"), scale)
     val topP = graft.functions.TopKAgg.smallest_k_long(nprobe)
-    val probes = queries
-      .select(col("query_id"), qq.as("qq"), qr.as("q_r"))
+    // staged quantize: one interpreted transform per query row, not ~11
+    // (measured 2 s per direction per 10k queries on the margin-serve
+    // decomposition probe before staging)
+    val probes = quantizedStaged(queries, Seq("query_id"),
+        col("query_vec"), "qq", "q_r", scale)
       .crossJoin(broadcast(cen))
       .withColumn("c_cos", exactCosX1m(
         graft.functions.GraftFunctions.long_dot(col("qq"), col("cv")),

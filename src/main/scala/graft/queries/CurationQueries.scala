@@ -1035,7 +1035,18 @@ object CurationQueries {
           graft.ops.VectorOps.saveIvfIndex(s"$tmp/ivf", cen,
             graft.ops.VectorOps.ivfExactCells(emb, cen))
       }
+      // spread the loaded cells across tasks (the wide() discipline, but
+      // load-path specific and REQUIRED at every scale, not a small-file
+      // artifact): the serving layout is one directory per cell and the
+      // probe join is broadcast, so the streamed side's parallelism is
+      // the file-split count — the most-probed cell's entire candidate
+      // enumeration (most of the volume, cells are skewed) otherwise
+      // lands in ONE task (measured: fwd direction 13.3 s -> 3.1 s at
+      // 10x data from this line alone). Round-robin, so no key skew; the
+      // ranking is integer-exact with pinned ties — partitioning cannot
+      // change a bit of the output.
       val (cen, cells) = graft.ops.VectorOps.loadIvfIndex(s, s"$base/ivf")
+        match { case (c0, cl0) => (c0, wide(s, cl0)) }
       def qside(par: Int) = emb
         .where(pmod(col("vec_id"), lit(2)) === par)
         .select(col("vec_id").as("query_id"),
@@ -1074,7 +1085,9 @@ object CurationQueries {
           graft.ops.VectorOps.saveIvfIndex(s"$tmp/ivf", cen,
             graft.ops.VectorOps.ivfExactCells(emb, cen))
       }
+      // cell-spread on load — see q_emb_margin_ivf_serve
       val (cen, cells) = graft.ops.VectorOps.loadIvfIndex(s, s"$base/ivf")
+        match { case (c0, cl0) => (c0, wide(s, cl0)) }
       def qside(par: Int) = emb
         .where(pmod(col("vec_id"), lit(2)) === par)
         .select(col("vec_id").as("query_id"),
