@@ -452,12 +452,31 @@ object Bench {
     // Contiguous (not round-robin) so name-prefix families keep their
     // content-keyed serving-cache reuse inside one JVM.
     val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
-    val shardQs = sys.env.get("SPARK_GRAFT_SHARD") match {
+    val shardSpec = sys.env.get("SPARK_GRAFT_SHARD")
+    val shardQs = shardSpec match {
       case Some(spec) =>
-        val Array(i, n) = spec.split("/").map(_.toInt)
+        // parse defensively: a malformed spec ("2", "a/b") must die with
+        // the intended diagnostic, not a MatchError before the require
+        val ShardRe = """(\d+)/(\d+)""".r
+        val (i, n) = spec match {
+          case ShardRe(a, b) => (a.toInt, b.toInt)
+          case _ => sys.error(
+            s"bad SPARK_GRAFT_SHARD '$spec' (want 'i/n', e.g. '0/4')")
+        }
         require(n >= 1 && i >= 0 && i < n, s"bad SPARK_GRAFT_SHARD '$spec'")
+        // fail BEFORE timing anything: a sharded artifact is partial and
+        // must go to an explicit path, never the default bench_last.json
+        require(sys.env.contains("SPARK_GRAFT_BENCH_OUT"),
+          "SPARK_GRAFT_SHARD is set but SPARK_GRAFT_BENCH_OUT is not — " +
+            "refusing to overwrite bench_last.json with a partial artifact")
         val per = (allQs.size + n - 1) / n
-        allQs.slice(i * per, math.min((i + 1) * per, allQs.size))
+        val slice = allQs.slice(i * per, math.min((i + 1) * per, allQs.size))
+        // n > gate count leaves tail shards empty — refuse rather than emit
+        // a valid-looking zero-gate artifact the merger would trust
+        require(slice.nonEmpty,
+          s"SPARK_GRAFT_SHARD '$spec' selects zero gates " +
+            s"(${allQs.size} total) — lower n")
+        slice
       case None => allQs
     }
     // a throwing query is REPORTED and fails the run — swallowing it would
@@ -492,15 +511,28 @@ object Bench {
         else -1.0
       f""""host":{"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"busy_pct":$busyPct%.1f,"other_busy_pct":$otherPct%.1f}"""
     }
+    // a sharded run emits a PARTIAL surface: tag it so no tool can mistake
+    // it for a full artifact, and never let it land on the default
+    // bench_last.json path (ADVICE r15 — a 1/N total read as the whole
+    // surface would corrupt warm_check/factor_audit downstream)
+    val shardJson =
+      shardSpec.map(s => s""","shard":"$s"""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warmups":$warmJson,$hostJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warmups":$warmJson,$hostJson,"sf":"$sfDir"$shardJson}"""
     println(line)
     // the driver keeps only a tail of this process's stdout (BENCH_r04 lost
     // 31 of 96 per-query numbers) — persist the full line so regressions
     // stay diagnosable from artifacts alone
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) => p
+      case None =>
+        require(shardSpec.isEmpty,
+          "SPARK_GRAFT_SHARD is set but SPARK_GRAFT_BENCH_OUT is not — " +
+            "refusing to overwrite bench_last.json with a partial artifact")
+        "/root/repo/bench_last.json"
+    }
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/bench_last.json")),
+      java.nio.file.Paths.get(benchOut),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

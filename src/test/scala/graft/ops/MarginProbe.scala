@@ -6,7 +6,11 @@ import org.apache.spark.sql.functions._
 /** Throwaway decomposition probe for the margin-serve fixed cost
   * (round 15): times each stage of q_emb_margin_ivf_serve64 separately
   * at a given corpus dir so the shared ~12 s data-proportional tail both
-  * serve forms carry can be attributed. Not part of the gate surface.
+  * serve forms carry can be attributed. Not part of the gate surface —
+  * lives in TEST scope (not shipped in the jar) and uses its own
+  * IndexCache key so the gate never serves an index this probe built
+  * (ADVICE r15). Run: `java -cp "target/scala-2.13/test-classes:target/
+  * scala-2.13/classes:SPARK_JARS" graft.ops.MarginProbe <dir> [C]`.
   */
 object MarginProbe {
   def main(args: Array[String]): Unit = {
@@ -28,7 +32,7 @@ object MarginProbe {
       r
     }
 
-    val base = graft.io.IndexCache.cacheDir(s"mivf$c", 1,
+    val base = graft.io.IndexCache.cacheDir(s"mivf${c}probe", 1,
       s"$dir/embeddings.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .repartition(32)

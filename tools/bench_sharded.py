@@ -52,11 +52,21 @@ def run_shard(sf_dir, i, n, out_path):
            "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
            "graft.Bench"]
     print(f"[bench-sharded] shard {i + 1}/{n} starting", flush=True)
+    # keep stderr: it carries the per-gate "FAILED:" lines and the warmup
+    # battery's failure messages — without it a failed warmup's only trace
+    # is the ok=false flag in the artifact (and an ADVICE-flagged merge bug
+    # once dropped even that)
     r = subprocess.run(cmd, env=env, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
+                       stderr=subprocess.PIPE, text=True)
     if r.returncode != 0:
+        tail = "\n".join(r.stderr.splitlines()[-20:]) if r.stderr else ""
         print(f"[bench-sharded] shard {i + 1}/{n} exited rc={r.returncode} "
-              f"(failed gates are in the artifact)", flush=True)
+              f"(failed gates are in the artifact)\n{tail}", flush=True)
+    else:
+        for ln in (r.stderr or "").splitlines():
+            if "FAILED" in ln:
+                print(f"[bench-sharded] shard {i + 1}/{n} stderr: {ln}",
+                      flush=True)
     return json.loads(Path(out_path).read_text())
 
 
@@ -78,11 +88,14 @@ def main():
         queries.update(s.get("queries", {}))
         failed += s.get("failed", [])
         for fam, rec in s.get("warmups", {}).items():
+            # ok is STICKY-false and sec is a true max: a later shard's
+            # ok=true/larger-sec record must never wash out an earlier
+            # shard's failure (warm_check.py rule 2 trusts merged ok, so a
+            # washed-out failure would bless on-clock first-compile JIT)
             cur = warm_max.get(fam)
-            if cur is None or rec["sec"] > cur["sec"] or not rec["ok"]:
-                warm_max[fam] = dict(rec)
-            if not rec["ok"]:
-                warm_max[fam]["ok"] = False
+            merged_ok = (cur is None or cur["ok"]) and bool(rec["ok"])
+            sec = max(rec["sec"], cur["sec"] if cur else 0.0)
+            warm_max[fam] = {"sec": sec, "ok": merged_ok}
     total = sum(queries.values())
     # time-weighted host fractions: weight each shard's busy% by its
     # measured seconds (the windows are disjoint in time)
