@@ -877,6 +877,12 @@ object ExplainCheck {
     "q_doc_host_dedup" -> (Seq("HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window")),
+    // deflate ratio: ONE typed mapPartitions seam (zlib is not a
+    // Catalyst expression) over a pure generator projection — no join,
+    // no agg, no window before the output sort
+    "q_doc_compress_ratio" -> (Seq("MapPartitions", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
     // char n-gram repetition: in-row gram transform + two partial aggs
     "q_doc_char_ngrams" -> (Seq("Generate", "HashAggregate",
         "Batched: true"),
@@ -994,6 +1000,12 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_ivf_assign" -> (Seq("HashAggregate", "SortAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    // ICP curriculum: broadcast cell assignment (argmax agg, no window)
+    // + ONE cell-keyed shuffle into the bounded per-cell chain
+    // (MapGroups) — no global sort before the output orderBy, no window
+    // anywhere, no doc×doc join
+    "q_doc_icp_order" -> (Seq("MapGroups", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
     "q_emb_kmeans" -> (Seq(),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     // power iteration: localCheckpoint boundary like q_emb_kmeans; the
@@ -1042,6 +1054,11 @@ object ExplainCheck {
         "Window", "HashAggregate", "BroadcastHashJoin")),
     // GIF sniff: fixed-offset LE parse, pure projection
     "q_mm_gif" -> (Seq("Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Window", "HashAggregate", "BroadcastHashJoin")),
+    // WEBP RIFF sniff: fixed-offset LE parse, three fourcc grammars in
+    // one pure projection — no join/agg/window
+    "q_mm_webp" -> (Seq("Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Window", "HashAggregate", "BroadcastHashJoin")),
     // MP4 box walk: bounded per-row fold + one nested probe — projection

@@ -1172,6 +1172,65 @@ object Multimodal {
           .cast("int")).as("table_colors"))
   }
 
+  /** WEBP container sniff — completes the crawl container matrix (the
+    * most common remaining web-crawl image format after PNG/JPEG/GIF).
+    * Composes the [[wavHeader]] little-endian discipline with a RIFF
+    * chunk walk: "RIFF" @1 + LE u32 size @5 + "WEBP" @9, then ONE chunk
+    * whose fourcc @13 selects the bitstream grammar —
+    *
+    *  - `VP8 ` (lossy): 3-byte frame tag, the 9D 01 2A sync code at
+    *    chunk bytes 3-5, then LE u14 width/height (low 14 bits of the
+    *    u16s at chunk bytes 6-9). No alpha, never animated.
+    *  - `VP8L` (lossless): 0x2F signature byte, then ONE LE u32 packing
+    *    width-1 (bits 0-13), height-1 (bits 14-27), alpha (bit 28).
+    *  - `VP8X` (extended): flags byte (ICC 0x20, alpha 0x10, EXIF 0x08,
+    *    XMP 0x04, animation 0x02), 3 reserved bytes, then LE u24
+    *    canvas width-1 / height-1.
+    *
+    * A recognized fourcc whose inner signature fails (bad VP8 sync code,
+    * missing VP8L 0x2F) yields is_webp=true with null fields — fail
+    * closed, never misparse (the mvhd-v1 discipline from [[mp4Header]]).
+    * Pure codegen'd Column projection, zero shuffle, no codec.
+    */
+  def webpHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def leHex(off: Int, len: Int) = { // reverse `len` hex byte-pairs
+      val be = hex(substring(payload, off, len))
+      concat((len to 1 by -1).map(i => substring(be, i * 2 - 1, 2)): _*)
+    }
+    def le(off: Int, len: Int) = conv(leHex(off, len), 16, 10).cast("long")
+    val isWebp = hex(substring(payload, 1, 4)) === lit("52494646") && // RIFF
+      hex(substring(payload, 9, 4)) === lit("57454250") // "WEBP"
+    val fourcc = hex(substring(payload, 13, 4))
+    val isVp8 = fourcc === lit("56503820") && // "VP8 " — sync code gate
+      hex(substring(payload, 24, 3)) === lit("9D012A")
+    val isVp8l = fourcc === lit("5650384C") && // "VP8L" — signature gate
+      hex(substring(payload, 21, 1)) === lit("2F")
+    val isVp8x = fourcc === lit("56503858") // "VP8X"
+    val lBits = le(22, 4) // VP8L packed u32
+    val xFlags = le(21, 1).cast("int") // VP8X feature flags
+    val fmt = when(isVp8, "VP8").when(isVp8l, "VP8L").when(isVp8x, "VP8X")
+    struct(
+      isWebp.as("is_webp"),
+      when(isWebp, fmt).as("format"),
+      when(isWebp,
+        when(isVp8, le(27, 2).bitwiseAND(lit(16383L)))
+          .when(isVp8l, lBits.bitwiseAND(lit(16383L)) + 1L)
+          .when(isVp8x, le(25, 3) + 1L)
+          .cast("int")).as("width"),
+      when(isWebp,
+        when(isVp8, le(29, 2).bitwiseAND(lit(16383L)))
+          .when(isVp8l, shiftright(lBits, 14).bitwiseAND(lit(16383L)) + 1L)
+          .when(isVp8x, le(28, 3) + 1L)
+          .cast("int")).as("height"),
+      when(isWebp,
+        when(isVp8, lit(false))
+          .when(isVp8l, shiftright(lBits, 28).bitwiseAND(lit(1L)) === 1L)
+          .when(isVp8x, xFlags.bitwiseAND(lit(16)) =!= 0)).as("has_alpha"),
+      when(isWebp,
+        when(isVp8 || isVp8l, lit(false))
+          .when(isVp8x, xFlags.bitwiseAND(lit(2)) =!= 0)).as("is_animated"))
+  }
+
   /** JPEG SOF header sniff — the VARIABLE-OFFSET case ([[pngHeader]] was
     * fixed-offset big-endian, [[wavHeader]] fixed-offset little-endian):
     * JPEG dimensions live in a Start-Of-Frame segment whose position

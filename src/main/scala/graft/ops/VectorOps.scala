@@ -1148,4 +1148,79 @@ object VectorOps {
         col("e.id").as("vec_id"), col("e.m").as("mmr_score"))
   }
 
+  /** Similarity-ordered training curriculum (in-context pretraining, Shi
+    * et al. 2023): within each IVF cell, order documents along a greedy
+    * nearest-neighbor chain so adjacent training examples are
+    * semantically related — the shard-local reading order an ICP loader
+    * consumes. Input is an [[ivfExactCells]] assignment
+    * (vec_id, qv, v_r, cell); output (cell, pos, vec_id) with pos the
+    * 1-based chain position.
+    *
+    * Chain rule, fully pinned for engine replay: the anchor is the cell's
+    * LOWEST vec_id; each step moves to the unvisited member with the
+    * highest exact integer cosine to the CURRENT member —
+    * `(dot·10⁶) / (r_a·r_b)` in the [[exactCosX1m]] micro-units, plain
+    * long division (truncation ≡ Spark `div` ≡ DuckDB `//`, verified
+    * incl. negatives) — ties to the lowest vec_id. Every quantity is
+    * integer, so the chain is bit-identical on any engine, partitioning,
+    * or parallelism.
+    *
+    * Scale shape: ONE shuffle (groupByKey on cell), then each cell chains
+    * independently inside `flatMapGroups` — per-cell O(m²·d) integer dots
+    * with m bounded by `maxCellSize` (a LOUD require, not a silent cap:
+    * at 100 TB pick the centroid count so cells land in the 1-4k range,
+    * C ≈ N/2048 — the [[semanticDedupPairs]] in-cell discipline). There
+    * is never a global sort and never a doc×doc shuffle; the final
+    * curriculum is written `partitionBy(cell)` like [[graft.ops.Sampling
+    * .epochOrder]]'s shard files.
+    */
+  def icpOrder(cells: DataFrame, maxCellSize: Int = 8192): DataFrame = {
+    require(maxCellSize >= 1, "maxCellSize must be positive")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.select(col("cell").cast("long"), col("vec_id").cast("long"),
+        col("qv"), col("v_r").cast("long"))
+      .as[(Long, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Long], Long)]) =>
+        val m = it.toArray.sortBy(_._2) // vec_id asc — scan order IS the tie pin
+        require(m.length <= maxCellSize,
+          s"cell $cell has ${m.length} members > maxCellSize=$maxCellSize" +
+            " — raise the centroid count so cells stay bounded")
+        val n = m.length
+        val visited = new Array[Boolean](n)
+        val order = new Array[Int](n)
+        visited(0) = true // anchor: lowest vec_id
+        var cur = 0
+        var step = 1
+        while (step < n) {
+          var best = -1
+          var bestCos = Long.MinValue
+          val qc = m(cur)._3
+          val rc = m(cur)._4
+          var j = 0
+          while (j < n) {
+            if (!visited(j)) {
+              val qb = m(j)._3
+              var dot = 0L
+              var i = 0
+              while (i < qc.length) { dot += qc(i) * qb(i); i += 1 }
+              val den = rc * m(j)._4
+              // zero-norm members never reach here (ivfExactCells drops
+              // null-cosine vectors); den > 0 by construction
+              val cos = if (den == 0L) Long.MinValue else dot * 1000000L / den
+              if (best == -1 || cos > bestCos) { bestCos = cos; best = j }
+            }
+            j += 1
+          }
+          visited(best) = true
+          order(step) = best
+          cur = best
+          step += 1
+        }
+        (0 until n).iterator.map(p => (cell, (p + 1).toLong, m(order(p))._2))
+      }
+      .toDF("cell", "pos", "vec_id")
+  }
+
 }

@@ -1554,6 +1554,24 @@ object CorpusOps {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity-ordered training curriculum (in-context pretraining,
+    // Shi et al. 2023): greedy nearest-neighbor chain per IVF cell in
+    // exact integer cosine space — adjacent training examples end up
+    // semantically related within each shard. Gate runs on the vec_id
+    // decimation so the DuckDB chain replay (a recursive CTE stepping
+    // one argmax per cell per iteration) stays bounded at every SF;
+    // the operator itself is cell-bounded by construction
+    "q_doc_icp_order" -> ((s, dir) => {
+      val emb = wide(s, t(s, dir, "embeddings"))
+        .where(pmod(col("vec_id"), lit(10)) === 0)
+      val cen = VectorOps.ivfExactCentroids(
+        emb.where(col("vec_id") < 80)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("centroid_vec")))
+      VectorOps.icpOrder(VectorOps.ivfExactCells(emb, cen))
+        .orderBy("cell", "pos")
+    }),
+
     // fused signal export (the feature-store pass): every per-doc scalar
     // signal — tokens, length, punct/stopword ratios, quality, language,
     // fingerprint — in ONE projection over ONE scan; at 100 TB this is
@@ -2479,6 +2497,65 @@ object CorpusOps {
           col("g.height").as("height"),
           col("g.has_color_table").as("has_color_table"),
           col("g.table_colors").as("table_colors"))
+        .orderBy("doc_id")
+    }),
+
+    // WEBP sniff — the THREE-GRAMMAR RIFF case completing the crawl
+    // container matrix (PNG/JPEG/GIF/TIFF/WAV/MP4 + WEBP): the fourcc
+    // at a fixed offset selects lossy VP8 (sync-code gate + u14 dims),
+    // lossless VP8L (one packed LE u32: w-1 | h-1<<14 | alpha<<28), or
+    // extended VP8X (flags byte + u24 canvas dims). Residues assemble
+    // all three per doc; every 7th-residue-3 doc gets a PNG magic
+    // (is_webp=false) and every VP8-class 11th-residue-5 doc a corrupt
+    // sync code (is_webp=true, null fields — fail-closed, not misparse).
+    // The oracle replays the generator closed-form: assembly∘parse must
+    // be the identity, so any endianness/offset/bit-packing bug on
+    // either side breaks the gate
+    "q_mm_webp" -> ((s, dir) => {
+      def leN(v: org.apache.spark.sql.Column, bytes: Int) = {
+        val be = lpad(hex(v), bytes * 2, "0")
+        concat((bytes to 1 by -1).map(i => substring(be, i * 2 - 1, 2)): _*)
+      }
+      val id = col("doc_id")
+      // VP8 (lossy): frame tag + sync + LE u16 dims (u14 payload)
+      val w8 = id % 500 + 16
+      val h8 = id % 300 + 16
+      val sync = when(pmod(id, lit(11)) === 5, lit("9D0100"))
+        .otherwise(lit("9D012A"))
+      val vp8 = concat(lit("000000"), sync, leN(w8, 2), leN(h8, 2))
+      // VP8L (lossless): 0x2F + one packed LE u32
+      val wl = id % 400 + 1
+      val hl = id % 250 + 1
+      val alphaL = when(pmod(id, lit(2)) === 0, 1L).otherwise(0L)
+      val lBits = (wl - 1) + (hl - 1) * 16384L + alphaL * 268435456L
+      val vp8l = concat(lit("2F"), leN(lBits, 4))
+      // VP8X (extended): flags + reserved + LE u24 canvas dims
+      val wx = id % 1000 + 1
+      val hx = id % 600 + 1
+      val flags = when(pmod(id, lit(2)) === 0, 16).otherwise(0) +
+        when(pmod(id, lit(5)) === 0, 2).otherwise(0)
+      val vp8x = concat(lpad(hex(flags), 2, "0"), lit("000000"),
+        leN(wx - 1, 3), leN(hx - 1, 3))
+      val cls = pmod(id, lit(3))
+      val fourcc = when(cls === 0, "56503820") // "VP8 "
+        .when(cls === 1, lit("5650384C")) // "VP8L"
+        .otherwise(lit("56503858")) // "VP8X"
+      val chunk = when(cls === 0, vp8).when(cls === 1, vp8l).otherwise(vp8x)
+      // closed-form chunk byte counts (VP8 10, VP8L 5, VP8X 10) — a
+      // length(chunk) form would re-inline the whole generator tree into
+      // both size fields (the Column-val re-inlining trap)
+      val chunkSize = when(cls === 1, 5L).otherwise(10L)
+      val webp = concat(lit("52494646"), leN(chunkSize + 12L, 4),
+        lit("57454250"), fourcc, leN(chunkSize, 4), chunk)
+      val pl = when(pmod(id, lit(7)) === 3,
+        unhex(lit("89504E470D0A1A0A"))).otherwise(unhex(webp))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.Multimodal.webpHeader(pl).as("w"))
+        .select(col("doc_id"), col("w.is_webp").as("is_webp"),
+          col("w.format").as("format"), col("w.width").as("width"),
+          col("w.height").as("height"),
+          col("w.has_alpha").as("has_alpha"),
+          col("w.is_animated").as("is_animated"))
         .orderBy("doc_id")
     }),
 
@@ -5685,6 +5762,48 @@ object CorpusOps {
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // greedy-chain replay: same integer chain (quantize → isqrt → cell
+    // argmax), then a recursive CTE that takes one argmax step per cell
+    // per iteration — ORDER BY exact cos_x1m DESC, vec_id inside each
+    // step is the engine's (first-lowest-id-on-tie) scan pin. The
+    // recursive working set is ONE row per cell; depth = max cell size,
+    // bounded by the gate's vec_id decimation
+    "q_doc_icp_order" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, $evGuardSql AS ev
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |${exactChainSql("e", "qe")},
+         |cent AS (SELECT vec_id AS centroid_id, qv AS cv, r AS cr FROM qe
+         |  WHERE vec_id < 80),
+         |cells AS (SELECT vec_id, qv, r, cell FROM (
+         |    SELECT t.vec_id, cent.centroid_id AS cell, t.qv, t.r,
+         |      ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")} AS ccos,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${icosSql("t.qv", "t.r", "cent.cv", "cent.cr")}
+         |          DESC, cent.centroid_id) AS rn
+         |    FROM qe t CROSS JOIN cent) z
+         |  WHERE rn = 1 AND ccos IS NOT NULL),
+         |seed AS (SELECT cell, vec_id, qv, r FROM (
+         |    SELECT cell, vec_id, qv, r,
+         |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |    FROM cells) z WHERE rn = 1),
+         |chain AS (
+         |  SELECT cell, CAST(1 AS BIGINT) AS pos, vec_id, qv, r,
+         |    [vec_id] AS seen
+         |  FROM seed
+         |  UNION ALL
+         |  SELECT cell, pos + 1, vec_id, qv, r,
+         |    list_append(seen, vec_id)
+         |  FROM (
+         |    SELECT ch.cell, ch.pos, b.vec_id, b.qv, b.r, ch.seen,
+         |      row_number() OVER (PARTITION BY ch.cell
+         |        ORDER BY ${icosSql("ch.qv", "ch.r", "b.qv", "b.r")}
+         |          DESC, b.vec_id) AS rn
+         |    FROM chain ch JOIN cells b ON b.cell = ch.cell
+         |      AND NOT list_contains(ch.seen, b.vec_id)) z
+         |  WHERE rn = 1)
+         |SELECT cell, pos, vec_id FROM chain
+         |ORDER BY cell, pos""".stripMargin,
+
     // every signal formula is the one its standalone gate already proves
     "q_doc_signals" -> {
       val hitCols = TextOps.LangMarkers.map { case (lang, m) =>
@@ -6602,6 +6721,40 @@ object CorpusOps {
         |  CASE WHEN doc_id % 7 <> 3 AND doc_id % 3 = 0
         |    THEN CAST(2 << CAST(doc_id % 8 AS INT) AS INT)
         |  END AS table_colors
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form WEBP replay from the residues: the PNG-magic class is
+    // is_webp=false, the VP8 corrupt-sync class (3k ∧ 11k+5) keeps
+    // is_webp=true with null fields, the rest replay the generator's
+    // dims/flags exactly
+    "q_mm_webp" ->
+      """SELECT doc_id,
+        |  (doc_id % 7 <> 3) AS is_webp,
+        |  CASE WHEN doc_id % 7 <> 3
+        |        AND NOT (doc_id % 3 = 0 AND doc_id % 11 = 5) THEN
+        |    CASE WHEN doc_id % 3 = 0 THEN 'VP8'
+        |         WHEN doc_id % 3 = 1 THEN 'VP8L' ELSE 'VP8X' END
+        |  END AS format,
+        |  CASE WHEN doc_id % 7 <> 3
+        |        AND NOT (doc_id % 3 = 0 AND doc_id % 11 = 5) THEN
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 500 + 16
+        |              WHEN doc_id % 3 = 1 THEN doc_id % 400 + 1
+        |              ELSE doc_id % 1000 + 1 END AS INT)
+        |  END AS width,
+        |  CASE WHEN doc_id % 7 <> 3
+        |        AND NOT (doc_id % 3 = 0 AND doc_id % 11 = 5) THEN
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 300 + 16
+        |              WHEN doc_id % 3 = 1 THEN doc_id % 250 + 1
+        |              ELSE doc_id % 600 + 1 END AS INT)
+        |  END AS height,
+        |  CASE WHEN doc_id % 7 <> 3
+        |        AND NOT (doc_id % 3 = 0 AND doc_id % 11 = 5) THEN
+        |    CASE WHEN doc_id % 3 = 0 THEN FALSE ELSE (doc_id % 2 = 0) END
+        |  END AS has_alpha,
+        |  CASE WHEN doc_id % 7 <> 3
+        |        AND NOT (doc_id % 3 = 0 AND doc_id % 11 = 5) THEN
+        |    CASE WHEN doc_id % 3 = 2 THEN (doc_id % 5 = 0) ELSE FALSE END
+        |  END AS is_animated
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // closed-form from the generator: residue precedence (PNG magic

@@ -293,6 +293,33 @@ object CurationQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // deflate compression-ratio signal at the codec seam, gated with the
+    // q_mm_wav identity discipline: payloads are assembled closed-form
+    // per residue class — pure single-char repetition (deflate ≪ 10%),
+    // sha256-chained hex noise (≈52-55%, no block repeats for deflate to
+    // reference), and a half-noise/half-run hybrid (≈27%) — so exact
+    // orig_bytes (the UTF-8 byte count carried through the seam) plus a
+    // wide-margin ratio BAND are both stateable in SQL without replaying
+    // zlib. A seam bug (payload truncation, charset drift, Deflater
+    // state reuse across rows) breaks orig_bytes or flips a band
+    "q_doc_compress_ratio" -> ((s, dir) => {
+      val id = col("doc_id")
+      val noise = concat((0 until 16).map(i =>
+        sha2(concat(id.cast("string"), lit("#"), lit(i)), 256)): _*)
+      val runLen = (id % 100 + 1000).cast("int")
+      val text = when(pmod(id, lit(3)) === 0, repeat(lit("a"), runLen))
+        .when(pmod(id, lit(3)) === 1, noise)
+        .otherwise(concat(noise, repeat(lit("a"), lit(1024))))
+      val stats = TextOps.compressionStats(
+        t(s, dir, "documents").select(id, text.as("text")),
+        "doc_id", "text")
+      stats.select(col("doc_id"), col("orig_bytes"),
+        when(col("ratio_ppm") < 100000, "low")
+          .when(col("ratio_ppm") < 400000, "mid")
+          .otherwise("high").as("band"))
+        .orderBy("doc_id")
+    }),
+
     // char 3-gram repetition (the Gopher char-level half): top-gram
     // fraction in exact integer ppm over the raw text bytes
     "q_doc_char_ngrams" -> ((s, dir) =>
@@ -3137,6 +3164,22 @@ object CurationQueries {
     // web-scale path must reproduce the exact scan bit-for-bit
     "q_doc_bloom_decontaminate" -> decontaminateSql,
 
+
+    // identity-style oracle for the zlib seam: orig_bytes is the exact
+    // closed-form payload length per residue class (all-ASCII payloads,
+    // so chars = UTF-8 bytes), and the band restates each class's
+    // wide-margin deflate behavior (run ≈2-3% < 10%; 16-block sha-hex
+    // noise 52-55% ≥ 40%; half/half ≈27% in [10%, 40%)) — zlib itself is
+    // not replayed, its determinism is pinned by the classification
+    "q_doc_compress_ratio" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1000 + doc_id % 100
+        |            WHEN doc_id % 3 = 1 THEN 1024
+        |            ELSE 2048 END AS BIGINT) AS orig_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'low'
+        |       WHEN doc_id % 3 = 1 THEN 'high'
+        |       ELSE 'mid' END AS band
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_repetition" ->
       raw"""WITH t AS (

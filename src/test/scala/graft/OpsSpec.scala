@@ -533,6 +533,40 @@ class OpsSpec extends AnyFunSuite {
       == Set.empty) // cell 0 holds 3 vectors > cap -> dropped
   }
 
+  test("icpOrder: greedy chain per cell, tie to lowest id, repartition-stable") {
+    import graft.ops.VectorOps
+    // unit-ish quantized vectors, r = 100000 for all → cos_x1m = dot/1e4.
+    // cell 0 engineered so the chain order (1, 3, 2, 4) differs from id
+    // order: anchor id1=east; id3=northeast is its nearest (707110), then
+    // id2=north (707110 from id3), then id4=west
+    val cells = Seq(
+      (1L, Array(100000L, 0L), 100000L, 0L),
+      (2L, Array(0L, 100000L), 100000L, 0L),
+      (3L, Array(70711L, 70711L), 100000L, 0L),
+      (4L, Array(-100000L, 0L), 100000L, 0L),
+      // cell 1: ids 11 and 12 are IDENTICAL vectors (exact cos tie from
+      // the anchor 10) — the tie must go to the lowest id
+      (10L, Array(100000L, 0L), 100000L, 1L),
+      (11L, Array(0L, 100000L), 100000L, 1L),
+      (12L, Array(0L, 100000L), 100000L, 1L))
+      .toDF("vec_id", "qv", "v_r", "cell")
+    val got = VectorOps.icpOrder(cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 1L) -> 1L, (0L, 2L) -> 3L, (0L, 3L) -> 2L, (0L, 4L) -> 4L,
+      (1L, 1L) -> 10L, (1L, 2L) -> 11L, (1L, 3L) -> 12L))
+    // chain position is a data function — identical at any parallelism
+    val re = VectorOps.icpOrder(cells.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == got)
+    // the cell-size bound is a loud require, not a silent cap
+    val e = intercept[org.apache.spark.SparkException] {
+      VectorOps.icpOrder(cells, maxCellSize = 3).collect()
+    }
+    assert(e.getMessage.contains("maxCellSize") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxCellSize")))
+  }
+
   test("BPE trainer: canonical merges, deterministic ties, encoder roundtrip") {
     import graft.ops.Bpe
     // the classic worked example: expected merge order (u,g), (u,n), (h,ug)
@@ -3908,6 +3942,44 @@ class OpsSpec extends AnyFunSuite {
     // non-JPEG and every broken chain: flagged, never misparsed
     assert(!r(3L).getBoolean(1) && r(3L).isNullAt(3))
     Seq(4L, 5L, 6L).foreach { id =>
+      assert(r(id).getBoolean(1) && r(id).isNullAt(2) && r(id).isNullAt(3))
+    }
+  }
+
+  test("webpHeader: three fourcc grammars, fail-closed on bad bitstreams") {
+    def hx(s: String) = s.replaceAll("\\s", "")
+    val cases = Seq(
+      // VP8 lossy 160x120: frame tag + sync + LE u16 dims
+      (1L, hx("52494646 16000000 57454250 56503820 0A000000" +
+        " 000000 9D012A A000 7800")),
+      // VP8L 33x17 alpha: 0x2F + packed LE u32 (32 | 16<<14 | 1<<28)
+      (2L, hx("52494646 11000000 57454250 5650384C 05000000 2F 20000410")),
+      // VP8X 400x300, alpha+animation flags (0x12), u24 LE dims-1
+      (3L, hx("52494646 16000000 57454250 56503858 0A000000" +
+        " 12 000000 8F0100 2B0100")),
+      (4L, "89504E470D0A1A0A"), // PNG magic — not WEBP
+      // corrupt VP8 sync code — recognized container, refused bitstream
+      (5L, hx("52494646 16000000 57454250 56503820 0A000000" +
+        " 000000 9D0100 A000 7800")),
+      (6L, hx("52494646 16000000 57454250 56503820")), // truncated at chunk
+      (7L, hx("52494646 16000000 57454250 414C5048 0A000000"))) // "ALPH"
+    val r = cases.toDF("id", "h")
+      .select(col("id"), Multimodal.webpHeader(unhex(col("h"))).as("w"))
+      .select(col("id"), col("w.*"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val v8 = r(1L)
+    assert(v8.getBoolean(1) && v8.getString(2) == "VP8" &&
+      v8.getInt(3) == 160 && v8.getInt(4) == 120 &&
+      !v8.getBoolean(5) && !v8.getBoolean(6))
+    val v8l = r(2L)
+    assert(v8l.getString(2) == "VP8L" && v8l.getInt(3) == 33 &&
+      v8l.getInt(4) == 17 && v8l.getBoolean(5) && !v8l.getBoolean(6))
+    val v8x = r(3L)
+    assert(v8x.getString(2) == "VP8X" && v8x.getInt(3) == 400 &&
+      v8x.getInt(4) == 300 && v8x.getBoolean(5) && v8x.getBoolean(6))
+    assert(!r(4L).getBoolean(1) && r(4L).isNullAt(2))
+    // bad sync / truncation / unknown fourcc: flagged, never misparsed
+    Seq(5L, 6L, 7L).foreach { id =>
       assert(r(id).getBoolean(1) && r(id).isNullAt(2) && r(id).isNullAt(3))
     }
   }

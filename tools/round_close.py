@@ -23,6 +23,15 @@ Checks:
      no non-SPARK_/COURSIER_ env-var reads
   5. ADVICE.md ledger: every advice bullet carries a FIXED(...) or
      ACCEPTED(...) disposition line
+  6. parallelism invariance: the --invariance artifact (written by
+     tools/invariance_check.py) must cover the FULL surface (no "only"
+     tag), list zero mismatched/missing gates, and its gate count must
+     equal the correctness artifact's — the surface-wide determinism
+     fact the round-16 verdict promoted from the judge's 5-gate probe
+  7. perf ledger: every gate within 1.5x of its best-known idle time
+     after dividing out the day's median drift (tools/perf_ledger.py +
+     its committed tools/perf_ledger.json) — the drift-normalized
+     per-gate floor that keeps real regressions out of the weather
 """
 import argparse
 import json
@@ -105,6 +114,35 @@ def leak_scan():
     return problems
 
 
+def check_invariance(path, correctness_path):
+    p = Path(path)
+    if not p.exists():
+        return [f"invariance artifact {path} missing — run "
+                "tools/invariance_check.py over the full surface first"]
+    d = json.loads(p.read_text())
+    problems = []
+    if d.get("only"):
+        problems.append(f"invariance {path} is a partial sweep "
+                        f"(only={d['only'][:5]}...) — close needs the full "
+                        "surface")
+    if d.get("mismatched") or d.get("missing"):
+        problems.append(
+            f"invariance {path}: mismatched={d.get('mismatched')[:10]} "
+            f"missing={d.get('missing')[:10]}")
+    if d.get("identical") != d.get("total") or not d.get("total"):
+        problems.append(f"invariance {path}: identical {d.get('identical')} "
+                        f"!= total {d.get('total')}")
+    n_gates = len(json.loads(Path(correctness_path).read_text()))
+    if d.get("total") != n_gates:
+        problems.append(
+            f"invariance {path} covers {d.get('total')} gates but the "
+            f"correctness artifact has {n_gates} — stale sweep")
+    if not problems:
+        print(f"[round-close] invariance: {d['identical']}/{d['total']} "
+              f"gates dump-identical at cpus {d.get('cpus')}")
+    return problems
+
+
 def check_advice():
     text = (REPO / "ADVICE.md").read_text()
     problems = []
@@ -133,16 +171,22 @@ def main():
                     help="scaled (10x) bench artifact")
     ap.add_argument("--skip-advice", action="store_true",
                     help="before the close edit that dispositions ADVICE.md")
+    ap.add_argument("--invariance", default=str(REPO / "INVARIANCE.json"),
+                    help="parallelism-invariance artifact "
+                         "(tools/invariance_check.py output)")
     args = ap.parse_args()
 
     problems = []
     problems += check_correctness(args.correctness)
+    problems += check_invariance(args.invariance, args.correctness)
     problems += run_tool([str(HERE / "factor_audit.py"), args.bench,
                           args.bench_scaled], "factor_audit")
     problems += run_tool([str(HERE / "warm_check.py"), args.bench],
                          "warm_check(base)")
     problems += run_tool([str(HERE / "warm_check.py"), args.bench_scaled],
                          "warm_check(scaled)")
+    problems += run_tool([str(HERE / "perf_ledger.py"), "audit",
+                          args.bench], "perf_ledger")
     problems += leak_scan()
     if not args.skip_advice:
         problems += check_advice()

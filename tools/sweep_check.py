@@ -18,6 +18,17 @@ caps the blast radius of any one gate's result size, and `parallel` (default
 3) shards run concurrently, each with DuckDB capped at threads=8 /
 memory_limit=24GB / spill dir (set in check_correctness.connect_views).
 
+MEMORY-AWARE SCHEDULING (round 16): `parallel` is now a cap, not the
+schedule — each gate gets a memory estimate (base cost + the gate's spark
+dump size as a fetchall proxy + surcharges for the known-heavy oracle
+classes: recursive-CTE and window-replay SQL), a shard's cost is its max
+gate estimate (workers run their gates sequentially), and a new shard
+launches only while the SUM of running shard costs fits the host budget
+(env SWEEP_MEM_BUDGET_GB, default 0.75 x MemAvailable). The round-15 sf1
+sweep lost 29 gates to rc=-9 with 3 workers x 24 GB racing the same
+window replays; budgeted admission makes the retry pass a safety net that
+should never fire instead of the plan.
+
 Semantics per gate mirror the driver's t2 gate exactly (via the shared
 typed_rows_of / cells_equal in check_correctness.py):
   schema_match = column names AND DuckDB logical types equal
@@ -89,7 +100,55 @@ def main():
     parallel = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     names = sorted(oracle)
-    shards = [names[i:i + shard_size] for i in range(0, len(names), shard_size)]
+
+    # --- per-gate memory estimate (GB) -----------------------------------
+    # fetchall proxy: the gate's spark parquet dump size (compressed, so
+    # scaled up hard), plus surcharges for the oracle-SQL classes that
+    # spike DuckDB's working set independent of result size
+    def dump_mb(name):
+        qdir = Path(out_dir) / name
+        if not qdir.is_dir():
+            return 0.0
+        return sum(f.stat().st_size for f in qdir.glob("*.parquet")) / 1e6
+
+    def est_gb(name):
+        sql = oracle[name]
+        g = 6.0 + 0.15 * dump_mb(name)  # ~15 GB per 100 MB of dump
+        if "RECURSIVE" in sql:
+            g += 24.0  # recursive CTE: working tables + per-row state
+        if sql.count("OVER (") + sql.count("OVER(") >= 3:
+            g += 12.0  # window-replay class: multiple full-frame sorts
+        return min(g, 64.0)
+
+    est = {n: est_gb(n) for n in names}
+
+    def mem_budget_gb():
+        envv = os.environ.get("SWEEP_MEM_BUDGET_GB")
+        if envv:
+            return float(envv)
+        avail_kb = 0
+        for line in Path("/proc/meminfo").read_text().splitlines():
+            if line.startswith("MemAvailable:"):
+                avail_kb = int(line.split()[1])
+                break
+        return max(32.0, avail_kb / 1e6 * 0.75)
+
+    budget = mem_budget_gb()
+
+    # shards: heaviest gates first into SMALL shards so a single worker
+    # never strings several heavy oracles through one DuckDB arena; the
+    # light tail keeps the wide default. Worker peak ~= max gate in its
+    # shard (gates run sequentially) + a retention pad.
+    ordered = sorted(names, key=lambda n: -est[n])
+    heavy = [n for n in ordered if est[n] > 12.0]
+    light = sorted(n for n in ordered if est[n] <= 12.0)
+    shards = [heavy[i:i + 4] for i in range(0, len(heavy), 4)]
+    shards += [light[i:i + shard_size]
+               for i in range(0, len(light), shard_size)]
+    shard_cost = [max(est[n] for n in s) + 4.0 for s in shards]
+    print(f"[sweep] {len(names)} gates, {len(heavy)} heavy, "
+          f"{len(shards)} shards, host budget {budget:.0f} GB", flush=True)
+
     tmpdir = Path(out_json).parent / "sweep_shards"
     tmpdir.mkdir(parents=True, exist_ok=True)
     procs, merged = [], {}
@@ -100,37 +159,54 @@ def main():
     # hang the whole sweep forever on the timeout-less wait
     shard_timeout_s = int(os.environ.get("SWEEP_SHARD_TIMEOUT_S", "1800"))
 
-    def drain(block_all=False):
-        while procs and (block_all or len(procs) >= parallel):
-            p, pj, shard_names = procs.pop(0)
-            try:
-                rc = p.wait(timeout=shard_timeout_s)
-            except subprocess.TimeoutExpired:
-                p.kill()
-                p.wait()
-                rc = -9
-            if rc != 0 or not pj.exists():
-                # a crashed/hung shard (OOM-kill, spill loop) marks its own
-                # gate list errored — carried alongside the proc, never
-                # re-parsed out of argv
-                for n in shard_names:
-                    merged[n] = {"rows_match": False, "schema_match": False,
-                                 "hash_match": False, "spark_rows": None,
-                                 "oracle_rows": None,
-                                 "err": f"shard worker exited rc={rc}"}
-            else:
-                merged.update(json.loads(pj.read_text()))
-            done = len(merged)
-            print(f"[sweep] {done}/{len(names)} gates merged", flush=True)
+    def settle(p, pj, shard_names, rc):
+        if rc != 0 or not pj.exists():
+            # a crashed/hung shard (OOM-kill, spill loop) marks its own
+            # gate list errored — carried alongside the proc, never
+            # re-parsed out of argv
+            for n in shard_names:
+                merged[n] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"shard worker exited rc={rc}"}
+        else:
+            merged.update(json.loads(pj.read_text()))
+        print(f"[sweep] {len(merged)}/{len(names)} gates merged", flush=True)
+
+    import time
+
+    def reap(block=False):
+        # poll-based: admit new work as soon as ANY worker frees budget,
+        # not when the FIFO head happens to finish
+        while True:
+            for rec in list(procs):
+                p, pj, shard_names, cost, t0 = rec
+                rc = p.poll()
+                if rc is None and time.time() - t0 > shard_timeout_s:
+                    p.kill()
+                    p.wait()
+                    rc = -9
+                if rc is not None:
+                    procs.remove(rec)
+                    settle(p, pj, shard_names, rc)
+            if not block or not procs:
+                return
+            time.sleep(0.5)
 
     for i, shard in enumerate(shards):
-        drain()
+        # admission control: concurrency cap AND memory budget
+        while True:
+            reap()
+            used = sum(r[3] for r in procs)
+            if len(procs) < parallel and used + shard_cost[i] <= budget:
+                break
+            time.sleep(0.5)
         pj = tmpdir / f"shard_{i}.json"
         p = subprocess.Popen(
             [sys.executable, __file__, "--shard-worker",
              sf_dir, out_dir, str(pj)] + shard)
-        procs.append((p, pj, shard))
-    drain(block_all=True)
+        procs.append((p, pj, shard, shard_cost[i], time.time()))
+    reap(block=True)
 
     # resource-failure retry pass, SEQUENTIAL and small: `parallel`
     # concurrent DuckDB workers each capped at 24 GB can together exceed
