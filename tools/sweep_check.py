@@ -151,6 +151,10 @@ def main():
 
     tmpdir = Path(out_json).parent / "sweep_shards"
     tmpdir.mkdir(parents=True, exist_ok=True)
+    # clear stale shard files: a crashed worker + a same-named leftover
+    # from a previous sweep would otherwise merge the OLD results
+    for f in tmpdir.glob("*.json"):
+        f.unlink()
     procs, merged = [], {}
 
     # generous per-shard ceiling: the slowest honest shard (DuckDB window
@@ -194,11 +198,20 @@ def main():
             time.sleep(0.5)
 
     for i, shard in enumerate(shards):
-        # admission control: concurrency cap AND memory budget
+        # admission control: concurrency cap AND memory budget. A shard
+        # whose lone cost exceeds the whole budget is admitted when the
+        # host is otherwise EMPTY — waiting can never make it cheaper,
+        # and the estimate deliberately overshoots (refusing it forever
+        # deadlocked the first run of this scheduler)
         while True:
             reap()
             used = sum(r[3] for r in procs)
             if len(procs) < parallel and used + shard_cost[i] <= budget:
+                break
+            if not procs and shard_cost[i] > budget:
+                print(f"[sweep] shard {i} cost {shard_cost[i]:.0f} GB > "
+                      f"budget {budget:.0f} GB — running it alone",
+                      flush=True)
                 break
             time.sleep(0.5)
         pj = tmpdir / f"shard_{i}.json"
