@@ -118,7 +118,11 @@ def main():
             g += 24.0  # recursive CTE: working tables + per-row state
         if sql.count("OVER (") + sql.count("OVER(") >= 3:
             g += 12.0  # window-replay class: multiple full-frame sorts
-        return min(g, 64.0)
+        # ceiling = DuckDB's 24 GB arena cap + python fetchall overhead:
+        # the first sf1 run's worst worker measured 28 GB RSS, so
+        # estimates above ~36 GB are fiction that only serializes the
+        # sweep (two capped heavies fit a 90 GB host side by side)
+        return min(g, 36.0)
 
     est = {n: est_gb(n) for n in names}
 
@@ -142,7 +146,10 @@ def main():
     ordered = sorted(names, key=lambda n: -est[n])
     heavy = [n for n in ordered if est[n] > 12.0]
     light = sorted(n for n in ordered if est[n] <= 12.0)
-    shards = [heavy[i:i + 4] for i in range(0, len(heavy), 4)]
+    # heavy shards of TWO: est-sorted grouping strings same-class
+    # multi-minute window replays through one worker SEQUENTIALLY, and a
+    # 4-pack of them overran the per-shard timeout on the first sf1 run
+    shards = [heavy[i:i + 2] for i in range(0, len(heavy), 2)]
     shards += [light[i:i + shard_size]
                for i in range(0, len(light), shard_size)]
     shard_cost = [max(est[n] for n in s) + 4.0 for s in shards]
@@ -162,6 +169,12 @@ def main():
     # (disk-full thrash rather than a clean OOM kill) would otherwise
     # hang the whole sweep forever on the timeout-less wait
     shard_timeout_s = int(os.environ.get("SWEEP_SHARD_TIMEOUT_S", "1800"))
+
+    def timeout_for(shard_names):
+        # heavy gates get their own sequential time on top of the base
+        # ceiling — a shard's honest wall is the SUM of its members
+        extra = sum(900 for n in shard_names if est[n] > 12.0)
+        return shard_timeout_s + extra
 
     def settle(p, pj, shard_names, rc):
         if rc != 0 or not pj.exists():
@@ -186,7 +199,7 @@ def main():
             for rec in list(procs):
                 p, pj, shard_names, cost, t0 = rec
                 rc = p.poll()
-                if rc is None and time.time() - t0 > shard_timeout_s:
+                if rc is None and time.time() - t0 > timeout_for(shard_names):
                     p.kill()
                     p.wait()
                     rc = -9
@@ -236,21 +249,21 @@ def main():
     if retry:
         print(f"[sweep] retrying {len(retry)} resource-failed gates "
               f"sequentially", flush=True)
-        for i in range(0, len(retry), 4):
-            chunk = retry[i:i + 4]
+        for i in range(0, len(retry), 2):
+            chunk = retry[i:i + 2]
             pj = tmpdir / f"retry_{i}.json"
             p = subprocess.Popen(
                 [sys.executable, __file__, "--shard-worker",
                  sf_dir, out_dir, str(pj)] + chunk)
             try:
-                rc = p.wait(timeout=shard_timeout_s)
+                rc = p.wait(timeout=timeout_for(chunk))
             except subprocess.TimeoutExpired:
                 p.kill()
                 p.wait()
                 rc = -9
             if rc == 0 and pj.exists():
                 merged.update(json.loads(pj.read_text()))
-            print(f"[sweep] retried {min(i + 4, len(retry))}/{len(retry)}",
+            print(f"[sweep] retried {min(i + 2, len(retry))}/{len(retry)}",
                   flush=True)
 
     Path(out_json).write_text(json.dumps(
