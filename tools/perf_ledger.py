@@ -39,8 +39,10 @@ LEDGER = HERE / "perf_ledger.json"
 def load_queries(path):
     d = json.loads(Path(path).read_text())
     q = d.get("queries", d)
+    # gate names only: flat-format probe artifacts carry meta fields
+    # (cpus/n/rc/sf) at the same level as the per-gate seconds
     return {k: float(v) for k, v in q.items()
-            if isinstance(v, (int, float))}
+            if k.startswith("q_") and isinstance(v, (int, float))}
 
 
 def seed(paths, ledger_path=LEDGER):
