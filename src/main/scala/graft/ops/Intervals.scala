@@ -61,11 +61,25 @@ object Intervals {
     val w = Window.partitionBy(keyCol).orderBy(startCol, endCol)
     val prevMax = max(col(endCol))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val island = sum(
-      when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    spans
-      .select(col(keyCol), col(startCol), col(endCol), island.as("island"))
+    // flag first, THEN number islands with flag DESC as the tiebreak:
+    // duplicate (start,end) spans are identical under the first sort but
+    // distinguishable after flagging ({1,0}), and an island running-sum
+    // ordered by (start,end) alone is underdetermined on that tie — the
+    // island-opening row MUST precede its duplicate peers or a peer
+    // inherits the previous island's number (observed: DuckDB's parallel
+    // re-sort swapped a tied pair at sf1; Spark only escaped by reusing
+    // the first window's sort). flag DESC pins both engines to the same,
+    // semantically-correct answer regardless of sort stability.
+    val flagged = spans.select(col(keyCol), col(startCol), col(endCol),
+      when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L)
+        .as("island_flag"))
+    val w2 = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol), col("island_flag").desc)
+    flagged
+      .select(col(keyCol), col(startCol), col(endCol),
+        sum(col("island_flag"))
+          .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("island"))
       .groupBy(col(keyCol), col("island"))
       .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
         count(lit(1)).as("n_spans"))

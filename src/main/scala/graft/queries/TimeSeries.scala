@@ -1184,7 +1184,7 @@ object TimeSeries {
         |  FROM s WINDOW w AS (PARTITION BY l_suppkey ORDER BY st, en
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |i AS (SELECT l_suppkey, st, en,
-        |    sum(flag) OVER (PARTITION BY l_suppkey ORDER BY st, en
+        |    sum(flag) OVER (PARTITION BY l_suppkey ORDER BY st, en, flag DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |  FROM f)
         |SELECT l_suppkey, CAST(island AS BIGINT) AS island, min(st) AS start,

@@ -2896,13 +2896,20 @@ class OpsSpec extends AnyFunSuite {
     val spans = Seq(
       ("a", 1L, 5L), ("a", 4L, 8L), ("a", 8L, 9L), // chain: overlap + touch
       ("a", 11L, 12L), // gap after 9 → new island
-      ("b", 1L, 3L), ("b", 1L, 2L)) // equal starts always co-island
+      ("b", 1L, 3L), ("b", 1L, 2L), // equal starts always co-island
+      // DUPLICATE spans that OPEN an island after a gap: the island-number
+      // running sum must put the flag=1 row before its identical peers or
+      // a peer inherits the previous island (the sf1 divergence where
+      // DuckDB's parallel re-sort swapped a tied pair — pinned by the
+      // island_flag DESC tiebreak)
+      ("c", 1L, 8L), ("c", 10L, 12L), ("c", 10L, 12L))
       .toDF("k", "st", "en")
     val got = Intervals.mergeIntervals(spans, "k", "st", "en").collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
     assert(got == Set(("a", 1L, 9L, 3L), ("a", 11L, 12L, 1L),
-      ("b", 1L, 3L, 2L)))
+      ("b", 1L, 3L, 2L),
+      ("c", 1L, 8L, 1L), ("c", 10L, 12L, 2L)))
   }
 
   test("temperature mixture: tail stratum keeps all, head stratum downsampled") {
