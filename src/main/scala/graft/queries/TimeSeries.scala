@@ -129,7 +129,12 @@ object TimeSeries {
     // (one subtraction of identical doubles — exact), and row index
     "q_ts_rolling" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      // event_id tiebreak: (user, type, ts) is tie-free in the shipped
+      // corpora, but lag/row_number under a ts tie would be sort-order
+      // lottery — pin the total order so the gate is corpus-independent
+      // (the q_ts_interval_merge duplicate-span lesson)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
       ev(s, dir)
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
         .select(col("user_id"), col("event_type"),
@@ -170,7 +175,10 @@ object TimeSeries {
     // identically under IEEE-754. One window, 16 lag slots, no shuffle
     // beyond the (user, type) partition the family already keys by.
     "q_ts_ewma" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      // event_id tiebreak — see q_ts_rolling; the EWMA recursion is
+      // intrinsically order-dependent, so a ts tie MUST be broken
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
       def micro(c: org.apache.spark.sql.Column) =
         round(c * 1e6, 0).cast("long")
       val num = (0 until 16).map { d =>
@@ -320,7 +328,9 @@ object TimeSeries {
     // duplicate storm (p50 gap collapse). One lag window + one agg;
     // gaps are exact integer seconds
     "q_ts_gaps" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      // event_id tiebreak — see q_ts_rolling
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
       ev(s, dir)
         .withColumn("gap", col("event_epoch_time")
           - lag(col("event_epoch_time"), 1).over(w))
@@ -379,7 +389,9 @@ object TimeSeries {
     // only nulls' first? No: null != null is NULL → dropped, mirrored
     // exactly in the oracle (both engines treat the predicate identically)
     "q_ts_dedup_consecutive" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      // event_id tiebreak — see q_ts_rolling
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
       ev(s, dir)
         .withColumn("prev", lag(col("value"), 1).over(w))
         .where(col("prev").isNull || col("value") =!= col("prev"))
@@ -875,13 +887,13 @@ object TimeSeries {
       """SELECT user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
-        |    (PARTITION BY user_id, event_type ORDER BY ts
+        |    (PARTITION BY user_id, event_type ORDER BY ts, event_id
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS roll3_cents,
         |  value - lag(value, 1) OVER
-        |    (PARTITION BY user_id, event_type ORDER BY ts) AS delta,
+        |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS delta,
         |  CAST(row_number() OVER
-        |    (PARTITION BY user_id, event_type ORDER BY ts) AS INT) AS rn
+        |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS INT) AS rn
         |FROM events
         |ORDER BY user_id, event_type, ts_epoch""".stripMargin,
 
@@ -908,14 +920,15 @@ object TimeSeries {
       s"""WITH e AS (
          |  SELECT user_id, event_type, ts,
          |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
-         |    CAST(round(value * 1e6, 0) AS BIGINT) AS mu
+         |    CAST(round(value * 1e6, 0) AS BIGINT) AS mu, event_id
          |  FROM events),
          |f AS (
          |  SELECT user_id, event_type, ts_epoch,
          |    CAST($terms AS BIGINT) AS ewma_fp,
          |    least(row_number() OVER w, 16) AS n
          |  FROM e
-         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
+         |  WINDOW w AS (PARTITION BY user_id, event_type
+         |    ORDER BY ts, event_id))
          |SELECT user_id, event_type, ts_epoch, ewma_fp,
          |  round(CAST(ewma_fp AS DOUBLE)
          |    / CAST(65536 - (CAST(1 AS BIGINT) << (16 - n)) AS DOUBLE)
@@ -1043,11 +1056,11 @@ object TimeSeries {
     "q_ts_gaps" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
         |g AS (
         |  SELECT event_type,
         |    t - lag(t, 1) OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts) AS gap
+        |      ORDER BY ts, event_id) AS gap
         |  FROM e)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
         |  round(quantile_cont(gap, 0.5), 6) AS p50_gap,
@@ -1071,7 +1084,7 @@ object TimeSeries {
         |  SELECT user_id, event_type, ts,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value,
         |    lag(value, 1) OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts) AS prev
+        |      ORDER BY ts, event_id) AS prev
         |  FROM events)
         |SELECT user_id, event_type, ts_epoch, value
         |FROM e WHERE prev IS NULL OR value != prev

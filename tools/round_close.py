@@ -32,6 +32,12 @@ Checks:
      after dividing out the day's median drift (tools/perf_ledger.py +
      its committed tools/perf_ledger.json) — the drift-normalized
      per-gate floor that keeps real regressions out of the weather
+  8. window tie audit: every OVER clause in the round's oracle set is
+     adjudicated tie-safe in tools/tie_adjudicated.json
+     (tools/tie_audit.py) — the q_ts_interval_merge sf1 lesson: a
+     window ORDER BY that admits ties among distinguishable rows is
+     engine-sort-lottery, and a new window must be reviewed before it
+     can reach the driver
 """
 import argparse
 import json
@@ -174,10 +180,15 @@ def main():
     ap.add_argument("--invariance", default=str(REPO / "INVARIANCE.json"),
                     help="parallelism-invariance artifact "
                          "(tools/invariance_check.py output)")
+    ap.add_argument("--oracle", default="/tmp/verify_sf1/oracle_sql.json",
+                    help="oracle_sql.json (or verify dir) for the window "
+                         "tie audit; defaults to the round's sf1 dump")
     args = ap.parse_args()
 
     problems = []
     problems += check_correctness(args.correctness)
+    problems += run_tool([str(HERE / "tie_audit.py"), args.oracle],
+                         "tie_audit")
     problems += check_invariance(args.invariance, args.correctness)
     problems += run_tool([str(HERE / "factor_audit.py"), args.bench,
                           args.bench_scaled], "factor_audit")
