@@ -10,22 +10,29 @@ audit that divides out the day's median drift before flagging.
 
 Usage:
   python3 tools/perf_ledger.py seed  <bench.json> [...more]   # (re)build ledger
-  python3 tools/perf_ledger.py audit <bench.json> [--update]  # close gate
+  python3 tools/perf_ledger.py audit <bench.json> [...more] [--update]
 
 seed: per-gate MINIMUM seconds across the given artifacts -> the committed
 ledger (tools/perf_ledger.json), recording which artifact supplied each
 floor. Re-seeding is an explicit, reviewable act (e.g. after a deliberate
 algorithmic trade) — the audit never silently rewrites history.
 
-audit: for a fresh bench artifact,
+audit: over one or more same-day bench artifacts; per-gate sec is the MIN
+across them (round-16 calibration: single-run per-gate times carry the
+rotating right tail — q_doc_simhash_recall read 2.87 s and 5.56 s in two
+back-to-back idle runs — and a real code regression raises the MIN while
+scatter does not, so pass both runs when a single-run audit flags).
   day_drift = median over overlapping gates of sec/best   (the weather)
   normalized ratio = sec / (best * day_drift)
 flags every gate with normalized ratio > --max-ratio (default 1.5) AND
 sec > --min-sec (default 0.5 s; sub-second rows are fixed-overhead noise —
-the r14/r15 scatter class). Exit 1 on any flag. With --update, gates whose
-RAW sec undercuts their ledger best are lowered (raw, never normalized:
-drift estimates must not compound into the floor) and NEW gates are
-inserted; the updated ledger is rewritten only when the audit passes.
+the r14/r15 scatter class) AND sec - best*drift > --min-delta (default
+1.0 s; a 1.5x on a 0.6 s gate is shard-neighborhood noise, not a finding
+— the absolute-materiality guard that keeps the floor actionable).
+Exit 1 on any flag. With --update, gates whose RAW sec undercuts their
+ledger best are lowered (raw, never normalized: drift estimates must not
+compound into the floor) and NEW gates are inserted; the updated ledger
+is rewritten only when the audit passes.
 """
 import json
 import statistics
@@ -59,13 +66,19 @@ def seed(paths, ledger_path=LEDGER):
     return 0
 
 
-def audit(bench_path, max_ratio=1.5, min_sec=0.5, update=False,
-          ledger_path=LEDGER):
+def audit(bench_paths, max_ratio=1.5, min_sec=0.5, min_delta=1.0,
+          update=False, ledger_path=LEDGER):
     if not ledger_path.exists():
         print(f"[perf-ledger] no ledger at {ledger_path} — run seed first")
         return 1
     ledger = json.loads(ledger_path.read_text())
-    cur = load_queries(bench_path)
+    if isinstance(bench_paths, (str, Path)):
+        bench_paths = [bench_paths]
+    cur = {}
+    for bp in bench_paths:
+        for g, sec in load_queries(bp).items():
+            cur[g] = min(sec, cur.get(g, sec))
+    bench_path = bench_paths[0]
     overlap = [g for g in cur if g in ledger and ledger[g]["best_sec"] > 0]
     if len(overlap) < 20:
         print(f"[perf-ledger] only {len(overlap)} overlapping gates — "
@@ -74,14 +87,21 @@ def audit(bench_path, max_ratio=1.5, min_sec=0.5, update=False,
     drift = statistics.median(
         cur[g] / ledger[g]["best_sec"] for g in overlap)
     drift = max(drift, 0.5)  # degenerate-overlap guard
+    allow = {}
+    allow_path = HERE / "perf_allowlist.json"
+    if allow_path.exists():
+        allow = json.loads(allow_path.read_text())
     flags = []
     for g in sorted(overlap):
         best = ledger[g]["best_sec"]
         norm = cur[g] / (best * drift)
-        if norm > max_ratio and cur[g] > min_sec:
+        gate_max = float(allow.get(g, {}).get("max_ratio", max_ratio))
+        if (norm > gate_max and cur[g] > min_sec
+                and cur[g] - best * drift > min_delta):
             flags.append((g, cur[g], best, norm))
     new_gates = sorted(set(cur) - set(ledger))
-    print(f"[perf-ledger] {bench_path}: day drift x{drift:.3f} "
+    print(f"[perf-ledger] {', '.join(str(b) for b in bench_paths)}: "
+          f"day drift x{drift:.3f} "
           f"(median over {len(overlap)} gates), {len(new_gates)} new gates")
     for g, sec, best, norm in flags:
         print(f"[perf-ledger] FLAG {g}: {sec:.2f}s vs best {best:.2f}s "
@@ -118,10 +138,14 @@ def main():
         args = sys.argv[2:]
         update = "--update" in args
         args = [a for a in args if a != "--update"]
-        opts = dict(zip(args[1::2], args[2::2]))
-        return audit(args[0],
+        paths = []
+        while args and not args[0].startswith("--"):
+            paths.append(args.pop(0))
+        opts = dict(zip(args[0::2], args[1::2]))
+        return audit(paths,
                      max_ratio=float(opts.get("--max-ratio", 1.5)),
                      min_sec=float(opts.get("--min-sec", 0.5)),
+                     min_delta=float(opts.get("--min-delta", 1.0)),
                      update=update)
     print(__doc__)
     return 2

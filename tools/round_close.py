@@ -175,6 +175,11 @@ def main():
     ap.add_argument("--bench", required=True, help="base bench artifact")
     ap.add_argument("--bench-scaled", required=True,
                     help="scaled (10x) bench artifact")
+    ap.add_argument("--bench-extra", default=None,
+                    help="optional second same-day base artifact; the perf "
+                         "ledger audits the per-gate MIN of the pair, which "
+                         "kills single-run rotating-tail scatter (a real "
+                         "regression raises the min, scatter does not)")
     ap.add_argument("--skip-advice", action="store_true",
                     help="before the close edit that dispositions ADVICE.md")
     ap.add_argument("--invariance", default=str(REPO / "INVARIANCE.json"),
@@ -196,8 +201,10 @@ def main():
                          "warm_check(base)")
     problems += run_tool([str(HERE / "warm_check.py"), args.bench_scaled],
                          "warm_check(scaled)")
-    problems += run_tool([str(HERE / "perf_ledger.py"), "audit",
-                          args.bench], "perf_ledger")
+    ledger_args = [str(HERE / "perf_ledger.py"), "audit", args.bench]
+    if args.bench_extra:
+        ledger_args.append(args.bench_extra)
+    problems += run_tool(ledger_args, "perf_ledger")
     problems += leak_scan()
     if not args.skip_advice:
         problems += check_advice()
