@@ -31,7 +31,10 @@ object ExplainCheck {
     "q_ts_bucketize" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
     "q_ts_densify" -> (Seq("Generate", "BroadcastHashJoin"), Seq("CartesianProduct")),
     // signature agg runs as ObjectHashAggregate (typed Aggregator buffers)
-    "q_doc_minhash_lsh" -> (Seq("ObjectHashAggregate"), Seq("CartesianProduct")),
+    // r16: signatures/shingle arrays are in-row (MinHashSig) — the old
+    // per-doc ObjectHashAggregate shuffles are gone and must stay gone
+    "q_doc_minhash_lsh" -> (Seq("Generate"),
+      Seq("CartesianProduct", "ObjectHashAggregate")),
     // embedding search top-k must run as bounded ObjectHashAggregate
     // (TopKAgg partial top-k), never a per-query window sort of the whole
     // scored corpus on one task
@@ -72,7 +75,9 @@ object ExplainCheck {
     // SemDeDup: centroid assignment broadcasts (small cross is the hinted
     // BNLJ) and its argmax is a partially-aggregated SortAggregate (struct
     // max); the PAIR join must be the cell equi-join, never a product
-    "q_emb_semdedup" -> (Seq("SortAggregate"), Seq("CartesianProduct", "Window")),
+    // r16: literal-centroid argmax projection — no assignment aggregate
+    "q_emb_semdedup" -> (Seq("BroadcastHashJoin"),
+      Seq("CartesianProduct", "Window", "SortAggregate")),
     // decontamination: the (small) eval shingle set must broadcast into the
     // shingle-keyed join; shingling runs as Generate, never a product join
     "q_doc_decontaminate" -> (Seq("BroadcastHashJoin", "Generate"),
@@ -400,8 +405,10 @@ object ExplainCheck {
       "SortMergeJoin")),
     // PQ reconstruction error: codebooks broadcast onto the code frame;
     // the trainer's argmin stays an aggregate — no window, no product
-    "q_emb_pq_error" -> (Seq("BroadcastHashJoin"),
-      Seq("Window", "CartesianProduct")),
+    // r16: trainer + reconstruction fused into a zero-join projection
+    // (codes re-derived in-row against the literal codebooks)
+    "q_emb_pq_error" -> (Seq("Batched: true"),
+      Seq("Window", "CartesianProduct", "Join")),
     // OOV rate: the k-row vocab broadcasts into the token stream's left
     // join — the corpus tokens are never shuffled for the membership test
     "q_doc_oov" -> (Seq("Generate", "HashAggregate", "BroadcastHashJoin"),
@@ -585,8 +592,8 @@ object ExplainCheck {
         "BroadcastNestedLoopJoin")),
     // cross-modal consistency: LSH pair screen keeps its equi shapes;
     // embedding lookups are id-keyed equi-joins — never a product
-    "q_emb_dup_consistency" -> (Seq("ObjectHashAggregate"),
-      Seq("CartesianProduct", "Window")),
+    "q_emb_dup_consistency" -> (Seq("Generate"),
+      Seq("CartesianProduct", "Window", "ObjectHashAggregate")),
     // stopword induction: per-doc-distinct explode → term-keyed partial
     // agg; the 1-row corpus count is the hinted BNLJ broadcast
     "q_doc_stopword_induce" -> (Seq("Generate", "HashAggregate",
@@ -658,8 +665,8 @@ object ExplainCheck {
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_cardinality" -> (Seq("Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
-    "q_doc_contrastive" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
-      Seq("CartesianProduct", "Window")),
+    "q_doc_contrastive" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "Window", "ObjectHashAggregate")),
     "q_doc_dedup_clusters" -> (Seq(),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     // soft dedup weighting: cluster-size agg + one corpus left join
@@ -675,8 +682,8 @@ object ExplainCheck {
       Seq("CartesianProduct", "Window")),
     // b-bit minhash: register aggregator + banded value-equality join,
     // sketch compare in-row — no window, no product
-    "q_doc_bbit_minhash" -> (Seq("ObjectHashAggregate"),
-      Seq("CartesianProduct", "Window")),
+    "q_doc_bbit_minhash" -> (Seq("Generate"),
+      Seq("CartesianProduct", "Window", "ObjectHashAggregate")),
     // CMS: d·w-bounded counter agg (map-side partials) + broadcast
     // sketch probe; top-k exact side is TakeOrderedAndProject — no
     // window, no product
@@ -760,8 +767,8 @@ object ExplainCheck {
       Seq("Window", "SortMergeJoin")),
     "q_doc_dedup_exact" -> (Seq("HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
-    "q_doc_edit_distance" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
-      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_edit_distance" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window", "ObjectHashAggregate")),
     "q_doc_hash_split" -> (Seq("HashAggregate", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_incremental_dedup" -> (Seq(),
@@ -967,8 +974,8 @@ object ExplainCheck {
     "q_doc_epoch_order" -> (Seq("Window", "Batched: true"),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "BroadcastHashJoin")),
-    "q_doc_simhash_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
-      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
+    "q_doc_simhash_pairs" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window", "ObjectHashAggregate")),
     "q_doc_span_dedup" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "ObjectHashAggregate", "Batched: true", "PushedFilters: ["),
       Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window")),
     "q_doc_span_filter" -> (Seq("BroadcastHashJoin", "Generate", "HashAggregate", "Batched: true", "PushedFilters: ["),
@@ -996,10 +1003,12 @@ object ExplainCheck {
     // JL x IVF: reduced-space assignment/probe/scan -- argmax is the
     // partially-aggregated struct-max (SortAggregate), ranking the bounded
     // TopKAgg; no window over the scored corpus, no product
-    "q_emb_jl_ivf" -> (Seq("ObjectHashAggregate", "SortAggregate"),
-      Seq("CartesianProduct", "SortMergeJoin", "Window")),
-    "q_emb_ivf_assign" -> (Seq("HashAggregate", "SortAggregate", "Batched: true", "PushedFilters: ["),
-      Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    "q_emb_jl_ivf" -> (Seq("ObjectHashAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window", "SortAggregate")),
+    // r16: literal-centroid argmax projection — centroids collected at
+    // plan-build, so the gate plan is scan → project → count agg only
+    "q_emb_ivf_assign" -> (Seq("HashAggregate", "Batched: true"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window", "SortAggregate")),
     // ICP curriculum: broadcast cell assignment (argmax agg, no window)
     // + ONE cell-keyed shuffle into the bounded per-cell chain
     // (MapGroups) — no global sort before the output orderBy, no window

@@ -108,4 +108,19 @@ object GraftFunctions {
   def psl_domain(host: Column,
       rules: Seq[String] = graft.ops.PublicSuffixes.Default): Column =
     ColumnBridge.column(PslDomain(ColumnBridge.expression(host), rules))
+
+  /** In-row MinHash signature of a shingle array (xxhash64 base) — see
+    * [[MinHashSig]]. */
+  def minhash_sig(shingles: Column, n: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), n))
+
+  /** In-row MinHash signature over the 60-bit md5-prefix base — see
+    * [[MinHashSigMd5]]. */
+  def minhash_sig_md5(shingles: Column, n: Int): Column =
+    ColumnBridge.column(MinHashSigMd5(ColumnBridge.expression(shingles), n))
+
+  /** In-row SimHash 4×16-bit bands of a token array — see
+    * [[SimHashBandsExpr]]. */
+  def simhash_bands(tokens: Column): Column =
+    ColumnBridge.column(SimHashBandsExpr(ColumnBridge.expression(tokens)))
 }

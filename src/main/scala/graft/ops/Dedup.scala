@@ -137,12 +137,20 @@ object Dedup {
   def jaccardPairsScoped(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, dfCap: Int = DefaultCap): Scoped = {
     val raw = shingleRows(docs, idCol, textCol, k)
+    // df-cap as an ANTI join against the HOT set (df > dfCap): the hot
+    // set is structurally small (≤ total shingle rows / dfCap distinct
+    // values), so AQE turns this into a broadcast anti join and the raw
+    // rows never shuffle — the former left_semi against the df ≤ dfCap
+    // set keyed a full shuffle of every (doc, shingle) row on `sh`
+    // because the keep-set is most of the vocabulary (guide §2.4/§3.1).
+    // Exactly equivalent: every shingle has a df, and {df ≤ cap} is the
+    // complement of {df > cap}.
     val capped =
       if (dfCap == Uncapped) raw
       else raw.join(
         raw.groupBy("sh").agg(count(lit(1)).as("df"))
-          .where(col("df") <= dfCap).select("sh"),
-        Seq("sh"), "left_semi")
+          .where(col("df") > dfCap).select("sh"),
+        Seq("sh"), "left_anti")
     // per-doc shingle arrays are the cached base: consumed by the prefix
     // candidate join (twice) and the exact verification (twice)
     val arrs = capped.groupBy("doc_id")
@@ -212,6 +220,23 @@ object Dedup {
     * 0.8 threshold, while the band join keys are fixed-width (no shingle
     * heavy-hitter skew). Returns (doc_a, doc_b, jaccard) with j >= threshold.
     */
+  /** Per-doc base relation for the LSH pipelines, built IN-ROW (guide
+    * §2.4): the distinct shingle array, its size, and the minhash
+    * signature are all pure functions of the doc's own text, so none of
+    * them needs the explode → `groupBy(doc_id)` aggregation shuffles the
+    * former shape paid (one for the signature, one to re-collect the
+    * arrays for verification). `sig` is NULL for empty-shingle docs —
+    * callers filter before banding, preserving the old drop-out
+    * semantics exactly.
+    */
+  private def lshBase(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nHashes: Int): DataFrame =
+    withShingles(docs, idCol, textCol, k)
+      .select(col("doc_id"), col("shingles"),
+        size(col("shingles")).cast("long").as("n"),
+        graft.functions.GraftFunctions.minhash_sig(col("shingles"), nHashes)
+          .as("sig"))
+
   def minhashLshPairsScoped(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int, bands: Int, threshold: Double,
       bucketCap: Int = DefaultCap): Scoped = {
@@ -219,26 +244,24 @@ object Dedup {
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
     val r = nHashes / bands
-    // exploded (doc, shingle) rows: reused by signatures + both verify
-    // sides — persist so the shingle derivation runs once (empty-shingle
-    // docs produce no rows, so the old size>0 filter is implicit)
-    val e = shingleRows(docs, idCol, textCol, k).persist()
+    // one row per doc, everything in-row ([[lshBase]]): consumed by the
+    // banding and both verification sides — persist so the shingle/sig
+    // derivation runs once
+    val base = lshBase(docs, idCol, textCol, k, nHashes).persist()
     val banded = capBuckets(
-      bandedRows(minhashSignatures(e, nHashes), bands, r), bucketCap)
+      bandedRows(base.where(col("sig").isNotNull).select("doc_id", "sig"),
+        bands, r), bucketCap)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact-Jaccard verification: shingle sets rebuilt from the cached rows
-    // and shuffled only for candidates (collect order is irrelevant to the
-    // set intersection; per-doc shingles are distinct by construction)
-    val arrs = e.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("shingles"), count(lit(1)).as("n"))
+    // exact-Jaccard verification off the cached per-doc arrays (order
+    // inside the arrays is irrelevant to the set intersection)
     val out = cand
-      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sha"),
+      .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sha"),
         col("n").as("na")), Seq("doc_a"))
-      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("shb"),
+      .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("shb"),
         col("n").as("nb")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
@@ -246,7 +269,7 @@ object Dedup {
           (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    Scoped(out, () => { e.unpersist(); () })
+    Scoped(out, () => { base.unpersist(); () })
   }
 
   /** [[minhashLshPairsScoped]] without the handle — callers owning the
@@ -287,19 +310,23 @@ object Dedup {
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
       "thresholdPpm is parts-per-million of Jaccard")
     val r = nHashes / bands
-    val et = shingleRows(train, idCol, textCol, k).persist()
-    val ee = shingleRows(evalDocs, idCol, textCol, k).persist()
+    // in-row base relations ([[lshBase]]): no signature or array
+    // aggregation shuffles on either side
+    val et = lshBase(train, idCol, textCol, k, nHashes).persist()
+    val ee = lshBase(evalDocs, idCol, textCol, k, nHashes).persist()
     val bt = capBuckets(
-      bandedRows(minhashSignatures(et, nHashes), bands, r), bucketCap)
-    val be = bandedRows(minhashSignatures(ee, nHashes), bands, r)
+      bandedRows(et.where(col("sig").isNotNull).select("doc_id", "sig"),
+        bands, r), bucketCap)
+    val be = bandedRows(ee.where(col("sig").isNotNull).select("doc_id", "sig"),
+      bands, r)
     val cand = bt.as("a").join(broadcast(be.as("b")),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id"))
       .dropDuplicates("train_id", "eval_id")
-    val at = et.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("sht"), count(lit(1)).as("nt"))
-    val ae = ee.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("she"), count(lit(1)).as("ne"))
+    val at = et.select(col("doc_id"), col("shingles").as("sht"),
+      col("n").as("nt"))
+    val ae = ee.select(col("doc_id"), col("shingles").as("she"),
+      col("n").as("ne"))
     val out = cand
       .join(at.select(col("doc_id").as("train_id"), col("sht"), col("nt")),
         Seq("train_id"))
@@ -336,9 +363,12 @@ object Dedup {
   private def capBuckets(banded: DataFrame, cap: Int): DataFrame =
     if (cap == Uncapped) banded
     else banded.join(
+      // hot-set anti join, not keep-set semi join (see jaccardPairsScoped):
+      // buckets over the cap are few by construction, so AQE broadcasts
+      // them and the banded rows never shuffle on (band, bucket) here
       banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
-        .where(col("c") <= cap).select("band", "bucket"),
-      Seq("band", "bucket"), "left_semi")
+        .where(col("c") > cap).select("band", "bucket"),
+      Seq("band", "bucket"), "left_anti")
 
   /** The persistable LSH index of a corpus: (doc_id, band, bucket) rows.
     * Write it once (partitioned parquet) when the corpus is ingested; each
@@ -354,8 +384,9 @@ object Dedup {
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
     capBuckets(
-      bandedRows(minhashSignatures(shingleRows(docs, idCol, textCol, k),
-        nHashes), bands, nHashes / bands),
+      bandedRows(lshBase(docs, idCol, textCol, k, nHashes)
+        .where(col("sig").isNotNull).select("doc_id", "sig"),
+        bands, nHashes / bands),
       bucketCap)
   }
 
@@ -371,8 +402,11 @@ object Dedup {
       oldIndex: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int, bands: Int, threshold: Double): Scoped = {
     require(nHashes % bands == 0, "bands must divide nHashes")
-    val eNew = shingleRows(newDocs, idCol, textCol, k).persist()
-    val newIdx = bandedRows(minhashSignatures(eNew, nHashes),
+    // in-row base ([[lshBase]]): the batch's shingle arrays + signature
+    // with no aggregation shuffles
+    val eNew = lshBase(newDocs, idCol, textCol, k, nHashes).persist()
+    val newIdx = bandedRows(
+      eNew.where(col("sig").isNotNull).select("doc_id", "sig"),
       bands, nHashes / bands)
     // candidate (new, old) pairs; persisted — consumed by the old-doc
     // semi-join and the verification join
@@ -386,11 +420,12 @@ object Dedup {
     cand.count()
     val oldCand = oldDocs.join(
       cand.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    val eOld = shingleRows(oldCand, idCol, textCol, k)
-    val arrsNew = eNew.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("sha"), count(lit(1)).as("na"))
-    val arrsOld = eOld.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("shb"), count(lit(1)).as("nb"))
+    val arrsNew = eNew.select(col("doc_id"), col("shingles").as("sha"),
+      col("n").as("na"))
+    // candidate old docs re-shingled IN-ROW (no explode + re-collect)
+    val arrsOld = withShingles(oldCand, idCol, textCol, k)
+      .select(col("doc_id"), col("shingles").as("shb"),
+        size(col("shingles")).cast("long").as("nb"))
     val out = cand
       .join(arrsNew.select(col("doc_id").as("new_id"), col("sha"), col("na")),
         Seq("new_id"))
@@ -583,12 +618,16 @@ object Dedup {
     require(b >= 1 && b * nPerms <= 63,
       "need b >= 1 and b*nPerms <= 63 (one sketch word, sign bit free)")
     val r = nPerms / bands
-    val e = shingleRows(docs, idCol, textCol, k).persist()
-    val sigs = e.select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-      .groupBy("doc_id")
-      .agg(graft.functions.SigAggregators.minhash_combine(nPerms)(col("h"))
-        .as("sig"))
+    // in-row base: shingle array + md5-prefix minhash registers, no
+    // explode/aggregation shuffles (see [[lshBase]]; md5 base per the
+    // portability argument above)
+    val base = withShingles(docs, idCol, textCol, k)
+      .select(col("doc_id"), col("shingles"),
+        size(col("shingles")).cast("long").as("n"),
+        graft.functions.GraftFunctions.minhash_sig_md5(col("shingles"),
+          nPerms).as("sig"))
+      .persist()
+    val sigs = base.where(col("sig").isNotNull).select("doc_id", "sig")
     val mask = (1L << b) - 1
     val sk = sigs.select(col("doc_id"), col("sig"),
       (0 until nPerms).map(i =>
@@ -613,8 +652,7 @@ object Dedup {
         lit(1L)).otherwise(lit(0L))
     }.reduce(_ + _)
     val cPpm = 1000000L / (1L << b)
-    val arrs = e.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("shingles"), count(lit(1)).as("n"))
+    val arrs = base.select(col("doc_id"), col("shingles"), col("n"))
     val out = cand
       .withColumn("eq", eq)
       .withColumn("eq_ppm",
@@ -631,7 +669,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("eq"), col("jhat_ppm"),
         call_function("div", col("common") * lit(1000000L),
           col("na") + col("nb") - col("common")).as("jaccard_ppm"))
-    Scoped(out, () => { e.unpersist(); () })
+    Scoped(out, () => { base.unpersist(); () })
   }
 
   /** [[bbitMinhashPairsScoped]] without the handle (Verify/Bench own the
@@ -757,11 +795,16 @@ object Dedup {
     * [[graft.functions.SigAggregators]]). Returns (doc_id, band0..band3: int).
     */
   def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // IN-ROW bit-majority over the token array (guide §2.4): the
+    // signature is a pure function of the doc's own tokens, so the
+    // explode → md5 → groupBy(doc_id) aggregation shuffle is gone; the
+    // [[graft.functions.SimHashBandsExpr]] kernel computes the identical
+    // nibble-bit counts and majority rule. Null text → null token array
+    // → null bands → dropped, matching the old no-rows-from-explode drop.
     docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.normTokens(col(textCol))).as("tk"))
-      .select(col("doc_id"), md5(col("tk")).as("hx"))
-      .groupBy("doc_id")
-      .agg(graft.functions.SigAggregators.simhash_combine(col("hx")).as("bands"))
+        graft.functions.GraftFunctions.simhash_bands(
+          TextOps.normTokens(col(textCol))).as("bands"))
+      .where(col("bands").isNotNull)
       .select(col("doc_id") +:
         (0 until 4).map(t => element_at(col("bands"), t + 1).as(s"band$t")): _*)
 
@@ -1018,12 +1061,15 @@ object Dedup {
     // unpersisted, the shingle Generate re-ran ~5× (measured over half
     // the gate at sf0.1)
     val raw = shingleRows(docs, idCol, textCol, k).persist()
+    // anti join against the small HOT set instead of a semi join against
+    // the large keep-set — see jaccardPairsScoped (exact complement; AQE
+    // broadcasts the hot side, so the raw rows never shuffle on `sh`)
     val capped =
       (if (dfCap == Uncapped) raw
       else raw.join(
         raw.groupBy("sh").agg(count(lit(1)).as("df"))
-          .where(col("df") <= dfCap).select("sh"),
-        Seq("sh"), "left_semi")).persist()
+          .where(col("df") > dfCap).select("sh"),
+        Seq("sh"), "left_anti")).persist()
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = capped.as("a").join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -1304,12 +1350,13 @@ object Dedup {
     // sides of the pair join — unpersisted it re-runs ~4×, measured 3×
     // the whole gate
     val f = fps.select("doc_id", "fp").distinct().persist()
+    // hot-set anti join, not keep-set semi join — see jaccardPairsScoped
     val capped =
       if (dfCap == Uncapped) f
       else f.join(
         f.groupBy("fp").agg(count(lit(1)).as("df"))
-          .where(col("df") <= dfCap).select("fp"),
-        Seq("fp"), "left_semi")
+          .where(col("df") > dfCap).select("fp"),
+        Seq("fp"), "left_anti")
     val out = capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -50,6 +50,27 @@ object KMeans {
   final case class Result(assignments: DataFrame,
       centroids: Seq[(Int, Seq[Long])], release: () => Unit)
 
+  /** Argmin over a DRIVER-SIDE codebook as a zero-shuffle projection: one
+    * codegen'd [[qdist2]] per (row, centroid) against a literal centroid
+    * vector, `array_min` over the (d, cid) structs — identical ordering
+    * semantics to the former `min(struct(d, cid))` aggregation (lowest
+    * distance, ties → lowest cid), with NO broadcast join and NO
+    * `groupBy(vec_id)` re-shuffle of the corpus (guide §2.4: the k
+    * centroid-scored copies of every vector used to be collapsed by a
+    * full-corpus map-side-combined shuffle; now nothing ever fans out).
+    */
+  private def argminCid(vec: Column, cs: Seq[(Int, Seq[Long])]): Column =
+    array_min(array(cs.map { case (cid, cv) =>
+      struct(qdist2(vec, typedlit(cv)).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Literal-codebook expression size guard: k·dims literal cells per
+    * argmin projection. Far past this, generated code size (Janino) and
+    * driver plan size become their own cost — callers above it keep the
+    * broadcast-join form. 2^16 cells ≈ k=1024 at dims=64.
+    */
+  private val MaxLiteralCells = 1L << 16
+
   /** Train `iters` rounds of Lloyd's algorithm over `vectors`
     * (`idCol`: long, `vecCol`: array<float|double>); initial centroids are
     * the k lowest-id vectors (deterministic). Returns the final
@@ -79,7 +100,17 @@ object KMeans {
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](1).toSeq }.toSeq
 
-    def assign(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+    // assignment as a PROJECTION when the codebook fits the literal
+    // budget (every gate regime: k ≤ 64): zero shuffle per round, vs the
+    // old crossJoin(broadcast) + groupBy(vec_id) which re-shuffled the
+    // whole quantized corpus once per Lloyd's round (guide §2.4). The
+    // join form is kept for codebooks past the literal budget (and for
+    // the degenerate empty-corpus case, where there is no literal array
+    // to build).
+    def literalOk(cs: Seq[(Int, Seq[Long])]): Boolean =
+      cs.nonEmpty && k.toLong * dims <= MaxLiteralCells
+
+    def assignJoin(cs: Seq[(Int, Seq[Long])]): DataFrame = {
       val cdf = cs.toDF("cid", "cv")
       q.crossJoin(broadcast(cdf))
         .select(col("vec_id"), col("qv"),
@@ -92,21 +123,44 @@ object KMeans {
 
     var lastIterations = 0
     while (lastIterations < iters) {
-      val sums = assign(centroids)
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      centroids = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
-        case (cid, rows) =>
-          // truncating long division == DuckDB's `//` == Spark SQL DIV
-          cid -> rows.sortBy(_.getInt(1)).map(r =>
-            r.getLong(2) / r.getLong(3)).toSeq
-      }
+      // per-round statistics: ONE pass over the cached corpus — the
+      // argmin as a grouping expression (evaluated once per row by the
+      // hash aggregate) and the centroid sums as the elementwise
+      // [[graft.functions.SigAggregators.vec_sum]] buffer, so nothing is
+      // melted ×dims (see vec_sum's scaladoc for the generator-collapse
+      // hazard the old posexplode shape hit)
+      val sums: Seq[(Int, Seq[Long], Long)] =
+        if (literalOk(centroids))
+          // null-qv rows contribute neither sums nor counts — exactly
+          // the melted shape (posexplode of a null array emits no rows)
+          q.where(col("qv").isNotNull)
+            .groupBy(argminCid(col("qv"), centroids).as("cluster"))
+            .agg(graft.functions.SigAggregators.vec_sum(col("qv")).as("sm"),
+              count(lit(1)).as("n"))
+            .collect()
+            .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+            .toSeq
+        else
+          assignJoin(centroids)
+            .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
+            .groupBy("cluster", "dim")
+            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+            .collect()
+            .groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+              (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq,
+                rows.head.getLong(3))
+            }
+      centroids = sums.sortBy(_._1).map { case (cid, sm, n) =>
+        // truncating long division == DuckDB's `//` == Spark SQL DIV
+        cid -> sm.map(_ / n).toSeq
+      }.toSeq
       lastIterations += 1
     }
-    Result(assign(centroids).select("vec_id", "cluster"), centroids,
-      () => { q.unpersist(); () })
+    val assignments =
+      if (literalOk(centroids))
+        q.select(col("vec_id"), argminCid(col("qv"), centroids).as("cluster"))
+      else assignJoin(centroids).select("vec_id", "cluster")
+    Result(assignments, centroids, () => { q.unpersist(); () })
   }
 
   /** Product quantization: split each vector into `m` contiguous
@@ -128,24 +182,92 @@ object KMeans {
 
   /** [[pqEncode]] plus the trained sub-space codebooks (quantized centroid
     * vectors) — the model [[pqSearchAdc]] scans with.
+    *
+    * All `m` sub-space trainers run FUSED over ONE quantized corpus cache
+    * (slicing commutes with the elementwise quantize, so `slice(quantize(v))
+    * == quantize(slice(v))` cell-for-cell): per Lloyd's round, every
+    * sub-space's argmin is a zero-shuffle literal-codebook projection
+    * ([[argminCid]]) and all sub-spaces share ONE (sub, cluster, dim)
+    * partial-aggregated collect — m·iters trainer jobs collapse to iters,
+    * the m per-sub `localCheckpoint`s and the (m−1)-way code join collapse
+    * to a single final projection (guide §1.2 step 1 / §2.4). Each
+    * sub-space's math — init (k lowest-id vectors' slices), integer argmin
+    * with ties → lowest cid, exact integer sums, truncating division,
+    * empty-cluster drop — is unchanged, so codebooks and codes are
+    * bit-identical to the former independent-[[fit]] composition (the
+    * oracle replays the independent trainers and still matches).
     */
   def pqEncodeDetailed(vectors: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int, scale: Double = 1e6): PqModel = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
     val dims = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k.toLong * dims <= MaxLiteralCells,
+      s"pqEncode got k*dims = $k*$dims > $MaxLiteralCells literal cells — " +
+        "past the literal-codebook budget; split the corpus or lower k")
     val d = dims / m
-    val subs = (0 until m).map { s =>
-      val sub = vectors.select(col(idCol),
-        slice(col(vecCol), s * d + 1, d).as("sub"))
-      val r = fit(sub, idCol, "sub", k, iters, scale)
-      // materialize before releasing the sub-space's quantized cache
-      val a = r.assignments.withColumnRenamed("cluster", s"code$s")
+    val q = vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol), scale).as("qv"))
+      .persist()
+    // init: the k lowest-id vectors, sliced per sub-space — one collect
+    // for all m trainers (identical to each fit's own init on its slice)
+    val initRows = q.orderBy("vec_id").limit(k).collect()
+    if (initRows.isEmpty) {
+      // degenerate empty corpus: empty codes with the regular schema,
+      // empty codebooks — what the per-sub fit composition produced
+      val codes = q.where(lit(false))
+        .select(col("vec_id") +: (0 until m).map(s =>
+          lit(0).as(s"code$s")): _*)
         .localCheckpoint()
-      r.release()
-      (a, s -> r.centroids)
+      q.unpersist()
+      return PqModel(codes, (0 until m).map(s => s -> Seq.empty), d)
     }
-    PqModel(subs.map(_._1).reduce((a, b) => a.join(b, "vec_id")),
-      subs.map(_._2), d)
+    var books: Seq[Seq[(Int, Seq[Long])]] = (0 until m).map { s =>
+      initRows.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](1).slice(s * d, (s + 1) * d).toSeq
+      }.toSeq
+    }
+    def subCol(s: Int): Column = slice(col("qv"), s * d + 1, d)
+    for (_ <- 1 to iters) {
+      // one job per round for ALL sub-spaces: the m (sub, cluster, slice)
+      // structs are built INSIDE the generator (a generator's own
+      // expression is evaluated once per input row — a projection NEXT TO
+      // a generator is collapsed above it and re-evaluated per output
+      // row, the hazard vec_sum's scaladoc records), then one
+      // (sub, cluster)-keyed elementwise vec_sum — m rows per vector,
+      // never a ×dims melt
+      val subStructs = array((0 until m).map { s =>
+        struct(lit(s).as("sub"), argminCid(subCol(s), books(s)).as("cluster"),
+          subCol(s).as("sl"))
+      }: _*)
+      val sums = q
+        .select(explode(subStructs).as("sc"))
+        .select(col("sc.sub").as("sub"), col("sc.cluster").as("cluster"),
+          col("sc.sl").as("sl"))
+        // null-slice rows (null vector) contribute neither sums nor
+        // counts — the melted shape's explode-of-null semantics
+        .where(col("sl").isNotNull)
+        .groupBy("sub", "cluster")
+        .agg(graft.functions.SigAggregators.vec_sum(col("sl")).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+      books = (0 until m).map { s =>
+        sums.filter(_.getInt(0) == s)
+          .map(r => (r.getInt(1), r.getSeq[Long](2), r.getLong(3)))
+          .sortBy(_._1).map { case (cid, sm, n) =>
+            // truncating long division == DuckDB `//` == Spark SQL DIV
+            cid -> sm.map(_ / n).toSeq
+          }.toSeq
+      }
+    }
+    // final codes: one zero-shuffle projection (was: m assign shuffles +
+    // m localCheckpoints + an (m-1)-way join); checkpointed because the
+    // search gates scan the code table repeatedly
+    val codes = q.select(col("vec_id") +: (0 until m).map(s =>
+      argminCid(subCol(s), books(s)).as(s"code$s")): _*).localCheckpoint()
+    q.unpersist()
+    PqModel(codes, (0 until m).map(s => s -> books(s)), d)
   }
 
   /** Persist a PQ model in the SERVING layout — codes as a parquet table,
@@ -186,21 +308,25 @@ object KMeans {
       scale: Double = 1e6): DataFrame = {
     val model = pqEncodeDetailed(vectors, idCol, vecCol, m, k, iters, scale)
     val d = model.subDims
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val errs = (0 until m).map { s =>
-      val cb = model.codebooks(s)._2.toDF("cid", "cv")
-      vectors
-        .select(col(idCol).cast("long").as("vec_id"),
-          quantize(slice(col(vecCol), s * d + 1, d), scale).as("qv"))
-        .join(model.codes.select(col("vec_id"), col(s"code$s").as("cid")),
-          "vec_id")
-        .join(broadcast(cb), "cid")
-        .select(col("vec_id"), qdist2(col("qv"), col("cv")).as(s"err$s"))
+    // per sub-space: re-derive the code in-row (identical integer argmin
+    // over the same literal codebook → identical cid, deterministically)
+    // and look the codeword up in a literal map — the former shape paid a
+    // corpus equi-join onto the code table plus a broadcast codebook join
+    // PER SUB-SPACE and an (m−1)-way join to sum the errors; this is one
+    // zero-shuffle projection (guide §2.4)
+    // stage the quantize transform once per row (the quantizedStaged
+    // discipline: a HOF Column is re-inlined at every reference site);
+    // the per-sub slices of the materialized attribute are cheap codegen
+    val q0 = vectors.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val errCols = model.codebooks.map { case (s, cents) =>
+      val sub = slice(col("qv"), s * d + 1, d)
+      val cwMap = map(cents.flatMap { case (cid, cv) =>
+        Seq(lit(cid), typedlit(cv))
+      }: _*)
+      qdist2(sub, element_at(cwMap, argminCid(sub, cents)))
     }
-    errs.reduce((a, b) => a.join(b, "vec_id"))
-      .select(col("vec_id"),
-        (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err2"))
+    q0.select(col("vec_id"), errCols.reduce(_ + _).as("err2"))
   }
 
   /** Load a [[savePqModel]] layout. The codebook collect is m·k-bounded

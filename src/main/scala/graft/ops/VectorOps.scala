@@ -110,28 +110,95 @@ object VectorOps {
     topKPerQuery(scored, k)
   }
 
+  /** Literal-centroid budget for the zero-shuffle argmax/argmin
+    * projections: past it, per-row expression count (and Janino class
+    * size) becomes its own cost and the broadcast-join form is kept.
+    */
+  private val MaxLiteralCentroids = 1024
+
+  /** Collect a small centroid table to driver literals: (centroid_id,
+    * typedlit(vec)) pairs, element type preserved (float/double). The
+    * collect is bounded by the same "centroids must be small (broadcast)"
+    * contract the join form already required — the rows were already
+    * collected onto the driver to build the broadcast relation.
+    */
+  private def centroidLits(centroids: DataFrame, idCol: String,
+      vecCol: String): Option[Seq[(Long, Column)]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // id must be long: the literal path emits `cell` as -lit(-id: Long);
+    // any other id type would change the output schema vs the join form
+    if (centroids.schema(idCol).dataType !=
+      org.apache.spark.sql.types.LongType) return None
+    val elemT = centroids.schema(vecCol).dataType match {
+      case ArrayType(t, _) => t
+      case t => t
+    }
+    val mk: org.apache.spark.sql.Row => Option[(Long, Column)] = elemT match {
+      case FloatType => r => Some((r.getLong(0), typedlit(r.getSeq[Float](1))))
+      case DoubleType => r => Some((r.getLong(0), typedlit(r.getSeq[Double](1))))
+      case org.apache.spark.sql.types.LongType =>
+        r => Some((r.getLong(0), typedlit(r.getSeq[Long](1))))
+      case _ => _ => None
+    }
+    val rows = centroids.select(col(idCol), col(vecCol))
+      .limit(MaxLiteralCentroids + 1).collect()
+    if (rows.length > MaxLiteralCentroids ||
+      rows.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
+        r.getSeq[Any](1).contains(null))) None
+    else {
+      val lits = rows.toSeq.map(mk)
+      if (lits.exists(_.isEmpty)) None else Some(lits.flatten)
+    }
+  }
+
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
     * id). Centroids must be small (broadcast). Adds `cell` and `cell_cos`.
+    *
+    * When the centroid table fits the literal budget (every serving/gate
+    * regime), the argmax runs as a ZERO-SHUFFLE projection: per row, k
+    * codegen'd dots against literal centroid vectors and one `array_max`
+    * over (c_cos, −id) structs — ordering semantics identical to the
+    * former `max(struct(c_cos, -id))` aggregation, with no broadcast
+    * crossJoin fan-out and no `groupBy(vec_id)` re-shuffle of the corpus
+    * (guide §2.4: at corpus scale that shuffle moved every embedding once
+    * per assignment pass).
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val c = corpus.withColumn("v_norm", norm(col("embedding")))
-    val cen = centroids.withColumn("cen_norm", norm(col("centroid_vec")))
-    val scored = c.crossJoin(broadcast(cen))
-      .withColumn("c_cos", dot(col("embedding"), col("centroid_vec"))
-        / over(col("v_norm") * col("cen_norm")))
-    // argmax as max(struct(cos, -id)) aggregation, NOT a window sort: the
-    // groupBy gets map-side partial aggregation, so only one row per vector
-    // survives each mapper instead of shuffling K centroid-scored copies of
-    // the corpus. Tie semantics identical: equal cos → larger -id → lowest
-    // centroid id.
-    scored.groupBy("vec_id")
-      .agg(
-        max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
-        first(col("embedding")).as("embedding"),
-        first(col("label")).as("label"),
-        first(col("v_norm")).as("v_norm"))
-      .select(col("vec_id"), col("embedding"), col("label"), col("v_norm"),
-        (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
+    centroidLits(centroids, "centroid_id", "centroid_vec") match {
+      case Some(lits) if lits.nonEmpty =>
+        val cands = array(lits.map { case (cid, cvLit) =>
+          struct(
+            (dot(col("embedding"), cvLit) / over(col("v_norm") * norm(cvLit)))
+              .as("c_cos"),
+            lit(-cid).as("neg_id"))
+        }: _*)
+        c.select(col("vec_id"), col("embedding"), col("label"),
+            col("v_norm"), array_max(cands).as("best"))
+          .select(col("vec_id"), col("embedding"), col("label"),
+            col("v_norm"),
+            (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
+      case _ =>
+        val cen = centroids.withColumn("cen_norm", norm(col("centroid_vec")))
+        val scored = c.crossJoin(broadcast(cen))
+          .withColumn("c_cos", dot(col("embedding"), col("centroid_vec"))
+            / over(col("v_norm") * col("cen_norm")))
+        // argmax as max(struct(cos, -id)) aggregation, NOT a window sort:
+        // the groupBy gets map-side partial aggregation, so only one row
+        // per vector survives each mapper instead of shuffling K
+        // centroid-scored copies of the corpus. Tie semantics identical:
+        // equal cos → larger -id → lowest centroid id.
+        scored.groupBy("vec_id")
+          .agg(
+            max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id")))
+              .as("best"),
+            first(col("embedding")).as("embedding"),
+            first(col("label")).as("label"),
+            first(col("v_norm")).as("v_norm"))
+          .select(col("vec_id"), col("embedding"), col("label"),
+            col("v_norm"),
+            (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
+    }
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells only. Returns
@@ -305,9 +372,12 @@ object VectorOps {
   private def capBlocks(v: DataFrame, keyCol: String, cap: Int): DataFrame =
     if (cap == graft.ops.Dedup.Uncapped) v
     else v.join(
+      // hot-set anti join, not keep-set semi join (Dedup.capBuckets): the
+      // over-cap blocks are few by construction, so AQE broadcasts them
+      // and the corpus rows never shuffle on the block key here
       v.groupBy(keyCol).agg(count(lit(1)).as("c"))
-        .where(col("c") <= cap).select(keyCol),
-      Seq(keyCol), "left_semi")
+        .where(col("c") > cap).select(keyCol),
+      Seq(keyCol), "left_anti")
 
   /** Signed projection of `emb` (statically `dims` wide) onto plane j of
     * the shared splitmix64 ±1 family ([[jlSign]]): one ARRAY-LITERAL sign
@@ -725,19 +795,51 @@ object VectorOps {
     // staged quantize: one interpreted transform per corpus row, not ~11
     val corp = quantizedStaged(corpus, Seq("vec_id"), col("embedding"),
       "qv", "v_r", scale)
-    // cell assignment: argmax over exact cell cosines as a map-side
-    // combined aggregation (see assignCells for why not a window)
-    corp.crossJoin(broadcast(cen))
-      .withColumn("c_cos", exactCosX1m(
-        graft.functions.GraftFunctions.long_dot(col("qv"), col("cv")),
-        col("v_r"), col("cen_r")))
-      .where(col("c_cos").isNotNull)
-      .groupBy("vec_id")
-      .agg(
-        max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
-        first(col("qv")).as("qv"), first(col("v_r")).as("v_r"))
-      .select(col("vec_id"), col("qv"), col("v_r"),
-        (-col("best.neg_id")).as("cell"))
+    // literal-centroid argmax projection (see assignCells): zero shuffle.
+    // Null parity with the join form's `.where(c_cos.isNotNull)` —
+    // null-cos candidates (zero-norm side, width mismatch) are dropped
+    // per ELEMENT by the filter() before array_max, and a vector whose
+    // every candidate is null (v_r = 0) drops entirely via
+    // `best IS NOT NULL` (array_max of an empty array is null).
+    val litRows: Option[Seq[(Long, Seq[Long], Long)]] = {
+      val rows = cen.select(col("centroid_id"), col("cv"), col("cen_r"))
+        .limit(MaxLiteralCentroids + 1).collect()
+      if (rows.length > MaxLiteralCentroids ||
+        rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) ||
+          r.getSeq[Any](1).contains(null)))
+        None
+      else Some(rows.toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2))))
+    }
+    litRows match {
+      case Some(rows) if rows.nonEmpty =>
+        val cands = array(rows.map { case (cid, cv, cenR) =>
+          struct(exactCosX1m(
+            graft.functions.GraftFunctions.long_dot(col("qv"), typedlit(cv)),
+            col("v_r"), lit(cenR)).as("c_cos"),
+            lit(-cid).as("neg_id"))
+        }: _*)
+        corp
+          .withColumn("best",
+            array_max(filter(cands, x => x.getField("c_cos").isNotNull)))
+          .where(col("best").isNotNull)
+          .select(col("vec_id"), col("qv"), col("v_r"),
+            (-col("best.neg_id")).as("cell"))
+      case _ =>
+        // argmax as a map-side combined aggregation (see assignCells)
+        corp.crossJoin(broadcast(cen))
+          .withColumn("c_cos", exactCosX1m(
+            graft.functions.GraftFunctions.long_dot(col("qv"), col("cv")),
+            col("v_r"), col("cen_r")))
+          .where(col("c_cos").isNotNull)
+          .groupBy("vec_id")
+          .agg(
+            max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id")))
+              .as("best"),
+            first(col("qv")).as("qv"), first(col("v_r")).as("v_r"))
+          .select(col("vec_id"), col("qv"), col("v_r"),
+            (-col("best.neg_id")).as("cell"))
+    }
   }
 
   /** [[ivfTopKExact]] over a PREBUILT integer-exact cell assignment
@@ -1031,11 +1133,12 @@ object VectorOps {
       s"powerIteration over $n rows exceeds maxRows=$maxRows — the " +
         "integer overflow audit is sized for 1e8 rows at milli scale; " +
         "shard the corpus or raise the bound deliberately")
-    // per-dim truncating mean (exact; matches DuckDB sum(v) // n)
+    // per-dim truncating mean (exact; matches DuckDB sum(v) // n) —
+    // elementwise vec_sum, no ×dims melt (see SigAggregators scaladoc)
     val mu: Seq[Long] = q
-      .select(posexplode(col("qv")).as(Seq("d", "v")))
-      .groupBy("d").agg(sum(col("v")).as("s"))
-      .collect().sortBy(_.getInt(0)).map(r => r.getLong(1) / n).toSeq
+      .where(col("qv").isNotNull) // explode-of-null parity
+      .agg(graft.functions.SigAggregators.vec_sum(col("qv")).as("s"))
+      .head().getSeq[Long](0).map(_ / n).toSeq
     def centered: Column =
       zip_with(col("qv"), array(mu.map(lit): _*), (x, m) => x - m)
     def isqrt(x: Long): Long = {
@@ -1046,13 +1149,15 @@ object VectorOps {
     }
     var v: Seq[Long] = Seq.fill(dims)(1000L)
     for (_ <- 1 to rounds) {
-      val litV = array(v.map(lit): _*)
-      val dot = aggregate(zip_with(centered, litV, (x, y) => x * y),
-        lit(0L), _ + _)
+      // one-pass round statistics (dot + weighted accumulation inside
+      // the aggregator): the old `select(dot, posexplode(centered))`
+      // shape collapsed the interpreted dot fold ABOVE the generator and
+      // re-ran it ×dims per row — see PowerIterAggregator's scaladoc
       val w: Seq[Long] = q
-        .select(dot.as("dt"), posexplode(centered).as(Seq("d", "cv")))
-        .groupBy("d").agg(sum(col("cv") * col("dt")).as("w"))
-        .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+        .where(col("qv").isNotNull) // explode-of-null parity
+        .agg(graft.functions.SigAggregators.power_iter_round(mu, v)(
+          col("qv")).as("w"))
+        .head().getSeq[Long](0).toSeq
       val s = math.max(w.map(math.abs).max, 1L)
       // w·1000 can pass 2^63 — BigInt replays DuckDB's HUGEINT exactly
       // (both truncate toward zero)
