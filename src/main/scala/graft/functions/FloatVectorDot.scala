@@ -123,4 +123,20 @@ object GraftFunctions {
     * [[SimHashBandsExpr]]. */
   def simhash_bands(tokens: Column): Column =
     ColumnBridge.column(SimHashBandsExpr(ColumnBridge.expression(tokens)))
+
+  /** In-row banded MinHash bucket keys off the shingle array — see
+    * [[MinHashBuckets]]. */
+  def minhash_buckets(shingles: Column, n: Int, bands: Int): Column =
+    ColumnBridge.column(
+      MinHashBuckets(ColumnBridge.expression(shingles), n, bands))
+
+  /** In-row winnowing window selection over normalized text — see
+    * [[WinnowSelect]]. */
+  def winnow_select(nm: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(nm), k, w))
+
+  /** Distinct word k-shingles of a normalized string — see
+    * [[WordShinglesExpr]]. */
+  def word_shingles(nm: Column, k: Int): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(nm), k))
 }

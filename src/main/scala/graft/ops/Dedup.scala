@@ -233,9 +233,20 @@ object Dedup {
       k: Int, nHashes: Int): DataFrame =
     withShingles(docs, idCol, textCol, k)
       .select(col("doc_id"), col("shingles"),
-        size(col("shingles")).cast("long").as("n"),
-        graft.functions.GraftFunctions.minhash_sig(col("shingles"), nHashes)
-          .as("sig"))
+        size(col("shingles")).cast("long").as("n"))
+
+  /** Banded (doc_id, band, bucket) rows straight off the shingle array —
+    * the fused [[graft.functions.MinHashBuckets]] kernel (signature +
+    * band slicing + bucket hash in one compiled pass as the GENERATOR
+    * input, so nothing is ever re-evaluated per band and the shape is
+    * safe with or without a persisted upstream). Empty/null shingle
+    * sets produce no rows, the aggregation path's drop-out semantics.
+    */
+  private def bandedFromShingles(base: DataFrame, nHashes: Int,
+      bands: Int): DataFrame =
+    base.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.minhash_buckets(
+        col("shingles"), nHashes, bands)).as(Seq("band", "bucket")))
 
   def minhashLshPairsScoped(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int, bands: Int, threshold: Double,
@@ -248,9 +259,8 @@ object Dedup {
     // banding and both verification sides — persist so the shingle/sig
     // derivation runs once
     val base = lshBase(docs, idCol, textCol, k, nHashes).persist()
-    val banded = capBuckets(
-      bandedRows(base.where(col("sig").isNotNull).select("doc_id", "sig"),
-        bands, r), bucketCap)
+    val banded = capBuckets(bandedFromShingles(base, nHashes, bands),
+      bucketCap)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -314,11 +324,8 @@ object Dedup {
     // aggregation shuffles on either side
     val et = lshBase(train, idCol, textCol, k, nHashes).persist()
     val ee = lshBase(evalDocs, idCol, textCol, k, nHashes).persist()
-    val bt = capBuckets(
-      bandedRows(et.where(col("sig").isNotNull).select("doc_id", "sig"),
-        bands, r), bucketCap)
-    val be = bandedRows(ee.where(col("sig").isNotNull).select("doc_id", "sig"),
-      bands, r)
+    val bt = capBuckets(bandedFromShingles(et, nHashes, bands), bucketCap)
+    val be = bandedFromShingles(ee, nHashes, bands)
     val cand = bt.as("a").join(broadcast(be.as("b")),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id"))
@@ -384,9 +391,8 @@ object Dedup {
     require(nHashes <= 64,
       "seeded() rehash is overflow-free (ANSI mode) only for nHashes <= 64")
     capBuckets(
-      bandedRows(lshBase(docs, idCol, textCol, k, nHashes)
-        .where(col("sig").isNotNull).select("doc_id", "sig"),
-        bands, nHashes / bands),
+      bandedFromShingles(lshBase(docs, idCol, textCol, k, nHashes),
+        nHashes, bands),
       bucketCap)
   }
 
@@ -405,9 +411,7 @@ object Dedup {
     // in-row base ([[lshBase]]): the batch's shingle arrays + signature
     // with no aggregation shuffles
     val eNew = lshBase(newDocs, idCol, textCol, k, nHashes).persist()
-    val newIdx = bandedRows(
-      eNew.where(col("sig").isNotNull).select("doc_id", "sig"),
-      bands, nHashes / bands)
+    val newIdx = bandedFromShingles(eNew, nHashes, bands)
     // candidate (new, old) pairs; persisted — consumed by the old-doc
     // semi-join and the verification join
     val cand = newIdx.as("n")
@@ -1298,41 +1302,20 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
-    val base = docs
+    // selection runs in the compiled [[graft.functions.WinnowSelect]]
+    // kernel — one pass per row, replacing the k−1 + w−1 chained
+    // zip_with folds whose interpreted lambda calls per character were
+    // most of the winnow gate (the kernel scaladoc carries the
+    // bit-parity argument; OpsSpec pins the guarantee properties). The
+    // kernel is the GENERATOR input, so it is evaluated once per row,
+    // and the md5 identity fingerprint stays a plain Column over the
+    // selected grams only (density ~2/(w+1) per char, as before).
+    docs
       .select(col(idCol).as("doc_id"),
-        TextOps.normalize(col(textCol)).as("nm"))
-      .select(col("doc_id"), col("nm"), codepoints(col("nm")).as("cps"))
-    val cps = col("cps")
-    val nGrams = size(cps) - (k - 1)
-    // all gram hashes in one vectorized pass, sliced to the true count
-    // (branch-free short-doc handling; the wordShingles idiom)
-    val hs = slice(kgramHashes(cps, k), lit(1), greatest(nGrams, lit(0)))
-    val withHs = base.select(col("doc_id"), col("nm"), hs.as("hs"))
-    val h = col("hs")
-    val nWin = size(h) - (w - 1)
-    // per-window rightmost-minimum, vectorized: fold w−1 zip_withs of
-    // the (fp, pos) array against its own shifted copies — the LATER
-    // candidate wins on <= (the winnowing tie rule), and incomplete
-    // tail windows are sliced away (zip_with's null padding loses every
-    // `when` and the slice drops them). Array-at-a-time codegen; the
-    // per-window element_at fold this replaces ran interpreted per
-    // lookup (measured ~2× the whole gate).
-    val withPos = transform(h, (hp, idx) =>
-      struct(hp.as("fp"), (idx + 1).as("pos")))
-    val selArr = (1 until w).foldLeft(withPos) { (acc, o) =>
-      zip_with(acc, slice(withPos, lit(o + 1), greatest(size(h) - o,
-        lit(0))),
-        (a, b) => when(b.getField("fp") <= a.getField("fp"), b)
-          .otherwise(a))
-    }
-    val sel = slice(selArr, lit(1), greatest(nWin, lit(0)))
-    withHs
-      .select(col("doc_id"), split(col("nm"), "").as("chars"),
-        explode(array_distinct(sel)).as("s"))
+        explode(graft.functions.GraftFunctions.winnow_select(
+          TextOps.normalize(col(textCol)), k, w)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"),
-        contentFp(
-          array_join(slice(col("chars"), col("s.pos"), lit(k)), ""))
-          .as("fp"))
+        contentFp(col("s.gram")).as("fp"))
   }
 
   /** Shared-fingerprint document pairs over [[winnowFingerprints]] output:

@@ -38,20 +38,14 @@ object TextOps {
     * the unit set for Jaccard similarity and MinHash (case/whitespace
     * variants of a document must shingle identically).
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = normTokens(text)
-    // No CASE WHEN around the transform: a conditional wrapping the
-    // higher-order expression measured 20x slower end-to-end (it defeats
-    // generator/codegen reuse of the array). Short docs are handled
-    // branch-free: build window starts over ALL token positions (sequence
-    // is never descending since size >= 1), then slice to the first
-    // size-k+1 entries — slice length 0 yields the empty shingle set.
-    array_distinct(
-      slice(
-        transform(sequence(lit(0), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))),
-        lit(1), greatest(size(toks) - (k - 1), lit(0))))
-  }
+  def wordShingles(text: Column, k: Int): Column =
+    // r16: one compiled pass ([[graft.functions.WordShinglesExpr]]) —
+    // bit-identical to the former transform/slice/array_distinct HOF
+    // chain, whose interpreted per-token lambdas were both the dominant
+    // per-row cost of every shingle pipeline and placement-sensitive
+    // (an AQE-coalesced exchange could leave the whole chain on one
+    // task; see the kernel scaladoc)
+    graft.functions.GraftFunctions.word_shingles(normalize(text), k)
 
   /** Adjacent word bigrams over normalized tokens ("a b c" → ["a b",
     * "b c"]) — the corpus n-gram statistics unit (vocabulary induction,

@@ -796,11 +796,18 @@ object VectorOps {
     val corp = quantizedStaged(corpus, Seq("vec_id"), col("embedding"),
       "qv", "v_r", scale)
     // literal-centroid argmax projection (see assignCells): zero shuffle.
-    // Null parity with the join form's `.where(c_cos.isNotNull)` —
-    // null-cos candidates (zero-norm side, width mismatch) are dropped
-    // per ELEMENT by the filter() before array_max, and a vector whose
-    // every candidate is null (v_r = 0) drops entirely via
-    // `best IS NOT NULL` (array_max of an empty array is null).
+    // NO higher-order function anywhere: a `filter()` HOF over the
+    // candidate array is CodegenFallback, which drags the whole array of
+    // codegen'd dots into interpreted eval (measured +17 s on
+    // q_emb_margin_ivf_i). Null parity with the join form's
+    // `.where(c_cos.isNotNull)` is instead established structurally:
+    // zero-norm centroids (cen_r = 0 → every c_cos null) are excluded
+    // from the literal array at BUILD time, and zero-norm/null vectors
+    // (v_r null or 0 → every remaining c_cos null) are dropped by the
+    // row filter — with both sides nonzero, exactCosX1m's nullif never
+    // fires and every candidate is non-null, so a bare array_max equals
+    // the filtered form. (A per-element null via width mismatch cannot
+    // occur: qv and the codebook slices come from the same column.)
     val litRows: Option[Seq[(Long, Seq[Long], Long)]] = {
       val rows = cen.select(col("centroid_id"), col("cv"), col("cen_r"))
         .limit(MaxLiteralCentroids + 1).collect()
@@ -809,7 +816,8 @@ object VectorOps {
           r.getSeq[Any](1).contains(null)))
         None
       else Some(rows.toSeq.map(r =>
-        (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2))))
+        (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+        .filter(_._3 != 0L))
     }
     litRows match {
       case Some(rows) if rows.nonEmpty =>
@@ -820,11 +828,9 @@ object VectorOps {
             lit(-cid).as("neg_id"))
         }: _*)
         corp
-          .withColumn("best",
-            array_max(filter(cands, x => x.getField("c_cos").isNotNull)))
-          .where(col("best").isNotNull)
+          .where(col("v_r") =!= 0)
           .select(col("vec_id"), col("qv"), col("v_r"),
-            (-col("best.neg_id")).as("cell"))
+            (-array_max(cands).getField("neg_id")).as("cell"))
       case _ =>
         // argmax as a map-side combined aggregation (see assignCells)
         corp.crossJoin(broadcast(cen))
