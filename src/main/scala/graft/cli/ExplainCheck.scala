@@ -75,9 +75,7 @@ object ExplainCheck {
     // SemDeDup: centroid assignment broadcasts (small cross is the hinted
     // BNLJ) and its argmax is a partially-aggregated SortAggregate (struct
     // max); the PAIR join must be the cell equi-join, never a product
-    // r16: literal-centroid argmax projection — no assignment aggregate
-    "q_emb_semdedup" -> (Seq("BroadcastHashJoin"),
-      Seq("CartesianProduct", "Window", "SortAggregate")),
+    "q_emb_semdedup" -> (Seq("SortAggregate"), Seq("CartesianProduct", "Window")),
     // decontamination: the (small) eval shingle set must broadcast into the
     // shingle-keyed join; shingling runs as Generate, never a product join
     "q_doc_decontaminate" -> (Seq("BroadcastHashJoin", "Generate"),
@@ -1003,12 +1001,10 @@ object ExplainCheck {
     // JL x IVF: reduced-space assignment/probe/scan -- argmax is the
     // partially-aggregated struct-max (SortAggregate), ranking the bounded
     // TopKAgg; no window over the scored corpus, no product
-    "q_emb_jl_ivf" -> (Seq("ObjectHashAggregate"),
-      Seq("CartesianProduct", "SortMergeJoin", "Window", "SortAggregate")),
-    // r16: literal-centroid argmax projection — centroids collected at
-    // plan-build, so the gate plan is scan → project → count agg only
-    "q_emb_ivf_assign" -> (Seq("HashAggregate", "Batched: true"),
-      Seq("CartesianProduct", "SortMergeJoin", "Window", "SortAggregate")),
+    "q_emb_jl_ivf" -> (Seq("ObjectHashAggregate", "SortAggregate"),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
+    "q_emb_ivf_assign" -> (Seq("HashAggregate", "SortAggregate", "Batched: true", "PushedFilters: ["),
+      Seq("CartesianProduct", "SortMergeJoin", "Window")),
     // ICP curriculum: broadcast cell assignment (argmax agg, no window)
     // + ONE cell-keyed shuffle into the bounded per-cell chain
     // (MapGroups) — no global sort before the output orderBy, no window

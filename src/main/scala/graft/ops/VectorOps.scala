@@ -110,95 +110,37 @@ object VectorOps {
     topKPerQuery(scored, k)
   }
 
-  /** Literal-centroid budget for the zero-shuffle argmax/argmin
-    * projections: past it, per-row expression count (and Janino class
-    * size) becomes its own cost and the broadcast-join form is kept.
-    */
-  private val MaxLiteralCentroids = 1024
-
-  /** Collect a small centroid table to driver literals: (centroid_id,
-    * typedlit(vec)) pairs, element type preserved (float/double). The
-    * collect is bounded by the same "centroids must be small (broadcast)"
-    * contract the join form already required — the rows were already
-    * collected onto the driver to build the broadcast relation.
-    */
-  private def centroidLits(centroids: DataFrame, idCol: String,
-      vecCol: String): Option[Seq[(Long, Column)]] = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-    // id must be long: the literal path emits `cell` as -lit(-id: Long);
-    // any other id type would change the output schema vs the join form
-    if (centroids.schema(idCol).dataType !=
-      org.apache.spark.sql.types.LongType) return None
-    val elemT = centroids.schema(vecCol).dataType match {
-      case ArrayType(t, _) => t
-      case t => t
-    }
-    val mk: org.apache.spark.sql.Row => Option[(Long, Column)] = elemT match {
-      case FloatType => r => Some((r.getLong(0), typedlit(r.getSeq[Float](1))))
-      case DoubleType => r => Some((r.getLong(0), typedlit(r.getSeq[Double](1))))
-      case org.apache.spark.sql.types.LongType =>
-        r => Some((r.getLong(0), typedlit(r.getSeq[Long](1))))
-      case _ => _ => None
-    }
-    val rows = centroids.select(col(idCol), col(vecCol))
-      .limit(MaxLiteralCentroids + 1).collect()
-    if (rows.length > MaxLiteralCentroids ||
-      rows.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
-        r.getSeq[Any](1).contains(null))) None
-    else {
-      val lits = rows.toSeq.map(mk)
-      if (lits.exists(_.isEmpty)) None else Some(lits.flatten)
-    }
-  }
-
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
     * id). Centroids must be small (broadcast). Adds `cell` and `cell_cos`.
     *
-    * When the centroid table fits the literal budget (every serving/gate
-    * regime), the argmax runs as a ZERO-SHUFFLE projection: per row, k
-    * codegen'd dots against literal centroid vectors and one `array_max`
-    * over (c_cos, −id) structs — ordering semantics identical to the
-    * former `max(struct(c_cos, -id))` aggregation, with no broadcast
-    * crossJoin fan-out and no `groupBy(vec_id)` re-shuffle of the corpus
-    * (guide §2.4: at corpus scale that shuffle moved every embedding once
-    * per assignment pass).
+    * r16 note: a zero-shuffle literal-centroid argmax projection was
+    * tried here and MEASURED SLOWER end to end for every consumer that
+    * joins the assignment onward (q_emb_jl_ivf 1.1→3.6 s, in-query
+    * margin mining 2.9→7.1 s at sf0.1): the aggregate's exchange is a
+    * materialization point that decouples the corpus-side projection
+    * pipeline from the probe join; without it the fused stage re-runs
+    * the expensive upstream (JL folds, quantize) with worse parallelism.
+    * The map-side-combined argmax below keeps that materialization.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val c = corpus.withColumn("v_norm", norm(col("embedding")))
-    centroidLits(centroids, "centroid_id", "centroid_vec") match {
-      case Some(lits) if lits.nonEmpty =>
-        val cands = array(lits.map { case (cid, cvLit) =>
-          struct(
-            (dot(col("embedding"), cvLit) / over(col("v_norm") * norm(cvLit)))
-              .as("c_cos"),
-            lit(-cid).as("neg_id"))
-        }: _*)
-        c.select(col("vec_id"), col("embedding"), col("label"),
-            col("v_norm"), array_max(cands).as("best"))
-          .select(col("vec_id"), col("embedding"), col("label"),
-            col("v_norm"),
-            (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
-      case _ =>
-        val cen = centroids.withColumn("cen_norm", norm(col("centroid_vec")))
-        val scored = c.crossJoin(broadcast(cen))
-          .withColumn("c_cos", dot(col("embedding"), col("centroid_vec"))
-            / over(col("v_norm") * col("cen_norm")))
-        // argmax as max(struct(cos, -id)) aggregation, NOT a window sort:
-        // the groupBy gets map-side partial aggregation, so only one row
-        // per vector survives each mapper instead of shuffling K
-        // centroid-scored copies of the corpus. Tie semantics identical:
-        // equal cos → larger -id → lowest centroid id.
-        scored.groupBy("vec_id")
-          .agg(
-            max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id")))
-              .as("best"),
-            first(col("embedding")).as("embedding"),
-            first(col("label")).as("label"),
-            first(col("v_norm")).as("v_norm"))
-          .select(col("vec_id"), col("embedding"), col("label"),
-            col("v_norm"),
-            (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
-    }
+    val cen = centroids.withColumn("cen_norm", norm(col("centroid_vec")))
+    val scored = c.crossJoin(broadcast(cen))
+      .withColumn("c_cos", dot(col("embedding"), col("centroid_vec"))
+        / over(col("v_norm") * col("cen_norm")))
+    // argmax as max(struct(cos, -id)) aggregation, NOT a window sort: the
+    // groupBy gets map-side partial aggregation, so only one row per
+    // vector survives each mapper instead of shuffling K centroid-scored
+    // copies of the corpus. Tie semantics identical: equal cos → larger
+    // -id → lowest centroid id.
+    scored.groupBy("vec_id")
+      .agg(
+        max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"),
+        first(col("v_norm")).as("v_norm"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("v_norm"),
+        (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells only. Returns
@@ -795,57 +737,22 @@ object VectorOps {
     // staged quantize: one interpreted transform per corpus row, not ~11
     val corp = quantizedStaged(corpus, Seq("vec_id"), col("embedding"),
       "qv", "v_r", scale)
-    // literal-centroid argmax projection (see assignCells): zero shuffle.
-    // NO higher-order function anywhere: a `filter()` HOF over the
-    // candidate array is CodegenFallback, which drags the whole array of
-    // codegen'd dots into interpreted eval (measured +17 s on
-    // q_emb_margin_ivf_i). Null parity with the join form's
-    // `.where(c_cos.isNotNull)` is instead established structurally:
-    // zero-norm centroids (cen_r = 0 → every c_cos null) are excluded
-    // from the literal array at BUILD time, and zero-norm/null vectors
-    // (v_r null or 0 → every remaining c_cos null) are dropped by the
-    // row filter — with both sides nonzero, exactCosX1m's nullif never
-    // fires and every candidate is non-null, so a bare array_max equals
-    // the filtered form. (A per-element null via width mismatch cannot
-    // occur: qv and the codebook slices come from the same column.)
-    val litRows: Option[Seq[(Long, Seq[Long], Long)]] = {
-      val rows = cen.select(col("centroid_id"), col("cv"), col("cen_r"))
-        .limit(MaxLiteralCentroids + 1).collect()
-      if (rows.length > MaxLiteralCentroids ||
-        rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) ||
-          r.getSeq[Any](1).contains(null)))
-        None
-      else Some(rows.toSeq.map(r =>
-        (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
-        .filter(_._3 != 0L))
-    }
-    litRows match {
-      case Some(rows) if rows.nonEmpty =>
-        val cands = array(rows.map { case (cid, cv, cenR) =>
-          struct(exactCosX1m(
-            graft.functions.GraftFunctions.long_dot(col("qv"), typedlit(cv)),
-            col("v_r"), lit(cenR)).as("c_cos"),
-            lit(-cid).as("neg_id"))
-        }: _*)
-        corp
-          .where(col("v_r") =!= 0)
-          .select(col("vec_id"), col("qv"), col("v_r"),
-            (-array_max(cands).getField("neg_id")).as("cell"))
-      case _ =>
-        // argmax as a map-side combined aggregation (see assignCells)
-        corp.crossJoin(broadcast(cen))
-          .withColumn("c_cos", exactCosX1m(
-            graft.functions.GraftFunctions.long_dot(col("qv"), col("cv")),
-            col("v_r"), col("cen_r")))
-          .where(col("c_cos").isNotNull)
-          .groupBy("vec_id")
-          .agg(
-            max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id")))
-              .as("best"),
-            first(col("qv")).as("qv"), first(col("v_r")).as("v_r"))
-          .select(col("vec_id"), col("qv"), col("v_r"),
-            (-col("best.neg_id")).as("cell"))
-    }
+    // cell assignment: argmax over exact cell cosines as a map-side
+    // combined aggregation (see assignCells — the r16 literal-projection
+    // experiment measured slower for every join consumer; the agg's
+    // exchange is the materialization point that keeps the quantize
+    // pipeline decoupled from the candidate join)
+    corp.crossJoin(broadcast(cen))
+      .withColumn("c_cos", exactCosX1m(
+        graft.functions.GraftFunctions.long_dot(col("qv"), col("cv")),
+        col("v_r"), col("cen_r")))
+      .where(col("c_cos").isNotNull)
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col("qv")).as("qv"), first(col("v_r")).as("v_r"))
+      .select(col("vec_id"), col("qv"), col("v_r"),
+        (-col("best.neg_id")).as("cell"))
   }
 
   /** [[ivfTopKExact]] over a PREBUILT integer-exact cell assignment

@@ -22,6 +22,16 @@ object RegressProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+          stages.add(f"    stage ${si.stageId}%4d ${dur.getOrElse(-1L)}%6d ms tasks=${si.numTasks}%3d")
+        }
+      })
     def time[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -46,6 +56,61 @@ object RegressProbe {
         VectorOps.ivfTopKExactIndexed(cells, cen,
           src.select(col("vec_id").as("query_id"),
             col("embedding").as("query_vec")), k = 4, nprobe = 2).count()
+      }
+      // jl_ivf replica: assignCells over a JL-projected corpus
+      locally {
+        val embDims = 64
+        val proj = VectorOps.jlProject(emb, "vec_id", "embedding", embDims, 16)
+          .select(col("vec_id"), col("jl").cast("array<float>").as("embedding"),
+            lit(null).cast("string").as("label"))
+        val centroids = proj.where(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("centroid_vec"))
+        val queries = proj.where(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        time("jl-assignCells-count") {
+          VectorOps.assignCells(proj, centroids).count()
+        }
+        stages.clear()
+        time("jl-ivfTopK-count") {
+          VectorOps.ivfTopK(proj, centroids, queries, k = 5, nprobe = 2).count()
+        }
+        if (round == 2) stages.forEach(println(_))
+        time("jl-ivfTopK-OLDCELLS-count") {
+          val c = proj.withColumn("v_norm", VectorOps.norm(col("embedding")))
+          val cen2 = centroids.withColumn("cen_norm",
+            VectorOps.norm(col("centroid_vec")))
+          val cellsOld = c.crossJoin(broadcast(cen2))
+            .withColumn("c_cos", VectorOps.dot(col("embedding"), col("centroid_vec"))
+              / nullif(col("v_norm") * col("cen_norm"), lit(0.0)))
+            .groupBy("vec_id")
+            .agg(max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+              first(col("embedding")).as("embedding"),
+              first(col("label")).as("label"),
+              first(col("v_norm")).as("v_norm"))
+            .select(col("vec_id"), col("embedding"), col("label"), col("v_norm"),
+              (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
+          VectorOps.ivfTopKIndexed(cellsOld, centroids, queries, k = 5,
+            nprobe = 2).count()
+        }
+        // old shape inline
+        time("jl-assignCells-OLD-count") {
+          val c = proj.withColumn("v_norm", VectorOps.norm(col("embedding")))
+          val cen = centroids.withColumn("cen_norm",
+            VectorOps.norm(col("centroid_vec")))
+          c.crossJoin(broadcast(cen))
+            .withColumn("c_cos", VectorOps.dot(col("embedding"), col("centroid_vec"))
+              / nullif(col("v_norm") * col("cen_norm"), lit(0.0)))
+            .groupBy("vec_id")
+            .agg(max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+              first(col("embedding")).as("embedding"),
+              first(col("label")).as("label"),
+              first(col("v_norm")).as("v_norm"))
+            .select(col("vec_id"), col("embedding"), col("label"), col("v_norm"),
+              (-col("best.neg_id")).as("cell"), col("best.c_cos").as("cell_cos"))
+            .count()
+        }
       }
       spark.catalog.clearCache()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
