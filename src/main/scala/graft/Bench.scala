@@ -203,7 +203,16 @@ object Bench {
         idx, "doc_id", "text", 3, 64, 32, 0.8)
       sc.df.count(); sc.release()
       // split-overlap: shingle sets per hash-split, pairwise shared counts
-      graft.ops.Curation.splitOverlap(docs, "text", 3,
+      // — on the FULL documents table, not the half-slice: AQE's join
+      // variant for the per-split shingle self-join flips with input
+      // size, and the r16 kernel rewrite shifted the estimates enough
+      // that the half-slice warmup compiled a different variant than the
+      // measured gate (q_doc_split_overlap read 4.3-7.0 s on-clock with
+      // a 1.4-2.2 s warm steady state; the full-size warmup re-aligns
+      // the compiled variant, the same hazard this battery documents)
+      graft.ops.Curation.splitOverlap(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(cpus.toInt), "text", 3,
         Seq("train" -> 80, "val" -> 10, "test" -> 10)).count()
       // survivors: pairs -> components -> quality keeper per cluster
       val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
