@@ -202,17 +202,13 @@ object Bench {
       val sc = graft.ops.Dedup.incrementalNearDupsScoped(newDocs, oldDocs,
         idx, "doc_id", "text", 3, 64, 32, 0.8)
       sc.df.count(); sc.release()
-      // split-overlap: shingle sets per hash-split, pairwise shared counts
-      // — on the FULL documents table, not the half-slice: AQE's join
-      // variant for the per-split shingle self-join flips with input
-      // size, and the r16 kernel rewrite shifted the estimates enough
-      // that the half-slice warmup compiled a different variant than the
-      // measured gate (q_doc_split_overlap read 4.3-7.0 s on-clock with
-      // a 1.4-2.2 s warm steady state; the full-size warmup re-aligns
-      // the compiled variant, the same hazard this battery documents)
-      graft.ops.Curation.splitOverlap(
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .repartition(cpus.toInt), "text", 3,
+      // split-overlap: shingle presence-bitmask aggregation — back on the
+      // half-slice (the battery's standard discipline): the r17 rewrite
+      // removed the per-split shingle self-join whose size-dependent AQE
+      // variant forced r16's full-size warmup special-case (VERDICT r16
+      // item 1 asked for exactly this revert); the bitmask form has no
+      // join for AQE to flip
+      graft.ops.Curation.splitOverlap(docs, "text", 3,
         Seq("train" -> 80, "val" -> 10, "test" -> 10)).count()
       // survivors: pairs -> components -> quality keeper per cluster
       val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
@@ -544,6 +540,19 @@ object Bench {
       java.nio.file.Paths.get(benchOut),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // driver-tail contract (r17, VERDICT r16 item 2): the full line above
+    // is ~15 KB at 314 gates and the driver keeps only a ~2 KB stdout
+    // tail, so its parser has read `parsed: null` since round 1. Print a
+    // SECOND, tail-sized summary line LAST — same schema, same `value`,
+    // `queries` restricted to the heaviest gates so the line stays under
+    // ~1.5 KB — and keep the full line (stdout AND the benchOut file)
+    // untouched: nothing is removed or renamed, the summary is an
+    // addition sized to survive the tail.
+    val topQs = results.sortBy { case (n, s) => (-s, n) }.take(36)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$topQs,"n":${results.size},"failed":$failedJson,$hostJson,"sf":"$sfDir"$shardJson,"full":"$benchOut"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

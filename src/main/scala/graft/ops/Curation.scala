@@ -91,28 +91,62 @@ object Curation {
     * shared count, and containment in ppm of the smaller side (integer
     * floor-div — exact, engine-portable).
     *
-    * Scale shape: shingles are distinct-ed per split FIRST (vocabulary-
-    * bounded, not corpus-bounded); after that each shingle appears at
-    * most once per split, so the shingle-keyed self-join fans out
-    * ≤ |splits|² rows per shingle — linear, never all-pairs in docs.
+    * Scale shape (r17, guide §2.3/§2.4): a shingle's contribution to
+    * every cell of the matrix is a pure function of WHICH splits contain
+    * it, so the whole audit is one presence-bitmask aggregation —
+    * `bit_or(1 << split_idx)` keyed by shingle (map-side combined: the
+    * exchange carries at most one row per per-partition-distinct
+    * shingle) — followed by constant-size arithmetic: count shingles per
+    * mask (≤ 2^|splits| rows), then per split pair sum the masks
+    * containing both bits / either bit. The former shape materialized
+    * the per-(split, shingle) distinct and SELF-JOINED it on the
+    * shingle, which re-shuffled (and re-scanned) the shingle universe
+    * four times — the measured plan had 4 scan+explode+distinct subtrees
+    * and 9 exchanges; this one has 1 scan and 1 vocabulary-keyed
+    * exchange, and never a join.
+    *
+    * Equivalence: `n_a` = #{g : bit a set} = the old per-split distinct
+    * count; `n_shared(a,b)` = #{g : bits a and b set} = the old
+    * shingle-keyed self-join pair count; rows emitted only where
+    * n_shared ≥ 1, exactly the old inner-join semantics (pair order is
+    * the same lexicographic `split_a < split_b`).
     */
   def splitOverlap(docs: DataFrame, textCol: String, k: Int,
       weights: Seq[(String, Int)]): DataFrame = {
-    val sp = docs.select(
-      Sampling.split(TextOps.normalize(col(textCol)), weights).as("split"),
-      explode(TextOps.wordShingles(col(textCol), k)).as("g"))
-      .distinct()
-    val sizes = sp.groupBy("split").agg(count(lit(1)).as("n"))
-    val shared = sp.as("a")
-      .join(sp.as("b"),
-        col("a.g") === col("b.g") && col("a.split") < col("b.split"))
-      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.select(col("split").as("split_a"),
-        col("n").as("n_a"))), Seq("split_a"))
-      .join(broadcast(sizes.select(col("split").as("split_b"),
-        col("n").as("n_b"))), Seq("split_b"))
+    val names = weights.map(_._1)
+    require(names.distinct == names, "split names must be unique")
+    require(names.size <= 62, "bitmask form supports at most 62 splits")
+    val splitName =
+      Sampling.split(TextOps.normalize(col(textCol)), weights)
+    // split name → presence bit; split() always returns one of `names`,
+    // so the closing otherwise(0) is unreachable (kept total for safety)
+    val bitExpr = names.zipWithIndex.foldRight(lit(0L): Column) {
+      case ((n, i), els) => when(splitName === n, lit(1L << i)).otherwise(els)
+    }
+    val gm = docs
+      .select(bitExpr.as("bit"),
+        explode(TextOps.wordShingles(col(textCol), k)).as("g"))
+      .groupBy("g").agg(expr("bit_or(bit)").as("m"))
+    // ≤ 2^|splits| rows past this point
+    val mc = gm.groupBy("m").agg(count(lit(1)).as("c"))
+    val pairArr = array((for {
+      (na, ia) <- names.zipWithIndex
+      (nb, ib) <- names.zipWithIndex
+      if na < nb
+    } yield struct(lit(na).as("split_a"), lit(nb).as("split_b"),
+      lit(1L << ia).as("bit_a"), lit(1L << ib).as("bit_b"))): _*)
+    mc.select(col("m"), col("c"), explode(pairArr).as("p"))
+      .groupBy(col("p.split_a").as("split_a"),
+        col("p.split_b").as("split_b"))
+      .agg(
+        sum(when(col("m").bitwiseAND(col("p.bit_a")) =!= 0L, col("c")))
+          .as("n_a"),
+        sum(when(col("m").bitwiseAND(col("p.bit_b")) =!= 0L, col("c")))
+          .as("n_b"),
+        sum(when(col("m").bitwiseAND(col("p.bit_a")) =!= 0L &&
+          col("m").bitwiseAND(col("p.bit_b")) =!= 0L, col("c")))
+          .as("n_shared"))
+      .where(col("n_shared") >= 1)
       .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"),
         col("n_shared"),
         expr("(n_shared * 1000000L) div least(n_a, n_b)")

@@ -3082,6 +3082,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("split overlap r17: bitmask aggregation matches the join reference") {
+    import graft.ops.{Curation, Sampling, TextOps}
+    // the pre-r17 formulation (per-(split,shingle) distinct + shingle-
+    // keyed self-join), replicated verbatim as the reference — the r17
+    // bitmask rewrite must reproduce it row-for-row
+    val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def reference(docs: org.apache.spark.sql.DataFrame) = {
+      val sp = docs.select(
+        Sampling.split(TextOps.normalize(col("text")), weights).as("split"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+      val sizes = sp.groupBy("split").agg(count(lit(1)).as("n"))
+      val shared = sp.as("a")
+        .join(sp.as("b"),
+          col("a.g") === col("b.g") && col("a.split") < col("b.split"))
+        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.select(col("split").as("split_a"),
+          col("n").as("n_a"))), Seq("split_a"))
+        .join(broadcast(sizes.select(col("split").as("split_b"),
+          col("n").as("n_b"))), Seq("split_b"))
+        .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          expr("(n_shared * 1000000L) div least(n_a, n_b)")
+            .as("containment_ppm"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("split_a", "split_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows(Curation.splitOverlap(d, "text", 3, weights)) ==
+      rows(reference(d)))
+    // and under a different physical partitioning (order-free aggregates)
+    assert(rows(Curation.splitOverlap(d.repartition(7), "text", 3,
+      weights)) == rows(reference(d)))
+  }
+
   test("rrf fusion: both-list docs outrank single-list docs at equal depth") {
     import graft.ops.Search
     val d = Seq(
