@@ -450,11 +450,13 @@ object ExplainCheck {
     // scan — never a window, never a shuffled join
     "q_emb_matryoshka" -> (Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       Seq("Window", "SortMergeJoin", "CartesianProduct")),
-    // split overlap: shingle Generate → split-distinct aggregate →
-    // shingle-keyed equi self-join (each shingle ≤ |splits| rows after
-    // the distinct); sizes broadcast back; never a product or window
+    // split overlap (r17): shingle Generate → ONE vocabulary-keyed
+    // bit_or presence-mask aggregate → constant-size mask arithmetic —
+    // no join of any kind (the former shingle-keyed self-join re-scanned
+    // and re-shuffled the shingle universe 4x), never a product/window
     "q_doc_split_overlap" -> (Seq("Generate", "HashAggregate"),
-      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
     // consecutive dedup: ONE key-partitioned lag window, no join/agg
     "q_ts_dedup_consecutive" -> (Seq("Window"),
       Seq("CartesianProduct", "SortMergeJoin", "HashAggregate",
@@ -1192,9 +1194,18 @@ object ExplainCheck {
       names: Seq[String] = expectations.keys.toSeq,
       printPlans: Boolean = false): Seq[String] =
     names.sorted.flatMap { name =>
+      // capture pre-localCheckpoint plans too (PlanTap): an eager
+      // checkpoint inside an operator otherwise hides the expensive
+      // upstream shape from the grep (the pins on trainer/margin gates
+      // assert against the FULL text: final plan + captured sub-plans)
+      graft.util.PlanTap.start()
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val tapped = graft.util.PlanTap.stop()
+      val plan = (df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode) +:
+        tapped.map { case (tag, p) =>
+          s"\n== Pre-checkpoint plan: $tag ==\n$p"
+        }).mkString("\n")
       if (printPlans) {
         println(s"\n========== $name ==========")
         println(plan.take(6000))

@@ -38,8 +38,17 @@ object PlanDump {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown gate '$name'"))
       try {
-        val plan = fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        // PlanTap: also dump the pre-localCheckpoint plans (trainer /
+        // margin checkpoint boundaries — VERDICT r16 items 5/8), so the
+        // expensive upstream shape stays auditable from the artifact
+        graft.util.PlanTap.start()
+        val df = fn(spark, sfDir)
+        val tapped = graft.util.PlanTap.stop()
+        val plan = (df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode) +:
+          tapped.map { case (tag, p) =>
+            s"\n== Pre-checkpoint plan: $tag ==\n$p"
+          }).mkString("\n")
         Files.write(Paths.get(s"$outDir/${name}_$suffix.txt"),
           plan.getBytes("UTF-8"))
         println(s"[plandump] wrote $name ($suffix)")

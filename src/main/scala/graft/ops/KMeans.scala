@@ -263,9 +263,13 @@ object KMeans {
     }
     // final codes: one zero-shuffle projection (was: m assign shuffles +
     // m localCheckpoints + an (m-1)-way join); checkpointed because the
-    // search gates scan the code table repeatedly
-    val codes = q.select(col("vec_id") +: (0 until m).map(s =>
-      argminCid(subCol(s), books(s)).as(s"code$s")): _*).localCheckpoint()
+    // search gates scan the code table repeatedly (PlanTap so the audit
+    // tools can still dump the pre-checkpoint trainer plan — VERDICT r16
+    // item 8)
+    val codes = graft.util.PlanTap.local(
+      q.select(col("vec_id") +: (0 until m).map(s =>
+        argminCid(subCol(s), books(s)).as(s"code$s")): _*),
+      "pq-codes")
     q.unpersist()
     PqModel(codes, (0 until m).map(s => s -> books(s)), d)
   }

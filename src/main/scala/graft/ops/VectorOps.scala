@@ -552,13 +552,32 @@ object VectorOps {
   /** Shared ratio-margin tail over (src_id, tgt_id, cos_x1m) sides —
     * backend-agnostic and integer-only past this point (see
     * [[marginPairs]] for the formula and envelope).
+    *
+    * r17 (guide §2.4 duplicated subtrees, §5 localCheckpoint): the tail
+    * references each kNN side twice — once in the candidate union, once
+    * in its denominator aggregate — and the measured static plans held
+    * every expensive kNN subtree (cross-scan + top-k) TWICE per
+    * direction (q_emb_margin_sq8: 8 scan subtrees for 2 directions).
+    * The sides are k-bounded (≤ nQueries·k rows), so one eager
+    * materialization of their union makes every downstream reference a
+    * tiny in-memory scan, and the denominator joins broadcast instead of
+    * sort-merging. Values are bit-identical: same rows, same order-free
+    * integer aggregates. The checkpoint is intra-query (recomputed every
+    * run) and routed through [[graft.util.PlanTap]] so the audit tools
+    * still see the pre-checkpoint kNN plan.
     */
   private def marginTail(f: DataFrame, b: DataFrame): DataFrame = {
-    val denomF = f.groupBy("src_id")
+    val u = graft.util.PlanTap.local(
+      f.select(col("src_id"), col("tgt_id"), col("cos_x1m"),
+        lit(true).as("fwd"))
+        .unionAll(b.select(col("src_id"), col("tgt_id"), col("cos_x1m"),
+          lit(false).as("fwd"))),
+      "margin-knn-union")
+    val denomF = u.where(col("fwd")).groupBy("src_id")
       .agg(sum("cos_x1m").as("sum_f"), count(lit(1)).as("cnt_f"))
-    val denomB = b.groupBy("tgt_id")
+    val denomB = u.where(!col("fwd")).groupBy("tgt_id")
       .agg(sum("cos_x1m").as("sum_b"), count(lit(1)).as("cnt_b"))
-    f.union(b).distinct()
+    u.select("src_id", "tgt_id", "cos_x1m").distinct()
       .join(denomF, Seq("src_id"))
       .join(denomB, Seq("tgt_id"))
       .withColumn("den",

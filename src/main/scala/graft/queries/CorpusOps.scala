@@ -1326,13 +1326,24 @@ object CorpusOps {
       val centroids = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("centroid_vec"))
-      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
-      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
-      def qside(d: org.apache.spark.sql.DataFrame) = d.select(
-        col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val fwd = VectorOps.ivfTopKExact(tgt, centroids, qside(src),
+      def qside(par: Int) = emb
+        .where(pmod(col("vec_id"), lit(2)) === par)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      // r17 (guide §2.4): assign cells ONCE over the full corpus and
+      // parity-filter per direction — per-vector assignment is
+      // independent of the rest of the corpus (the ivfExactCells
+      // scaladoc's own serve-path argument), so filtering the shared
+      // assignment is bit-identical to assigning src/tgt separately,
+      // and the corpus × centroids argmax aggregation runs once instead
+      // of twice (the former per-direction ivfTopKExact built its own)
+      val cen = VectorOps.ivfExactCentroids(centroids)
+      val cells = VectorOps.ivfExactCells(emb, cen)
+      val fwd = VectorOps.ivfTopKExactIndexed(
+        cells.where(pmod(col("vec_id"), lit(2)) === 1), cen, qside(0),
         k = 4, nprobe = 2)
-      val bwd = VectorOps.ivfTopKExact(src, centroids, qside(tgt),
+      val bwd = VectorOps.ivfTopKExactIndexed(
+        cells.where(pmod(col("vec_id"), lit(2)) === 0), cen, qside(1),
         k = 4, nprobe = 2)
       VectorOps.marginPairsExact(fwd, bwd)
         .orderBy(col("margin_ppm").desc, col("src_id"), col("tgt_id"))
