@@ -139,4 +139,9 @@ object GraftFunctions {
     * [[WordShinglesExpr]]. */
   def word_shingles(nm: Column, k: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(nm), k))
+
+  /** In-row WHT frame signatures of a PCM sample array — see
+    * [[WhtSigs]]. */
+  def wht_sigs(samples: Column, nFrames: Int): Column =
+    ColumnBridge.column(WhtSigs(ColumnBridge.expression(samples), nFrames))
 }

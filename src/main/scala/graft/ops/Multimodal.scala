@@ -542,20 +542,58 @@ object Multimodal {
       pmod(shiftright(col("ahash"), t * 16), lit(65536L)).as(s"band$t"))
     val banded0 = sig.select(Seq(col("media_id"), col("ahash"), col("dhash"),
       posexplode(array(bands: _*)).as(Seq("band", "chunk"))): _*)
+    // r17 (guide §2.4): the pair dedup and the bucket cap both restructure.
+    //  - Hot-set flags instead of a keep-set semi join (the Dedup
+    //    capBuckets discipline): the over-cap bucket set is bounded by
+    //    rows/cap distinct values by construction, so it broadcasts and
+    //    the banded rows never shuffle on the cap key. Each row picks up
+    //    a hot flag for EVERY band position (all four chunk values
+    //    derive from its own ahash) via four pipelined broadcast left
+    //    joins; a row whose OWN band is hot is dropped — exactly the
+    //    former "drop over-cap buckets whole".
+    //  - First-matching-band dedup instead of dropDuplicates: a pair
+    //    sharing several bands used to emit one row per shared band and
+    //    pay a shuffle of the full candidate volume to dedup. "No
+    //    earlier band ALSO matches among surviving buckets" is a free
+    //    join predicate (chunks from ahash, hotness from the carried
+    //    flags — an earlier shared-but-capped band emitted no rows, so
+    //    it must not suppress the pair), and each pair survives exactly
+    //    once, at its lowest surviving shared band, with identical
+    //    values (hamming/dhash_match are functionally dependent).
+    def chunkOf(c: org.apache.spark.sql.Column, t: Int) =
+      pmod(shiftright(c, t * 16), lit(65536L))
     val banded =
-      if (bucketCap == graft.ops.Dedup.Uncapped) banded0
-      else banded0.join(
-        banded0.groupBy("band", "chunk").agg(count(lit(1)).as("c"))
-          .where(col("c") <= bucketCap).select("band", "chunk"),
-        Seq("band", "chunk"), "left_semi")
+      if (bucketCap == graft.ops.Dedup.Uncapped)
+        banded0.select(col("*") +:
+          (0 until 4).map(t => lit(false).as(s"hot$t")): _*)
+      else {
+        val hot = banded0.groupBy("band", "chunk")
+          .agg(count(lit(1)).as("c"))
+          .where(col("c") > bucketCap)
+        val flagged = (0 until 4).foldLeft(banded0) { (d, t) =>
+          d.join(broadcast(hot.where(col("band") === t)
+              .select(col("chunk").as(s"__c$t"), lit(true).as(s"__h$t"))),
+            chunkOf(d("ahash"), t) === col(s"__c$t"), "left")
+            .drop(s"__c$t")
+        }
+        flagged.select(Seq(col("media_id"), col("ahash"), col("dhash"),
+          col("band"), col("chunk")) ++
+          (0 until 4).map(t =>
+            coalesce(col(s"__h$t"), lit(false)).as(s"hot$t")): _*)
+          .where(!(0 until 4).map(t =>
+            col("band") === t && col(s"hot$t")).reduce(_ || _))
+      }
+    val firstMatch = (0 until 4).map(t =>
+      col("a.band") <= t || col(s"a.hot$t") ||
+        chunkOf(col("a.ahash"), t) =!= chunkOf(col("b.ahash"), t))
+      .reduce(_ && _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.media_id") < col("b.media_id"))
+          col("a.media_id") < col("b.media_id") && firstMatch)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
           .cast("int").as("hamming"),
         (col("a.dhash") === col("b.dhash")).as("dhash_match"))
-      .dropDuplicates("media_a", "media_b") // hamming functionally dependent
       .where(col("hamming") <= maxDist)
   }
 
@@ -943,19 +981,6 @@ object Multimodal {
     sig
   }
 
-  /** One fast-WHT butterfly stage over a length-`n` long array: blocks of
-    * 2h fold to (x+y, x−y) halves — array-at-a-time (`slice`+`zip_with`),
-    * never per-position element_at chains.
-    */
-  private def whtStageSql(l: String, h: Int, n: Int): String =
-    s"""flatten(transform(sequence(0, ${n / (2 * h) - 1}), b ->
-       |  concat(
-       |    zip_with(slice($l, b * ${2 * h} + 1, $h),
-       |      slice($l, b * ${2 * h} + ${h + 1}, $h), (x, y) -> x + y),
-       |    zip_with(slice($l, b * ${2 * h} + 1, $h),
-       |      slice($l, b * ${2 * h} + ${h + 1}, $h), (x, y) -> x - y))))"""
-      .stripMargin
-
   /** Walsh–Hadamard spectral fingerprint — the audio analog of the
     * perceptual image hashes: each 64-sample frame transforms with the
     * EXACT integer fast WHT (6 butterfly stages, values bounded by
@@ -976,27 +1001,26 @@ object Multimodal {
     */
   def wavWhtFp(media: Dataset[MediaRecord], nFrames: Int = 4): DataFrame = {
     require(nFrames >= 1 && nFrames <= 4, "fp packs 16 bits per frame")
-    val frameLen = 64
-    val framed = wavSamples(media, frameLen * nFrames).toDF()
+    // r17: the frame signatures are a pure per-row function of the
+    // decoded samples, so they compute in the compiled
+    // [[graft.functions.WhtSigs]] kernel — bit-identical to the former
+    // staged chain (posexplode → six interpreted zip_with butterfly
+    // stage columns → sign-pack aggregate → per-media collect_list
+    // shuffle; the kernel scaladoc carries the incomplete-frame parity
+    // argument) with ZERO shuffle and no per-sample lambda calls. The
+    // sigs column materializes once (non-cheap, multi-referenced —
+    // CollapseProject keeps the boundary), bands/fp are plain lookups.
+    val sigs = wavSamples(media, 64 * nFrames).toDF()
       .where(col("decoded"))
-      .select(col("media_id"), posexplode(expr(
-        s"transform(sequence(0, ${nFrames - 1}), f -> " +
-          s"slice(samples, f * $frameLen + 1, $frameLen))"))
-        .as(Seq("frame_idx", "c0")))
-    val transformed = (0 until 6).foldLeft(framed) { (d, s) =>
-      d.withColumn(s"c${s + 1}", expr(whtStageSql(s"c$s", 1 << s, frameLen)))
-    }
-    val sig = transformed.select(col("media_id"), col("frame_idx"),
-      expr("""aggregate(zip_with(slice(c6, 2, 16), sequence(0, 15),
-             |  (x, i) -> if(x > 0L, shiftleft(1L, i), 0L)),
-             |  0L, (a, b) -> a + b)""".stripMargin).as("sig"))
-    sig.groupBy("media_id")
-      .agg(array_sort(collect_list(struct(col("frame_idx"), col("sig"))))
-        .as("fs"))
-      .select(Seq(col("media_id")) ++ (0 until nFrames).map(f =>
-        expr(s"fs[$f].sig").as(s"band$f")) :+
-        expr((0 until nFrames).map(f => s"shiftleft(fs[$f].sig, ${16 * f})")
-          .mkString("(", " + ", ")")).as("fp"): _*)
+      .select(col("media_id"),
+        graft.functions.GraftFunctions.wht_sigs(col("samples"), nFrames)
+          .as("sigs"))
+    val banded = sigs.select(Seq(col("media_id")) ++ (0 until nFrames).map(
+      f => element_at(col("sigs"), f + 1).as(s"band$f")): _*)
+    banded.select(Seq(col("media_id")) ++
+      (0 until nFrames).map(f => col(s"band$f")) :+
+      (0 until nFrames).map(f => shiftleft(col(s"band$f"), 16 * f))
+        .reduce(_ + _).as("fp"): _*)
   }
 
   /** Banded near-dup pairs over [[wavWhtFp]] signatures: exact-match on
@@ -1017,14 +1041,23 @@ object Multimodal {
     val bandCols = (0 until nBands).map(t => col(s"band$t"))
     val banded = fps.select(col("media_id") +: bandCols :+
       posexplode(array(bandCols: _*)).as(Seq("band", "chunk")): _*)
+    // first-matching-band dedup (r17, guide §2.4): a pair sharing several
+    // bands used to emit one row per shared band and pay a dropDuplicates
+    // shuffle of the full candidate volume; both sides carry every band
+    // column already, so "no EARLIER band also matches" is a free join
+    // predicate and each pair survives exactly once — at its lowest
+    // shared band — with identical (hamming) values (functionally
+    // dependent on the pair). Same row set, one exchange fewer.
+    val firstMatch = (0 until nBands).map(t =>
+      col("a.band") <= t || col(s"a.band$t") =!= col(s"b.band$t"))
+      .reduce(_ && _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.media_id") < col("b.media_id"))
+          col("a.media_id") < col("b.media_id") && firstMatch)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         (0 until nBands).map(t =>
             bit_count(col(s"a.band$t").bitwiseXOR(col(s"b.band$t"))))
           .reduce(_ + _).cast("int").as("hamming"))
-      .dropDuplicates("media_a", "media_b")
       .where(col("hamming") <= maxDist)
   }
 

@@ -1833,6 +1833,40 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.whtFpPairs(fp2, 2))
   }
 
+  test("WhtSigs kernel r17: zero-pad parity per frame, short-array guard") {
+    import graft.ops.Multimodal
+    // 200 samples: decodePcm16le zero-pads to 64·nFrames, so frames 0..2
+    // carry the planted pattern and frame 3 is the WHT of (8 samples ++
+    // 56 zeros) — the kernel must reproduce whtFrameSig of exactly those
+    // padded frames (what the former staged chain computed)
+    def walsh(r: Int, i: Int) = if (Integer.bitCount(r & i) % 2 == 0) 1 else -1
+    val fa = (0 until 64).map(i =>
+      (1 to 16).map(r => (if (r % 3 == 0) -1 else 1) * 100 * walsh(r, i)).sum)
+    val short = fa ++ fa ++ fa ++ fa.take(8)
+    val media = Seq((0L, Multimodal.makeWav(8000, short)))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio").as("modality"), col("payload"),
+        lit("t").as("source"))
+      .as[Multimodal.MediaRecord]
+    val r = Multimodal.wavWhtFp(media).collect()(0)
+    val expSig = Multimodal.whtFrameSig(fa.map(_.toLong).toArray)
+    val expPad = Multimodal.whtFrameSig(
+      (fa.take(8).map(_.toLong) ++ Seq.fill(56)(0L)).toArray)
+    assert(Seq(r.getLong(1), r.getLong(2), r.getLong(3)).forall(_ == expSig))
+    assert(r.getLong(4) == expPad)
+    assert(r.getLong(5) ==
+      (0 until 3).map(f => expSig << (16 * f)).sum + (expPad << 48))
+    // robustness off the padded seam: a short or empty array yields 0
+    // for the frames it cannot fill (the staged chain's null-spread
+    // value) rather than throwing
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sigs = graft.functions.WhtSigsKernel.compute(
+      new GenericArrayData(fa.map(_.toLong).toArray ++ Array.fill(8)(1L)), 4)
+    assert(sigs.getLong(0) == expSig)
+    assert(sigs.getLong(1) == 0L && sigs.getLong(2) == 0L &&
+      sigs.getLong(3) == 0L)
+  }
+
   test("k-core: cascade peel, bounded-round over-approximation, degrees") {
     import graft.ops.Graph
     // triangle {1,2,3} with a tail 3-4-5: k=2 peels 5, then 4 (cascade);
